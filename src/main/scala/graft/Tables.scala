@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog helper over the driver-generated parquet testdata
+  * (TESTDATA.md / FIXTURES.md §A). The reference serves every table on
+  * demand through an "extractor" (serverboards/exosql `lib/exosql.ex` [U],
+  * see SURVEY.md §1.2); here the equivalent role is played by Spark's
+  * parquet source — lazy, columnar, with predicate pushdown and column
+  * pruning for free. Custom extractor-style connectors live in
+  * [[graft.sources]].
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
+      // read nanos as long and floor-convert to a micros timestamp (matches
+      // what DuckDB/pyarrow yield once values pass through µs-precision).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every testdata table as a temp view named after the table.
+    * Lazy (metadata only) — safe to call per query. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Standard session used by runnable mains. local[N] but every choice
+    * (AQE, 32 shuffle partitions, broadcast threshold) is the one you'd
+    * make on a multi-executor cluster; partition counts come from data
+    * size, not hardware assumptions. */
+  def session(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
