@@ -1,0 +1,67 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** 32-bit SimHash over a token array (SURVEY.md §2.10 near-dup sketch).
+  *
+  * Token hash = first 4 bytes (big-endian) of md5 — deliberately the same
+  * `sharedHash` the MinHash pipeline uses, so the whole computation is
+  * reproducible in SQL (and hence DuckDB-oracle-verifiable bit-for-bit):
+  * bit b of the result is set iff Σ_tokens (2·bit_b(h)−1) > 0.
+  *
+  * Near-dup detection = small hamming distance (`bit_count(a ^ b)`);
+  * a single long per document, so the pairwise stage at scale runs on
+  * 8-byte sketches, never the documents.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash32 expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i).toString
+        md.reset()
+        val digest = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+        // first 4 bytes big-endian, as unsigned 32-bit in a long —
+        // identical to parsing the first 8 hex chars of md5
+        val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+          ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM data pipelines (SURVEY.md §2.10):
+  * exact, MinHash+LSH near-dup, n-gram Jaccard, SimHash.
+  *
+  * 100 TB posture:
+  *  - exact dedup is a hash-shuffle on a 16-byte digest, never on the
+  *    document body;
+  *  - MinHash-LSH shuffles on (band_idx, band_hash) keys only — candidate
+  *    generation is a self-equi-join on small keys, the full cross product
+  *    is never materialized;
+  *  - signatures are fixed-width arrays (k longs/doc) regardless of doc
+  *    size, so memory per row is bounded.
+  *
+  * Hashing is md5-based (`sharedHash`) so every step is reproducible in
+  * any engine that has md5 — which is what makes the DuckDB oracle able
+  * to verify the whole pipeline bit-for-bit.
+  */
+object Dedup {
+
+  /** 32-bit hash shared across engines: first 8 hex chars of md5 as a
+    * long. (xxhash64 would be faster but is Spark-specific; this keeps
+    * the pipeline engine-reproducible. Swap via `hashCol` if desired.) */
+  def sharedHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, "\\s+")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(n), size(toks)), i =>
+        concat_ws(" ", (n - 1 to 0 by -1).map(k => element_at(toks, i - k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature (k values) over hashed shingles: perm_i(h) =
+    * ((2i+1)*h + 101i+17) mod p, p prime > 2^32.
+    *
+    * NOTE: array-lambda form — fine for one-off signatures, but lambda
+    * (higher-order-function) expressions are interpreted, not codegen'd,
+    * and get re-evaluated per downstream reference. The pair pipeline
+    * below uses the explode + partial-min-aggregate form instead, which
+    * is the shape that scales. */
+  def minhashSignature(hashedShingles: Column, k: Int = 16): Column = {
+    val p = 4294967311L
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(hashedShingles, h =>
+        (h * (i * 2 + 1) + i * 101 + 17) % p)))
+  }
+
+  /** doc_id → exploded (band_idx, band_val) rows for LSH banding. */
+  def bands(df: DataFrame, idCol: String, sigCol: String,
+            nBands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bandStructs = transform(sequence(lit(0), lit(nBands - 1)), b =>
+      struct(b.as("band_idx"),
+        concat_ws("_", (1 to rowsPerBand).map(r =>
+          element_at(col(sigCol), b * rowsPerBand + r)): _*).as("band_val")))
+    df.select(col(idCol), explode(bandStructs).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+  }
+
+  /** Exact dedup: keep the lowest id per fingerprint. Shuffles only
+    * (digest, id) pairs; `min` aggregates map-side. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+
+  /** Exact dedup keeping whole rows (DISTINCT-ON-style, via window). */
+  def exactDedupRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash-LSH candidate pairs + Jaccard confirmation on hashed
+    * shingle sets. Returns (id_a, id_b, jaccard) for pairs sharing ≥1
+    * band AND with hashed-shingle-set Jaccard ≥ `threshold`.
+    *
+    * The 100 TB shape: shingles are EXPLODED to (id, hash) rows so the
+    * md5 hashing runs once in a codegen'd projection (array-lambda HOFs
+    * are interpreted and re-evaluated per reference — 100×+ slower);
+    * the k permutation minima are k map-side-partial `min` aggregates in
+    * ONE hash aggregate; candidate generation shuffles only
+    * (band_idx, band_val) keys; the confirm stage joins fixed-width
+    * long-array sketches, never document text. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, nBands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val p = 4294967311L
+    val rowsPerBand = k / nBands
+    // (id, h): one row per distinct shingle — md5 evaluated exactly once
+    val hs = df.select(col(idCol), explode(shingles(col(textCol))).as("s"))
+      .select(col(idCol), sharedHash(col("s")).as("h"))
+    // k permutation minima as one partial-aggregable hash aggregate
+    val sigAggs = (0 until k).map(i =>
+      min((col("h") * (2 * i + 1) + (101 * i + 17)) % p).as(s"s$i"))
+    val sets = hs.groupBy(col(idCol)).agg(
+      collect_set(col("h")).as("hset"),
+      sigAggs: _*)
+    val bandStructs = array((0 until nBands).map(b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
+          .as("band_val"))): _*)
+    val bands = sets.select(col(idCol), explode(bandStructs).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val keyed = sets.select(col(idCol), col("hset"))
+    cand
+      .join(keyed.select(col(idCol).as("id_a"), col("hset").as("h_a")), "id_a")
+      .join(keyed.select(col(idCol).as("id_b"), col("hset").as("h_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force n-gram Jaccard over all pairs of `df` (bounded input!);
+    * the oracle-checkable ground truth that `minhashPairs` approximates. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sh.as("x").join(sh.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

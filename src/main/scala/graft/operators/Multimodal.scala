@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §2.10): media as opaque binary
+  * columns + typed metadata struct, with decode/feature-extract stages as
+  * partition-wise batch transforms.
+  *
+  * The decode itself is STUBBED (this container has no image/audio
+  * codecs): `decodeStub` derives deterministic fake dimensions from the
+  * payload bytes. Everything around it — the binary+struct schema, the
+  * mapPartitions batch shape (one decoder init per partition, not per
+  * row), partition sizing — is the real production plumbing: swap
+  * `decodeStub` for a JNI/FFI codec call and nothing else changes.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("content_hash", StringType, nullable = false),
+      StructField("media_type", StringType, nullable = false))), nullable = false)))
+
+  /** Wrap a text corpus as a media table: payload = utf-8 bytes (stand-in
+    * for image/audio bytes), meta = size + content hash + fake type. */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      col(textCol).cast(BinaryType).as("payload"),
+      struct(
+        length(col(textCol).cast(BinaryType)).as("n_bytes"),
+        sha2(col(textCol).cast(BinaryType), 256).as("content_hash"),
+        (when(col(idCol) % 2 === 0, "image/png")
+          .otherwise("audio/wav")).as("media_type")).as("meta"))
+
+  case class Decoded(doc_id: Long, width: Int, height: Int, n_frames: Int,
+                     mean_luma: Double)
+
+  /** STUB decode: deterministic fake of a codec call — dimensions and a
+    * "mean luma" derived from payload bytes. Real implementation would
+    * hand `bytes` to a decoder initialized once per partition. */
+  private def decodeStub(docId: Long, bytes: Array[Byte]): Decoded = {
+    var acc = 1125899906842597L // FNV-ish fold, deterministic
+    var i = 0
+    while (i < math.min(bytes.length, 256)) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
+    val w = 320 + (math.abs(acc) % 1600).toInt
+    val h = 240 + (math.abs(acc >> 17) % 840).toInt
+    val frames = 1 + (math.abs(acc >> 31) % 240).toInt
+    val luma = (math.abs(acc >> 7) % 256).toDouble / 255.0
+    Decoded(docId, w, h, frames, luma)
+  }
+
+  /** Partition-wise decode stage. mapPartitions (not map) so a real codec
+    * is initialized once per task — the batch shape a Pandas-UDF/Arrow
+    * stage would have. */
+  def decode(media: DataFrame): Dataset[Decoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here
+        it.map { case (id, bytes) =>
+          decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes)
+        }
+      }
+  }
+
+  /** Feature-extract stage over decoded media: bucketed resolution class
+    * + frame-sampling positions (every `stride`th frame). */
+  def features(decoded: Dataset[Decoded], stride: Int = 30): DataFrame = {
+    decoded.toDF().select(
+      col("doc_id"), col("width"), col("height"), col("n_frames"),
+      when(col("width") >= 1280, "hd").otherwise("sd").as("res_class"),
+      sequence(lit(0), col("n_frames") - 1, lit(stride)).as("sampled_frames"),
+      round(col("mean_luma"), 6).as("mean_luma"))
+  }
+}

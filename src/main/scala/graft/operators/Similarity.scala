@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.10):
+  * brute-force cosine top-k as the exact baseline, and a deterministic
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * 100 TB posture: the query vector is a broadcast (it's one row); the
+  * brute-force path is a single scan + TakeOrderedAndProject (no shuffle
+  * of the corpus); the LSH path prunes the scan to one bucket before any
+  * distance math (a partition-prunable key if the table is written
+  * bucketed/partitioned by `bucket`).
+  */
+object Similarity {
+
+  /** Elementwise-double cosine similarity of two array columns,
+    * accumulated left-to-right (deterministic, engine-reproducible). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, _ * _), lit(0.0), _ + _)
+    val na = aggregate(transform(ad, x => x * x), lit(0.0), _ + _)
+    val nb = aggregate(transform(bd, x => x * x), lit(0.0), _ + _)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Deterministic ±1 hyperplanes: sign p,d = parity of the first md5
+    * byte of "p:d". Same construction is inlined into oracle SQL. */
+  def planeSigns(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      md.reset()
+      val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val vd = transform(vec, _.cast("double"))
+    planes.zipWithIndex.map { case (plane, p) =>
+      val dot = aggregate(zip_with(vd, typedLit(plane.toSeq), _ * _), lit(0.0), _ + _)
+      when(dot > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Exact top-k by cosine against the embedding of `queryId`.
+    * orderBy+limit ⇒ Spark plans TakeOrderedAndProject (per-partition
+    * top-k, then k·partitions rows to the driver side of the exchange —
+    * no full sort, no corpus shuffle). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Multi-probe LSH top-k: only rows whose hyperplane bucket is within
+    * `probe` bit flips of the query's bucket are scored — with defaults,
+    * (1+P)/2^P of the corpus (≈11% at P=6). Recall < 1 by construction;
+    * LlmOpsSpec measures the bound. At 100 TB the bucket column is the
+    * partition key, so probing is partition pruning, not a scan. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nPlanes: Int = 6, dim: Int = 64,
+              probe: Int = 1): DataFrame = {
+    val planes = planeSigns(nPlanes, dim)
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), planes))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"), col("bucket").as("__qbucket"))
+    bucketed.join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("__qbucket"))) <= probe)
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM data pipelines (driver mandate,
+  * SURVEY.md §2.10): token counting, quality scoring, language ID,
+  * document fingerprinting.
+  *
+  * Everything here is composed from codegen'd built-ins (no UDFs) and
+  * is embarrassingly parallel — per-row expressions that scale linearly
+  * with no shuffle. Oracle-comparable by construction: only exact string
+  * ops and rational arithmetic (no transcendental functions, whose libm
+  * implementations differ across engines).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: words, numbers and single punctuation marks
+    * counted separately (a cheap deterministic proxy for a real BPE). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters outside [a-z0-9 ] (punctuation-ish). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(lower(text), "[^a-z0-9 ]", ""))).cast("double") /
+      length(text)
+
+  private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Linear quality score in [0,1]: length saturation + low punctuation +
+    * stopword presence. Deliberately rational-arithmetic-only. */
+  def qualityScore(text: Column): Column =
+    round(
+      least(length(text).cast("double") / 500.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - punctRatio(text)) * 0.4 +
+        least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.3,
+      6)
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "es" -> Seq("el", "la", "de", "que", "y", "un", "una", "los"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est", "dans", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "en" -> stopwordsEn)
+
+  /** Stopword-hit counts per language (n-gram-free heuristic language ID).
+    * Returns the winning language code, ties broken by the fixed order
+    * es > fr > de > en, defaulting to "en". */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val hits = langStops.map { case (lang, sw) =>
+      lang -> size(filter(toks, t => t.isin(sw: _*)))
+    }
+    val Seq(es, fr, de, en) = hits.map(_._2)
+    when(es > en && es >= fr && es >= de, "es")
+      .when(fr > en && fr >= de, "fr")
+      .when(de > en, "de")
+      .otherwise("en")
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase
+    * text. Stable across engines (md5 is md5 everywhere), usable as an
+    * exact-dedup key at any scale. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import graft.Tables
+import graft.functions.SimHash32
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operator inventory — SURVEY.md §2.10 (driver
+  * mandate beyond the reference surface).
+  *
+  * The dedup/sketch pipelines hash with md5-derived values precisely so
+  * the ENTIRE pipeline (shingle → minhash → band join → exact-Jaccard
+  * confirm; simhash bit votes; LSH hyperplane buckets) is reproducible in
+  * DuckDB SQL — these oracles verify the distributed pipeline
+  * bit-for-bit, not just row counts.
+  */
+object LlmQueries {
+
+  private val hashSql = "CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)"
+
+  /** DuckDB expression for the LSH bucket of a DOUBLE[] column `v`,
+    * using the same deterministic hyperplanes as Similarity.planeSigns. */
+  private def bucketSql(planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product(v, $arr) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_text_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents").select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").as("token_cnt"),
+        TextAnalysis.bpeishTokenCount($"text").as("bpeish_cnt"),
+        round(TextAnalysis.punctRatio($"text"), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio($"text"), 6).as("stop_ratio"),
+        TextAnalysis.qualityScore($"text").as("quality"))
+    }),
+    "llm_langid" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select($"doc_id", TextAnalysis.langId($"text").as("lang_guess"))
+    }),
+    "llm_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+    }),
+    "llm_exact_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      // corpus with planted exact duplicates (ids shifted by 100000):
+      // dedup must return exactly the original ids
+      val corpus = docs.unionAll(docs.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      Dedup.exactDedup(corpus, "doc_id", "text")
+    }),
+    "llm_minhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      Dedup.minhashPairs(Tables.load(s, d, "documents"), "doc_id", "text",
+        k = 16, nBands = 4, threshold = 0.5)
+    }),
+    "llm_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(
+        Tables.load(s, d, "documents").filter($"doc_id" < 300),
+        "doc_id", "text", n = 3, threshold = 0.3)
+    }),
+    "llm_simhash" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents").select(
+        $"doc_id",
+        GraftBridge.column(SimHash32(
+          GraftBridge.expression(TextAnalysis.tokens($"text")))).as("simhash"))
+    }),
+    "llm_cosine" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.load(s, d, "embeddings")
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("__qvec"))
+      emb.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id",
+          round(Similarity.cosine($"embedding", $"__qvec"), 6).as("cos_sim"))
+    }),
+    "llm_ann_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", queryId = 0, k = 10)),
+    "llm_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", queryId = 0, k = 10, nPlanes = 6, dim = 64)),
+    "llm_multimodal_meta" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.asMedia(Tables.load(s, d, "documents"), "doc_id", "text")
+        .select($"doc_id", $"meta.n_bytes".as("n_bytes"),
+          $"meta.content_hash".as("content_hash"),
+          $"meta.media_type".as("media_type"))
+    }),
+    "llm_multimodal_decode" -> ((s, d) => {
+      Multimodal.features(
+        Multimodal.decode(
+          Multimodal.asMedia(Tables.load(s, d, "documents"), "doc_id", "text")))
+    })
+  )
+
+  private val stopsEn = "'the','a','of','and','to','in','is','it','for','on'"
+
+  def oracle: Map[String, String] = Map(
+    "llm_text_stats" ->
+      s"""SELECT doc_id,
+                 CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS token_cnt,
+                 CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS INTEGER) AS bpeish_cnt,
+                 round(punct, 6) AS punct_ratio,
+                 round(stop, 6) AS stop_ratio,
+                 round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+                       + (1.0 - punct) * 0.4
+                       + least(stop * 5.0, 1.0) * 0.3, 6) AS quality
+          FROM (SELECT doc_id, text,
+                  (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                    / length(text) AS punct,
+                  len(list_filter(string_split_regex(text, '\\s+'),
+                      t -> t IN ($stopsEn))) * 1.0
+                    / greatest(len(string_split_regex(text, '\\s+')), 1) AS stop
+                FROM documents)""",
+    "llm_langid" ->
+      s"""SELECT doc_id,
+                 CASE WHEN es > en AND es >= fr AND es >= de THEN 'es'
+                      WHEN fr > en AND fr >= de THEN 'fr'
+                      WHEN de > en THEN 'de'
+                      ELSE 'en' END AS lang_guess
+          FROM (SELECT doc_id,
+                  len(list_filter(toks, t -> t IN ('el','la','de','que','y','un','una','los'))) AS es,
+                  len(list_filter(toks, t -> t IN ('le','les','des','et','une','est','dans','pour'))) AS fr,
+                  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de,
+                  len(list_filter(toks, t -> t IN ($stopsEn))) AS en
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks FROM documents))""",
+    "llm_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+         FROM documents""",
+    "llm_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+                min(doc_id) AS doc_id
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text FROM documents)
+         GROUP BY 1""",
+    "llm_minhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM documents),
+          sh AS (SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+                 FROM t WHERE len(toks) >= 3),
+          hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> $hashSql)) hs FROM sh),
+          sig AS (SELECT doc_id,
+                    list_transform(generate_series(0, 15), i ->
+                      list_min(list_transform(hs, h -> (h * (2*i + 1) + 101*i + 17) % 4294967311))) sig
+                  FROM hs),
+          bands AS (SELECT doc_id, b.i AS band_idx,
+                      CAST(sig[4*b.i+1] AS VARCHAR) || '_' || CAST(sig[4*b.i+2] AS VARCHAR) || '_' ||
+                      CAST(sig[4*b.i+3] AS VARCHAR) || '_' || CAST(sig[4*b.i+4] AS VARCHAR) AS band_val
+                    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b),
+          cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
+                   FROM bands x JOIN bands y
+                     ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                        AND x.doc_id < y.doc_id)
+          SELECT c.id_a, c.id_b,
+                 len(list_intersect(a.hs, b.hs)) * 1.0
+                   / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+          FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+          WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+                  / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5""",
+    "llm_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') toks
+                    FROM documents WHERE doc_id < 300),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+                FROM t WHERE len(toks) >= 3)
+         SELECT a.doc_id id_a, b.doc_id id_b,
+                len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3""",
+    "llm_simhash" ->
+      s"""SELECT doc_id,
+                 CAST(list_sum(list_transform(generate_series(0, 31), b ->
+                   CASE WHEN list_sum(list_transform(hs, h ->
+                          CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+                   AS BIGINT) AS simhash
+          FROM (SELECT doc_id,
+                  list_transform(string_split_regex(text, '\\s+'), s -> $hashSql) hs
+                FROM documents)""",
+    "llm_cosine" ->
+      """SELECT e.vec_id,
+                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+         FROM embeddings e
+         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0""",
+    "llm_ann_topk" ->
+      """SELECT e.vec_id,
+                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+         FROM embeddings e
+         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "llm_ann_lsh" -> {
+      val planes = Similarity.planeSigns(6, 64)
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+          b AS (SELECT vec_id, v, ${bucketSql(planes)} AS bucket FROM base),
+          q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+          SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cos_sim
+          FROM b, q
+          WHERE bit_count(xor(b.bucket, q.qb)) <= 1 AND b.vec_id <> 0
+          ORDER BY cos_sim DESC, b.vec_id LIMIT 10"""
+    },
+    "llm_multimodal_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+                sha256(text) AS content_hash,
+                CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type
+         FROM documents"""
+    // llm_multimodal_decode: stubbed codec, not SQL-expressible — driver
+    // does the rows-only check; determinism is covered in LlmOpsSpec.
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Property-level checks for the LLM-pipeline operators that the DuckDB
+  * oracle can't express (recall bounds, sketch quality, stub determinism). */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def docs = Tables.load(spark, TestSpark.sf, "documents")
+  def emb = Tables.load(spark, TestSpark.sf, "embeddings")
+
+  test("minhash LSH finds high-jaccard pairs (recall vs brute force)") {
+    import spark.implicits._
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dup pairs")
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall below 0.9 (found ${found.size} of ${truth.size})")
+    // precision: every reported pair really has jaccard >= threshold
+    // (guaranteed by the exact confirm stage, so found ⊆ truth)
+    assert((found -- truth).isEmpty)
+  }
+
+  test("simhash hamming distance separates near-dups from random pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    val sh = docs.select($"doc_id",
+      GraftBridge.column(graft.functions.SimHash32(
+        GraftBridge.expression(split($"text", "\\s+")))).as("simhash"))
+    val nearDups = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+    val joined = nearDups
+      .join(sh.select($"doc_id".as("id_a"), $"simhash".as("h_a")), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"simhash".as("h_b")), "id_b")
+      .select(bit_count($"h_a".bitwiseXOR($"h_b")).as("ham"))
+    val avgNear = joined.agg(avg($"ham")).head().getDouble(0)
+    // random-pair baseline: consecutive unrelated ids from the front
+    val base = sh.filter($"doc_id" < 100)
+    val rand = base.as("x").join(base.as("y"),
+        col("x.doc_id") + 50 === col("y.doc_id"))
+      .select(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("ham"))
+      .agg(avg($"ham")).head().getDouble(0)
+    assert(avgNear < rand,
+      s"near-dup avg hamming $avgNear should be below random baseline $rand")
+  }
+
+  test("LSH ANN recall vs brute-force top-k") {
+    import spark.implicits._
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", 0, 10, nPlanes = 6)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall@10 $recall unexpectedly low")
+    // with fewer planes, buckets are larger → recall must not decrease
+    val approx3 = Similarity.lshTopK(emb, "vec_id", "embedding", 0, 10, nPlanes = 3)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact & approx3).size >= (exact & approx).size)
+  }
+
+  test("multimodal decode is deterministic and keeps the batch shape") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val a = Multimodal.features(Multimodal.decode(media)).collect()
+    val b = Multimodal.features(Multimodal.decode(media.repartition(7))).collect()
+    assert(a.map(_.getAs[Long]("doc_id")).sorted.sameElements(
+      b.map(_.getAs[Long]("doc_id")).sorted))
+    val byId = b.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    a.foreach { r =>
+      val o = byId(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("width") == o.getAs[Int]("width"))
+      assert(r.getAs[Double]("mean_luma") == o.getAs[Double]("mean_luma"))
+    }
+    val d = a.head
+    assert(d.getAs[Int]("width") >= 320 && d.getAs[Int]("height") >= 240)
+  }
+
+  test("exact dedup keeps exactly one representative per distinct text") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text")
+    val tripled = base
+      .unionAll(base.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      .unionAll(base.select(($"doc_id" + 200000).as("doc_id"), $"text"))
+    val kept = Dedup.exactDedup(tripled, "doc_id", "text")
+    assert(kept.count() == base.select($"text").distinct().count())
+    // min-id policy: every kept id is an original id
+    assert(kept.filter($"doc_id" >= 100000).count() == 0)
+    val rows = Dedup.exactDedupRows(tripled, "doc_id", "text")
+    assert(rows.count() == kept.count())
+    assert(rows.columns.toSeq == Seq("doc_id", "text"))
+  }
+}
