@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.engine.Engine
+
+/** Queries routed through the Engine façade (SURVEY.md §3) so the
+  * dialect shim itself sits in the correctness gate. */
+object EngineQueries {
+
+  private def via(s: SparkSession, d: String)(sql: String,
+      vars: Map[String, Any] = Map.empty): DataFrame = {
+    Tables.registerAll(s, d)
+    new Engine(s).query(sql, vars)
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_distinct_on" -> ((s, d) => via(s, d)(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+         FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey""")),
+    "e_vars" -> ((s, d) => via(s, d)(
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+         WHERE o_totalprice > $min_price GROUP BY o_orderpriority""",
+      Map("min_price" -> 250000.0))),
+    "e_builtin_sql" -> ((s, d) => via(s, d)(
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
+              exo_substr(o_orderpriority, -3) AS prio_tail
+         FROM orders WHERE o_orderkey < 500"""))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "e_distinct_on" ->
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+         FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey""",
+    "e_vars" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+         WHERE o_totalprice > 250000.0 GROUP BY o_orderpriority""",
+    "e_builtin_sql" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
+              substr(o_orderpriority, -3) AS prio_tail
+         FROM orders WHERE o_orderkey < 500"""
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Catalog, Dialect, Engine}
+
+/** Façade behavior: dialect rewrites, variables, prepare/run split,
+  * format_result, explain, multi-database catalog (SURVEY.md §3). */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val engine = new Engine(spark)
+
+  test("$var rewrite skips strings and quoted identifiers") {
+    assert(Dialect.rewriteVars("SELECT $a, '$b', \"$c\" FROM t WHERE x > $min_v")
+      == "SELECT :a, '$b', \"$c\" FROM t WHERE x > :min_v")
+  }
+
+  test("query with variables (exosql $var form)") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val df = engine.query(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > $min_price",
+      Map("min_price" -> 300000.0))
+    val n = df.head().getLong(0)
+    assert(n > 0)
+    val all = engine.query("SELECT count(*) AS n FROM orders").head().getLong(0)
+    assert(n < all)
+  }
+
+  test("DISTINCT ON rewrite matches manual window query") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val via = engine.query(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+         FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val manual = spark.sql(
+      """SELECT c_nationkey, c_custkey FROM (
+           SELECT c_nationkey, c_custkey,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) rn
+           FROM customer) WHERE rn = 1""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(via == manual && via.size == 25)
+  }
+
+  test("prepare once, run with different vars") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val p = engine.prepare("SELECT count(*) AS n FROM orders WHERE o_orderstatus = $st")
+    val f = p.run(Map("st" -> "F")).head().getLong(0)
+    val o = p.run(Map("st" -> "O")).head().getLong(0)
+    assert(f > 0 && o > 0 && f != o)
+  }
+
+  test("format_result renders an aligned ascii table") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val s = engine.formatResult(
+      engine.query("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+    assert(s.linesIterator.next().matches("r_regionkey \\| r_name\\s*"))
+    assert(s.contains("MIDDLE EAST"))
+    val truncated = engine.formatResult(
+      engine.query("SELECT * FROM orders"), maxRows = 3)
+    assert(truncated.contains("truncated at 3 rows"))
+    assert(truncated.linesIterator.size == 6) // header + sep + 3 rows + note
+  }
+
+  test("explain returns a plan without executing") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val plan = engine.explain(
+      "SELECT l_orderkey FROM lineitem WHERE l_quantity > 49", mode = "formatted")
+    assert(plan.contains("Scan parquet"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity"))
+  }
+
+  test("multi-database catalog: cross-namespace join (exosql federation shape)") {
+    Catalog.registerParquetDb(spark, "dba", TestSpark.sf, Seq("customer", "nation"))
+    Catalog.registerParquetDb(spark, "dbb", TestSpark.sf, Seq("orders"))
+    try {
+      val df = engine.query(
+        """SELECT n.n_name, count(*) AS n_orders
+           FROM dba.customer c
+           JOIN dbb.orders o ON c.c_custkey = o.o_custkey
+           JOIN dba.nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name""")
+      assert(df.count() == 25)
+    } finally {
+      Catalog.dropDb(spark, "dba"); Catalog.dropDb(spark, "dbb")
+    }
+  }
+
+  test("events conversion view in catalog namespace") {
+    Catalog.registerParquetDb(spark, "dbe", TestSpark.sf, Seq("events"))
+    try {
+      val df = engine.query("SELECT count(*) AS n FROM dbe.events WHERE year(ts) = 2024")
+      assert(df.head().getLong(0) > 0)
+    } finally Catalog.dropDb(spark, "dbe")
+  }
+}
