@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/scan inventory — SURVEY.md §2.1 (S1 parquet is every other
+  * query's scan; S2–S5 are the DSv2 extractor connectors; S6 is
+  * generate_series in CoreQueries). The http-stub and range extractors
+  * are deterministic, so the DSv2 read path itself sits in the oracle
+  * gate; env/metrics are environment-dependent → rows-only. */
+object SourceQueries {
+
+  private def read(s: SparkSession, extractor: String, opts: (String, String)*) = {
+    val r = s.read.format("graft-extractor").option("extractor", extractor)
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_http_qual" -> ((s, _) => {
+      import s.implicits._
+      read(s, "http", "url" -> "http://stub.local/api", "rows" -> "50")
+        .filter($"id" === 7)
+        .select($"id", $"requested_url", $"payload", $"score")
+    }),
+    "s2_http_full" -> ((s, _) => {
+      import s.implicits._
+      read(s, "http", "url" -> "http://stub.local/api", "rows" -> "50")
+        .select($"id", $"requested_url", $"payload", $"score")
+    }),
+    "s3_metrics" -> ((s, _) => {
+      import s.implicits._
+      read(s, "metrics").select($"metric", ($"value" > 0).as("positive"))
+    }),
+    "s4_env" -> ((s, _) => {
+      import s.implicits._
+      read(s, "env").filter($"name" === "PATH").select($"name")
+    }),
+    "s5_range_pushdown" -> ((s, _) => {
+      import s.implicits._
+      read(s, "range", "start" -> "1", "end" -> "100000", "slices" -> "8")
+        .filter($"id" > 99000 && $"id" < 99500)
+        .select($"id", $"square")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "s2_http_qual" ->
+      """SELECT CAST(7 AS BIGINT) AS id,
+                'http://stub.local/api?id=7' AS requested_url,
+                'payload-7' AS payload, 3.5 AS score""",
+    "s2_http_full" ->
+      """SELECT v AS id, 'http://stub.local/api' AS requested_url,
+                'payload-' || v AS payload, v * 0.5 AS score
+         FROM generate_series(1, 50) t(v)""",
+    "s5_range_pushdown" ->
+      """SELECT v AS id, v * v AS square FROM generate_series(1, 100000) t(v)
+         WHERE v > 99000 AND v < 99500"""
+    // s3_metrics / s4_env: environment-dependent — driver rows-only check
+  )
+}

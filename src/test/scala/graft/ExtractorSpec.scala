@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 extractor contract (SURVEY.md S2–S5): schema inference, filter
+  * pushdown reaching the source as quals, column pruning, partitioned
+  * (sliced) reads. */
+class ExtractorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def read(extractor: String, opts: (String, String)*) = {
+    val r = spark.read.format("graft-extractor").option("extractor", extractor)
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("env extractor serves the OS environment (exosql S4)") {
+    import spark.implicits._
+    val df = read("env")
+    assert(df.columns.toSeq == Seq("name", "value"))
+    val path = df.filter($"name" === "PATH").collect()
+    assert(path.length == 1 && path.head.getString(1).nonEmpty)
+  }
+
+  test("metrics extractor serves JVM introspection (exosql S3 analog)") {
+    import spark.implicits._
+    val m = read("metrics").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("available_processors") > 0 && m("max_memory") > 0)
+  }
+
+  test("http stub: equality qual becomes the request (exosql S2)") {
+    import spark.implicits._
+    // no qual → full listing, base url
+    val all = read("http", "url" -> "http://stub.local/api", "rows" -> "20")
+    assert(all.count() == 20)
+    assert(all.select($"requested_url").head().getString(0) == "http://stub.local/api")
+    // qual on id → pushed to the source → URL carries the parameter
+    val one = read("http", "url" -> "http://stub.local/api").filter($"id" === 7).collect()
+    assert(one.length == 1)
+    assert(one.head.getAs[String]("requested_url") == "http://stub.local/api?id=7")
+  }
+
+  test("range extractor: pushdown shrinks generation; slices partition the work") {
+    import spark.implicits._
+    val df = read("range", "start" -> "1", "end" -> "1000", "slices" -> "4")
+      .filter($"id" > 900 && $"id" < 950)
+    val rows = df.collect()
+    assert(rows.length == 49)
+    // pushdown observable: generated ids only span the narrowed range,
+    // and the plan shows the pushed quals
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(id,900)") || plan.contains("quals"))
+    assert(df.rdd.getNumPartitions == 4)
+    // slice audit column proves distribution across partitions
+    assert(rows.map(_.getAs[Int]("slice")).distinct.length > 1)
+  }
+
+  test("column pruning reaches the reader (required schema only)") {
+    import spark.implicits._
+    val df = read("range", "end" -> "50").select($"square")
+    assert(df.schema.fieldNames.toSeq == Seq("square"))
+    assert(df.collect().map(_.getLong(0)).sum == (1L to 50).map(i => i * i).sum)
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("square") && !scanLine.contains("slice"))
+  }
+
+  test("custom extractor registration (exosql user-module behaviour)") {
+    import org.apache.spark.sql.types._
+    Extractors.register("fib", new graft.sources.Extractor {
+      override def schema(o: Map[String, String]) =
+        StructType(Seq(StructField("n", IntegerType), StructField("fib", LongType)))
+      override def execute(o: Map[String, String], quals: Seq[org.apache.spark.sql.sources.Filter],
+                           cols: Seq[String], slice: Int, n: Int): Iterator[Seq[Any]] = {
+        val k = o.getOrElse("n", "10").toInt
+        Iterator.iterate((0, 0L, 1L)) { case (i, a, b) => (i + 1, b, a + b) }
+          .take(k).map { case (i, a, _) => Seq[Any](i, a) }
+      }
+    })
+    val df = read("fib", "n" -> "10")
+    assert(df.count() == 10)
+    assert(df.select("n", "fib").collect().map(r => r.getInt(0)).last == 9)
+    assert(df.agg(max("fib")).head().getLong(0) == 34L)
+  }
+
+  def Extractors = graft.sources.Extractors
+}

@@ -35,7 +35,7 @@ class SmokeSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // oracle-free queries are allowed (driver does rows-only check) but
     // must be deliberate — keep this list in sync when adding them.
-    val allowedOracleFree = Set("llm_multimodal_decode")
+    val allowedOracleFree = Set("llm_multimodal_decode", "s3_metrics", "s4_env")
     assert(missing == allowedOracleFree, s"queries without oracle: $missing")
   }
 
