@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.streaming.Events
+
+/** Batch-parity forms of the streaming operators (SURVEY.md §2.8) —
+  * identical code paths run in StreamingSpec as actual streams; here the
+  * same transforms run in batch so windowed/sessionized semantics sit in
+  * the DuckDB oracle gate. Money-free counts; window starts compared as
+  * truncated timestamps. */
+object StreamQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_tumbling" -> ((s, d) =>
+      Events.tumbling(Tables.load(s, d, "events"), "1 hour")
+        .select("w_start", "event_type", "n")),
+    "st_sliding" -> ((s, d) =>
+      Events.sliding(Tables.load(s, d, "events"), "2 hours", "1 hour")),
+    "st_session" -> ((s, d) =>
+      Events.sessions(Tables.load(s, d, "events"), "30 minutes"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "st_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+                event_type, count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    // each event falls into 2 sliding windows: trunc(ts) and trunc(ts)-1h
+    "st_sliding" ->
+      """SELECT w_start, count(*) AS n FROM (
+           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start FROM events
+           UNION ALL
+           SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP) FROM events)
+         GROUP BY 1""",
+    // gaps-and-islands sessionization, 30-minute gap
+    "st_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         flagged AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM e),
+         numbered AS (
+           SELECT user_id, ts,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, min(ts) AS s_start, count(*) AS n_events
+         FROM numbered GROUP BY user_id, sid"""
+  )
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Events
+
+/** Structured Streaming behavior (SURVEY.md §2.8): stream/batch parity
+  * over the same files, watermark late-data semantics, custom keyed
+  * state. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("tumbling window: stream over files == batch over same files") {
+    val batch = Events.tumbling(Tables.load(spark, TestSpark.sf, "events"))
+      .collect().map(_.toSeq).toSet
+    val stream = Events.readStream(spark, TestSpark.sf)
+    Events.runToMemory(spark, Events.tumbling(stream), "t_tumbling")
+    val streamed = spark.table("t_tumbling").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("session windows: stream == batch") {
+    val batch = Events.sessions(Tables.load(spark, TestSpark.sf, "events"))
+      .collect().map(_.toSeq).toSet
+    val stream = Events.readStream(spark, TestSpark.sf)
+    Events.runToMemory(spark, Events.sessions(stream), "t_sessions")
+    val streamed = spark.table("t_sessions").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("watermark drops events later than the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val agg = df.withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"event_type", $"n")
+    val q = agg.writeStream.format("memory").queryName("t_late")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: events up to 10:30 → watermark advances to 09:30
+    mem.addData((t("2024-01-01 10:00:00"), "a"), (t("2024-01-01 10:30:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: an event at 08:00 — older than watermark − window, dropped;
+    // and one at 10:40 — accepted
+    mem.addData((t("2024-01-01 08:00:00"), "late"), (t("2024-01-01 10:40:00"), "a"))
+    q.processAllAvailable()
+    // close all windows
+    mem.addData((t("2024-01-01 14:00:00"), "z"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_late").collect()
+      .map(r => (r.getAs[Timestamp]("w_start").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n")))
+    assert(!rows.exists(_._2 == "late"), s"late event must be dropped: ${rows.mkString(",")}")
+    assert(rows.contains(("2024-01-01 10:00:00.0", "a", 3L)))
+  }
+
+  test("streaming dedup within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val q = df.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 10:02:00")), (3L, t("2024-01-01 10:03:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t_dedup").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("custom keyed state: per-user running totals (mapGroupsWithState)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("user_id", "value")
+    val q = Events.userRunningTotals(df)
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+    q.processAllAvailable()
+    mem.addData((1L, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("t_state").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    assert(byUser(1L) == ((3L, 17.0)))
+    assert(byUser(2L) == ((1L, 1.0)))
+  }
+}
