@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards (the 100 TB posture, SURVEY.md §4): these assert
+  * the properties that make the queries scale — pushdown reaching the
+  * parquet scan, column pruning, broadcast joins for dimension tables,
+  * top-k instead of full sort. A refactor that silently loses one of
+  * these still passes correctness; this suite is what catches it. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf).queryExecution.executedPlan.toString
+
+  test("filters are pushed to the parquet scan") {
+    val p = plan("p2_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("LessThan(l_shipdate"))
+    // the full filter list is truncated in toString; the quantity
+    // predicate is visible in DataFilters
+    assert(p.contains("(l_qua") || p.contains("GreaterThan(l_quantity"))
+  }
+
+  test("column pruning: scans read only referenced columns") {
+    val p = plan("o1_order_limit")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("o_orderkey") && scan.contains("o_totalprice"))
+    assert(!scan.contains("o_orderdate") && !scan.contains("o_orderpriority"))
+  }
+
+  test("dimension joins broadcast; fact side streams") {
+    val p = plan("j1_inner")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "small-dim join must not sort-merge at this scale")
+    // the selective customer filter must reach its scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("order+limit plans TakeOrderedAndProject (top-k, no full sort)") {
+    assert(plan("o1_order_limit").contains("TakeOrderedAndProject"))
+    assert(plan("llm_ann_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship entry broadcasts all dimension tables") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 4)
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter must push to scan")
+  }
+
+  test("partial aggregation (map-side combine) in grouped aggregates") {
+    val p = plan("a1_groupby")
+    assert(p.contains("HashAggregate"))
+    // partial + final pair around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("minhash pipeline shuffles band keys, not documents") {
+    val p = plan("llm_minhash_pairs")
+    // the self-join key is the band tuple — no text column crosses it
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")
+  }
+}
