@@ -187,6 +187,15 @@ object Builtins {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("to_number", es =>
       Cast(es.head, DoubleType, None, EvalMode.TRY), "scala_udf")
+    reg.createOrReplaceTempFunction("to_string", es =>
+      Cast(es.head, StringType), "scala_udf")
+    reg.createOrReplaceTempFunction("generate_series", {
+      case Seq(a, b) =>
+        org.apache.spark.sql.catalyst.expressions.Sequence(a, b, None, None)
+      case Seq(a, b, st) =>
+        org.apache.spark.sql.catalyst.expressions.Sequence(a, b, Some(st), None)
+      case es => throw new IllegalArgumentException(s"generate_series arity ${es.size}")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("exo_trunc", es =>
       Cast(es.head, LongType), "scala_udf")
     reg.createOrReplaceTempFunction("randint", es =>

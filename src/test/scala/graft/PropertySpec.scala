@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Builtins
+import graft.operators.{Dedup, Similarity}
+
+/** Expression-level laws (SURVEY.md §5.3, beyond the reference's test
+  * style): null propagation, coercion round-trips, sketch/estimate
+  * properties. Driven through the SQL surface so the registry path is
+  * what's tested. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private lazy val init = { Builtins.registerAll(spark); () }
+
+  /** Run a ScalaCheck property deterministically (seeded) and assert. */
+  private def check(prop: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def sql1(expr: String): Any = {
+    init
+    spark.sql(s"SELECT $expr AS v").head().get(0)
+  }
+
+  test("to_number round-trips every double through to_string") {
+    check(Prop.forAll(Gen.chooseNum(-1e9, 1e9)) { (d: Double) =>
+      sql1(s"to_number(to_string(CAST($d AS DOUBLE)))") == d
+    })
+  }
+
+  test("exo_substr matches Scala slicing semantics on arbitrary input") {
+    val gen = for {
+      s <- Gen.alphaNumStr.map(_.take(12))
+      start <- Gen.chooseNum(-15, 15)
+      len <- Gen.chooseNum(0, 15)
+    } yield (s, start, len)
+    check(Prop.forAll(gen) { case (s, start, len) =>
+      val got = sql1(s"exo_substr('$s', $start, $len)").asInstanceOf[String]
+      val n = s.length
+      val begin0 = if (start > 0) start - 1 else if (start == 0) 0 else n + start
+      val expected =
+        if (len <= 0 || begin0 >= n) ""
+        else {
+          val b = math.max(begin0, 0)
+          val effLen = if (begin0 < 0) len + begin0 else len
+          if (effLen <= 0) "" else s.slice(b, math.min(b + effLen, n))
+        }
+      got == expected
+    })
+  }
+
+  test("null propagates through every registered builtin") {
+    val exprs = Seq(
+      "strftime(CAST(NULL AS TIMESTAMP), '%Y')",
+      "to_datetime(CAST(NULL AS BIGINT))",
+      "exo_to_timestamp(CAST(NULL AS TIMESTAMP))",
+      "exo_substr(CAST(NULL AS STRING), 1)",
+      "jp(CAST(NULL AS STRING), 'k')",
+      "regex_named(CAST(NULL AS STRING), 'x')",
+      "urlparse(CAST(NULL AS STRING))",
+      "to_number(CAST(NULL AS STRING))",
+      "exo_trunc(CAST(NULL AS DOUBLE))")
+    exprs.foreach(e => assert(sql1(e) == null, s"$e must be NULL"))
+  }
+
+  test("strftime %-verbs agree with java.time on random timestamps") {
+    check(Prop.forAll(Gen.chooseNum(0L, 4102444800L)) { (epoch: Long) =>
+      val got = sql1(s"strftime(to_datetime($epoch), '%Y-%m-%dT%H:%M:%S')")
+      val expected = java.time.Instant.ofEpochSecond(epoch)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+      got == expected
+    })
+  }
+
+  test("minhash band collision implies high estimated similarity direction") {
+    // identical texts always collide on every band; disjoint ones never do
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("cosine similarity bounds and self-similarity") {
+    import spark.implicits._
+    val gen = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)).suchThat(_.exists(_ != 0.0))
+    check(Prop.forAll(gen, gen) { (a: List[Double], b: List[Double]) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        Similarity.cosine(col("a"), col("b")).as("ab"),
+        Similarity.cosine(col("a"), col("a")).as("aa")).head()
+      math.abs(r.getDouble(1) - 1.0) < 1e-9 &&
+        r.getDouble(0) <= 1.0 + 1e-9 && r.getDouble(0) >= -1.0 - 1e-9
+    }, n = 15)
+  }
+}
