@@ -352,6 +352,12 @@ object CoreQueries {
       import s.implicits._
       s.range(1, 101).select($"id".as("v"),
         ($"id" * $"id").as("sq"))
+    }),
+    "s6_unnest" -> ((s, d) => {
+      import s.implicits._
+      // generator in FROM position (exosql unnest / LATERAL VIEW explode)
+      Tables.load(s, d, "documents").filter($"doc_id" < 20)
+        .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
     })
   )
 
@@ -553,6 +559,9 @@ object CoreQueries {
             GROUP BY l_orderkey) t
          WHERE t.n_items >= 6""",
     "s6_generate_series" ->
-      "SELECT v, v * v AS sq FROM generate_series(1, 100) t(v)"
+      "SELECT v, v * v AS sq FROM generate_series(1, 100) t(v)",
+    "s6_unnest" ->
+      """SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+         FROM documents WHERE doc_id < 20"""
   )
 }
