@@ -64,8 +64,13 @@ object LlmQueries {
     }),
     "llm_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
+      // last 300 ids — where the generator plants near-dup clusters —
+      // so the query exercises real pairs at every scale factor
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max($"doc_id").as("m"))
       Dedup.ngramJaccardPairs(
-        Tables.load(s, d, "documents").filter($"doc_id" < 300),
+        docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+          .select($"doc_id", $"text"),
         "doc_id", "text", n = 3, threshold = 0.3)
     }),
     "llm_simhash" -> ((s, d) => {
@@ -171,7 +176,8 @@ object LlmQueries {
                   / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5""",
     "llm_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') toks
-                    FROM documents WHERE doc_id < 300),
+                    FROM documents
+                    WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
          sh AS (SELECT doc_id,
                   list_distinct(list_transform(generate_series(1, len(toks) - 2),
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
