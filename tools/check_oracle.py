@@ -91,7 +91,10 @@ for name in sorted(oracle):
         n_fail += 1
     else:
         flag = f" maxFloatDelta={max_delta:.2e}" if max_delta > 0 else ""
-        print(f"PASS     {name} ({len(s_rows)} rows){flag}")
+        # a 0-row match is vacuous — flag it so empty-on-both-sides
+        # queries don't masquerade as real coverage
+        warn = " *** WARN: 0 rows (vacuous match) ***" if len(s_rows) == 0 else ""
+        print(f"PASS     {name} ({len(s_rows)} rows){flag}{warn}")
         n_pass += 1
 
 print(f"\n== {n_pass} pass, {n_fail} fail, {n_noquery} missing ==")
