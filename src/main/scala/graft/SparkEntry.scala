@@ -40,10 +40,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ FunctionQueries.defs ++ LlmQueries.defs ++ EngineQueries.defs ++ SourceQueries.defs ++ StreamQueries.defs
+    CoreQueries.defs ++ FunctionQueries.defs ++ LlmQueries.defs ++ EngineQueries.defs ++ SourceQueries.defs ++ StreamQueries.defs ++ ExtraQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ FunctionQueries.oracle ++ LlmQueries.oracle ++ EngineQueries.oracle ++ SourceQueries.oracle ++ StreamQueries.oracle
+    CoreQueries.oracle ++ FunctionQueries.oracle ++ LlmQueries.oracle ++ EngineQueries.oracle ++ SourceQueries.oracle ++ StreamQueries.oracle ++ ExtraQueries.oracle
 }

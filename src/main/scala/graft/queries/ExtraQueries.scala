@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.AsOf
+
+/** Beyond-parity operator rows (SURVEY.md J7, A7 variants, O4 by-name,
+  * flagship): as-of join (vs DuckDB's native ASOF JOIN), interval range
+  * join, GROUPING SETS, PIVOT, unionByName, and the flagship TPC-H Q5
+  * shape itself under the oracle gate. */
+object ExtraQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j7_asof" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"ts", $"user_id", $"value")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id", $"value")
+      AsOf.join(purchases, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightCols = Seq("event_id", "value"))
+        .select($"event_id", $"user_id", $"value",
+          $"r_event_id".as("click_event"), $"r_value".as("click_value"))
+    }),
+    "j7_range" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+      val l = Tables.load(s, d, "lineitem")
+      o.join(l, $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+        .groupBy($"o_orderkey").agg(count(lit(1)).as("n_shipped_30d"))
+    }),
+    "a7_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
+    "a9_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "customer")
+        .groupBy($"c_nationkey")
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(sum(dec($"c_acctbal")).cast(DoubleType))
+    }),
+    "o4_union_by_name" -> ((s, d) => {
+      import s.implicits._
+      val a = Tables.load(s, d, "customer").select($"c_custkey".as("id"), $"c_name".as("nm"))
+      val b = Tables.load(s, d, "supplier").select($"s_name".as("nm"), $"s_suppkey".as("id"))
+      a.unionByName(b).groupBy(substring($"nm", 1, 4).as("kind"))
+        .agg(count(lit(1)).as("n"), max($"id").as("max_id"))
+    }),
+    "q5_flagship" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+      li.join(Tables.load(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.load(s, d, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.load(s, d, "supplier")),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.load(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.load(s, d, "region").filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(dec($"l_extendedprice") *
+          (lit(BigDecimal(1)).cast(DecimalType(8, 2)) - $"l_discount".cast(DecimalType(8, 2))))
+          .cast(DoubleType).as("revenue"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "j7_asof" ->
+      """SELECT p.event_id, p.user_id, p.value,
+                c.event_id AS click_event, c.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "j7_range" ->
+      """SELECT o_orderkey, count(*) AS n_shipped_30d
+         FROM orders JOIN lineitem
+           ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+         GROUP BY o_orderkey""",
+    "a7_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "a9_pivot" ->
+      """SELECT c_nationkey,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS DOUBLE) AS "AUTOMOBILE",
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS "BUILDING",
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = 'FURNITURE') AS DOUBLE) AS "FURNITURE",
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS DOUBLE) AS "HOUSEHOLD",
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) FILTER (WHERE c_mktsegment = 'MACHINERY') AS DOUBLE) AS "MACHINERY"
+         FROM customer GROUP BY c_nationkey""",
+    "o4_union_by_name" ->
+      """SELECT substr(nm, 1, 4) AS kind, count(*) AS n, max(id) AS max_id
+         FROM (SELECT c_custkey AS id, c_name AS nm FROM customer
+               UNION ALL
+               SELECT s_suppkey AS id, s_name AS nm FROM supplier)
+         GROUP BY 1""",
+    "q5_flagship" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name"""
+  )
+}
