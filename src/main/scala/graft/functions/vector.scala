@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector math over array columns for the similarity-search hot path
+  * (SURVEY.md §2.10). The composed `zip_with`+`aggregate` forms are
+  * interpreted higher-order functions (no codegen, boxing per element);
+  * these expressions run a primitive loop — same left-to-right double
+  * accumulation, so results are bit-identical to the composed forms and
+  * to the DuckDB oracle. */
+private[graft] trait VectorBinaryOp extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @inline protected final def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  protected final def elementIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"expected array<float|double>, got $other")
+  }
+}
+
+/** dot(a, b) with double accumulation. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryOp {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val af = elementIsFloat(left); val bf = elementIsFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += elem(a, i, af) * elem(b, i, bf); i += 1 }
+    dot
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
+/** cosine(a, b) = dot / (sqrt(na) * sqrt(nb)), all accumulated
+  * left-to-right in double — the exact arithmetic of the composed form. */
+case class CosineSim(left: Expression, right: Expression) extends VectorBinaryOp {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val af = elementIsFloat(left); val bf = elementIsFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, i, af); val y = elem(b, i, bf)
+      dot += x * y; i += 1
+    }
+    i = 0
+    while (i < n) { val x = elem(a, i, af); na += x * x; i += 1 }
+    i = 0
+    while (i < n) { val y = elem(b, i, bf); nb += y * y; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}

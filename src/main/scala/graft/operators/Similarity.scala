@@ -15,9 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private def bridgeE(c: Column) = org.apache.spark.sql.GraftBridge.expression(c)
+  private def bridgeC(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftBridge.column(e)
+
   /** Elementwise-double cosine similarity of two array columns,
-    * accumulated left-to-right (deterministic, engine-reproducible). */
-  def cosine(a: Column, b: Column): Column = {
+    * accumulated left-to-right (deterministic, engine-reproducible).
+    * Custom expression — the composed zip_with/aggregate form is
+    * interpreted HOFs (boxing per element); [[cosineComposed]] keeps the
+    * built-in form for the equality law in PropertySpec. */
+  def cosine(a: Column, b: Column): Column =
+    bridgeC(graft.functions.CosineSim(bridgeE(a), bridgeE(b)))
+
+  /** Built-in-composition cosine (reference semantics for tests). */
+  def cosineComposed(a: Column, b: Column): Column = {
     val ad = transform(a, _.cast("double"))
     val bd = transform(b, _.cast("double"))
     val dot = aggregate(zip_with(ad, bd, _ * _), lit(0.0), _ + _)
@@ -38,13 +49,12 @@ object Similarity {
   }
 
   /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val vd = transform(vec, _.cast("double"))
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val dot = aggregate(zip_with(vd, typedLit(plane.toSeq), _ * _), lit(0.0), _ + _)
+      val dot = bridgeC(graft.functions.DotProduct(
+        bridgeE(vec), bridgeE(typedLit(plane.toSeq))))
       when(dot > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** Exact top-k by cosine against the embedding of `queryId`.
     * orderBy+limit ⇒ Spark plans TakeOrderedAndProject (per-partition

@@ -92,6 +92,16 @@ class PropertySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("custom CosineSim expression is bit-identical to composed form") {
+    import spark.implicits._
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val both = emb.crossJoin(q).select(
+      Similarity.cosine($"embedding", $"qv").as("custom"),
+      Similarity.cosineComposed($"embedding", $"qv").as("composed")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("cosine similarity bounds and self-similarity") {
     import spark.implicits._
     val gen = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)).suchThat(_.exists(_ != 0.0))
