@@ -83,18 +83,33 @@ object Dialect {
       require(closeIdx > 0, s"unbalanced DISTINCT ON parens in: $sql")
       val keys = sql.substring(openIdx + 1, closeIdx).trim
       val rest = sql.substring(closeIdx + 1) // "<select list> FROM <tail>"
+      // LIMIT/OFFSET apply AFTER dedup (PostgreSQL) — peel them off the
+      // tail so they end up on the outer query, not inside the window
+      def splitTrailing(s: String): (String, String) = {
+        val idxs = Seq("LIMIT", "OFFSET").map(topLevelIndex(s, _)).filter(_ >= 0)
+        if (idxs.isEmpty) (s, "")
+        else {
+          val i = idxs.min
+          (s.substring(0, i), " " + s.substring(i).trim)
+        }
+      }
       val orderIdx = topLevelIndex(rest, "ORDER BY")
-      val (body, orderBy) =
-        if (orderIdx >= 0)
-          (rest.substring(0, orderIdx),
-            rest.substring(orderIdx + "ORDER BY".length).trim)
-        else (rest, "")
+      val (body, orderBy, trailing) =
+        if (orderIdx >= 0) {
+          val (ob, tr) = splitTrailing(
+            rest.substring(orderIdx + "ORDER BY".length))
+          (rest.substring(0, orderIdx), ob.trim, tr)
+        } else {
+          val (b, tr) = splitTrailing(rest)
+          (b, "", tr)
+        }
       val fromIdx = topLevelIndex(body, "FROM")
       require(fromIdx >= 0, s"DISTINCT ON without FROM in: $sql")
       val selectList = body.substring(0, fromIdx).trim
       val fromTail = body.substring(fromIdx)
       val windowOrder = if (orderBy.nonEmpty) orderBy else keys
-      val outer = if (orderBy.nonEmpty) s" ORDER BY $orderBy" else ""
+      val outer =
+        (if (orderBy.nonEmpty) s" ORDER BY $orderBy" else "") + trailing
       // inner keeps ALL source columns so the outer select list AND the
       // outer ORDER BY may reference columns not in the projection
       // (PostgreSQL DISTINCT ON allows both)

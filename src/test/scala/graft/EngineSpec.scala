@@ -41,6 +41,19 @@ class EngineSpec extends AnyFunSuite {
     assert(via == manual && via.size == 25)
   }
 
+  test("DISTINCT ON with trailing LIMIT/OFFSET applies them after dedup") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val rows = engine.query(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_acctbal
+         FROM customer ORDER BY c_nationkey, c_acctbal DESC LIMIT 5""").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 4))
+    val noOrder = engine.query(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
+         FROM customer LIMIT 3""").collect()
+    assert(noOrder.length == 3)
+  }
+
   test("prepare once, run with different vars") {
     Tables.registerAll(spark, TestSpark.sf)
     val p = engine.prepare("SELECT count(*) AS n FROM orders WHERE o_orderstatus = $st")

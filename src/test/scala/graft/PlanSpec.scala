@@ -54,6 +54,19 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("no accidental cartesian/nested-loop joins across the inventory") {
+    // BNLJ is legitimate only where the build side is a broadcast
+    // single-row/bounded set or the op is an intentional cross/brute-force
+    val allowedBnlj = Set("j4_cross", "llm_ann_lsh", "llm_ann_topk",
+      "llm_cosine", "llm_ngram_jaccard")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (p.contains("BroadcastNestedLoopJoin"))
+        assert(allowedBnlj(name), s"$name unexpectedly plans a BNLJ")
+    }
+  }
+
   test("minhash pipeline shuffles band keys, not documents") {
     val p = plan("llm_minhash_pairs")
     // the self-join key is the band tuple — no text column crosses it
