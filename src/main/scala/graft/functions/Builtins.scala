@@ -34,6 +34,27 @@ object Builtins {
     * computed pieces, built directly as a Catalyst expression tree (shared
     * by the Column API and the SQL function registry); codegen-friendly,
     * no UDF. */
+  /** strftime-style format → java DateTimeFormatter pattern (for parse
+    * directions like 2-arg to_datetime; only 1:1 verbs supported). */
+  def strftimeToJavaPattern(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val v = fmt.charAt(i + 1)
+        if (v == '%') sb += '%'
+        else sb ++= strftimeVerbs.getOrElse(v,
+          throw new IllegalArgumentException(s"to_datetime: unsupported verb %$v"))
+        i += 2
+      } else {
+        if (c.isLetter) { sb += '\''; sb += c; sb += '\'' } else sb += c
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   def strftimeExpr(ts: Expression, fmt: String): Expression = {
     val chunks = scala.collection.mutable.ArrayBuffer[Expression]()
     def fmtChunk(p: String): Expression = DateFormatClass(ts, Literal(p))
@@ -160,7 +181,15 @@ object Builtins {
     }
     reg.createOrReplaceTempFunction("strftime", es =>
       strftimeExpr(es(0), lit2str(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("to_datetime", es => ToDatetime(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("to_datetime", {
+      case Seq(e) => ToDatetime(e)
+      case Seq(e, fmt) => // exosql 2-arg form: strftime-style format
+        new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
+          e, Literal(strftimeToJavaPattern(lit2str(fmt))))
+      case es => throw new IllegalArgumentException(s"to_datetime arity ${es.size}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("json", es =>
+      org.apache.spark.sql.catalyst.expressions.variant.ParseJson(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("exo_to_timestamp", es =>
       UnixTimestamp(es.head, Literal("yyyy-MM-dd HH:mm:ss")), "scala_udf")
     reg.createOrReplaceTempFunction("exo_substr", {

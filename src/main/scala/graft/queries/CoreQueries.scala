@@ -348,6 +348,19 @@ object CoreQueries {
     }),
 
     // ── §2.1 S6: table function in FROM ───────────────────────────────
+    "o7_correlated" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT n_name,
+                      (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+                      (SELECT max(s_acctbal) FROM supplier WHERE s_nationkey = n_nationkey) AS top_supp
+               FROM nation""")
+    }),
+    "o7_exists" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT p_partkey, p_name FROM part
+               WHERE EXISTS (SELECT 1 FROM lineitem
+                             WHERE l_partkey = p_partkey AND l_quantity >= 49)""")
+    }),
     "s6_generate_series" -> ((s, d) => {
       import s.implicits._
       s.range(1, 101).select($"id".as("v"),
@@ -558,6 +571,15 @@ object CoreQueries {
            (SELECT l_orderkey, count(*) AS n_items FROM lineitem
             GROUP BY l_orderkey) t
          WHERE t.n_items >= 6""",
+    "o7_correlated" ->
+      """SELECT n_name,
+                (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+                (SELECT max(s_acctbal) FROM supplier WHERE s_nationkey = n_nationkey) AS top_supp
+         FROM nation""",
+    "o7_exists" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_partkey = p_partkey AND l_quantity >= 49)""",
     "s6_generate_series" ->
       "SELECT v, v * v AS sq FROM generate_series(1, 100) t(v)",
     "s6_unnest" ->

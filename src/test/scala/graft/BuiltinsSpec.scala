@@ -68,6 +68,15 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(r.getSeq[Int](1) == Seq(0, 2, 4, 6, 8, 10))
   }
 
+  test("to_datetime 2-arg strftime format + json builtin") {
+    graft.functions.Builtins.registerAll(spark)
+    val r = spark.sql(
+      """SELECT to_datetime('05/03/2021 14:30:00', '%d/%m/%Y %H:%M:%S') AS a,
+                CAST(variant_get(json('{"k": {"x": 42}}'), '$.k.x') AS INT) AS b""").head()
+    assert(r.getTimestamp(0).toString == "2021-03-05 14:30:00.0")
+    assert(r.getInt(1) == 42)
+  }
+
   test("to_datetime permissive forms") {
     Builtins.registerAll(spark)
     val r = spark.sql(
