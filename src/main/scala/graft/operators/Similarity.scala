@@ -56,6 +56,26 @@ object Similarity {
       when(dot > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs (SURVEY §2.10 dedup mode):
+    * candidate pairs share an LSH hyperplane bucket (the only join key —
+    * never a cross product), then exact cosine confirms ≥ `simThreshold`.
+    * Multi-probe is unnecessary here: near-identical vectors land in the
+    * same bucket with overwhelming probability, and dedup tolerates
+    * sub-unit recall (missed dups survive, nothing is wrongly dropped). */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        simThreshold: Double, nPlanes: Int = 6,
+                        dim: Int = 64): DataFrame = {
+    val planes = planeSigns(nPlanes, dim)
+    val b = emb.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        round(cosine(col(s"x.$vecCol"), col(s"y.$vecCol")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= simThreshold)
+  }
+
   /** Exact top-k by cosine against the embedding of `queryId`.
     * orderBy+limit ⇒ Spark plans TakeOrderedAndProject (per-partition
     * top-k, then k·partitions rows to the driver side of the exchange —

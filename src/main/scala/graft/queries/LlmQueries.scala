@@ -95,6 +95,35 @@ object LlmQueries {
     "llm_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0, k = 10, nPlanes = 6, dim = 64)),
+    "llm_embedding_dups" -> ((s, d) => {
+      import s.implicits._
+      // corpus with planted duplicates (ids shifted by 10000): the
+      // LSH-bucketed pairwise dedup must find exactly the planted pairs
+      val emb = Tables.load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val corpus = emb.unionAll(
+        emb.select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+      Similarity.embeddingNearDups(corpus, "vec_id", "embedding",
+        simThreshold = 0.99, nPlanes = 6, dim = 64)
+    }),
+    "llm_pipeline" -> ((s, d) => {
+      import s.implicits._
+      // the full training-data preparation chain: score -> language
+      // filter -> quality filter -> exact dedup (keep lowest id), over a
+      // corpus with planted duplicates
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val corpus = docs.unionAll(docs.select(($"doc_id" + 500000).as("doc_id"), $"text"))
+      val scored = corpus.select($"doc_id",
+        TextAnalysis.qualityScore($"text").as("quality"),
+        TextAnalysis.langId($"text").as("lang"),
+        TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.tokenCount($"text").as("token_cnt"))
+      val filtered = scored.filter($"quality" >= 0.5 && $"lang" === "en")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id")
+      filtered.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1)
+        .select($"doc_id", $"fp", $"token_cnt", $"quality")
+    }),
     "llm_multimodal_meta" -> ((s, d) => {
       import s.implicits._
       Multimodal.asMedia(Tables.load(s, d, "documents"), "doc_id", "text")
@@ -112,6 +141,43 @@ object LlmQueries {
   private val stopsEn = "'the','a','of','and','to','in','is','it','for','on'"
 
   def oracle: Map[String, String] = Map(
+    "llm_embedding_dups" -> {
+      val planes = Similarity.planeSigns(6, 64)
+      s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+                          UNION ALL
+                          SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+          b AS (SELECT vec_id, v, ${bucketSql(planes)} AS bucket FROM corpus)
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.99"""
+    },
+    "llm_pipeline" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+                          UNION ALL SELECT doc_id + 500000, text FROM documents),
+          scored AS (
+            SELECT doc_id,
+                   round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+                         + (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 0.4
+                         + least(len(list_filter(string_split_regex(text, '\\s+'), t -> t IN ($stopsEn))) * 1.0
+                                 / greatest(len(string_split_regex(text, '\\s+')), 1) * 5.0, 1.0) * 0.3, 6) AS quality,
+                   CASE WHEN es > en AND es >= fr AND es >= de THEN 'es'
+                        WHEN fr > en AND fr >= de THEN 'fr'
+                        WHEN de > en THEN 'de'
+                        ELSE 'en' END AS lang,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+                   CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS token_cnt
+            FROM (SELECT doc_id, text,
+                    len(list_filter(toks, t -> t IN ('el','la','de','que','y','un','una','los'))) AS es,
+                    len(list_filter(toks, t -> t IN ('le','les','des','et','une','est','dans','pour'))) AS fr,
+                    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de,
+                    len(list_filter(toks, t -> t IN ($stopsEn))) AS en
+                  FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') toks FROM corpus)))
+          SELECT doc_id, fp, token_cnt, quality FROM (
+            SELECT doc_id, fp, token_cnt, quality,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored WHERE quality >= 0.5 AND lang = 'en')
+          WHERE rn = 1""",
     "llm_text_stats" ->
       s"""SELECT doc_id,
                  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS token_cnt,
@@ -220,6 +286,17 @@ object LlmQueries {
           FROM b, q
           WHERE bit_count(xor(b.bucket, q.qb)) <= 1 AND b.vec_id <> 0
           ORDER BY cos_sim DESC, b.vec_id LIMIT 10"""
+    },
+    "llm_embedding_dups" -> {
+      val planes = Similarity.planeSigns(6, 64)
+      s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+                          UNION ALL
+                          SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+          b AS (SELECT vec_id, v, ${bucketSql(planes)} AS bucket FROM corpus)
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.99"""
     },
     "llm_multimodal_meta" ->
       """SELECT doc_id,
