@@ -71,10 +71,15 @@ object Dialect {
 
   private val DistinctOn = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
 
-  /** Rewrite `SELECT DISTINCT ON (k1, k2) list FROM tail [ORDER BY o]`
-    * into a row_number window over (k1, k2) ordered by `o` (or the keys
-    * when absent), keeping the first row per key group. Output ordering
-    * follows the ORDER BY, like PostgreSQL/exosql. */
+  /** Rewrite `SELECT DISTINCT ON (k1, k2) list FROM tail [ORDER BY o]
+    * [LIMIT n [OFFSET m]]` into a row_number window over (k1, k2)
+    * ordered by `o` (or the keys when absent), keeping the first row per
+    * key group; LIMIT/OFFSET apply after dedup and output ordering
+    * follows the ORDER BY, like PostgreSQL/exosql.
+    *
+    * Limitation: only a TOP-LEVEL `SELECT DISTINCT ON` is rewritten
+    * (matching the reference's usage); a DISTINCT ON inside a subquery
+    * or CTE is not — use the window form directly there. */
   def rewriteDistinctOn(sql: String): String = DistinctOn.findFirstMatchIn(sql) match {
     case None => sql
     case Some(m) =>

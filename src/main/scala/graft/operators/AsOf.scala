@@ -23,13 +23,11 @@ object AsOf {
            rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = struct(rightCols.map(col): _*)
+    val rightStructType = right.select(rightCols.map(col): _*).schema
     val l = left.select(
       (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
         struct(leftCols.map(col): _*).as("__l") :+
-        lit(null).cast(right.select(rightCols.map(col): _*).schema
-          .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
-            (s, f) => s.add(f)
-          }).as("__r")): _*)
+        lit(null).cast(rightStructType).as("__r")): _*)
     val r = right.select(
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
         lit(null).cast(left.schema).as("__l") :+ payload.as("__r")): _*)
