@@ -15,7 +15,7 @@ object Demo {
     Catalog.registerParquetDb(spark, "tpch", dir, Seq("customer", "orders", "nation"))
 
     println("== flagship (TPC-H Q5 shape) ==")
-    println(engine.formatResult(SparkEntry.entry(spark)))
+    println(engine.formatResult(SparkEntry.queries("q5_flagship")(spark, dir)))
 
     println("== exosql builtins + $vars through SQL ==")
     println(engine.formatResult(engine.query(

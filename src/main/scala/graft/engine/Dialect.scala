@@ -14,14 +14,16 @@ object Dialect {
   def rewriteVars(sql: String): String = {
     val out = new StringBuilder
     var i = 0
-    var inStr = false; var inQuote = false
+    var inStr = false; var inQuote = false; var inBacktick = false
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
       else if (inQuote) { out += c; if (c == '"') inQuote = false; i += 1 }
+      else if (inBacktick) { out += c; if (c == '`') inBacktick = false; i += 1 }
       else c match {
         case '\'' => inStr = true; out += c; i += 1
         case '"' => inQuote = true; out += c; i += 1
+        case '`' => inBacktick = true; out += c; i += 1
         case '$' if i + 1 < sql.length &&
             (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_') =>
           out += ':'; i += 1
@@ -46,22 +48,30 @@ object Dialect {
     -1
   }
 
-  /** Index of a top-level (paren-depth-0, outside strings) keyword. */
+  private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Index of a top-level keyword: paren-depth 0, outside single/double
+    * quotes and backtick identifiers, not inside an identifier
+    * (underscores count as identifier chars — `valid_from` is not FROM). */
   private def topLevelIndex(s: String, kw: String): Int = {
     val upper = s.toUpperCase
-    var depth = 0; var inStr = false
+    var depth = 0; var inStr = false; var inDq = false; var inBt = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inDq) { if (c == '"') inDq = false }
+      else if (inBt) { if (c == '`') inBt = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inDq = true
+        case '`' => inBt = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
           if (depth == 0 && upper.startsWith(kw, i) &&
-              (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
-              (i + kw.length >= s.length || !s.charAt(i + kw.length).isLetterOrDigit))
+              (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length))))
             return i
       }
       i += 1

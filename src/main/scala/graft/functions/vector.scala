@@ -30,8 +30,9 @@ private[graft] trait VectorBinaryOp extends BinaryExpression with CodegenFallbac
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryOp {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null // as zip_with+sum would
     val af = elementIsFloat(left); val bf = elementIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var i = 0
     while (i < n) { dot += elem(a, i, af) * elem(b, i, bf); i += 1 }
     dot
@@ -45,8 +46,9 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryO
 case class CosineSim(left: Expression, right: Expression) extends VectorBinaryOp {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null // dim mismatch: no silent truncation
     val af = elementIsFloat(left); val bf = elementIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

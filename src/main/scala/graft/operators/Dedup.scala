@@ -52,14 +52,18 @@ object Dedup {
     * aggregates reuse. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val leads = (1 until n).map(k => lead(col("__tok"), k).over(w))
-    df.select(col(idCol),
-        posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__tok")))
-      .select(col(idCol),
-        concat_ws(" ", (col("__tok") +: leads): _*).as("s"),
-        leads.last.isNotNull.as("__ok"))
-      .filter(col("__ok")).drop("__ok")
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val exploded = df.select(col(idCol),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__tok")))
+    if (n == 1) exploded.select(col(idCol), col("__tok").as("s"))
+    else {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      val leads = (1 until n).map(k => lead(col("__tok"), k).over(w))
+      exploded.select(col(idCol),
+          concat_ws(" ", (col("__tok") +: leads): _*).as("s"),
+          leads.last.isNotNull.as("__ok"))
+        .filter(col("__ok")).drop("__ok")
+    }
   }
 
   /** MinHash signature (k values) over hashed shingles: perm_i(h) =

@@ -54,6 +54,18 @@ class EngineSpec extends AnyFunSuite {
     assert(noOrder.length == 3)
   }
 
+  test("identifiers containing keyword substrings survive the rewrite") {
+    Tables.registerAll(spark, TestSpark.sf)
+    // 'valid_from'-style names must not be split as FROM/LIMIT keywords
+    val r = engine.query(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey AS key_from, c_custkey AS row_limit
+         FROM customer ORDER BY c_nationkey, c_custkey LIMIT 3""").collect()
+    assert(r.length == 3 && r.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    // $ inside a backtick-quoted identifier is untouched
+    assert(graft.engine.Dialect.rewriteVars("SELECT `price$usd` FROM t")
+      == "SELECT `price$usd` FROM t")
+  }
+
   test("prepare once, run with different vars") {
     Tables.registerAll(spark, TestSpark.sf)
     val p = engine.prepare("SELECT count(*) AS n FROM orders WHERE o_orderstatus = $st")

@@ -27,13 +27,27 @@ for t in TABLES:
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+def canon_cell(x):
+    # type-insensitive ordering so int64-vs-Decimal columns align across
+    # engines: numbers order numerically, everything else by repr
+    if x is None:
+        return (2, "", 0.0)
+    if isinstance(x, bool):
+        return (1, str(x), 0.0)
+    if isinstance(x, (int, float)) or type(x).__name__ == "Decimal":
+        try:
+            return (0, "", float(x))
+        except (ValueError, OverflowError):
+            return (1, str(x), 0.0)
+    return (1, str(x), 0.0)
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
-    return sorted(out, key=lambda r: tuple(
-        (x is None, str(type(x)), str(x)) for x in r)), [cols[i] for i in order]
+    return sorted(out, key=lambda r: tuple(canon_cell(x) for x in r)), \
+        [cols[i] for i in order]
 
 def cell_eq(a, b):
     if a is None or b is None:
