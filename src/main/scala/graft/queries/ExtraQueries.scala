@@ -57,6 +57,16 @@ object ExtraQueries {
       a.unionByName(b).groupBy(substring($"nm", 1, 4).as("kind"))
         .agg(count(lit(1)).as("n"), max($"id").as("max_id"))
     }),
+    "a10_salted_agg" -> ((s, d) => {
+      import s.implicits._
+      // skew-safe two-phase aggregation must equal the plain form —
+      // decimal partials so the oracle compares exactly
+      graft.operators.Skew.saltedAgg(
+        Tables.load(s, d, "lineitem"), Seq($"l_returnflag"), buckets = 16,
+        partial = Seq(sum(dec($"l_quantity")).as("s"), count(lit(1)).as("c")),
+        merge = Seq(sum($"s").cast(DoubleType).as("total_qty"), sum($"c").as("n")),
+        saltBy = Seq($"l_orderkey", $"l_linenumber"))
+    }),
     "q5_flagship" -> ((s, d) => {
       import s.implicits._
       val li = Tables.load(s, d, "lineitem")
@@ -106,6 +116,11 @@ object ExtraQueries {
                UNION ALL
                SELECT s_suppkey AS id, s_name AS nm FROM supplier)
          GROUP BY 1""",
+    "a10_salted_agg" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
     "q5_flagship" ->
       """SELECT n_name,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -33,13 +33,16 @@ object StreamQueries {
            UNION ALL
            SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP) FROM events)
          GROUP BY 1""",
-    // gaps-and-islands sessionization, 30-minute gap
+    // gaps-and-islands sessionization, 30-minute gap. Boundary verified
+    // empirically (StreamingSpec): Spark session_window MERGES events
+    // exactly gap-apart (closed interval), so a new session starts only
+    // when the gap is strictly greater — hence '>' here.
     "st_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
          flagged AS (
            SELECT user_id, ts,
                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            >= INTERVAL 30 MINUTE
+                            > INTERVAL 30 MINUTE
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                        THEN 1 ELSE 0 END AS new_s
            FROM e),

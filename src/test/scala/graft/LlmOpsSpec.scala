@@ -78,6 +78,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(d.getAs[Int]("width") >= 320 && d.getAs[Int]("height") >= 240)
   }
 
+  test("array-form minhash signature matches the aggregate-form minima") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sample = docs.filter($"doc_id" < 20)
+    // aggregate form (the pipeline's shape)
+    val p = 4294967311L
+    val hs = Dedup.shingleRows(sample.select($"doc_id", $"text"), "doc_id", "text")
+      .select($"doc_id", Dedup.sharedHash($"s").as("h"))
+    val aggSig = hs.groupBy($"doc_id")
+      .agg(min(($"h" * 1 + 17) % p).as("s0"), min(($"h" * 3 + 118) % p).as("s1"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // array-lambda form over the same shingle sets
+    val arrSig = hs.groupBy($"doc_id").agg(collect_list($"h").as("hl"))
+      .select($"doc_id", Dedup.minhashSignature($"hl", k = 2).as("sig"))
+      .collect().map(r => r.getLong(0) -> {
+        val s = r.getSeq[Long](1); (s(0), s(1))
+      }).toMap
+    assert(aggSig == arrSig)
+  }
+
   test("exact dedup keeps exactly one representative per distinct text") {
     import spark.implicits._
     val base = docs.select($"doc_id", $"text")

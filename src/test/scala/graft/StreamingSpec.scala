@@ -31,6 +31,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("session gap boundary: exactly-gap-apart events start a new session") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:30:00")),
+        (1L, t("2024-01-01 10:59:59")))
+      .toDF("user_id", "ts")
+    val sessions = Events.sessions(df, "30 minutes").collect()
+    // Spark session_window treats the interval as CLOSED: an event at
+    // exactly start+gap EXTENDS the session — all three events merge.
+    // (The st_session oracle's gaps-and-islands SQL therefore splits
+    // only on strictly-greater gaps.)
+    assert(sessions.length == 1)
+    assert(sessions.head.getAs[Long]("n_events") == 3L)
+  }
+
   test("watermark drops events later than the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
