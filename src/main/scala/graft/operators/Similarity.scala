@@ -56,6 +56,40 @@ object Similarity {
       when(dot > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: coarse-quantize every vector to its nearest of
+    * `nCells` centroid vectors (deterministic: the embeddings of the
+    * `nCells` lowest ids serve as centroids — at production scale these
+    * would come from a sampled k-means), then search only the query's
+    * cell plus `probes-1` next-nearest cells. The cell id is a
+    * partition-prunable key, like the LSH bucket. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nCells: Int = 8,
+              probes: Int = 2): DataFrame = {
+    val centroids = emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+    // assign: argmax cosine over the (broadcast) centroid set
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("__cid"), cosine(col(vecCol), col("__cvec")).as("__csim"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("__csim").desc, col("__cid"))))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(vecCol), col("__cid").as("cell"))
+    val qCells = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("__qvec"), col("__cid"),
+        cosine(col("__qvec"), col("__cvec")).as("__qsim"))
+      .orderBy(col("__qsim").desc, col("__cid")).limit(probes)
+      .select(col("__qvec"), col("__cid").as("cell"))
+    assigned.join(broadcast(qCells), "cell")
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (SURVEY §2.10 dedup mode):
     * candidate pairs share an LSH hyperplane bucket (the only join key —
     * never a cross product), then exact cosine confirms ≥ `simThreshold`.

@@ -95,6 +95,9 @@ object LlmQueries {
     "llm_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0, k = 10, nPlanes = 6, dim = 64)),
+    "llm_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", queryId = 0, k = 10, nCells = 8, probes = 2)),
     "llm_embedding_dups" -> ((s, d) => {
       import s.implicits._
       // corpus with planted duplicates (ids shifted by 10000): the
@@ -141,6 +144,24 @@ object LlmQueries {
   private val stopsEn = "'the','a','of','and','to','in','is','it','for','on'"
 
   def oracle: Map[String, String] = Map(
+    "llm_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+          assigned AS (
+            SELECT vec_id, v, cid AS cell FROM (
+              SELECT e.vec_id, e.v, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) rk
+              FROM e CROSS JOIN c) WHERE rk = 1),
+          qc AS (SELECT a.v AS qv, c.cid AS cell,
+                        row_number() OVER (
+                          ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) rk
+                 FROM assigned a CROSS JOIN c WHERE a.vec_id = 0)
+          SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+          FROM assigned a JOIN (SELECT qv, cell FROM qc WHERE rk <= 2) q
+            ON a.cell = q.cell
+          WHERE a.vec_id <> 0
+          ORDER BY cos_sim DESC, a.vec_id LIMIT 10""",
     "llm_embedding_dups" -> {
       val planes = Similarity.planeSigns(6, 64)
       s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings

@@ -61,6 +61,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((exact & approx3).size >= (exact & approx).size)
   }
 
+  test("IVF ANN: deterministic, bounded scan, reasonable recall") {
+    import spark.implicits._
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val ivf1 = Similarity.ivfTopK(emb, "vec_id", "embedding", 0, 10, nCells = 8, probes = 2)
+      .select($"vec_id").collect().map(_.getLong(0))
+    val ivf2 = Similarity.ivfTopK(emb, "vec_id", "embedding", 0, 10, nCells = 8, probes = 2)
+      .select($"vec_id").collect().map(_.getLong(0))
+    assert(ivf1.sameElements(ivf2), "IVF must be deterministic")
+    val recall = (exact & ivf1.toSet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall@10 $recall unexpectedly low")
+    // more probes must not reduce recall
+    val ivfAll = Similarity.ivfTopK(emb, "vec_id", "embedding", 0, 10, nCells = 8, probes = 8)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivfAll == exact, "probing every cell must equal brute force")
+  }
+
   test("multimodal decode is deterministic and keeps the batch shape") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")
