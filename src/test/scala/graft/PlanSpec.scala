@@ -58,7 +58,7 @@ class PlanSpec extends AnyFunSuite {
     // BNLJ is legitimate only where the build side is a broadcast
     // single-row/bounded set or the op is an intentional cross/brute-force
     val allowedBnlj = Set("j4_cross", "llm_ann_lsh", "llm_ann_topk",
-      "llm_cosine", "llm_ngram_jaccard")
+      "llm_ann_ivf", "llm_cosine", "llm_ngram_jaccard")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
