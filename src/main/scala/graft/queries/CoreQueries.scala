@@ -254,6 +254,15 @@ object CoreQueries {
           round(median($"c_acctbal"), 4).as("med_bal"))
     }),
 
+    "a8_corr" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("qty_price_corr"),
+          round(covar_samp($"l_quantity", $"l_discount"), 6).as("qty_disc_covar"))
+    }),
+
     // ── §2.5 window functions (beyond-parity, free in Spark) ──────────
     "w1_row_number" -> ((s, d) => {
       import s.implicits._
@@ -511,6 +520,11 @@ object CoreQueries {
                 round(var_samp(c_acctbal), 4) AS var_bal,
                 round(median(c_acctbal), 4) AS med_bal
          FROM customer GROUP BY c_mktsegment""",
+    "a8_corr" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+         FROM lineitem GROUP BY l_returnflag""",
     "w1_row_number" ->
       """SELECT c_nationkey, c_custkey, c_acctbal, rn FROM
            (SELECT c_nationkey, c_custkey, c_acctbal,
