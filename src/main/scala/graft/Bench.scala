@@ -27,10 +27,36 @@ object Bench {
       }.sorted
       name -> (if (times.contains(-1.0)) -1.0 else times(times.length / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // complete full-precision record for analysis (the stdout line below
+    // is size-bounded)
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
+      fullLine.getBytes("UTF-8"))
+    // The driver records only the LAST ~2000 chars of stdout, and sbt
+    // appends its own "[success] ..." line after us — so the printed JSON
+    // line must stay comfortably under that window or its head is
+    // truncated and unparseable (BENCH_r01 'parsed' was null for exactly
+    // this reason). Budget the queries map: slowest queries first (the
+    // ones worth comparing against BASELINE), stop before the cap.
+    val budget = 1500
+    val bySlowest = results.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val included = new StringBuilder
+    var n = 0
+    for (e <- bySlowest if included.length + e.length + 1 <= budget) {
+      if (n > 0) included += ','
+      included ++= e; n += 1
+    }
+    val omitted = results.length - n
+    val sfShort = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries_omitted":$omitted,"queries":{$included},"sf":"$sfShort","full":"target/bench_full.json"}""")
     spark.stop()
   }
 }

@@ -6,24 +6,39 @@ package graft.engine
   * Spark's parser, both are handled as source-to-source rewrites before
   * `spark.sql` — `$var` becomes a Spark named parameter (`:var`), and
   * `DISTINCT ON (keys)` becomes a row_number window.
+  *
+  * All scanners here track single-quote strings, double-quote and
+  * backtick identifiers, `--` line comments and `/` + `*` block comments,
+  * so tokens inside any of those never influence a rewrite.
   */
 object Dialect {
 
   /** Rewrite `$name` → `:name` (Spark named-parameter marker), skipping
-    * string literals and quoted identifiers. */
+    * string literals, quoted identifiers, and comments. */
   def rewriteVars(sql: String): String = {
     val out = new StringBuilder
     var i = 0
     var inStr = false; var inQuote = false; var inBacktick = false
+    var inLine = false; var inBlock = false
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
       else if (inQuote) { out += c; if (c == '"') inQuote = false; i += 1 }
       else if (inBacktick) { out += c; if (c == '`') inBacktick = false; i += 1 }
+      else if (inLine) { out += c; if (c == '\n') inLine = false; i += 1 }
+      else if (inBlock) {
+        if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
+          out ++= "*/"; inBlock = false; i += 2
+        } else { out += c; i += 1 }
+      }
       else c match {
         case '\'' => inStr = true; out += c; i += 1
         case '"' => inQuote = true; out += c; i += 1
         case '`' => inBacktick = true; out += c; i += 1
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          inLine = true; out ++= "--"; i += 2
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          inBlock = true; out ++= "/*"; i += 2
         case '$' if i + 1 < sql.length &&
             (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_') =>
           out += ':'; i += 1
@@ -33,50 +48,88 @@ object Dialect {
     out.toString
   }
 
-  /** Find the matching close paren for the open paren at `start`. */
-  private def matchParen(s: String, start: Int): Int = {
-    var depth = 0
-    var i = start
+  /** Walk `s` from `from`, skipping quoted regions and comments, calling
+    * `f(i, depth)` at every code position (depth = paren depth BEFORE the
+    * char at `i`). Returns the first index where `f` is true, else -1.
+    * `from` must itself be a code position. */
+  private def scan(s: String, from: Int = 0)(f: (Int, Int) => Boolean): Int = {
+    var depth = 0; var i = from
+    var inStr = false; var inDq = false; var inBt = false
+    var inLine = false; var inBlock = false
     while (i < s.length) {
-      s.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) return i
-        case _ =>
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inDq) { if (c == '"') inDq = false; i += 1 }
+      else if (inBt) { if (c == '`') inBt = false; i += 1 }
+      else if (inLine) { if (c == '\n') inLine = false; i += 1 }
+      else if (inBlock) {
+        if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          inBlock = false; i += 2
+        } else i += 1
       }
-      i += 1
+      else c match {
+        case '\'' => inStr = true; i += 1
+        case '"' => inDq = true; i += 1
+        case '`' => inBt = true; i += 1
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+          inLine = true; i += 2
+        case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+          inBlock = true; i += 2
+        case _ =>
+          if (f(i, depth)) return i
+          if (c == '(') depth += 1
+          if (c == ')') depth -= 1
+          i += 1
+      }
     }
     -1
   }
 
+  /** Find the matching close paren for the open paren at `start`,
+    * ignoring parens inside strings/identifiers/comments. */
+  private def matchParen(s: String, start: Int): Int = {
+    var depth = 0
+    scan(s, start) { (i, _) =>
+      s.charAt(i) match {
+        case '(' => depth += 1; false
+        case ')' => depth -= 1; depth == 0
+        case _ => false
+      }
+    }
+  }
+
   private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
-  /** Index of a top-level keyword: paren-depth 0, outside single/double
-    * quotes and backtick identifiers, not inside an identifier
-    * (underscores count as identifier chars — `valid_from` is not FROM). */
+  /** Index of a top-level keyword: paren-depth 0, outside quotes and
+    * comments, not inside an identifier (underscores count as identifier
+    * chars — `valid_from` is not FROM). */
   private def topLevelIndex(s: String, kw: String): Int = {
     val upper = s.toUpperCase
-    var depth = 0; var inStr = false; var inDq = false; var inBt = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else if (inDq) { if (c == '"') inDq = false }
-      else if (inBt) { if (c == '`') inBt = false }
-      else c match {
-        case '\'' => inStr = true
-        case '"' => inDq = true
-        case '`' => inBt = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && upper.startsWith(kw, i) &&
-              (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
-              (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length))))
-            return i
-      }
-      i += 1
+    scan(s) { (i, depth) =>
+      depth == 0 && upper.startsWith(kw, i) &&
+        (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+        (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length)))
     }
-    -1
+  }
+
+  /** Index of any `DISTINCT ON (` (any paren depth) outside quotes and
+    * comments, or -1. */
+  private def indexOfDistinctOn(s: String, from: Int = 0): Int = {
+    val upper = s.toUpperCase
+    scan(s, from) { (i, _) =>
+      upper.startsWith("DISTINCT", i) &&
+        (i == 0 || !isIdentChar(s.charAt(i - 1))) && {
+          var j = i + "DISTINCT".length
+          val hadWs = j < s.length && s.charAt(j).isWhitespace
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          hadWs && upper.startsWith("ON", j) &&
+            (j + 2 >= s.length || !isIdentChar(s.charAt(j + 2))) && {
+              var k = j + 2
+              while (k < s.length && s.charAt(k).isWhitespace) k += 1
+              k < s.length && s.charAt(k) == '('
+            }
+        }
+    }
   }
 
   private val DistinctOn = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
@@ -87,53 +140,66 @@ object Dialect {
     * key group; LIMIT/OFFSET apply after dedup and output ordering
     * follows the ORDER BY, like PostgreSQL/exosql.
     *
-    * Limitation: only a TOP-LEVEL `SELECT DISTINCT ON` is rewritten
-    * (matching the reference's usage); a DISTINCT ON inside a subquery
-    * or CTE is not — use the window form directly there. */
-  def rewriteDistinctOn(sql: String): String = DistinctOn.findFirstMatchIn(sql) match {
-    case None => sql
-    case Some(m) =>
-      val openIdx = m.end - 1
-      val closeIdx = matchParen(sql, openIdx)
-      require(closeIdx > 0, s"unbalanced DISTINCT ON parens in: $sql")
-      val keys = sql.substring(openIdx + 1, closeIdx).trim
-      val rest = sql.substring(closeIdx + 1) // "<select list> FROM <tail>"
-      // LIMIT/OFFSET apply AFTER dedup (PostgreSQL) — peel them off the
-      // tail so they end up on the outer query, not inside the window
-      def splitTrailing(s: String): (String, String) = {
-        val idxs = Seq("LIMIT", "OFFSET").map(topLevelIndex(s, _)).filter(_ >= 0)
-        if (idxs.isEmpty) (s, "")
-        else {
-          val i = idxs.min
-          (s.substring(0, i), " " + s.substring(i).trim)
-        }
+    * Only a TOP-LEVEL `SELECT DISTINCT ON` is rewritten (matching the
+    * reference's usage). A DISTINCT ON inside a subquery or CTE throws a
+    * clear IllegalArgumentException instead of silently passing a query
+    * Spark can't parse — use the window form directly there. */
+  def rewriteDistinctOn(sql: String): String = {
+    val occ = indexOfDistinctOn(sql)
+    if (occ < 0) return sql
+    val m = DistinctOn.findFirstMatchIn(sql)
+    if (m.isEmpty || occ >= m.get.end)
+      throw new IllegalArgumentException(
+        s"DISTINCT ON is only supported in the top-level SELECT (found one " +
+          s"at offset $occ inside a subquery/CTE): rewrite that inner query " +
+          s"with a row_number() OVER (PARTITION BY keys ORDER BY ...) window")
+    val openIdx = m.get.end - 1
+    val closeIdx = matchParen(sql, openIdx)
+    require(closeIdx > 0, s"unbalanced DISTINCT ON parens in: $sql")
+    val nested = indexOfDistinctOn(sql, occ + "DISTINCT".length)
+    if (nested >= 0)
+      throw new IllegalArgumentException(
+        s"DISTINCT ON is only supported in the top-level SELECT (found a " +
+          s"second one at offset $nested): rewrite the inner query with a " +
+          s"row_number() OVER (PARTITION BY keys ORDER BY ...) window")
+    val keys = sql.substring(openIdx + 1, closeIdx).trim
+    val rest = sql.substring(closeIdx + 1) // "<select list> FROM <tail>"
+    // LIMIT/OFFSET apply AFTER dedup (PostgreSQL) — peel them off the
+    // tail so they end up on the outer query, not inside the window
+    def splitTrailing(s: String): (String, String) = {
+      val idxs = Seq("LIMIT", "OFFSET").map(topLevelIndex(s, _)).filter(_ >= 0)
+      if (idxs.isEmpty) (s, "")
+      else {
+        val i = idxs.min
+        (s.substring(0, i), " " + s.substring(i).trim)
       }
-      val orderIdx = topLevelIndex(rest, "ORDER BY")
-      val (body, orderBy, trailing) =
-        if (orderIdx >= 0) {
-          val (ob, tr) = splitTrailing(
-            rest.substring(orderIdx + "ORDER BY".length))
-          (rest.substring(0, orderIdx), ob.trim, tr)
-        } else {
-          val (b, tr) = splitTrailing(rest)
-          (b, "", tr)
-        }
-      val fromIdx = topLevelIndex(body, "FROM")
-      require(fromIdx >= 0, s"DISTINCT ON without FROM in: $sql")
-      val selectList = body.substring(0, fromIdx).trim
-      val fromTail = body.substring(fromIdx)
-      val windowOrder = if (orderBy.nonEmpty) orderBy else keys
-      val outer =
-        (if (orderBy.nonEmpty) s" ORDER BY $orderBy" else "") + trailing
-      // inner keeps ALL source columns so the outer select list AND the
-      // outer ORDER BY may reference columns not in the projection
-      // (PostgreSQL DISTINCT ON allows both)
-      val outerList =
-        if (selectList == "*") "* EXCEPT (__graft_rn)" else selectList
-      s"""SELECT $outerList FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $windowOrder) AS __graft_rn
-         |  $fromTail
-         |) WHERE __graft_rn = 1$outer""".stripMargin
+    }
+    val orderIdx = topLevelIndex(rest, "ORDER BY")
+    val (body, orderBy, trailing) =
+      if (orderIdx >= 0) {
+        val (ob, tr) = splitTrailing(
+          rest.substring(orderIdx + "ORDER BY".length))
+        (rest.substring(0, orderIdx), ob.trim, tr)
+      } else {
+        val (b, tr) = splitTrailing(rest)
+        (b, "", tr)
+      }
+    val fromIdx = topLevelIndex(body, "FROM")
+    require(fromIdx >= 0, s"DISTINCT ON without FROM in: $sql")
+    val selectList = body.substring(0, fromIdx).trim
+    val fromTail = body.substring(fromIdx)
+    val windowOrder = if (orderBy.nonEmpty) orderBy else keys
+    val outer =
+      (if (orderBy.nonEmpty) s" ORDER BY $orderBy" else "") + trailing
+    // inner keeps ALL source columns so the outer select list AND the
+    // outer ORDER BY may reference columns not in the projection
+    // (PostgreSQL DISTINCT ON allows both)
+    val outerList =
+      if (selectList == "*") "* EXCEPT (__graft_rn)" else selectList
+    s"""SELECT $outerList FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $windowOrder) AS __graft_rn
+       |  $fromTail
+       |) WHERE __graft_rn = 1$outer""".stripMargin
   }
 
   def rewrite(sql: String): String = rewriteDistinctOn(rewriteVars(sql))

@@ -108,13 +108,24 @@ case class ToDatetime(child: Expression)
   override def dataType: DataType = TimestampType
   override def nullable: Boolean = true
 
+  // epoch seconds representable as micros in a Long; NaN/inf/overflow →
+  // null instead of a silently saturated/garbled timestamp
+  private def fracSecsToMicros(secs: Double): Any = {
+    val micros = secs * 1e6
+    if (micros.isNaN || micros < Long.MinValue.toDouble || micros > Long.MaxValue.toDouble) null
+    else micros.toLong
+  }
+
   override def nullSafeEval(v: Any): Any = child.dataType match {
-    case LongType => v.asInstanceOf[Long] * 1000000L
+    case LongType =>
+      val s = v.asInstanceOf[Long]
+      if (s < Long.MinValue / 1000000L || s > Long.MaxValue / 1000000L) null
+      else s * 1000000L
     case IntegerType => v.asInstanceOf[Int].toLong * 1000000L
-    case DoubleType => (v.asInstanceOf[Double] * 1e6).toLong
-    case FloatType => (v.asInstanceOf[Float].toDouble * 1e6).toLong
+    case DoubleType => fracSecsToMicros(v.asInstanceOf[Double])
+    case FloatType => fracSecsToMicros(v.asInstanceOf[Float].toDouble)
     case _: DecimalType =>
-      (v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble * 1e6).toLong
+      fracSecsToMicros(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
     case TimestampType => v
     case DateType => DateTimeUtils.daysToMicros(v.asInstanceOf[Int], java.time.ZoneOffset.UTC)
     case _: StringType =>

@@ -59,7 +59,11 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryOp
     while (i < n) { val x = elem(a, i, af); na += x * x; i += 1 }
     i = 0
     while (i < n) { val y = elem(b, i, bf); nb += y * y; i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm vectors have no direction: null, not NaN (NaN sorts
+    // ABOVE real values in Spark's descending order and would de-sync
+    // top-k results from the oracle)
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(l, r)

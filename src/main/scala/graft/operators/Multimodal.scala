@@ -41,30 +41,40 @@ object Multimodal {
                      mean_luma: Double)
 
   /** STUB decode: deterministic fake of a codec call — dimensions and a
-    * "mean luma" derived from payload bytes. Real implementation would
-    * hand `bytes` to a decoder initialized once per partition. */
-  private def decodeStub(docId: Long, bytes: Array[Byte]): Decoded = {
-    var acc = 1125899906842597L // FNV-ish fold, deterministic
+    * "mean luma" derived from the payload's md5. The accumulator is the
+    * first 8 md5 hex chars as an unsigned 32-bit value, i.e. exactly
+    * `CAST('0x'||substr(md5(payload),1,8) AS BIGINT)` in DuckDB — so the
+    * whole decode stage is hash-verifiable by the oracle, not merely
+    * deterministic. A real implementation would hand `bytes` to the
+    * per-partition-initialized decoder instead. */
+  private def decodeStub(md: java.security.MessageDigest, docId: Long,
+                         bytes: Array[Byte]): Decoded = {
+    md.reset()
+    val digest = md.digest(bytes)
+    var acc = 0L
     var i = 0
-    while (i < math.min(bytes.length, 256)) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
-    val w = 320 + (math.abs(acc) % 1600).toInt
-    val h = 240 + (math.abs(acc >> 17) % 840).toInt
-    val frames = 1 + (math.abs(acc >> 31) % 240).toInt
-    val luma = (math.abs(acc >> 7) % 256).toDouble / 255.0
+    while (i < 4) { acc = (acc << 8) | (digest(i) & 0xffL); i += 1 }
+    val w = 320 + (acc % 1600).toInt
+    val h = 240 + ((acc >> 7) % 840).toInt
+    val frames = 1 + ((acc >> 13) % 240).toInt
+    val luma = ((acc >> 3) % 256).toDouble / 255.0
     Decoded(docId, w, h, frames, luma)
   }
 
   /** Partition-wise decode stage. mapPartitions (not map) so a real codec
     * is initialized once per task — the batch shape a Pandas-UDF/Arrow
-    * stage would have. */
+    * stage would have; here the per-partition "decoder" is the
+    * MessageDigest instance. */
   def decode(media: DataFrame): Dataset[Decoded] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder init would go here
+        // the real codec would be initialized here, once per task,
+        // exactly like this digest instance
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
-          decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes)
+          decodeStub(md, id, if (bytes == null) Array.emptyByteArray else bytes)
         }
       }
   }

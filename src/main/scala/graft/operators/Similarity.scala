@@ -61,24 +61,47 @@ object Similarity {
     * `nCells` lowest ids serve as centroids — at production scale these
     * would come from a sampled k-means), then search only the query's
     * cell plus `probes-1` next-nearest cells. The cell id is a
-    * partition-prunable key, like the LSH bucket. */
+    * partition-prunable key, like the LSH bucket.
+    *
+    * 100 TB posture: the centroid set is tiny (nCells rows), so it is
+    * collected once and inlined as literals — cell assignment is then a
+    * pure per-row projection (`argmax_i cosine(vec, centroid_i)`) with
+    * ZERO exchange of the corpus. The earlier crossJoin+window form
+    * shuffled an nCells×-expanded corpus on id just to compute the
+    * argmax; PlanSpec now pins the no-Exchange shape. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nCells: Int = 8,
               probes: Int = 2): DataFrame = {
-    val centroids = emb.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
-    // assign: argmax cosine over the (broadcast) centroid set
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol),
-        col("__cid"), cosine(col(vecCol), col("__cvec")).as("__csim"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol)).orderBy(col("__csim").desc, col("__cid"))))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col(vecCol), col("__cid").as("cell"))
-    val qCells = assigned.filter(col(idCol) === queryId)
+    val spark = emb.sparkSession
+    val centroids: Array[(Long, Seq[Double])] =
+      emb.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+        .map { r =>
+          (r.getLong(0), r.getSeq[Any](1).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case other => throw new IllegalArgumentException(
+              s"expected float/double embedding element, got $other")
+          }.toIndexedSeq)
+        }
+    // argmax over the inlined centroids with ties to the LOWEST cid —
+    // the row_number(ORDER BY sim DESC, cid) semantics: array_max over
+    // struct(sim, -cid) picks max sim, then (via -cid) min cid.
+    def cellOf(vec: Column): Column = {
+      val scored = array(centroids.map { case (cid, cv) =>
+        struct(cosine(vec, typedLit(cv)).as("sim"), lit(-cid).as("ncid"))
+      }: _*)
+      -array_max(scored).getField("ncid")
+    }
+    val assigned = emb.select(col(idCol), col(vecCol),
+      cellOf(col(vecCol)).as("cell"))
+    // probe cells for the query: a 1-row × nCells plan, nothing from the corpus
+    val centDf = spark.createDataFrame(centroids.toSeq)
+      .toDF("__cid", "__cvec")
+    val qCells = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(centDf))
       .select(col("__qvec"), col("__cid"),
         cosine(col("__qvec"), col("__cvec")).as("__qsim"))
       .orderBy(col("__qsim").desc, col("__cid")).limit(probes)
@@ -90,16 +113,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hyperplane count sized to the corpus: within-bucket candidate
+    * pairing is quadratic in bucket occupancy, so the bucket count must
+    * GROW with the corpus — P = ceil(log2(n / targetOccupancy)) planes
+    * gives 2^P buckets and expected occupancy n/2^P ≤ target. At n=10⁹
+    * and target 1024 that is P=20 (≈10⁶ buckets); a fixed small P (the
+    * old default 6 ⇒ 64 buckets) is quadratic blowup at scale. Exact
+    * duplicates always collide regardless of P (identical vectors get
+    * identical sign patterns), so raising P costs recall only on
+    * *near*-dups, which banded multi-probe would recover if needed. */
+  def autoPlanes(corpusSize: Long, targetOccupancy: Long = 1024L): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val n = math.max(corpusSize, 1L).toDouble
+    math.max(1, math.ceil(math.log(n / targetOccupancy) / math.log(2.0)).toInt)
+  }
+
   /** Embedding-cosine near-duplicate pairs (SURVEY §2.10 dedup mode):
     * candidate pairs share an LSH hyperplane bucket (the only join key —
     * never a cross product), then exact cosine confirms ≥ `simThreshold`.
     * Multi-probe is unnecessary here: near-identical vectors land in the
     * same bucket with overwhelming probability, and dedup tolerates
-    * sub-unit recall (missed dups survive, nothing is wrongly dropped). */
+    * sub-unit recall (missed dups survive, nothing is wrongly dropped).
+    *
+    * `nPlanes <= 0` (the default) derives the plane count from the
+    * corpus size via [[autoPlanes]] so bucket occupancy stays bounded as
+    * the corpus grows; pass an explicit positive value to pin it (the
+    * oracle-gated query does, so its inlined-plane SQL stays stable). */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        simThreshold: Double, nPlanes: Int = 6,
+                        simThreshold: Double, nPlanes: Int = 0,
                         dim: Int = 64): DataFrame = {
-    val planes = planeSigns(nPlanes, dim)
+    val p = if (nPlanes > 0) nPlanes else autoPlanes(emb.count())
+    val planes = planeSigns(p, dim)
     val b = emb.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), planes).as("bucket"))
     b.as("x").join(b.as("y"),

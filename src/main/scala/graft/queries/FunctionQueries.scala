@@ -40,7 +40,21 @@ object FunctionQueries {
       Tables.load(s, d, "part").select(
         $"p_partkey",
         Builtins.format("%s [%d] %.2f", $"p_name", $"p_size", $"p_retailprice").as("line"),
-        Builtins.format("%08d", $"p_partkey".cast(IntegerType)).as("padded"))
+        Builtins.format("%08d", $"p_partkey".cast(IntegerType)).as("padded"),
+        // exosql format's thousands-separator verb (SURVEY §2.7) — java
+        // Formatter's grouping flag, still codegen'd format_string
+        Builtins.format("%,d", ($"p_partkey" * 100000L).cast(LongType)).as("grouped"))
+    }),
+    "f_json_parse" -> ((s, d) => {
+      import s.implicits._
+      // the json() builtin (ParseJson → VariantType) + typed extraction;
+      // jp() covers path extraction over raw text, this gates the parse
+      Builtins.registerAll(s)
+      Tables.load(s, d, "events").select(
+        $"event_id",
+        expr("CAST(try_variant_get(json(props), '$.k', 'bigint') AS BIGINT)").as("k_int"),
+        expr("CAST(try_variant_get(json(props), '$.k', 'string') AS STRING)").as("k_str"),
+        expr("try_variant_get(json(props), '$.nope', 'string')").as("absent"))
     }),
     "f_strftime" -> ((s, d) => {
       import s.implicits._
@@ -167,8 +181,15 @@ object FunctionQueries {
     "f_format" ->
       """SELECT p_partkey,
                 printf('%s [%d] %.2f', p_name, p_size, p_retailprice) AS line,
-                printf('%08d', CAST(p_partkey AS INTEGER)) AS padded
+                printf('%08d', CAST(p_partkey AS INTEGER)) AS padded,
+                format('{:,}', p_partkey * 100000) AS grouped
          FROM part""",
+    "f_json_parse" ->
+      """SELECT event_id,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+                CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+                CAST(NULL AS VARCHAR) AS absent
+         FROM events""",
     "f_strftime" ->
       """SELECT o_orderkey,
                 strftime(o_orderdate, '%Y-%m-%d') AS ymd,
@@ -235,8 +256,8 @@ object FunctionQueries {
       """SELECT c_custkey,
                 round(c_acctbal / 7.0, 4) AS div_round,
                 CAST(trunc(c_acctbal) AS BIGINT) AS trunc_bal,
-                floor(c_acctbal) AS floor_bal,
-                ceil(c_acctbal) AS ceil_bal,
+                CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+                CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
                 abs(c_acctbal) AS abs_bal
          FROM customer""",
     "f_width_bucket" ->

@@ -121,10 +121,13 @@ object LlmQueries {
         TextAnalysis.fingerprint($"text").as("fp"),
         TextAnalysis.tokenCount($"text").as("token_cnt"))
       val filtered = scored.filter($"quality" >= 0.5 && $"lang" === "en")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"fp").orderBy($"doc_id")
-      filtered.withColumn("__rn", row_number().over(w))
-        .filter($"__rn" === 1)
+      // keep-lowest-id dedup as groupBy-min + semi-join: the aggregate
+      // shuffles only (fp, doc_id) pairs with map-side partial min, and
+      // no whole-row sort happens anywhere — unlike the row_number
+      // window form (kept in Dedup.exactDedupRows for DISTINCT-ON
+      // parity), which shuffles AND sorts full rows per fp partition.
+      val winners = filtered.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      filtered.join(winners.select($"doc_id"), Seq("doc_id"), "left_semi")
         .select($"doc_id", $"fp", $"token_cnt", $"quality")
     }),
     "llm_multimodal_meta" -> ((s, d) => {
@@ -135,9 +138,18 @@ object LlmQueries {
           $"meta.media_type".as("media_type"))
     }),
     "llm_multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      // scalar-only projection of the decode+feature stage: the driver's
+      // compare can't sort an array column, so the frame list is emitted
+      // as its size + a csv rendering (lossless for the check)
       Multimodal.features(
         Multimodal.decode(
           Multimodal.asMedia(Tables.load(s, d, "documents"), "doc_id", "text")))
+        .select($"doc_id", $"width", $"height", $"n_frames", $"res_class",
+          size($"sampled_frames").as("n_sampled"),
+          array_join(transform($"sampled_frames", _.cast("string")), ",")
+            .as("frames_csv"),
+          $"mean_luma")
     })
   )
 
@@ -162,17 +174,6 @@ object LlmQueries {
             ON a.cell = q.cell
           WHERE a.vec_id <> 0
           ORDER BY cos_sim DESC, a.vec_id LIMIT 10""",
-    "llm_embedding_dups" -> {
-      val planes = Similarity.planeSigns(6, 64)
-      s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
-                          UNION ALL
-                          SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings),
-          b AS (SELECT vec_id, v, ${bucketSql(planes)} AS bucket FROM corpus)
-          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-                 round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
-          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-          WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.99"""
-    },
     "llm_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
                           UNION ALL SELECT doc_id + 500000, text FROM documents),
@@ -324,8 +325,25 @@ object LlmQueries {
                 CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
                 sha256(text) AS content_hash,
                 CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type
-         FROM documents"""
-    // llm_multimodal_decode: stubbed codec, not SQL-expressible — driver
-    // does the rows-only check; determinism is covered in LlmOpsSpec.
+         FROM documents""",
+    // the decode stub derives everything from the first 8 md5 hex chars
+    // of the payload (see Multimodal.decodeStub), so the whole stage is
+    // reproducible in SQL and hash-verified, not rows-only
+    "llm_multimodal_decode" ->
+      """WITH acc AS (SELECT doc_id,
+                             CAST(('0x'||substr(md5(text),1,8)) AS BIGINT) AS a
+                      FROM documents),
+          d AS (SELECT doc_id,
+                       CAST(320 + a % 1600 AS INTEGER) AS width,
+                       CAST(240 + (a >> 7) % 840 AS INTEGER) AS height,
+                       CAST(1 + (a >> 13) % 240 AS INTEGER) AS n_frames,
+                       round(((a >> 3) % 256) / 255.0, 6) AS mean_luma
+                FROM acc)
+          SELECT doc_id, width, height, n_frames,
+                 CASE WHEN width >= 1280 THEN 'hd' ELSE 'sd' END AS res_class,
+                 CAST(len(range(0, n_frames, 30)) AS INTEGER) AS n_sampled,
+                 array_to_string(range(0, n_frames, 30), ',') AS frames_csv,
+                 mean_luma
+          FROM d"""
   )
 }

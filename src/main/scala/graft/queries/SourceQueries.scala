@@ -15,7 +15,23 @@ object SourceQueries {
     opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
 
+  /** Fixture dir for the CSV extractor gate (absolute so the query and
+    * the driver's DuckDB oracle read the same files regardless of cwd). */
+  private val csvFixtureDir = "/root/repo/src/test/resources/csv"
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_csv_coercion" -> ((s, _) => {
+      import s.implicits._
+      // exosql dynamic coercion (SURVEY §1.3): all-strings CSV column in
+      // numeric comparison + arithmetic; 'oops'/'' parse to NULL and drop
+      // out of the filter instead of raising (ANSI would throw here —
+      // CsvCoercion flips the implicit casts to TRY for CSV columns)
+      graft.sources.Csv.table(s, s"$csvFixtureDir/readings.csv")
+        .filter($"value" > 0.0)
+        .select($"sensor", $"value",
+          ($"value" * 2.0).as("doubled"),
+          ($"value" + 1.0).as("plus1"))
+    }),
     "s2_http_qual" -> ((s, _) => {
       import s.implicits._
       read(s, "http", "url" -> "http://stub.local/api", "rows" -> "50")
@@ -44,6 +60,13 @@ object SourceQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "s1_csv_coercion" ->
+      s"""SELECT sensor, value,
+                 try_cast(value AS DOUBLE) * 2 AS doubled,
+                 try_cast(value AS DOUBLE) + 1 AS plus1
+          FROM read_csv('$csvFixtureDir/readings.csv',
+                        header=true, all_varchar=true)
+          WHERE try_cast(value AS DOUBLE) > 0""",
     "s2_http_qual" ->
       """SELECT CAST(7 AS BIGINT) AS id,
                 'http://stub.local/api?id=7' AS requested_url,

@@ -14,10 +14,31 @@ class CsvSpec extends AnyFunSuite {
 
   test("csv dir registers one all-strings table per file") {
     val tables = Csv.registerDir(spark, fixtureDir)
-    assert(tables == Seq("products", "purchases", "users"))
+    assert(tables == Seq("products", "purchases", "readings", "users"))
     val schema = spark.table("products").schema
     assert(schema.fields.forall(_.dataType.typeName == "string"),
       "exosql CSV scan carries no types — every column must be string")
+  }
+
+  test("exosql permissive coercion: unparseable strings → NULL, not errors") {
+    Csv.registerDir(spark, fixtureDir)
+    // readings.value holds 'oops' and '' — ANSI mode would raise on the
+    // implicit string→double casts; CsvCoercion flips them to TRY casts
+    // for CSV-tagged columns, so junk parses to NULL and drops out
+    val rows = engine.query(
+      """SELECT sensor, value * 2 AS doubled FROM readings
+         WHERE value > 0.0 ORDER BY sensor""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "e", "g"))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(3.0, 4.5, 24.0))
+  }
+
+  test("coercion stays scoped: typed tables keep ANSI cast errors") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val e = intercept[Exception] {
+      spark.sql("SELECT c_custkey + 'oops' FROM customer LIMIT 1").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cast") ||
+      e.getCause != null, s"expected an ANSI cast failure, got: ${e.getMessage}")
   }
 
   test("dynamic coercion: string columns in arithmetic and comparisons") {

@@ -66,6 +66,38 @@ class EngineSpec extends AnyFunSuite {
       == "SELECT `price$usd` FROM t")
   }
 
+  test("$var rewrite skips SQL comments") {
+    assert(Dialect.rewriteVars("SELECT $a -- not $b\nFROM t /* nor $c */ WHERE x > $d")
+      == "SELECT :a -- not $b\nFROM t /* nor $c */ WHERE x > :d")
+  }
+
+  test("DISTINCT ON keys may contain parens/keywords inside string literals") {
+    val out = Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (split_part(c, '(', 1)) c, v FROM t")
+    assert(out.contains("PARTITION BY split_part(c, '(', 1)"))
+    // a ')' inside a string in the tail must not break FROM detection
+    val out2 = Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, ')' AS paren FROM t ORDER BY k")
+    assert(out2.contains("PARTITION BY k") && out2.contains("')' AS paren"))
+  }
+
+  test("non-top-level DISTINCT ON raises a clear error, never silent misparse") {
+    val e1 = intercept[IllegalArgumentException] {
+      Dialect.rewriteDistinctOn(
+        "WITH x AS (SELECT DISTINCT ON (k) k, v FROM t) SELECT * FROM x")
+    }
+    assert(e1.getMessage.contains("top-level"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dialect.rewriteDistinctOn(
+        "SELECT DISTINCT ON (k) k FROM (SELECT DISTINCT ON (j) j AS k FROM t)")
+    }
+    assert(e2.getMessage.contains("top-level"))
+    // ...but the phrase inside a string literal is NOT a DISTINCT ON
+    val ok = Dialect.rewriteDistinctOn(
+      "SELECT 'use DISTINCT ON (k) here' AS hint FROM t")
+    assert(ok.contains("hint"))
+  }
+
   test("prepare once, run with different vars") {
     Tables.registerAll(spark, TestSpark.sf)
     val p = engine.prepare("SELECT count(*) AS n FROM orders WHERE o_orderstatus = $st")

@@ -78,6 +78,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ivfAll == exact, "probing every cell must equal brute force")
   }
 
+  test("embedding near-dup bucket count scales with the corpus") {
+    import spark.implicits._
+    // occupancy math: 2^P buckets, expected occupancy n/2^P ≤ target
+    assert(Similarity.autoPlanes(1L << 30, 1024) == 20)
+    assert(Similarity.autoPlanes(1L << 40, 1024) == 30)
+    assert(Similarity.autoPlanes(100, 1024) == 1)
+    for (n <- Seq(1L << 20, 1L << 25, 1L << 33); t <- Seq(64L, 1024L)) {
+      val p = Similarity.autoPlanes(n, t)
+      assert(n.toDouble / math.pow(2.0, p) <= t.toDouble,
+        s"autoPlanes($n, $t) = $p leaves occupancy above target")
+    }
+    // auto-derived P still finds every planted exact duplicate: identical
+    // vectors produce identical sign patterns at ANY plane count
+    val e = emb.select($"vec_id", $"embedding")
+    val nBase = e.count()
+    val corpus = e.unionAll(e.select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val dups = Similarity.embeddingNearDups(corpus, "vec_id", "embedding",
+      simThreshold = 0.99)
+    assert(dups.filter($"id_b" === $"id_a" + 10000).count() == nBase)
+  }
+
   test("multimodal decode is deterministic and keeps the batch shape") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")

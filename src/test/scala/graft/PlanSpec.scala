@@ -67,6 +67,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF assignment is a shuffle-free projection (no exchange, no window)") {
+    val p = plan("llm_ann_ivf")
+    // cell = argmax over inlined centroid literals: the corpus side must
+    // reach the broadcast probe-cell join without any hash exchange, and
+    // the old crossJoin+row_number assignment shape must not come back
+    assert(!p.contains("Exchange hashpartitioning"),
+      "IVF must not hash-shuffle the corpus to assign cells")
+    assert(!p.contains("Window"),
+      "IVF cell assignment must be a projection, not a row_number window")
+  }
+
   test("minhash pipeline shuffles band keys, not documents") {
     val p = plan("llm_minhash_pairs")
     // the self-join key is the band tuple — no text column crosses it

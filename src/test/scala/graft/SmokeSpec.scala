@@ -10,6 +10,7 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .withExtensions(graft.sources.CsvCoercion.extensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -35,7 +36,7 @@ class SmokeSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // oracle-free queries are allowed (driver does rows-only check) but
     // must be deliberate — keep this list in sync when adding them.
-    val allowedOracleFree = Set("llm_multimodal_decode", "s3_metrics", "s4_env")
+    val allowedOracleFree = Set("s3_metrics", "s4_env")
     assert(missing == allowedOracleFree, s"queries without oracle: $missing")
   }
 

@@ -49,7 +49,31 @@ def canon(rows, cols):
     return sorted(out, key=lambda r: tuple(canon_cell(x) for x in r)), \
         [cols[i] for i in order]
 
+def kind(x):
+    # Driver hashes pandas-rendered values, so int64 -917 and DOUBLE
+    # -917.0 are DIFFERENT (f_round_trunc r01 regression) — but DuckDB
+    # DECIMAL becomes float64 in .df(), so Decimal ≡ float (s2_http_*
+    # were driver-green with DECIMAL oracles). Mirror both.
+    if x is None:
+        return "none"
+    if isinstance(x, bool):
+        return "bool"
+    if isinstance(x, int):
+        return "int"
+    if isinstance(x, float) or type(x).__name__ == "Decimal":
+        return "float"
+    return "other"
+
 def cell_eq(a, b):
+    ka, kb = kind(a), kind(b)
+    if ka != kb:
+        # report the numeric delta (0 if numerically equal) but FAIL the
+        # cell — the driver's hash is type-sensitive and would mismatch
+        try:
+            d = abs(float(a) - float(b))
+        except (TypeError, ValueError, OverflowError):
+            d = math.inf
+        return False, (d if d != math.inf else 0.0)
     if a is None or b is None:
         return a is None and b is None, 0.0
     if isinstance(a, float) or isinstance(b, float):
