@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -10,8 +10,15 @@ import org.apache.spark.sql.types._
   * interpreted higher-order functions (no codegen, boxing per element);
   * these expressions run a primitive loop — same left-to-right double
   * accumulation, so results are bit-identical to the composed forms and
-  * to the DuckDB oracle. */
-private[graft] trait VectorBinaryOp extends BinaryExpression with CodegenFallback {
+  * to the DuckDB oracle.
+  *
+  * Both expressions implement `doGenCode`, so they stay INSIDE
+  * whole-stage codegen: the generated Java is the same primitive loop,
+  * with the element accessor (`getFloat`/`getDouble`) chosen at
+  * compile time from the array element type. At corpus scale this is
+  * the per-row inner kernel of every ANN / embedding-dedup operator, so
+  * no per-row boxing or virtual `eval` call is acceptable there. */
+private[graft] trait VectorBinaryOp extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -24,6 +31,10 @@ private[graft] trait VectorBinaryOp extends BinaryExpression with CodegenFallbac
     case other => throw new IllegalArgumentException(
       s"expected array<float|double>, got $other")
   }
+
+  /** Java accessor for element `i` of array-valued java variable `v`. */
+  protected final def jElem(v: String, i: String, e: Expression): String =
+    if (elementIsFloat(e)) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
 }
 
 /** dot(a, b) with double accumulation. */
@@ -37,6 +48,25 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryO
     while (i < n) { dot += elem(a, i, af) * elem(b, i, bf); i += 1 }
     dot
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ${jElem(a, i, left)} * ${jElem(b, i, right)};
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(l, r)
 }
@@ -65,6 +95,39 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryOp
     if (na == 0.0 || nb == 0.0) null
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      // identical accumulation order to nullSafeEval: dot pass, then the
+      // two norm passes — keeps bit-exact parity with the oracle
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ${jElem(a, i, left)} * ${jElem(b, i, right)};
+         |  }
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = ${jElem(a, i, left)}; $na += $x * $x;
+         |  }
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $y = ${jElem(b, i, right)}; $nb += $y * $y;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(l, r)
 }
