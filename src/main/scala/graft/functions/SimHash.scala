@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Per-row kernel for [[SimHash32]], callable from generated Java via
+/** Per-row kernel for [[SimHashN]], callable from generated Java via
   * the scalac static forwarder (`graft.functions.SimHashKernel.compute`).
   * The MessageDigest is thread-local: one instance per task thread for
   * the whole scan, instead of one allocation per row. */
@@ -17,21 +17,34 @@ object SimHashKernel {
       MessageDigest.getInstance("MD5")
   }
 
-  def compute(arr: ArrayData): Long = {
-    val votes = new Array[Int](32)
+  /** Token hash: the first `bits/4` hex chars of md5, big-endian — i.e.
+    * exactly `CAST('0x'||substr(md5(tok),1,bits/4) AS BIGINT)` in SQL.
+    * For bits=32 this is the first 4 digest bytes, identical to the
+    * MinHash pipeline's sharedHash. */
+  private def tokenHash(md: MessageDigest, tok: String, bits: Int): Long = {
+    md.reset()
+    val digest = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+    val nibbles = bits / 4
+    var h = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = digest(i / 2)
+      val nib = if (i % 2 == 0) (b >> 4) & 0xf else b & 0xf
+      h = (h << 4) | nib.toLong
+      i += 1
+    }
+    h
+  }
+
+  def compute(arr: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
     val md = digests.get()
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val tok = arr.getUTF8String(i).toString
-        md.reset()
-        val digest = md.digest(tok.getBytes(StandardCharsets.UTF_8))
-        // first 4 bytes big-endian, as unsigned 32-bit in a long —
-        // identical to parsing the first 8 hex chars of md5
-        val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
-          ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+        val h = tokenHash(md, arr.getUTF8String(i).toString, bits)
         var b = 0
-        while (b < 32) {
+        while (b < bits) {
           votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
           b += 1
         }
@@ -40,7 +53,7 @@ object SimHashKernel {
     }
     var out = 0L
     var b = 0
-    while (b < 32) {
+    while (b < bits) {
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -48,21 +61,31 @@ object SimHashKernel {
   }
 }
 
-/** 32-bit SimHash over a token array (SURVEY.md §2.10 near-dup sketch).
+/** `bits`-bit SimHash over a token array (SURVEY.md §2.10 near-dup
+  * sketch), bits ∈ {4,8,…,60} (a whole number of md5 hex chars, capped
+  * at 60 so the value — and its SQL twin — fits a signed 64-bit int).
   *
-  * Token hash = first 4 bytes (big-endian) of md5 — deliberately the same
-  * `sharedHash` the MinHash pipeline uses, so the whole computation is
-  * reproducible in SQL (and hence DuckDB-oracle-verifiable bit-for-bit):
-  * bit b of the result is set iff Σ_tokens (2·bit_b(h)−1) > 0.
+  * Token hash = leading md5 hex chars — deliberately the same
+  * `sharedHash` family the MinHash pipeline uses, so the whole
+  * computation is reproducible in SQL (and hence DuckDB-oracle-
+  * verifiable bit-for-bit): bit b of the result is set iff
+  * Σ_tokens (2·bit_b(h)−1) > 0.
   *
   * Near-dup detection = small hamming distance (`bit_count(a ^ b)`);
   * a single long per document, so the pairwise stage at scale runs on
-  * 8-byte sketches, never the documents.
+  * 8-byte sketches, never the documents. Width scales with the corpus:
+  * banded candidate generation needs ~log2(n/target_occupancy) bits PER
+  * BAND, so 32-bit/4-band is fine to ~10⁶ docs and 60-bit/4-band to
+  * ~10⁸; beyond that, widen to a multi-word sketch (see
+  * [[graft.operators.Dedup.simhashPairs]] scaladoc).
   *
   * Codegen'd (the generated code calls the static [[SimHashKernel]]), so
   * the sketch projection stays inside whole-stage codegen with no row
   * boxing; md5 itself dominates the per-token cost either way. */
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHashN(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 60 && bits % 4 == 0,
+    s"simhash bits must be a positive multiple of 4, <= 60; got $bits")
+
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
@@ -72,15 +95,20 @@ case class SimHash32(child: Expression) extends UnaryExpression {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     case other =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"simhash32 expects array<string>, got $other")
+        s"simhash expects array<string>, got $other")
   }
 
   override def nullSafeEval(v: Any): Any =
-    SimHashKernel.compute(v.asInstanceOf[ArrayData])
+    SimHashKernel.compute(v.asInstanceOf[ArrayData], bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHashKernel.compute($c);")
+      s"${ev.value} = graft.functions.SimHashKernel.compute($c, $bits);")
 
-  override protected def withNewChildInternal(c: Expression) = copy(c)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object SimHash32 {
+  /** The 32-bit form the `llm_simhash` gate pins. */
+  def apply(child: Expression): SimHashN = SimHashN(child, 32)
 }

@@ -152,6 +152,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SimHash banded near-dup pairs: sketch every document to a
+    * `hashBits`-bit simhash, explode it into `nBands` equal bit-bands,
+    * candidate pairs share a (band_idx, band_val) bucket, and the
+    * confirm stage filters on full-sketch hamming distance ≤
+    * `maxHamming`. Returns (id_a, id_b, hamming).
+    *
+    * Scale shape mirrors [[minhashPairs]]: the band join shuffles only
+    * (band_idx, band_val, id, sketch) — 8-byte sketches, never text —
+    * and a pair colliding in any band is caught (a pair within hamming
+    * h survives in some band whenever the h flipped bits miss one band,
+    * which is guaranteed for h < nBands). Bucket count per band is
+    * 2^(hashBits/nBands), so hashBits must GROW with the corpus (same
+    * occupancy law as [[Similarity.autoPlanes]]): 32/4 to ~10⁶ docs,
+    * 60/4 to ~10⁸; past that, a multi-word (128-bit) sketch with 16-bit
+    * bands keeps expected occupancy bounded. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   hashBits: Int = 60, nBands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(hashBits % nBands == 0, s"hashBits $hashBits must split into $nBands bands")
+    val bandBits = hashBits / nBands
+    val mask = (1L << bandBits) - 1
+    val sh = df.select(col(idCol),
+      org.apache.spark.sql.GraftBridge.column(graft.functions.SimHashN(
+        org.apache.spark.sql.GraftBridge.expression(TextAnalysis.tokens(col(textCol))),
+        hashBits)).as("sh"))
+    val bandStructs = array((0 until nBands).map(b =>
+      struct(lit(b).as("band_idx"),
+        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))): _*)
+    val banded = sh.select(col(idCol), col("sh"),
+        explode(bandStructs).as("band"))
+      .select(col(idCol), col("sh"), col("band.band_idx"), col("band.band_val"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Brute-force n-gram Jaccard over all pairs of `df` (bounded input!);
     * the oracle-checkable ground truth that `minhashPairs` approximates. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for LLM data pipelines (SURVEY.md
+  * §2.10 adjunct): reproducible corpus subsetting for training mixes.
+  *
+  * `df.sample()` is seed-stable only for a fixed partitioning — add an
+  * executor, lose a file split, and the sample changes. These operators
+  * gate on a content/key hash instead, so the same row is kept or
+  * dropped regardless of cluster layout, partition count, or engine —
+  * the property a 100 TB training-data pipeline needs for reproducible
+  * mixes and for incremental re-runs (a re-ingested document lands on
+  * the same side of the gate). md5-based ([[Dedup.sharedHash]]) so the
+  * DuckDB oracle verifies the exact sample membership bit-for-bit.
+  *
+  * Per-row codegen'd projection + filter: zero shuffle, scales linearly.
+  */
+object Sampling {
+
+  /** Keep iff hash(salt || key) mod 10000 < rate_bp (basis points —
+    * rate_bp = 100 → 1%). Salt separates independent samples of the
+    * same corpus (train/val/test splits use distinct salts). */
+  def hashGate(key: Column, saltedRateBp: Column, salt: String): Column =
+    pmod(Dedup.sharedHash(concat(lit(salt), key)), lit(10000)) < saltedRateBp
+
+  /** Bernoulli sample at `rateBp` basis points, keyed on `key`. */
+  def bernoulli(df: DataFrame, key: Column, rateBp: Int,
+                salt: String = "sample"): DataFrame = {
+    require(rateBp >= 0 && rateBp <= 10000, s"rate must be 0..10000 bp, got $rateBp")
+    df.filter(hashGate(key, lit(rateBp), salt))
+  }
+
+  /** Stratified sample: per-stratum rates (basis points), rows in
+    * strata missing from `rates` are dropped. The rate lookup is a
+    * codegen'd CASE chain — no join, no shuffle; the gate stays a pure
+    * projection even with thousands of strata. */
+  def stratified(df: DataFrame, stratum: Column, key: Column,
+                 rates: Seq[(Column, Int)], salt: String = "sample"): DataFrame = {
+    require(rates.nonEmpty, "at least one stratum rate required")
+    val rate = rates.tail.foldLeft(
+      when(stratum === rates.head._1, lit(rates.head._2))) {
+      case (acc, (v, bp)) => acc.when(stratum === v, lit(bp))
+    }.otherwise(lit(0))
+    df.filter(hashGate(key, rate, salt))
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over embedding columns (SURVEY.md §2.10):
   * brute-force cosine top-k as the exact baseline, and a deterministic
@@ -73,29 +74,9 @@ object Similarity {
               queryId: Long, k: Int, nCells: Int = 8,
               probes: Int = 2): DataFrame = {
     val spark = emb.sparkSession
-    val centroids: Array[(Long, Seq[Double])] =
-      emb.orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).cast("long"), col(vecCol))
-        .collect()
-        .map { r =>
-          (r.getLong(0), r.getSeq[Any](1).map {
-            case f: Float => f.toDouble
-            case d: Double => d
-            case other => throw new IllegalArgumentException(
-              s"expected float/double embedding element, got $other")
-          }.toIndexedSeq)
-        }
-    // argmax over the inlined centroids with ties to the LOWEST cid —
-    // the row_number(ORDER BY sim DESC, cid) semantics: array_max over
-    // struct(sim, -cid) picks max sim, then (via -cid) min cid.
-    def cellOf(vec: Column): Column = {
-      val scored = array(centroids.map { case (cid, cv) =>
-        struct(cosine(vec, typedLit(cv)).as("sim"), lit(-cid).as("ncid"))
-      }: _*)
-      -array_max(scored).getField("ncid")
-    }
+    val centroids = collectCentroids(emb, idCol, vecCol, nCells)
     val assigned = emb.select(col(idCol), col(vecCol),
-      cellOf(col(vecCol)).as("cell"))
+      cellOf(col(vecCol), centroids).as("cell"))
     // probe cells for the query: a 1-row × nCells plan, nothing from the corpus
     val centDf = spark.createDataFrame(centroids.toSeq)
       .toDF("__cid", "__cvec")
@@ -111,6 +92,60 @@ object Similarity {
       .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Deterministic seed centroids: the embeddings of the `nCells`
+    * lowest ids (at production scale: a sampled k-means++ init). Tiny by
+    * construction — safe to collect and inline as plan literals. */
+  def collectCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int): Array[(Long, Seq[Double])] =
+    emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => throw new IllegalArgumentException(
+            s"expected float/double embedding element, got $other")
+        }.toIndexedSeq)
+      }
+
+  /** Nearest-centroid cell id as a pure per-row projection — argmax
+    * cosine over the inlined centroids with ties to the LOWEST cid (the
+    * row_number(ORDER BY sim DESC, cid) semantics): array_max over
+    * struct(sim, -cid) picks max sim, then (via -cid) min cid. ZERO
+    * exchange of the corpus. */
+  def cellOf(vec: Column, centroids: Array[(Long, Seq[Double])]): Column = {
+    val scored = array(centroids.map { case (cid, cv) =>
+      struct(cosine(vec, typedLit(cv)).as("sim"), lit(-cid).as("ncid"))
+    }: _*)
+    -array_max(scored).getField("ncid")
+  }
+
+  /** One distributed Lloyd (k-means) iteration over the embedding
+    * corpus — the centroid-training step a production IVF index builds
+    * its cells with. Assignment is the zero-shuffle [[cellOf]]
+    * projection; the update step posexplodes the vector and partially
+    * aggregates (cell, dim) sums map-side, so the only exchange carries
+    * nCells×dim accumulator rows, never vectors.
+    *
+    * Element sums accumulate in DECIMAL(20,10) (exact, order-independent
+    * — double accumulation order differs run to run under AQE and across
+    * engines) and divide in double at the end. Output: one row per
+    * (cell, dim position) with the new centroid coordinate and the
+    * cell's member count — the shape you'd feed back into the next
+    * iteration's literal centroid set. */
+  def kmeansIterate(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 8): DataFrame = {
+    val centroids = collectCentroids(emb, idCol, vecCol, nCells)
+    emb.select(cellOf(col(vecCol), centroids).as("cell"),
+        posexplode(col(vecCol)).as(Seq("pos", "elem")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(
+        round((sum(col("elem").cast("double").cast(DecimalType(20, 10)))
+          .cast("double") / count(lit(1))), 6).as("c_val"),
+        count(lit(1)).as("n"))
   }
 
   /** Hyperplane count sized to the corpus: within-bucket candidate

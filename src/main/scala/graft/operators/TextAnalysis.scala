@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM data pipelines (driver mandate,
@@ -75,4 +75,34 @@ object TextAnalysis {
     * exact-dedup key at any scale. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Top-`topK` TF-IDF terms per document (keyword extraction — the
+    * classic corpus-statistics text op an LLM-data pipeline runs for
+    * topic balancing and quality heuristics).
+    *
+    * tfidf = tf · ln((N+1)/(df+1)), ranked per doc by (rounded score
+    * desc, term) — the tie-break on the term string keeps the top-k
+    * selection deterministic and engine-reproducible.
+    *
+    * Scale shape: tf is a partial-aggregable (id, term) count; df a
+    * partial-aggregable (term) count; N a broadcast single row; ranking
+    * shuffles (id, term, tf, tfidf) tuples only — document text never
+    * leaves the first projection, and every aggregate combines
+    * map-side. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))
+  }
 }

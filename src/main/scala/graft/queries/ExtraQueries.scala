@@ -57,6 +57,20 @@ object ExtraQueries {
       a.unionByName(b).groupBy(substring($"nm", 1, 4).as("kind"))
         .agg(count(lit(1)).as("n"), max($"id").as("max_id"))
     }),
+    "a11_percentile" -> ((s, d) => {
+      import s.implicits._
+      // exact interpolated percentiles (PostgreSQL percentile_cont
+      // semantics; DuckDB quantile_cont oracle). Exact percentile is
+      // the small/medium-cardinality tool; at 100 TB the same query
+      // shape swaps in approx_percentile (t-digest, partial-aggregable)
+      // — SkewAndSketchSpec covers that path.
+      Tables.load(s, d, "lineitem").groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)"), 6).as("p25_qty"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)"), 6).as("p75_qty"),
+          round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)"), 6).as("p95_price"))
+    }),
     "a10_salted_agg" -> ((s, d) => {
       import s.implicits._
       // skew-safe two-phase aggregation must equal the plain form —
@@ -116,6 +130,13 @@ object ExtraQueries {
                UNION ALL
                SELECT s_suppkey AS id, s_name AS nm FROM supplier)
          GROUP BY 1""",
+    "a11_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25_qty,
+                round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50_qty,
+                round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75_qty,
+                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6) AS p95_price
+         FROM lineitem GROUP BY l_returnflag""",
     "a10_salted_agg" ->
       """SELECT l_returnflag,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,

@@ -108,6 +108,36 @@ object LlmQueries {
       Similarity.embeddingNearDups(corpus, "vec_id", "embedding",
         simThreshold = 0.99, nPlanes = 6, dim = 64)
     }),
+    "llm_sample" -> ((s, d) => {
+      import s.implicits._
+      // deterministic stratified sample: md5-gated per-stratum rates
+      // (10% / 25% / 50% bp) — membership is a pure function of the
+      // text, stable across partitionings/engines (unlike df.sample)
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      graft.operators.Sampling.stratified(docs,
+          stratum = pmod($"doc_id", lit(3)), key = $"text",
+          rates = Seq((lit(0), 1000), (lit(1), 2500), (lit(2), 5000)),
+          salt = "mix1:")
+        .select($"doc_id", pmod($"doc_id", lit(3)).as("stratum"))
+    }),
+    "llm_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(
+        Tables.load(s, d, "documents"), "doc_id", "text", topK = 3)),
+    "llm_simhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      // corpus + exact clones of the last 300 ids (where near-dup
+      // clusters are planted): banded simhash must surface the planted
+      // hamming-0 pairs plus any genuine near-dups
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val recent = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      Dedup.simhashPairs(docs.unionAll(recent), "doc_id", "text",
+        hashBits = 60, nBands = 4, maxHamming = 3)
+    }),
+    "llm_kmeans" -> ((s, d) =>
+      Similarity.kmeansIterate(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", nCells = 8)),
     "llm_pipeline" -> ((s, d) => {
       import s.implicits._
       // the full training-data preparation chain: score -> language
@@ -320,6 +350,69 @@ object LlmQueries {
           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
           WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.99"""
     },
+    "llm_sample" ->
+      """SELECT doc_id, doc_id % 3 AS stratum
+         FROM documents
+         WHERE CAST(('0x'||substr(md5('mix1:'||text),1,8)) AS BIGINT) % 10000 <
+               CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 2500 ELSE 5000 END""",
+    "llm_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+                       FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                            round(tf.tf * ln((n.n_docs + 1) * 1.0 / (dfq.df + 1)), 6) AS tfidf
+                     FROM tf JOIN dfq USING (term) CROSS JOIN n),
+          ranked AS (SELECT doc_id, term, tf, tfidf,
+                            CAST(row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+                     FROM scored)
+          SELECT doc_id, rank, term, tf, tfidf FROM ranked WHERE rank <= 3""",
+    "llm_simhash_pairs" -> {
+      val h60 = "CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)"
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
+          hs AS (SELECT doc_id,
+                   list_transform(string_split_regex(text, '\\s+'), s -> $h60) AS hs
+                 FROM corpus),
+          sh AS (SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 59), b ->
+                     CASE WHEN list_sum(list_transform(hs, h ->
+                            CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                          THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+                     AS BIGINT) AS sh
+                 FROM hs),
+          bands AS (SELECT doc_id, sh, b.i AS band_idx,
+                           (sh >> (15 * CAST(b.i AS INTEGER))) & 32767 AS band_val
+                    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b)
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+               AND x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.sh, y.sh)) <= 3"""
+    },
+    "llm_kmeans" ->
+      """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          scored AS (SELECT e.vec_id, e.v, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                     FROM e CROSS JOIN cent c),
+          assigned AS (SELECT vec_id, v, cid AS cell FROM scored WHERE rk = 1),
+          ex AS (SELECT cell,
+                        CAST(unnest(generate_series(1, len(v))) - 1 AS INTEGER) AS pos,
+                        unnest(v) AS elem
+                 FROM assigned)
+          SELECT cell, pos,
+                 round(CAST(sum(CAST(elem AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c_val,
+                 count(*) AS n
+          FROM ex GROUP BY cell, pos""",
     "llm_multimodal_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

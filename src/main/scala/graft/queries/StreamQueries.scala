@@ -18,7 +18,15 @@ object StreamQueries {
     "st_sliding" -> ((s, d) =>
       Events.sliding(Tables.load(s, d, "events"), "2 hours", "1 hour")),
     "st_session" -> ((s, d) =>
-      Events.sessions(Tables.load(s, d, "events"), "30 minutes"))
+      Events.sessions(Tables.load(s, d, "events"), "30 minutes")),
+    "st_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // stream-stream interval join (batch-parity form): clicks per
+      // purchase from the preceding hour, aggregated per purchase
+      Events.purchaseClickJoin(Tables.load(s, d, "events"), "1 hour")
+        .groupBy(col("p_event"), col("user_id"))
+        .agg(count(lit(1)).as("n_clicks_1h"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -52,6 +60,13 @@ object StreamQueries {
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM flagged)
          SELECT user_id, min(ts) AS s_start, count(*) AS n_events
-         FROM numbered GROUP BY user_id, sid"""
+         FROM numbered GROUP BY user_id, sid""",
+    "st_join" ->
+      """SELECT p.event_id AS p_event, p.user_id, count(*) AS n_clicks_1h
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         GROUP BY 1, 2"""
   )
 }

@@ -77,6 +77,28 @@ object Events {
   def dedup(events: DataFrame, late: String = "2 hours"): DataFrame =
     events.withWatermark("ts", late).dropDuplicates("event_id")
 
+  /** Stream-stream interval join: each purchase paired with the same
+    * user's clicks from the preceding `horizon`. Watermarks on BOTH
+    * sides + the time-range predicate are what let Structured Streaming
+    * bound the join state (clicks older than purchase-watermark −
+    * horizon are dropped); identical code path works in batch. Returns
+    * (p_event, user_id, p_ts, c_event) pairs. */
+  def purchaseClickJoin(events: DataFrame, horizon: String = "1 hour",
+                        late: String = "2 hours"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", late)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", late)
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_event"), col("user_id"), col("p_ts"), col("c_event"))
+  }
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state (mapGroupsWithState): running per-user totals —

@@ -99,6 +99,66 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dups.filter($"id_b" === $"id_a" + 10000).count() == nBase)
   }
 
+  test("hash sampling is partition-invariant and rate-accurate") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = docs.select($"doc_id", $"text")
+    val base = Sampling.bernoulli(d, $"text", rateBp = 2500)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // same rows regardless of physical layout — df.sample can't do this
+    val repart = Sampling.bernoulli(d.repartition(7, $"doc_id"), $"text", rateBp = 2500)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == base)
+    // observed rate within a loose binomial bound of 25%
+    val rate = base.size.toDouble / d.count()
+    assert(rate > 0.15 && rate < 0.35, s"observed rate $rate far from 0.25")
+    // a different salt draws an (essentially) independent sample
+    val other = Sampling.bernoulli(d, $"text", rateBp = 2500, salt = "other")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != base)
+  }
+
+  test("banded simhash finds every planted exact clone at hamming 0") {
+    import spark.implicits._
+    val d = docs.select($"doc_id", $"text").limit(200)
+    val corpus = d.unionAll(d.select(($"doc_id" + 50000).as("doc_id"), $"text"))
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text",
+      hashBits = 60, nBands = 4, maxHamming = 3)
+    val exact = pairs.filter($"id_b" === $"id_a" + 50000 && $"hamming" === 0)
+    // identical token arrays hash identically in every band
+    assert(exact.count() == d.count())
+  }
+
+  test("kmeans iteration partitions the corpus and averages per cell") {
+    import spark.implicits._
+    val out = Similarity.kmeansIterate(emb, "vec_id", "embedding", nCells = 4)
+      .collect()
+    val dim = emb.select(size($"embedding")).first().getInt(0)
+    val cells = out.map(_.getAs[Long]("cell")).distinct
+    // every (cell, pos) present exactly once; counts consistent per cell
+    assert(out.length == cells.length * dim)
+    val byCell = out.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).distinct.length == 1,
+        "member count must be identical across a cell's positions")
+    }
+    // membership covers the whole corpus exactly once
+    assert(byCell.values.map(_.head.getAs[Long]("n")).sum == emb.count())
+  }
+
+  test("tfidf top terms: bounded per doc, ranked, deterministic") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.tfidfTopTerms(docs.limit(100), "doc_id", "text", topK = 3)
+    val byDoc = out.collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rows.length))
+      assert(rows.map(_.getAs[String]("term")).distinct.length == rows.length)
+    }
+  }
+
   test("multimodal decode is deterministic and keeps the batch shape") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")

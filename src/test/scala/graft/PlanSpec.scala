@@ -58,7 +58,9 @@ class PlanSpec extends AnyFunSuite {
     // BNLJ is legitimate only where the build side is a broadcast
     // single-row/bounded set or the op is an intentional cross/brute-force
     val allowedBnlj = Set("j4_cross", "llm_ann_lsh", "llm_ann_topk",
-      "llm_ann_ivf", "llm_cosine", "llm_ngram_jaccard")
+      "llm_ann_ivf", "llm_cosine", "llm_ngram_jaccard",
+      // broadcast of a 1-row bound/total (max doc_id; corpus N)
+      "llm_simhash_pairs", "llm_tfidf")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -84,5 +86,26 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")
+  }
+
+  test("deterministic sampling is a pure scan+filter (zero exchange)") {
+    val p = plan("llm_sample")
+    assert(!p.contains("Exchange"),
+      "hash-gated sampling must not shuffle — it is a per-row projection")
+    // executedPlan.toString marks whole-stage codegen spans with "*(n)"
+    assert(p.linesIterator.next().trim.startsWith("*("),
+      "sample gate must stay codegen'd")
+  }
+
+  test("kmeans iteration shuffles only (cell, pos) accumulators") {
+    val p = plan("llm_kmeans")
+    // assignment is the inlined-centroid projection (no window); the
+    // only hash exchange carries the (cell, pos) partial aggregates
+    assert(!p.contains("Window"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => e.contains("cell") && e.contains("pos")),
+      s"kmeans must exchange only cell/pos accumulator rows:\n${exchanges.mkString("\n")}")
+    assert(p.contains("partial"), "centroid sums must combine map-side")
   }
 }

@@ -93,6 +93,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_dedup").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join: stream == batch") {
+    val events = Tables.load(spark, TestSpark.sf, "events")
+    val batch = Events.purchaseClickJoin(events).collect().map(_.toSeq).toSet
+    val stream = Events.readStream(spark, TestSpark.sf)
+    // self-join of one stream: purchases side joined to clicks side,
+    // append mode (stream-stream joins emit once both watermarks pass)
+    Events.runToMemory(spark, Events.purchaseClickJoin(stream), "t_ssjoin",
+      OutputMode.Append())
+    val streamed = spark.table("t_ssjoin").collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("custom keyed state: per-user running totals (mapGroupsWithState)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
