@@ -18,6 +18,7 @@ object SourceQueries {
   /** Fixture dir for the CSV extractor gate (absolute so the query and
     * the driver's DuckDB oracle read the same files regardless of cwd). */
   private val csvFixtureDir = "/root/repo/src/test/resources/csv"
+  private val jsonlFixtureDir = "/root/repo/src/test/resources/jsonl"
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_csv_coercion" -> ((s, _) => {
@@ -31,6 +32,12 @@ object SourceQueries {
         .select($"sensor", $"value",
           ($"value" * 2.0).as("doubled"),
           ($"value" + 1.0).as("plus1"))
+    }),
+    "s8_jsonl" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.Jsonl.table(s, s"$jsonlFixtureDir/docs.jsonl")
+        .select($"doc_id", $"text", $"source",
+          size($"tags").cast("int").as("n_tags"))
     }),
     "s2_http_qual" -> ((s, _) => {
       import s.implicits._
@@ -67,6 +74,10 @@ object SourceQueries {
           FROM read_csv('$csvFixtureDir/readings.csv',
                         header=true, all_varchar=true)
           WHERE try_cast(value AS DOUBLE) > 0""",
+    "s8_jsonl" ->
+      s"""SELECT doc_id, text, source, CAST(len(tags) AS INTEGER) AS n_tags
+          FROM read_json('$jsonlFixtureDir/docs.jsonl',
+                         format='newline_delimited')""",
     "s2_http_qual" ->
       """SELECT CAST(7 AS BIGINT) AS id,
                 'http://stub.local/api?id=7' AS requested_url,

@@ -39,4 +39,39 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("LSH-bucket-partitioned embeddings: ANN probe scans only its partitions") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // the scale claim behind lshTopK/embeddingNearDups: when the corpus
+    // is WRITTEN partitioned by bucket, probing is partition PRUNING —
+    // the scan never touches other buckets' files
+    val planes = Similarity.planeSigns(4, 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshpart").toString
+    try {
+      Tables.load(spark, TestSpark.sf, "embeddings")
+        .withColumn("bucket", Similarity.lshBucket($"embedding", planes))
+        .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+      val part = spark.read.parquet(dir)
+      val nBuckets = part.select($"bucket").distinct().count()
+      assert(nBuckets > 1, "fixture corpus must span multiple buckets")
+      val probe = part.filter($"bucket" === 3)
+      val plan = probe.queryExecution.executedPlan.toString
+      // the bucket predicate must land in PartitionFilters, not as a
+      // post-scan filter over all files
+      assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+        s"bucket probe must prune partitions:\n$plan")
+      val scannedAll = part.queryExecution.executedPlan.toString
+      // and the pruned scan reads fewer files than the full corpus scan
+      def files(p: org.apache.spark.sql.DataFrame): Long =
+        p.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.sum
+      assert(files(probe) < files(part),
+        "pruned probe must touch strictly fewer files than a full scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
