@@ -380,6 +380,31 @@ object CoreQueries {
       // generator in FROM position (exosql unnest / LATERAL VIEW explode)
       Tables.load(s, d, "documents").filter($"doc_id" < 20)
         .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
+    }),
+    "s6_series_ts" -> ((s, d) => {
+      // generate_series over datetimes (SURVEY §2.7 open question [U];
+      // DuckDB supports it, so the engine does too): Catalyst Sequence
+      // takes timestamp bounds + a day-time interval step natively
+      graft.functions.Builtins.registerAll(s)
+      s.sql("""SELECT ts, date_format(ts, 'yyyy-MM-dd HH') AS ts_label
+               FROM (SELECT explode(generate_series(
+                       timestamp'2024-01-01 00:00:00',
+                       timestamp'2024-01-05 00:00:00',
+                       interval 6 hours)) AS ts)""")
+    }),
+    "w4_rank_dist" -> ((s, d) => {
+      import s.implicits._
+      // the distribution-window family (beyond w1-w3): dense_rank,
+      // ntile, percent_rank, cume_dist — deterministic via the unique
+      // (price desc, orderkey) tie-break
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.load(s, d, "orders")
+        .select($"o_orderkey", $"o_orderpriority",
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
     })
   )
 
@@ -598,6 +623,20 @@ object CoreQueries {
       "SELECT v, v * v AS sq FROM generate_series(1, 100) t(v)",
     "s6_unnest" ->
       """SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
-         FROM documents WHERE doc_id < 20"""
+         FROM documents WHERE doc_id < 20""",
+    "s6_series_ts" ->
+      """SELECT ts, strftime(ts, '%Y-%m-%d %H') AS ts_label
+         FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                             TIMESTAMP '2024-01-05 00:00:00',
+                                             INTERVAL 6 HOUR)) AS ts)""",
+    "w4_rank_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+                dense_rank() OVER w AS drnk,
+                ntile(4) OVER w AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)"""
   )
 }
