@@ -57,6 +57,47 @@ class SkewAndSketchSpec extends AnyFunSuite {
       s"approx $approx too far from exact $exact")
   }
 
+  test("AQE splits skewed join partitions at runtime (the no-rewrite skew path)") {
+    import spark.implicits._
+    // salting (above) is the query-rewrite answer to skew; AQE's skew
+    // join is the runtime answer — same query text, the engine splits
+    // oversized partitions after seeing map-stage sizes. Thresholds are
+    // lowered so the toy corpus trips the optimization the way a
+    // multi-GB hot key would on a cluster.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // the downstream agg would need a re-shuffle after the split, which
+      // AQE declines by default — force it, as one would for a genuinely
+      // hot key where the split is worth an extra exchange
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(200000).select(lit(1L).as("k"), $"id".as("payload"))
+        .unionAll(spark.range(200).select(($"id" % 50 + 2).as("k"), $"id".as("payload")))
+      val small = spark.range(60).select($"id".as("k"), ($"id" * 7).as("v"))
+      val joined = big.join(small, "k").groupBy($"k").agg(count(lit(1)).as("n"))
+      val result = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(result(1L) == 200000L, "skew-split join must stay correct")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have marked the hot-key join partition as skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("typed Dataset over the TPC-H schema (§1.3 Dataset[T] usage)") {
     import spark.implicits._
     val ds = Tables.load(spark, TestSpark.sf, "lineitem")

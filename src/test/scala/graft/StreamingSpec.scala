@@ -93,6 +93,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_dedup").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("file sink + checkpoint: restart is exactly-once (no reprocessing)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def runOnce(): Unit = {
+      val q = Events.readStream(spark, TestSpark.sf)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    try {
+      runOnce()
+      val n1 = spark.read.parquet(out).count()
+      assert(n1 == Tables.load(spark, TestSpark.sf, "events").count(),
+        "first run must sink every source row")
+      // restart against the same checkpoint: the source offsets are
+      // committed, so nothing is reprocessed and nothing is duplicated
+      runOnce()
+      val n2 = spark.read.parquet(out).count()
+      assert(n2 == n1, s"restart duplicated rows: $n1 -> $n2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("stream-stream interval join: stream == batch") {
     val events = Tables.load(spark, TestSpark.sf, "events")
     val batch = Events.purchaseClickJoin(events).collect().map(_.toSeq).toSet
