@@ -48,11 +48,18 @@ object Bench {
     val budget = 1500
     val bySlowest = results.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // strict prefix of the slowest-first list (a filter would skip an
+    // oversized entry but keep appending faster ones after it, breaking
+    // the "slowest first" contract)
     val included = new StringBuilder
     var n = 0
-    for (e <- bySlowest if included.length + e.length + 1 <= budget) {
-      if (n > 0) included += ','
-      included ++= e; n += 1
+    var stop = false
+    for (e <- bySlowest if !stop) {
+      if (included.length + e.length + 1 > budget) stop = true
+      else {
+        if (n > 0) included += ','
+        included ++= e; n += 1
+      }
     }
     val omitted = results.length - n
     val sfShort = sfDir.split('/').last

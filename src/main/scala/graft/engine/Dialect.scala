@@ -7,9 +7,11 @@ package graft.engine
   * `spark.sql` — `$var` becomes a Spark named parameter (`:var`), and
   * `DISTINCT ON (keys)` becomes a row_number window.
   *
-  * All scanners here track single-quote strings, double-quote and
-  * backtick identifiers, `--` line comments and `/` + `*` block comments,
-  * so tokens inside any of those never influence a rewrite.
+  * All scanners here track single-quote strings (with backslash
+  * escapes, Spark's default lexing), double-quote and backtick
+  * identifiers, `--` line comments and NESTED bracketed comments (Spark
+  * supports `/* a /* b */ c */`), so tokens inside any of those never
+  * influence a rewrite.
   */
 object Dialect {
 
@@ -19,16 +21,21 @@ object Dialect {
     val out = new StringBuilder
     var i = 0
     var inStr = false; var inQuote = false; var inBacktick = false
-    var inLine = false; var inBlock = false
+    var inLine = false; var blockDepth = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        if (c == '\\' && i + 1 < sql.length) { out += c; out += sql.charAt(i + 1); i += 2 }
+        else { out += c; if (c == '\'') inStr = false; i += 1 }
+      }
       else if (inQuote) { out += c; if (c == '"') inQuote = false; i += 1 }
       else if (inBacktick) { out += c; if (c == '`') inBacktick = false; i += 1 }
       else if (inLine) { out += c; if (c == '\n') inLine = false; i += 1 }
-      else if (inBlock) {
+      else if (blockDepth > 0) {
         if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
-          out ++= "*/"; inBlock = false; i += 2
+          out ++= "*/"; blockDepth -= 1; i += 2
+        } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+          out ++= "/*"; blockDepth += 1; i += 2
         } else { out += c; i += 1 }
       }
       else c match {
@@ -38,7 +45,7 @@ object Dialect {
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           inLine = true; out ++= "--"; i += 2
         case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
-          inBlock = true; out ++= "/*"; i += 2
+          blockDepth = 1; out ++= "/*"; i += 2
         case '$' if i + 1 < sql.length &&
             (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_') =>
           out += ':'; i += 1
@@ -51,20 +58,26 @@ object Dialect {
   /** Walk `s` from `from`, skipping quoted regions and comments, calling
     * `f(i, depth)` at every code position (depth = paren depth BEFORE the
     * char at `i`). Returns the first index where `f` is true, else -1.
-    * `from` must itself be a code position. */
+    * `from` must itself be outside any quoted region (whitespace, code,
+    * or the start of a comment are all fine). */
   private def scan(s: String, from: Int = 0)(f: (Int, Int) => Boolean): Int = {
     var depth = 0; var i = from
     var inStr = false; var inDq = false; var inBt = false
-    var inLine = false; var inBlock = false
+    var inLine = false; var blockDepth = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        if (c == '\\' && i + 1 < s.length) i += 2
+        else { if (c == '\'') inStr = false; i += 1 }
+      }
       else if (inDq) { if (c == '"') inDq = false; i += 1 }
       else if (inBt) { if (c == '`') inBt = false; i += 1 }
       else if (inLine) { if (c == '\n') inLine = false; i += 1 }
-      else if (inBlock) {
+      else if (blockDepth > 0) {
         if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
-          inBlock = false; i += 2
+          blockDepth -= 1; i += 2
+        } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+          blockDepth += 1; i += 2
         } else i += 1
       }
       else c match {
@@ -74,7 +87,7 @@ object Dialect {
         case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
           inLine = true; i += 2
         case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
-          inBlock = true; i += 2
+          blockDepth = 1; i += 2
         case _ =>
           if (f(i, depth)) return i
           if (c == '(') depth += 1
@@ -99,6 +112,11 @@ object Dialect {
   }
 
   private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** First non-whitespace CODE position at/after `from` (comments and
+    * quoted regions are skipped), or -1. */
+  private def nextCode(s: String, from: Int): Int =
+    scan(s, from)((i, _) => !s.charAt(i).isWhitespace)
 
   /** Index of a top-level keyword: paren-depth 0, outside quotes and
     * comments, not inside an identifier (underscores count as identifier
@@ -132,7 +150,15 @@ object Dialect {
     }
   }
 
-  private val DistinctOn = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
+  /** The index of the key-list `(` of the `DISTINCT ON (` at `occ`
+    * (which [[indexOfDistinctOn]] has already validated). */
+  private def distinctOnOpenParen(s: String, occ: Int): Int = {
+    var j = occ + "DISTINCT".length
+    while (s.charAt(j).isWhitespace) j += 1
+    j += 2 // ON
+    while (s.charAt(j).isWhitespace) j += 1
+    j
+  }
 
   /** Rewrite `SELECT DISTINCT ON (k1, k2) list FROM tail [ORDER BY o]
     * [LIMIT n [OFFSET m]]` into a row_number window over (k1, k2)
@@ -141,19 +167,27 @@ object Dialect {
     * follows the ORDER BY, like PostgreSQL/exosql.
     *
     * Only a TOP-LEVEL `SELECT DISTINCT ON` is rewritten (matching the
-    * reference's usage). A DISTINCT ON inside a subquery or CTE throws a
-    * clear IllegalArgumentException instead of silently passing a query
-    * Spark can't parse — use the window form directly there. */
+    * reference's usage); leading comments before the SELECT are fine. A
+    * DISTINCT ON inside a subquery or CTE throws a clear
+    * IllegalArgumentException instead of silently passing a query Spark
+    * can't parse — use the window form directly there. */
   def rewriteDistinctOn(sql: String): String = {
     val occ = indexOfDistinctOn(sql)
     if (occ < 0) return sql
-    val m = DistinctOn.findFirstMatchIn(sql)
-    if (m.isEmpty || occ >= m.get.end)
+    // top-level means: the query's first code token is SELECT and the
+    // next code token after it is this DISTINCT (comments/whitespace in
+    // between are fine — nextCode skips them)
+    val firstCode = nextCode(sql, 0)
+    val isTopLevel = firstCode >= 0 &&
+      sql.regionMatches(true, firstCode, "SELECT", 0, 6) &&
+      (firstCode + 6 >= sql.length || !isIdentChar(sql.charAt(firstCode + 6))) &&
+      nextCode(sql, firstCode + 6) == occ
+    if (!isTopLevel)
       throw new IllegalArgumentException(
         s"DISTINCT ON is only supported in the top-level SELECT (found one " +
           s"at offset $occ inside a subquery/CTE): rewrite that inner query " +
           s"with a row_number() OVER (PARTITION BY keys ORDER BY ...) window")
-    val openIdx = m.get.end - 1
+    val openIdx = distinctOnOpenParen(sql, occ)
     val closeIdx = matchParen(sql, openIdx)
     require(closeIdx > 0, s"unbalanced DISTINCT ON parens in: $sql")
     val nested = indexOfDistinctOn(sql, occ + "DISTINCT".length)

@@ -112,7 +112,9 @@ case class ToDatetime(child: Expression)
   // null instead of a silently saturated/garbled timestamp
   private def fracSecsToMicros(secs: Double): Any = {
     val micros = secs * 1e6
-    if (micros.isNaN || micros < Long.MinValue.toDouble || micros > Long.MaxValue.toDouble) null
+    // upper bound is >= : Long.MaxValue.toDouble rounds UP to 2^63,
+    // so micros == 2^63 would pass a > check yet saturate in toLong
+    if (micros.isNaN || micros < Long.MinValue.toDouble || micros >= Long.MaxValue.toDouble) null
     else micros.toLong
   }
 

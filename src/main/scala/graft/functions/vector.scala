@@ -90,8 +90,11 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryOp
     i = 0
     while (i < n) { val y = elem(b, i, bf); nb += y * y; i += 1 }
     // zero-norm vectors have no direction: null, not NaN (NaN sorts
-    // ABOVE real values in Spark's descending order and would de-sync
-    // top-k results from the oracle)
+    // ABOVE real values in Spark's descending order and would wreck
+    // top-k). NOTE this deliberately diverges from DuckDB's
+    // list_cosine_similarity, which returns -1.0 on zero norm — an
+    // oracle over a corpus containing zero vectors must CASE-guard
+    // (list_sum of squares = 0 -> NULL); the test fixtures contain none.
     if (na == 0.0 || nb == 0.0) null
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }

@@ -39,6 +39,9 @@ object Sampling {
   def stratified(df: DataFrame, stratum: Column, key: Column,
                  rates: Seq[(Column, Int)], salt: String = "sample"): DataFrame = {
     require(rates.nonEmpty, "at least one stratum rate required")
+    rates.foreach { case (_, bp) =>
+      require(bp >= 0 && bp <= 10000, s"rate must be 0..10000 bp, got $bp")
+    }
     val rate = rates.tail.foldLeft(
       when(stratum === rates.head._1, lit(rates.head._2))) {
       case (acc, (v, bp)) => acc.when(stratum === v, lit(bp))

@@ -173,11 +173,15 @@ object Similarity {
     * `nPlanes <= 0` (the default) derives the plane count from the
     * corpus size via [[autoPlanes]] so bucket occupancy stays bounded as
     * the corpus grows; pass an explicit positive value to pin it (the
-    * oracle-gated query does, so its inlined-plane SQL stays stable). */
+    * oracle-gated query does, so its inlined-plane SQL stays stable).
+    * Supply `corpusSize` (from catalog/file statistics) to avoid the
+    * count() job the auto-derivation otherwise runs eagerly — at scale
+    * an extra full pass over an expensive upstream plan is real money. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         simThreshold: Double, nPlanes: Int = 0,
-                        dim: Int = 64): DataFrame = {
-    val p = if (nPlanes > 0) nPlanes else autoPlanes(emb.count())
+                        dim: Int = 64, corpusSize: Long = -1L): DataFrame = {
+    val p = if (nPlanes > 0) nPlanes
+      else autoPlanes(if (corpusSize > 0) corpusSize else emb.count())
     val planes = planeSigns(p, dim)
     val b = emb.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), planes).as("bucket"))

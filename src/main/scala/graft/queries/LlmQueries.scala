@@ -156,8 +156,12 @@ object LlmQueries {
       // no whole-row sort happens anywhere — unlike the row_number
       // window form (kept in Dedup.exactDedupRows for DISTINCT-ON
       // parity), which shuffles AND sorts full rows per fp partition.
+      // The semi-join is on BOTH (fp, doc_id) so a doc_id that happens
+      // to equal another group's winner id can't leak through; like any
+      // keyed dedup this assumes doc_id is unique per row (two rows
+      // sharing fp AND doc_id are bit-identical here by construction).
       val winners = filtered.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
-      filtered.join(winners.select($"doc_id"), Seq("doc_id"), "left_semi")
+      filtered.join(winners, Seq("fp", "doc_id"), "left_semi")
         .select($"doc_id", $"fp", $"token_cnt", $"quality")
     }),
     "llm_multimodal_meta" -> ((s, d) => {

@@ -31,10 +31,17 @@ object CsvCoercion extends Rule[LogicalPlan] {
   /** Column-metadata marker identifying untyped CSV string columns. */
   val Tag = "graft.csv.string"
 
+  /** Outputs of CSV relations carrying the exosql all-strings scan
+    * signature (every data column StringType — the shape [[Csv.table]]
+    * produces). A user's own `spark.read.schema(...).csv` with typed
+    * columns does NOT match, so it keeps full ANSI semantics. */
   private def csvScanOutputs(plan: LogicalPlan): AttributeSet =
     AttributeSet(plan.collect {
       case lr: LogicalRelation if (lr.relation match {
-            case fs: HadoopFsRelation => fs.fileFormat.isInstanceOf[CSVFileFormat]
+            case fs: HadoopFsRelation =>
+              fs.fileFormat.isInstanceOf[CSVFileFormat] &&
+                fs.dataSchema.nonEmpty &&
+                fs.dataSchema.forall(_.dataType.isInstanceOf[StringType])
             case _ => false
           }) => lr.output
     }.flatten)

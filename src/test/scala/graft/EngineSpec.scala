@@ -98,6 +98,28 @@ class EngineSpec extends AnyFunSuite {
     assert(ok.contains("hint"))
   }
 
+  test("scanners respect backslash escapes and nested comments") {
+    // backslash-escaped quote inside a literal must not desync the lexer
+    assert(Dialect.rewriteVars("SELECT 'it\\'s $a' AS c, $b FROM t")
+      == "SELECT 'it\\'s $a' AS c, :b FROM t")
+    // Spark supports nested bracketed comments
+    assert(Dialect.rewriteVars("/* o /* i */ still comment $a */ SELECT $b")
+      == "/* o /* i */ still comment $a */ SELECT :b")
+    // the phrase in a backslash-escaped literal is not a DISTINCT ON
+    val ok = Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, 'don\\'t use DISTINCT ON (j)' AS hint FROM t")
+    assert(ok.contains("PARTITION BY k") && ok.contains("hint"))
+  }
+
+  test("leading comments don't block a top-level DISTINCT ON") {
+    val out = Dialect.rewriteDistinctOn(
+      "-- dedupe per key\nSELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v")
+    assert(out.contains("PARTITION BY k"))
+    val out2 = Dialect.rewriteDistinctOn(
+      "/* block */ SELECT DISTINCT ON (k) k, v FROM t")
+    assert(out2.contains("PARTITION BY k"))
+  }
+
   test("prepare once, run with different vars") {
     Tables.registerAll(spark, TestSpark.sf)
     val p = engine.prepare("SELECT count(*) AS n FROM orders WHERE o_orderstatus = $st")
