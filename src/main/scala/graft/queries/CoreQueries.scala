@@ -370,6 +370,20 @@ object CoreQueries {
                WHERE EXISTS (SELECT 1 FROM lineitem
                              WHERE l_partkey = p_partkey AND l_quantity >= 49)""")
     }),
+    "o8_recursive_cte" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      // WITH RECURSIVE (Spark 4.x) over a derived binary-tree hierarchy
+      // (parent(k) = k div 2): per-depth node counts. Each iteration is
+      // a distributed join of the frontier against part — the recursion
+      // depth is log2(|part|), not |part|
+      s.sql("""WITH RECURSIVE tree(k, depth) AS (
+                 SELECT CAST(1 AS BIGINT), 0
+                 UNION ALL
+                 SELECT p.p_partkey, t.depth + 1
+                 FROM part p JOIN tree t ON p.p_partkey div 2 = t.k
+                 WHERE p.p_partkey > 1)
+               SELECT depth, count(*) AS n FROM tree GROUP BY depth""")
+    }),
     "s6_generate_series" -> ((s, d) => {
       import s.implicits._
       s.range(1, 101).select($"id".as("v"),
@@ -619,6 +633,14 @@ object CoreQueries {
       """SELECT p_partkey, p_name FROM part
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_partkey = p_partkey AND l_quantity >= 49)""",
+    "o8_recursive_cte" ->
+      """WITH RECURSIVE tree(k, depth) AS (
+           SELECT CAST(1 AS BIGINT), 0
+           UNION ALL
+           SELECT p.p_partkey, t.depth + 1
+           FROM part p JOIN tree t ON p.p_partkey // 2 = t.k
+           WHERE p.p_partkey > 1)
+         SELECT depth, count(*) AS n FROM tree GROUP BY depth""",
     "s6_generate_series" ->
       "SELECT v, v * v AS sq FROM generate_series(1, 100) t(v)",
     "s6_unnest" ->
