@@ -88,6 +88,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    import spark.implicits._
+    // Catalyst's InjectRuntimeFilter: a selective dimension predicate
+    // becomes a bloom_filter_agg on the build side and a might_contain
+    // pre-filter on the fact scan — at 100 TB this skips fact rows
+    // before the shuffle. Thresholds lowered to model the size ratio a
+    // cluster would see.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.load(spark, TestSpark.sf, "lineitem")
+      val o = Tables.load(spark, TestSpark.sf, "orders")
+        .filter($"o_totalprice" > 400000)
+      val q = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") && opt.contains("might_contain"),
+        s"selective join should inject a runtime bloom filter:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("deterministic sampling is a pure scan+filter (zero exchange)") {
     val p = plan("llm_sample")
     assert(!p.contains("Exchange"),
