@@ -372,15 +372,17 @@ object CoreQueries {
     }),
     "o8_recursive_cte" -> ((s, d) => {
       Tables.registerAll(s, d)
-      // WITH RECURSIVE (Spark 4.x) over a derived binary-tree hierarchy
-      // (parent(k) = k div 2): per-depth node counts. Each iteration is
+      // WITH RECURSIVE (Spark 4.x) over a derived 16-ary-tree hierarchy
+      // (parent(k) = k div 16): per-depth node counts. Each iteration is
       // a distributed join of the frontier against part — the recursion
-      // depth is log2(|part|), not |part|
+      // runs log16(|part|) barriers (5 at sf0.1), never |part|; a wide
+      // fan-out is the honest shape for real hierarchies, and each
+      // sequential iteration costs a fixed scheduling barrier
       s.sql("""WITH RECURSIVE tree(k, depth) AS (
                  SELECT CAST(1 AS BIGINT), 0
                  UNION ALL
                  SELECT p.p_partkey, t.depth + 1
-                 FROM part p JOIN tree t ON p.p_partkey div 2 = t.k
+                 FROM part p JOIN tree t ON p.p_partkey div 16 = t.k
                  WHERE p.p_partkey > 1)
                SELECT depth, count(*) AS n FROM tree GROUP BY depth""")
     }),
@@ -638,7 +640,7 @@ object CoreQueries {
            SELECT CAST(1 AS BIGINT), 0
            UNION ALL
            SELECT p.p_partkey, t.depth + 1
-           FROM part p JOIN tree t ON p.p_partkey // 2 = t.k
+           FROM part p JOIN tree t ON p.p_partkey // 16 = t.k
            WHERE p.p_partkey > 1)
          SELECT depth, count(*) AS n FROM tree GROUP BY depth""",
     "s6_generate_series" ->
