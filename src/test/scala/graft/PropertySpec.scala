@@ -114,4 +114,59 @@ class PropertySpec extends AnyFunSuite {
         r.getDouble(0) <= 1.0 + 1e-9 && r.getDouble(0) >= -1.0 - 1e-9
     }, n = 15)
   }
+
+  test("simhash is token-order invariant (it's a vote, not a sequence)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    def sh(toks: Seq[String]): Long = {
+      val df = Seq(Tuple1(toks)).toDF("t")
+      df.select(GraftBridge.column(graft.functions.SimHashN(
+        GraftBridge.expression(col("t")), 60)).as("h")).head().getLong(0)
+    }
+    check(Prop.forAll(Gen.listOfN(6, Gen.alphaStr.map(_.take(5)))) { toks =>
+      sh(toks) == sh(toks.reverse)
+    }, n = 10)
+  }
+
+  test("hash-gated samples are nested: rate r1 <= r2 implies sample(r1) ⊆ sample(r2)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // the property train/val/test splits rely on: raising the rate only
+    // ADDS rows (hash < r1 < r2), it never swaps membership
+    val d = Tables.load(spark, TestSpark.sf, "documents").select($"doc_id", $"text")
+    val small = Sampling.bernoulli(d, $"text", 500)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.bernoulli(d, $"text", 4000)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.nonEmpty && small.subsetOf(big))
+    // boundary rates
+    assert(Sampling.bernoulli(d, $"text", 0).count() == 0)
+    assert(Sampling.bernoulli(d, $"text", 10000).count() == d.count())
+  }
+
+  test("kmeans iteration preserves the corpus mean (weighted centroid mean = global mean)") {
+    import spark.implicits._
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val out = Similarity.kmeansIterate(emb, "vec_id", "embedding", nCells = 4).collect()
+    val n = emb.count()
+    // per position: Σ_cells c_val·n_cell / N must equal the global mean
+    // (the partition of the corpus into cells can't move its centroid)
+    val global = emb.select(posexplode($"embedding").as(Seq("pos", "e")))
+      .groupBy($"pos").agg(avg($"e".cast("double")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    out.groupBy(_.getAs[Int]("pos")).foreach { case (pos, rows) =>
+      val weighted = rows.map(r => r.getAs[Double]("c_val") * r.getAs[Long]("n")).sum / n
+      assert(math.abs(weighted - global(pos)) < 1e-5,
+        s"pos $pos: weighted centroid mean $weighted != global ${global(pos)}")
+    }
+  }
+
+  test("autoPlanes is monotone in corpus size and respects the occupancy bound") {
+    check(Prop.forAll(Gen.chooseNum(1L, 1L << 40), Gen.chooseNum(1L, 1L << 40)) {
+      (a: Long, b: Long) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        Similarity.autoPlanes(lo) <= Similarity.autoPlanes(hi) &&
+          hi / math.pow(2.0, Similarity.autoPlanes(hi)) <= 1024.0
+    }, n = 50)
+  }
 }
