@@ -46,7 +46,10 @@ object Bench {
     // this reason). Budget the queries map: slowest queries first (the
     // ones worth comparing against BASELINE), stop before the cap.
     val budget = 1500
-    val bySlowest = results.sortBy { case (_, v) => -v }
+    // failed queries (-1 sentinel) FIRST so the budget cut can never
+    // hide a failure from the driver-visible line, then slowest-first
+    val bySlowest = results
+      .sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     // strict prefix of the slowest-first list (a filter would skip an
     // oversized entry but keep appending faster ones after it, breaking

@@ -28,7 +28,12 @@ object Dialect {
         if (c == '\\' && i + 1 < sql.length) { out += c; out += sql.charAt(i + 1); i += 2 }
         else { out += c; if (c == '\'') inStr = false; i += 1 }
       }
-      else if (inQuote) { out += c; if (c == '"') inQuote = false; i += 1 }
+      // double-quoted text is a string literal in Spark's default lexer
+      // (not an identifier), so backslash escapes apply there too
+      else if (inQuote) {
+        if (c == '\\' && i + 1 < sql.length) { out += c; out += sql.charAt(i + 1); i += 2 }
+        else { out += c; if (c == '"') inQuote = false; i += 1 }
+      }
       else if (inBacktick) { out += c; if (c == '`') inBacktick = false; i += 1 }
       else if (inLine) { out += c; if (c == '\n') inLine = false; i += 1 }
       else if (blockDepth > 0) {
@@ -70,7 +75,10 @@ object Dialect {
         if (c == '\\' && i + 1 < s.length) i += 2
         else { if (c == '\'') inStr = false; i += 1 }
       }
-      else if (inDq) { if (c == '"') inDq = false; i += 1 }
+      else if (inDq) {
+        if (c == '\\' && i + 1 < s.length) i += 2
+        else { if (c == '"') inDq = false; i += 1 }
+      }
       else if (inBt) { if (c == '`') inBt = false; i += 1 }
       else if (inLine) { if (c == '\n') inLine = false; i += 1 }
       else if (blockDepth > 0) {
@@ -187,6 +195,13 @@ object Dialect {
         s"DISTINCT ON is only supported in the top-level SELECT (found one " +
           s"at offset $occ inside a subquery/CTE): rewrite that inner query " +
           s"with a row_number() OVER (PARTITION BY keys ORDER BY ...) window")
+    // an optimizer hint between SELECT and DISTINCT ON would be silently
+    // dropped by the rewrite (it must directly follow a SELECT) — refuse
+    // loudly rather than run with different partitioning than written
+    if (sql.substring(firstCode + 6, occ).contains("/*+"))
+      throw new IllegalArgumentException(
+        "optimizer hints cannot be combined with DISTINCT ON (the rewrite " +
+          "would drop them): apply the hint to the row_number() window form")
     val openIdx = distinctOnOpenParen(sql, occ)
     val closeIdx = matchParen(sql, openIdx)
     require(closeIdx > 0, s"unbalanced DISTINCT ON parens in: $sql")

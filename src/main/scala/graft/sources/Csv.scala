@@ -30,14 +30,6 @@ object Csv {
 
   /** Register every *.csv under `dir` as a temp view named after the
     * file (exosql: one table per file in the configured directory). */
-  def registerDir(spark: SparkSession, dir: String): Seq[String] = {
-    val files = new java.io.File(dir).listFiles()
-    val csvs = if (files == null) Array.empty[java.io.File]
-      else files.filter(_.getName.endsWith(".csv"))
-    csvs.map { f =>
-      val name = f.getName.stripSuffix(".csv")
-      table(spark, f.getPath).createOrReplaceTempView(name)
-      name
-    }.toSeq.sorted
-  }
+  def registerDir(spark: SparkSession, dir: String): Seq[String] =
+    SourceDirs.register(spark, dir, ".csv")(table(spark, _))
 }

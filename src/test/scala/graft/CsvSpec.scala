@@ -41,6 +41,31 @@ class CsvSpec extends AnyFunSuite {
       e.getCause != null, s"expected an ANSI cast failure, got: ${e.getMessage}")
   }
 
+  test("jsonl with supplied schema keeps corrupt lines filterable") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toFile
+    val f = new java.io.File(dir, "mixed.jsonl")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"id": 1, "text": "ok"}
+        |this line is not json
+        |{"id": 3, "text": "also ok"}
+        |""".stripMargin)
+    try {
+      val schema = StructType(Seq(StructField("id", LongType), StructField("text", StringType)))
+      // cache before filtering on the corrupt column: Spark refuses raw
+      // scans whose only referenced column is _corrupt_record
+      val df = sources.Jsonl.table(spark, f.getPath, Some(schema)).cache()
+      try {
+        // the corrupt-record column is appended to the supplied schema,
+        // so bad docs are FILTERABLE, not silent all-null rows
+        assert(df.columns.contains(sources.Jsonl.CorruptCol))
+        val corrupt = org.apache.spark.sql.functions.col(sources.Jsonl.CorruptCol)
+        assert(df.filter(corrupt.isNull).count() == 2)
+        assert(df.filter(corrupt.isNotNull).count() == 1)
+      } finally df.unpersist()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("dynamic coercion: string columns in arithmetic and comparisons") {
     Csv.registerDir(spark, fixtureDir)
     // price is a STRING; exosql coerces per-expression — to_number here

@@ -111,6 +111,20 @@ class EngineSpec extends AnyFunSuite {
     assert(ok.contains("PARTITION BY k") && ok.contains("hint"))
   }
 
+  test("double-quoted string literals respect backslash escapes") {
+    // Spark's default lexer: "..." is a string literal with \" escapes
+    assert(Dialect.rewriteVars("SELECT \"don\\\"t touch $x\" AS c, $y FROM t")
+      == "SELECT \"don\\\"t touch $x\" AS c, :y FROM t")
+  }
+
+  test("hints between SELECT and DISTINCT ON are refused, not dropped") {
+    val e = intercept[IllegalArgumentException] {
+      Dialect.rewriteDistinctOn(
+        "SELECT /*+ REPARTITION(64) */ DISTINCT ON (k) k, v FROM t")
+    }
+    assert(e.getMessage.contains("hint"))
+  }
+
   test("leading comments don't block a top-level DISTINCT ON") {
     val out = Dialect.rewriteDistinctOn(
       "-- dedupe per key\nSELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v")
