@@ -33,10 +33,17 @@ object TextAnalysis {
 
   private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
+  /** Codegen'd membership count — the `size(filter(toks, isin))` HOF
+    * form is interpreted per element and sits in every corpus scan's
+    * per-row path (see [[graft.functions.CountInSet]]). */
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.CountInSet(
+      org.apache.spark.sql.GraftBridge.expression(toks), words))
+
   /** Fraction of tokens that are English stopwords. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
-    size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double") /
+    countIn(toks, stopwordsEn).cast("double") /
       greatest(size(toks), lit(1))
   }
 
@@ -61,7 +68,7 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
     val hits = langStops.map { case (lang, sw) =>
-      lang -> size(filter(toks, t => t.isin(sw: _*)))
+      lang -> countIn(toks, sw)
     }
     val Seq(es, fr, de, en) = hits.map(_._2)
     when(es > en && es >= fr && es >= de, "es")
