@@ -20,6 +20,35 @@ object LlmQueries {
 
   private val hashSql = "CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)"
 
+  /** The MinHash-LSH pipeline as DuckDB CTEs ending in
+    * `pairs(id_a, id_b, jaccard)` — shared by the pairs gate and the
+    * connected-components closure gate. */
+  private lazy val minhashCtes =
+    s"""t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+               FROM t WHERE len(toks) >= 3),
+        hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> $hashSql)) hs FROM sh),
+        sig AS (SELECT doc_id,
+                  list_transform(generate_series(0, 15), i ->
+                    list_min(list_transform(hs, h -> (h * (2*i + 1) + 101*i + 17) % 4294967311))) sig
+                FROM hs),
+        bands AS (SELECT doc_id, b.i AS band_idx,
+                    CAST(sig[4*b.i+1] AS VARCHAR) || '_' || CAST(sig[4*b.i+2] AS VARCHAR) || '_' ||
+                    CAST(sig[4*b.i+3] AS VARCHAR) || '_' || CAST(sig[4*b.i+4] AS VARCHAR) AS band_val
+                  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b),
+        cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
+                 FROM bands x JOIN bands y
+                   ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                      AND x.doc_id < y.doc_id),
+        pairs AS (SELECT c.id_a, c.id_b,
+                         len(list_intersect(a.hs, b.hs)) * 1.0
+                           / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+                  FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+                  WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+                          / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5)"""
+
   /** DuckDB expression for the LSH bucket of a DOUBLE[] column `v`,
     * using the same deterministic hyperplanes as Similarity.planeSigns. */
   private def bucketSql(planes: Array[Array[Double]]): String =
@@ -61,6 +90,14 @@ object LlmQueries {
       import s.implicits._
       Dedup.minhashPairs(Tables.load(s, d, "documents"), "doc_id", "text",
         k = 16, nBands = 4, threshold = 0.5)
+    }),
+    "llm_dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      // pairs -> transitive clusters: one label per connected component
+      val pairs = Dedup.minhashPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", k = 16, nBands = 4, threshold = 0.5)
+      graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
+        .select($"node".as("doc_id"), $"component".as("cluster"))
     }),
     "llm_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
@@ -272,30 +309,22 @@ object LlmQueries {
                UNION ALL SELECT doc_id + 100000, text FROM documents)
          GROUP BY 1""",
     "llm_minhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM documents),
-          sh AS (SELECT doc_id,
-                   list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
-                 FROM t WHERE len(toks) >= 3),
-          hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> $hashSql)) hs FROM sh),
-          sig AS (SELECT doc_id,
-                    list_transform(generate_series(0, 15), i ->
-                      list_min(list_transform(hs, h -> (h * (2*i + 1) + 101*i + 17) % 4294967311))) sig
-                  FROM hs),
-          bands AS (SELECT doc_id, b.i AS band_idx,
-                      CAST(sig[4*b.i+1] AS VARCHAR) || '_' || CAST(sig[4*b.i+2] AS VARCHAR) || '_' ||
-                      CAST(sig[4*b.i+3] AS VARCHAR) || '_' || CAST(sig[4*b.i+4] AS VARCHAR) AS band_val
-                    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b),
-          cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
-                   FROM bands x JOIN bands y
-                     ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-                        AND x.doc_id < y.doc_id)
-          SELECT c.id_a, c.id_b,
-                 len(list_intersect(a.hs, b.hs)) * 1.0
-                   / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
-          FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
-          WHERE len(list_intersect(a.hs, b.hs)) * 1.0
-                  / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5""",
+      s"""WITH $minhashCtes
+          SELECT id_a, id_b, jaccard FROM pairs""",
+    // near-dup CLUSTERS: the minhash pairs closed under transitivity —
+    // DuckDB replicates Graph.connectedComponents with a recursive
+    // reachability CTE (UNION dedups states, so cycles terminate);
+    // cluster label = min doc_id reachable, exactly min-label
+    // propagation's fixpoint
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+          SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""",
     "llm_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') toks
                     FROM documents

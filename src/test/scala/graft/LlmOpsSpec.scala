@@ -99,6 +99,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dups.filter($"id_b" === $"id_a" + 10000).count() == nBase)
   }
 
+  test("connected components close pair chains transitively") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // A~B, B~C, C~D chain + separate E~F + isolated G (no pair):
+    // min-per-pair would keep B and C; cluster dedup must not
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val rows = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("id")
+    val kept = Graph.keepClusterRepresentatives(rows, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L), s"kept $kept")
+  }
+
   test("hash sampling is partition-invariant and rate-accurate") {
     import spark.implicits._
     import graft.operators.Sampling
