@@ -117,7 +117,7 @@ object Similarity {
     * struct(sim, -cid) picks max sim, then (via -cid) min cid. ZERO
     * exchange of the corpus. */
   def cellOf(vec: Column, centroids: Array[(Long, Seq[Double])]): Column = {
-    val scored = array(centroids.map { case (cid, cv) =>
+    val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
       struct(cosine(vec, typedLit(cv)).as("sim"), lit(-cid).as("ncid"))
     }: _*)
     -array_max(scored).getField("ncid")
