@@ -137,8 +137,12 @@ object Similarity {
     * cell's member count — the shape you'd feed back into the next
     * iteration's literal centroid set. */
   def kmeansIterate(emb: DataFrame, idCol: String, vecCol: String,
-                    nCells: Int = 8): DataFrame = {
-    val centroids = collectCentroids(emb, idCol, vecCol, nCells)
+                    nCells: Int = 8): DataFrame =
+    kmeansStep(emb, vecCol, collectCentroids(emb, idCol, vecCol, nCells))
+
+  /** One assign+update round against an explicit centroid set. */
+  def kmeansStep(emb: DataFrame, vecCol: String,
+                 centroids: Array[(Long, Seq[Double])]): DataFrame =
     emb.select(cellOf(col(vecCol), centroids).as("cell"),
         posexplode(col(vecCol)).as(Seq("pos", "elem")))
       .groupBy(col("cell"), col("pos"))
@@ -146,6 +150,36 @@ object Similarity {
         round((sum(col("elem").cast("double").cast(DecimalType(20, 10)))
           .cast("double") / count(lit(1))), 6).as("c_val"),
         count(lit(1)).as("n"))
+
+  /** Full multi-round Lloyd training: seed centroids from the corpus,
+    * then `iters` assign+update rounds, each round's centroids fed back
+    * as the next round's inlined literal set. The per-round feedback is
+    * nCells×dim doubles collected to the driver (a few KB at any corpus
+    * size) — the corpus itself is only ever scanned, never shuffled, and
+    * the update aggregate combines map-side.
+    *
+    * Centroid coordinates are rounded to 6 decimals at each round
+    * boundary — that rounding is part of the operator contract (it is
+    * what makes every round's assignment bit-reproducible across
+    * engines and across reruns, and it perturbs cluster geometry by
+    * ≤1e-6 per coordinate). Returns the final round's (cell, pos,
+    * c_val, n). */
+  def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
+                  nCells: Int = 8, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var centroids = collectCentroids(emb, idCol, vecCol, nCells)
+    var out = kmeansStep(emb, vecCol, centroids)
+    var i = 1
+    while (i < iters) {
+      centroids = out.orderBy(col("cell"), col("pos"))
+        .select(col("cell"), col("c_val")).collect()
+        .groupBy(_.getLong(0)).toArray
+        .map { case (cell, rows) => (cell, rows.map(_.getDouble(1)).toIndexedSeq: Seq[Double]) }
+        .sortBy(_._1)
+      out = kmeansStep(emb, vecCol, centroids)
+      i += 1
+    }
+    out
   }
 
   /** Hyperplane count sized to the corpus: within-bucket candidate

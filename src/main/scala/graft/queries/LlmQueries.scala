@@ -175,6 +175,12 @@ object LlmQueries {
     "llm_kmeans" -> ((s, d) =>
       Similarity.kmeansIterate(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", nCells = 8)),
+    "llm_kmeans2" -> ((s, d) =>
+      // full training loop, two rounds: round-2 assignment runs against
+      // the DERIVED (round-1) centroids — bit-exact across engines
+      // because round boundaries quantize coordinates to 6 decimals
+      Similarity.kmeansTrain(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", nCells = 8, iters = 2)),
     "llm_pipeline" -> ((s, d) => {
       import s.implicits._
       // the full training-data preparation chain: score -> language
@@ -446,6 +452,37 @@ object LlmQueries {
                  round(CAST(sum(CAST(elem AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c_val,
                  count(*) AS n
           FROM ex GROUP BY cell, pos""",
+    "llm_kmeans2" ->
+      """WITH cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          s1 AS (SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent0 c),
+          a1 AS (SELECT vec_id, v, cid AS cell FROM s1 WHERE rk = 1),
+          ex1 AS (SELECT cell,
+                         CAST(unnest(generate_series(1, len(v))) - 1 AS INTEGER) AS pos,
+                         unnest(v) AS elem
+                  FROM a1),
+          up1 AS (SELECT cell, pos,
+                         round(CAST(sum(CAST(elem AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c_val
+                  FROM ex1 GROUP BY cell, pos),
+          cent1 AS (SELECT cell AS cid, list(c_val ORDER BY pos) AS cv
+                    FROM up1 GROUP BY cell),
+          s2 AS (SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent1 c),
+          a2 AS (SELECT vec_id, v, cid AS cell FROM s2 WHERE rk = 1),
+          ex2 AS (SELECT cell,
+                         CAST(unnest(generate_series(1, len(v))) - 1 AS INTEGER) AS pos,
+                         unnest(v) AS elem
+                  FROM a2)
+          SELECT cell, pos,
+                 round(CAST(sum(CAST(elem AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c_val,
+                 count(*) AS n
+          FROM ex2 GROUP BY cell, pos""",
     "llm_multimodal_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

@@ -161,6 +161,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byCell.values.map(_.head.getAs[Long]("n")).sum == emb.count())
   }
 
+  test("kmeans training: one round equals kmeansIterate; later rounds still partition") {
+    import spark.implicits._
+    val one = Similarity.kmeansTrain(emb, "vec_id", "embedding", nCells = 4, iters = 1)
+      .collect().map(_.toSeq).toSet
+    val iter = Similarity.kmeansIterate(emb, "vec_id", "embedding", nCells = 4)
+      .collect().map(_.toSeq).toSet
+    assert(one == iter)
+    val three = Similarity.kmeansTrain(emb, "vec_id", "embedding", nCells = 4, iters = 3)
+      .collect()
+    // round-3 assignment still covers the whole corpus exactly once
+    assert(three.groupBy(_.getAs[Long]("cell")).values
+      .map(_.head.getAs[Long]("n")).sum == emb.count())
+  }
+
   test("tfidf top terms: bounded per doc, ranked, deterministic") {
     import spark.implicits._
     import graft.operators.TextAnalysis
