@@ -32,6 +32,19 @@ object Sampling {
     df.filter(hashGate(key, lit(rateBp), salt))
   }
 
+  /** Deterministic EXACT-k sample: the k rows with the smallest salted
+    * key hash. Same reproducibility as [[bernoulli]] (membership is a
+    * pure function of the key) but with an exact output size — the shape
+    * for "give me exactly 10k eval docs". Plans TakeOrderedAndProject:
+    * per-partition top-k, k·partitions rows to one reducer, no full
+    * sort. Nested like the rate gates: exactK(n) ⊆ exactK(m) for n ≤ m
+    * (same hash order). Ties broken by the key itself. */
+  def exactK(df: DataFrame, key: Column, k: Int,
+             salt: String = "sample"): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    df.orderBy(Dedup.sharedHash(concat(lit(salt), key)).asc, key.asc).limit(k)
+  }
+
   /** Stratified sample: per-stratum rates (basis points), rows in
     * strata missing from `rates` are dropped. The rate lookup is a
     * codegen'd CASE chain — no join, no shuffle; the gate stays a pure

@@ -157,6 +157,15 @@ object LlmQueries {
           salt = "mix1:")
         .select($"doc_id", pmod($"doc_id", lit(3)).as("stratum"))
     }),
+    "llm_sample_k" -> ((s, d) => {
+      import s.implicits._
+      // exact-size deterministic sample: 200 docs with the smallest
+      // salted text hash (TakeOrderedAndProject, PlanSpec-pinned shape)
+      graft.operators.Sampling.exactK(
+          Tables.load(s, d, "documents").select($"doc_id", $"text"),
+          $"text", k = 200, salt = "eval:")
+        .select($"doc_id")
+    }),
     "llm_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(
         Tables.load(s, d, "documents"), "doc_id", "text", topK = 3)),
@@ -394,6 +403,10 @@ object LlmQueries {
          FROM documents
          WHERE CAST(('0x'||substr(md5('mix1:'||text),1,8)) AS BIGINT) % 10000 <
                CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 2500 ELSE 5000 END""",
+    "llm_sample_k" ->
+      """SELECT doc_id FROM documents
+         ORDER BY CAST(('0x'||substr(md5('eval:'||text),1,8)) AS BIGINT), text
+         LIMIT 200""",
     "llm_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
                        FROM documents),
