@@ -47,9 +47,13 @@ object Graph {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("component", "old"), "node")
         .filter(col("component") =!= col("old")).isEmpty
+      // drop the previous round's checkpointed blocks — otherwise the
+      // loop accumulates O(rounds × |V|) stale cached copies
+      labels.unpersist()
       labels = next
       iter += 1
     }
+    und.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "(diameter too large — use the Large-Star/Small-Star variant)")
     labels
@@ -59,8 +63,10 @@ object Graph {
     * one row (the min id) per connected component, plus every row that
     * appears in no pair. The output is the deduplicated id set. */
   def keepClusterRepresentatives(df: DataFrame, idCol: String,
-                                 pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs, "id_a", "id_b")
+                                 pairs: DataFrame,
+                                 srcCol: String = "id_a",
+                                 dstCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, srcCol, dstCol)
     val losers = comps.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The salted sampling hash — single definition so the rate gates and
+    * exact-k sampler can never silently diverge on the salting scheme. */
+  private def saltedHash(key: Column, salt: String): Column =
+    Dedup.sharedHash(concat(lit(salt), key))
+
   /** Keep iff hash(salt || key) mod 10000 < rate_bp (basis points —
     * rate_bp = 100 → 1%). Salt separates independent samples of the
     * same corpus (train/val/test splits use distinct salts). */
   def hashGate(key: Column, saltedRateBp: Column, salt: String): Column =
-    pmod(Dedup.sharedHash(concat(lit(salt), key)), lit(10000)) < saltedRateBp
+    pmod(saltedHash(key, salt), lit(10000)) < saltedRateBp
 
   /** Bernoulli sample at `rateBp` basis points, keyed on `key`. */
   def bernoulli(df: DataFrame, key: Column, rateBp: Int,
@@ -38,11 +43,19 @@ object Sampling {
     * for "give me exactly 10k eval docs". Plans TakeOrderedAndProject:
     * per-partition top-k, k·partitions rows to one reducer, no full
     * sort. Nested like the rate gates: exactK(n) ⊆ exactK(m) for n ≤ m
-    * (same hash order). Ties broken by the key itself. */
-  def exactK(df: DataFrame, key: Column, k: Int,
+    * (same hash order).
+    *
+    * Determinism at the LIMIT boundary requires a TOTAL order: pass the
+    * row's unique id as `tieBreak` — duplicate keys (real corpora have
+    * byte-identical docs) would otherwise make boundary selection
+    * partition-order-dependent. NULL keys hash to NULL and sort LAST
+    * (matching SQL engines' default), so they never displace real rows. */
+  def exactK(df: DataFrame, key: Column, k: Int, tieBreak: Seq[Column],
              salt: String = "sample"): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
-    df.orderBy(Dedup.sharedHash(concat(lit(salt), key)).asc, key.asc).limit(k)
+    val order = saltedHash(key, salt).asc_nulls_last +: key.asc_nulls_last +:
+      tieBreak.map(_.asc_nulls_last)
+    df.orderBy(order: _*).limit(k)
   }
 
   /** Stratified sample: per-stratum rates (basis points), rows in

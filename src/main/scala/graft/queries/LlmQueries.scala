@@ -160,10 +160,11 @@ object LlmQueries {
     "llm_sample_k" -> ((s, d) => {
       import s.implicits._
       // exact-size deterministic sample: 200 docs with the smallest
-      // salted text hash (TakeOrderedAndProject, PlanSpec-pinned shape)
+      // salted text hash; doc_id tie-break makes the boundary total
+      // (the corpus contains byte-identical texts)
       graft.operators.Sampling.exactK(
           Tables.load(s, d, "documents").select($"doc_id", $"text"),
-          $"text", k = 200, salt = "eval:")
+          $"text", k = 200, tieBreak = Seq($"doc_id"), salt = "eval:")
         .select($"doc_id")
     }),
     "llm_tfidf" -> ((s, d) =>
@@ -405,7 +406,8 @@ object LlmQueries {
                CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 2500 ELSE 5000 END""",
     "llm_sample_k" ->
       """SELECT doc_id FROM documents
-         ORDER BY CAST(('0x'||substr(md5('eval:'||text),1,8)) AS BIGINT), text
+         ORDER BY CAST(('0x'||substr(md5('eval:'||text),1,8)) AS BIGINT) NULLS LAST,
+                  text NULLS LAST, doc_id NULLS LAST
          LIMIT 200""",
     "llm_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term

@@ -118,6 +118,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-k sampling plans TakeOrderedAndProject (top-k, no full sort)") {
+    val p = plan("llm_sample_k")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exactK must be a per-partition top-k, not a global sort:\n$p")
+  }
+
   test("deterministic sampling is a pure scan+filter (zero exchange)") {
     val p = plan("llm_sample")
     assert(!p.contains("Exchange"),
