@@ -17,12 +17,17 @@ object SimHashKernel {
       MessageDigest.getInstance("MD5")
   }
 
-  /** Token hash: the first `bits/4` hex chars of md5, big-endian — i.e.
-    * exactly `CAST('0x'||substr(md5(tok),1,bits/4) AS BIGINT)` in SQL.
-    * For bits=32 this is the first 4 digest bytes, identical to the
-    * MinHash pipeline's sharedHash. */
-  private def tokenHash(md: MessageDigest, tok: String, bits: Int): Long = {
+  /** Token hash: the first `bits/4` hex chars of md5(salt ++ tok),
+    * big-endian — i.e. exactly
+    * `CAST('0x'||substr(md5(salt||tok),1,bits/4) AS BIGINT)` in SQL.
+    * For bits=32/no salt this is the first 4 digest bytes, identical to
+    * the MinHash pipeline's sharedHash. The salt is what lets a
+    * MULTI-WORD sketch derive independent 60-bit words from one md5
+    * family (word w salts with "w:"). */
+  private def tokenHash(md: MessageDigest, salt: Array[Byte], tok: String,
+                        bits: Int): Long = {
     md.reset()
+    if (salt.length > 0) md.update(salt)
     val digest = md.digest(tok.getBytes(StandardCharsets.UTF_8))
     val nibbles = bits / 4
     var h = 0L
@@ -36,13 +41,16 @@ object SimHashKernel {
     h
   }
 
-  def compute(arr: ArrayData, bits: Int): Long = {
+  def compute(arr: ArrayData, bits: Int): Long =
+    compute(arr, bits, Array.emptyByteArray)
+
+  def compute(arr: ArrayData, bits: Int, salt: Array[Byte]): Long = {
     val votes = new Array[Int](bits)
     val md = digests.get()
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = tokenHash(md, arr.getUTF8String(i).toString, bits)
+        val h = tokenHash(md, salt, arr.getUTF8String(i).toString, bits)
         var b = 0
         while (b < bits) {
           votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
@@ -82,9 +90,13 @@ object SimHashKernel {
   * Codegen'd (the generated code calls the static [[SimHashKernel]]), so
   * the sketch projection stays inside whole-stage codegen with no row
   * boxing; md5 itself dominates the per-token cost either way. */
-case class SimHashN(child: Expression, bits: Int) extends UnaryExpression {
+case class SimHashN(child: Expression, bits: Int, salt: String = "")
+    extends UnaryExpression {
   require(bits > 0 && bits <= 60 && bits % 4 == 0,
     s"simhash bits must be a positive multiple of 4, <= 60; got $bits")
+
+  @transient private lazy val saltBytes: Array[Byte] =
+    salt.getBytes(StandardCharsets.UTF_8)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -99,11 +111,14 @@ case class SimHashN(child: Expression, bits: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(v: Any): Any =
-    SimHashKernel.compute(v.asInstanceOf[ArrayData], bits)
+    SimHashKernel.compute(v.asInstanceOf[ArrayData], bits, saltBytes)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("simhashSalt",
+      salt.getBytes(StandardCharsets.UTF_8), "byte[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHashKernel.compute($c, $bits);")
+      s"${ev.value} = graft.functions.SimHashKernel.compute($c, $bits, $saltRef);")
+  }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -193,6 +193,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Multi-word simhash sketch: `words` independent 60-bit simhashes
+    * (word w's token hash salts the md5 with "w:"), as an array<long>
+    * column — 120 bits at words=2, 240 at words=4. This is the
+    * documented widening past [[simhashPairs]]'s single-long ceiling
+    * (~10⁸ docs): band count grows with words, so expected bucket
+    * occupancy stays bounded as the corpus grows another 100×. */
+  def simhashWide(toks: Column, words: Int = 2): Column = {
+    require(words >= 1, s"words must be >= 1, got $words")
+    array((0 until words).map { w =>
+      org.apache.spark.sql.GraftBridge.column(graft.functions.SimHashN(
+        org.apache.spark.sql.GraftBridge.expression(toks), 60, s"$w:"))
+    }: _*)
+  }
+
+  /** Banded near-dup pairs over the multi-word sketch: each 60-bit word
+    * splits into `bandsPerWord` bands (30-bit bands at the default —
+    * 2^30 buckets per band); candidates share any (band_idx, band_val);
+    * confirm on TOTAL hamming distance across all words. Same scale
+    * shape as [[simhashPairs]] — only (band, id, sketch) tuples shuffle. */
+  def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
+                       words: Int = 2, bandsPerWord: Int = 2,
+                       maxHamming: Int = 3): DataFrame = {
+    require(60 % bandsPerWord == 0, s"bandsPerWord $bandsPerWord must divide 60")
+    val bandBits = 60 / bandsPerWord
+    val mask = (1L << bandBits) - 1
+    val sh = df.select(col(idCol),
+      simhashWide(TextAnalysis.tokens(col(textCol)), words).as("sh"))
+    val bandStructs = array((for (w <- 0 until words; b <- 0 until bandsPerWord)
+      yield struct(lit(w * bandsPerWord + b).as("band_idx"),
+        shiftright(element_at(col("sh"), w + 1), b * bandBits)
+          .bitwiseAND(lit(mask)).as("band_val"))): _*)
+    val banded = sh.select(col(idCol), col("sh"), explode(bandStructs).as("band"))
+      .select(col(idCol), col("sh"), col("band.band_idx"), col("band.band_val"))
+    val hamming = (0 until words).map(w =>
+      bit_count(element_at(col("x.sh"), w + 1)
+        .bitwiseXOR(element_at(col("y.sh"), w + 1))))
+      .reduce(_ + _)
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Brute-force n-gram Jaccard over all pairs of `df` (bounded input!);
     * the oracle-checkable ground truth that `minhashPairs` approximates. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -182,6 +182,19 @@ object LlmQueries {
       Dedup.simhashPairs(docs.unionAll(recent), "doc_id", "text",
         hashBits = 60, nBands = 4, maxHamming = 3)
     }),
+    "llm_simhash_wide" -> ((s, d) => {
+      import s.implicits._
+      // 120-bit (2-word) sketch over a bounded corpus + exact clones:
+      // the multi-word widening for corpora past simhashPairs' ceiling
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val recent = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+        .select($"doc_id", $"text")
+      val corpus = recent.unionAll(
+        recent.select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      Dedup.simhashPairsWide(corpus, "doc_id", "text",
+        words = 2, bandsPerWord = 2, maxHamming = 3)
+    }),
     "llm_kmeans" -> ((s, d) =>
       Similarity.kmeansIterate(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", nCells = 8)),
@@ -449,6 +462,38 @@ object LlmQueries {
             ON x.band_idx = y.band_idx AND x.band_val = y.band_val
                AND x.doc_id < y.doc_id
           WHERE bit_count(xor(x.sh, y.sh)) <= 3"""
+    },
+    "llm_simhash_wide" -> {
+      def word(w: Int) =
+        s"""CAST(list_sum(list_transform(generate_series(0, 59), b ->
+              CASE WHEN list_sum(list_transform(hs$w, h ->
+                     CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT)"""
+      def hs(w: Int) =
+        s"list_transform(toks, s -> CAST(('0x'||substr(md5('$w:'||s),1,15)) AS BIGINT)) AS hs$w"
+      s"""WITH bounded AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
+          corpus AS (SELECT doc_id, text FROM bounded
+                     UNION ALL SELECT doc_id + 1000000, text FROM bounded),
+          t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM corpus),
+          hws AS (SELECT doc_id, ${hs(0)}, ${hs(1)} FROM t),
+          sh AS (SELECT doc_id, ${word(0)} AS w0, ${word(1)} AS w1 FROM hws),
+          bands AS (
+            SELECT doc_id, w0, w1, b.i AS band_idx,
+                   CASE WHEN b.i = 0 THEN w0 & 1073741823
+                        WHEN b.i = 1 THEN (w0 >> 30) & 1073741823
+                        WHEN b.i = 2 THEN w1 & 1073741823
+                        ELSE (w1 >> 30) & 1073741823 END AS band_val
+            FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b)
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 CAST(bit_count(xor(x.w0, y.w0)) + bit_count(xor(x.w1, y.w1))
+                      AS INTEGER) AS hamming
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+               AND x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.w0, y.w0)) + bit_count(xor(x.w1, y.w1)) <= 3"""
     },
     "llm_kmeans" ->
       """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
