@@ -144,6 +144,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(exact.count() == d.count())
   }
 
+  test("wide simhash: words are independent; clones collide at hamming 0") {
+    import spark.implicits._
+    val d = docs.select($"doc_id", $"text").limit(150)
+    // the two 60-bit words come from differently-salted hashes — if the
+    // salt were ignored they'd be identical for every doc
+    val sh = d.select(Dedup.simhashWide(
+      graft.operators.TextAnalysis.tokens($"text"), words = 2).as("sh"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sh.forall(_.length == 2))
+    assert(sh.count(w => w(0) == w(1)) < sh.length / 10,
+      "salted words must differ for (almost) every doc")
+    val corpus = d.unionAll(d.select(($"doc_id" + 70000).as("doc_id"), $"text"))
+    val exact = Dedup.simhashPairsWide(corpus, "doc_id", "text",
+        words = 2, bandsPerWord = 2, maxHamming = 3)
+      .filter($"id_b" === $"id_a" + 70000 && $"hamming" === 0)
+    assert(exact.count() == d.count())
+  }
+
   test("kmeans iteration partitions the corpus and averages per cell") {
     import spark.implicits._
     val out = Similarity.kmeansIterate(emb, "vec_id", "embedding", nCells = 4)
