@@ -12,8 +12,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = Tables.session("graft-bench")
+    // stdout must carry exactly one parseable JSON line; Spark's console
+    // appender writes WARNs to stderr, but the driver may capture merged
+    // streams — keep everything below ERROR out of the logs
+    spark.sparkContext.setLogLevel("ERROR")
     // warm-up: touch every table's footer + JIT the read path
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    // one UNMEASURED full execution so whole-stage-codegen compilation +
+    // JIT of the shared kernels doesn't land on whichever query sorts
+    // first alphabetically (r2: a10_salted_agg looked 3x its steady state)
+    for (w <- Seq("q5_flagship", "llm_text_stats"); fn <- SparkEntry.queries.get(w))
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

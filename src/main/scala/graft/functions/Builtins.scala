@@ -170,9 +170,22 @@ object Builtins {
   private def col(e: Expression): Column =
     org.apache.spark.sql.GraftBridge.column(e)
 
+  /** Sessions already registered — registerAll is called from every
+    * SQL-surface query builder (safe to call per query), but re-running
+    * `createOrReplaceTempFunction` emits a SimpleFunctionRegistry
+    * "replaced a previously registered function" WARN per function per
+    * call, flooding the bench/verify logs. Weak keys so dropped sessions
+    * can be collected. */
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** Expose exosql names to SQL. Spark-colliding names (`to_timestamp`)
-    * get an `exo_` prefix rather than shadowing the standard function. */
+    * get an `exo_` prefix rather than shadowing the standard function.
+    * Idempotent per session: repeat calls are no-ops. */
   def registerAll(spark: SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     def lit2str(e: Expression): String = e match {
       case Literal(v, _: StringType) if v != null => v.toString
