@@ -168,49 +168,117 @@ object Dialect {
     j
   }
 
-  /** Rewrite `SELECT DISTINCT ON (k1, k2) list FROM tail [ORDER BY o]
-    * [LIMIT n [OFFSET m]]` into a row_number window over (k1, k2)
-    * ordered by `o` (or the keys when absent), keeping the first row per
-    * key group; LIMIT/OFFSET apply after dedup and output ordering
-    * follows the ORDER BY, like PostgreSQL/exosql.
+  /** The SELECT keyword this `DISTINCT ON` at `occ` directly follows
+    * (comments/whitespace between them are fine), or -1. */
+  private def owningSelect(s: String, occ: Int): Int = {
+    var sel = -1
+    scan(s) { (i, _) =>
+      if (i >= occ) true
+      else {
+        if (s.regionMatches(true, i, "SELECT", 0, 6) &&
+            (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+            (i + 6 >= s.length || !isIdentChar(s.charAt(i + 6))) &&
+            nextCode(s, i + 6) == occ) sel = i
+        false
+      }
+    }
+    sel
+  }
+
+  /** Innermost `(` enclosing position `pos` (outside quotes/comments),
+    * or -1 when `pos` is at paren depth 0. */
+  private def enclosingOpenParen(s: String, pos: Int): Int = {
+    val stack = scala.collection.mutable.ArrayDeque.empty[Int]
+    scan(s) { (i, _) =>
+      if (i >= pos) true
+      else {
+        s.charAt(i) match {
+          case '(' => stack.append(i)
+          case ')' => if (stack.nonEmpty) stack.removeLast()
+          case _ =>
+        }
+        false
+      }
+    }
+    if (stack.isEmpty) -1 else stack.last
+  }
+
+  /** Index of a top-level set operator (`UNION`/`INTERSECT`/`EXCEPT`
+    * followed by a SELECT/ALL/DISTINCT token — so `* EXCEPT (cols)` in a
+    * select list doesn't count), or -1. */
+  private def setOpIndex(s: String): Int = {
+    val kws = Seq("UNION", "INTERSECT", "EXCEPT")
+    kws.map { kw =>
+      val i = topLevelIndex(s, kw)
+      if (i < 0) -1
+      else {
+        val nxt = nextCode(s, i + kw.length)
+        val isSetOp = nxt >= 0 && Seq("SELECT", "ALL", "DISTINCT").exists(t =>
+          s.regionMatches(true, nxt, t, 0, t.length) &&
+            (nxt + t.length >= s.length || !isIdentChar(s.charAt(nxt + t.length))))
+        if (isSetOp) i else -1
+      }
+    }.filter(_ >= 0).minOption.getOrElse(-1)
+  }
+
+  /** Rewrite every `SELECT DISTINCT ON (k1, k2) list FROM tail
+    * [ORDER BY o] [LIMIT n [OFFSET m]]` — top-level, in subqueries, and
+    * in CTE bodies — into a row_number window over (k1, k2) ordered by
+    * `o` (or the keys when absent), keeping the first row per key group;
+    * LIMIT/OFFSET apply after dedup and output ordering follows the
+    * ORDER BY, like PostgreSQL/exosql.
     *
-    * Only a TOP-LEVEL `SELECT DISTINCT ON` is rewritten (matching the
-    * reference's usage); leading comments before the SELECT are fine. A
-    * DISTINCT ON inside a subquery or CTE throws a clear
-    * IllegalArgumentException instead of silently passing a query Spark
-    * can't parse — use the window form directly there. */
+    * Each occurrence is rewritten within its own query region: from its
+    * owning SELECT to the closing paren of the innermost enclosing
+    * parens (subquery/CTE body) or end of statement. A DISTINCT ON in a
+    * set-operation arm (UNION/INTERSECT/EXCEPT at the same level) is
+    * refused with a clear error — the arm's boundaries are ambiguous in
+    * source form; use the window form there. */
   def rewriteDistinctOn(sql: String): String = {
-    val occ = indexOfDistinctOn(sql)
-    if (occ < 0) return sql
-    // top-level means: the query's first code token is SELECT and the
-    // next code token after it is this DISTINCT (comments/whitespace in
-    // between are fine — nextCode skips them)
-    val firstCode = nextCode(sql, 0)
-    val isTopLevel = firstCode >= 0 &&
-      sql.regionMatches(true, firstCode, "SELECT", 0, 6) &&
-      (firstCode + 6 >= sql.length || !isIdentChar(sql.charAt(firstCode + 6))) &&
-      nextCode(sql, firstCode + 6) == occ
-    if (!isTopLevel)
+    var cur = sql
+    var guard = 0
+    while (guard < 64) {
+      val occ = indexOfDistinctOn(cur)
+      if (occ < 0) return cur
+      cur = rewriteOneDistinctOn(cur, occ)
+      guard += 1
+    }
+    throw new IllegalStateException(
+      s"DISTINCT ON rewrite did not terminate after 64 passes: $sql")
+  }
+
+  /** Rewrite the single `DISTINCT ON` occurrence at `occ`, splicing the
+    * windowed form back into the surrounding statement. */
+  private def rewriteOneDistinctOn(full: String, occ: Int): String = {
+    val selIdx = owningSelect(full, occ)
+    if (selIdx < 0)
       throw new IllegalArgumentException(
-        s"DISTINCT ON is only supported in the top-level SELECT (found one " +
-          s"at offset $occ inside a subquery/CTE): rewrite that inner query " +
-          s"with a row_number() OVER (PARTITION BY keys ORDER BY ...) window")
+        s"DISTINCT ON at offset $occ does not directly follow a SELECT — " +
+          "cannot rewrite; use a row_number() window instead")
+    val open = enclosingOpenParen(full, selIdx)
+    val regionEnd = if (open < 0) full.length else {
+      val close = matchParen(full, open)
+      require(close > 0, s"unbalanced parens in: $full")
+      close
+    }
+    val sql = full.substring(selIdx, regionEnd)
+    val occR = occ - selIdx
     // an optimizer hint between SELECT and DISTINCT ON would be silently
     // dropped by the rewrite (it must directly follow a SELECT) — refuse
     // loudly rather than run with different partitioning than written
-    if (sql.substring(firstCode + 6, occ).contains("/*+"))
+    if (sql.substring(6, occR).contains("/*+"))
       throw new IllegalArgumentException(
         "optimizer hints cannot be combined with DISTINCT ON (the rewrite " +
           "would drop them): apply the hint to the row_number() window form")
-    val openIdx = distinctOnOpenParen(sql, occ)
+    val setOp = setOpIndex(sql)
+    if (setOp >= 0)
+      throw new IllegalArgumentException(
+        s"DISTINCT ON in a set-operation arm (${sql.substring(setOp).take(12).trim}...) " +
+          "is not supported: the arm's ORDER BY/LIMIT scope is ambiguous — " +
+          "rewrite that arm with a row_number() window")
+    val openIdx = distinctOnOpenParen(sql, occR)
     val closeIdx = matchParen(sql, openIdx)
     require(closeIdx > 0, s"unbalanced DISTINCT ON parens in: $sql")
-    val nested = indexOfDistinctOn(sql, occ + "DISTINCT".length)
-    if (nested >= 0)
-      throw new IllegalArgumentException(
-        s"DISTINCT ON is only supported in the top-level SELECT (found a " +
-          s"second one at offset $nested): rewrite the inner query with a " +
-          s"row_number() OVER (PARTITION BY keys ORDER BY ...) window")
     val keys = sql.substring(openIdx + 1, closeIdx).trim
     val rest = sql.substring(closeIdx + 1) // "<select list> FROM <tail>"
     // LIMIT/OFFSET apply AFTER dedup (PostgreSQL) — peel them off the
@@ -245,10 +313,12 @@ object Dialect {
     // (PostgreSQL DISTINCT ON allows both)
     val outerList =
       if (selectList == "*") "* EXCEPT (__graft_rn)" else selectList
-    s"""SELECT $outerList FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $windowOrder) AS __graft_rn
-       |  $fromTail
-       |) WHERE __graft_rn = 1$outer""".stripMargin
+    val rewritten =
+      s"""SELECT $outerList FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $windowOrder) AS __graft_rn
+         |  $fromTail
+         |) WHERE __graft_rn = 1$outer""".stripMargin
+    full.substring(0, selIdx) + rewritten + full.substring(regionEnd)
   }
 
   def rewrite(sql: String): String = rewriteDistinctOn(rewriteVars(sql))

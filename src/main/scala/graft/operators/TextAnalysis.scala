@@ -87,13 +87,18 @@ object TextAnalysis {
     * classic corpus-statistics text op an LLM-data pipeline runs for
     * topic balancing and quality heuristics).
     *
-    * tfidf = tf · ln((N+1)/(df+1)), ranked per doc by (rounded score
-    * desc, term) — the tie-break on the term string keeps the top-k
-    * selection deterministic and engine-reproducible.
+    * The per-doc RANK uses only rational keys — (tf desc, df asc, term
+    * asc): more frequent in the doc first, rarer in the corpus breaking
+    * ties, term string making the order total. tfidf =
+    * tf · ln((N+1)/(df+1)) is emitted as a derived display column and
+    * never drives the ranking, so a 1-ulp `ln()` difference between
+    * libm implementations cannot reorder the top-k across engines
+    * (it could only flip a rounded 6th decimal of the display value if
+    * the true value sat within ~1e-16 of a rounding boundary).
     *
     * Scale shape: tf is a partial-aggregable (id, term) count; df a
     * partial-aggregable (term) count; N a broadcast single row; ranking
-    * shuffles (id, term, tf, tfidf) tuples only — document text never
+    * shuffles (id, term, tf, df) tuples only — document text never
     * leaves the first projection, and every aggregate combines
     * map-side. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
@@ -107,7 +112,7 @@ object TextAnalysis {
         round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
           .as("tfidf"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+      .partitionBy(col(idCol)).orderBy(col("tf").desc, col("df").asc, col("term"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))

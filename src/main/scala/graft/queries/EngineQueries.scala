@@ -18,6 +18,17 @@ object EngineQueries {
     "e_distinct_on" -> ((s, d) => via(s, d)(
       """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
          FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey""")),
+    // nested DISTINCT ON (CTE body + FROM-subquery) — the recursive
+    // region rewrite; DuckDB runs the identical SQL natively
+    "e_distinct_on_nested" -> ((s, d) => via(s, d)(
+      """WITH top_cust AS (
+           SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+           FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey)
+         SELECT t.c_nationkey, t.c_custkey, t.c_acctbal, o.max_order
+         FROM top_cust t
+         LEFT JOIN (SELECT DISTINCT ON (o_custkey) o_custkey, o_totalprice AS max_order
+                    FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey) o
+           ON o.o_custkey = t.c_custkey""")),
     "e_vars" -> ((s, d) => via(s, d)(
       """SELECT o_orderpriority, count(*) AS n FROM orders
          WHERE o_totalprice > $min_price GROUP BY o_orderpriority""",
@@ -32,6 +43,15 @@ object EngineQueries {
     "e_distinct_on" ->
       """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
          FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey""",
+    "e_distinct_on_nested" ->
+      """WITH top_cust AS (
+           SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+           FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey)
+         SELECT t.c_nationkey, t.c_custkey, t.c_acctbal, o.max_order
+         FROM top_cust t
+         LEFT JOIN (SELECT DISTINCT ON (o_custkey) o_custkey, o_totalprice AS max_order
+                    FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey) o
+           ON o.o_custkey = t.c_custkey""",
     "e_vars" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
          WHERE o_totalprice > 250000.0 GROUP BY o_orderpriority""",

@@ -99,6 +99,16 @@ object LlmQueries {
       graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
         .select($"node".as("doc_id"), $"component".as("cluster"))
     }),
+    "llm_cluster_keep" -> ((s, d) => {
+      import s.implicits._
+      // the production cluster-dedup call path: one representative (min
+      // id) per connected component PLUS every pair-less row untouched
+      val docs = Tables.load(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 16, nBands = 4, threshold = 0.5)
+      graft.operators.Graph.keepClusterRepresentatives(
+        docs.select($"doc_id"), "doc_id", pairs)
+    }),
     "llm_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
       // last 300 ids — where the generator plants near-dup clusters —
@@ -354,6 +364,19 @@ object LlmQueries {
             UNION
             SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
           SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""",
+    // end-to-end cluster dedup: every document survives EXCEPT non-min
+    // members of a connected component (singletons pass through)
+    "llm_cluster_keep" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+          losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM losers)""",
     "llm_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') toks
                     FROM documents
@@ -428,12 +451,12 @@ object LlmQueries {
           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
           dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
           n AS (SELECT count(*) AS n_docs FROM documents),
-          scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+          scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
                             round(tf.tf * ln((n.n_docs + 1) * 1.0 / (dfq.df + 1)), 6) AS tfidf
                      FROM tf JOIN dfq USING (term) CROSS JOIN n),
           ranked AS (SELECT doc_id, term, tf, tfidf,
                             CAST(row_number() OVER (PARTITION BY doc_id
-                              ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+                              ORDER BY tf DESC, df ASC, term) AS INTEGER) AS rank
                      FROM scored)
           SELECT doc_id, rank, term, tf, tfidf FROM ranked WHERE rank <= 3""",
     "llm_simhash_pairs" -> {

@@ -81,21 +81,57 @@ class EngineSpec extends AnyFunSuite {
     assert(out2.contains("PARTITION BY k") && out2.contains("')' AS paren"))
   }
 
-  test("non-top-level DISTINCT ON raises a clear error, never silent misparse") {
-    val e1 = intercept[IllegalArgumentException] {
-      Dialect.rewriteDistinctOn(
-        "WITH x AS (SELECT DISTINCT ON (k) k, v FROM t) SELECT * FROM x")
-    }
-    assert(e1.getMessage.contains("top-level"))
-    val e2 = intercept[IllegalArgumentException] {
-      Dialect.rewriteDistinctOn(
-        "SELECT DISTINCT ON (k) k FROM (SELECT DISTINCT ON (j) j AS k FROM t)")
-    }
-    assert(e2.getMessage.contains("top-level"))
+  test("DISTINCT ON in CTE bodies and subqueries is rewritten in place") {
+    val cte = Dialect.rewriteDistinctOn(
+      "WITH x AS (SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v) SELECT * FROM x")
+    assert(cte.startsWith("WITH x AS ("))
+    assert(cte.contains("PARTITION BY k") && cte.endsWith("SELECT * FROM x"))
+    assert(!cte.toUpperCase.contains("DISTINCT ON"))
+    // both levels of a nested DISTINCT ON get their own window rewrite
+    val both = Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k FROM (SELECT DISTINCT ON (j) j AS k FROM t)")
+    assert("PARTITION BY".r.findAllIn(both).size == 2)
+    assert(both.contains("PARTITION BY k") && both.contains("PARTITION BY j"))
+    assert(!both.toUpperCase.contains("DISTINCT ON"))
+    // a scalar-subquery DISTINCT ON inside a WHERE clause
+    val where = Dialect.rewriteDistinctOn(
+      "SELECT a FROM t WHERE b IN (SELECT DISTINCT ON (k) k FROM u)")
+    assert(where.startsWith("SELECT a FROM t WHERE b IN (") &&
+      where.contains("PARTITION BY k"))
     // ...but the phrase inside a string literal is NOT a DISTINCT ON
     val ok = Dialect.rewriteDistinctOn(
       "SELECT 'use DISTINCT ON (k) here' AS hint FROM t")
     assert(ok.contains("hint"))
+  }
+
+  test("nested DISTINCT ON executes correctly end to end") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val via = engine.query(
+      """WITH top_cust AS (
+           SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+           FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey)
+         SELECT c_nationkey, c_custkey FROM top_cust""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val manual = spark.sql(
+      """SELECT c_nationkey, c_custkey FROM (
+           SELECT c_nationkey, c_custkey,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) rn
+           FROM customer) WHERE rn = 1""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(via == manual && via.size == 25)
+  }
+
+  test("DISTINCT ON in a set-operation arm is refused, not silently misparsed") {
+    val e = intercept[IllegalArgumentException] {
+      Dialect.rewriteDistinctOn(
+        "SELECT DISTINCT ON (k) k, v FROM t UNION ALL SELECT k, v FROM u")
+    }
+    assert(e.getMessage.contains("set-operation"))
+    // but * EXCEPT (cols) in a select list is NOT a set operator
+    val ok = Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) * EXCEPT (v) FROM t ORDER BY k")
+    assert(ok.contains("PARTITION BY k"))
   }
 
   test("scanners respect backslash escapes and nested comments") {
