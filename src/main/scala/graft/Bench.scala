@@ -21,7 +21,10 @@ object Bench {
     // one UNMEASURED full execution so whole-stage-codegen compilation +
     // JIT of the shared kernels doesn't land on whichever query sorts
     // first alphabetically (r2: a10_salted_agg looked 3x its steady state)
-    for (w <- Seq("q5_flagship", "llm_text_stats"); fn <- SparkEntry.queries.get(w))
+    // llm_minhash_pairs JITs the shingle/hash/band kernels shared by the
+    // three cluster queries that sort before it alphabetically
+    for (w <- Seq("q5_flagship", "llm_text_stats", "llm_minhash_pairs");
+         fn <- SparkEntry.queries.get(w))
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

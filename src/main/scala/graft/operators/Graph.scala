@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -10,38 +10,63 @@ import org.apache.spark.storage.StorageLevel
   * is transitive (A~B, B~C: keeping min-per-pair retains B); the
   * production contract is one representative per connected component.
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with itself; each round every node takes the min of its own
-  * label and its neighbors' labels; fixpoint after O(diameter) rounds —
-  * near-dup clusters are shallow (diameter ≤ a few hops), so this
-  * converges in a handful of rounds.
+  * Two algorithms, same output contract:
+  *  - [[connectedComponents]]: min-label propagation, O(diameter)
+  *    rounds — the right choice for shallow dedup graphs (a few hops).
+  *  - [[connectedComponentsStar]]: alternating Large-Star/Small-Star
+  *    [Kiveris et al., "Connected Components in MapReduce and Beyond",
+  *    SoCC'14], O(log n) rounds on ANY diameter — the scale path for
+  *    deep graphs (chains, link graphs, social graphs).
   *
-  * Round cost: ONE Spark action per round. The propagation join carries
-  * the node's previous label through the aggregation (tagged union →
-  * `min(component)` + `max(own)`), so the same pass that produces the
-  * new labels also counts how many changed — there is no separate
-  * convergence join and no extra eager-materialization job. Each round
-  * shuffles 2|E| + |V| (node, label) pairs and nothing else.
+  * Round cost (both): ONE Spark action per round. Lineage is truncated
+  * every round with a NON-EAGER localCheckpoint — the plan collapses to
+  * a LogicalRDD immediately (so per-round plans stay constant-size
+  * instead of doubling), and the blocks are stored during the same
+  * action that measures convergence; there is no separate
+  * materialization job and no separate convergence pass.
   *
-  * 100 TB posture: results are persisted per round to truncate
-  * recomputation; pass `checkpointDir` on a real cluster to cut lineage
-  * with RELIABLE (HDFS/object-store) checkpoints instead — executor-local
-  * storage (`persist`/`localCheckpoint`) loses blocks when an executor
-  * dies, which aborts an iterative job mid-flight. The reliable path
-  * costs one extra cache-read/write job per round, only when opted in.
-  * For graphs whose diameter scales (not dedup graphs), the
-  * Large-Star/Small-Star variant [Kiveris et al., "Connected Components
-  * in MapReduce", SoCC'14] drops rounds to O(log n) with the same
-  * join+min primitive. */
+  * 100 TB posture: pass `checkpointDir` on a real cluster to cut
+  * lineage with RELIABLE (HDFS/object-store) checkpoints instead —
+  * executor-local blocks die with their executor, which aborts an
+  * iterative job mid-flight. The reliable path persists each round and
+  * lets the checkpoint-write job read the fresh cache (one extra
+  * cache-read/write pass, only when opted in). */
 object Graph {
+
+  /** Truncate `df`'s lineage and materialize it with ONE action that
+    * also evaluates `aggCol` over it. Returns (truncated frame, agg
+    * row, storage handle to release once the next round is stored). */
+  private def materializeWith(df: DataFrame, reliable: Boolean)
+                             (aggCol: Column, more: Column*): (DataFrame, Row, DataFrame) = {
+    val (out, handle) =
+      if (reliable) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        // non-eager reliable checkpoint: the first action below runs the
+        // job (populating the cache); the checkpoint write that follows
+        // reads the cache instead of recomputing
+        (p.checkpoint(false), p)
+      } else {
+        // non-eager local checkpoint: plan becomes a LogicalRDD now,
+        // blocks are stored when the action below first computes them
+        val p = df.localCheckpoint(false)
+        (p, p)
+      }
+    val row = out.agg(aggCol, more: _*).first()
+    (out, row, handle)
+  }
 
   /** Components of the undirected graph given by (srcCol, dstCol) pairs.
     * Returns (node, component) where component = min node id reachable.
     * Nodes appearing in no edge are absent (callers union isolated ids
     * back in if needed — dedup treats them as singleton clusters).
     *
-    * @param checkpointDir reliable checkpoint location (HDFS/S3 path on a
-    *   cluster); when set, per-round results and the edge list are
+    * Each round shuffles 2|E| + |V| (node, label) pairs: the tagged
+    * union (neighbor labels + own labeled row) feeds one groupBy whose
+    * aggregation yields BOTH the new min-label and the previous label,
+    * so the materializing action doubles as the convergence count.
+    *
+    * @param checkpointDir reliable checkpoint location (HDFS/S3 path on
+    *   a cluster); when set, per-round results and the edge list are
     *   checkpointed there instead of relying on executor-local storage. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
@@ -53,6 +78,7 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val und0 = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    // und is read every round — materialize it once, eagerly
     val und = if (reliable) und0.checkpoint() else und0.localCheckpoint(true)
     // initial labels: node -> itself; materialized by round 1's action
     var labels = und.select(col("src").as("node")).distinct()
@@ -73,26 +99,94 @@ object Graph {
       val step = neigh.unionAll(own)
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"), max(col("own")).as("old"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // the ONE action of the round: populates the persisted round result
-      // and returns the changed-label count (min includes the own label,
-      // so component <= old always; != means strictly improved)
-      val row = step.agg(
+      // the ONE action of the round: stores the round's labels and
+      // returns the changed count (min includes the own label, so
+      // component <= old always; != means strictly improved)
+      val (next, row, handle) = materializeWith(step, reliable)(
         coalesce(sum(when(col("component") =!= col("old"), 1L)), lit(0L)).as("c"))
-        .first()
       changed = row.getLong(0)
-      val next =
-        if (reliable) { val ck = step.checkpoint(); step.unpersist(); ck }
-        else step
       prevHandle.unpersist()
-      prevHandle = next
+      prevHandle = handle
       labels = next.select(col("node"), col("component"))
       iter += 1
     }
     und.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds " +
-      "(diameter too large — use the Large-Star/Small-Star variant)")
+      "(diameter too large — use connectedComponentsStar)")
     labels
+  }
+
+  /** Connected components via alternating Large-Star / Small-Star —
+    * O(log n) rounds on ANY diameter, where min-label propagation needs
+    * O(diameter). Same output contract as [[connectedComponents]].
+    *
+    * Large-Star(u): every neighbor v > u re-attaches to
+    * m = min(Γ(u) ∪ {u}); Small-Star(u): every neighbor v ≤ u (plus u)
+    * re-attaches to the min among them. Both preserve connectivity and
+    * flatten the graph toward stars rooted at component minima; at the
+    * fixpoint every edge is (node, component root).
+    *
+    * Convergence test rides the materializing action: the edge set's
+    * (count, xor of row hashes) fingerprint is computed while the
+    * round's blocks are stored — bit_xor, not sum, because a hash SUM
+    * overflows Long under ANSI mode; the set is distinct so xor
+    * cancellation can't mask a change. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 50,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
+    val fingerprint = Seq(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      und.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge toward its smaller endpoint: key = larger
+      val oriented = e.select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(mins, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionAll(mins.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    var (cur, row0, prevHandle) =
+      materializeWith(e0, reliable)(fingerprint.head, fingerprint.tail: _*)
+    var fp = (row0.getLong(0), row0.getLong(1))
+    var iter = 0
+    var converged = fp._1 == 0L // empty graph: nothing to contract
+    while (!converged && iter < maxIter) {
+      val (next, row, handle) = materializeWith(
+        smallStar(largeStar(cur)), reliable)(fingerprint.head, fingerprint.tail: _*)
+      val nfp = (row.getLong(0), row.getLong(1))
+      converged = nfp == fp
+      fp = nfp
+      prevHandle.unpersist()
+      prevHandle = handle
+      cur = next
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // at the fixpoint every edge is a star edge (node -> component root)
+    cur.select(col("src").as("node"), col("dst").as("component"))
+      .unionAll(cur.select(col("dst").as("node"), col("dst").as("component")))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
   }
 
   /** Cluster-correct dedup: from near-dup pairs over `df`, keep exactly

@@ -99,6 +99,15 @@ object LlmQueries {
       graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
         .select($"node".as("doc_id"), $"component".as("cluster"))
     }),
+    "llm_cluster_star" -> ((s, d) => {
+      import s.implicits._
+      // same clusters as llm_dedup_clusters but via the O(log n)
+      // Large-Star/Small-Star algorithm (the any-diameter scale path)
+      val pairs = Dedup.minhashPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", k = 16, nBands = 4, threshold = 0.5)
+      graft.operators.Graph.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select($"node".as("doc_id"), $"component".as("cluster"))
+    }),
     "llm_cluster_keep" -> ((s, d) => {
       import s.implicits._
       // the production cluster-dedup call path: one representative (min
@@ -356,6 +365,16 @@ object LlmQueries {
     // cluster label = min doc_id reachable, exactly min-label
     // propagation's fixpoint
     "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+          SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""",
+    // the star algorithm must produce the identical cluster labeling
+    "llm_cluster_star" ->
       s"""WITH RECURSIVE $minhashCtes,
           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                     UNION ALL SELECT id_b, id_a FROM pairs),

@@ -22,12 +22,12 @@ class GraphSpec extends AnyFunSuite {
     Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
 
   test("one Spark action per propagation round (fused convergence check)") {
-    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        counter.incrementAndGet()
+        events.add(funcName)
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        counter.incrementAndGet()
+        events.add(funcName)
     }
     spark.listenerManager.register(listener)
     try {
@@ -35,16 +35,23 @@ class GraphSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(comps == expected)
       // the execution listener is async — poll until the count stabilizes
-      var prev = -1; var cur = counter.get; var spins = 0
+      var prev = -1; var cur = events.size; var spins = 0
       while (cur != prev && spins < 50) {
-        prev = cur; Thread.sleep(100); cur = counter.get; spins += 1
+        prev = cur; Thread.sleep(100); cur = events.size; spins += 1
       }
-      // budget: 1 edge-list materialization + 4 rounds x 1 fused
-      // propagate+count action + 1 final collect = 6. The pre-fix shape
-      // (eager checkpoint + separate isEmpty join per round) was 10+.
-      assert(cur <= 7, s"expected <=7 Spark actions for a 4-round CC, saw $cur " +
-        "(a convergence check or materialization is running as an extra pass)")
-      assert(cur >= 5, s"action count $cur implausibly low — listener broken?")
+      val byName = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        events.iterator).asScala.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      // the 4-round path graph must run EXACTLY one fused
+      // propagate-and-count action per round (agg.first)...
+      assert(byName.getOrElse("head", 0) == 4,
+        s"expected 4 per-round actions (one first()/head per round), saw $byName")
+      // ...and NO separate convergence pass (the pre-fix shape ran an
+      // isEmpty join and an eager checkpoint job per round)
+      assert(byName.getOrElse("isEmpty", 0) == 0 && byName.getOrElse("count", 0) == 0,
+        s"separate convergence action detected: $byName")
+      // non-eager checkpoint marks are job-less plan-truncation events:
+      // 4 rounds + 1 eager edge-list materialization
+      assert(byName.getOrElse("localCheckpoint", 0) <= 5, s"extra checkpoints: $byName")
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -72,6 +79,32 @@ class GraphSpec extends AnyFunSuite {
     val kept = Graph.keepClusterRepresentatives(rows, "id", pathGraph)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 10L, 99L))
+  }
+
+  test("star CC handles a diameter-199 path that exceeds propagation's round budget") {
+    import spark.implicits._
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // min-label propagation needs O(diameter) rounds — must refuse, not spin
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(path, "id_a", "id_b", maxIter = 5)
+    }
+    // Large-Star/Small-Star converges in O(log n) alternations
+    val comps = Graph.connectedComponentsStar(path, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 200 && comps.forall(_._2 == 1L))
+  }
+
+  test("star CC and propagation CC agree on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val prop = Graph.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Graph.connectedComponentsStar(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
   }
 
   test("empty edge list converges immediately with no components") {
