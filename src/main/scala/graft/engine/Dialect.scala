@@ -321,5 +321,72 @@ object Dialect {
     full.substring(0, selIdx) + rewritten + full.substring(regionEnd)
   }
 
-  def rewrite(sql: String): String = rewriteDistinctOn(rewriteVars(sql))
+  /** Index of keyword `kw` at ANY paren depth (outside quotes/comments),
+    * token-bounded, or -1. */
+  private def anyIndexOf(s: String, kw: String, from: Int = 0): Int = {
+    val upper = s.toUpperCase
+    scan(s, from) { (i, _) =>
+      upper.startsWith(kw, i) &&
+        (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+        (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length)))
+    }
+  }
+
+  /** Rewrite `QUALIFY <pred>` (DuckDB/Snowflake-style window filter; not
+    * in Spark's grammar) into a subquery: the predicate becomes a
+    * boolean select item of the inner query (windows evaluate after
+    * grouping, exactly QUALIFY's evaluation point; a NULL predicate
+    * filters like false) and the outer query keeps `WHERE` plus any
+    * trailing ORDER BY/LIMIT/OFFSET. Handled at any depth (subqueries,
+    * CTE bodies) via the same region splice as DISTINCT ON; set-op arms
+    * are refused. */
+  def rewriteQualify(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 64) {
+      val occ = anyIndexOf(cur, "QUALIFY")
+      if (occ < 0) return cur
+      cur = rewriteOneQualify(cur, occ)
+      guard += 1
+    }
+    throw new IllegalStateException(
+      s"QUALIFY rewrite did not terminate after 64 passes: $sql")
+  }
+
+  private def rewriteOneQualify(full: String, occ: Int): String = {
+    val open = enclosingOpenParen(full, occ)
+    val (regionStart, regionEnd) = if (open < 0) (0, full.length) else {
+      val close = matchParen(full, open)
+      require(close > 0, s"unbalanced parens in: $full")
+      (open + 1, close)
+    }
+    val sql = full.substring(regionStart, regionEnd)
+    val occR = occ - regionStart
+    val setOp = setOpIndex(sql)
+    if (setOp >= 0)
+      throw new IllegalArgumentException(
+        "QUALIFY in a set-operation arm is not supported: wrap the arm in a " +
+          "subquery or use an explicit window-filter subquery")
+    val tail = sql.substring(occR + "QUALIFY".length)
+    val cutIdxs = Seq("ORDER BY", "LIMIT", "OFFSET")
+      .map(topLevelIndex(tail, _)).filter(_ >= 0)
+    val cut = if (cutIdxs.isEmpty) tail.length else cutIdxs.min
+    val pred = tail.substring(0, cut).trim
+    require(pred.nonEmpty, s"empty QUALIFY predicate in: $sql")
+    val outerTail = tail.substring(cut).trim match {
+      case "" => ""
+      case t => " " + t
+    }
+    val head = sql.substring(0, occR)
+    val fromIdx = topLevelIndex(head, "FROM")
+    require(fromIdx >= 0, s"QUALIFY without FROM in: $sql")
+    val rewritten =
+      s"""SELECT * EXCEPT (__graft_q) FROM (
+         |  ${head.substring(0, fromIdx).trim}, ($pred) AS __graft_q ${head.substring(fromIdx)}
+         |) WHERE __graft_q$outerTail""".stripMargin
+    full.substring(0, regionStart) + rewritten + full.substring(regionEnd)
+  }
+
+  def rewrite(sql: String): String =
+    rewriteQualify(rewriteDistinctOn(rewriteVars(sql)))
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series resampling over an event table — the gap-filling /
+  * forward-filling step every metrics or training-telemetry pipeline
+  * runs before charting or feature extraction. (Beyond-parity: the
+  * reference has no time-series operators — SURVEY.md §1.2; this is
+  * driver-mandated LLM-pipeline surface.)
+  *
+  * Scale shape: the per-bucket aggregate is partial-aggregable (one
+  * shuffle on truncated-timestamp keys); the dense bucket axis is
+  * generated from a single broadcast (lo, hi) row — for sub-day units
+  * over years that is at most a few million rows, trivially
+  * re-partitionable; the left join shuffles only (bucket, count, sum)
+  * tuples; and the forward-fill window is PARTITIONED BY DAY, so the
+  * inherently-sequential scan parallelizes across days instead of
+  * serializing the whole timeline through one task.
+  *
+  * Value sums accumulate in DECIMAL(18,6) and surface as DOUBLE — the
+  * cross-engine-exact money-sum recipe (double accumulation order
+  * differs between engines). */
+object TimeSeries {
+
+  /** Resample to a dense `unit` grid (default minute; must be sub-day —
+    * the forward-fill window partitions by day): per-bucket event count
+    * (0 on gap buckets) and the last known per-bucket value sum carried
+    * forward (null until a day's first observed bucket). */
+  def resample(df: DataFrame, tsCol: String, valueCol: String,
+               unit: String = "minute"): DataFrame = {
+    require(Seq("minute", "hour", "second").contains(unit),
+      s"sub-day unit required (forward fill partitions by day), got $unit")
+    val buckets = df
+      .groupBy(date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).as("__sum_dec"))
+    val bounds = df.agg(
+      date_trunc(unit, min(col(tsCol))).as("lo"),
+      date_trunc(unit, max(col(tsCol))).as("hi"))
+    val series = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr(s"interval 1 $unit")))
+        .as("bucket"))
+    val ffill = Window.partitionBy(to_date(col("bucket"))).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.join(buckets, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("__sum_dec"), ignoreNulls = true).over(ffill)
+          .cast("double").as("filled_value"))
+  }
+}

@@ -29,6 +29,14 @@ object EngineQueries {
          LEFT JOIN (SELECT DISTINCT ON (o_custkey) o_custkey, o_totalprice AS max_order
                     FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey) o
            ON o.o_custkey = t.c_custkey""")),
+    // QUALIFY (window filter clause) — dialect rewrite to a subquery;
+    // DuckDB runs the identical SQL natively
+    "e_qualify" -> ((s, d) => via(s, d)(
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer
+         QUALIFY rn <= 2""")),
     "e_vars" -> ((s, d) => via(s, d)(
       """SELECT o_orderpriority, count(*) AS n FROM orders
          WHERE o_totalprice > $min_price GROUP BY o_orderpriority""",
@@ -52,6 +60,12 @@ object EngineQueries {
          LEFT JOIN (SELECT DISTINCT ON (o_custkey) o_custkey, o_totalprice AS max_order
                     FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey) o
            ON o.o_custkey = t.c_custkey""",
+    "e_qualify" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer
+         QUALIFY rn <= 2""",
     "e_vars" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
          WHERE o_totalprice > 250000.0 GROUP BY o_orderpriority""",

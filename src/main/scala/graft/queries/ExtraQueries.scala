@@ -71,6 +71,32 @@ object ExtraQueries {
           round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)"), 6).as("p75_qty"),
           round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)"), 6).as("p95_price"))
     }),
+    "a11_percentile_disc" -> ((s, d) => {
+      import s.implicits._
+      // discrete percentiles: pick an ACTUAL element (no interpolation)
+      // — deterministic across engines by construction
+      Tables.load(s, d, "lineitem").groupBy($"l_returnflag")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE))")
+            .as("med_qty"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE))")
+            .as("p90_price"))
+    }),
+    "a12_listagg" -> ((s, d) => {
+      import s.implicits._
+      // ordered string aggregation (listagg/string_agg): collect_list's
+      // arrival order is nondeterministic, so sort before joining — the
+      // only engine-reproducible form
+      Tables.load(s, d, "nation")
+        .join(broadcast(Tables.load(s, d, "region")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+    }),
+    "ts_resample" -> ((s, d) =>
+      graft.operators.TimeSeries.resample(
+        Tables.load(s, d, "events"), "ts", "value", unit = "minute")),
     "a10_salted_agg" -> ((s, d) => {
       import s.implicits._
       // skew-safe two-phase aggregation must equal the plain form —
@@ -137,6 +163,34 @@ object ExtraQueries {
                 round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75_qty,
                 round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6) AS p95_price
          FROM lineitem GROUP BY l_returnflag""",
+    "a11_percentile_disc" ->
+      """SELECT l_returnflag,
+                quantile_disc(CAST(l_quantity AS DOUBLE), 0.5) AS med_qty,
+                quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.9) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "a12_listagg" ->
+      """SELECT r_name,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                count(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "ts_resample" ->
+      """WITH b AS (SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket,
+                           count(*) AS n_events,
+                           sum(CAST(value AS DECIMAL(18,6))) AS sum_dec
+                    FROM events GROUP BY 1),
+           bounds AS (SELECT date_trunc('minute', min(CAST(ts AS TIMESTAMP))) AS lo,
+                             date_trunc('minute', max(CAST(ts AS TIMESTAMP))) AS hi
+                      FROM events),
+           series AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
+                      FROM bounds)
+         SELECT s.bucket,
+                coalesce(b.n_events, 0) AS n_events,
+                CAST(last_value(b.sum_dec IGNORE NULLS) OVER (
+                       PARTITION BY CAST(s.bucket AS DATE) ORDER BY s.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS filled_value
+         FROM series s LEFT JOIN b ON b.bucket = s.bucket""",
     "a10_salted_agg" ->
       """SELECT l_returnflag,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,

@@ -122,6 +122,43 @@ class EngineSpec extends AnyFunSuite {
     assert(via == manual && via.size == 25)
   }
 
+  test("QUALIFY rewrites to a window-filter subquery at any depth") {
+    // top level, trailing ORDER BY/LIMIT stay outside the subquery
+    val top = Dialect.rewriteQualify(
+      "SELECT k, row_number() OVER (ORDER BY v) AS rn FROM t QUALIFY rn = 1 ORDER BY k LIMIT 5")
+    assert(top.contains("(rn = 1) AS __graft_q"))
+    assert(top.contains("WHERE __graft_q ORDER BY k LIMIT 5"))
+    // inside a CTE body
+    val cte = Dialect.rewriteQualify(
+      "WITH x AS (SELECT k, v FROM t QUALIFY max(v) OVER (PARTITION BY k) = v) SELECT * FROM x")
+    assert(cte.startsWith("WITH x AS (") && cte.endsWith("SELECT * FROM x"))
+    assert(cte.contains("__graft_q"))
+    // set-op arm refused; QUALIFY inside a string untouched
+    intercept[IllegalArgumentException] {
+      Dialect.rewriteQualify("SELECT k FROM t QUALIFY rn = 1 UNION ALL SELECT k FROM u")
+    }
+    assert(Dialect.rewriteQualify("SELECT 'QUALIFY rn' AS s FROM t")
+      == "SELECT 'QUALIFY rn' AS s FROM t")
+  }
+
+  test("QUALIFY executes end to end and matches the window form") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val via = engine.query(
+      """SELECT c_nationkey, c_custkey,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer QUALIFY rn <= 2""")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val manual = spark.sql(
+      """SELECT c_nationkey, c_custkey, rn FROM (
+           SELECT c_nationkey, c_custkey,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) rn
+           FROM customer) WHERE rn <= 2""")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(via == manual && via.size == 50)
+  }
+
   test("DISTINCT ON in a set-operation arm is refused, not silently misparsed") {
     val e = intercept[IllegalArgumentException] {
       Dialect.rewriteDistinctOn(
