@@ -83,6 +83,38 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Within-document n-gram repetition ratio (Gopher-style boilerplate /
+    * repetition quality signal): 1 − distinct(ngrams)/total(ngrams).
+    * High ratio = repeated boilerplate — a standard pre-training drop
+    * rule. Docs with fewer than `n` tokens are absent (no n-grams).
+    *
+    * Scale shape: rides [[Dedup.shingleRows]] (posexplode + window-lead,
+    * all codegen; one exchange on idCol) into a partial-aggregable
+    * (count, count distinct) pair per doc — text never shuffles. */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleRows(df, idCol, textCol, n)
+    sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), countDistinct(col("s")).as("n_distinct"))
+      .select(col(idCol), col("n_ngrams"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6)
+          .as("rep_ratio"))
+  }
+
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII pattern scan (redaction pre-step every training-data pipeline
+    * runs): per-row counts of email- and US-phone-shaped substrings plus
+    * a drop/redact flag. Pure codegen'd per-row regexes —
+    * embarrassingly parallel, no shuffle. Patterns are deliberately
+    * conservative (portable across regex engines). */
+  def piiScan(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(phoneRe), lit(0))).as("n_phones"),
+    (size(regexp_extract_all(text, lit(emailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(phoneRe), lit(0))) > 0).as("has_pii"))
+
   /** Top-`topK` TF-IDF terms per document (keyword extraction — the
     * classic corpus-statistics text op an LLM-data pipeline runs for
     * topic balancing and quality heuristics).

@@ -421,6 +421,21 @@ object CoreQueries {
           ntile(4).over(w).as("quartile"),
           round(percent_rank().over(w), 6).as("pct_rank"),
           round(cume_dist().over(w), 6).as("cdist"))
+    }),
+    "w5_range_frame" -> ((s, d) => {
+      import s.implicits._
+      // RANGE frame over a time axis: per-user trailing-1-hour event
+      // count and decimal value sum — the time-windowed running metric
+      // every telemetry pipeline computes. The frame is VALUE-based
+      // (epoch micros), so same-timestamp peers aggregate identically
+      // in every engine regardless of row order.
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.load(s, d, "events")
+        .select($"event_id", $"user_id", $"ts",
+          count(lit(1)).over(w).as("n_1h"),
+          sum($"value".cast(DecimalType(18, 6))).over(w)
+            .cast("double").as("sum_1h"))
     })
   )
 
@@ -661,6 +676,14 @@ object CoreQueries {
                 round(cume_dist() OVER w, 6) AS cdist
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority
-                      ORDER BY o_totalprice DESC, o_orderkey)"""
+                      ORDER BY o_totalprice DESC, o_orderkey)""",
+    "w5_range_frame" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                count(*) OVER w AS n_1h,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+                      ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
   )
 }

@@ -97,6 +97,21 @@ object ExtraQueries {
     "ts_resample" -> ((s, d) =>
       graft.operators.TimeSeries.resample(
         Tables.load(s, d, "events"), "ts", "value", unit = "minute")),
+    "j8_salted_join" -> ((s, d) => {
+      import s.implicits._
+      // skew-salted join must produce the PLAIN join's aggregate: the
+      // random salt routes hot keys across tasks but cannot change the
+      // joined row multiset, so the oracle is the unsalted query
+      val (big, small) = graft.operators.Skew.saltedJoinKeys(
+        Tables.load(s, d, "lineitem"),
+        Tables.load(s, d, "supplier").select($"s_suppkey", $"s_nationkey"),
+        keyCol = "s_suppkey", buckets = 8)
+      big.join(small, big("l_suppkey") === small("s_suppkey") &&
+          big("__salt") === small("__salt"))
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_quantity")).cast(DoubleType).as("total_qty"))
+    }),
     "a10_salted_agg" -> ((s, d) => {
       import s.implicits._
       // skew-safe two-phase aggregation must equal the plain form —
@@ -191,6 +206,11 @@ object ExtraQueries {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS filled_value
          FROM series s LEFT JOIN b ON b.bucket = s.bucket""",
+    "j8_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey""",
     "a10_salted_agg" ->
       """SELECT l_returnflag,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,

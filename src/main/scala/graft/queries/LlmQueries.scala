@@ -68,6 +68,14 @@ object LlmQueries {
         round(TextAnalysis.stopwordRatio($"text"), 6).as("stop_ratio"),
         TextAnalysis.qualityScore($"text").as("quality"))
     }),
+    "llm_rep_ratio" -> ((s, d) =>
+      TextAnalysis.repetitionRatio(
+        Tables.load(s, d, "documents"), "doc_id", "text", n = 3)),
+    "llm_pii_scan" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select($"doc_id" +: TextAnalysis.piiScan($"text"): _*)
+    }),
     "llm_langid" -> ((s, d) => {
       import s.implicits._
       Tables.load(s, d, "documents")
@@ -347,6 +355,24 @@ object LlmQueries {
                   len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de,
                   len(list_filter(toks, t -> t IN ($stopsEn))) AS en
                 FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks FROM documents))""",
+    // within-doc trigram repetition (docs with >= 3 tokens only)
+    "llm_rep_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+          g AS (SELECT doc_id,
+                       list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs
+                FROM t WHERE len(toks) >= 3)
+         SELECT doc_id, len(gs) AS n_ngrams,
+                round(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 6) AS rep_ratio
+         FROM g""",
+    "llm_pii_scan" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+                len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+                len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                  + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0 AS has_pii
+         FROM documents""",
     "llm_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
          FROM documents""",
