@@ -133,6 +133,22 @@ class PlanSpec extends AnyFunSuite {
       "sample gate must stay codegen'd")
   }
 
+  test("ts_resample: partial bucket agg, day-partitioned fill (no global window)") {
+    val p = plan("ts_resample")
+    // per-bucket count/sum must combine map-side
+    assert(p.contains("partial_count") && p.contains("partial_sum"))
+    // the forward-fill window must be partitioned (by day) — a global
+    // ORDER BY-only window serializes the whole timeline into one task
+    val win = p.linesIterator.find(_.contains("Window [")).get
+    assert(!win.contains("], [], ["), s"forward fill runs as a GLOBAL window: $win")
+  }
+
+  test("w5_range_frame: range window partitioned by user, not global") {
+    val p = plan("w5_range_frame")
+    val win = p.linesIterator.find(_.contains("Window [")).get
+    assert(win.contains("user_id"), s"range frame must partition by user_id: $win")
+  }
+
   test("kmeans iteration shuffles only (cell, pos) accumulators") {
     val p = plan("llm_kmeans")
     // assignment is the inlined-centroid projection (no window); the
