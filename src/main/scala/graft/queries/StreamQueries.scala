@@ -19,6 +19,12 @@ object StreamQueries {
       Events.sliding(Tables.load(s, d, "events"), "2 hours", "1 hour")),
     "st_session" -> ((s, d) =>
       Events.sessions(Tables.load(s, d, "events"), "30 minutes")),
+    "st_enrich" -> ((s, d) => {
+      // stream-static dimension enrichment (batch-parity form; the
+      // stream path runs in StreamingSpec)
+      val ev = Tables.load(s, d, "events")
+      Events.enrich(ev, Events.userDim(ev))
+    }),
     "st_join" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // stream-stream interval join (batch-parity form): clicks per
@@ -61,6 +67,12 @@ object StreamQueries {
            FROM flagged)
          SELECT user_id, min(ts) AS s_start, count(*) AS n_events
          FROM numbered GROUP BY user_id, sid""",
+    "st_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, d.first_seen
+         FROM events e
+         LEFT JOIN (SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS first_seen
+                    FROM events GROUP BY user_id) d
+           ON e.user_id = d.user_id""",
     "st_join" ->
       """SELECT p.event_id AS p_event, p.user_id, count(*) AS n_clicks_1h
          FROM events p JOIN events c

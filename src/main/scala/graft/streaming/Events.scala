@@ -99,6 +99,21 @@ object Events {
       .select(col("p_event"), col("user_id"), col("p_ts"), col("c_event"))
   }
 
+  /** Static per-user dimension derived in batch: first-seen timestamp.
+    * The static side of [[enrich]]. */
+  def userDim(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(min(col("ts")).as("first_seen"))
+
+  /** Stream-static join — the standard dimension-enrichment shape: each
+    * (possibly streaming) event is joined to a broadcast STATIC
+    * dimension table. No streaming state is kept (the static side is
+    * simply available to every micro-batch), which is why this scales
+    * to any stream rate; identical code path works in batch. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("first_seen"))
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state (mapGroupsWithState): running per-user totals —

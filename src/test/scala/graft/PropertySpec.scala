@@ -28,6 +28,25 @@ class PropertySpec extends AnyFunSuite {
     spark.sql(s"SELECT $expr AS v").head().get(0)
   }
 
+  test("dialect rewrite is identity on SQL without $vars/DISTINCT ON/QUALIFY") {
+    // fuzz the scanners: arbitrary quote/comment/paren soup must pass
+    // through untouched when none of the rewrite triggers is present
+    val frag = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.const("'it''s (a) -- str'"),
+      Gen.const("\"d\\\"q ) str\""),
+      Gen.const("`back$tick`"),
+      Gen.const("-- line $comment\n"),
+      Gen.const("/* block (( */"),
+      Gen.const("(nested(parens))"),
+      Gen.const("distinct_on_col"),
+      Gen.const("qualify_rate"))
+    val gen = Gen.listOfN(6, frag).map(fs => "SELECT " + fs.mkString(" "))
+    check(Prop.forAll(gen) { (sql: String) =>
+      graft.engine.Dialect.rewrite(sql) == sql
+    })
+  }
+
   test("to_number round-trips every double through to_string") {
     check(Prop.forAll(Gen.chooseNum(-1e9, 1e9)) { (d: Double) =>
       sql1(s"to_number(to_string(CAST($d AS DOUBLE)))") == d

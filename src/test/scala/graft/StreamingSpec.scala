@@ -31,6 +31,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("stream-static enrich: stream over files == batch, no state store") {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val dim = Events.userDim(ev) // static side, precomputed in batch
+    val batch = Events.enrich(ev, dim).collect().map(_.toSeq).toSet
+    val stream = Events.readStream(spark, TestSpark.sf)
+    Events.runToMemory(spark, Events.enrich(stream, dim), "t_enrich",
+      OutputMode.Append())
+    val streamed = spark.table("t_enrich").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("session gap boundary: exactly-gap-apart events start a new session") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)
