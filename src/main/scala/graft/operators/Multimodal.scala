@@ -79,6 +79,32 @@ object Multimodal {
       }
   }
 
+  /** Resize PLAN stage: the letterbox geometry (scale factor + even
+    * output dims, never upscaling) every media pipeline computes before
+    * handing payloads to the actual scaler. Pure double arithmetic on
+    * the decoded dims — IEEE binary64 is engine-exact, so the whole
+    * geometry is oracle-verifiable; the payload transform itself would
+    * ride the same mapPartitions shape as [[decode]]. */
+  def resizePlan(decoded: Dataset[Decoded], maxW: Int = 1280,
+                 maxH: Int = 720): DataFrame =
+    decoded.toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        least(lit(1.0), least(
+          lit(maxW.toDouble) / col("width"),
+          lit(maxH.toDouble) / col("height"))).as("__scale"))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("__scale"), 6).as("scale"),
+        (floor(col("width") * col("__scale") / 2) * 2).cast(IntegerType).as("out_w"),
+        (floor(col("height") * col("__scale") / 2) * 2).cast(IntegerType).as("out_h"))
+
+  /** Frame-sampling WORK LIST: one row per (doc, frame index) at every
+    * `stride`th frame — the exploded shape a distributed frame
+    * extractor consumes (each row an independent task; repartitionable
+    * to any parallelism, unlike the per-doc array form). */
+  def frameTasks(decoded: Dataset[Decoded], stride: Int = 30): DataFrame =
+    decoded.toDF().select(col("doc_id"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
   /** Feature-extract stage over decoded media: bucketed resolution class
     * + frame-sampling positions (every `stride`th frame). */
   def features(decoded: Dataset[Decoded], stride: Int = 30): DataFrame = {

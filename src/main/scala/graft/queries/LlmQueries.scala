@@ -264,6 +264,18 @@ object LlmQueries {
           $"meta.content_hash".as("content_hash"),
           $"meta.media_type".as("media_type"))
     }),
+    "llm_multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.resizePlan(
+        Multimodal.decode(
+          Multimodal.asMedia(Tables.load(s, d, "documents"), "doc_id", "text")))
+    }),
+    "llm_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.frameTasks(
+        Multimodal.decode(
+          Multimodal.asMedia(Tables.load(s, d, "documents"), "doc_id", "text")))
+    }),
     "llm_multimodal_decode" -> ((s, d) => {
       import s.implicits._
       // scalar-only projection of the decode+feature stage: the driver's
@@ -620,6 +632,31 @@ object LlmQueries {
     // the decode stub derives everything from the first 8 md5 hex chars
     // of the payload (see Multimodal.decodeStub), so the whole stage is
     // reproducible in SQL and hash-verified, not rows-only
+    // letterbox geometry from the md5-derived dims: same IEEE double ops
+    // both engines, so floor/scale agree bit-exactly
+    "llm_multimodal_resize" ->
+      """WITH acc AS (SELECT doc_id,
+                             CAST(('0x'||substr(md5(text),1,8)) AS BIGINT) AS a
+                      FROM documents),
+          d AS (SELECT doc_id,
+                       CAST(320 + a % 1600 AS INTEGER) AS width,
+                       CAST(240 + (a >> 7) % 840 AS INTEGER) AS height
+                FROM acc),
+          s AS (SELECT doc_id, width, height,
+                       least(1.0, least(1280.0 / width, 720.0 / height)) AS sc
+                FROM d)
+          SELECT doc_id, width, height, round(sc, 6) AS scale,
+                 CAST(floor(width * sc / 2) * 2 AS INTEGER) AS out_w,
+                 CAST(floor(height * sc / 2) * 2 AS INTEGER) AS out_h
+          FROM s""",
+    "llm_multimodal_frames" ->
+      """WITH acc AS (SELECT doc_id,
+                             CAST(('0x'||substr(md5(text),1,8)) AS BIGINT) AS a
+                      FROM documents),
+          d AS (SELECT doc_id, CAST(1 + (a >> 13) % 240 AS INTEGER) AS n_frames
+                FROM acc)
+          SELECT doc_id, CAST(unnest(range(0, n_frames, 30)) AS INTEGER) AS frame_idx
+          FROM d""",
     "llm_multimodal_decode" ->
       """WITH acc AS (SELECT doc_id,
                              CAST(('0x'||substr(md5(text),1,8)) AS BIGINT) AS a
