@@ -37,6 +37,22 @@ object EngineQueries {
                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
          FROM customer
          QUALIFY rn <= 2""")),
+    // the reference's core identity: one statement spanning two
+    // "databases" (SELECT ... FROM A.x JOIN B.y — SURVEY §1.1); here two
+    // catalog namespaces over the same parquet dir
+    "e_federation" -> ((s, d) => {
+      graft.engine.Catalog.dropDb(s, "feda")
+      graft.engine.Catalog.dropDb(s, "fedb")
+      graft.engine.Catalog.registerParquetDb(s, "feda", d, Seq("customer", "nation"))
+      graft.engine.Catalog.registerParquetDb(s, "fedb", d, Seq("orders"))
+      new Engine(s).query(
+        """SELECT n.n_name, count(*) AS n_orders,
+                  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM feda.customer c
+           JOIN fedb.orders o ON o.o_custkey = c.c_custkey
+           JOIN feda.nation n ON n.n_nationkey = c.c_nationkey
+           GROUP BY n.n_name""")
+    }),
     "e_vars" -> ((s, d) => via(s, d)(
       """SELECT o_orderpriority, count(*) AS n FROM orders
          WHERE o_totalprice > $min_price GROUP BY o_orderpriority""",
@@ -66,6 +82,12 @@ object EngineQueries {
                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
          FROM customer
          QUALIFY rn <= 2""",
+    "e_federation" ->
+      """SELECT n_name, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+         GROUP BY n_name""",
     "e_vars" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
          WHERE o_totalprice > 250000.0 GROUP BY o_orderpriority""",
