@@ -204,8 +204,10 @@ object Dialect {
   }
 
   /** Index of a top-level set operator (`UNION`/`INTERSECT`/`EXCEPT`
-    * followed by a SELECT/ALL/DISTINCT token — so `* EXCEPT (cols)` in a
-    * select list doesn't count), or -1. */
+    * followed by a SELECT/ALL/DISTINCT token or a parenthesized arm —
+    * so `* EXCEPT (cols)` in a select list doesn't count: EXCEPT-the-
+    * set-op is followed by SELECT/ALL/DISTINCT/`(SELECT`, EXCEPT-the-
+    * projection by a plain column list), or -1. */
   private def setOpIndex(s: String): Int = {
     val kws = Seq("UNION", "INTERSECT", "EXCEPT")
     kws.map { kw =>
@@ -213,9 +215,18 @@ object Dialect {
       if (i < 0) -1
       else {
         val nxt = nextCode(s, i + kw.length)
-        val isSetOp = nxt >= 0 && Seq("SELECT", "ALL", "DISTINCT").exists(t =>
-          s.regionMatches(true, nxt, t, 0, t.length) &&
-            (nxt + t.length >= s.length || !isIdentChar(s.charAt(nxt + t.length))))
+        val isSetOp = nxt >= 0 && (
+          Seq("SELECT", "ALL", "DISTINCT").exists(t =>
+            s.regionMatches(true, nxt, t, 0, t.length) &&
+              (nxt + t.length >= s.length || !isIdentChar(s.charAt(nxt + t.length)))) ||
+          // parenthesized arm: `UNION (SELECT ...)`; EXCEPT-the-projection
+          // is also followed by `(`, but its parens hold a column list,
+          // never a SELECT
+          (s.charAt(nxt) == '(' && {
+            val inner = nextCode(s, nxt + 1)
+            inner >= 0 && s.regionMatches(true, inner, "SELECT", 0, 6) &&
+              (inner + 6 >= s.length || !isIdentChar(s.charAt(inner + 6)))
+          }))
         if (isSetOp) i else -1
       }
     }.filter(_ >= 0).minOption.getOrElse(-1)
@@ -256,6 +267,7 @@ object Dialect {
         s"DISTINCT ON at offset $occ does not directly follow a SELECT — " +
           "cannot rewrite; use a row_number() window instead")
     val open = enclosingOpenParen(full, selIdx)
+    val stmtStart = if (open < 0) 0 else open + 1
     val regionEnd = if (open < 0) full.length else {
       val close = matchParen(full, open)
       require(close > 0, s"unbalanced parens in: $full")
@@ -270,10 +282,15 @@ object Dialect {
       throw new IllegalArgumentException(
         "optimizer hints cannot be combined with DISTINCT ON (the rewrite " +
           "would drop them): apply the hint to the row_number() window form")
-    val setOp = setOpIndex(sql)
+    // the set-op scan must cover the WHOLE enclosing statement, not just
+    // the text after this SELECT — a DISTINCT ON in a LATER arm
+    // (`SELECT ... UNION SELECT DISTINCT ON ...`) would otherwise hijack
+    // the union-level ORDER BY as its per-key dedup order
+    val stmt = full.substring(stmtStart, regionEnd)
+    val setOp = setOpIndex(stmt)
     if (setOp >= 0)
       throw new IllegalArgumentException(
-        s"DISTINCT ON in a set-operation arm (${sql.substring(setOp).take(12).trim}...) " +
+        s"DISTINCT ON in a set-operation arm (${stmt.substring(setOp).take(12).trim}...) " +
           "is not supported: the arm's ORDER BY/LIMIT scope is ambiguous — " +
           "rewrite that arm with a row_number() window")
     val openIdx = distinctOnOpenParen(sql, occR)
@@ -321,15 +338,59 @@ object Dialect {
     full.substring(0, selIdx) + rewritten + full.substring(regionEnd)
   }
 
-  /** Index of keyword `kw` at ANY paren depth (outside quotes/comments),
-    * token-bounded, or -1. */
-  private def anyIndexOf(s: String, kw: String, from: Int = 0): Int = {
+  // QUALIFY is NOT reserved in Spark's grammar, so `qualify` may appear
+  // as a perfectly valid column/alias/table name. An occurrence is only
+  // treated as the clause keyword when it sits in CLAUSE position:
+  // not where an expression/identifier is expected (prev token), and
+  // followed by something that can start a predicate (next token).
+  private val exprContextPrev = Set("AS", "SELECT", "BY", "ON", "AND", "OR",
+    "NOT", "WHERE", "FROM", "JOIN", "HAVING", "WHEN", "THEN", "ELSE", "IN",
+    "LIKE", "CASE", "DISTINCT", "ALL", "UNION", "INTERSECT", "EXCEPT",
+    "BETWEEN", "IS", "OVER", "PARTITION", "RETURNING")
+  private val nonPredNext = Set("FROM", "ON", "USING", "JOIN", "LEFT", "RIGHT",
+    "INNER", "FULL", "CROSS", "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET",
+    "UNION", "INTERSECT", "EXCEPT", "AS", "ASC", "DESC", "AND", "OR")
+  private val opChars: Set[Char] = ",.()=<>+-*/%|&^:".toSet
+
+  /** First `QUALIFY` occurrence in CLAUSE position (any depth, outside
+    * quotes/comments), or -1. Occurrences used as an identifier —
+    * `a AS qualify`, `WHERE qualify = 1`, `JOIN qualify ON ...` — are
+    * skipped so existing schemas keep working. */
+  private def qualifyClauseIndex(s: String): Int = {
     val upper = s.toUpperCase
-    scan(s, from) { (i, _) =>
-      upper.startsWith(kw, i) &&
-        (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
-        (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length)))
+    var prevChar = ' '
+    var word = new StringBuilder // identifier token currently being read
+    var prevWord = ""            // last COMPLETED identifier token
+    var found = -1
+    scan(s) { (i, _) =>
+      val c = s.charAt(i)
+      if (found < 0 && upper.startsWith("QUALIFY", i) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+          (i + 7 >= s.length || !isIdentChar(s.charAt(i + 7)))) {
+        val clausePos =
+          !opChars.contains(prevChar) &&
+            !exprContextPrev.contains(prevWord) &&
+            prevWord.nonEmpty && {
+              val nxt = nextCode(s, i + 7)
+              nxt >= 0 && !opChars.contains(s.charAt(nxt)) && {
+                var j = nxt
+                while (j < s.length && isIdentChar(s.charAt(j))) j += 1
+                val nextTok = upper.substring(nxt, j)
+                !nonPredNext.contains(nextTok)
+              }
+            }
+        if (clausePos) found = i
+      }
+      if (found < 0) {
+        if (!c.isWhitespace) {
+          if (isIdentChar(c)) word += c.toUpper
+          else { if (word.nonEmpty) prevWord = word.toString; word = new StringBuilder }
+          prevChar = c
+        } else if (word.nonEmpty) { prevWord = word.toString; word = new StringBuilder }
+      }
+      found >= 0
     }
+    found
   }
 
   /** Rewrite `QUALIFY <pred>` (DuckDB/Snowflake-style window filter; not
@@ -339,12 +400,16 @@ object Dialect {
     * filters like false) and the outer query keeps `WHERE` plus any
     * trailing ORDER BY/LIMIT/OFFSET. Handled at any depth (subqueries,
     * CTE bodies) via the same region splice as DISTINCT ON; set-op arms
-    * are refused. */
+    * are refused. Identifier uses of the (non-reserved) word — aliases,
+    * columns, table names — are left untouched via clause-position
+    * detection; the one false negative is QUALIFY directly after an
+    * unaliased `)`, which then surfaces as a Spark parse error rather
+    * than a silent rewrite. */
   def rewriteQualify(sql: String): String = {
     var cur = sql
     var guard = 0
     while (guard < 64) {
-      val occ = anyIndexOf(cur, "QUALIFY")
+      val occ = qualifyClauseIndex(cur)
       if (occ < 0) return cur
       cur = rewriteOneQualify(cur, occ)
       guard += 1

@@ -78,8 +78,15 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val und0 = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    // und is read every round — materialize it once, eagerly
-    val und = if (reliable) und0.checkpoint() else und0.localCheckpoint(true)
+    // und is read every round — materialize it once, eagerly. Reliable
+    // path: persist FIRST so the checkpoint's write job reads the fresh
+    // cache instead of recomputing the union+distinct shuffle
+    val und = if (reliable) {
+      val p = und0.persist(StorageLevel.MEMORY_AND_DISK)
+      val ck = p.checkpoint()
+      p.unpersist()
+      ck
+    } else und0.localCheckpoint(true)
     // initial labels: node -> itself; materialized by round 1's action
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("component"))
@@ -129,8 +136,13 @@ object Graph {
     * Convergence test rides the materializing action: the edge set's
     * (count, xor of row hashes) fingerprint is computed while the
     * round's blocks are stored — bit_xor, not sum, because a hash SUM
-    * overflows Long under ANSI mode; the set is distinct so xor
-    * cancellation can't mask a change. */
+    * overflows Long under ANSI mode. The fingerprint is probabilistic:
+    * two DIFFERENT consecutive edge sets collide only if their
+    * symmetric difference xors to zero across 64-bit hashes at equal
+    * counts (~2^-64 per round — accepted engineering risk; a paranoid
+    * caller can verify star-ness of the result with one exceptAll
+    * pass). Within-set duplicates cannot mask changes because each
+    * round's set is distinct. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
                               maxIter: Int = 50,
                               checkpointDir: Option[String] = None): DataFrame = {
@@ -184,9 +196,16 @@ object Graph {
     }
     require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
     // at the fixpoint every edge is a star edge (node -> component root)
-    cur.select(col("src").as("node"), col("dst").as("component"))
+    val star = cur.select(col("src").as("node"), col("dst").as("component"))
       .unionAll(cur.select(col("dst").as("node"), col("dst").as("component")))
       .groupBy(col("node")).agg(min(col("component")).as("component"))
+    // contract parity with connectedComponents: nodes whose only edges
+    // were self-loops (dropped from e0) are singletons, not absent
+    val allNodes = edges.select(col(srcCol).as("node"))
+      .unionAll(edges.select(col(dstCol).as("node"))).distinct()
+    allNodes.join(star, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
   }
 
   /** Cluster-correct dedup: from near-dup pairs over `df`, keep exactly

@@ -103,7 +103,11 @@ object Multimodal {
     * to any parallelism, unlike the per-doc array form). */
   def frameTasks(decoded: Dataset[Decoded], stride: Int = 30): DataFrame =
     decoded.toDF().select(col("doc_id"),
-      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      // n_frames = 0 (a real decoder's corrupt-file / still-image case)
+      // must yield zero work items, not an illegal-sequence error;
+      // explode of the null branch emits no rows
+      explode(when(col("n_frames") > 0,
+        sequence(lit(0), col("n_frames") - 1, lit(stride)))).as("frame_idx"))
 
   /** Feature-extract stage over decoded media: bucketed resolution class
     * + frame-sampling positions (every `stride`th frame). */
@@ -111,7 +115,10 @@ object Multimodal {
     decoded.toDF().select(
       col("doc_id"), col("width"), col("height"), col("n_frames"),
       when(col("width") >= 1280, "hd").otherwise("sd").as("res_class"),
-      sequence(lit(0), col("n_frames") - 1, lit(stride)).as("sampled_frames"),
+      // empty array (not an illegal-sequence error) when a real decoder
+      // reports zero frames
+      when(col("n_frames") > 0, sequence(lit(0), col("n_frames") - 1, lit(stride)))
+        .otherwise(array().cast("array<int>")).as("sampled_frames"),
       round(col("mean_luma"), 6).as("mean_luma"))
   }
 }

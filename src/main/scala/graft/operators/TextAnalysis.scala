@@ -119,14 +119,15 @@ object TextAnalysis {
     * classic corpus-statistics text op an LLM-data pipeline runs for
     * topic balancing and quality heuristics).
     *
-    * The per-doc RANK uses only rational keys — (tf desc, df asc, term
-    * asc): more frequent in the doc first, rarer in the corpus breaking
-    * ties, term string making the order total. tfidf =
-    * tf · ln((N+1)/(df+1)) is emitted as a derived display column and
-    * never drives the ranking, so a 1-ulp `ln()` difference between
-    * libm implementations cannot reorder the top-k across engines
-    * (it could only flip a rounded 6th decimal of the display value if
-    * the true value sat within ~1e-16 of a rounding boundary).
+    * tfidf = tf · ln((N+1)/(df+1)); the per-doc rank orders by the
+    * QUANTIZED score — (round(tfidf, 4) desc, df asc, term asc). The
+    * coarse quantization is the libm hardening: a 1-ulp `ln()`
+    * difference between engines (relative ~1e-16) can only flip the
+    * 4-decimal rounding — and therefore the rank — if the true score
+    * sits within ~1e-16 of a 5e-5 grid boundary, vanishingly unlikely;
+    * the (df, term) tie-break keeps the order total either way. Ranking
+    * by raw tf instead would NOT be tf-idf (a stopword with tf=10 and
+    * tfidf≈0 would outrank every distinctive term).
     *
     * Scale shape: tf is a partial-aggregable (id, term) count; df a
     * partial-aggregable (term) count; N a broadcast single row; ranking
@@ -141,10 +142,11 @@ object TextAnalysis {
     val n = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .select(col(idCol), col("term"), col("tf"), col("df"),
-        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4)
           .as("tfidf"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("tf").desc, col("df").asc, col("term"))
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("df").asc, col("term"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))

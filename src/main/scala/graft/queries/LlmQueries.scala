@@ -509,11 +509,11 @@ object LlmQueries {
           dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
           n AS (SELECT count(*) AS n_docs FROM documents),
           scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-                            round(tf.tf * ln((n.n_docs + 1) * 1.0 / (dfq.df + 1)), 6) AS tfidf
+                            round(tf.tf * ln((n.n_docs + 1) * 1.0 / (dfq.df + 1)), 4) AS tfidf
                      FROM tf JOIN dfq USING (term) CROSS JOIN n),
           ranked AS (SELECT doc_id, term, tf, tfidf,
                             CAST(row_number() OVER (PARTITION BY doc_id
-                              ORDER BY tf DESC, df ASC, term) AS INTEGER) AS rank
+                              ORDER BY tfidf DESC, df ASC, term) AS INTEGER) AS rank
                      FROM scored)
           SELECT doc_id, rank, term, tf, tfidf FROM ranked WHERE rank <= 3""",
     "llm_simhash_pairs" -> {

@@ -165,10 +165,38 @@ class EngineSpec extends AnyFunSuite {
         "SELECT DISTINCT ON (k) k, v FROM t UNION ALL SELECT k, v FROM u")
     }
     assert(e.getMessage.contains("set-operation"))
+    // ...including in a LATER arm (the region starts at the owning
+    // SELECT, but the set-op scan must cover the whole statement)
+    val e2 = intercept[IllegalArgumentException] {
+      Dialect.rewriteDistinctOn(
+        "SELECT k, v FROM t UNION ALL SELECT DISTINCT ON (k) k, v FROM u ORDER BY v")
+    }
+    assert(e2.getMessage.contains("set-operation"))
+    // ...and when the other arm is parenthesized
+    val e3 = intercept[IllegalArgumentException] {
+      Dialect.rewriteDistinctOn(
+        "SELECT DISTINCT ON (k) k, v FROM t UNION (SELECT k, v FROM u)")
+    }
+    assert(e3.getMessage.contains("set-operation"))
     // but * EXCEPT (cols) in a select list is NOT a set operator
     val ok = Dialect.rewriteDistinctOn(
       "SELECT DISTINCT ON (k) * EXCEPT (v) FROM t ORDER BY k")
     assert(ok.contains("PARTITION BY k"))
+  }
+
+  test("identifier uses of 'qualify' are never rewritten") {
+    for (sql <- Seq(
+      "SELECT a AS qualify FROM t",
+      "SELECT qualify FROM t",
+      "SELECT a FROM t WHERE qualify = 1",
+      "SELECT a FROM t JOIN qualify ON t.id = qualify.id",
+      "SELECT a, qualify FROM t GROUP BY qualify",
+      "SELECT sum(qualify) FROM t"))
+      assert(Dialect.rewriteQualify(sql) == sql, s"mangled: $sql")
+    // clause position still fires after WHERE/GROUP BY tails
+    val ok = Dialect.rewriteQualify(
+      "SELECT k FROM t WHERE v > 5 QUALIFY row_number() OVER (ORDER BY v) = 1")
+    assert(ok.contains("__graft_q"))
   }
 
   test("scanners respect backslash escapes and nested comments") {

@@ -94,11 +94,13 @@ class GraphSpec extends AnyFunSuite {
     assert(comps.length == 200 && comps.forall(_._2 == 1L))
   }
 
-  test("star CC and propagation CC agree on a seeded random graph") {
+  test("star CC and propagation CC agree on a seeded random graph (self-loops kept)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
-    val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
-      .filter { case (a, b) => a != b }
+    // keep self-loops: both variants must emit self-loop-only nodes as
+    // singletons (contract parity)
+    val edges = (Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      :+ (999L, 999L))
       .toDF("id_a", "id_b")
     val prop = Graph.connectedComponents(edges, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -223,6 +223,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(d.getAs[Int]("width") >= 320 && d.getAs[Int]("height") >= 240)
   }
 
+  test("zero-frame media yields empty frame lists, not a sequence error") {
+    import spark.implicits._
+    // a real decoder reports n_frames = 0 for corrupt files / stills —
+    // the stub never does, so build Decoded rows directly
+    val decoded = Seq(
+      Multimodal.Decoded(1L, 640, 480, 0, 0.5),
+      Multimodal.Decoded(2L, 640, 480, 61, 0.5)).toDS()
+    val feats = Multimodal.features(decoded).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Int](r.fieldIndex("sampled_frames")).toList).toMap
+    assert(feats(1L).isEmpty && feats(2L) == List(0, 30, 60))
+    val tasks = Multimodal.frameTasks(decoded).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(tasks.toSet == Set((2L, 0), (2L, 30), (2L, 60)))
+  }
+
   test("array-form minhash signature matches the aggregate-form minima") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
