@@ -176,11 +176,18 @@ object Graph {
         .distinct()
     }
 
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-    var (cur, row0, prevHandle) =
+    // materialize the distinct edge set ONCE, self-loops included: the
+    // star rounds filter them lazily off these blocks, and the final
+    // node-set join reads the same blocks — the input lineage (e.g. a
+    // whole minhash pipeline) is never recomputed
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val (eMat, row0, _) =
       materializeWith(e0, reliable)(fingerprint.head, fingerprint.tail: _*)
     var fp = (row0.getLong(0), row0.getLong(1))
+    var cur = eMat.filter(col("src") =!= col("dst"))
+    // eMat itself stays persisted until the caller's query runs (the
+    // final labels join reads it); only round results rotate
+    var prevHandle: Option[DataFrame] = None
     var iter = 0
     var converged = fp._1 == 0L // empty graph: nothing to contract
     while (!converged && iter < maxIter) {
@@ -189,8 +196,8 @@ object Graph {
       val nfp = (row.getLong(0), row.getLong(1))
       converged = nfp == fp
       fp = nfp
-      prevHandle.unpersist()
-      prevHandle = handle
+      prevHandle.foreach(_.unpersist())
+      prevHandle = Some(handle)
       cur = next
       iter += 1
     }
@@ -200,9 +207,9 @@ object Graph {
       .unionAll(cur.select(col("dst").as("node"), col("dst").as("component")))
       .groupBy(col("node")).agg(min(col("component")).as("component"))
     // contract parity with connectedComponents: nodes whose only edges
-    // were self-loops (dropped from e0) are singletons, not absent
-    val allNodes = edges.select(col(srcCol).as("node"))
-      .unionAll(edges.select(col(dstCol).as("node"))).distinct()
+    // were self-loops (absent from the star rounds) are singletons
+    val allNodes = eMat.select(col("src").as("node"))
+      .unionAll(eMat.select(col("dst").as("node"))).distinct()
     allNodes.join(star, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
