@@ -252,4 +252,37 @@ object Dedup {
           size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Shingle CONTAINMENT pairs: |A ∩ B| / min(|A|, |B|) ≥ `threshold` —
+    * the sub-document duplication signal Jaccard misses (a page pasted
+    * inside a 10× larger page has high containment but low Jaccard).
+    *
+    * Unlike the bounded-quadratic [[ngramJaccardPairs]] ground truth,
+    * this is the SCALABLE shape: shingles are hashed to 8-byte keys (the
+    * shared-md5 recipe, so the DuckDB oracle reproduces counts exactly),
+    * candidate pairs come from a shingle-key equi-join (text never
+    * shuffles), and the per-pair overlap is a partial-aggregable count.
+    * At 100 TB the one extra guard a production run adds is a
+    * document-frequency cap on shingles (drop boilerplate shingles
+    * shared by thousands of docs) before the self-join — the classic
+    * hot-key bound; the join/agg shape is unchanged. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col(idCol),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val overlaps = sh.select(col(idCol).as("id_a"), col("h"))
+      .join(sh.select(col(idCol).as("id_b"), col("h")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ov"))
+    overlaps
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("ov").cast("double") / least(col("sz_a"), col("sz_b")), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

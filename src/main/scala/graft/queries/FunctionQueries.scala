@@ -26,6 +26,15 @@ object FunctionQueries {
         length($"c_name").as("len"),
         concat($"c_name", lit("|"), $"c_mktsegment").as("cat"))
     }),
+    "f_levenshtein" -> ((s, d) => {
+      import s.implicits._
+      // edit distance (fuzzy matching / typo-tolerant dedup): codegen'd
+      // built-in in both engines, deterministic ints
+      Tables.load(s, d, "customer").select(
+        $"c_custkey",
+        levenshtein($"c_name", lit("Customer#000000042")).as("d_fixed"),
+        levenshtein(lower($"c_mktsegment"), lit("machinery")).as("d_seg"))
+    }),
     "f_substr_neg" -> ((s, d) => {
       import s.implicits._
       Tables.load(s, d, "part").select(
@@ -170,6 +179,11 @@ object FunctionQueries {
                 array_to_string(string_split(c_name, '#'), '-') AS joined,
                 length(c_name) AS len,
                 c_name || '|' || c_mktsegment AS cat
+         FROM customer""",
+    "f_levenshtein" ->
+      """SELECT c_custkey,
+                levenshtein(c_name, 'Customer#000000042') AS d_fixed,
+                levenshtein(lower(c_mktsegment), 'machinery') AS d_seg
          FROM customer""",
     "f_substr_neg" ->
       """SELECT p_partkey,

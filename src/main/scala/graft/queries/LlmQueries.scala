@@ -107,6 +107,17 @@ object LlmQueries {
       graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
         .select($"node".as("doc_id"), $"component".as("cluster"))
     }),
+    "llm_containment" -> ((s, d) => {
+      import s.implicits._
+      // sub-document duplication over the planted near-dup tail: high
+      // |A∩B|/min containment even where Jaccard stays low
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max($"doc_id").as("m"))
+      Dedup.containmentPairs(
+        docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+          .select($"doc_id", $"text"),
+        "doc_id", "text", n = 3, threshold = 0.5)
+    }),
     "llm_cluster_star" -> ((s, d) => {
       import s.implicits._
       // same clusters as llm_dedup_clusters but via the O(log n)
@@ -411,6 +422,26 @@ object LlmQueries {
             UNION
             SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
           SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""",
+    // containment over distinct hashed trigram shingles (shared-md5
+    // hash, so both engines count identical key sets)
+    "llm_containment" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents
+                    WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
+          g AS (SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+                FROM t WHERE len(toks) >= 3),
+          h AS (SELECT doc_id,
+                       list_distinct(list_transform(gs,
+                         s -> CAST(('0x'||substr(md5(s),1,8)) AS BIGINT))) AS hs
+                FROM g)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.hs, b.hs)) * 1.0
+                         / least(len(a.hs), len(b.hs)), 6) AS containment
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+                  / least(len(a.hs), len(b.hs)) >= 0.5""",
     // the star algorithm must produce the identical cluster labeling
     "llm_cluster_star" ->
       s"""WITH RECURSIVE $minhashCtes,

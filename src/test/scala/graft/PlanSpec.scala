@@ -60,7 +60,7 @@ class PlanSpec extends AnyFunSuite {
     val allowedBnlj = Set("j4_cross", "llm_ann_lsh", "llm_ann_topk",
       "llm_ann_ivf", "llm_cosine", "llm_ngram_jaccard",
       // broadcast of a 1-row bound/total (max doc_id; corpus N)
-      "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf")
+      "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
