@@ -101,6 +101,33 @@ object TextAnalysis {
           .as("rep_ratio"))
   }
 
+  /** Fixed-size token chunking with overlap — THE canonical pre-training
+    * prep op (documents → training-window-sized chunks). One output row
+    * per (doc, start_tok): start positions advance by
+    * `chunkTokens - overlap`; every token is covered; the final chunk
+    * may be short (and, when a doc's tail is shorter than the overlap,
+    * consist only of already-seen tokens — callers filter on n_tokens if
+    * they want to drop it).
+    *
+    * Scale shape: explode over a per-row start sequence then slice —
+    * pure codegen'd per-row work, no shuffle; output size =
+    * Σ ceil(len/stride) rows, each carrying one chunk. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap of $chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as("start_tok"))
+      .select(col(idCol), col("start_tok"),
+        slice(col("__toks"), col("start_tok") + 1, lit(chunkTokens)).as("__c"))
+      .select(col(idCol), col("start_tok"),
+        size(col("__c")).as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 

@@ -68,6 +68,22 @@ object LlmQueries {
         round(TextAnalysis.stopwordRatio($"text"), 6).as("stop_ratio"),
         TextAnalysis.qualityScore($"text").as("quality"))
     }),
+    "llm_chunk" -> ((s, d) =>
+      TextAnalysis.chunk(Tables.load(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)),
+    "llm_mix" -> ((s, d) => {
+      import s.implicits._
+      // weighted corpus mixing (70% "web" slice + 30% "books" slice):
+      // independent deterministic gates, reproducible at any scale
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val web = graft.operators.Sampling
+        .bernoulli(docs, $"text", rateBp = 7000, salt = "mixweb:")
+        .select($"doc_id", lit("web").as("source_ds"))
+      val books = graft.operators.Sampling
+        .bernoulli(docs, $"text", rateBp = 3000, salt = "mixbooks:")
+        .select($"doc_id", lit("books").as("source_ds"))
+      web.unionAll(books)
+    }),
     "llm_rep_ratio" -> ((s, d) =>
       TextAnalysis.repetitionRatio(
         Tables.load(s, d, "documents"), "doc_id", "text", n = 3)),
@@ -378,6 +394,23 @@ object LlmQueries {
                   len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de,
                   len(list_filter(toks, t -> t IN ($stopsEn))) AS en
                 FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks FROM documents))""",
+    // 64-token chunks, stride 48 (overlap 16); slices clamp at the tail
+    "llm_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+          c AS (SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks), 1), 48)) AS start_tok
+                FROM t)
+         SELECT doc_id, CAST(start_tok AS INTEGER) AS start_tok,
+                CAST(len(toks[start_tok+1 : start_tok+64]) AS INTEGER) AS n_tokens,
+                array_to_string(toks[start_tok+1 : start_tok+64], ' ') AS chunk_text
+         FROM c""",
+    "llm_mix" ->
+      """SELECT doc_id, 'web' AS source_ds FROM documents
+         WHERE CAST(('0x'||substr(md5('mixweb:'||text),1,8)) AS BIGINT) % 10000 < 7000
+         UNION ALL
+         SELECT doc_id, 'books' AS source_ds FROM documents
+         WHERE CAST(('0x'||substr(md5('mixbooks:'||text),1,8)) AS BIGINT) % 10000 < 3000""",
     // within-doc trigram repetition (docs with >= 3 tokens only)
     "llm_rep_ratio" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
