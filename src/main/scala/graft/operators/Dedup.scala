@@ -269,20 +269,21 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
-      .select(col(idCol),
-        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col(idCol), sharedHash(col("s")).as("h"))
       .distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val overlaps = sh.select(col(idCol).as("id_a"), col("h"))
       .join(sh.select(col(idCol).as("id_b"), col("h")), "h")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ov"))
+    // threshold on the UNROUNDED ratio (matching the oracle's WHERE);
+    // round(…,6) is display-only, same as ngramJaccardPairs
     overlaps
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(col("ov").cast("double") / least(col("sz_a"), col("sz_b")), 6)
-          .as("containment"))
-      .filter(col("containment") >= threshold)
+        (col("ov").cast("double") / least(col("sz_a"), col("sz_b"))).as("raw"))
+      .filter(col("raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 6).as("containment"))
   }
 }

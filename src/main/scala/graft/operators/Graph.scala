@@ -35,10 +35,12 @@ object Graph {
 
   /** Truncate `df`'s lineage and materialize it with ONE action that
     * also evaluates `aggCol` over it. Returns (truncated frame, agg
-    * row, storage handle to release once the next round is stored). */
+    * row, storage handle to release once the next round is stored —
+    * on the reliable path the frame is checkpoint-file-backed, so the
+    * transient cache is released here and the handle is a no-op). */
   private def materializeWith(df: DataFrame, reliable: Boolean)
                              (aggCol: Column, more: Column*): (DataFrame, Row, DataFrame) = {
-    val (out, handle) =
+    val (out, cache) =
       if (reliable) {
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         // non-eager reliable checkpoint: the first action below runs the
@@ -52,7 +54,8 @@ object Graph {
         (p, p)
       }
     val row = out.agg(aggCol, more: _*).first()
-    (out, row, handle)
+    if (reliable) cache.unpersist() // checkpoint files written by the action above
+    (out, row, if (reliable) out else cache)
   }
 
   /** Components of the undirected graph given by (srcCol, dstCol) pairs.
@@ -179,12 +182,17 @@ object Graph {
     // materialize the distinct edge set ONCE, self-loops included: the
     // star rounds filter them lazily off these blocks, and the final
     // node-set join reads the same blocks — the input lineage (e.g. a
-    // whole minhash pipeline) is never recomputed
+    // whole minhash pipeline) is never recomputed. The INITIAL
+    // fingerprint excludes self-loops (star-round outputs are always
+    // self-loop-free, so the round-1 comparison and the empty-graph
+    // short-circuit must measure the same set `cur` starts from)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val (eMat, row0, _) =
-      materializeWith(e0, reliable)(fingerprint.head, fingerprint.tail: _*)
+    val noLoop = col("src") =!= col("dst")
+    val (eMat, row0, _) = materializeWith(e0, reliable)(
+      count(when(noLoop, 1)).as("n"),
+      coalesce(bit_xor(when(noLoop, xxhash64(col("src"), col("dst")))), lit(0L)).as("h"))
     var fp = (row0.getLong(0), row0.getLong(1))
-    var cur = eMat.filter(col("src") =!= col("dst"))
+    var cur = eMat.filter(noLoop)
     // eMat itself stays persisted until the caller's query runs (the
     // final labels join reads it); only round results rotate
     var prevHandle: Option[DataFrame] = None

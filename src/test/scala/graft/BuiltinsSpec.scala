@@ -100,4 +100,12 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(r.getString(2) == "")
     assert(r.getString(3) == "llo")
   }
+
+  test("levenshtein matches classic edit-distance cases") {
+    val r = spark.sql(
+      """SELECT levenshtein('kitten', 'sitting') AS a,
+                levenshtein('', 'abc') AS b,
+                levenshtein('same', 'same') AS c""").head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 3 && r.getInt(2) == 0)
+  }
 }

@@ -109,6 +109,56 @@ class GraphSpec extends AnyFunSuite {
     assert(star == prop)
   }
 
+  test("star CC short-circuits a self-loop-only graph (zero star rounds)") {
+    import spark.implicits._
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        events.add(funcName)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        events.add(funcName)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Graph.connectedComponentsStar(
+          Seq((7L, 7L), (9L, 9L)).toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(7L -> 7L, 9L -> 9L))
+      var prev = -1; var cur = events.size; var spins = 0
+      while (cur != prev && spins < 50) {
+        prev = cur; Thread.sleep(100); cur = events.size; spins += 1
+      }
+      val heads = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        events.iterator).asScala.count(_ == "head")
+      // the initial fingerprint excludes self-loops, so the only per-round
+      // action is the one edge-set materialization — no star rounds ran
+      assert(heads == 1, s"self-loop-only graph ran star rounds: $heads head actions")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("reliable star CC releases its transient caches after checkpointing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-star-ck").toFile
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val comps = Graph.connectedComponentsStar(pathGraph, "id_a", "id_b",
+        checkpointDir = Some(dir.getAbsolutePath))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps == expected)
+      // checkpoint-file-backed frames need no cache: every persist made on
+      // the reliable path must be released once its checkpoint is written
+      // (unpersist is async — poll)
+      var spins = 0
+      def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      while (leaked.nonEmpty && spins < 50) { Thread.sleep(100); spins += 1 }
+      assert(leaked.isEmpty, s"reliable star CC leaked cached RDDs: $leaked")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("empty edge list converges immediately with no components") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

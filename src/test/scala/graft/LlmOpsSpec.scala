@@ -273,4 +273,68 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.count() == kept.count())
     assert(rows.columns.toSeq == Seq("doc_id", "text"))
   }
+
+  test("chunk: fixed stride, clamped tail, full token coverage") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only two"),                               // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // stride = 4 - 1 = 3: starts 0,3,6,9; the tail chunk clamps to 1 token
+    assert(d1.map(_._2).toSeq == Seq(0, 3, 6, 9))
+    assert(d1.map(_._3).toSeq == Seq(4, 4, 4, 1))
+    assert(d1.head._4 == "t1 t2 t3 t4" && d1.last._4 == "t10")
+    // every token appears in some chunk (coverage law)
+    assert(d1.flatMap(_._4.split(" ")).toSet == (1 to 10).map(i => s"t$i").toSet)
+    // a doc shorter than chunkTokens yields exactly one short chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "only two")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 4)
+    }
+  }
+
+  test("containmentPairs: subset containment 1.0, distinct shingle counting") {
+    import spark.implicits._
+    // B contains all of A's trigrams plus more: containment(A,B) = 1.0
+    // while jaccard is only 3/6 — the signal this op exists for
+    val df = Seq(
+      (1L, "a b c d e"),                 // trigrams: abc bcd cde
+      (2L, "a b c d e f g h"),           // those 3 + def efg fgh
+      (3L, "a b c a b c a b c a b"),     // repeated trigrams: 3 DISTINCT
+      (4L, "p q r s t u v w"),           // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"unexpected pairs: $pairs")
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc 3's repeats must count ONCE: overlap with doc 1 is {abc} only,
+    // containment 1/3 < 0.5 — if duplicates were kept the ratio inflates
+    val low = Dedup.containmentPairs(df, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(low.get((1L, 3L)).contains(0.333333))
+  }
+
+  test("corpus mix gates are deterministic, independent, and rate-accurate") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = docs.select($"doc_id", $"text")
+    val n = d.count().toDouble
+    def gate(bp: Int, salt: String) =
+      Sampling.bernoulli(d, $"text", rateBp = bp, salt = salt)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val web = gate(7000, "mixweb:")
+    val books = gate(3000, "mixbooks:")
+    // deterministic: the same gate twice is bit-identical
+    assert(gate(7000, "mixweb:") == web)
+    // rate within 5 points of nominal at this corpus size
+    assert(math.abs(web.size / n - 0.7) < 0.05, s"web rate ${web.size / n}")
+    assert(math.abs(books.size / n - 0.3) < 0.05, s"books rate ${books.size / n}")
+    // independent salts: the books slice is NOT a subset of the web slice
+    // (P(subset) under independence is astronomically small)
+    assert((books -- web).nonEmpty && (books & web).nonEmpty)
+  }
 }
