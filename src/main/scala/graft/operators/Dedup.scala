@@ -286,4 +286,35 @@ object Dedup {
       .filter(col("raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("raw"), 6).as("containment"))
   }
+
+  /** Benchmark decontamination: for every corpus row, the count of
+    * DISTINCT n-token shingles it shares with `evalSet`, plus a drop
+    * flag — the train/test contamination sweep run before shipping
+    * pre-training data (13-token grams is the published convention).
+    * Corpus rows shorter than n tokens have no shingles and come back
+    * clean; every corpus id appears in the output.
+    *
+    * Scale shape: eval benchmarks are MBs while the corpus is TBs, so
+    * the eval shingle-hash set (8-byte [[sharedHash]] keys) is
+    * BROADCAST and the corpus side is a broadcast semi-join — corpus
+    * text never shuffles; the only corpus-scale exchange is
+    * [[shingleRows]]' idCol window, whose partitioning the per-doc
+    * distinct+count reuses. The shared hash makes the match set
+    * engine-reproducible (the DuckDB oracle counts identical keys). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val evalH = shingleRows(evalSet.select(col(idCol), col(textCol)),
+        idCol, textCol, n)
+      .select(sharedHash(col("s")).as("h")).distinct()
+    val corpusH = shingleRows(corpus.select(col(idCol), col(textCol)),
+        idCol, textCol, n)
+      .select(col(idCol), sharedHash(col("s")).as("h")).distinct()
+    val hits = corpusH.join(broadcast(evalH), Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("eval_shingles"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("eval_shingles"), lit(0L)).as("eval_shingles"),
+        (coalesce(col("eval_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM data pipelines (driver mandate,
@@ -126,6 +127,43 @@ object TextAnalysis {
       .select(col(idCol), col("start_tok"),
         size(col("__c")).as("n_tokens"),
         array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Global token offsets for concat-and-split sequence packing: the
+    * corpus token stream in `idCol` order is cut every `seqLen` tokens
+    * into training sequences; per doc this returns its running
+    * token_offset and the first/last sequence index its tokens land in
+    * (a doc may straddle a cut — that's the packing convention).
+    *
+    * Scale shape: a single global running sum would funnel the corpus
+    * through one partition, so the prefix sum is HIERARCHICAL: docs are
+    * bucketed by id range (`docsPerBucket`); the only single-partition
+    * pass is over per-bucket token totals (one tiny row per bucket,
+    * broadcast back), and the corpus-scale running sum is a
+    * bucket-PARTITIONED window. Integer arithmetic end to end (`div`,
+    * not floating floor) — exact at any corpus size. Requires
+    * non-negative numeric ids (`div` truncates toward zero). */
+  def packOffsets(df: DataFrame, idCol: String, textCol: String,
+                  seqLen: Int = 2048, docsPerBucket: Int = 4096): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(docsPerBucket >= 1, s"docsPerBucket must be >= 1, got $docsPerBucket")
+    val toks = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_toks"),
+      expr(s"`$idCol` div $docsPerBucket").as("__b"))
+    val totals = toks.groupBy(col("__b")).agg(sum(col("n_toks")).as("__bt"))
+    val wBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__b"),
+      coalesce(sum(col("__bt")).over(wBuckets), lit(0L)).as("__boff"))
+    val wInBucket = Window.partitionBy(col("__b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), "__b")
+      .select(col(idCol), col("n_toks"),
+        (col("__boff") + coalesce(sum(col("n_toks")).over(wInBucket), lit(0L)))
+          .as("token_offset"))
+      .select(col(idCol), col("n_toks"), col("token_offset"),
+        expr(s"token_offset div $seqLen").as("first_seq"),
+        expr(s"(token_offset + n_toks - 1) div $seqLen").as("last_seq"))
   }
 
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"

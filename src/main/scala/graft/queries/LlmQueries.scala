@@ -134,6 +134,24 @@ object LlmQueries {
           .select($"doc_id", $"text"),
         "doc_id", "text", n = 3, threshold = 0.5)
     }),
+    "llm_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      // train/eval contamination sweep: eval = the last-100-doc slice
+      // (where the planted near-dup tail lives, so overlaps exist),
+      // corpus = everything else; flag any shared 13-gram
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val ev = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      val corpus = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      Dedup.decontaminate(corpus, ev, "doc_id", "text", n = 13)
+    }),
+    "llm_pack" -> ((s, d) =>
+      // concat-and-split packing offsets: 512-token training sequences,
+      // 64-doc buckets so the hierarchical prefix sum really tiers
+      TextAnalysis.packOffsets(Tables.load(s, d, "documents"),
+        "doc_id", "text", seqLen = 512, docsPerBucket = 64)),
     "llm_cluster_star" -> ((s, d) => {
       import s.implicits._
       // same clusters as llm_dedup_clusters but via the O(log n)
@@ -475,6 +493,44 @@ object LlmQueries {
           FROM h a JOIN h b ON a.doc_id < b.doc_id
           WHERE len(list_intersect(a.hs, b.hs)) * 1.0
                   / least(len(a.hs), len(b.hs)) >= 0.5""",
+    // 13-gram train/eval overlap; hashes via the shared-md5 recipe so
+    // both engines count identical key sets
+    "llm_decontaminate" -> {
+      val gram13 = (0 until 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents),
+          g AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 12),
+                    i -> $gram13)) AS gs
+                FROM t WHERE len(toks) >= 13),
+          h AS (SELECT doc_id,
+                  list_distinct(list_transform(gs, s -> $hashSql)) AS hs
+                FROM g),
+          ev AS (SELECT DISTINCT unnest(hs) AS eh FROM h, m WHERE doc_id > mx - 100),
+          co AS (SELECT doc_id, unnest(hs) AS eh FROM h, m WHERE doc_id <= mx - 100),
+          hits AS (SELECT doc_id, count(*) AS c
+                   FROM co JOIN ev USING (eh) GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(hits.c, 0) AS eval_shingles,
+                 coalesce(hits.c, 0) > 0 AS contaminated
+          FROM (SELECT doc_id FROM documents, m WHERE doc_id <= mx - 100) d
+          LEFT JOIN hits USING (doc_id)"""
+    },
+    // global running token offsets (the hierarchical prefix sum must
+    // equal DuckDB's single global window) + integer-division seq cuts
+    "llm_pack" ->
+      """WITH t AS (SELECT doc_id,
+                      CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks
+                    FROM documents),
+          o AS (SELECT doc_id, n_toks,
+                  CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS token_offset
+                FROM t)
+          SELECT doc_id, n_toks, token_offset,
+                 token_offset // 512 AS first_seq,
+                 (token_offset + n_toks - 1) // 512 AS last_seq
+          FROM o""",
     // the star algorithm must produce the identical cluster labeling
     "llm_cluster_star" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -318,6 +318,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(low.get((1L, 3L)).contains(0.333333))
   }
 
+  test("packOffsets hierarchical prefix sum equals one global running sum") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    val out = TextAnalysis.packOffsets(docs, "doc_id", "text",
+      seqLen = 512, docsPerBucket = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .select($"doc_id", TextAnalysis.tokenCount($"text").cast("long").as("n"))
+      .select($"doc_id", $"n", coalesce(sum($"n").over(w), lit(0L)).as("off"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == naive)
+    // seq indices are integer cuts of the offset stream
+    val cuts = TextAnalysis.packOffsets(docs, "doc_id", "text",
+      seqLen = 512, docsPerBucket = 64).collect()
+    cuts.foreach { r =>
+      val (off, n, first, last) = (r.getLong(2), r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(first == off / 512 && last == (off + n - 1) / 512 && first <= last)
+    }
+  }
+
+  test("decontaminate counts distinct shared 13-grams; short docs pass clean") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val ev = Seq((100L, (1 to 14).map(i => s"e$i").mkString(" "))) // two 13-grams
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x " + (1 to 14).map(i => s"e$i").mkString(" ")), // shares both
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ")),        // clean
+      (3L, "a b c"),                                          // < 13 tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, ev, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(1L -> (2L, true), 2L -> (0L, false), 3L -> (0L, false)))
+  }
+
   test("corpus mix gates are deterministic, independent, and rate-accurate") {
     import spark.implicits._
     import graft.operators.Sampling

@@ -54,13 +54,33 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("packOffsets: doc-stream window is bucket-partitioned, not global") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("llm_pack")(spark, TestSpark.sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected 2 windows (bucket offsets + in-bucket), got ${wins.size}")
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1, "exactly one unpartitioned window (the tiny bucket-offset pass)")
+    assert(unpart.head.child.output.map(_.name).contains("__bt"),
+      "the unpartitioned window must run over per-bucket totals, never the doc stream")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the corpus running sum must be bucket-partitioned")
+  }
+
+  test("decontaminate: eval set broadcasts; corpus side semi-joins") {
+    val p = plan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "eval shingle hashes must broadcast into a semi-join (corpus never shuffles for the match)")
+  }
+
   test("no accidental cartesian/nested-loop joins across the inventory") {
     // BNLJ is legitimate only where the build side is a broadcast
     // single-row/bounded set or the op is an intentional cross/brute-force
     val allowedBnlj = Set("j4_cross", "llm_ann_lsh", "llm_ann_topk",
       "llm_ann_ivf", "llm_cosine", "llm_ngram_jaccard",
       // broadcast of a 1-row bound/total (max doc_id; corpus N)
-      "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment")
+      "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment",
+      "llm_decontaminate")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
