@@ -262,15 +262,27 @@ object Dedup {
     * shared-md5 recipe, so the DuckDB oracle reproduces counts exactly),
     * candidate pairs come from a shingle-key equi-join (text never
     * shuffles), and the per-pair overlap is a partial-aggregable count.
-    * At 100 TB the one extra guard a production run adds is a
-    * document-frequency cap on shingles (drop boilerplate shingles
-    * shared by thousands of docs) before the self-join — the classic
-    * hot-key bound; the join/agg shape is unchanged. */
+    * `maxShingleDf` is the guard a 100 TB run needs: a document-
+    * frequency cap dropping boilerplate shingles before the self-join
+    * (the classic hot-key bound); the join/agg shape is unchanged. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh0 = shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
       .select(col(idCol), sharedHash(col("s")).as("h"))
       .distinct()
+    // the hot-key bound a production run needs: shingles shared by more
+    // than maxShingleDf docs are boilerplate — drop them BEFORE the
+    // self-join (a df-10⁴ shingle would otherwise fan out 10⁸ pairs).
+    // Sizes count the KEPT set, so containment is a ratio over the same
+    // shingle space on both axes.
+    val sh = maxShingleDf match {
+      case Some(k) =>
+        val keep = sh0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= k).select(col("h"))
+        sh0.join(keep, "h")
+      case None => sh0
+    }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val overlaps = sh.select(col(idCol).as("id_a"), col("h"))
       .join(sh.select(col(idCol).as("id_b"), col("h")), "h")

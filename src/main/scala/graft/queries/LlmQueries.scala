@@ -134,6 +134,19 @@ object LlmQueries {
           .select($"doc_id", $"text"),
         "doc_id", "text", n = 3, threshold = 0.5)
     }),
+    "llm_containment_dfcap" -> ((s, d) => {
+      import s.implicits._
+      // same tail, but with the production hot-key guard: trigrams
+      // shared by more than 50 of the 300 docs are boilerplate (this
+      // tiny synthetic vocabulary has plenty) and are dropped before
+      // the self-join; containment re-ranks over the kept shingles
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max($"doc_id").as("m"))
+      Dedup.containmentPairs(
+        docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+          .select($"doc_id", $"text"),
+        "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(50))
+    }),
     "llm_decontaminate" -> ((s, d) => {
       import s.implicits._
       // train/eval contamination sweep: eval = the last-100-doc slice
@@ -493,6 +506,32 @@ object LlmQueries {
           FROM h a JOIN h b ON a.doc_id < b.doc_id
           WHERE len(list_intersect(a.hs, b.hs)) * 1.0
                   / least(len(a.hs), len(b.hs)) >= 0.5""",
+    // containment with the document-frequency hot-key cap: shingle
+    // hashes shared by > 50 docs are dropped before the pair join;
+    // row shapes mirror the Spark join (e = distinct (doc, hash) rows)
+    "llm_containment_dfcap" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents
+                    WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
+          g AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+                FROM t WHERE len(toks) >= 3),
+          e AS (SELECT doc_id, unnest(list_distinct(list_transform(gs,
+                  s -> CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)))) AS h
+                FROM g),
+          keep AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 50),
+          ek AS (SELECT doc_id, h FROM e JOIN keep USING (h)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM ek GROUP BY doc_id),
+          ov AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ov
+                 FROM ek a JOIN ek b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+          SELECT ida AS id_a, idb AS id_b,
+                 round(ov * 1.0 / least(sa.sz, sb.sz), 6) AS containment
+          FROM ov
+          JOIN sizes sa ON ida = sa.doc_id
+          JOIN sizes sb ON idb = sb.doc_id
+          WHERE ov * 1.0 / least(sa.sz, sb.sz) >= 0.5""",
     // 13-gram train/eval overlap; hashes via the shared-md5 recipe so
     // both engines count identical key sets
     "llm_decontaminate" -> {

@@ -318,6 +318,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(low.get((1L, 3L)).contains(0.333333))
   }
 
+  test("containmentPairs df cap drops boilerplate shingles before pairing") {
+    import spark.implicits._
+    // every doc opens with the same 6-token header; bodies are disjoint.
+    // The 4 pure-header trigrams have df = 6; every body trigram df = 1.
+    val header = "h1 h2 h3 h4 h5 h6"
+    val df = (1L to 6L).map(i =>
+      (i, header + " " + (1 to 10).map(j => s"b${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // uncapped: all 15 pairs share exactly the 4 header trigrams
+    // (4 of 14 distinct trigrams each = 0.2857 containment)
+    val uncapped = Dedup.containmentPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.2).collect()
+    assert(uncapped.length == 15)
+    assert(uncapped.forall(_.getDouble(2) == 0.285714))
+    // df cap 5 removes the header shingles before the self-join:
+    // nothing is left in common, no pairs at any threshold
+    val capped = Dedup.containmentPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.2, maxShingleDf = Some(5)).collect()
+    assert(capped.isEmpty)
+  }
+
   test("packOffsets hierarchical prefix sum equals one global running sum") {
     import spark.implicits._
     import graft.operators.TextAnalysis
