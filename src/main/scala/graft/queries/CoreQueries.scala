@@ -254,6 +254,21 @@ object CoreQueries {
           round(median($"c_acctbal"), 4).as("med_bal"))
     }),
 
+    "a8_hll" -> ((s, d) => {
+      import s.implicits._
+      // HLL++ cardinality sketch (the A8 approx-distinct path). The
+      // estimate itself is engine-specific, so the gate pins (a) the
+      // EXACT ndv both engines agree on and (b) the sketch CONTRACT —
+      // the estimate lands within ±5% of exact (rsd 0.01 ⇒ ~1%
+      // expected). HLL merge is an exact register union, so the result
+      // is partition-layout-invariant and deterministic.
+      Tables.load(s, d, "orders").agg(
+        countDistinct($"o_custkey").as("ndv_exact"),
+        (abs(approx_count_distinct($"o_custkey", 0.01) -
+            countDistinct($"o_custkey")).cast("double") /
+          countDistinct($"o_custkey") <= 0.05).as("hll_within_5pct"))
+    }),
+
     "a8_corr" -> ((s, d) => {
       import s.implicits._
       Tables.load(s, d, "lineitem")
@@ -576,6 +591,12 @@ object CoreQueries {
                 round(var_samp(c_acctbal), 4) AS var_bal,
                 round(median(c_acctbal), 4) AS med_bal
          FROM customer GROUP BY c_mktsegment""",
+    // the HLL estimate is engine-specific; the oracle pins the exact
+    // ndv and the accuracy contract the Spark side must attest to
+    "a8_hll" ->
+      """SELECT count(DISTINCT o_custkey) AS ndv_exact,
+                true AS hll_within_5pct
+         FROM orders""",
     "a8_corr" ->
       """SELECT l_returnflag,
                 round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
