@@ -20,6 +20,29 @@ object LlmQueries {
 
   private val hashSql = "CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)"
 
+  /** The last `n` documents by id — the slice where the driver plants
+    * near-duplicates — selected via a broadcast 1-row max bound.
+    * Shared by the containment gates (and mirrored in their oracles'
+    * `WHERE doc_id > max - n` subquery). */
+  private def nearDupTail(s: SparkSession, d: String, n: Int): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, d, "documents")
+    val m = docs.agg(max($"doc_id").as("m"))
+    docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - n)
+      .select($"doc_id", $"text")
+  }
+
+  /** DuckDB CTEs `t` (tail-slice tokens) and `g` (distinct trigrams) —
+    * the shared prefix of both containment oracles. */
+  private lazy val tailTrigramCtes =
+    """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+            FROM documents
+            WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
+       g AS (SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+             FROM t WHERE len(toks) >= 3)"""
+
   /** The MinHash-LSH pipeline as DuckDB CTEs ending in
     * `pairs(id_a, id_b, jaccard)` — shared by the pairs gate and the
     * connected-components closure gate. */
@@ -123,30 +146,18 @@ object LlmQueries {
       graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
         .select($"node".as("doc_id"), $"component".as("cluster"))
     }),
-    "llm_containment" -> ((s, d) => {
-      import s.implicits._
+    "llm_containment" -> ((s, d) =>
       // sub-document duplication over the planted near-dup tail: high
       // |A∩B|/min containment even where Jaccard stays low
-      val docs = Tables.load(s, d, "documents")
-      val m = docs.agg(max($"doc_id").as("m"))
-      Dedup.containmentPairs(
-        docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
-          .select($"doc_id", $"text"),
-        "doc_id", "text", n = 3, threshold = 0.5)
-    }),
-    "llm_containment_dfcap" -> ((s, d) => {
-      import s.implicits._
+      Dedup.containmentPairs(nearDupTail(s, d, 300),
+        "doc_id", "text", n = 3, threshold = 0.5)),
+    "llm_containment_dfcap" -> ((s, d) =>
       // same tail, but with the production hot-key guard: trigrams
       // shared by more than 50 of the 300 docs are boilerplate (this
       // tiny synthetic vocabulary has plenty) and are dropped before
       // the self-join; containment re-ranks over the kept shingles
-      val docs = Tables.load(s, d, "documents")
-      val m = docs.agg(max($"doc_id").as("m"))
-      Dedup.containmentPairs(
-        docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
-          .select($"doc_id", $"text"),
-        "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(50))
-    }),
+      Dedup.containmentPairs(nearDupTail(s, d, 300),
+        "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(50))),
     "llm_decontaminate" -> ((s, d) => {
       import s.implicits._
       // train/eval contamination sweep: eval = the last-100-doc slice
@@ -489,16 +500,9 @@ object LlmQueries {
     // containment over distinct hashed trigram shingles (shared-md5
     // hash, so both engines count identical key sets)
     "llm_containment" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-                    FROM documents
-                    WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
-          g AS (SELECT doc_id,
-                       list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
-                FROM t WHERE len(toks) >= 3),
+      s"""WITH $tailTrigramCtes,
           h AS (SELECT doc_id,
-                       list_distinct(list_transform(gs,
-                         s -> CAST(('0x'||substr(md5(s),1,8)) AS BIGINT))) AS hs
+                       list_distinct(list_transform(gs, s -> $hashSql)) AS hs
                 FROM g)
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  round(len(list_intersect(a.hs, b.hs)) * 1.0
@@ -510,15 +514,9 @@ object LlmQueries {
     // hashes shared by > 50 docs are dropped before the pair join;
     // row shapes mirror the Spark join (e = distinct (doc, hash) rows)
     "llm_containment_dfcap" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-                    FROM documents
-                    WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
-          g AS (SELECT doc_id,
-                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
-                FROM t WHERE len(toks) >= 3),
+      s"""WITH $tailTrigramCtes,
           e AS (SELECT doc_id, unnest(list_distinct(list_transform(gs,
-                  s -> CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)))) AS h
+                  s -> $hashSql))) AS h
                 FROM g),
           keep AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 50),
           ek AS (SELECT doc_id, h FROM e JOIN keep USING (h)),

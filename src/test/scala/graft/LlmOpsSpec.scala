@@ -343,9 +343,9 @@ class LlmOpsSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.expressions.Window
-    val out = TextAnalysis.packOffsets(docs, "doc_id", "text",
-      seqLen = 512, docsPerBucket = 64)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = TextAnalysis.packOffsets(docs, "doc_id", "text",
+      seqLen = 512, docsPerBucket = 64).collect()
+    val out = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
     val naive = docs
       .select($"doc_id", TextAnalysis.tokenCount($"text").cast("long").as("n"))
@@ -353,9 +353,7 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out == naive)
     // seq indices are integer cuts of the offset stream
-    val cuts = TextAnalysis.packOffsets(docs, "doc_id", "text",
-      seqLen = 512, docsPerBucket = 64).collect()
-    cuts.foreach { r =>
+    rows.foreach { r =>
       val (off, n, first, last) = (r.getLong(2), r.getLong(1), r.getLong(3), r.getLong(4))
       assert(first == off / 512 && last == (off + n - 1) / 512 && first <= last)
     }
