@@ -92,6 +92,30 @@ object Dedup {
       .select(col(idCol), col("band.band_idx"), col("band.band_val"))
   }
 
+  /** Hot-bucket guard for banded self-joins: count rows per bucket key
+    * and drop buckets larger than `cap` BEFORE the join. This is the
+    * standard production-LSH bound on within-bucket pair fanout — a
+    * degenerate (band_idx, band_val) bucket of k docs (templated
+    * boilerplate, near-empty docs, adversarial collisions) would emit
+    * k² candidate pairs into a single reducer, and AQE skew-split can't
+    * help because the blowup is in the join OUTPUT, not the partition.
+    * Dropping a bucket costs recall only on pairs whose every OTHER
+    * shared band is also oversized — for boilerplate buckets that is
+    * exactly the intent. Mirrors `maxShingleDf` in [[containmentPairs]];
+    * the count shuffles the same keys the self-join shuffles, so the
+    * plan shape (band-key-only exchange) is unchanged. */
+  private[operators] def capBuckets(banded: DataFrame, keys: Seq[String],
+                                    cap: Option[Int]): DataFrame = cap match {
+    case Some(k) =>
+      require(k >= 1, s"maxBucketSize must be >= 1, got $k")
+      val keep = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= k)
+        .select(keys.map(col): _*)
+      banded.join(keep, keys)
+    case None => banded
+  }
+
   /** Exact dedup: keep the lowest id per fingerprint. Shuffles only
     * (digest, id) pairs; `min` aggregates map-side. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -115,9 +139,11 @@ object Dedup {
     * the k permutation minima are k map-side-partial `min` aggregates in
     * ONE hash aggregate; candidate generation shuffles only
     * (band_idx, band_val) keys; the confirm stage joins fixed-width
-    * long-array sketches, never document text. */
+    * long-array sketches, never document text. `maxBucketSize` is the
+    * 100 TB hot-bucket guard (see [[capBuckets]]). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 16, nBands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                   k: Int = 16, nBands: Int = 4, threshold: Double = 0.5,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     val p = 4294967311L
     val rowsPerBand = k / nBands
     // (id, h) rows via the relational shingle shape; duplicates are
@@ -134,8 +160,10 @@ object Dedup {
       struct(lit(b).as("band_idx"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
           .as("band_val"))): _*)
-    val bands = sets.select(col(idCol), explode(bandStructs).as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+    val bands = capBuckets(
+      sets.select(col(idCol), explode(bandStructs).as("band"))
+        .select(col(idCol), col("band.band_idx"), col("band.band_val")),
+      Seq("band_idx", "band_val"), maxBucketSize)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
@@ -166,10 +194,12 @@ object Dedup {
     * 2^(hashBits/nBands), so hashBits must GROW with the corpus (same
     * occupancy law as [[Similarity.autoPlanes]]): 32/4 to ~10⁶ docs,
     * 60/4 to ~10⁸; past that, a multi-word (128-bit) sketch with 16-bit
-    * bands keeps expected occupancy bounded. */
+    * bands keeps expected occupancy bounded. `maxBucketSize` is the
+    * hot-bucket guard (see [[capBuckets]]). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    hashBits: Int = 60, nBands: Int = 4,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     require(hashBits % nBands == 0, s"hashBits $hashBits must split into $nBands bands")
     val bandBits = hashBits / nBands
     val mask = (1L << bandBits) - 1
@@ -180,9 +210,10 @@ object Dedup {
     val bandStructs = array((0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))): _*)
-    val banded = sh.select(col(idCol), col("sh"),
-        explode(bandStructs).as("band"))
-      .select(col(idCol), col("sh"), col("band.band_idx"), col("band.band_val"))
+    val banded = capBuckets(
+      sh.select(col(idCol), col("sh"), explode(bandStructs).as("band"))
+        .select(col(idCol), col("sh"), col("band.band_idx"), col("band.band_val")),
+      Seq("band_idx", "band_val"), maxBucketSize)
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
@@ -211,10 +242,12 @@ object Dedup {
     * splits into `bandsPerWord` bands (30-bit bands at the default —
     * 2^30 buckets per band); candidates share any (band_idx, band_val);
     * confirm on TOTAL hamming distance across all words. Same scale
-    * shape as [[simhashPairs]] — only (band, id, sketch) tuples shuffle. */
+    * shape as [[simhashPairs]] — only (band, id, sketch) tuples shuffle,
+    * and `maxBucketSize` bounds hot buckets (see [[capBuckets]]). */
   def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
                        words: Int = 2, bandsPerWord: Int = 2,
-                       maxHamming: Int = 3): DataFrame = {
+                       maxHamming: Int = 3,
+                       maxBucketSize: Option[Int] = None): DataFrame = {
     require(60 % bandsPerWord == 0, s"bandsPerWord $bandsPerWord must divide 60")
     val bandBits = 60 / bandsPerWord
     val mask = (1L << bandBits) - 1
@@ -224,8 +257,10 @@ object Dedup {
       yield struct(lit(w * bandsPerWord + b).as("band_idx"),
         shiftright(element_at(col("sh"), w + 1), b * bandBits)
           .bitwiseAND(lit(mask)).as("band_val"))): _*)
-    val banded = sh.select(col(idCol), col("sh"), explode(bandStructs).as("band"))
-      .select(col(idCol), col("sh"), col("band.band_idx"), col("band.band_val"))
+    val banded = capBuckets(
+      sh.select(col(idCol), col("sh"), explode(bandStructs).as("band"))
+        .select(col(idCol), col("sh"), col("band.band_idx"), col("band.band_val")),
+      Seq("band_idx", "band_val"), maxBucketSize)
     val hamming = (0 until words).map(w =>
       bit_count(element_at(col("x.sh"), w + 1)
         .bitwiseXOR(element_at(col("y.sh"), w + 1))))

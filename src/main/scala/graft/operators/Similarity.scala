@@ -210,15 +210,23 @@ object Similarity {
     * oracle-gated query does, so its inlined-plane SQL stays stable).
     * Supply `corpusSize` (from catalog/file statistics) to avoid the
     * count() job the auto-derivation otherwise runs eagerly — at scale
-    * an extra full pass over an expensive upstream plan is real money. */
+    * an extra full pass over an expensive upstream plan is real money.
+    * `maxBucketSize` drops oversized buckets before the self-join (the
+    * hot-bucket quadratic-fanout guard — see [[Dedup.capBuckets]]):
+    * [[autoPlanes]] bounds EXPECTED occupancy, the cap bounds the
+    * worst case (a spam cluster of near-identical vectors lands whole
+    * in one bucket regardless of plane count). */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         simThreshold: Double, nPlanes: Int = 0,
-                        dim: Int = 64, corpusSize: Long = -1L): DataFrame = {
+                        dim: Int = 64, corpusSize: Long = -1L,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     val p = if (nPlanes > 0) nPlanes
       else autoPlanes(if (corpusSize > 0) corpusSize else emb.count())
     val planes = planeSigns(p, dim)
-    val b = emb.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), planes).as("bucket"))
+    val b = Dedup.capBuckets(
+      emb.select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), planes).as("bucket")),
+      Seq("bucket"), maxBucketSize)
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

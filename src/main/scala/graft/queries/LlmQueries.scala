@@ -44,10 +44,19 @@ object LlmQueries {
              FROM t WHERE len(toks) >= 3)"""
 
   /** The MinHash-LSH pipeline as DuckDB CTEs ending in
-    * `pairs(id_a, id_b, jaccard)` — shared by the pairs gate and the
-    * connected-components closure gate. */
-  private lazy val minhashCtes =
-    s"""t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM documents),
+    * `pairs(id_a, id_b, jaccard)`, over source relation `src`; `cap`
+    * inserts the hot-bucket guard (buckets with more than `cap` members
+    * dropped before the candidate join — mirroring
+    * Dedup.minhashPairs(maxBucketSize)). */
+  private def minhashCtesFrom(src: String, cap: Option[Int] = None): String = {
+    val bandsOut = if (cap.isDefined) "bands0" else "bands"
+    val capCtes = cap.map(k => s""",
+        keep AS (SELECT band_idx, band_val FROM bands0
+                 GROUP BY 1, 2 HAVING count(*) <= $k),
+        bands AS (SELECT b.doc_id, b.band_idx, b.band_val
+                  FROM bands0 b JOIN keep USING (band_idx, band_val))""")
+      .getOrElse("")
+    s"""t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM $src),
         sh AS (SELECT doc_id,
                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
@@ -57,10 +66,10 @@ object LlmQueries {
                   list_transform(generate_series(0, 15), i ->
                     list_min(list_transform(hs, h -> (h * (2*i + 1) + 101*i + 17) % 4294967311))) sig
                 FROM hs),
-        bands AS (SELECT doc_id, b.i AS band_idx,
+        $bandsOut AS (SELECT doc_id, b.i AS band_idx,
                     CAST(sig[4*b.i+1] AS VARCHAR) || '_' || CAST(sig[4*b.i+2] AS VARCHAR) || '_' ||
                     CAST(sig[4*b.i+3] AS VARCHAR) || '_' || CAST(sig[4*b.i+4] AS VARCHAR) AS band_val
-                  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b),
+                  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b)$capCtes,
         cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
                  FROM bands x JOIN bands y
                    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
@@ -71,6 +80,10 @@ object LlmQueries {
                   FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
                   WHERE len(list_intersect(a.hs, b.hs)) * 1.0
                           / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5)"""
+  }
+
+  private lazy val minhashCtes = minhashCtesFrom("documents")
+
 
   /** DuckDB expression for the LSH bucket of a DOUBLE[] column `v`,
     * using the same deterministic hyperplanes as Similarity.planeSigns. */
@@ -137,6 +150,21 @@ object LlmQueries {
       import s.implicits._
       Dedup.minhashPairs(Tables.load(s, d, "documents"), "doc_id", "text",
         k = 16, nBands = 4, threshold = 0.5)
+    }),
+    "llm_minhash_capped" -> ((s, d) => {
+      import s.implicits._
+      // hot-bucket guard gate: 60 exact clones of the max-id doc share
+      // ALL FOUR band buckets (identical signatures), so each of those
+      // buckets holds 61+ docs; maxBucketSize=40 drops them BEFORE the
+      // self-join, killing the 1800+-pair quadratic clone fanout, while
+      // the planted near-dup tail pairs (small buckets) survive
+      val tail = nearDupTail(s, d, 300)
+      val mx = tail.agg(max($"doc_id").as("m"))
+      val clones = tail.crossJoin(broadcast(mx)).filter($"doc_id" === $"m")
+        .select(explode(sequence(lit(1), lit(60))).as("__i"), $"text")
+        .select(($"__i" + 2000000).cast("long").as("doc_id"), $"text")
+      Dedup.minhashPairs(tail.unionAll(clones), "doc_id", "text",
+        k = 16, nBands = 4, threshold = 0.5, maxBucketSize = Some(40))
     }),
     "llm_dedup_clusters" -> ((s, d) => {
       import s.implicits._
@@ -482,6 +510,19 @@ object LlmQueries {
          GROUP BY 1""",
     "llm_minhash_pairs" ->
       s"""WITH $minhashCtes
+          SELECT id_a, id_b, jaccard FROM pairs""",
+    // same pipeline over tail+clones with the bucket cap: the oversized
+    // (boilerplate) buckets drop before the candidate join
+    "llm_minhash_capped" ->
+      s"""WITH tail AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
+          clones AS (SELECT CAST(2000000 + i.i AS BIGINT) AS doc_id, s.text
+                     FROM (SELECT text FROM tail
+                           WHERE doc_id = (SELECT max(doc_id) FROM tail)) s
+                     CROSS JOIN (SELECT unnest(generate_series(1, 60)) AS i) i),
+          corpus AS (SELECT doc_id, text FROM tail
+                     UNION ALL SELECT doc_id, text FROM clones),
+          ${minhashCtesFrom("corpus", cap = Some(40))}
           SELECT id_a, id_b, jaccard FROM pairs""",
     // near-dup CLUSTERS: the minhash pairs closed under transitivity —
     // DuckDB replicates Graph.connectedComponents with a recursive

@@ -339,6 +339,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("LSH bucket cap kills the planted hot-bucket pair fanout") {
+    import spark.implicits._
+    // 30 exact clones share every band bucket (identical signatures) —
+    // the degenerate boilerplate bucket; docs 100/101 are an unrelated
+    // duplicate pair living in their own size-2 buckets
+    val clone = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val pairText = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    val df = ((1L to 30L).map(i => (i, clone)) ++
+      Seq((100L, pairText), (101L, pairText))).toDF("doc_id", "text")
+    // uncapped: the clone bucket fans out C(30,2) = 435 pairs
+    val un = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5).collect()
+    assert(un.count(r => r.getLong(0) <= 30 && r.getLong(1) <= 30) == 435)
+    val capped = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5,
+      maxBucketSize = Some(10)).collect()
+    assert(!capped.exists(r => r.getLong(0) <= 30 && r.getLong(1) <= 30),
+      "oversized clone buckets must drop before the self-join")
+    assert(capped.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L),
+      "small-bucket genuine pair must survive the cap")
+    // same guard on both simhash band joins
+    val sim = Dedup.simhashPairs(df, "doc_id", "text",
+      maxBucketSize = Some(10)).collect()
+    assert(!sim.exists(r => r.getLong(0) <= 30 && r.getLong(1) <= 30))
+    assert(sim.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L))
+    val wide = Dedup.simhashPairsWide(df, "doc_id", "text",
+      maxBucketSize = Some(10)).collect()
+    assert(!wide.exists(r => r.getLong(0) <= 30 && r.getLong(1) <= 30))
+    assert(wide.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L))
+    // and on the embedding near-dup bucket join
+    val vecs = ((1L to 25L).map(i => (i, Seq(1.0, 0.0, 0.0, 0.0))) ++
+      Seq((100L, Seq(0.0, 1.0, 0.0, 0.0)), (101L, Seq(0.0, 1.0, 0.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val edups = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      simThreshold = 0.99, nPlanes = 3, dim = 4, maxBucketSize = Some(10))
+      .collect()
+    assert(!edups.exists(r => r.getLong(0) <= 25 && r.getLong(1) <= 25),
+      "the 25-clone vector bucket must drop")
+    assert(edups.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L))
+  }
+
   test("packOffsets hierarchical prefix sum equals one global running sum") {
     import spark.implicits._
     import graft.operators.TextAnalysis

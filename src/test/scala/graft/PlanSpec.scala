@@ -80,7 +80,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_ann_ivf", "llm_cosine", "llm_ngram_jaccard",
       // broadcast of a 1-row bound/total (max doc_id; corpus N)
       "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment",
-      "llm_containment_dfcap", "llm_decontaminate")
+      "llm_containment_dfcap", "llm_decontaminate", "llm_minhash_capped")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -103,6 +103,15 @@ class PlanSpec extends AnyFunSuite {
   test("minhash pipeline shuffles band keys, not documents") {
     val p = plan("llm_minhash_pairs")
     // the self-join key is the band tuple — no text column crosses it
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")
+  }
+
+  test("capped minhash still shuffles band keys only, never documents") {
+    val p = plan("llm_minhash_capped")
+    // the bucket-size count groups by the SAME key the self-join
+    // shuffles on — the cap must not introduce a text-bearing exchange
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")
