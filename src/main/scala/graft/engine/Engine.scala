@@ -17,6 +17,7 @@ import graft.functions.Builtins
   */
 class Engine(val spark: SparkSession) {
   Builtins.registerAll(spark)
+  LlmSql.registerAll(spark)
 
   /** exosql `ExoSQL.query(sql, context)`: dialect shim ($vars,
     * DISTINCT ON) then Catalyst. Lazy — nothing executes until the

@@ -1,0 +1,130 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.col
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** SQL façade over the §2.10 LLM-pipeline operators — the reference's
+  * identity is "SQL to whatever" (`README.md` [U]), so the dedup /
+  * containment / chunk / pack / sample pipelines must be reachable from
+  * `Engine.query` SQL text, not only the Scala API.
+  *
+  * Each pipeline registers as a session-scoped TABLE-VALUED function
+  * (Catalyst `TableFunctionRegistry`), usable in FROM position:
+  *
+  * {{{
+  *   SELECT * FROM graft_minhash_pairs('documents', 'doc_id', 'text', 0.5)
+  *   SELECT * FROM graft_chunk('documents', 'doc_id', 'text', 64, 16)
+  * }}}
+  *
+  * The builder runs at ANALYSIS time and returns the operator's logical
+  * plan — execution stays fully distributed/lazy (these are plan
+  * constructors, not materializing calls). Arguments must be literals
+  * (they parameterize plan construction, like every SQL TVF). Table
+  * arguments resolve through the session catalog, so they compose with
+  * temp views, catalog namespaces ([[Catalog.registerParquetDb]]) and
+  * the dialect shim's `$vars`.
+  */
+object LlmSql {
+
+  private def bad(sig: String, args: Seq[Expression]): Nothing =
+    throw new IllegalArgumentException(
+      s"expected $sig, got ${args.length} argument(s)")
+
+  private def lit(e: Expression, fn: String): Any = {
+    require(e.foldable, s"$fn: arguments must be literals, got: ${e.sql}")
+    e.eval()
+  }
+  private def str(e: Expression, fn: String): String =
+    String.valueOf(lit(e, fn))
+  private def int(e: Expression, fn: String): Int = lit(e, fn) match {
+    case n: java.lang.Number => n.intValue
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer, got $other")
+  }
+  private def dbl(e: Expression, fn: String): Double = lit(e, fn) match {
+    case n: java.lang.Number => n.doubleValue // covers Decimal literals
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a number, got $other")
+  }
+
+  /** Resolve a table-name argument through the active session catalog
+    * (temp views, `db.table` namespaces — anything spark.table sees). */
+  private def table(name: String): DataFrame = SparkSession.active.table(name)
+
+  private def reg(spark: SparkSession, name: String)
+                 (b: Seq[Expression] => DataFrame): Unit =
+    GraftBridge.registerTableFunction(spark, name,
+      args => GraftBridge.logicalPlan(b(args)))
+
+  /** Register every LLM-pipeline table function on `spark`. Idempotent
+    * (createOrReplace), called by the [[Engine]] constructor. */
+  def registerAll(spark: SparkSession): Unit = {
+    reg(spark, "graft_exact_dedup") {
+      case Seq(t, id, text) =>
+        val f = "graft_exact_dedup"
+        Dedup.exactDedup(table(str(t, f)), str(id, f), str(text, f))
+      case args => bad("graft_exact_dedup(table, id_col, text_col)", args)
+    }
+    reg(spark, "graft_minhash_pairs") {
+      case args if args.length == 4 || args.length == 5 =>
+        val f = "graft_minhash_pairs"
+        val cap = if (args.length == 5) Some(int(args(4), f)) else None
+        Dedup.minhashPairs(table(str(args(0), f)), str(args(1), f),
+          str(args(2), f), threshold = dbl(args(3), f), maxBucketSize = cap)
+      case args => bad(
+        "graft_minhash_pairs(table, id_col, text_col, threshold[, max_bucket])", args)
+    }
+    reg(spark, "graft_containment_pairs") {
+      case args if args.length == 5 || args.length == 6 =>
+        val f = "graft_containment_pairs"
+        val cap = if (args.length == 6) Some(int(args(5), f)) else None
+        Dedup.containmentPairs(table(str(args(0), f)), str(args(1), f),
+          str(args(2), f), n = int(args(3), f),
+          threshold = dbl(args(4), f), maxShingleDf = cap)
+      case args => bad(
+        "graft_containment_pairs(table, id_col, text_col, n, threshold[, max_df])", args)
+    }
+    reg(spark, "graft_chunk") {
+      case Seq(t, id, text, ct, ov) =>
+        val f = "graft_chunk"
+        TextAnalysis.chunk(table(str(t, f)), str(id, f), str(text, f),
+          chunkTokens = int(ct, f), overlap = int(ov, f))
+      case args => bad(
+        "graft_chunk(table, id_col, text_col, chunk_tokens, overlap)", args)
+    }
+    reg(spark, "graft_pack_offsets") {
+      case Seq(t, id, text, sl, dpb) =>
+        val f = "graft_pack_offsets"
+        TextAnalysis.packOffsets(table(str(t, f)), str(id, f), str(text, f),
+          seqLen = int(sl, f), docsPerBucket = int(dpb, f))
+      case args => bad(
+        "graft_pack_offsets(table, id_col, text_col, seq_len, docs_per_bucket)", args)
+    }
+    reg(spark, "graft_sample_k") {
+      case Seq(t, key, tie, k, salt) =>
+        val f = "graft_sample_k"
+        Sampling.exactK(table(str(t, f)), col(str(key, f)), int(k, f),
+          tieBreak = Seq(col(str(tie, f))), salt = str(salt, f))
+      case args => bad(
+        "graft_sample_k(table, key_col, tiebreak_col, k, salt)", args)
+    }
+    reg(spark, "graft_tfidf") {
+      case Seq(t, id, text, k) =>
+        val f = "graft_tfidf"
+        TextAnalysis.tfidfTopTerms(table(str(t, f)), str(id, f),
+          str(text, f), topK = int(k, f))
+      case args => bad("graft_tfidf(table, id_col, text_col, top_k)", args)
+    }
+    reg(spark, "graft_decontaminate") {
+      case Seq(c, ev, id, text, n) =>
+        val f = "graft_decontaminate"
+        Dedup.decontaminate(table(str(c, f)), table(str(ev, f)),
+          str(id, f), str(text, f), n = int(n, f))
+      case args => bad(
+        "graft_decontaminate(corpus_table, eval_table, id_col, text_col, n)", args)
+    }
+  }
+}

@@ -60,7 +60,20 @@ object EngineQueries {
     "e_builtin_sql" -> ((s, d) => via(s, d)(
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
               exo_substr(o_orderpriority, -3) AS prio_tail
-         FROM orders WHERE o_orderkey < 500"""))
+         FROM orders WHERE o_orderkey < 500""")),
+    // §2.10 pipelines driven from SQL TEXT through the façade's
+    // table-valued functions (graft.engine.LlmSql) — same distributed
+    // plans as the Scala API, same oracles (reused verbatim below)
+    "e_sql_minhash" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_minhash_pairs('documents', 'doc_id', 'text', 0.5)")),
+    "e_sql_chunk" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_chunk('documents', 'doc_id', 'text', 64, 16)")),
+    "e_sql_pack" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_pack_offsets('documents', 'doc_id', 'text', 512, 64)")),
+    "e_sql_sample_k" -> ((s, d) => via(s, d)(
+      "SELECT doc_id FROM graft_sample_k('documents', 'text', 'doc_id', 200, 'eval:')")),
+    "e_sql_tfidf" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_tfidf('documents', 'doc_id', 'text', 3)"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -94,6 +107,13 @@ object EngineQueries {
     "e_builtin_sql" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
               substr(o_orderpriority, -3) AS prio_tail
-         FROM orders WHERE o_orderkey < 500"""
+         FROM orders WHERE o_orderkey < 500""",
+    // the SQL-façade gates reuse the Scala-API gates' oracles verbatim:
+    // same pipeline, different entry point
+    "e_sql_minhash" -> LlmQueries.oracle("llm_minhash_pairs"),
+    "e_sql_chunk" -> LlmQueries.oracle("llm_chunk"),
+    "e_sql_pack" -> LlmQueries.oracle("llm_pack"),
+    "e_sql_sample_k" -> LlmQueries.oracle("llm_sample_k"),
+    "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf")
   )
 }

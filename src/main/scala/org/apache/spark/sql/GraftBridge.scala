@@ -1,11 +1,29 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge into Spark's private[sql] Column↔Expression converters (the
-  * classic-mode ColumnNode API, Spark 4). Standard extension-library
-  * pattern — keeps all other graft code outside Spark's namespace. */
+  * classic-mode ColumnNode API, Spark 4) plus the session's
+  * TableFunctionRegistry. Standard extension-library pattern — keeps
+  * all other graft code outside Spark's namespace. */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a session-scoped table-valued function: `name(args...)`
+    * becomes usable in FROM position of any spark.sql statement. The
+    * builder runs at analysis time and returns the plan the call
+    * resolves to — the Spark-native equivalent of injectTableFunction,
+    * but attachable to an ALREADY-BUILT session (the Engine façade
+    * wraps user sessions, it doesn't construct them). */
+  def registerTableFunction(spark: SparkSession, name: String,
+                            builder: Seq[Expression] => LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** The analyzed-input logical plan of a DataFrame (for table-function
+    * builders that assemble results with the DataFrame API). */
+  def logicalPlan(df: Dataset[Row]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical
 }
