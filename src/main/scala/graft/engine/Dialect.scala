@@ -126,17 +126,27 @@ object Dialect {
   private def nextCode(s: String, from: Int): Int =
     scan(s, from)((i, _) => !s.charAt(i).isWhitespace)
 
-  /** Index of a top-level keyword: paren-depth 0, outside quotes and
-    * comments, not inside an identifier (underscores count as identifier
-    * chars — `valid_from` is not FROM). */
-  private def topLevelIndex(s: String, kw: String): Int = {
+  /** Index of a top-level keyword at/after `from`: paren-depth 0,
+    * outside quotes and comments, not inside an identifier (underscores
+    * count as identifier chars — `valid_from` is not FROM). The scan
+    * always starts at 0 so paren depth is correct even when `from` sits
+    * inside parens. */
+  private def topLevelIndexFrom(s: String, kw: String, from: Int): Int = {
     val upper = s.toUpperCase
     scan(s) { (i, depth) =>
-      depth == 0 && upper.startsWith(kw, i) &&
+      i >= from && depth == 0 && upper.startsWith(kw, i) &&
         (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
         (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length)))
     }
   }
+
+  private def topLevelIndex(s: String, kw: String): Int =
+    topLevelIndexFrom(s, kw, 0)
+
+  /** Case-insensitive whole-token match at `pos`. */
+  private def tokenAt(s: String, pos: Int, t: String): Boolean =
+    s.regionMatches(true, pos, t, 0, t.length) &&
+      (pos + t.length >= s.length || !isIdentChar(s.charAt(pos + t.length)))
 
   /** Index of any `DISTINCT ON (` (any paren depth) outside quotes and
     * comments, or -1. */
@@ -203,33 +213,103 @@ object Dialect {
     if (stack.isEmpty) -1 else stack.last
   }
 
-  /** Index of a top-level set operator (`UNION`/`INTERSECT`/`EXCEPT`
+  /** Every validated top-level set-operator occurrence, ascending:
+    * (kwStart, armStart) where armStart is past the operator keyword and
+    * its optional ALL/DISTINCT quantifier. An occurrence counts only if
     * followed by a SELECT/ALL/DISTINCT token or a parenthesized arm —
     * so `* EXCEPT (cols)` in a select list doesn't count: EXCEPT-the-
     * set-op is followed by SELECT/ALL/DISTINCT/`(SELECT`, EXCEPT-the-
-    * projection by a plain column list), or -1. */
-  private def setOpIndex(s: String): Int = {
-    val kws = Seq("UNION", "INTERSECT", "EXCEPT")
-    kws.map { kw =>
-      val i = topLevelIndex(s, kw)
-      if (i < 0) -1
-      else {
+    * projection by a plain column list. EVERY occurrence of each keyword
+    * is examined — a failed validation (a `* EXCEPT (cols)` projection,
+    * an identifier named `union`) must not mask a later genuine operator
+    * in the same region. */
+  private def setOpOccurrences(s: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    for (kw <- Seq("UNION", "INTERSECT", "EXCEPT")) {
+      var i = topLevelIndexFrom(s, kw, 0)
+      while (i >= 0) {
         val nxt = nextCode(s, i + kw.length)
-        val isSetOp = nxt >= 0 && (
-          Seq("SELECT", "ALL", "DISTINCT").exists(t =>
-            s.regionMatches(true, nxt, t, 0, t.length) &&
-              (nxt + t.length >= s.length || !isIdentChar(s.charAt(nxt + t.length)))) ||
-          // parenthesized arm: `UNION (SELECT ...)`; EXCEPT-the-projection
-          // is also followed by `(`, but its parens hold a column list,
-          // never a SELECT
-          (s.charAt(nxt) == '(' && {
+        val armStart: Int =
+          if (nxt < 0) -1
+          else if (tokenAt(s, nxt, "SELECT")) nxt
+          else if (tokenAt(s, nxt, "ALL") || tokenAt(s, nxt, "DISTINCT")) {
+            val w = if (tokenAt(s, nxt, "ALL")) 3 else 8
+            nextCode(s, nxt + w)
+          }
+          else if (s.charAt(nxt) == '(') {
+            // parenthesized arm: the parens hold a query, never the
+            // column list of an EXCEPT-projection
             val inner = nextCode(s, nxt + 1)
-            inner >= 0 && s.regionMatches(true, inner, "SELECT", 0, 6) &&
-              (inner + 6 >= s.length || !isIdentChar(s.charAt(inner + 6)))
-          }))
-        if (isSetOp) i else -1
+            if (inner >= 0 && (tokenAt(s, inner, "SELECT") ||
+                tokenAt(s, inner, "WITH") || s.charAt(inner) == '(')) nxt
+            else -1
+          }
+          else -1
+        if (armStart >= 0) out += ((i, armStart))
+        i = topLevelIndexFrom(s, kw, i + kw.length)
       }
-    }.filter(_ >= 0).minOption.getOrElse(-1)
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  /** Index of the first top-level set operator, or -1. */
+  private def setOpIndex(s: String): Int =
+    setOpOccurrences(s).headOption.map(_._1).getOrElse(-1)
+
+  /** Where arm 1 of a set-op statement begins: past an optional
+    * `WITH [RECURSIVE] name [(cols)] AS (body), ...` prefix — CTEs
+    * scope over EVERY arm, so they must stay outside the arm parens. */
+  private def armOneStart(stmt: String): Int = {
+    val first = nextCode(stmt, 0)
+    if (first < 0 || !tokenAt(stmt, first, "WITH")) return math.max(first, 0)
+    var i = nextCode(stmt, first + 4)
+    if (i >= 0 && tokenAt(stmt, i, "RECURSIVE")) i = nextCode(stmt, i + 9)
+    var armStart = -1
+    while (armStart < 0) {
+      // each CTE item: name [(cols)] AS (body) — the item's AS is at
+      // top level (a column list's parens close before it), the body's
+      // parens carry everything else
+      val asIdx = topLevelIndexFrom(stmt, "AS", i)
+      require(asIdx >= 0, s"malformed WITH clause in: $stmt")
+      val open = nextCode(stmt, asIdx + 2)
+      require(open >= 0 && stmt.charAt(open) == '(',
+        s"malformed CTE body in: $stmt")
+      val close = matchParen(stmt, open)
+      require(close > 0, s"unbalanced CTE parens in: $stmt")
+      val after = nextCode(stmt, close + 1)
+      require(after >= 0, s"WITH clause without a main query in: $stmt")
+      if (stmt.charAt(after) == ',') i = after + 1
+      else armStart = after
+    }
+    armStart
+  }
+
+  /** Wrap every arm of a top-level set operation in parens so each arm
+    * becomes its own independent rewrite region. The WITH prefix and the
+    * statement-level ORDER BY/LIMIT/OFFSET tail stay outside (SQL
+    * grammar permits a top-level ORDER BY only after the LAST arm — an
+    * unparenthesized arm cannot carry one, which is exactly what makes
+    * this parenthesization semantics-preserving). */
+  private def parenthesizeSetOpArms(stmt: String): String = {
+    val occs = setOpOccurrences(stmt)
+    require(occs.nonEmpty, s"no set operator to split in: $stmt")
+    val start = armOneStart(stmt)
+    val tailIdx = Seq("ORDER BY", "LIMIT", "OFFSET")
+      .map(topLevelIndexFrom(stmt, _, occs.last._2)).filter(_ >= 0)
+      .minOption.getOrElse(stmt.length)
+    val starts = start +: occs.map(_._2)
+    val ends = occs.map(_._1) :+ tailIdx
+    val sb = new StringBuilder(stmt.substring(0, start))
+    for (k <- starts.indices) {
+      if (k > 0) {
+        sb += ' '; sb ++= stmt.substring(ends(k - 1), starts(k)).trim; sb += ' '
+      }
+      val arm = stmt.substring(starts(k), ends(k)).trim
+      if (arm.startsWith("(") && matchParen(arm, 0) == arm.length - 1) sb ++= arm
+      else { sb += '('; sb ++= arm; sb += ')' }
+    }
+    if (tailIdx < stmt.length) { sb += ' '; sb ++= stmt.substring(tailIdx).trim }
+    sb.toString
   }
 
   /** Rewrite every `SELECT DISTINCT ON (k1, k2) list FROM tail
@@ -243,8 +323,11 @@ object Dialect {
     * owning SELECT to the closing paren of the innermost enclosing
     * parens (subquery/CTE body) or end of statement. A DISTINCT ON in a
     * set-operation arm (UNION/INTERSECT/EXCEPT at the same level) is
-    * refused with a clear error — the arm's boundaries are ambiguous in
-    * source form; use the window form there. */
+    * handled by first parenthesizing every arm (WITH prefix and the
+    * statement-level ORDER BY/LIMIT/OFFSET stay outside) and then
+    * recursing into the arm region — an unparenthesized arm cannot
+    * grammatically carry its own ORDER BY, so its window order falls
+    * back to the keys, exactly PostgreSQL's contract. */
   def rewriteDistinctOn(sql: String): String = {
     var cur = sql
     var guard = 0
@@ -285,14 +368,17 @@ object Dialect {
     // the set-op scan must cover the WHOLE enclosing statement, not just
     // the text after this SELECT — a DISTINCT ON in a LATER arm
     // (`SELECT ... UNION SELECT DISTINCT ON ...`) would otherwise hijack
-    // the union-level ORDER BY as its per-key dedup order
+    // the union-level ORDER BY as its per-key dedup order. When a set op
+    // is present, parenthesize the arms and let the outer rewrite loop
+    // recurse into the (now unambiguous) arm region.
     val stmt = full.substring(stmtStart, regionEnd)
-    val setOp = setOpIndex(stmt)
-    if (setOp >= 0)
-      throw new IllegalArgumentException(
-        s"DISTINCT ON in a set-operation arm (${stmt.substring(setOp).take(12).trim}...) " +
-          "is not supported: the arm's ORDER BY/LIMIT scope is ambiguous — " +
-          "rewrite that arm with a row_number() window")
+    if (setOpIndex(stmt) >= 0) {
+      val split = parenthesizeSetOpArms(stmt)
+      if (split == stmt)
+        throw new IllegalArgumentException(
+          s"DISTINCT ON could not be isolated to a set-operation arm in: $stmt")
+      return full.substring(0, stmtStart) + split + full.substring(regionEnd)
+    }
     val openIdx = distinctOnOpenParen(sql, occR)
     val closeIdx = matchParen(sql, openIdx)
     require(closeIdx > 0, s"unbalanced DISTINCT ON parens in: $sql")
@@ -361,9 +447,24 @@ object Dialect {
     var prevChar = ' '
     var word = new StringBuilder // identifier token currently being read
     var prevWord = ""            // last COMPLETED identifier token
+    var lastI = -1               // last code position the scan delivered
     var found = -1
     scan(s) { (i, _) =>
       val c = s.charAt(i)
+      // scan() skips quoted regions without a callback: when the gap we
+      // just jumped ends in a quote, a literal/quoted identifier
+      // completed there — that's a full token (`WHERE c = 'x' QUALIFY
+      // ...` puts QUALIFY in clause position), so record a sentinel
+      // word. Comment gaps end in '/' or a newline and change nothing.
+      if (found < 0 && i > lastI + 1) {
+        val g = s.charAt(i - 1)
+        if (g == '\'' || g == '"' || g == '`') {
+          prevChar = g
+          prevWord = g.toString
+          word = new StringBuilder
+        }
+      }
+      lastI = i
       if (found < 0 && upper.startsWith("QUALIFY", i) &&
           (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
           (i + 7 >= s.length || !isIdentChar(s.charAt(i + 7)))) {
@@ -372,7 +473,10 @@ object Dialect {
             !exprContextPrev.contains(prevWord) &&
             prevWord.nonEmpty && {
               val nxt = nextCode(s, i + 7)
-              nxt >= 0 && !opChars.contains(s.charAt(nxt)) && {
+              // '(' starts a valid (parenthesized) predicate; other
+              // operator chars cannot start one
+              nxt >= 0 &&
+                (s.charAt(nxt) == '(' || !opChars.contains(s.charAt(nxt))) && {
                 var j = nxt
                 while (j < s.length && isIdentChar(s.charAt(j))) j += 1
                 val nextTok = upper.substring(nxt, j)
@@ -400,11 +504,11 @@ object Dialect {
     * filters like false) and the outer query keeps `WHERE` plus any
     * trailing ORDER BY/LIMIT/OFFSET. Handled at any depth (subqueries,
     * CTE bodies) via the same region splice as DISTINCT ON; set-op arms
-    * are refused. Identifier uses of the (non-reserved) word — aliases,
-    * columns, table names — are left untouched via clause-position
-    * detection; the one false negative is QUALIFY directly after an
-    * unaliased `)`, which then surfaces as a Spark parse error rather
-    * than a silent rewrite. */
+    * are parenthesized and recursed like DISTINCT ON's. Identifier uses
+    * of the (non-reserved) word — aliases, columns, table names — are
+    * left untouched via clause-position detection; the one false
+    * negative is QUALIFY directly after an unaliased `)`, which then
+    * surfaces as a Spark parse error rather than a silent rewrite. */
   def rewriteQualify(sql: String): String = {
     var cur = sql
     var guard = 0
@@ -427,11 +531,16 @@ object Dialect {
     }
     val sql = full.substring(regionStart, regionEnd)
     val occR = occ - regionStart
-    val setOp = setOpIndex(sql)
-    if (setOp >= 0)
-      throw new IllegalArgumentException(
-        "QUALIFY in a set-operation arm is not supported: wrap the arm in a " +
-          "subquery or use an explicit window-filter subquery")
+    // set-op arms: parenthesize and recurse, exactly like DISTINCT ON
+    // (this also bounds the arm's QUALIFY predicate, which would
+    // otherwise swallow the `UNION ...` text that follows it)
+    if (setOpIndex(sql) >= 0) {
+      val split = parenthesizeSetOpArms(sql)
+      if (split == sql)
+        throw new IllegalArgumentException(
+          s"QUALIFY could not be isolated to a set-operation arm in: $sql")
+      return full.substring(0, regionStart) + split + full.substring(regionEnd)
+    }
     val tail = sql.substring(occR + "QUALIFY".length)
     val cutIdxs = Seq("ORDER BY", "LIMIT", "OFFSET")
       .map(topLevelIndex(tail, _)).filter(_ >= 0)

@@ -37,6 +37,30 @@ object EngineQueries {
                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
          FROM customer
          QUALIFY rn <= 2""")),
+    // DISTINCT ON in set-operation arms (round 4): unparenthesized
+    // first arm (window order = keys; c_custkey is unique so the pick
+    // is deterministic) + parenthesized second arm with its own
+    // arm-level ORDER BY; the statement-level ORDER BY stays outside.
+    // DuckDB runs the identical SQL natively
+    "e_distinct_on_setop" -> ((s, d) => via(s, d)(
+      """SELECT DISTINCT ON (c_custkey) c_custkey AS id, c_acctbal AS val
+         FROM customer WHERE c_nationkey < 5
+         UNION ALL
+         (SELECT DISTINCT ON (o_custkey) o_custkey AS id, o_totalprice AS val
+          FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey)
+         ORDER BY id, val""")),
+    // QUALIFY in an unparenthesized first arm: the predicate must bind
+    // to the arm, not swallow the UNION that follows it
+    "e_qualify_setop" -> ((s, d) => via(s, d)(
+      """SELECT c_nationkey AS k, c_custkey AS id,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer
+         QUALIFY rn <= 2
+         UNION ALL
+         SELECT 999 AS k, o_orderkey AS id, 1 AS rn FROM orders
+         WHERE o_orderkey < 50
+         ORDER BY k, id""")),
     // the reference's core identity: one statement spanning two
     // "databases" (SELECT ... FROM A.x JOIN B.y — SURVEY §1.1); here two
     // catalog namespaces over the same parquet dir
@@ -95,6 +119,23 @@ object EngineQueries {
                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
          FROM customer
          QUALIFY rn <= 2""",
+    "e_distinct_on_setop" ->
+      """SELECT DISTINCT ON (c_custkey) c_custkey AS id, c_acctbal AS val
+         FROM customer WHERE c_nationkey < 5
+         UNION ALL
+         (SELECT DISTINCT ON (o_custkey) o_custkey AS id, o_totalprice AS val
+          FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey)
+         ORDER BY id, val""",
+    "e_qualify_setop" ->
+      """SELECT c_nationkey AS k, c_custkey AS id,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer
+         QUALIFY rn <= 2
+         UNION ALL
+         SELECT 999 AS k, o_orderkey AS id, 1 AS rn FROM orders
+         WHERE o_orderkey < 50
+         ORDER BY k, id""",
     "e_federation" ->
       """SELECT n_name, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

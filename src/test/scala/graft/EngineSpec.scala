@@ -133,10 +133,11 @@ class EngineSpec extends AnyFunSuite {
       "WITH x AS (SELECT k, v FROM t QUALIFY max(v) OVER (PARTITION BY k) = v) SELECT * FROM x")
     assert(cte.startsWith("WITH x AS (") && cte.endsWith("SELECT * FROM x"))
     assert(cte.contains("__graft_q"))
-    // set-op arm refused; QUALIFY inside a string untouched
-    intercept[IllegalArgumentException] {
-      Dialect.rewriteQualify("SELECT k FROM t QUALIFY rn = 1 UNION ALL SELECT k FROM u")
-    }
+    // set-op arm: parenthesized and rewritten in place (round 4 —
+    // previously refused); QUALIFY inside a string untouched
+    val arm = Dialect.rewriteQualify(
+      "SELECT k FROM t QUALIFY rn = 1 UNION ALL SELECT k FROM u")
+    assert(arm.contains("__graft_q") && arm.contains("UNION ALL (SELECT k FROM u)"))
     assert(Dialect.rewriteQualify("SELECT 'QUALIFY rn' AS s FROM t")
       == "SELECT 'QUALIFY rn' AS s FROM t")
   }
@@ -159,29 +160,73 @@ class EngineSpec extends AnyFunSuite {
     assert(via == manual && via.size == 50)
   }
 
-  test("DISTINCT ON in a set-operation arm is refused, not silently misparsed") {
-    val e = intercept[IllegalArgumentException] {
-      Dialect.rewriteDistinctOn(
-        "SELECT DISTINCT ON (k) k, v FROM t UNION ALL SELECT k, v FROM u")
-    }
-    assert(e.getMessage.contains("set-operation"))
-    // ...including in a LATER arm (the region starts at the owning
-    // SELECT, but the set-op scan must cover the whole statement)
-    val e2 = intercept[IllegalArgumentException] {
-      Dialect.rewriteDistinctOn(
-        "SELECT k, v FROM t UNION ALL SELECT DISTINCT ON (k) k, v FROM u ORDER BY v")
-    }
-    assert(e2.getMessage.contains("set-operation"))
-    // ...and when the other arm is parenthesized
-    val e3 = intercept[IllegalArgumentException] {
-      Dialect.rewriteDistinctOn(
-        "SELECT DISTINCT ON (k) k, v FROM t UNION (SELECT k, v FROM u)")
-    }
-    assert(e3.getMessage.contains("set-operation"))
-    // but * EXCEPT (cols) in a select list is NOT a set operator
+  test("DISTINCT ON in a set-operation arm rewrites within the arm") {
+    // first arm, unparenthesized: the arm carries no ORDER BY (grammar
+    // reserves a top-level one for the statement), so the window order
+    // falls back to the keys — PostgreSQL's contract
+    val r1 = Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, v FROM t UNION ALL SELECT k, v FROM u")
+    assert(r1.contains("PARTITION BY k ORDER BY k"))
+    assert(r1.contains("UNION ALL (SELECT k, v FROM u)"))
+    // LATER arm with a statement-level ORDER BY: the union-level ORDER
+    // BY v must NOT be hijacked as the dedup order, and must survive
+    // outside the arms
+    val r2 = Dialect.rewriteDistinctOn(
+      "SELECT k, v FROM t UNION ALL SELECT DISTINCT ON (k) k, v FROM u ORDER BY v")
+    assert(r2.contains("PARTITION BY k ORDER BY k"))
+    assert(r2.trim.endsWith("ORDER BY v"))
+    assert(r2.contains("(SELECT k, v FROM t) UNION ALL"))
+    // parenthesized arm keeps its own arm-level ORDER BY as dedup order
+    val r3 = Dialect.rewriteDistinctOn(
+      "(SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC) UNION (SELECT k, v FROM u)")
+    assert(r3.contains("PARTITION BY k ORDER BY k, v DESC"))
+    assert(r3.contains("UNION (SELECT k, v FROM u)"))
+    // a WITH prefix scopes over every arm and must stay outside
+    val r4 = Dialect.rewriteDistinctOn(
+      "WITH c AS (SELECT 1 AS k, 2 AS v) SELECT DISTINCT ON (k) k, v FROM c UNION SELECT k, v FROM c")
+    assert(r4.startsWith("WITH c AS (SELECT 1 AS k, 2 AS v) ("))
+    assert(r4.contains("UNION (SELECT k, v FROM c)"))
+    // a `* EXCEPT (cols)` projection must not mask the LATER genuine
+    // set operator (setOpOccurrences scans every occurrence)
+    val r5 = Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) * EXCEPT (v) FROM t EXCEPT SELECT k FROM u")
+    assert(r5.contains("EXCEPT (SELECT k FROM u)"))
+    assert(r5.contains("PARTITION BY k"))
+    // and with no set op at all it is still not treated as one
     val ok = Dialect.rewriteDistinctOn(
       "SELECT DISTINCT ON (k) * EXCEPT (v) FROM t ORDER BY k")
     assert(ok.contains("PARTITION BY k"))
+    assert(!ok.contains("(SELECT DISTINCT"))
+  }
+
+  test("QUALIFY in a set-operation arm rewrites within the arm") {
+    // the arm's predicate must not swallow the UNION text after it
+    val r1 = Dialect.rewriteQualify(
+      "SELECT k, row_number() OVER (ORDER BY v) AS rn FROM t QUALIFY rn = 1 UNION ALL SELECT k, 1 FROM u")
+    assert(r1.contains("__graft_q"))
+    assert(r1.contains("UNION ALL (SELECT k, 1 FROM u)"))
+    assert(!r1.contains("__graft_q UNION"))
+    // later arm + statement tail
+    val r2 = Dialect.rewriteQualify(
+      "SELECT k, 1 AS rn FROM u UNION SELECT k, row_number() OVER (ORDER BY v) AS rn FROM t QUALIFY rn = 1 ORDER BY k LIMIT 5")
+    assert(r2.contains("(SELECT k, 1 AS rn FROM u) UNION"))
+    assert(r2.trim.endsWith("ORDER BY k LIMIT 5"))
+  }
+
+  test("QUALIFY clause position: after string literals and parenthesized predicates") {
+    // a string literal completes a token — QUALIFY after it is a clause
+    val r1 = Dialect.rewriteQualify(
+      "SELECT k FROM t WHERE c = 'x' QUALIFY row_number() OVER (ORDER BY v) = 1")
+    assert(r1.contains("__graft_q"), r1)
+    // a parenthesized predicate is a valid predicate start
+    val r2 = Dialect.rewriteQualify(
+      "SELECT k, row_number() OVER (ORDER BY v) AS rn FROM t QUALIFY (rn = 1)")
+    assert(r2.contains("__graft_q"), r2)
+    // identifier uses stay untouched even with the new acceptance rules
+    for (sql <- Seq(
+      "SELECT 'lit', qualify FROM t",
+      "SELECT a FROM t WHERE qualify = 'x'"))
+      assert(Dialect.rewriteQualify(sql) == sql, s"mangled: $sql")
   }
 
   test("identifier uses of 'qualify' are never rewritten") {
