@@ -28,7 +28,11 @@ object TimeSeries {
   /** Resample to a dense `unit` grid (default minute; must be sub-day —
     * the forward-fill window partitions by day): per-bucket event count
     * (0 on gap buckets) and the last known per-bucket value sum carried
-    * forward (null until a day's first observed bucket). */
+    * forward. A gap spanning midnight carries the PRIOR day's close
+    * across the boundary (two-pass fill: the only cross-day state is
+    * one close value per day, computed over the tiny day-level frame
+    * and broadcast back), so `filled_value` is null only before the
+    * series' first observation ever. */
   def resample(df: DataFrame, tsCol: String, valueCol: String,
                unit: String = "minute"): DataFrame = {
     require(Seq("minute", "hour", "second").contains(unit),
@@ -43,12 +47,27 @@ object TimeSeries {
     val series = bounds.select(
       explode(sequence(col("lo"), col("hi"), expr(s"interval 1 $unit")))
         .as("bucket"))
+    // cross-day carry: each day's close (last observed bucket's value),
+    // carried forward over the day-level frame. That frame has ONE row
+    // per day in the dense range — the unpartitioned window is over
+    // thousands of rows at most, then broadcast back; the corpus-scale
+    // fill below stays day-partitioned.
+    val dayClose = buckets.groupBy(to_date(col("bucket")).as("__day"))
+      .agg(max_by(col("__sum_dec"), col("bucket")).as("__close"))
+    val days = series.select(to_date(col("bucket")).as("__day")).distinct()
+    val wDays = Window.orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = days.join(dayClose, Seq("__day"), "left")
+      .select(col("__day"),
+        last(col("__close"), ignoreNulls = true).over(wDays).as("__carry"))
     val ffill = Window.partitionBy(to_date(col("bucket"))).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     series.join(buckets, Seq("bucket"), "left")
+      .join(broadcast(carry), to_date(col("bucket")) === col("__day"))
       .select(col("bucket"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        last(col("__sum_dec"), ignoreNulls = true).over(ffill)
+        coalesce(last(col("__sum_dec"), ignoreNulls = true).over(ffill),
+          col("__carry"))
           .cast("double").as("filled_value"))
   }
 }

@@ -198,14 +198,25 @@ object ExtraQueries {
                              date_trunc('minute', max(CAST(ts AS TIMESTAMP))) AS hi
                       FROM events),
            series AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
-                      FROM bounds)
+                      FROM bounds),
+           dayc AS (SELECT CAST(bucket AS DATE) AS day,
+                           max_by(sum_dec, bucket) AS close FROM b GROUP BY 1),
+           days AS (SELECT DISTINCT CAST(bucket AS DATE) AS day FROM series),
+           carry AS (SELECT days.day,
+                            last_value(dayc.close IGNORE NULLS) OVER (
+                              ORDER BY days.day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry
+                     FROM days LEFT JOIN dayc ON dayc.day = days.day)
          SELECT s.bucket,
                 coalesce(b.n_events, 0) AS n_events,
-                CAST(last_value(b.sum_dec IGNORE NULLS) OVER (
-                       PARTITION BY CAST(s.bucket AS DATE) ORDER BY s.bucket
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                CAST(coalesce(
+                       last_value(b.sum_dec IGNORE NULLS) OVER (
+                         PARTITION BY CAST(s.bucket AS DATE) ORDER BY s.bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       c.carry) AS DOUBLE)
                   AS filled_value
-         FROM series s LEFT JOIN b ON b.bucket = s.bucket""",
+         FROM series s LEFT JOIN b ON b.bucket = s.bucket
+         JOIN carry c ON c.day = CAST(s.bucket AS DATE)""",
     "j8_salted_join" ->
       """SELECT s_nationkey, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty

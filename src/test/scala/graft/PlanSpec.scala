@@ -163,13 +163,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ts_resample: partial bucket agg, day-partitioned fill (no global window)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val p = plan("ts_resample")
     // per-bucket count/sum must combine map-side
     assert(p.contains("partial_count") && p.contains("partial_sum"))
-    // the forward-fill window must be partitioned (by day) — a global
-    // ORDER BY-only window serializes the whole timeline into one task
-    val win = p.linesIterator.find(_.contains("Window [")).get
-    assert(!win.contains("], [], ["), s"forward fill runs as a GLOBAL window: $win")
+    // the forward-fill window over the DENSE grid must be partitioned
+    // (by day) — a global ORDER BY-only window serializes the whole
+    // timeline into one task. The only unpartitioned window allowed is
+    // the day-level carry (one row per day, broadcast back).
+    val qe = SparkEntry.queries("ts_resample")(spark, TestSpark.sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected day-carry + in-day fill, got ${wins.size}")
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1, "exactly one unpartitioned window (the tiny day frame)")
+    assert(unpart.head.child.output.map(_.name).contains("__close"),
+      "the unpartitioned window must run over per-day closes, never the dense grid")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the dense-grid forward fill must stay day-partitioned")
   }
 
   test("w5_range_frame: range window partitioned by user, not global") {
