@@ -34,29 +34,34 @@ import org.apache.spark.storage.StorageLevel
 object Graph {
 
   /** Truncate `df`'s lineage and materialize it with ONE action that
-    * also evaluates `aggCol` over it. Returns (truncated frame, agg
-    * row, storage handle to release once the next round is stored —
-    * on the reliable path the frame is checkpoint-file-backed, so the
-    * transient cache is released here and the handle is a no-op). */
+    * also evaluates `aggCol` over it. Returns (truncated frame, agg row,
+    * release thunk to call once the round's blocks are no longer
+    * needed). Local-checkpoint blocks are an RDD-level persist that
+    * `Dataset.unpersist` does NOT clear — the thunk goes through
+    * [[org.apache.spark.sql.GraftBridge.unpersistCheckpoint]]. On the
+    * reliable path the frame is checkpoint-FILE-backed: the transient
+    * cache is released here, the thunk is a no-op, and file cleanup is
+    * the cluster's `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * policy. */
   private def materializeWith(df: DataFrame, reliable: Boolean)
-                             (aggCol: Column, more: Column*): (DataFrame, Row, DataFrame) = {
-    val (out, cache) =
-      if (reliable) {
-        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        // non-eager reliable checkpoint: the first action below runs the
-        // job (populating the cache); the checkpoint write that follows
-        // reads the cache instead of recomputing
-        (p.checkpoint(false), p)
-      } else {
-        // non-eager local checkpoint: plan becomes a LogicalRDD now,
-        // blocks are stored when the action below first computes them
-        val p = df.localCheckpoint(false)
-        (p, p)
-      }
-    val row = out.agg(aggCol, more: _*).first()
-    if (reliable) cache.unpersist() // checkpoint files written by the action above
-    (out, row, if (reliable) out else cache)
-  }
+                             (aggCol: Column, more: Column*): (DataFrame, Row, () => Unit) =
+    if (reliable) {
+      // non-eager reliable checkpoint: the first action below runs the
+      // job (populating the cache); the checkpoint write that follows
+      // reads the cache instead of recomputing
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = p.checkpoint(false)
+      val row = out.agg(aggCol, more: _*).first()
+      p.unpersist() // checkpoint files written by the action above
+      (out, row, () => ())
+    } else {
+      // non-eager local checkpoint: plan becomes a LogicalRDD now,
+      // blocks are stored when the action below first computes them
+      val out = df.localCheckpoint(false)
+      val row = out.agg(aggCol, more: _*).first()
+      (out, row,
+        () => org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out))
+    }
 
   /** Components of the undirected graph given by (srcCol, dstCol) pairs.
     * Returns (node, component) where component = min node id reachable.
@@ -90,10 +95,14 @@ object Graph {
       p.unpersist()
       ck
     } else und0.localCheckpoint(true)
+    val undRelease: () => Unit =
+      if (reliable) () => ()
+      else () => org.apache.spark.sql.GraftBridge.unpersistCheckpoint(und)
     // initial labels: node -> itself; materialized by round 1's action
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("component"))
-    var prevHandle = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    val labels0 = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    var prevRelease: () => Unit = () => labels0.unpersist()
     var iter = 0
     var changed = -1L
     while (changed != 0 && iter < maxIter) {
@@ -112,17 +121,25 @@ object Graph {
       // the ONE action of the round: stores the round's labels and
       // returns the changed count (min includes the own label, so
       // component <= old always; != means strictly improved)
-      val (next, row, handle) = materializeWith(step, reliable)(
+      val (next, row, release) = materializeWith(step, reliable)(
         coalesce(sum(when(col("component") =!= col("old"), 1L)), lit(0L)).as("c"))
       changed = row.getLong(0)
-      prevHandle.unpersist()
-      prevHandle = handle
+      prevRelease()
+      prevRelease = release
       labels = next.select(col("node"), col("component"))
       iter += 1
     }
-    und.unpersist()
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds " +
-      "(diameter too large — use connectedComponentsStar)")
+    undRelease()
+    if (changed != 0) {
+      prevRelease() // don't leak the last round's blocks on abort
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(diameter too large — use connectedComponentsStar)")
+    }
+    // the returned labels frame keeps its (final-round) blocks persisted
+    // so the caller's query reads the cache instead of re-running the
+    // whole iteration; the ContextCleaner releases them once the frame
+    // is unreferenced (spark.cleaner.referenceTracking, default on)
     labels
   }
 
@@ -139,13 +156,13 @@ object Graph {
     * Convergence test rides the materializing action: the edge set's
     * (count, xor of row hashes) fingerprint is computed while the
     * round's blocks are stored — bit_xor, not sum, because a hash SUM
-    * overflows Long under ANSI mode. The fingerprint is probabilistic:
-    * two DIFFERENT consecutive edge sets collide only if their
-    * symmetric difference xors to zero across 64-bit hashes at equal
-    * counts (~2^-64 per round — accepted engineering risk; a paranoid
-    * caller can verify star-ness of the result with one exceptAll
-    * pass). Within-set duplicates cannot mask changes because each
-    * round's set is distinct. */
+    * overflows Long under ANSI mode. A fingerprint MATCH is then
+    * confirmed with one exact `exceptAll` pass (both sets are distinct
+    * and the counts are exact-equal from the fingerprint, so one-sided
+    * emptiness proves set equality) — the check runs only at
+    * termination, converting the ~2^-64/round collision risk into a
+    * hard guarantee for one extra pass. Within-set duplicates cannot
+    * mask changes because each round's set is distinct. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
                               maxIter: Int = 50,
                               checkpointDir: Option[String] = None): DataFrame = {
@@ -188,24 +205,27 @@ object Graph {
     // short-circuit must measure the same set `cur` starts from)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val noLoop = col("src") =!= col("dst")
-    val (eMat, row0, _) = materializeWith(e0, reliable)(
+    val (eMat, row0, eMatRelease) = materializeWith(e0, reliable)(
       count(when(noLoop, 1)).as("n"),
       coalesce(bit_xor(when(noLoop, xxhash64(col("src"), col("dst")))), lit(0L)).as("h"))
     var fp = (row0.getLong(0), row0.getLong(1))
     var cur = eMat.filter(noLoop)
-    // eMat itself stays persisted until the caller's query runs (the
-    // final labels join reads it); only round results rotate
-    var prevHandle: Option[DataFrame] = None
+    // eMat stays resident until the final labels are materialized (the
+    // node-set join reads it); only round results rotate
+    var prevRelease: () => Unit = () => ()
     var iter = 0
     var converged = fp._1 == 0L // empty graph: nothing to contract
     while (!converged && iter < maxIter) {
-      val (next, row, handle) = materializeWith(
+      val (next, row, release) = materializeWith(
         smallStar(largeStar(cur)), reliable)(fingerprint.head, fingerprint.tail: _*)
       val nfp = (row.getLong(0), row.getLong(1))
-      converged = nfp == fp
+      // exact confirmation runs only when the fingerprint matches (the
+      // terminal round): counts are equal by the fingerprint's exact n,
+      // both sets distinct, so one-sided exceptAll emptiness == equality
+      converged = nfp == fp && next.exceptAll(cur).isEmpty
       fp = nfp
-      prevHandle.foreach(_.unpersist())
-      prevHandle = Some(handle)
+      prevRelease()
+      prevRelease = release
       cur = next
       iter += 1
     }
@@ -216,23 +236,55 @@ object Graph {
       .groupBy(col("node")).agg(min(col("component")).as("component"))
     // contract parity with connectedComponents: nodes whose only edges
     // were self-loops (absent from the star rounds) are singletons
-    val allNodes = eMat.select(col("src").as("node"))
-      .unionAll(eMat.select(col("dst").as("node"))).distinct()
-    allNodes.join(star, Seq("node"), "left")
+    val labelsPlan = allNodesOf(eMat).join(star, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
+    // materialize the (tiny, (node, component)-wide) labels with one
+    // final action so the edge blocks — eMat and the last round — can
+    // be released NOW instead of living until the caller's query runs;
+    // the labels' own blocks are ContextCleaner-released on GC.
+    val (labels, _, _) = materializeWith(labelsPlan, reliable)(
+      count(lit(1)).as("n"))
+    prevRelease()
+    eMatRelease()
+    labels
   }
+
+  private def allNodesOf(e: DataFrame): DataFrame =
+    e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
 
   /** Cluster-correct dedup: from near-dup pairs over `df`, keep exactly
     * one row (the min id) per connected component, plus every row that
-    * appears in no pair. The output is the deduplicated id set. */
+    * appears in no pair. The output is the deduplicated id set.
+    *
+    * @param algo `"auto"` (default) runs min-label propagation and
+    *   falls back to Large-Star/Small-Star if the graph's diameter
+    *   exceeds `maxIter` rounds — so the production dedup entry point
+    *   survives deep candidate graphs (chained containment hits);
+    *   `"propagation"` / `"star"` pin a variant. */
   def keepClusterRepresentatives(df: DataFrame, idCol: String,
                                  pairs: DataFrame,
                                  srcCol: String = "id_a",
                                  dstCol: String = "id_b",
-                                 checkpointDir: Option[String] = None): DataFrame = {
-    val comps = connectedComponents(pairs, srcCol, dstCol,
-      checkpointDir = checkpointDir)
+                                 checkpointDir: Option[String] = None,
+                                 algo: String = "auto",
+                                 maxIter: Int = 25): DataFrame = {
+    val comps = algo match {
+      case "star" =>
+        connectedComponentsStar(pairs, srcCol, dstCol, checkpointDir = checkpointDir)
+      case "propagation" =>
+        connectedComponents(pairs, srcCol, dstCol, maxIter, checkpointDir)
+      case "auto" =>
+        try connectedComponents(pairs, srcCol, dstCol, maxIter, checkpointDir)
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("did not converge") =>
+            connectedComponentsStar(pairs, srcCol, dstCol, checkpointDir = checkpointDir)
+        }
+      case other => throw new IllegalArgumentException(
+        s"""algo must be "auto", "propagation" or "star", got "$other"""")
+    }
     val losers = comps.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

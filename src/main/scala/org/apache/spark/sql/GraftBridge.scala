@@ -26,4 +26,15 @@ object GraftBridge {
     * builders that assemble results with the DataFrame API). */
   def logicalPlan(df: Dataset[Row]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical
+
+  /** Release the storage blocks behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only clears CacheManager entries — a local
+    * checkpoint's blocks are an RDD-LEVEL persist on the LogicalRDD's
+    * backing RDD and stay resident until GC otherwise. Iterative
+    * operators (Graph CC) rotate one checkpoint per round and must
+    * release the previous round's blocks deterministically. */
+  def unpersistCheckpoint(df: Dataset[Row]): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -130,9 +130,10 @@ class GraphSpec extends AnyFunSuite {
       }
       val heads = scala.jdk.CollectionConverters.IteratorHasAsScala(
         events.iterator).asScala.count(_ == "head")
-      // the initial fingerprint excludes self-loops, so the only per-round
-      // action is the one edge-set materialization — no star rounds ran
-      assert(heads == 1, s"self-loop-only graph ran star rounds: $heads head actions")
+      // the initial fingerprint excludes self-loops, so no star rounds
+      // ran: one edge-set materialization + one final-labels
+      // materialization (the round-4 action that lets eMat release)
+      assert(heads == 2, s"self-loop-only graph ran star rounds: $heads head actions")
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -157,6 +158,44 @@ class GraphSpec extends AnyFunSuite {
       }
       rm(dir)
     }
+  }
+
+  test("keepClusterRepresentatives survives a diameter-199 graph via auto-fallback") {
+    import spark.implicits._
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val rows = ((1L to 200L) :+ 999L).toDF("id")
+    // maxIter 5 makes propagation refuse; auto must fall back to star
+    // and still dedup the whole chain to its min id (singleton kept)
+    val kept = Graph.keepClusterRepresentatives(rows, "id", path, maxIter = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 999L))
+    // pinned variants: star succeeds outright, propagation refuses
+    val keptStar = Graph.keepClusterRepresentatives(rows, "id", path, algo = "star")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptStar == Set(1L, 999L))
+    intercept[IllegalArgumentException] {
+      Graph.keepClusterRepresentatives(rows, "id", path,
+        algo = "propagation", maxIter = 5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Graph.keepClusterRepresentatives(rows, "id", path, algo = "bogus")
+    }
+  }
+
+  test("star CC releases the edge-set cache once labels are materialized") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val comps = Graph.connectedComponentsStar(pathGraph, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == expected)
+    // eMat and per-round handles must be gone; only the final labels
+    // frame may remain cached (ContextCleaner reclaims it on GC).
+    // unpersist is async — poll
+    var spins = 0
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.size > 1 && spins < 50) { Thread.sleep(100); spins += 1 }
+    val detail = (spark.sparkContext.getPersistentRDDs -- before)
+      .map { case (id, r) => s"$id=${r.name}:${r.toDebugString.linesIterator.next()}" }
+    assert(leaked.size <= 1, s"star CC retained edge caches: $detail")
   }
 
   test("empty edge list converges immediately with no components") {
