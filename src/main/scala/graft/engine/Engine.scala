@@ -52,7 +52,10 @@ class Engine(val spark: SparkSession) {
     val cells = shown.map(_.toSeq.map {
       case null => ""
       case a: Array[_] => a.mkString("[", ",", "]")
-      case s: Seq[_] => s.mkString("[", ",", "]")
+      // collection.Seq, not Seq: Spark hands array columns back as
+      // mutable.ArraySeq, which is NOT an immutable (default) Seq in
+      // Scala 2.13 — bare `Seq` silently fell through to toString
+      case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
       case v => v.toString
     })
     val widths = cols.indices.map { i =>

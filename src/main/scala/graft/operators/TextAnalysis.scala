@@ -163,7 +163,14 @@ object TextAnalysis {
           .as("token_offset"))
       .select(col(idCol), col("n_toks"), col("token_offset"),
         expr(s"token_offset div $seqLen").as("first_seq"),
-        expr(s"(token_offset + n_toks - 1) div $seqLen").as("last_seq"))
+        // greatest() guards the zero-token corner: Spark `div` truncates
+        // toward zero while the floor convention rounds down, so
+        // token_offset + n_toks - 1 < token_offset would diverge at
+        // negative values. Unreachable with the whitespace tokenizer
+        // (n_toks >= 1 always), but a future tokenizer returning 0 gets
+        // last_seq == first_seq instead of an engine-dependent answer.
+        expr(s"greatest(token_offset + n_toks - 1, token_offset) div $seqLen")
+          .as("last_seq"))
   }
 
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"

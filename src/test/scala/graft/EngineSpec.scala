@@ -332,6 +332,35 @@ class EngineSpec extends AnyFunSuite {
     } finally Catalog.dropDb(spark, "dbe")
   }
 
+  test("format_result golden layout: widths, null rendering, separator") {
+    import spark.implicits._
+    // exosql's exact ASCII layout can't be diffed (reference tree is
+    // empty) — freeze OURS so the API boundary stops drifting silently
+    val df = Seq((1L, "alpha", Option(1.5)), (22L, "b", Option.empty[Double]))
+      .toDF("id", "name", "score")
+    val out = engine.formatResult(df.orderBy($"id"))
+    val expected =
+      "id | name  | score\n" +
+      "---+-------+------\n" +
+      "1  | alpha | 1.5  \n" +
+      "22 | b     |      \n"
+    assert(out == expected)
+  }
+
+  test("format_result golden truncation marker and array rendering") {
+    import spark.implicits._
+    val df = Seq((1, Seq("a", "b")), (2, Seq("c")), (3, Seq.empty[String]))
+      .toDF("id", "arr")
+    val out = engine.formatResult(df.orderBy($"id"), maxRows = 2)
+    val expected =
+      "id | arr  \n" +
+      "---+------\n" +
+      "1  | [a,b]\n" +
+      "2  | [c]  \n" +
+      "... (truncated at 2 rows)\n"
+    assert(out == expected)
+  }
+
   test("LLM table functions run from SQL and match the Scala API") {
     Tables.registerAll(spark, TestSpark.sf)
     val viaSql = engine.query(
