@@ -80,7 +80,9 @@ class PlanSpec extends AnyFunSuite {
       "llm_ann_ivf", "llm_cosine", "llm_ngram_jaccard",
       // broadcast of a 1-row bound/total (max doc_id; corpus N)
       "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment",
-      "llm_containment_dfcap", "llm_decontaminate", "llm_minhash_capped")
+      "llm_containment_dfcap", "llm_decontaminate", "llm_minhash_capped",
+      // SQL-façade twin of llm_tfidf (same broadcast 1-row corpus count)
+      "e_sql_tfidf")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
