@@ -58,6 +58,26 @@ object Sampling {
     df.orderBy(order: _*).limit(k)
   }
 
+  /** Deterministic exact-k PER STRATUM: within every stratum, the k
+    * rows with the smallest salted key hash — same hash and total-order
+    * contract as [[exactK]], so membership is layout- and
+    * engine-invariant. The shape for balanced eval sets ("10 docs from
+    * every source"). One shuffle on the stratum key; the per-stratum
+    * window sort is bounded by stratum size, and a dominant stratum is
+    * exactly the skew AQE's skew-join split doesn't fix — pre-split hot
+    * strata (salt the stratum) if one source is most of the corpus. */
+  def exactKPerStratum(df: DataFrame, stratum: Column, key: Column, k: Int,
+                       tieBreak: Seq[Column],
+                       salt: String = "sample"): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val order = saltedHash(key, salt).asc_nulls_last +: key.asc_nulls_last +:
+      tieBreak.map(_.asc_nulls_last)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Stratified sample: per-stratum rates (basis points), rows in
     * strata missing from `rates` are dropped. The rate lookup is a
     * codegen'd CASE chain — no join, no shuffle; the gate stays a pure

@@ -173,6 +173,28 @@ object TextAnalysis {
           .as("last_seq"))
   }
 
+  /** Top-`topK` n-gram shingles by document frequency — the corpus
+    * boilerplate report (headers, footers, templated text) that informs
+    * the df/bucket caps ([[Dedup.containmentPairs]]'s `maxShingleDf`,
+    * the band joins' `maxBucketSize`). Ordered (df desc, shingle asc) —
+    * a total order, so the LIMIT boundary is deterministic.
+    *
+    * Scale shape: rides [[Dedup.shingleRows]]; the per-doc distinct and
+    * the df count are partial-aggregable; orderBy+limit plans
+    * TakeOrderedAndProject (per-partition top-k, no full sort). Shingle
+    * STRINGS cross the exchange here — inherent to a human-readable
+    * report, and bounded: upstream aggregation keys are n-grams, output
+    * is topK rows. */
+  def topShinglesByDf(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    Dedup.shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .distinct()
+      .groupBy(col("s").as("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(topK)
+  }
+
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 

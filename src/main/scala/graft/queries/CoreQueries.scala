@@ -269,6 +269,24 @@ object CoreQueries {
           countDistinct($"o_custkey") <= 0.05).as("hll_within_5pct"))
     }),
 
+    "a8_approx_quantile" -> ((s, d) => {
+      import s.implicits._
+      // GK approximate-quantile sketch (the other workhorse sketch next
+      // to a8_hll's HLL++): same gate recipe — pin the EXACT quantiles
+      // both engines agree on, attest the sketch CONTRACT (approx
+      // within 1% of exact at accuracy 10000). The sketch is mergeable,
+      // so the result is partition-layout-invariant.
+      val exact = expr("percentile(l_extendedprice, array(0.5, 0.95))")
+      val approx = expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+      Tables.load(s, d, "lineitem").agg(
+        round(element_at(exact, 1), 4).as("p50_exact"),
+        round(element_at(exact, 2), 4).as("p95_exact"),
+        (abs(element_at(approx, 1) - element_at(exact, 1)) /
+          element_at(exact, 1) <= 0.01 &&
+          abs(element_at(approx, 2) - element_at(exact, 2)) /
+            element_at(exact, 2) <= 0.01).as("gk_within_1pct"))
+    }),
+
     "a8_corr" -> ((s, d) => {
       import s.implicits._
       Tables.load(s, d, "lineitem")
@@ -597,6 +615,13 @@ object CoreQueries {
       """SELECT count(DISTINCT o_custkey) AS ndv_exact,
                 true AS hll_within_5pct
          FROM orders""",
+    // exact interpolated quantiles both engines agree on + the Spark
+    // side's attestation that the GK sketch landed within contract
+    "a8_approx_quantile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+                true AS gk_within_1pct
+         FROM lineitem""",
     "a8_corr" ->
       """SELECT l_returnflag,
                 round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,

@@ -294,6 +294,23 @@ object LlmQueries {
     "llm_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(
         Tables.load(s, d, "documents"), "doc_id", "text", topK = 3)),
+    "llm_boilerplate" -> ((s, d) =>
+      // corpus boilerplate report: the 20 highest-document-frequency
+      // trigrams — what a production run reads to set maxShingleDf /
+      // maxBucketSize before the dedup passes
+      TextAnalysis.topShinglesByDf(
+        Tables.load(s, d, "documents"), "doc_id", "text", n = 3, topK = 20)),
+    "llm_sample_strat" -> ((s, d) => {
+      import s.implicits._
+      // balanced eval set: exactly 10 docs per source, membership a
+      // pure function of (salt, text) with doc_id tie-break — same
+      // determinism contract as llm_sample_k, per stratum
+      graft.operators.Sampling.exactKPerStratum(
+          Tables.load(s, d, "documents").select($"doc_id", $"source", $"text"),
+          stratum = $"source", key = $"text", k = 10,
+          tieBreak = Seq($"doc_id"), salt = "strat:")
+        .select($"doc_id", $"source")
+    }),
     "llm_simhash_pairs" -> ((s, d) => {
       import s.implicits._
       // corpus + exact clones of the last 300 ids (where near-dup
@@ -700,6 +717,24 @@ object LlmQueries {
          ORDER BY CAST(('0x'||substr(md5('eval:'||text),1,8)) AS BIGINT) NULLS LAST,
                   text NULLS LAST, doc_id NULLS LAST
          LIMIT 200""",
+    "llm_sample_strat" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY CAST(('0x'||substr(md5('strat:'||text),1,8)) AS BIGINT) NULLS LAST,
+                             text NULLS LAST, doc_id NULLS LAST) AS rn
+           FROM documents)
+         WHERE rn <= 10""",
+    "llm_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+          g AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+                FROM t WHERE len(toks) >= 3),
+          e AS (SELECT doc_id, unnest(gs) AS shingle FROM g)
+         SELECT shingle, count(*) AS df FROM e
+         GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""",
     "llm_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
                        FROM documents),

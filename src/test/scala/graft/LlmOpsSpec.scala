@@ -413,6 +413,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> (2L, true), 2L -> (0L, false), 3L -> (0L, false)))
   }
 
+  test("exact-k per stratum: balanced, nested, and layout-invariant") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = docs.select($"doc_id", $"source", $"text")
+    val k5 = Sampling.exactKPerStratum(df, $"source", $"text", 5,
+      Seq($"doc_id"), salt = "strat:")
+    // exactly k per stratum (every source has >= 5 docs in testdata)
+    val counts = k5.groupBy($"source").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) == 5L))
+    // nesting: k=5 sample is a subset of the k=10 sample (same hash order)
+    val k10 = Sampling.exactKPerStratum(df, $"source", $"text", 10,
+      Seq($"doc_id"), salt = "strat:")
+    assert(k5.select($"doc_id").exceptAll(k10.select($"doc_id")).isEmpty)
+    // layout invariance: membership survives a repartition
+    val reparted = Sampling.exactKPerStratum(df.repartition(7), $"source",
+      $"text", 5, Seq($"doc_id"), salt = "strat:")
+    assert(k5.select($"doc_id").exceptAll(reparted.select($"doc_id")).isEmpty)
+  }
+
+  test("topShinglesByDf counts each doc once and orders deterministically") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // header trigrams appear in all 4 docs (df=4) even when a doc
+    // repeats them; body trigrams are per-doc
+    val header = "h1 h2 h3"
+    val df = (1L to 4L).map(i =>
+      (i, s"$header $header b${i}_1 b${i}_2 b${i}_3")).toDF("doc_id", "text")
+    val top = TextAnalysis.topShinglesByDf(df, "doc_id", "text", n = 3, topK = 3)
+      .collect()
+    assert(top.head.getString(0) == "h1 h2 h3" && top.head.getLong(1) == 4L)
+    // within-doc repetition must NOT inflate df (distinct per doc)
+    assert(top.forall(_.getLong(1) <= 4L))
+    // deterministic tie-break: equal-df shingles come back sorted
+    val ties = top.filter(_.getLong(1) == top(1).getLong(1)).map(_.getString(0))
+    assert(ties.sameElements(ties.sorted))
+  }
+
   test("corpus mix gates are deterministic, independent, and rate-accurate") {
     import spark.implicits._
     import graft.operators.Sampling
