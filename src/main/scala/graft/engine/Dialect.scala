@@ -469,7 +469,12 @@ object Dialect {
           (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
           (i + 7 >= s.length || !isIdentChar(s.charAt(i + 7)))) {
         val clausePos =
-          !opChars.contains(prevChar) &&
+          // ')' is allowed as predecessor: `FROM (subquery) QUALIFY p`
+          // is a genuine clause; the implicit-alias reading
+          // (`SELECT f(x) qualify ...`) is excluded by the next-token
+          // check (an alias is followed by ',', FROM, end — never a
+          // predicate start)
+          (!opChars.contains(prevChar) || prevChar == ')') &&
             !exprContextPrev.contains(prevWord) &&
             prevWord.nonEmpty && {
               val nxt = nextCode(s, i + 7)
@@ -506,9 +511,9 @@ object Dialect {
     * CTE bodies) via the same region splice as DISTINCT ON; set-op arms
     * are parenthesized and recursed like DISTINCT ON's. Identifier uses
     * of the (non-reserved) word — aliases, columns, table names — are
-    * left untouched via clause-position detection; the one false
-    * negative is QUALIFY directly after an unaliased `)`, which then
-    * surfaces as a Spark parse error rather than a silent rewrite. */
+    * left untouched via clause-position detection (including the
+    * implicit-alias form `f(x) qualify`, excluded by the next-token
+    * check). */
   def rewriteQualify(sql: String): String = {
     var cur = sql
     var guard = 0

@@ -97,7 +97,31 @@ object EngineQueries {
     "e_sql_sample_k" -> ((s, d) => via(s, d)(
       "SELECT doc_id FROM graft_sample_k('documents', 'text', 'doc_id', 200, 'eval:')")),
     "e_sql_tfidf" -> ((s, d) => via(s, d)(
-      "SELECT * FROM graft_tfidf('documents', 'doc_id', 'text', 3)"))
+      "SELECT * FROM graft_tfidf('documents', 'doc_id', 'text', 3)")),
+    // composition: the TVFs resolve through the catalog, so a view
+    // DEFINED IN SQL feeds the pipeline — the whole near-dup-tail
+    // containment flow without a line of Scala
+    "e_sql_containment" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_doc_tail AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)""")
+      e.query(
+        "SELECT * FROM graft_containment_pairs('graft_doc_tail', 'doc_id', 'text', 3, 0.5)")
+    }),
+    "e_sql_decontaminate" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_eval_v AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_corpus_v AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id <= (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query(
+        "SELECT * FROM graft_decontaminate('graft_corpus_v', 'graft_eval_v', 'doc_id', 'text', 13)")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -155,6 +179,8 @@ object EngineQueries {
     "e_sql_chunk" -> LlmQueries.oracle("llm_chunk"),
     "e_sql_pack" -> LlmQueries.oracle("llm_pack"),
     "e_sql_sample_k" -> LlmQueries.oracle("llm_sample_k"),
-    "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf")
+    "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf"),
+    "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
+    "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate")
   )
 }

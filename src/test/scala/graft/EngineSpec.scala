@@ -222,8 +222,17 @@ class EngineSpec extends AnyFunSuite {
     val r2 = Dialect.rewriteQualify(
       "SELECT k, row_number() OVER (ORDER BY v) AS rn FROM t QUALIFY (rn = 1)")
     assert(r2.contains("__graft_q"), r2)
-    // identifier uses stay untouched even with the new acceptance rules
+    // QUALIFY directly after a FROM-subquery's ')' is a clause (the
+    // formerly-documented false negative)
+    val r3 = Dialect.rewriteQualify(
+      "SELECT x FROM (SELECT 1 AS x FROM t) QUALIFY row_number() OVER (ORDER BY x) = 1")
+    assert(r3.contains("__graft_q"), r3)
+    // ...but an implicit alias after ')' is NOT (alias is followed by
+    // ',' / FROM / end, never a predicate)
     for (sql <- Seq(
+      "SELECT f(x) qualify FROM t",
+      "SELECT f(x) qualify, y FROM t",
+      "SELECT f(x) qualify",
       "SELECT 'lit', qualify FROM t",
       "SELECT a FROM t WHERE qualify = 'x'"))
       assert(Dialect.rewriteQualify(sql) == sql, s"mangled: $sql")
