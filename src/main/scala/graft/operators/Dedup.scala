@@ -153,9 +153,21 @@ object Dedup {
     // k permutation minima as one partial-aggregable hash aggregate
     val sigAggs = (0 until k).map(i =>
       min((col("h") * (2 * i + 1) + (101 * i + 17)) % p).as(s"s$i"))
+    // The self-join (bands x/y) and the confirm joins (a/b) reference
+    // this aggregate FOUR times. Declarative reuse cannot save it:
+    // column pruning specializes each branch (sig-only vs hset-only
+    // aggregates), so the subplans differ and ReuseExchange never
+    // fires — the corpus-side tokenize→window→aggregate chain executes
+    // once per reference (verified: 4 scans, 0 reuse). A NON-EAGER
+    // localCheckpoint makes all four branches read one LogicalRDD:
+    // the corpus chain runs once, what repeats is a scan of compact
+    // fixed-width sketch rows. Blocks are reclaimed by the
+    // ContextCleaner when the plan is unreferenced (same contract as
+    // Graph's round checkpoints).
     val sets = hs.groupBy(col(idCol)).agg(
       collect_set(col("h")).as("hset"),
       sigAggs: _*)
+      .localCheckpoint(false)
     val bandStructs = array((0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
@@ -203,10 +215,14 @@ object Dedup {
     require(hashBits % nBands == 0, s"hashBits $hashBits must split into $nBands bands")
     val bandBits = hashBits / nBands
     val mask = (1L << bandBits) - 1
+    // the sketch frame is read by both self-join sides (and the bucket
+    // cap's count): checkpoint the compact (id, 8-byte sketch) rows so
+    // the corpus tokenize+simhash pass runs ONCE (see minhashPairs)
     val sh = df.select(col(idCol),
       org.apache.spark.sql.GraftBridge.column(graft.functions.SimHashN(
         org.apache.spark.sql.GraftBridge.expression(TextAnalysis.tokens(col(textCol))),
         hashBits)).as("sh"))
+      .localCheckpoint(false)
     val bandStructs = array((0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))): _*)
@@ -253,6 +269,7 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     val sh = df.select(col(idCol),
       simhashWide(TextAnalysis.tokens(col(textCol)), words).as("sh"))
+      .localCheckpoint(false) // one corpus pass — see simhashPairs
     val bandStructs = array((for (w <- 0 until words; b <- 0 until bandsPerWord)
       yield struct(lit(w * bandsPerWord + b).as("band_idx"),
         shiftright(element_at(col("sh"), w + 1), b * bandBits)
@@ -281,6 +298,7 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
       .groupBy(col(idCol)).agg(collect_set(col("s")).as("sh"))
+      .localCheckpoint(false) // shingle sets built once for both sides
     sh.as("x").join(sh.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
@@ -303,9 +321,13 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
                        maxShingleDf: Option[Int] = None): DataFrame = {
+    // referenced by the df-cap count, both overlap sides, and sizes —
+    // checkpoint the compact (id, 8-byte hash) rows so the corpus
+    // shingle pass runs once (see minhashPairs)
     val sh0 = shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
       .select(col(idCol), sharedHash(col("s")).as("h"))
       .distinct()
+      .localCheckpoint(false)
     // the hot-key bound a production run needs: shingles shared by more
     // than maxShingleDf docs are boilerplate — drop them BEFORE the
     // self-join (a df-10⁴ shingle would otherwise fan out 10⁸ pairs).

@@ -223,9 +223,14 @@ object Similarity {
     val p = if (nPlanes > 0) nPlanes
       else autoPlanes(if (corpusSize > 0) corpusSize else emb.count())
     val planes = planeSigns(p, dim)
+    // both self-join sides (and the bucket cap) read the bucketed
+    // frame: checkpoint it so the P-dot-product bucket assignment runs
+    // once per row, not once per reference. The blocks carry the
+    // vectors — the same payload the join shuffles anyway.
     val b = Dedup.capBuckets(
       emb.select(col(idCol), col(vecCol),
-        lshBucket(col(vecCol), planes).as("bucket")),
+        lshBucket(col(vecCol), planes).as("bucket"))
+        .localCheckpoint(false),
       Seq("bucket"), maxBucketSize)
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&
