@@ -147,9 +147,12 @@ object TextAnalysis {
                   seqLen: Int = 2048, docsPerBucket: Int = 4096): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(docsPerBucket >= 1, s"docsPerBucket must be >= 1, got $docsPerBucket")
+    // read by the bucket-totals aggregate AND the offset join — one
+    // tokenize pass, not two (see Dedup.minhashPairs)
     val toks = df.select(col(idCol),
       tokenCount(col(textCol)).cast("long").as("n_toks"),
       expr(s"`$idCol` div $docsPerBucket").as("__b"))
+      .localCheckpoint(false)
     val totals = toks.groupBy(col("__b")).agg(sum(col("n_toks")).as("__bt"))
     val wBuckets = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -231,7 +234,11 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     topK: Int = 3): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // tf feeds BOTH the df aggregate and the score join; pruning
+    // specializes the two branches, so without a checkpoint the corpus
+    // tokenize+count chain runs twice (see Dedup.minhashPairs)
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))

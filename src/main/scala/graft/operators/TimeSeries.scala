@@ -37,10 +37,13 @@ object TimeSeries {
                unit: String = "minute"): DataFrame = {
     require(Seq("minute", "hour", "second").contains(unit),
       s"sub-day unit required (forward fill partitions by day), got $unit")
+    // read by the day-close aggregate AND the dense-grid join — one
+    // events pass, not two (see Dedup.minhashPairs)
     val buckets = df
       .groupBy(date_trunc(unit, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol).cast(DecimalType(18, 6))).as("__sum_dec"))
+      .localCheckpoint(false)
     val bounds = df.agg(
       date_trunc(unit, min(col(tsCol))).as("lo"),
       date_trunc(unit, max(col(tsCol))).as("hi"))
