@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.col
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Graph, Sampling, TextAnalysis}
 
 /** SQL façade over the §2.10 LLM-pipeline operators — the reference's
   * identity is "SQL to whatever" (`README.md` [U]), so the dedup /
@@ -19,8 +19,9 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   * }}}
   *
   * The builder runs at ANALYSIS time and returns the operator's logical
-  * plan — execution stays fully distributed/lazy (these are plan
-  * constructors, not materializing calls). Arguments must be literals
+  * plan — execution stays fully distributed and (except the iterative
+  * `graft_cluster_keep`, which runs its cluster rounds while the outer
+  * query is analyzed) lazy. Arguments must be literals
   * (they parameterize plan construction, like every SQL TVF). Table
   * arguments resolve through the session catalog, so they compose with
   * temp views, catalog namespaces ([[Catalog.registerParquetDb]]) and
@@ -117,6 +118,21 @@ object LlmSql {
         TextAnalysis.tfidfTopTerms(table(str(t, f)), str(id, f),
           str(text, f), topK = int(k, f))
       case args => bad("graft_tfidf(table, id_col, text_col, top_k)", args)
+    }
+    reg(spark, "graft_cluster_keep") {
+      case Seq(t, id, text, thr) =>
+        val f = "graft_cluster_keep"
+        val tbl = table(str(t, f))
+        val pairs = Dedup.minhashPairs(tbl, str(id, f), str(text, f),
+          threshold = dbl(thr, f))
+        // NOTE: unlike the other entries this is not a pure plan
+        // constructor — connected components is iterative, so the
+        // cluster rounds execute while the OUTER query is analyzed
+        // (same eager-at-build tradeoff as IVF's centroid collect)
+        Graph.keepClusterRepresentatives(
+          tbl.select(col(str(id, f))), str(id, f), pairs)
+      case args => bad(
+        "graft_cluster_keep(table, id_col, text_col, threshold)", args)
     }
     reg(spark, "graft_decontaminate") {
       case Seq(c, ev, id, text, n) =>

@@ -110,6 +110,10 @@ object EngineQueries {
       e.query(
         "SELECT * FROM graft_containment_pairs('graft_doc_tail', 'doc_id', 'text', 3, 0.5)")
     }),
+    // the flagship dedup flow — near-dup pairs -> connected components
+    // -> one representative per cluster — from one line of SQL
+    "e_sql_cluster_keep" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_cluster_keep('documents', 'doc_id', 'text', 0.5)")),
     "e_sql_decontaminate" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -181,6 +185,7 @@ object EngineQueries {
     "e_sql_sample_k" -> LlmQueries.oracle("llm_sample_k"),
     "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
-    "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate")
+    "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),
+    "e_sql_cluster_keep" -> LlmQueries.oracle("llm_cluster_keep")
   )
 }
