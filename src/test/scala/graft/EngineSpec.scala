@@ -186,6 +186,13 @@ class EngineSpec extends AnyFunSuite {
       "WITH c AS (SELECT 1 AS k, 2 AS v) SELECT DISTINCT ON (k) k, v FROM c UNION SELECT k, v FROM c")
     assert(r4.startsWith("WITH c AS (SELECT 1 AS k, 2 AS v) ("))
     assert(r4.contains("UNION (SELECT k, v FROM c)"))
+    // a set-op arm nested inside a CTE body rewrites within the body
+    val r6 = Dialect.rewriteDistinctOn(
+      """WITH u AS (SELECT DISTINCT ON (k) k, v FROM t UNION ALL SELECT k, v FROM w)
+         SELECT * FROM u""")
+    assert(r6.contains("PARTITION BY k ORDER BY k"))
+    assert(r6.contains("UNION ALL (SELECT k, v FROM w)"))
+    assert(r6.trim.endsWith("SELECT * FROM u"))
     // a `* EXCEPT (cols)` projection must not mask the LATER genuine
     // set operator (setOpOccurrences scans every occurrence)
     val r5 = Dialect.rewriteDistinctOn(

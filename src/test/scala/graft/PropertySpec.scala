@@ -180,6 +180,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucket cap law: capped pairs are a subset of uncapped; cap=∞ is identity") {
+    import spark.implicits._
+    // random small corpora with planted duplicate groups of random size
+    val gen = for {
+      nGroups <- Gen.chooseNum(1, 4)
+      sizes <- Gen.listOfN(nGroups, Gen.chooseNum(1, 8))
+    } yield sizes
+    check(Prop.forAll(gen) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        (0 until sz).map(i => ((g * 100 + i).toLong,
+          s"t$g a$g b$g c$g d$g e$g f$g"))
+      }
+      val df = rows.toDF("doc_id", "text")
+      def pairs(cap: Option[Int]) =
+        Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5,
+            maxBucketSize = cap)
+          .select($"id_a", $"id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val un = pairs(None)
+      val capped = pairs(Some(4))
+      capped.subsetOf(un) && pairs(Some(1000)) == un
+    }, n = 8)
+  }
+
   test("autoPlanes is monotone in corpus size and respects the occupancy bound") {
     check(Prop.forAll(Gen.chooseNum(1L, 1L << 40), Gen.chooseNum(1L, 1L << 40)) {
       (a: Long, b: Long) =>
