@@ -119,6 +119,31 @@ object LlmSql {
           str(text, f), topK = int(k, f))
       case args => bad("graft_tfidf(table, id_col, text_col, top_k)", args)
     }
+    reg(spark, "graft_simhash_pairs") {
+      case Seq(t, id, text, ham) =>
+        val f = "graft_simhash_pairs"
+        Dedup.simhashPairs(table(str(t, f)), str(id, f), str(text, f),
+          maxHamming = int(ham, f))
+      case args => bad(
+        "graft_simhash_pairs(table, id_col, text_col, max_hamming)", args)
+    }
+    reg(spark, "graft_boilerplate") {
+      case Seq(t, id, text, n, k) =>
+        val f = "graft_boilerplate"
+        TextAnalysis.topShinglesByDf(table(str(t, f)), str(id, f),
+          str(text, f), n = int(n, f), topK = int(k, f))
+      case args => bad(
+        "graft_boilerplate(table, id_col, text_col, n, top_k)", args)
+    }
+    reg(spark, "graft_sample_strat") {
+      case Seq(t, stratum, key, tie, k, salt) =>
+        val f = "graft_sample_strat"
+        Sampling.exactKPerStratum(table(str(t, f)), col(str(stratum, f)),
+          col(str(key, f)), int(k, f),
+          tieBreak = Seq(col(str(tie, f))), salt = str(salt, f))
+      case args => bad(
+        "graft_sample_strat(table, stratum_col, key_col, tiebreak_col, k, salt)", args)
+    }
     reg(spark, "graft_cluster_keep") {
       case Seq(t, id, text, thr) =>
         val f = "graft_cluster_keep"

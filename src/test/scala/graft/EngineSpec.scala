@@ -390,6 +390,24 @@ class EngineSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("every §2.10 pipeline is SQL-callable and matches its Scala twin") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    def same(sql: String, api: org.apache.spark.sql.DataFrame): Unit = {
+      val viaSql = engine.query(sql)
+      assert(viaSql.exceptAll(api).isEmpty && api.exceptAll(viaSql).isEmpty, sql)
+    }
+    same("SELECT * FROM graft_simhash_pairs('documents','doc_id','text',3)",
+      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+    same("SELECT * FROM graft_boilerplate('documents','doc_id','text',3,5)",
+      graft.operators.TextAnalysis.topShinglesByDf(docs, "doc_id", "text", 3, 5))
+    same("SELECT * FROM graft_sample_strat('documents','source','text','doc_id',5,'s:')",
+      graft.operators.Sampling.exactKPerStratum(docs,
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"), 5,
+        Seq(org.apache.spark.sql.functions.col("doc_id")), salt = "s:"))
+  }
+
   test("LLM table functions compose with catalog namespaces and filters") {
     Catalog.registerParquetDb(spark, "dbtvf", TestSpark.sf, Seq("documents"))
     try {
