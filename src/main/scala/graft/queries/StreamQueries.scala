@@ -32,6 +32,20 @@ object StreamQueries {
       Events.purchaseClickJoin(Tables.load(s, d, "events"), "1 hour")
         .groupBy(col("p_event"), col("user_id"))
         .agg(count(lit(1)).as("n_clicks_1h"))
+    }),
+    "st_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // streaming decontamination (batch-parity form): incoming corpus
+      // docs sharing any 13-gram with the static last-100-doc eval set
+      // are dropped — stateless stream-static anti-join, the stream
+      // path runs in StreamingSpec
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val ev = docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 100)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.crossJoin(broadcast(m)).filter(col("doc_id") <= col("m") - 100)
+        .select(col("doc_id"), col("text"))
+      graft.streaming.Corpus.cleanAgainst(corpus, ev, "doc_id", "text", n = 13)
     })
   )
 
@@ -79,6 +93,28 @@ object StreamQueries {
            ON p.user_id = c.user_id
           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    // the KEEP side of llm_decontaminate: corpus docs sharing no
+    // 13-gram with the eval slice (short docs have no shingles → clean)
+    "st_decontaminate" -> {
+      val gram13 = (0 until 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      val hashSql = "CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)"
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents),
+          g AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 12),
+                    i -> $gram13)) AS gs
+                FROM t WHERE len(toks) >= 13),
+          h AS (SELECT doc_id,
+                  list_distinct(list_transform(gs, s -> $hashSql)) AS hs
+                FROM g),
+          ev AS (SELECT DISTINCT unnest(hs) AS eh FROM h, m WHERE doc_id > mx - 100),
+          co AS (SELECT doc_id, unnest(hs) AS eh FROM h, m WHERE doc_id <= mx - 100),
+          dirty AS (SELECT DISTINCT doc_id FROM co JOIN ev USING (eh))
+          SELECT d.doc_id
+          FROM (SELECT doc_id FROM documents, m WHERE doc_id <= mx - 100) d
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)"""
+    }
   )
 }

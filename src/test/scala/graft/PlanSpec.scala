@@ -82,7 +82,11 @@ class PlanSpec extends AnyFunSuite {
       "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment",
       "llm_containment_dfcap", "llm_decontaminate", "llm_minhash_capped",
       // SQL-façade twin of llm_tfidf (same broadcast 1-row corpus count)
-      "e_sql_tfidf")
+      "e_sql_tfidf",
+      // stateless stream-safe decontamination: set membership is not an
+      // equi-key, so the broadcast MB-scale eval array probes per row
+      // (documented cost model in streaming.Corpus.cleanAgainst)
+      "st_decontaminate")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

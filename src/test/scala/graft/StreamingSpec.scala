@@ -42,6 +42,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming decontamination: stream over files == batch, stateless") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ev = docs.filter(col("doc_id") > mx - 100).select(col("doc_id"), col("text"))
+    val batchCorpus = docs.filter(col("doc_id") <= mx - 100)
+    val batch = graft.streaming.Corpus
+      .cleanAgainst(batchCorpus, ev, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // stream the whole documents file; apply the same corpus filter +
+    // decontamination transform — identical code path
+    val stream = graft.streaming.Corpus.readStream(spark, TestSpark.sf)
+      .filter(col("doc_id") <= mx - 100)
+    Events.runToMemory(spark,
+      graft.streaming.Corpus.cleanAgainst(stream, ev, "doc_id", "text"),
+      "t_decon", OutputMode.Append())
+    val streamed = spark.table("t_decon").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // and contamination is real: some corpus docs were dropped
+    assert(batch.size < batchCorpus.count())
+  }
+
   test("session gap boundary: exactly-gap-apart events start a new session") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)
