@@ -262,11 +262,19 @@ object CoreQueries {
       // the estimate lands within ±5% of exact (rsd 0.01 ⇒ ~1%
       // expected). HLL merge is an exact register union, so the result
       // is partition-layout-invariant and deterministic.
-      Tables.load(s, d, "orders").agg(
-        countDistinct($"o_custkey").as("ndv_exact"),
-        (abs(approx_count_distinct($"o_custkey", 0.01) -
-            countDistinct($"o_custkey")).cast("double") /
-          countDistinct($"o_custkey") <= 0.05).as("hll_within_5pct"))
+      // exact and sketch run as SEPARATE single-row aggregates joined at
+      // the end: mixing count(DISTINCT) with another aggregate plans an
+      // Expand, and the HLL then keeps a register buffer PER DISTINCT
+      // KEY group instead of one per partition — measured 2.75 s
+      // combined vs 0.30 + 0.88 split at sf0.1
+      val orders = Tables.load(s, d, "orders")
+      val exact = orders.agg(countDistinct($"o_custkey").as("ndv_exact"))
+      val sketch = orders.agg(
+        approx_count_distinct($"o_custkey", 0.01).as("__hll"))
+      exact.crossJoin(broadcast(sketch)).select(
+        $"ndv_exact",
+        (abs($"__hll" - $"ndv_exact").cast("double") / $"ndv_exact" <= 0.05)
+          .as("hll_within_5pct"))
     }),
 
     "a8_approx_quantile" -> ((s, d) => {

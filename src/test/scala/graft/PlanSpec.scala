@@ -86,7 +86,10 @@ class PlanSpec extends AnyFunSuite {
       // stateless stream-safe decontamination: set membership is not an
       // equi-key, so the broadcast MB-scale eval array probes per row
       // (documented cost model in streaming.Corpus.cleanAgainst)
-      "st_decontaminate")
+      "st_decontaminate",
+      // exact ndv x HLL sketch joined as two broadcast 1-row aggregates
+      // (the fused form plans an Expand with per-key HLL buffers)
+      "a8_hll")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
