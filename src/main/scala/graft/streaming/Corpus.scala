@@ -34,35 +34,27 @@ object Corpus {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
-  /** Per-row hashed n-token shingles as one array column (no explode,
-    * no aggregate — the stream-safe shape). Engine-reproducible via
-    * [[Dedup.sharedHash]], like the batch pipeline. */
-  def shingleHashes(text: Column, n: Int): Column =
-    transform(Dedup.shinglesOfTokens(split(text, "\\s+"), n),
-      s => Dedup.sharedHash(s))
-
   /** Documents sharing NO n-token shingle with `evalDocs` — the
-    * decontamination KEEP-side as a stateless stream-static anti-join.
-    * The eval hash set is computed with the batch relational shape
-    * (it's static and small — benchmark MBs vs corpus TBs) and
-    * broadcast; docs with fewer than `n` tokens have no shingles and
-    * pass clean, matching [[Dedup.decontaminate]].
-    *
-    * COST MODEL (deliberate): set membership is not an equi-key, so
-    * this plans a broadcast nested-loop anti-join — per kept document
-    * one pass over the eval hash array (contaminated docs early-exit).
-    * That is the right trade while the eval set is benchmark-sized
-    * (10⁴–10⁶ hashes); for an eval side too big to probe per row, run
-    * the batch [[Dedup.decontaminate]] (explode + broadcast hash
-    * semi-join) inside `foreachBatch` instead — same results, one
-    * micro-batch of state at a time. */
+    * decontamination KEEP-side as a stateless per-row filter. The eval
+    * hash set is computed with the batch relational shape and collected
+    * ONCE (it's static and benchmark-sized — MBs vs corpus TBs); each
+    * incoming document is then probed by ONE fused expression
+    * ([[graft.functions.ShingleContaminated]]) that builds gram bytes,
+    * digests, and hash-probes with early exit — no per-row HOF lambda
+    * tree, no join. Docs with fewer than `n` tokens have no shingles
+    * and pass clean, matching [[Dedup.decontaminate]]. For an eval side
+    * too big to ship in the plan (beyond ~10⁶ hashes), run the batch
+    * semi-join inside `foreachBatch` instead. */
   def cleanAgainst(docs: DataFrame, evalDocs: DataFrame,
                    idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val evalH = Dedup.shingleRows(
+    val evalH: Seq[Long] = Dedup.shingleRows(
         evalDocs.select(col(idCol), col(textCol)), idCol, textCol, n)
       .select(Dedup.sharedHash(col("s")).as("h")).distinct()
-    docs.select(col(idCol), shingleHashes(col(textCol), n).as("__sh"))
-      .join(broadcast(evalH), array_contains(col("__sh"), col("h")), "left_anti")
-      .select(col(idCol))
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val contaminated = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ShingleContaminated(
+        org.apache.spark.sql.GraftBridge.expression(split(col(textCol), "\\s+")),
+        n, evalH))
+    docs.filter(!coalesce(contaminated, lit(false))).select(col(idCol))
   }
 }

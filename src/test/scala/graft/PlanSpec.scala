@@ -83,10 +83,6 @@ class PlanSpec extends AnyFunSuite {
       "llm_containment_dfcap", "llm_decontaminate", "llm_minhash_capped",
       // SQL-façade twin of llm_tfidf (same broadcast 1-row corpus count)
       "e_sql_tfidf",
-      // stateless stream-safe decontamination: set membership is not an
-      // equi-key, so the broadcast MB-scale eval array probes per row
-      // (documented cost model in streaming.Corpus.cleanAgainst)
-      "st_decontaminate",
       // exact ndv x HLL sketch joined as two broadcast 1-row aggregates
       // (the fused form plans an Expand with per-key HLL buffers)
       "a8_hll")
