@@ -83,6 +83,9 @@ class PlanSpec extends AnyFunSuite {
       "llm_containment_dfcap", "llm_decontaminate", "llm_minhash_capped",
       // SQL-façade twin of llm_tfidf (same broadcast 1-row corpus count)
       "e_sql_tfidf",
+      // broadcast 1-row max-doc-id bound for the corpus/eval split
+      // (the probe itself is a pure filter since round 4)
+      "st_decontaminate",
       // exact ndv x HLL sketch joined as two broadcast 1-row aggregates
       // (the fused form plans an Expand with per-key HLL buffers)
       "a8_hll")
