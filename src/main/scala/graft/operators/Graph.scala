@@ -289,4 +289,44 @@ object Graph {
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Cluster dedup keeping the BEST row per component by `scoreCol`
+    * (ties to the lowest id) instead of the min id — the production
+    * choice: of N near-duplicate crawls keep the highest-quality one,
+    * not the one that happened to be ingested first. Rows in no pair
+    * are singleton components and survive untouched.
+    *
+    * Scale shape: the component label join shuffles (id, component)
+    * pairs; the winner per component is a partial-aggregable `max_by`
+    * over (score, -id) — no window over the corpus. */
+  def keepBestRepresentatives(df: DataFrame, idCol: String, scoreCol: String,
+                              pairs: DataFrame,
+                              srcCol: String = "id_a",
+                              dstCol: String = "id_b",
+                              checkpointDir: Option[String] = None,
+                              algo: String = "auto",
+                              maxIter: Int = 25): DataFrame = {
+    val comps = algo match {
+      case "star" =>
+        connectedComponentsStar(pairs, srcCol, dstCol, checkpointDir = checkpointDir)
+      case "propagation" =>
+        connectedComponents(pairs, srcCol, dstCol, maxIter, checkpointDir)
+      case "auto" =>
+        try connectedComponents(pairs, srcCol, dstCol, maxIter, checkpointDir)
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("did not converge") =>
+            connectedComponentsStar(pairs, srcCol, dstCol, checkpointDir = checkpointDir)
+        }
+      case other => throw new IllegalArgumentException(
+        s"""algo must be "auto", "propagation" or "star", got "$other"""")
+    }
+    val labeled = df.join(comps, df(idCol) === comps("node"), "left")
+      .select(df(idCol), col(scoreCol),
+        coalesce(col("component"), df(idCol)).as("__comp"))
+    labeled.groupBy(col("__comp"))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), (-col(idCol)).as("__negid"))).as(idCol))
+      .select(col(idCol))
+  }
 }

@@ -201,6 +201,14 @@ object TextAnalysis {
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
+  /** PII redaction — the action [[piiScan]] is the pre-step for:
+    * email- and US-phone-shaped substrings replaced with typed
+    * placeholders. Same conservative portable patterns; pure codegen'd
+    * per-row regex rewrite, no shuffle. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+
   /** PII pattern scan (redaction pre-step every training-data pipeline
     * runs): per-row counts of email- and US-phone-shaped substrings plus
     * a drop/redact flag. Pure codegen'd per-row regexes —

@@ -128,6 +128,22 @@ object LlmQueries {
       Tables.load(s, d, "documents")
         .select($"doc_id" +: TextAnalysis.piiScan($"text"): _*)
     }),
+    "llm_pii_redact" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select($"doc_id", TextAnalysis.piiRedact($"text").as("redacted"))
+    }),
+    "llm_cluster_best" -> ((s, d) => {
+      import s.implicits._
+      // cluster dedup keeping the HIGHEST-QUALITY member (id tie-break)
+      // instead of the min id — the production representative choice
+      val docs = Tables.load(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 16, nBands = 4, threshold = 0.5)
+      graft.operators.Graph.keepBestRepresentatives(
+        docs.select($"doc_id", TextAnalysis.qualityScore($"text").as("q")),
+        "doc_id", "q", pairs)
+    }),
     "llm_langid" -> ((s, d) => {
       import s.implicits._
       Tables.load(s, d, "documents")
@@ -653,6 +669,36 @@ object LlmQueries {
           losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
           SELECT doc_id FROM documents
           WHERE doc_id NOT IN (SELECT id FROM losers)""",
+    "llm_pii_redact" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+         FROM documents""",
+    // best-quality representative per minhash cluster (quality formula
+    // identical to llm_text_stats; singletons keep themselves)
+    "llm_cluster_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+          comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+          q AS (SELECT doc_id,
+                  round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+                        + (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 0.4
+                        + least(len(list_filter(string_split_regex(text, '\\s+'), t -> t IN ($stopsEn))) * 1.0
+                                / greatest(len(string_split_regex(text, '\\s+')), 1) * 5.0, 1.0) * 0.3, 6) AS q
+                FROM documents),
+          labeled AS (SELECT q.doc_id, q.q, coalesce(comp.c, q.doc_id) AS c
+                      FROM q LEFT JOIN comp ON comp.id = q.doc_id)
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY c
+                     ORDER BY q DESC, doc_id) AS rn
+            FROM labeled)
+          WHERE rn = 1""",
     "llm_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') toks
                     FROM documents

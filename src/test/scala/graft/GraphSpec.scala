@@ -198,6 +198,17 @@ class GraphSpec extends AnyFunSuite {
     assert(leaked.size <= 1, s"star CC retained edge caches: $detail")
   }
 
+  test("keepBestRepresentatives picks max score, id tie-break, keeps singletons") {
+    import spark.implicits._
+    // component {1,2,3,4}: best score is 2 (0.9); pair {10,11}: tied
+    // scores -> lowest id 10; 99 is a singleton
+    val rows = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (4L, 0.9 - 1e-9),
+      (10L, 0.4), (11L, 0.4), (99L, 0.1)).toDF("id", "score")
+    val kept = Graph.keepBestRepresentatives(rows, "id", "score", pathGraph)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 10L, 99L))
+  }
+
   test("empty edge list converges immediately with no components") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
