@@ -72,9 +72,17 @@ object Similarity {
     * argmax; PlanSpec now pins the no-Exchange shape. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nCells: Int = 8,
-              probes: Int = 2): DataFrame = {
+              probes: Int = 2): DataFrame =
+    ivfTopKWith(emb, idCol, vecCol,
+      collectCentroids(emb, idCol, vecCol, nCells), queryId, k, probes)
+
+  /** IVF search against an EXPLICIT centroid set — compose with
+    * [[kmeansTrain]] + [[centroidsOf]] for the production
+    * build-index-then-search flow (seed centroids are only an init). */
+  def ivfTopKWith(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[(Long, Seq[Double])],
+                  queryId: Long, k: Int, probes: Int = 2): DataFrame = {
     val spark = emb.sparkSession
-    val centroids = collectCentroids(emb, idCol, vecCol, nCells)
     val assigned = emb.select(col(idCol), col(vecCol),
       cellOf(col(vecCol), centroids).as("cell"))
     // probe cells for the query: a 1-row × nCells plan, nothing from the corpus
@@ -171,16 +179,23 @@ object Similarity {
     var out = kmeansStep(emb, vecCol, centroids)
     var i = 1
     while (i < iters) {
-      centroids = out.orderBy(col("cell"), col("pos"))
-        .select(col("cell"), col("c_val")).collect()
-        .groupBy(_.getLong(0)).toArray
-        .map { case (cell, rows) => (cell, rows.map(_.getDouble(1)).toIndexedSeq: Seq[Double]) }
-        .sortBy(_._1)
+      centroids = centroidsOf(out)
       out = kmeansStep(emb, vecCol, centroids)
       i += 1
     }
     out
   }
+
+  /** Collect a [[kmeansStep]]/[[kmeansTrain]] output into the literal
+    * centroid array the assignment projection inlines (nCells×dim
+    * doubles — KB at any corpus size). */
+  def centroidsOf(out: DataFrame): Array[(Long, Seq[Double])] =
+    out.orderBy(col("cell"), col("pos"))
+      .select(col("cell"), col("c_val")).collect()
+      .groupBy(_.getLong(0)).toArray
+      .map { case (cell, rows) =>
+        (cell, rows.map(_.getDouble(1)).toIndexedSeq: Seq[Double]) }
+      .sortBy(_._1)
 
   /** Hyperplane count sized to the corpus: within-bucket candidate
     * pairing is quadratic in bucket occupancy, so the bucket count must

@@ -275,6 +275,15 @@ object LlmQueries {
     "llm_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0, k = 10, nCells = 8, probes = 2)),
+    "llm_ann_ivf_trained" -> ((s, d) => {
+      // the production IVF flow end-to-end: train cells with two Lloyd
+      // rounds, then search the trained index (not the seed init)
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.centroidsOf(
+        Similarity.kmeansTrain(emb, "vec_id", "embedding", nCells = 8, iters = 2))
+      Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents,
+        queryId = 0, k = 10, probes = 2)
+    }),
     "llm_embedding_dups" -> ((s, d) => {
       import s.implicits._
       // corpus with planted duplicates (ids shifted by 10000): the
@@ -444,6 +453,54 @@ object LlmQueries {
                  FROM assigned a CROSS JOIN c WHERE a.vec_id = 0)
           SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
           FROM assigned a JOIN (SELECT qv, cell FROM qc WHERE rk <= 2) q
+            ON a.cell = q.cell
+          WHERE a.vec_id <> 0
+          ORDER BY cos_sim DESC, a.vec_id LIMIT 10""",
+    // train-then-search: round-2 centroids (identical CTE chain to
+    // llm_kmeans2) become the index cells; assignment + probe + top-k
+    "llm_ann_ivf_trained" ->
+      """WITH cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          s1 AS (SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent0 c),
+          a1 AS (SELECT vec_id, v, cid AS cell FROM s1 WHERE rk = 1),
+          ex1 AS (SELECT cell,
+                         CAST(unnest(generate_series(1, len(v))) - 1 AS INTEGER) AS pos,
+                         unnest(v) AS elem
+                  FROM a1),
+          up1 AS (SELECT cell, pos,
+                         round(CAST(sum(CAST(elem AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c_val
+                  FROM ex1 GROUP BY cell, pos),
+          cent1 AS (SELECT cell AS cid, list(c_val ORDER BY pos) AS cv
+                    FROM up1 GROUP BY cell),
+          s2 AS (SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent1 c),
+          a2 AS (SELECT vec_id, v, cid AS cell FROM s2 WHERE rk = 1),
+          ex2 AS (SELECT cell,
+                         CAST(unnest(generate_series(1, len(v))) - 1 AS INTEGER) AS pos,
+                         unnest(v) AS elem
+                  FROM a2),
+          up2 AS (SELECT cell, pos,
+                         round(CAST(sum(CAST(elem AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c_val
+                  FROM ex2 GROUP BY cell, pos),
+          cent2 AS (SELECT cell AS cid, list(c_val ORDER BY pos) AS cv
+                    FROM up2 GROUP BY cell),
+          s3 AS (SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent2 c),
+          a3 AS (SELECT vec_id, v, cid AS cell FROM s3 WHERE rk = 1),
+          qc AS (SELECT a.v AS qv, c.cid AS cell,
+                        row_number() OVER (
+                          ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) rk
+                 FROM a3 a CROSS JOIN cent2 c WHERE a.vec_id = 0)
+          SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+          FROM a3 a JOIN (SELECT qv, cell FROM qc WHERE rk <= 2) q
             ON a.cell = q.cell
           WHERE a.vec_id <> 0
           ORDER BY cos_sim DESC, a.vec_id LIMIT 10""",
