@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")
   }
 
+  test("cluster-best winner selection is a partial aggregate, not a corpus window") {
+    val p = plan("llm_cluster_best")
+    // the winner per component must come from map-side-combining max_by
+    // over (score, -id); a row_number window would sort whole
+    // components through single tasks
+    assert(!p.contains("Window"),
+      "winner selection must be max_by, not a row_number window")
+    // SortAggregate (max_by's struct buffer isn't hash-aggregable) but
+    // still a partial/final pair — the combine happens map-side
+    assert(p.contains("partial_max_by"), "max_by must combine map-side")
+  }
+
+  test("pii redaction is a pure codegen projection (no shuffle, no join)") {
+    val p = plan("llm_pii_redact")
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+    assert(p.linesIterator.next().trim.startsWith("*("),
+      "redaction must stay inside whole-stage codegen")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     import spark.implicits._
     // Catalyst's InjectRuntimeFilter: a selective dimension predicate
