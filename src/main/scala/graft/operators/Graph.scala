@@ -263,6 +263,27 @@ object Graph {
     *   exceeds `maxIter` rounds — so the production dedup entry point
     *   survives deep candidate graphs (chained containment hits);
     *   `"propagation"` / `"star"` pin a variant. */
+  /** Component labels by algorithm choice: `"propagation"` / `"star"`
+    * pin a variant; `"auto"` runs propagation and falls back to star if
+    * the graph's diameter exceeds `maxIter` rounds. */
+  private def componentsBy(pairs: DataFrame, srcCol: String, dstCol: String,
+                           checkpointDir: Option[String], algo: String,
+                           maxIter: Int): DataFrame = algo match {
+    case "star" =>
+      connectedComponentsStar(pairs, srcCol, dstCol, checkpointDir = checkpointDir)
+    case "propagation" =>
+      connectedComponents(pairs, srcCol, dstCol, maxIter, checkpointDir)
+    case "auto" =>
+      try connectedComponents(pairs, srcCol, dstCol, maxIter, checkpointDir)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("did not converge") =>
+          connectedComponentsStar(pairs, srcCol, dstCol, checkpointDir = checkpointDir)
+      }
+    case other => throw new IllegalArgumentException(
+      s"""algo must be "auto", "propagation" or "star", got "$other"""")
+  }
+
   def keepClusterRepresentatives(df: DataFrame, idCol: String,
                                  pairs: DataFrame,
                                  srcCol: String = "id_a",
@@ -270,21 +291,7 @@ object Graph {
                                  checkpointDir: Option[String] = None,
                                  algo: String = "auto",
                                  maxIter: Int = 25): DataFrame = {
-    val comps = algo match {
-      case "star" =>
-        connectedComponentsStar(pairs, srcCol, dstCol, checkpointDir = checkpointDir)
-      case "propagation" =>
-        connectedComponents(pairs, srcCol, dstCol, maxIter, checkpointDir)
-      case "auto" =>
-        try connectedComponents(pairs, srcCol, dstCol, maxIter, checkpointDir)
-        catch {
-          case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("did not converge") =>
-            connectedComponentsStar(pairs, srcCol, dstCol, checkpointDir = checkpointDir)
-        }
-      case other => throw new IllegalArgumentException(
-        s"""algo must be "auto", "propagation" or "star", got "$other"""")
-    }
+    val comps = componentsBy(pairs, srcCol, dstCol, checkpointDir, algo, maxIter)
     val losers = comps.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -306,21 +313,7 @@ object Graph {
                               checkpointDir: Option[String] = None,
                               algo: String = "auto",
                               maxIter: Int = 25): DataFrame = {
-    val comps = algo match {
-      case "star" =>
-        connectedComponentsStar(pairs, srcCol, dstCol, checkpointDir = checkpointDir)
-      case "propagation" =>
-        connectedComponents(pairs, srcCol, dstCol, maxIter, checkpointDir)
-      case "auto" =>
-        try connectedComponents(pairs, srcCol, dstCol, maxIter, checkpointDir)
-        catch {
-          case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("did not converge") =>
-            connectedComponentsStar(pairs, srcCol, dstCol, checkpointDir = checkpointDir)
-        }
-      case other => throw new IllegalArgumentException(
-        s"""algo must be "auto", "propagation" or "star", got "$other"""")
-    }
+    val comps = componentsBy(pairs, srcCol, dstCol, checkpointDir, algo, maxIter)
     val labeled = df.join(comps, df(idCol) === comps("node"), "left")
       .select(df(idCol), col(scoreCol),
         coalesce(col("component"), df(idCol)).as("__comp"))
