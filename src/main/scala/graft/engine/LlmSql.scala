@@ -1,8 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBridge, GraftDeferred, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StructField, StructType}
 import graft.operators.{Dedup, Graph, Sampling, TextAnalysis}
 
 /** SQL façade over the §2.10 LLM-pipeline operators — the reference's
@@ -19,9 +20,12 @@ import graft.operators.{Dedup, Graph, Sampling, TextAnalysis}
   * }}}
   *
   * The builder runs at ANALYSIS time and returns the operator's logical
-  * plan — execution stays fully distributed and (except the iterative
-  * `graft_cluster_keep`, which runs its cluster rounds while the outer
-  * query is analyzed) lazy. Arguments must be literals
+  * plan — execution stays fully distributed and LAZY, including the
+  * iterative cluster functions: their connected-components rounds sit
+  * behind a [[org.apache.spark.sql.GraftDeferredScan]] leaf, so
+  * `EXPLAIN`/`prepare`/re-analysis launch no Spark job and the rounds
+  * fire (once — the builder thunk is memoized) only when the statement
+  * actually executes. Arguments must be literals
   * (they parameterize plan construction, like every SQL TVF). Table
   * arguments resolve through the session catalog, so they compose with
   * temp views, catalog namespaces ([[Catalog.registerParquetDb]]) and
@@ -55,14 +59,30 @@ object LlmSql {
     * (temp views, `db.table` namespaces — anything spark.table sees). */
   private def table(name: String): DataFrame = SparkSession.active.table(name)
 
+  /** Memoize a deferred builder: plan-tree copies and repeated actions
+    * on the statement share ONE run of the iterative computation. */
+  private def memo(f: () => DataFrame): () => DataFrame = {
+    lazy val v = f()
+    () => v
+  }
+
   private def reg(spark: SparkSession, name: String)
                  (b: Seq[Expression] => DataFrame): Unit =
     GraftBridge.registerTableFunction(spark, name,
       args => GraftBridge.logicalPlan(b(args)))
 
+  /** Sessions already registered — same WARN-flood guard as
+    * [[graft.functions.Builtins.registerAll]] (re-running
+    * createOrReplaceTempFunction logs a "replaced" WARN per function). */
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** Register every LLM-pipeline table function on `spark`. Idempotent
-    * (createOrReplace), called by the [[Engine]] constructor. */
+    * per session, called by the [[Engine]] constructor. */
   def registerAll(spark: SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     reg(spark, "graft_exact_dedup") {
       case Seq(t, id, text) =>
         val f = "graft_exact_dedup"
@@ -145,19 +165,47 @@ object LlmSql {
         "graft_sample_strat(table, stratum_col, key_col, tiebreak_col, k, salt)", args)
     }
     reg(spark, "graft_cluster_keep") {
-      case Seq(t, id, text, thr) =>
+      case args if args.length == 4 || args.length == 5 =>
         val f = "graft_cluster_keep"
-        val tbl = table(str(t, f))
-        val pairs = Dedup.minhashPairs(tbl, str(id, f), str(text, f),
-          threshold = dbl(thr, f))
-        // NOTE: unlike the other entries this is not a pure plan
-        // constructor — connected components is iterative, so the
-        // cluster rounds execute while the OUTER query is analyzed
-        // (same eager-at-build tradeoff as IVF's centroid collect)
-        Graph.keepClusterRepresentatives(
-          tbl.select(col(str(id, f))), str(id, f), pairs)
+        val tbl = table(str(args(0), f))
+        val id = str(args(1), f); val text = str(args(2), f)
+        val thr = dbl(args(3), f)
+        val algo = if (args.length == 5) str(args(4), f) else "auto"
+        val ids = tbl.select(col(id))
+        // connected components is ITERATIVE (one Spark action per
+        // round) — it cannot be a lazy plan, so it is DEFERRED: the
+        // statement stays a lazy anti-join of the corpus ids against a
+        // deferred-scan leaf whose builder (memoized — analyze/copy/
+        // re-run share one computation) runs the minhash+CC rounds the
+        // first time the statement executes. EXPLAIN launches no job.
+        val losers = GraftDeferred.frame(spark,
+          StructType(Seq(StructField(id, ids.schema.head.dataType))),
+          memo(() => Graph.componentLosers(
+            Dedup.minhashPairs(tbl, id, text, threshold = thr),
+            idColName = id, algo = algo)))
+        ids.join(losers, Seq(id), "left_anti")
       case args => bad(
-        "graft_cluster_keep(table, id_col, text_col, threshold)", args)
+        "graft_cluster_keep(table, id_col, text_col, threshold[, algo])", args)
+    }
+    reg(spark, "graft_cluster_best") {
+      case args if args.length == 5 || args.length == 6 =>
+        val f = "graft_cluster_best"
+        val tbl = table(str(args(0), f))
+        val id = str(args(1), f); val text = str(args(2), f)
+        val thr = dbl(args(3), f); val score = str(args(4), f)
+        val algo = if (args.length == 6) str(args(5), f) else "auto"
+        // same deferred contract as graft_cluster_keep; the winner
+        // aggregation (partial-aggregable max_by, no corpus window)
+        // lives inside the deferred builder with the CC rounds
+        GraftDeferred.frame(spark,
+          StructType(Seq(StructField(id,
+            tbl.select(col(id)).schema.head.dataType))),
+          memo(() => Graph.keepBestRepresentatives(
+            tbl.select(col(id), col(score)), id, score,
+            Dedup.minhashPairs(tbl, id, text, threshold = thr),
+            algo = algo)))
+      case args => bad(
+        "graft_cluster_best(table, id_col, text_col, threshold, score_col[, algo])", args)
     }
     reg(spark, "graft_decontaminate") {
       case Seq(c, ev, id, text, n) =>
@@ -167,5 +215,18 @@ object LlmSql {
       case args => bad(
         "graft_decontaminate(corpus_table, eval_table, id_col, text_col, n)", args)
     }
+
+    // per-row text-analysis SCALAR functions (pure codegen'd column
+    // expressions — usable anywhere an expression is, including as the
+    // score feeding graft_cluster_best)
+    val freg = spark.sessionState.functionRegistry
+    def scalar(name: String)(b: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      freg.createOrReplaceTempFunction(name, es =>
+        GraftBridge.resolvedExpression(spark,
+          b(GraftBridge.column(es.head))), "scala_udf")
+    scalar("graft_quality")(TextAnalysis.qualityScore)
+    scalar("graft_pii_redact")(TextAnalysis.piiRedact)
+    scalar("graft_langid")(TextAnalysis.langId)
+    scalar("graft_fingerprint")(TextAnalysis.fingerprint)
   }
 }

@@ -240,17 +240,24 @@ object Builtins {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("exo_trunc", es =>
       Cast(es.head, LongType), "scala_udf")
+    // registry-injected expressions built from the Column API must be
+    // FULLY converted (session converter) — the lazy ColumnNodeExpression
+    // wrapper [[GraftBridge.expression]] returns survives to codegen when
+    // it enters a plan through the function registry instead of the
+    // DataFrame API (see GraftBridge.resolvedExpression)
+    def resolved(c: Column): Expression =
+      org.apache.spark.sql.GraftBridge.resolvedExpression(spark, c)
     reg.createOrReplaceTempFunction("randint", es =>
-      expression(randint(col(es(0)), col(es(1)))), "scala_udf")
+      resolved(randint(col(es(0)), col(es(1)))), "scala_udf")
     reg.createOrReplaceTempFunction("regex", {
-      case Seq(s0, re) => expression(regexp_extract(col(s0), lit2str(re), 0))
-      case Seq(s0, re, g) => expression(regexp_extract(col(s0), lit2str(re),
+      case Seq(s0, re) => resolved(regexp_extract(col(s0), lit2str(re), 0))
+      case Seq(s0, re, g) => resolved(regexp_extract(col(s0), lit2str(re),
         g.eval().asInstanceOf[Number].intValue()))
       case es => throw new IllegalArgumentException(s"regex arity ${es.size}")
     }, "scala_udf")
     reg.createOrReplaceTempFunction("regex_all", {
-      case Seq(s0, re) => expression(regexp_extract_all(col(s0), col(re), lit(0)))
-      case Seq(s0, re, g) => expression(regexp_extract_all(col(s0), col(re), col(g)))
+      case Seq(s0, re) => resolved(regexp_extract_all(col(s0), col(re), lit(0)))
+      case Seq(s0, re, g) => resolved(regexp_extract_all(col(s0), col(re), col(g)))
       case es => throw new IllegalArgumentException(s"regex_all arity ${es.size}")
     }, "scala_udf")
   }

@@ -284,24 +284,41 @@ object Graph {
       s"""algo must be "auto", "propagation" or "star", got "$other"""")
   }
 
+  /** The rows cluster dedup DROPS: non-min members of each connected
+    * component of `pairs`, as a single `idColName` column. Exposed so a
+    * lazy caller (the SQL TVF) can defer ONLY this iterative step and
+    * keep the corpus anti-join declarative. */
+  def componentLosers(pairs: DataFrame,
+                      srcCol: String = "id_a", dstCol: String = "id_b",
+                      idColName: String = "id",
+                      checkpointDir: Option[String] = None,
+                      algo: String = "auto",
+                      maxIter: Int = 25): DataFrame =
+    componentsBy(pairs, srcCol, dstCol, checkpointDir, algo, maxIter)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idColName))
+
   def keepClusterRepresentatives(df: DataFrame, idCol: String,
                                  pairs: DataFrame,
                                  srcCol: String = "id_a",
                                  dstCol: String = "id_b",
                                  checkpointDir: Option[String] = None,
                                  algo: String = "auto",
-                                 maxIter: Int = 25): DataFrame = {
-    val comps = componentsBy(pairs, srcCol, dstCol, checkpointDir, algo, maxIter)
-    val losers = comps.filter(col("node") =!= col("component"))
-      .select(col("node").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
-  }
+                                 maxIter: Int = 25): DataFrame =
+    df.join(
+      componentLosers(pairs, srcCol, dstCol, idCol, checkpointDir, algo, maxIter),
+      Seq(idCol), "left_anti")
 
   /** Cluster dedup keeping the BEST row per component by `scoreCol`
     * (ties to the lowest id) instead of the min id — the production
     * choice: of N near-duplicate crawls keep the highest-quality one,
     * not the one that happened to be ingested first. Rows in no pair
     * are singleton components and survive untouched.
+    *
+    * Requires a NUMERIC id (the tie-break inverts the id's order by
+    * negation; the negation is widened to DECIMAL(38,0) so no integral
+    * value — including Long.MinValue — can overflow under ANSI mode).
+    * For arbitrary orderable ids use [[keepClusterRepresentatives]].
     *
     * Scale shape: the component label join shuffles (id, component)
     * pairs; the winner per component is a partial-aggregable `max_by`
@@ -319,7 +336,9 @@ object Graph {
         coalesce(col("component"), df(idCol)).as("__comp"))
     labeled.groupBy(col("__comp"))
       .agg(max_by(col(idCol),
-        struct(col(scoreCol), (-col(idCol)).as("__negid"))).as(idCol))
+        struct(col(scoreCol),
+          (-col(idCol).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("__negid"))).as(idCol))
       .select(col(idCol))
   }
 }

@@ -111,9 +111,51 @@ object EngineQueries {
         "SELECT * FROM graft_containment_pairs('graft_doc_tail', 'doc_id', 'text', 3, 0.5)")
     }),
     // the flagship dedup flow — near-dup pairs -> connected components
-    // -> one representative per cluster — from one line of SQL
+    // -> one representative per cluster — from one line of SQL. The CC
+    // rounds are DEFERRED (GraftDeferredScan): analysis/EXPLAIN launch
+    // no job; the rounds run once, at first execution
     "e_sql_cluster_keep" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_cluster_keep('documents', 'doc_id', 'text', 0.5)")),
+    // production representative choice from SQL: keep the HIGHEST-
+    // QUALITY cluster member, score computed by the graft_quality
+    // scalar inside a SQL-defined view
+    "e_sql_cluster_best" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_scored_docs AS
+                 SELECT doc_id, text, graft_quality(text) AS q FROM documents""")
+      e.query(
+        "SELECT * FROM graft_cluster_best('graft_scored_docs', 'doc_id', 'text', 0.5, 'q')")
+    }),
+    "e_sql_exact_dedup" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_dup_corpus AS
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 100000 AS doc_id, text FROM documents""")
+      e.query("SELECT * FROM graft_exact_dedup('graft_dup_corpus', 'doc_id', 'text')")
+    }),
+    "e_sql_simhash" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_sim_corpus AS
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)""")
+      e.query("SELECT * FROM graft_simhash_pairs('graft_sim_corpus', 'doc_id', 'text', 3)")
+    }),
+    "e_sql_boilerplate" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_boilerplate('documents', 'doc_id', 'text', 3, 20)")),
+    "e_sql_sample_strat" -> ((s, d) => via(s, d)(
+      "SELECT doc_id, source FROM graft_sample_strat('documents', 'source', 'text', 'doc_id', 10, 'strat:')")),
+    // per-row text-analysis SCALARS from SQL text (same codegen'd
+    // expressions as the Scala API, same oracles)
+    "e_sql_pii_redact" -> ((s, d) => via(s, d)(
+      "SELECT doc_id, graft_pii_redact(text) AS redacted FROM documents")),
+    "e_sql_langid" -> ((s, d) => via(s, d)(
+      "SELECT doc_id, graft_langid(text) AS lang_guess FROM documents")),
     "e_sql_decontaminate" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -186,6 +228,13 @@ object EngineQueries {
     "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),
-    "e_sql_cluster_keep" -> LlmQueries.oracle("llm_cluster_keep")
+    "e_sql_cluster_keep" -> LlmQueries.oracle("llm_cluster_keep"),
+    "e_sql_cluster_best" -> LlmQueries.oracle("llm_cluster_best"),
+    "e_sql_exact_dedup" -> LlmQueries.oracle("llm_exact_dedup"),
+    "e_sql_simhash" -> LlmQueries.oracle("llm_simhash_pairs"),
+    "e_sql_boilerplate" -> LlmQueries.oracle("llm_boilerplate"),
+    "e_sql_sample_strat" -> LlmQueries.oracle("llm_sample_strat"),
+    "e_sql_pii_redact" -> LlmQueries.oracle("llm_pii_redact"),
+    "e_sql_langid" -> LlmQueries.oracle("llm_langid")
   )
 }

@@ -11,6 +11,16 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** FULL ColumnNode→Expression conversion via the session converter.
+    * [[expression]] merely wraps non-expression nodes in a lazy
+    * `ColumnNodeExpression`, which the DataFrame API converts during its
+    * own analysis — but an expression injected through the FUNCTION
+    * REGISTRY bypasses that path and the wrapper survives to codegen
+    * ("Cannot generate code for expression: columnnodeexpression").
+    * Registry builders must convert eagerly with this. */
+  def resolvedExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
   /** Register a session-scoped table-valued function: `name(args...)`
     * becomes usable in FROM position of any spark.sql statement. The
     * builder runs at analysis time and returns the plan the call
@@ -37,4 +47,10 @@ object GraftBridge {
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Block until the listener bus has delivered every queued event —
+    * lets tests assert "this code launched no Spark job" without racing
+    * the async status listeners. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

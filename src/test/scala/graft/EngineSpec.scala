@@ -348,6 +348,52 @@ class EngineSpec extends AnyFunSuite {
     } finally Catalog.dropDb(spark, "dbe")
   }
 
+  test("cluster TVF: EXPLAIN launches no Spark job (CC rounds are deferred)") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val sc = spark.sparkContext
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+    sc.addSparkListener(listener)
+    try {
+      val plan = engine.explain(
+        "SELECT * FROM graft_cluster_keep('documents', 'doc_id', 'text', 0.5)")
+      assert(plan.contains("GraftDeferredScan"),
+        "the CC rounds must sit behind a deferred-scan leaf")
+      val planBest = engine.explain(
+        "SELECT * FROM graft_cluster_best('documents', 'doc_id', 'text', 0.5, 'n_chars')")
+      assert(planBest.contains("GraftDeferredScan"))
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      assert(jobs == 0,
+        s"EXPLAIN of the cluster TVFs must launch no Spark job, saw $jobs")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("cluster TVF executes lazily and matches the Scala API (incl. algo arg)") {
+    import spark.implicits._
+    Tables.registerAll(spark, TestSpark.sf)
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+    val api = graft.operators.Graph.keepClusterRepresentatives(
+      docs.select($"doc_id"), "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted
+    val viaSql = engine.query(
+      "SELECT * FROM graft_cluster_keep('documents', 'doc_id', 'text', 0.5)")
+    val got = viaSql.collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(api))
+    // repeated actions on the same statement reuse the memoized rounds
+    assert(viaSql.count() == api.length)
+    // the optional algo argument pins the star variant — same contract
+    val star = engine.query(
+      "SELECT * FROM graft_cluster_keep('documents', 'doc_id', 'text', 0.5, 'star')")
+      .collect().map(_.getLong(0)).sorted
+    assert(star.sameElements(api))
+  }
+
   test("format_result golden layout: widths, null rendering, separator") {
     import spark.implicits._
     // exosql's exact ASCII layout can't be diffed (reference tree is

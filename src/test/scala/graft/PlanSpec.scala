@@ -137,6 +137,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_max_by"), "max_by must combine map-side")
   }
 
+  test("cluster TVFs: CC rounds deferred behind a leaf; no corpus window in the statement") {
+    // the iterative rounds must NOT run during planning (this very call
+    // builds executedPlan — pre-round-5 it executed the whole minhash+CC
+    // job here); the outer statement stays a lazy anti-join / deferred
+    // leaf. The winner aggregation inside graft_cluster_best routes
+    // through the same keepBestRepresentatives whose partial_max_by
+    // shape the llm_cluster_best pin above guards.
+    val keep = plan("e_sql_cluster_keep")
+    assert(keep.contains("GraftDeferredScan"),
+      "graft_cluster_keep must defer the CC rounds, not run them at analysis")
+    assert(keep.contains("LeftAnti"),
+      "the corpus side must stay a declarative anti-join")
+    val best = plan("e_sql_cluster_best")
+    assert(best.contains("GraftDeferredScan"))
+    assert(!best.contains("Window"), "no corpus window in the outer statement")
+  }
+
   test("pii redaction is a pure codegen projection (no shuffle, no join)") {
     val p = plan("llm_pii_redact")
     assert(!p.contains("Exchange") && !p.contains("Join"))
