@@ -143,6 +143,39 @@ object Dialect {
   private def topLevelIndex(s: String, kw: String): Int =
     topLevelIndexFrom(s, kw, 0)
 
+  /** First top-level `ORDER BY` at/after `from` as (start of ORDER,
+    * just past BY) — SQL permits ANY whitespace/comments between the
+    * two words, so a literal "ORDER BY" single-space match would let
+    * `ORDER\nBY` slip past a tail split and be silently swallowed into
+    * a parenthesized arm. */
+  private def topLevelOrderBy(s: String, from: Int = 0): Option[(Int, Int)] = {
+    var i = topLevelIndexFrom(s, "ORDER", from)
+    while (i >= 0) {
+      val nxt = nextCode(s, i + 5)
+      if (nxt >= 0 && tokenAt(s, nxt, "BY")) return Some((i, nxt + 2))
+      i = topLevelIndexFrom(s, "ORDER", i + 5)
+    }
+    None
+  }
+
+  /** First top-level LIMIT/OFFSET *clause* at/after `from`: the keyword
+    * must be followed by a plausible operand (number literal, `:`/`?`/
+    * `$` parameter marker, or ALL for LIMIT). A select-list column
+    * alias named `limit`/`offset` is followed by ',', a keyword, or
+    * end-of-region — treating it as the statement tail would splice
+    * mangled SQL. */
+  private def topLevelLimitOffset(s: String, kw: String, from: Int = 0): Int = {
+    var i = topLevelIndexFrom(s, kw, from)
+    while (i >= 0) {
+      val nxt = nextCode(s, i + kw.length)
+      if (nxt >= 0 && (s.charAt(nxt).isDigit ||
+          s.charAt(nxt) == ':' || s.charAt(nxt) == '?' || s.charAt(nxt) == '$' ||
+          (kw == "LIMIT" && tokenAt(s, nxt, "ALL")))) return i
+      i = topLevelIndexFrom(s, kw, i + kw.length)
+    }
+    -1
+  }
+
   /** Case-insensitive whole-token match at `pos`. */
   private def tokenAt(s: String, pos: Int, t: String): Boolean =
     s.regionMatches(true, pos, t, 0, t.length) &&
@@ -294,8 +327,9 @@ object Dialect {
     val occs = setOpOccurrences(stmt)
     require(occs.nonEmpty, s"no set operator to split in: $stmt")
     val start = armOneStart(stmt)
-    val tailIdx = Seq("ORDER BY", "LIMIT", "OFFSET")
-      .map(topLevelIndexFrom(stmt, _, occs.last._2)).filter(_ >= 0)
+    val tailIdx = (topLevelOrderBy(stmt, occs.last._2).map(_._1).toSeq ++
+      Seq("LIMIT", "OFFSET")
+        .map(topLevelLimitOffset(stmt, _, occs.last._2)).filter(_ >= 0))
       .minOption.getOrElse(stmt.length)
     val starts = start +: occs.map(_._2)
     val ends = occs.map(_._1) :+ tailIdx
@@ -387,23 +421,22 @@ object Dialect {
     // LIMIT/OFFSET apply AFTER dedup (PostgreSQL) — peel them off the
     // tail so they end up on the outer query, not inside the window
     def splitTrailing(s: String): (String, String) = {
-      val idxs = Seq("LIMIT", "OFFSET").map(topLevelIndex(s, _)).filter(_ >= 0)
+      val idxs = Seq("LIMIT", "OFFSET")
+        .map(topLevelLimitOffset(s, _)).filter(_ >= 0)
       if (idxs.isEmpty) (s, "")
       else {
         val i = idxs.min
         (s.substring(0, i), " " + s.substring(i).trim)
       }
     }
-    val orderIdx = topLevelIndex(rest, "ORDER BY")
-    val (body, orderBy, trailing) =
-      if (orderIdx >= 0) {
-        val (ob, tr) = splitTrailing(
-          rest.substring(orderIdx + "ORDER BY".length))
-        (rest.substring(0, orderIdx), ob.trim, tr)
-      } else {
+    val (body, orderBy, trailing) = topLevelOrderBy(rest) match {
+      case Some((obStart, obEnd)) =>
+        val (ob, tr) = splitTrailing(rest.substring(obEnd))
+        (rest.substring(0, obStart), ob.trim, tr)
+      case None =>
         val (b, tr) = splitTrailing(rest)
         (b, "", tr)
-      }
+    }
     val fromIdx = topLevelIndex(body, "FROM")
     require(fromIdx >= 0, s"DISTINCT ON without FROM in: $sql")
     val selectList = body.substring(0, fromIdx).trim
@@ -435,7 +468,12 @@ object Dialect {
     "BETWEEN", "IS", "OVER", "PARTITION", "RETURNING")
   private val nonPredNext = Set("FROM", "ON", "USING", "JOIN", "LEFT", "RIGHT",
     "INNER", "FULL", "CROSS", "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET",
-    "UNION", "INTERSECT", "EXCEPT", "AS", "ASC", "DESC", "AND", "OR")
+    "UNION", "INTERSECT", "EXCEPT", "AS", "ASC", "DESC", "AND", "OR",
+    // table-context keywords that may follow a subquery ALIAS named
+    // `qualify`: `FROM (SELECT ...) qualify NATURAL JOIN t` is an alias,
+    // not a clause — treating it as one would splice invalid SQL
+    "NATURAL", "LATERAL", "PIVOT", "UNPIVOT", "TABLESAMPLE", "WINDOW",
+    "HAVING", "SEMI", "ANTI")
   private val opChars: Set[Char] = ",.()=<>+-*/%|&^:".toSet
 
   /** First `QUALIFY` occurrence in CLAUSE position (any depth, outside
@@ -547,8 +585,8 @@ object Dialect {
       return full.substring(0, regionStart) + split + full.substring(regionEnd)
     }
     val tail = sql.substring(occR + "QUALIFY".length)
-    val cutIdxs = Seq("ORDER BY", "LIMIT", "OFFSET")
-      .map(topLevelIndex(tail, _)).filter(_ >= 0)
+    val cutIdxs = topLevelOrderBy(tail).map(_._1).toSeq ++
+      Seq("LIMIT", "OFFSET").map(topLevelLimitOffset(tail, _)).filter(_ >= 0)
     val cut = if (cutIdxs.isEmpty) tail.length else cutIdxs.min
     val pred = tail.substring(0, cut).trim
     require(pred.nonEmpty, s"empty QUALIFY predicate in: $sql")

@@ -348,6 +348,66 @@ class EngineSpec extends AnyFunSuite {
     } finally Catalog.dropDb(spark, "dbe")
   }
 
+  test("set-op tail split matches ORDER<newline>BY and ignores limit/offset aliases") {
+    Tables.registerAll(spark, TestSpark.sf)
+    // legal SQL puts ANY whitespace between ORDER and BY — the
+    // statement-level ordering must stay OUTSIDE the arm parens (a
+    // single-space literal match used to absorb it into the last arm)
+    val nl = engine.query(
+      """SELECT DISTINCT ON (c_custkey) c_custkey AS id, c_acctbal AS val
+         FROM customer WHERE c_nationkey < 3
+         UNION ALL
+         SELECT o_custkey AS id, o_totalprice AS val FROM orders
+         WHERE o_orderkey < 50
+         ORDER
+         BY id, val""").collect()
+    val sp = engine.query(
+      """SELECT DISTINCT ON (c_custkey) c_custkey AS id, c_acctbal AS val
+         FROM customer WHERE c_nationkey < 3
+         UNION ALL
+         SELECT o_custkey AS id, o_totalprice AS val FROM orders
+         WHERE o_orderkey < 50
+         ORDER BY id, val""").collect()
+    assert(nl.nonEmpty && nl.toSeq == sp.toSeq,
+      "ORDER\\nBY must split identically to ORDER BY")
+    // a last-arm implicit alias named `offset` is NOT the statement
+    // tail (it is followed by FROM, not an operand) — the old bare
+    // token match cut the arm mid-select-list into mangled SQL
+    val r = Dialect.rewrite(
+      """SELECT DISTINCT ON (c_custkey) c_custkey AS id, c_acctbal AS v
+         FROM customer
+         UNION ALL
+         SELECT o_custkey AS id, o_totalprice offset FROM orders""")
+    assert(r.replaceAll("\\s+", " ").contains("o_totalprice offset FROM orders)"),
+      s"alias named offset must stay inside its arm: $r")
+  }
+
+  test("subquery alias 'qualify' before table-context keywords is not a clause") {
+    Tables.registerAll(spark, TestSpark.sf)
+    // NATURAL JOIN after an alias named qualify: alias reading, no
+    // rewrite; the statement must execute as written
+    val sql =
+      """SELECT qualify.r_regionkey, t.r_name
+         FROM (SELECT r_regionkey FROM region) qualify
+         NATURAL JOIN (SELECT r_regionkey, r_name FROM region) t"""
+    assert(Dialect.rewrite(sql) == sql)
+    assert(engine.query(sql).count() == 5)
+    // TABLESAMPLE after the alias: rewrite must not fire — the user
+    // gets Spark's own parse error at the right position instead of
+    // mangled spliced SQL (Spark's grammar wants TABLESAMPLE before the
+    // alias, so this is rewrite-contract-only)
+    val ts =
+      """SELECT qualify.r_regionkey
+         FROM (SELECT r_regionkey FROM region) qualify TABLESAMPLE (100 PERCENT)"""
+    assert(Dialect.rewrite(ts) == ts)
+    // and with Spark's accepted ordering the alias still parses + runs
+    val ok =
+      """SELECT qualify.r_regionkey
+         FROM region TABLESAMPLE (100 PERCENT) qualify"""
+    assert(Dialect.rewrite(ok) == ok)
+    assert(engine.query(ok).count() == 5)
+  }
+
   test("cluster TVF: EXPLAIN launches no Spark job (CC rounds are deferred)") {
     Tables.registerAll(spark, TestSpark.sf)
     val sc = spark.sparkContext
