@@ -28,6 +28,14 @@ object Dedup {
   def sharedHash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit shared hash (first 15 md5 hex chars) — for keys that are
+    * COUNTED rather than bucketed: a 32-bit space starts colliding at
+    * ~10⁵ distinct keys (birthday bound), which would silently merge
+    * counts; 60 bits holds to ~10⁹. Same recipe as the simhash oracles
+    * (`CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)` in DuckDB). */
+  def sharedHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Distinct word n-gram shingles of a text column.
     *
     * PERF: `text` should be a plain attribute; the tokenization is
@@ -143,7 +151,8 @@ object Dedup {
     * 100 TB hot-bucket guard (see [[capBuckets]]). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, nBands: Int = 4, threshold: Double = 0.5,
-                   maxBucketSize: Option[Int] = None): DataFrame = {
+                   maxBucketSize: Option[Int] = None,
+                   reuse: Reuse = Reuse.Local): DataFrame = {
     val p = 4294967311L
     val rowsPerBand = k / nBands
     // (id, h) rows via the relational shingle shape; duplicates are
@@ -164,10 +173,9 @@ object Dedup {
     // fixed-width sketch rows. Blocks are reclaimed by the
     // ContextCleaner when the plan is unreferenced (same contract as
     // Graph's round checkpoints).
-    val sets = hs.groupBy(col(idCol)).agg(
+    val sets = reuse(hs.groupBy(col(idCol)).agg(
       collect_set(col("h")).as("hset"),
-      sigAggs: _*)
-      .localCheckpoint(false)
+      sigAggs: _*))
     val bandStructs = array((0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
@@ -211,18 +219,18 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    hashBits: Int = 60, nBands: Int = 4,
                    maxHamming: Int = 3,
-                   maxBucketSize: Option[Int] = None): DataFrame = {
+                   maxBucketSize: Option[Int] = None,
+                   reuse: Reuse = Reuse.Local): DataFrame = {
     require(hashBits % nBands == 0, s"hashBits $hashBits must split into $nBands bands")
     val bandBits = hashBits / nBands
     val mask = (1L << bandBits) - 1
     // the sketch frame is read by both self-join sides (and the bucket
     // cap's count): checkpoint the compact (id, 8-byte sketch) rows so
     // the corpus tokenize+simhash pass runs ONCE (see minhashPairs)
-    val sh = df.select(col(idCol),
+    val sh = reuse(df.select(col(idCol),
       org.apache.spark.sql.GraftBridge.column(graft.functions.SimHashN(
         org.apache.spark.sql.GraftBridge.expression(TextAnalysis.tokens(col(textCol))),
-        hashBits)).as("sh"))
-      .localCheckpoint(false)
+        hashBits)).as("sh")))
     val bandStructs = array((0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))): _*)
@@ -263,13 +271,13 @@ object Dedup {
   def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
                        words: Int = 2, bandsPerWord: Int = 2,
                        maxHamming: Int = 3,
-                       maxBucketSize: Option[Int] = None): DataFrame = {
+                       maxBucketSize: Option[Int] = None,
+                       reuse: Reuse = Reuse.Local): DataFrame = {
     require(60 % bandsPerWord == 0, s"bandsPerWord $bandsPerWord must divide 60")
     val bandBits = 60 / bandsPerWord
     val mask = (1L << bandBits) - 1
-    val sh = df.select(col(idCol),
-      simhashWide(TextAnalysis.tokens(col(textCol)), words).as("sh"))
-      .localCheckpoint(false) // one corpus pass — see simhashPairs
+    val sh = reuse(df.select(col(idCol),
+      simhashWide(TextAnalysis.tokens(col(textCol)), words).as("sh"))) // one corpus pass — see simhashPairs
     val bandStructs = array((for (w <- 0 until words; b <- 0 until bandsPerWord)
       yield struct(lit(w * bandsPerWord + b).as("band_idx"),
         shiftright(element_at(col("sh"), w + 1), b * bandBits)
@@ -295,10 +303,10 @@ object Dedup {
   /** Brute-force n-gram Jaccard over all pairs of `df` (bounded input!);
     * the oracle-checkable ground truth that `minhashPairs` approximates. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
-      .groupBy(col(idCol)).agg(collect_set(col("s")).as("sh"))
-      .localCheckpoint(false) // shingle sets built once for both sides
+                        n: Int = 3, threshold: Double = 0.5,
+                        reuse: Reuse = Reuse.Local): DataFrame = {
+    val sh = reuse(shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .groupBy(col(idCol)).agg(collect_set(col("s")).as("sh"))) // shingle sets built once for both sides
     sh.as("x").join(sh.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
@@ -320,14 +328,14 @@ object Dedup {
     * (the classic hot-key bound); the join/agg shape is unchanged. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
-                       maxShingleDf: Option[Int] = None): DataFrame = {
+                       maxShingleDf: Option[Int] = None,
+                       reuse: Reuse = Reuse.Local): DataFrame = {
     // referenced by the df-cap count, both overlap sides, and sizes —
     // checkpoint the compact (id, 8-byte hash) rows so the corpus
     // shingle pass runs once (see minhashPairs)
-    val sh0 = shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+    val sh0 = reuse(shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
       .select(col(idCol), sharedHash(col("s")).as("h"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
     // the hot-key bound a production run needs: shingles shared by more
     // than maxShingleDf docs are boilerplate — drop them BEFORE the
     // self-join (a df-10⁴ shingle would otherwise fan out 10⁸ pairs).

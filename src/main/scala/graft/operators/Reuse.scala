@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization mode for diamond-DAG reuse frames.
+  *
+  * Several operators here build diamonds: a compact sketch frame
+  * (signatures, per-doc hashes, bucket aggregates) feeds two or more
+  * downstream joins. Column pruning specializes each branch, so
+  * ReuseExchange never fires and the corpus-scale upstream chain would
+  * execute once per branch (measured: 4 corpus scans per minhash run).
+  * The fix is truncating lineage at the compact frame — but HOW it is
+  * truncated is a deployment decision, not an operator invariant:
+  *
+  *  - [[Reuse.Local]] (default): non-eager `localCheckpoint` —
+  *    executor-local blocks, zero extra jobs, right for bench/local
+  *    runs and static-allocation clusters. Blocks die with their
+  *    executor: under dynamic allocation or preemption a lost executor
+  *    aborts the job instead of recomputing lineage.
+  *  - [[Reuse.Reliable]]: reliable checkpoint files under a given
+  *    HDFS/object-store dir — survives executor loss; costs a cache
+  *    pass + file write. The 100 TB dynamic-allocation choice (same
+  *    contract as `Graph.connectedComponents(checkpointDir = ...)`).
+  *  - [[Reuse.Off]]: no truncation — branches recompute, predicate
+  *    pushdown and column pruning flow through the operator boundary
+  *    (pick when upstream is a cheap selective scan, or when a caller
+  *    composes the operator under its own materialization).
+  */
+sealed trait Reuse {
+  /** Apply this mode's lineage truncation to a reuse frame. */
+  def apply(df: DataFrame): DataFrame
+}
+
+object Reuse {
+  case object Off extends Reuse {
+    def apply(df: DataFrame): DataFrame = df
+  }
+
+  case object Local extends Reuse {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint(false)
+  }
+
+  /** Reliable-checkpoint mode. The pre-checkpoint persist keeps the
+    * checkpoint's file-write job reading fresh cache instead of
+    * recomputing; the cache is reference-tracked (ContextCleaner
+    * releases it on GC — a plan builder has no post-action hook to
+    * release it deterministically the way Graph's round loop does). */
+  final case class Reliable(dir: String) extends Reuse {
+    def apply(df: DataFrame): DataFrame = {
+      df.sparkSession.sparkContext.setCheckpointDir(dir)
+      df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(false)
+    }
+  }
+}

@@ -62,19 +62,36 @@ object Sampling {
     * rows with the smallest salted key hash — same hash and total-order
     * contract as [[exactK]], so membership is layout- and
     * engine-invariant. The shape for balanced eval sets ("10 docs from
-    * every source"). One shuffle on the stratum key; the per-stratum
-    * window sort is bounded by stratum size, and a dominant stratum is
-    * exactly the skew AQE's skew-join split doesn't fix — pre-split hot
-    * strata (salt the stratum) if one source is most of the corpus. */
+    * every source").
+    *
+    * A dominant stratum (one source = 90% of the corpus) is exactly the
+    * skew AQE's skew-join split doesn't fix — a single stratum window
+    * would sort most of the corpus through one task. So the top-k is
+    * TWO-PHASE: phase 1 ranks within (stratum, hash-derived salt
+    * bucket) — `preSplit` parallel tasks per stratum, each keeping at
+    * most k rows; phase 2 ranks the ≤ k·preSplit survivors per stratum.
+    * The bucket is a pure function of the same salted key hash, so the
+    * result is BIT-IDENTICAL to the one-window form (the true per-
+    * stratum top-k under a total order is contained in the union of
+    * per-bucket top-k), and membership stays layout/engine-invariant. */
   def exactKPerStratum(df: DataFrame, stratum: Column, key: Column, k: Int,
                        tieBreak: Seq[Column],
-                       salt: String = "sample"): DataFrame = {
+                       salt: String = "sample",
+                       preSplit: Int = 32): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
+    require(preSplit >= 1, s"preSplit must be >= 1, got $preSplit")
     val order = saltedHash(key, salt).asc_nulls_last +: key.asc_nulls_last +:
       tieBreak.map(_.asc_nulls_last)
-    val w = org.apache.spark.sql.expressions.Window
+    // NULL keys hash to NULL and land in one shared bucket — consistent
+    // with their NULLS LAST placement (at most k of them can win anyway)
+    val bucket = pmod(saltedHash(key, salt), lit(preSplit))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum, bucket).orderBy(order: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k).drop("__rn")
+      .withColumn("__rn", row_number().over(w2))
       .filter(col("__rn") <= k).drop("__rn")
   }
 

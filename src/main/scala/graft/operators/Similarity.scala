@@ -234,7 +234,8 @@ object Similarity {
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         simThreshold: Double, nPlanes: Int = 0,
                         dim: Int = 64, corpusSize: Long = -1L,
-                        maxBucketSize: Option[Int] = None): DataFrame = {
+                        maxBucketSize: Option[Int] = None,
+                        reuse: Reuse = Reuse.Local): DataFrame = {
     val p = if (nPlanes > 0) nPlanes
       else autoPlanes(if (corpusSize > 0) corpusSize else emb.count())
     val planes = planeSigns(p, dim)
@@ -243,9 +244,8 @@ object Similarity {
     // once per row, not once per reference. The blocks carry the
     // vectors — the same payload the join shuffles anyway.
     val b = Dedup.capBuckets(
-      emb.select(col(idCol), col(vecCol),
-        lshBucket(col(vecCol), planes).as("bucket"))
-        .localCheckpoint(false),
+      reuse(emb.select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), planes).as("bucket"))),
       Seq("bucket"), maxBucketSize)
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&

@@ -144,15 +144,15 @@ object TextAnalysis {
     * not floating floor) — exact at any corpus size. Requires
     * non-negative numeric ids (`div` truncates toward zero). */
   def packOffsets(df: DataFrame, idCol: String, textCol: String,
-                  seqLen: Int = 2048, docsPerBucket: Int = 4096): DataFrame = {
+                  seqLen: Int = 2048, docsPerBucket: Int = 4096,
+                  reuse: Reuse = Reuse.Local): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(docsPerBucket >= 1, s"docsPerBucket must be >= 1, got $docsPerBucket")
     // read by the bucket-totals aggregate AND the offset join — one
     // tokenize pass, not two (see Dedup.minhashPairs)
-    val toks = df.select(col(idCol),
+    val toks = reuse(df.select(col(idCol),
       tokenCount(col(textCol)).cast("long").as("n_toks"),
-      expr(s"`$idCol` div $docsPerBucket").as("__b"))
-      .localCheckpoint(false)
+      expr(s"`$idCol` div $docsPerBucket").as("__b")))
     val totals = toks.groupBy(col("__b")).agg(sum(col("n_toks")).as("__bt"))
     val wBuckets = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -182,18 +182,42 @@ object TextAnalysis {
     * the band joins' `maxBucketSize`). Ordered (df desc, shingle asc) —
     * a total order, so the LIMIT boundary is deterministic.
     *
-    * Scale shape: rides [[Dedup.shingleRows]]; the per-doc distinct and
-    * the df count are partial-aggregable; orderBy+limit plans
-    * TakeOrderedAndProject (per-partition top-k, no full sort). Shingle
-    * STRINGS cross the exchange here — inherent to a human-readable
-    * report, and bounded: upstream aggregation keys are n-grams, output
-    * is topK rows. */
+    * Scale shape — HASH-FIRST, so shingle strings never cross a
+    * corpus-scale exchange: the per-doc distinct and the df count run
+    * on 60-bit [[Dedup.sharedHash60]] keys (8 bytes; 32 bits would
+    * birthday-collide and merge counts at ~10⁵ distinct shingles); the
+    * top-k boundary df comes from a TakeOrderedAndProject over (hash,
+    * df) rows and broadcasts back as a 1-row bound; candidate hashes
+    * (df ≥ boundary — a superset of the true top-k including boundary
+    * ties) broadcast into a second corpus pass that resolves them to
+    * strings with a partial-aggregable min-per-hash — strings reach an
+    * exchange only as per-partition minima of ~topK candidate keys.
+    * The two corpus passes are deliberate: checkpointing the EXPLODED
+    * shingle rows to save the second pass would store a token-stream-
+    * sized frame (the reuse-checkpoint policy is compact sketch frames
+    * only). A 60-bit collision would merge two shingles' counts and
+    * surface min(shingle) — vanishing below ~10⁹ distinct shingles and
+    * reproduced identically by the oracle (same hash recipe). */
   def topShinglesByDf(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, topK: Int = 20): DataFrame = {
+                      n: Int = 3, topK: Int = 20,
+                      reuse: Reuse = Reuse.Local): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    Dedup.shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+    def rows = Dedup.shingleRows(df.select(col(idCol), col(textCol)),
+      idCol, textCol, n)
+    // (hash, df) is fixed-width 16-byte rows — the compact frame both
+    // the boundary branch and the candidate filter read; checkpoint so
+    // the corpus distinct+count pass runs once, not once per branch
+    val dfs = reuse(rows.select(col(idCol), Dedup.sharedHash60(col("s")).as("__h"))
       .distinct()
-      .groupBy(col("s").as("shingle")).agg(count(lit(1)).as("df"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("df")))
+    val kth = dfs.orderBy(col("df").desc).limit(topK)
+      .agg(min(col("df")).as("__dfk"))
+    val cand = dfs.crossJoin(broadcast(kth))
+      .filter(col("df") >= col("__dfk")).select(col("__h"), col("df"))
+    rows.select(col("s"), Dedup.sharedHash60(col("s")).as("__h"))
+      .join(broadcast(cand), "__h")
+      .groupBy(col("__h"), col("df")).agg(min(col("s")).as("shingle"))
+      .select(col("shingle"), col("df"))
       .orderBy(col("df").desc, col("shingle").asc)
       .limit(topK)
   }
@@ -240,13 +264,12 @@ object TextAnalysis {
     * leaves the first projection, and every aggregate combines
     * map-side. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
-                    topK: Int = 3): DataFrame = {
+                    topK: Int = 3, reuse: Reuse = Reuse.Local): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     // tf feeds BOTH the df aggregate and the score join; pruning
     // specializes the two branches, so without a checkpoint the corpus
     // tokenize+count chain runs twice (see Dedup.minhashPairs)
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = reuse(toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))

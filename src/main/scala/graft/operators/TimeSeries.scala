@@ -34,16 +34,16 @@ object TimeSeries {
     * and broadcast back), so `filled_value` is null only before the
     * series' first observation ever. */
   def resample(df: DataFrame, tsCol: String, valueCol: String,
-               unit: String = "minute"): DataFrame = {
+               unit: String = "minute",
+               reuse: Reuse = Reuse.Local): DataFrame = {
     require(Seq("minute", "hour", "second").contains(unit),
       s"sub-day unit required (forward fill partitions by day), got $unit")
     // read by the day-close aggregate AND the dense-grid join — one
     // events pass, not two (see Dedup.minhashPairs)
-    val buckets = df
+    val buckets = reuse(df
       .groupBy(date_trunc(unit, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast(DecimalType(18, 6))).as("__sum_dec"))
-      .localCheckpoint(false)
+        sum(col(valueCol).cast(DecimalType(18, 6))).as("__sum_dec")))
     val bounds = df.agg(
       date_trunc(unit, min(col(tsCol))).as("lo"),
       date_trunc(unit, max(col(tsCol))).as("hi"))

@@ -42,19 +42,47 @@ object Corpus {
     * ([[graft.functions.ShingleContaminated]]) that builds gram bytes,
     * digests, and hash-probes with early exit — no per-row HOF lambda
     * tree, no join. Docs with fewer than `n` tokens have no shingles
-    * and pass clean, matching [[Dedup.decontaminate]]. For an eval side
-    * too big to ship in the plan (beyond ~10⁶ hashes), run the batch
-    * semi-join inside `foreachBatch` instead. */
+    * and pass clean, matching [[Dedup.decontaminate]].
+    *
+    * `maxInlineHashes` is the plan-size ceiling on the inlined probe
+    * set (default 2²⁰ ≈ 8 MB of longs). Above it, a BATCH input falls
+    * back to the relational shingle semi-join (identical keep set, no
+    * driver-resident hash array); a STREAMING input is refused loudly —
+    * run the batch semi-join inside `foreachBatch` instead, where each
+    * micro-batch is a plain DataFrame. */
   def cleanAgainst(docs: DataFrame, evalDocs: DataFrame,
-                   idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val evalH: Seq[Long] = Dedup.shingleRows(
+                   idCol: String, textCol: String, n: Int = 13,
+                   maxInlineHashes: Int = 1 << 20): DataFrame = {
+    require(maxInlineHashes >= 1, s"maxInlineHashes must be >= 1, got $maxInlineHashes")
+    val evalHDf = Dedup.shingleRows(
         evalDocs.select(col(idCol), col(textCol)), idCol, textCol, n)
       .select(Dedup.sharedHash(col("s")).as("h")).distinct()
-      .collect().map(_.getLong(0)).toIndexedSeq
-    val contaminated = org.apache.spark.sql.GraftBridge.column(
-      graft.functions.ShingleContaminated(
-        org.apache.spark.sql.GraftBridge.expression(split(col(textCol), "\\s+")),
-        n, evalH))
-    docs.filter(!coalesce(contaminated, lit(false))).select(col(idCol))
+    // peek one past the ceiling — never collects an unbounded set
+    val evalH: Array[Long] = evalHDf.limit(maxInlineHashes + 1)
+      .collect().map(_.getLong(0))
+    if (evalH.length <= maxInlineHashes) {
+      val contaminated = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.ShingleContaminated(
+          org.apache.spark.sql.GraftBridge.expression(split(col(textCol), "\\s+")),
+          n, evalH.toIndexedSeq))
+      docs.filter(!coalesce(contaminated, lit(false))).select(col(idCol))
+    } else if (docs.isStreaming) {
+      throw new IllegalArgumentException(
+        s"eval set exceeds $maxInlineHashes distinct $n-gram hashes — too big " +
+          "to inline into a streaming plan. Run the batch semi-join inside " +
+          "foreachBatch (each micro-batch is a plain DataFrame), or raise " +
+          "maxInlineHashes if the driver can hold the set.")
+    } else {
+      // batch fallback: same KEEP contract via the relational join —
+      // corpus text never shuffles, only (id, 8-byte hash) rows; the
+      // join strategy (broadcast vs shuffle) is left to Catalyst/AQE
+      // since "too big to inline" need not mean "too big to broadcast"
+      val docH = Dedup.shingleRows(docs.select(col(idCol), col(textCol)),
+          idCol, textCol, n)
+        .select(col(idCol), Dedup.sharedHash(col("s")).as("h"))
+      val dirty = docH.join(evalHDf, Seq("h"), "left_semi")
+        .select(col(idCol)).distinct()
+      docs.select(col(idCol)).join(dirty, Seq(idCol), "left_anti")
+    }
   }
 }

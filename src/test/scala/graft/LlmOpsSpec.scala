@@ -432,6 +432,57 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(k5.select($"doc_id").exceptAll(reparted.select($"doc_id")).isEmpty)
   }
 
+  test("exact-k per stratum: dominant stratum pre-split is bit-identical") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // one stratum = 90% of rows — the skew case the two-phase top-k
+    // exists for; preSplit=1 degenerates to the single-window form, so
+    // equality proves the pre-split changes the PLAN, not the answer
+    val df = (1L to 2000L).map { i =>
+      (i, if (i <= 1800) "hot" else s"cold${i % 4}", s"doc $i text ${i * 7 % 13}")
+    }.toDF("doc_id", "source", "text")
+    val split = Sampling.exactKPerStratum(df, $"source", $"text", 7,
+      Seq($"doc_id"), salt = "strat:", preSplit = 32)
+    val single = Sampling.exactKPerStratum(df, $"source", $"text", 7,
+      Seq($"doc_id"), salt = "strat:", preSplit = 1)
+    assert(split.select($"doc_id").exceptAll(single.select($"doc_id")).isEmpty &&
+      single.select($"doc_id").exceptAll(split.select($"doc_id")).isEmpty,
+      "two-phase per-stratum top-k must be bit-identical to the one-window form")
+    assert(split.groupBy($"source").count().collect().forall(_.getLong(1) == 7L))
+    // fewer survivors than k in a bucket-sparse stratum still works:
+    // a stratum with < k rows returns all of them
+    val tiny = Sampling.exactKPerStratum(
+      df.filter($"source" === "cold1").limit(3), $"source", $"text", 7,
+      Seq($"doc_id"), salt = "strat:")
+    assert(tiny.count() == 3)
+  }
+
+  test("reuse modes change the materialization, not the answer") {
+    import spark.implicits._
+    import graft.operators.Reuse
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val local = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(key).toSet
+    // Off: no lineage truncation — branches recompute, pruning flows
+    // through; the pair set must be identical
+    val off = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5,
+        reuse = Reuse.Off)
+      .select($"id_a", $"id_b").collect().map(key).toSet
+    assert(off == local && local.nonEmpty)
+    // Off really removes the checkpoint: no LogicalRDD leaf in the plan
+    val offPlan = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5,
+      reuse = Reuse.Off).queryExecution.analyzed
+    assert(offPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.isEmpty, "Reuse.Off must not truncate lineage")
+    // Reliable: checkpoint files under a real dir, same answer
+    val dir = java.nio.file.Files.createTempDirectory("graft-reuse-ck").toString
+    val rel = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5,
+        reuse = Reuse.Reliable(dir))
+      .select($"id_a", $"id_b").collect().map(key).toSet
+    assert(rel == local)
+  }
+
   test("topShinglesByDf counts each doc once and orders deterministically") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -88,7 +88,9 @@ class PlanSpec extends AnyFunSuite {
       "st_decontaminate",
       // exact ndv x HLL sketch joined as two broadcast 1-row aggregates
       // (the fused form plans an Expand with per-key HLL buffers)
-      "a8_hll")
+      "a8_hll",
+      // broadcast 1-row top-k boundary df (hash-first boilerplate report)
+      "llm_boilerplate", "e_sql_boilerplate")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -195,6 +197,31 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("llm_sample_k")
     assert(p.contains("TakeOrderedAndProject"),
       s"exactK must be a per-partition top-k, not a global sort:\n$p")
+  }
+
+  test("boilerplate report: no corpus-scale string-keyed exchange") {
+    val p = plan("llm_boilerplate")
+    // df counting and the top-k boundary run on 60-bit hash keys; the
+    // only shuffles partition on doc_id (shingleRows' window) or __h —
+    // never on the shingle string itself
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e => e.contains("shingle") || e.contains("(s#")),
+      s"shingle strings must not key an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("per-stratum sampling: corpus window is (stratum, bucket)-pre-split") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // a dominant stratum must not sort the corpus through one task: the
+    // window touching the full input partitions by (stratum, salt
+    // bucket); only the ≤ k·preSplit survivors see the per-stratum window
+    val qe = SparkEntry.queries("llm_sample_strat")(spark, TestSpark.sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected pre-split + survivor windows, got ${wins.size}")
+    assert(wins.forall(_.partitionSpec.nonEmpty), "no global window allowed")
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "the corpus-facing window must partition by (stratum, bucket)")
   }
 
   test("deterministic sampling is a pure scan+filter (zero exchange)") {

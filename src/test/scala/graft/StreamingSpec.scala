@@ -64,6 +64,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size < batchCorpus.count())
   }
 
+  test("decontamination eval-set ceiling: batch falls back, streaming refuses") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ev = docs.filter(col("doc_id") > mx - 100).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") <= mx - 100)
+    // inline (fused-expression) path vs forced relational fallback:
+    // identical keep set — the ceiling changes the PLAN, not the answer
+    val inline = graft.streaming.Corpus
+      .cleanAgainst(corpus, ev, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val fallback = graft.streaming.Corpus
+      .cleanAgainst(corpus, ev, "doc_id", "text", maxInlineHashes = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(fallback == inline && inline.nonEmpty)
+    // a streaming input over the ceiling must refuse LOUDLY with the
+    // foreachBatch escape hatch, not silently plan an 8-GB literal
+    val stream = graft.streaming.Corpus.readStream(spark, TestSpark.sf)
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.Corpus.cleanAgainst(stream, ev, "doc_id", "text",
+        maxInlineHashes = 1)
+    }
+    assert(err.getMessage.contains("foreachBatch"))
+  }
+
   test("session gap boundary: exactly-gap-apart events start a new session") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)
