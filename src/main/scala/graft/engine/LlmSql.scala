@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, GraftBridge, GraftDeferred, SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StructField, StructType}
-import graft.operators.{Dedup, Graph, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Graph, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /** SQL façade over the §2.10 LLM-pipeline operators — the reference's
   * identity is "SQL to whatever" (`README.md` [U]), so the dedup /
@@ -155,6 +155,15 @@ object LlmSql {
       case args => bad(
         "graft_boilerplate(table, id_col, text_col, n, top_k)", args)
     }
+    reg(spark, "graft_split") {
+      case Seq(t, key, salt, tr, va, te) =>
+        val f = "graft_split"
+        Sampling.splitByHash(table(str(t, f)), col(str(key, f)),
+          Seq("train" -> int(tr, f), "val" -> int(va, f), "test" -> int(te, f)),
+          salt = str(salt, f))
+      case args => bad(
+        "graft_split(table, key_col, salt, train_bp, val_bp, test_bp)", args)
+    }
     reg(spark, "graft_sample_strat") {
       case Seq(t, stratum, key, tie, k, salt) =>
         val f = "graft_sample_strat"
@@ -215,6 +224,29 @@ object LlmSql {
       case args => bad(
         "graft_decontaminate(corpus_table, eval_table, id_col, text_col, n)", args)
     }
+    reg(spark, "graft_rep_ratio") {
+      case Seq(t, id, text, n) =>
+        val f = "graft_rep_ratio"
+        TextAnalysis.repetitionRatio(table(str(t, f)), str(id, f),
+          str(text, f), n = int(n, f))
+      case args => bad("graft_rep_ratio(table, id_col, text_col, n)", args)
+    }
+    reg(spark, "graft_resample") {
+      case Seq(t, ts, value, unit) =>
+        val f = "graft_resample"
+        TimeSeries.resample(table(str(t, f)), str(ts, f), str(value, f),
+          unit = str(unit, f))
+      case args => bad("graft_resample(table, ts_col, value_col, unit)", args)
+    }
+    reg(spark, "graft_embedding_dups") {
+      case Seq(t, id, vec, thr, planes, dim) =>
+        val f = "graft_embedding_dups"
+        Similarity.embeddingNearDups(table(str(t, f)), str(id, f),
+          str(vec, f), simThreshold = dbl(thr, f),
+          nPlanes = int(planes, f), dim = int(dim, f))
+      case args => bad(
+        "graft_embedding_dups(table, id_col, vec_col, threshold, n_planes, dim)", args)
+    }
 
     // per-row text-analysis SCALAR functions (pure codegen'd column
     // expressions — usable anywhere an expression is, including as the
@@ -228,5 +260,24 @@ object LlmSql {
     scalar("graft_pii_redact")(TextAnalysis.piiRedact)
     scalar("graft_langid")(TextAnalysis.langId)
     scalar("graft_fingerprint")(TextAnalysis.fingerprint)
+    scalar("graft_token_count")(TextAnalysis.tokenCount)
+    scalar("graft_bpeish_count")(TextAnalysis.bpeishTokenCount)
+    scalar("graft_punct_ratio")(TextAnalysis.punctRatio)
+    scalar("graft_stopword_ratio")(TextAnalysis.stopwordRatio)
+    // two-arg: elementwise cosine over embedding columns (the codegen'd
+    // CosineSim kernel — SQL-side vector math)
+    freg.createOrReplaceTempFunction("graft_cosine", {
+      case Seq(a, b) => GraftBridge.resolvedExpression(spark,
+        Similarity.cosine(GraftBridge.column(a), GraftBridge.column(b)))
+      case args => bad("graft_cosine(vec_a, vec_b)", args)
+    }, "scala_udf")
+    // deterministic sampling gate: keep iff hash(salt||key) lands under
+    // rate_bp basis points — the SQL form of Sampling.bernoulli/mix
+    freg.createOrReplaceTempFunction("graft_sample_gate", {
+      case Seq(key, rate, salt) => GraftBridge.resolvedExpression(spark,
+        Sampling.hashGate(GraftBridge.column(key), GraftBridge.column(rate),
+          str(salt, "graft_sample_gate")))
+      case args => bad("graft_sample_gate(key, rate_bp, salt)", args)
+    }, "scala_udf")
   }
 }

@@ -95,6 +95,36 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic N-way SPLIT (train/val/test): range-partition the
+    * salted key hash into cumulative basis-point intervals. Unlike
+    * independent [[bernoulli]] gates, the splits are DISJOINT and
+    * EXHAUSTIVE by construction — every row lands in exactly one split,
+    * the property a train/val/test cut must have (independent gates can
+    * double-assign or orphan rows). Membership is a pure function of
+    * (salt, key): layout/engine-invariant, and a re-ingested document
+    * lands in the same split (no test-set leakage on incremental
+    * re-runs). NULL keys hash to bucket 0 — the first split.
+    *
+    * Appends a `split` label column; a pure codegen'd projection, zero
+    * shuffle at any scale. `splits` are (name, basis points), summing
+    * to 10000. */
+  def splitByHash(df: DataFrame, key: Column, splits: Seq[(String, Int)],
+                  salt: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    splits.foreach { case (n, bp) =>
+      require(bp >= 1 && bp <= 10000, s"split $n rate must be 1..10000 bp, got $bp")
+    }
+    require(splits.map(_._2).sum == 10000,
+      s"split rates must sum to 10000 bp, got ${splits.map(_._2).sum}")
+    val h = coalesce(pmod(saltedHash(key, salt), lit(10000)), lit(0))
+    val cuts = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val label = splits.init.zip(cuts.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cut)) =>
+        Some(acc.fold(when(h < cut, name))(_.when(h < cut, name)))
+    }.get.otherwise(splits.last._1)
+    df.withColumn("split", label)
+  }
+
   /** Stratified sample: per-stratum rates (basis points), rows in
     * strata missing from `rates` are dropped. The rate lookup is a
     * codegen'd CASE chain — no join, no shuffle; the gate stays a pure

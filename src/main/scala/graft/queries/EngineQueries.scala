@@ -156,6 +156,48 @@ object EngineQueries {
       "SELECT doc_id, graft_pii_redact(text) AS redacted FROM documents")),
     "e_sql_langid" -> ((s, d) => via(s, d)(
       "SELECT doc_id, graft_langid(text) AS lang_guess FROM documents")),
+    "e_sql_fingerprint" -> ((s, d) => via(s, d)(
+      "SELECT doc_id, graft_fingerprint(text) AS fp FROM documents")),
+    // deterministic train/val/test cut from SQL text
+    "e_sql_split" -> ((s, d) => via(s, d)(
+      "SELECT doc_id, split FROM graft_split('documents', 'text', 'split:', 9800, 100, 100)")),
+    // the whole text-stats panel through SQL scalars
+    "e_sql_text_stats" -> ((s, d) => via(s, d)(
+      """SELECT doc_id,
+                graft_token_count(text) AS token_cnt,
+                graft_bpeish_count(text) AS bpeish_cnt,
+                round(graft_punct_ratio(text), 6) AS punct_ratio,
+                round(graft_stopword_ratio(text), 6) AS stop_ratio,
+                graft_quality(text) AS quality
+         FROM documents""")),
+    // weighted corpus mixing from SQL: two deterministic gates + union
+    "e_sql_mix" -> ((s, d) => via(s, d)(
+      """SELECT doc_id, 'web' AS source_ds FROM documents
+         WHERE graft_sample_gate(text, 7000, 'mixweb:')
+         UNION ALL
+         SELECT doc_id, 'books' AS source_ds FROM documents
+         WHERE graft_sample_gate(text, 3000, 'mixbooks:')""")),
+    // SQL-side vector math: cosine against a scalar-subquery query vector
+    "e_sql_cosine" -> ((s, d) => via(s, d)(
+      """SELECT e.vec_id, round(graft_cosine(e.embedding, q.qv), 6) AS cos_sim
+         FROM embeddings e
+         CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0""")),
+    "e_sql_rep_ratio" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_rep_ratio('documents', 'doc_id', 'text', 3)")),
+    // time-series resample from SQL over the events view
+    "e_sql_resample" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_resample('events', 'ts', 'value', 'minute')")),
+    "e_sql_embedding_dups" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_embdup_corpus AS
+                 SELECT vec_id, embedding FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings""")
+      e.query(
+        "SELECT * FROM graft_embedding_dups('graft_embdup_corpus', 'vec_id', 'embedding', 0.99, 6, 64)")
+    }),
     "e_sql_decontaminate" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -235,6 +277,14 @@ object EngineQueries {
     "e_sql_boilerplate" -> LlmQueries.oracle("llm_boilerplate"),
     "e_sql_sample_strat" -> LlmQueries.oracle("llm_sample_strat"),
     "e_sql_pii_redact" -> LlmQueries.oracle("llm_pii_redact"),
-    "e_sql_langid" -> LlmQueries.oracle("llm_langid")
+    "e_sql_langid" -> LlmQueries.oracle("llm_langid"),
+    "e_sql_fingerprint" -> LlmQueries.oracle("llm_fingerprint"),
+    "e_sql_split" -> LlmQueries.oracle("llm_split"),
+    "e_sql_text_stats" -> LlmQueries.oracle("llm_text_stats"),
+    "e_sql_mix" -> LlmQueries.oracle("llm_mix"),
+    "e_sql_cosine" -> LlmQueries.oracle("llm_cosine"),
+    "e_sql_rep_ratio" -> LlmQueries.oracle("llm_rep_ratio"),
+    "e_sql_resample" -> ExtraQueries.oracle("ts_resample"),
+    "e_sql_embedding_dups" -> LlmQueries.oracle("llm_embedding_dups")
   )
 }

@@ -432,6 +432,31 @@ object LlmQueries {
           array_join(transform($"sampled_frames", _.cast("string")), ",")
             .as("frames_csv"),
           $"mean_luma")
+    }),
+    "llm_split" -> ((s, d) => {
+      import s.implicits._
+      // deterministic train/val/test cut: disjoint + exhaustive hash
+      // RANGES (independent gates can double-assign or orphan rows);
+      // byte-identical documents land in the same split by construction
+      graft.operators.Sampling.splitByHash(
+          Tables.load(s, d, "documents").select($"doc_id", $"text"),
+          $"text", Seq("train" -> 9800, "val" -> 100, "test" -> 100),
+          salt = "split:")
+        .select($"doc_id", $"split")
+    }),
+    "llm_split_leakage" -> ((s, d) => {
+      import s.implicits._
+      // cross-split contamination sweep — the check a training run does
+      // AFTER cutting splits: which train docs share a 13-gram with the
+      // held-out test split (near-dups can straddle the hash cut even
+      // though exact clones cannot)
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val sp = graft.operators.Sampling.splitByHash(docs, $"text",
+        Seq("train" -> 9800, "val" -> 100, "test" -> 100), salt = "split:")
+      Dedup.decontaminate(
+        sp.filter($"split" === "train").select($"doc_id", $"text"),
+        sp.filter($"split" === "test").select($"doc_id", $"text"),
+        "doc_id", "text", n = 13)
     })
   )
 
@@ -832,6 +857,39 @@ object LlmQueries {
                              text NULLS LAST, doc_id NULLS LAST) AS rn
            FROM documents)
          WHERE rn <= 10""",
+    "llm_split" ->
+      """SELECT doc_id,
+                CASE WHEN h < 9800 THEN 'train'
+                     WHEN h < 9900 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 coalesce(CAST(('0x'||substr(md5('split:'||text),1,8)) AS BIGINT) % 10000, 0) AS h
+               FROM documents)""",
+    "llm_split_leakage" -> {
+      val gram13 = (0 until 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH sp AS (SELECT doc_id, text,
+               CASE WHEN coalesce(CAST(('0x'||substr(md5('split:'||text),1,8)) AS BIGINT) % 10000, 0) < 9800 THEN 'train'
+                    WHEN coalesce(CAST(('0x'||substr(md5('split:'||text),1,8)) AS BIGINT) % 10000, 0) < 9900 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM documents),
+          t AS (SELECT doc_id, split, string_split_regex(text, '\\s+') AS toks
+                FROM sp),
+          g AS (SELECT doc_id, split,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 12),
+                    i -> $gram13)) AS gs
+                FROM t WHERE len(toks) >= 13),
+          h AS (SELECT doc_id, split,
+                  list_distinct(list_transform(gs, s -> $hashSql)) AS hs
+                FROM g),
+          ev AS (SELECT DISTINCT unnest(hs) AS eh FROM h WHERE split = 'test'),
+          co AS (SELECT doc_id, unnest(hs) AS eh FROM h WHERE split = 'train'),
+          hits AS (SELECT doc_id, count(*) AS c
+                   FROM co JOIN ev USING (eh) GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(hits.c, 0) AS eval_shingles,
+                 coalesce(hits.c, 0) > 0 AS contaminated
+          FROM (SELECT doc_id FROM sp WHERE split = 'train') d
+          LEFT JOIN hits USING (doc_id)"""
+    },
     "llm_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),

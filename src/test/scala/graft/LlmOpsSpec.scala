@@ -457,6 +457,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("splitByHash: disjoint, exhaustive, layout-invariant, clone-consistent") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = docs.select($"doc_id", $"text")
+    val total = d.count()
+    val sp = Sampling.splitByHash(d, $"text",
+      Seq("train" -> 9000, "val" -> 500, "test" -> 500), salt = "split:")
+    // exhaustive + disjoint by construction: one label per row, counts
+    // sum to the corpus
+    val counts = sp.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == total)
+    // roughly proportional (10% tolerance bands at 5%/90% rates)
+    assert(counts("train").toDouble / total > 0.8)
+    assert(counts("test").toDouble / total < 0.15)
+    // layout invariance: same membership after repartition
+    val re = Sampling.splitByHash(d.repartition(7), $"text",
+      Seq("train" -> 9000, "val" -> 500, "test" -> 500), salt = "split:")
+    assert(sp.exceptAll(re).isEmpty && re.exceptAll(sp).isEmpty)
+    // byte-identical texts land in the SAME split (no cross-split
+    // leakage of exact clones — the property independent gates lack)
+    val clones = Sampling.splitByHash(
+      d.unionAll(d.select($"doc_id" + 1000000, $"text")), $"text",
+      Seq("train" -> 9000, "val" -> 500, "test" -> 500), salt = "split:")
+    assert(clones.groupBy($"text").agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1).isEmpty)
+    // validation: rates must sum to 10000
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(d, $"text", Seq("a" -> 5000, "b" -> 4000))
+    }
+  }
+
   test("reuse modes change the materialization, not the answer") {
     import spark.implicits._
     import graft.operators.Reuse

@@ -77,7 +77,8 @@ class PlanSpec extends AnyFunSuite {
     // BNLJ is legitimate only where the build side is a broadcast
     // single-row/bounded set or the op is an intentional cross/brute-force
     val allowedBnlj = Set("j4_cross", "llm_ann_lsh", "llm_ann_topk",
-      "llm_ann_ivf", "llm_ann_ivf_trained", "llm_cosine", "llm_ngram_jaccard",
+      "llm_ann_ivf", "llm_ann_ivf_trained", "llm_cosine", "e_sql_cosine",
+      "llm_ngram_jaccard",
       // broadcast of a 1-row bound/total (max doc_id; corpus N)
       "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment",
       "llm_containment_dfcap", "llm_decontaminate", "llm_minhash_capped",
