@@ -25,10 +25,23 @@ object Tables {
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Last dir registered per session — registerAll is called from every
+    * SQL-surface query builder, and each call re-reads ten parquet
+    * footers on the driver (~0.7 s at sf0.1: measured as the constant
+    * overhead every `e_*` bench key paid over its Scala twin). Weak keys
+    * so dropped sessions can be collected. */
+  private val registeredDirs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register every testdata table as a temp view named after the table.
-    * Lazy (metadata only) — safe to call per query. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+    * Idempotent per (session, dir): repeat calls are no-ops; switching
+    * dirs re-registers (the views must follow the new location). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    if (dir == registeredDirs.get(spark)) return
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    registeredDirs.put(spark, dir)
+  }
 
   /** Standard session used by runnable mains. local[N] but every choice
     * (AQE, 32 shuffle partitions, broadcast threshold) is the one you'd
