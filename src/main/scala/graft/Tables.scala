@@ -35,10 +35,13 @@ object Tables {
       new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every testdata table as a temp view named after the table.
-    * Idempotent per (session, dir): repeat calls are no-ops; switching
-    * dirs re-registers (the views must follow the new location). */
+    * Idempotent per (session, dir): repeat calls are no-ops unless the
+    * dir switched or a canonical view was dropped (cheap in-memory
+    * catalog probes). A view REPLACED under a canonical name is not
+    * detected — callers own those names. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    if (dir == registeredDirs.get(spark)) return
+    if (dir == registeredDirs.get(spark) &&
+        all.forall(n => spark.catalog.tableExists(n))) return
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
     registeredDirs.put(spark, dir)
   }

@@ -159,18 +159,43 @@ object Dialect {
   }
 
   /** First top-level LIMIT/OFFSET *clause* at/after `from`: the keyword
-    * must be followed by a plausible operand (number literal, `:`/`?`/
-    * `$` parameter marker, or ALL for LIMIT). A select-list column
-    * alias named `limit`/`offset` is followed by ',', a keyword, or
-    * end-of-region — treating it as the statement tail would splice
-    * mangled SQL. */
+    * must be followed by a plausible operand — number literal, `:`/`?`/
+    * `$` parameter marker, ALL (LIMIT), a parenthesized expression
+    * (`LIMIT (5)`, `LIMIT (SELECT n FROM cfg)`), or a function call
+    * (`LIMIT least(10, n)` — an identifier directly followed by `(`).
+    * A select-list column alias named `limit`/`offset` is followed by
+    * ',', a keyword, or end-of-region — never by any of those operand
+    * shapes (an alias followed by `(` is a syntax error) — so treating
+    * it as the statement tail (and splicing mangled SQL) is excluded
+    * while real expression operands stay detected. A BARE identifier
+    * operand (`LIMIT n`) is indistinguishable from an alias and is not
+    * claimed; parameter markers cover that use. */
+  /** Keywords that may legitimately be followed by `(` — an alias named
+    * limit/offset followed by e.g. `FROM (SELECT ...)` must not make
+    * the keyword-then-paren look like a function-call operand. */
+  private val notAFunction = Set("FROM", "WHERE", "JOIN", "ON", "USING",
+    "AND", "OR", "NOT", "IN", "EXISTS", "VALUES", "GROUP", "HAVING",
+    "WHEN", "THEN", "ELSE", "CASE", "SELECT", "UNION", "INTERSECT",
+    "EXCEPT", "DISTINCT", "ALL", "OVER", "PARTITION", "ORDER", "BY",
+    "LATERAL", "CROSS", "INNER", "LEFT", "RIGHT", "FULL", "NATURAL",
+    "TABLESAMPLE", "PIVOT", "UNPIVOT", "WINDOW", "AS", "BETWEEN", "LIKE")
+
   private def topLevelLimitOffset(s: String, kw: String, from: Int = 0): Int = {
     var i = topLevelIndexFrom(s, kw, from)
     while (i >= 0) {
       val nxt = nextCode(s, i + kw.length)
-      if (nxt >= 0 && (s.charAt(nxt).isDigit ||
-          s.charAt(nxt) == ':' || s.charAt(nxt) == '?' || s.charAt(nxt) == '$' ||
-          (kw == "LIMIT" && tokenAt(s, nxt, "ALL")))) return i
+      if (nxt >= 0) {
+        val c = s.charAt(nxt)
+        val fnCall = isIdentChar(c) && !c.isDigit && {
+          var j = nxt
+          while (j < s.length && isIdentChar(s.charAt(j))) j += 1
+          val after = nextCode(s, j)
+          after >= 0 && s.charAt(after) == '(' &&
+            !notAFunction.contains(s.substring(nxt, j).toUpperCase)
+        }
+        if (c.isDigit || c == ':' || c == '?' || c == '$' || c == '(' ||
+            (kw == "LIMIT" && tokenAt(s, nxt, "ALL")) || fnCall) return i
+      }
       i = topLevelIndexFrom(s, kw, i + kw.length)
     }
     -1
@@ -471,7 +496,11 @@ object Dialect {
     "UNION", "INTERSECT", "EXCEPT", "AS", "ASC", "DESC", "AND", "OR",
     // table-context keywords that may follow a subquery ALIAS named
     // `qualify`: `FROM (SELECT ...) qualify NATURAL JOIN t` is an alias,
-    // not a clause — treating it as one would splice invalid SQL
+    // not a clause — treating it as one would splice invalid SQL.
+    // Known tradeoff: a genuine QUALIFY whose predicate STARTS with a
+    // column named like one of these (`QUALIFY window = 1`) reads as an
+    // alias — parenthesize the predicate (`QUALIFY (window = 1)`) to
+    // force the clause reading.
     "NATURAL", "LATERAL", "PIVOT", "UNPIVOT", "TABLESAMPLE", "WINDOW",
     "HAVING", "SEMI", "ANTI")
   private val opChars: Set[Char] = ",.()=<>+-*/%|&^:".toSet

@@ -253,9 +253,11 @@ object LlmSql {
     // score feeding graft_cluster_best)
     val freg = spark.sessionState.functionRegistry
     def scalar(name: String)(b: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
-      freg.createOrReplaceTempFunction(name, es =>
-        GraftBridge.resolvedExpression(spark,
-          b(GraftBridge.column(es.head))), "scala_udf")
+      freg.createOrReplaceTempFunction(name, {
+        case Seq(e) => GraftBridge.resolvedExpression(spark,
+          b(GraftBridge.column(e)))
+        case args => bad(s"$name(text)", args)
+      }, "scala_udf")
     scalar("graft_quality")(TextAnalysis.qualityScore)
     scalar("graft_pii_redact")(TextAnalysis.piiRedact)
     scalar("graft_langid")(TextAnalysis.langId)

@@ -45,10 +45,18 @@ object Reuse {
     * checkpoint's file-write job reading fresh cache instead of
     * recomputing; the cache is reference-tracked (ContextCleaner
     * releases it on GC — a plan builder has no post-action hook to
-    * release it deterministically the way Graph's round loop does). */
+    * release it deterministically the way Graph's round loop does).
+    *
+    * NOTE the checkpoint dir is SparkContext-GLOBAL (same contract as
+    * `Graph.connectedComponents(checkpointDir)` and `sc.setCheckpointDir`
+    * itself): one reliable location per application. The setter fires
+    * only when the dir actually differs, so repeated builds don't
+    * re-point an already-configured application; mixing different
+    * `Reliable(dir)` values concurrently is not supported. */
   final case class Reliable(dir: String) extends Reuse {
     def apply(df: DataFrame): DataFrame = {
-      df.sparkSession.sparkContext.setCheckpointDir(dir)
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
       df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(false)
     }
   }

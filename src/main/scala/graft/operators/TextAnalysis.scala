@@ -212,8 +212,18 @@ object TextAnalysis {
       .groupBy(col("__h")).agg(count(lit(1)).as("df")))
     val kth = dfs.orderBy(col("df").desc).limit(topK)
       .agg(min(col("df")).as("__dfk"))
+    // the boundary-tie set is unbounded in a degenerate corpus (boundary
+    // df = 1 over mostly-unique text ⇒ candidates = every hash): cap it
+    // so the broadcast can never become corpus-scale. Within the cap the
+    // result is EXACT (the filter keeps ≤ cap rows and the limit is a
+    // no-op — measured 27–29 candidates on real corpora); past it the
+    // k-th boundary group resolves by hash order instead of string
+    // order — a corpus where >64·topK shingles tie at the boundary has
+    // no meaningful boilerplate to report.
+    val candCap = math.max(64 * topK, 1024)
     val cand = dfs.crossJoin(broadcast(kth))
       .filter(col("df") >= col("__dfk")).select(col("__h"), col("df"))
+      .orderBy(col("df").desc, col("__h").asc).limit(candCap)
     rows.select(col("s"), Dedup.sharedHash60(col("s")).as("__h"))
       .join(broadcast(cand), "__h")
       .groupBy(col("__h"), col("df")).agg(min(col("s")).as("shingle"))

@@ -19,6 +19,9 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 object LlmQueries {
 
   private val hashSql = "CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)"
+  /** 13-token gram over a `toks` list at index `i` — shared by every
+    * decontamination-family oracle so the shingle format can't diverge. */
+  private val gram13Sql = (0 until 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
 
   /** The last `n` documents by id — the slice where the driver plants
     * near-duplicates — selected via a broadcast 1-row max bound.
@@ -693,13 +696,12 @@ object LlmQueries {
     // 13-gram train/eval overlap; hashes via the shared-md5 recipe so
     // both engines count identical key sets
     "llm_decontaminate" -> {
-      val gram13 = (0 until 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
           t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
                 FROM documents),
           g AS (SELECT doc_id,
                   list_distinct(list_transform(generate_series(1, len(toks) - 12),
-                    i -> $gram13)) AS gs
+                    i -> $gram13Sql)) AS gs
                 FROM t WHERE len(toks) >= 13),
           h AS (SELECT doc_id,
                   list_distinct(list_transform(gs, s -> $hashSql)) AS hs
@@ -866,7 +868,6 @@ object LlmQueries {
                  coalesce(CAST(('0x'||substr(md5('split:'||text),1,8)) AS BIGINT) % 10000, 0) AS h
                FROM documents)""",
     "llm_split_leakage" -> {
-      val gram13 = (0 until 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       s"""WITH sp AS (SELECT doc_id, text,
                CASE WHEN coalesce(CAST(('0x'||substr(md5('split:'||text),1,8)) AS BIGINT) % 10000, 0) < 9800 THEN 'train'
                     WHEN coalesce(CAST(('0x'||substr(md5('split:'||text),1,8)) AS BIGINT) % 10000, 0) < 9900 THEN 'val'
@@ -876,7 +877,7 @@ object LlmQueries {
                 FROM sp),
           g AS (SELECT doc_id, split,
                   list_distinct(list_transform(generate_series(1, len(toks) - 12),
-                    i -> $gram13)) AS gs
+                    i -> $gram13Sql)) AS gs
                 FROM t WHERE len(toks) >= 13),
           h AS (SELECT doc_id, split,
                   list_distinct(list_transform(gs, s -> $hashSql)) AS hs

@@ -382,6 +382,34 @@ class EngineSpec extends AnyFunSuite {
       s"alias named offset must stay inside its arm: $r")
   }
 
+  test("LIMIT with expression operands is the statement tail; aliases are not") {
+    Tables.registerAll(spark, TestSpark.sf)
+    // parenthesized operand: the LIMIT must be peeled off and applied
+    // AFTER dedup (outside the rewritten window subquery)
+    val r = Dialect.rewrite(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+         FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey LIMIT (5)""")
+    assert(r.trim.endsWith("LIMIT (5)"), s"limit must stay outside the window form: $r")
+    assert(engine.query(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+         FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey LIMIT (5)""")
+      .count() == 5)
+    // function-call operand detected too
+    val fr = Dialect.rewrite(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
+         FROM customer ORDER BY c_nationkey, c_custkey LIMIT least(3, 7)""")
+    assert(fr.trim.endsWith("LIMIT least(3, 7)"))
+    // an alias named limit followed by FROM (subquery) is NOT a tail —
+    // FROM-then-paren must not read as a function call
+    val ar = Dialect.rewrite(
+      "SELECT DISTINCT ON (a) a, b limit FROM (SELECT 1 AS a, 2 AS b) t ORDER BY a, b")
+    val arn = ar.replaceAll("\\s+", " ")
+    assert(arn.contains("SELECT a, b limit FROM ("),
+      s"alias named limit must stay in the outer select list: $ar")
+    assert(arn.endsWith("ORDER BY a, b"),
+      s"no spurious LIMIT tail may be peeled: $ar")
+  }
+
   test("subquery alias 'qualify' before table-context keywords is not a clause") {
     Tables.registerAll(spark, TestSpark.sf)
     // NATURAL JOIN after an alias named qualify: alias reading, no
