@@ -98,6 +98,16 @@ object LlmSql {
       case args => bad(
         "graft_minhash_pairs(table, id_col, text_col, threshold[, max_bucket])", args)
     }
+    reg(spark, "graft_minhash_between") {
+      case args if args.length == 5 || args.length == 6 =>
+        val f = "graft_minhash_between"
+        val cap = if (args.length == 6) Some(int(args(5), f)) else None
+        Dedup.minhashPairsBetween(table(str(args(0), f)), table(str(args(1), f)),
+          str(args(2), f), str(args(3), f),
+          threshold = dbl(args(4), f), maxBucketSize = cap)
+      case args => bad(
+        "graft_minhash_between(new_table, corpus_table, id_col, text_col, threshold[, max_bucket])", args)
+    }
     reg(spark, "graft_containment_pairs") {
       case args if args.length == 5 || args.length == 6 =>
         val f = "graft_containment_pairs"

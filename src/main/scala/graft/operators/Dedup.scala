@@ -149,40 +149,51 @@ object Dedup {
     * (band_idx, band_val) keys; the confirm stage joins fixed-width
     * long-array sketches, never document text. `maxBucketSize` is the
     * 100 TB hot-bucket guard (see [[capBuckets]]). */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 16, nBands: Int = 4, threshold: Double = 0.5,
-                   maxBucketSize: Option[Int] = None,
-                   reuse: Reuse = Reuse.Local): DataFrame = {
+  /** The per-document minhash sketch frame: (id, hset, s0..s{k-1}) —
+    * hashed-shingle set + k permutation minima as ONE partial-aggregable
+    * hash aggregate, lineage-truncated per `reuse`. The band self-join
+    * and the confirm joins reference this frame several times; column
+    * pruning specializes each branch (sig-only vs hset-only), so
+    * ReuseExchange never fires and without truncation the corpus
+    * tokenize→window→aggregate chain would execute once per reference
+    * (verified: 4 scans, 0 reuse). With it, what repeats is a scan of
+    * compact fixed-width sketch rows; blocks are reclaimed by the
+    * ContextCleaner when the plan is unreferenced. */
+  private def minhashSets(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, reuse: Reuse): DataFrame = {
     val p = 4294967311L
-    val rowsPerBand = k / nBands
     // (id, h) rows via the relational shingle shape; duplicates are
     // collapsed by collect_set / unaffected by min, so no distinct needed
     val hs = shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol)
       .select(col(idCol), sharedHash(col("s")).as("h"))
-    // k permutation minima as one partial-aggregable hash aggregate
     val sigAggs = (0 until k).map(i =>
       min((col("h") * (2 * i + 1) + (101 * i + 17)) % p).as(s"s$i"))
-    // The self-join (bands x/y) and the confirm joins (a/b) reference
-    // this aggregate FOUR times. Declarative reuse cannot save it:
-    // column pruning specializes each branch (sig-only vs hset-only
-    // aggregates), so the subplans differ and ReuseExchange never
-    // fires — the corpus-side tokenize→window→aggregate chain executes
-    // once per reference (verified: 4 scans, 0 reuse). A NON-EAGER
-    // localCheckpoint makes all four branches read one LogicalRDD:
-    // the corpus chain runs once, what repeats is a scan of compact
-    // fixed-width sketch rows. Blocks are reclaimed by the
-    // ContextCleaner when the plan is unreferenced (same contract as
-    // Graph's round checkpoints).
-    val sets = reuse(hs.groupBy(col(idCol)).agg(
-      collect_set(col("h")).as("hset"),
-      sigAggs: _*))
+    reuse(hs.groupBy(col(idCol)).agg(
+      collect_set(col("h")).as("hset"), sigAggs: _*))
+  }
+
+  /** Exploded (id, band_idx, band_val) rows of a [[minhashSets]] frame. */
+  private def bandsOf(sets: DataFrame, idCol: String,
+                      k: Int, nBands: Int): DataFrame = {
+    val rowsPerBand = k / nBands
     val bandStructs = array((0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
           .as("band_val"))): _*)
-    val bands = capBuckets(
-      sets.select(col(idCol), explode(bandStructs).as("band"))
-        .select(col(idCol), col("band.band_idx"), col("band.band_val")),
+    sets.select(col(idCol), explode(bandStructs).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+  }
+
+  /** Jaccard of two hashed-shingle-set columns. */
+  private def jaccardOf(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, nBands: Int = 4, threshold: Double = 0.5,
+                   maxBucketSize: Option[Int] = None,
+                   reuse: Reuse = Reuse.Local): DataFrame = {
+    val sets = minhashSets(df, idCol, textCol, k, reuse)
+    val bands = capBuckets(bandsOf(sets, idCol, k, nBands),
       Seq("band_idx", "band_val"), maxBucketSize)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -195,8 +206,48 @@ object Dedup {
       .join(keyed.select(col(idCol).as("id_a"), col("hset").as("h_a")), "id_a")
       .join(keyed.select(col(idCol).as("id_b"), col("hset").as("h_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b")))).as("jaccard"))
+        jaccardOf(col("h_a"), col("h_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** ASYMMETRIC near-dup pairs: candidates between `newDf` and `corpus`
+    * only — never within a side. The incremental-ingestion shape: a new
+    * crawl shard is deduplicated AGAINST the existing corpus before
+    * admission (within-shard dedup is a separate [[minhashPairs]] run).
+    * Returns (id_new, id_corpus, jaccard).
+    *
+    * Scale shape identical to [[minhashPairs]] — band-key-only
+    * exchanges, fixed-width sketches, text never shuffles — but the
+    * band join is new×corpus instead of a self-join, so candidate
+    * fanout is |new-bucket|·|corpus-bucket| per key, not quadratic in
+    * the corpus. `maxBucketSize` caps the CORPUS side's hot buckets (a
+    * boilerplate bucket in the old corpus is exactly what a new spam
+    * shard collides with); the new side is assumed shard-sized. At
+    * production scale the corpus sketch frame would be precomputed and
+    * stored — compose via [[minhashPairs]]'s building blocks if so.
+    * Ids are reported as-is; sides sharing an id space is the caller's
+    * contract (a shared id appears as a pair like any other). */
+  def minhashPairsBetween(newDf: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 16, nBands: Int = 4,
+                          threshold: Double = 0.5,
+                          maxBucketSize: Option[Int] = None,
+                          reuse: Reuse = Reuse.Local): DataFrame = {
+    val setsNew = minhashSets(newDf, idCol, textCol, k, reuse)
+    val setsCorp = minhashSets(corpus, idCol, textCol, k, reuse)
+    val bNew = bandsOf(setsNew, idCol, k, nBands)
+    val bCorp = capBuckets(bandsOf(setsCorp, idCol, k, nBands),
+      Seq("band_idx", "band_val"), maxBucketSize)
+    val cand = bNew.as("x").join(bCorp.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val"))
+      .select(col(s"x.$idCol").as("id_new"), col(s"y.$idCol").as("id_corpus"))
+      .distinct()
+    cand
+      .join(setsNew.select(col(idCol).as("id_new"), col("hset").as("h_a")), "id_new")
+      .join(setsCorp.select(col(idCol).as("id_corpus"), col("hset").as("h_b")), "id_corpus")
+      .select(col("id_new"), col("id_corpus"),
+        jaccardOf(col("h_a"), col("h_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

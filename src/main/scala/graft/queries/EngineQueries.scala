@@ -148,6 +148,17 @@ object EngineQueries {
     }),
     "e_sql_boilerplate" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_boilerplate('documents', 'doc_id', 'text', 3, 20)")),
+    // incremental-ingestion dedup from SQL: a re-ingested shard (view)
+    // deduplicated AGAINST the corpus
+    "e_sql_minhash_incr" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_incoming AS
+                 SELECT doc_id + 3000000 AS doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)""")
+      e.query(
+        "SELECT * FROM graft_minhash_between('graft_incoming', 'documents', 'doc_id', 'text', 0.5)")
+    }),
     "e_sql_sample_strat" -> ((s, d) => via(s, d)(
       "SELECT doc_id, source FROM graft_sample_strat('documents', 'source', 'text', 'doc_id', 10, 'strat:')")),
     // per-row text-analysis SCALARS from SQL text (same codegen'd
@@ -275,6 +286,7 @@ object EngineQueries {
     "e_sql_exact_dedup" -> LlmQueries.oracle("llm_exact_dedup"),
     "e_sql_simhash" -> LlmQueries.oracle("llm_simhash_pairs"),
     "e_sql_boilerplate" -> LlmQueries.oracle("llm_boilerplate"),
+    "e_sql_minhash_incr" -> LlmQueries.oracle("llm_minhash_incr"),
     "e_sql_sample_strat" -> LlmQueries.oracle("llm_sample_strat"),
     "e_sql_pii_redact" -> LlmQueries.oracle("llm_pii_redact"),
     "e_sql_langid" -> LlmQueries.oracle("llm_langid"),

@@ -51,28 +51,37 @@ object LlmQueries {
     * inserts the hot-bucket guard (buckets with more than `cap` members
     * dropped before the candidate join — mirroring
     * Dedup.minhashPairs(maxBucketSize)). */
-  private def minhashCtesFrom(src: String, cap: Option[Int] = None): String = {
-    val bandsOut = if (cap.isDefined) "bands0" else "bands"
+  /** The minhash SKETCH side of the pipeline as CTEs ending in
+    * `bands$sfx` (and exposing `hs$sfx`), over source relation `src`;
+    * `sfx` disambiguates the CTE names so two sides (incremental-dedup
+    * oracle) can coexist in one statement. */
+  private def minhashSketchCtes(src: String, cap: Option[Int],
+                                sfx: String): String = {
+    val bandsOut = if (cap.isDefined) s"bands0$sfx" else s"bands$sfx"
     val capCtes = cap.map(k => s""",
-        keep AS (SELECT band_idx, band_val FROM bands0
+        keep$sfx AS (SELECT band_idx, band_val FROM bands0$sfx
                  GROUP BY 1, 2 HAVING count(*) <= $k),
-        bands AS (SELECT b.doc_id, b.band_idx, b.band_val
-                  FROM bands0 b JOIN keep USING (band_idx, band_val))""")
+        bands$sfx AS (SELECT b.doc_id, b.band_idx, b.band_val
+                  FROM bands0$sfx b JOIN keep$sfx USING (band_idx, band_val))""")
       .getOrElse("")
-    s"""t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM $src),
-        sh AS (SELECT doc_id,
+    s"""t$sfx AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM $src),
+        sh$sfx AS (SELECT doc_id,
                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
-               FROM t WHERE len(toks) >= 3),
-        hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> $hashSql)) hs FROM sh),
-        sig AS (SELECT doc_id,
+               FROM t$sfx WHERE len(toks) >= 3),
+        hs$sfx AS (SELECT doc_id, list_distinct(list_transform(sh, s -> $hashSql)) hs FROM sh$sfx),
+        sig$sfx AS (SELECT doc_id,
                   list_transform(generate_series(0, 15), i ->
                     list_min(list_transform(hs, h -> (h * (2*i + 1) + 101*i + 17) % 4294967311))) sig
-                FROM hs),
+                FROM hs$sfx),
         $bandsOut AS (SELECT doc_id, b.i AS band_idx,
                     CAST(sig[4*b.i+1] AS VARCHAR) || '_' || CAST(sig[4*b.i+2] AS VARCHAR) || '_' ||
                     CAST(sig[4*b.i+3] AS VARCHAR) || '_' || CAST(sig[4*b.i+4] AS VARCHAR) AS band_val
-                  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b)$capCtes,
+                  FROM sig$sfx CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b)$capCtes"""
+  }
+
+  private def minhashCtesFrom(src: String, cap: Option[Int] = None): String =
+    s"""${minhashSketchCtes(src, cap, "")},
         cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
                  FROM bands x JOIN bands y
                    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
@@ -83,7 +92,6 @@ object LlmQueries {
                   FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
                   WHERE len(list_intersect(a.hs, b.hs)) * 1.0
                           / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5)"""
-  }
 
   private lazy val minhashCtes = minhashCtesFrom("documents")
 
@@ -435,6 +443,18 @@ object LlmQueries {
           array_join(transform($"sampled_frames", _.cast("string")), ",")
             .as("frames_csv"),
           $"mean_luma")
+    }),
+    "llm_minhash_incr" -> ((s, d) => {
+      import s.implicits._
+      // incremental-ingestion dedup: the tail-300 slice re-ingested
+      // under new ids must pair with its corpus originals (jaccard 1.0)
+      // plus any genuine near-dups — and with NOTHING within a side
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val incoming = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+        .select(($"doc_id" + 3000000).as("doc_id"), $"text")
+      Dedup.minhashPairsBetween(incoming, docs, "doc_id", "text",
+        k = 16, nBands = 4, threshold = 0.5)
     }),
     "llm_split" -> ((s, d) => {
       import s.implicits._
@@ -859,6 +879,22 @@ object LlmQueries {
                              text NULLS LAST, doc_id NULLS LAST) AS rn
            FROM documents)
          WHERE rn <= 10""",
+    "llm_minhash_incr" ->
+      s"""WITH newdocs AS (SELECT doc_id + 3000000 AS doc_id, text FROM documents
+                           WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
+          ${minhashSketchCtes("newdocs", None, "n")},
+          ${minhashSketchCtes("documents", None, "c")},
+          cand AS (SELECT DISTINCT x.doc_id id_new, y.doc_id id_corpus
+                   FROM bandsn x JOIN bandsc y
+                     ON x.band_idx = y.band_idx AND x.band_val = y.band_val)
+          SELECT c.id_new, c.id_corpus,
+                 len(list_intersect(a.hs, b.hs)) * 1.0
+                   / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+          FROM cand c
+          JOIN hsn a ON a.doc_id = c.id_new
+          JOIN hsc b ON b.doc_id = c.id_corpus
+          WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+                  / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5""",
     "llm_split" ->
       """SELECT doc_id,
                 CASE WHEN h < 9800 THEN 'train'

@@ -457,6 +457,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("minhashPairsBetween == cross-side slice of the pooled self-join") {
+    import spark.implicits._
+    val d = docs.select($"doc_id", $"text")
+    val m = d.agg(max($"doc_id").as("m"))
+    val incoming = d.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 200)
+      .select(($"doc_id" + 3000000).as("doc_id"), $"text")
+    val between = Dedup.minhashPairsBetween(incoming, d, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pooled self-join over the disjoint-union corpus, restricted to
+    // cross-side pairs: corpus ids < 3000000 <= new ids, so a cross
+    // pair surfaces as (id_a=corpus, id_b=new)
+    val pooled = Dedup.minhashPairs(incoming.unionAll(d), "doc_id", "text",
+      threshold = 0.5)
+      .filter($"id_a" < 3000000 && $"id_b" >= 3000000)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(between == pooled && between.nonEmpty,
+      s"between=${between.size} pooled=${pooled.size}")
+    // every re-ingested doc must at least match its byte-identical
+    // original at jaccard 1.0
+    assert(between.exists { case (n, c) => n == c + 3000000 })
+  }
+
   test("splitByHash: disjoint, exhaustive, layout-invariant, clone-consistent") {
     import spark.implicits._
     import graft.operators.Sampling

@@ -119,6 +119,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")
   }
 
+  test("incremental dedup (between) shuffles band keys, not documents") {
+    val p = plan("llm_minhash_incr")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")
+  }
+
   test("capped minhash still shuffles band keys only, never documents") {
     val p = plan("llm_minhash_capped")
     // the bucket-size count groups by the SAME key the self-join
