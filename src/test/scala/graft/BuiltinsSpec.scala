@@ -42,6 +42,25 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(row.getString(12) == "widget")
   }
 
+  test("Column-built registry functions execute from SQL text (regex/regex_all/randint)") {
+    // regression: registry builders that assemble their expression with
+    // the Column API must convert through the session ColumnNode
+    // converter — the lazy wrapper from ExpressionUtils.expression
+    // survives to codegen when injected via the function registry
+    // ("Cannot generate code for expression: columnnodeexpression")
+    Builtins.registerAll(spark)
+    val r = spark.sql(
+      """SELECT regex('abc123def', '[0-9]+') AS a,
+                regex('red widget', '([a-z]+) ([a-z]+)', 2) AS b,
+                regex_all('s1 x s2 y s3', '(s[0-9])') AS c,
+                randint(5, 10) AS d""").head()
+    assert(r.getString(0) == "123")
+    assert(r.getString(1) == "widget")
+    assert(r.getSeq[String](2) == Seq("s1", "s2", "s3"))
+    val d = r.getLong(3)
+    assert(d >= 5 && d < 10)
+  }
+
   test("strftime unknown verbs pass through literally; %% escapes") {
     Builtins.registerAll(spark)
     val r = spark.sql(
