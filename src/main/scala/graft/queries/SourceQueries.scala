@@ -63,6 +63,22 @@ object SourceQueries {
       read(s, "range", "start" -> "1", "end" -> "100000", "slices" -> "8")
         .filter($"id" > 99000 && $"id" < 99500)
         .select($"id", $"square")
+    }),
+    "s7_sink_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      // the SINK path under the oracle (S7 was the one closable
+      // untested-by-oracle component): write the corpus PARTITIONED BY
+      // lang — the layout a training-data export actually uses — then
+      // read the files back and aggregate; the oracle aggregates the
+      // source table directly, so any write/read corruption (lost rows,
+      // partition-column mangling, type drift) hash-mismatches
+      val out = "target/gate_sink/documents_by_lang"
+      graft.Tables.load(s, d, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
     })
   )
 
@@ -88,7 +104,12 @@ object SourceQueries {
          FROM generate_series(1, 50) t(v)""",
     "s5_range_pushdown" ->
       """SELECT v AS id, v * v AS square FROM generate_series(1, 100000) t(v)
-         WHERE v > 99000 AND v < 99500"""
+         WHERE v > 99000 AND v < 99500""",
+    "s7_sink_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY lang"""
     // s3_metrics / s4_env: environment-dependent — driver rows-only check
   )
 }
