@@ -258,6 +258,45 @@ object LlmSql {
         "graft_embedding_dups(table, id_col, vec_col, threshold, n_planes, dim)", args)
     }
 
+    reg(spark, "graft_span_dedup") {
+      case Seq(t, id, text, st, mdf) =>
+        val f = "graft_span_dedup"
+        TextAnalysis.removeRepeatedSpans(table(str(t, f)), str(id, f),
+          str(text, f), spanTokens = int(st, f), maxDf = int(mdf, f))
+      case args => bad(
+        "graft_span_dedup(table, id_col, text_col, span_tokens, max_df)", args)
+    }
+    reg(spark, "graft_semdedup") {
+      case Seq(t, id, vec, cells, iters, thr) =>
+        val f = "graft_semdedup"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val nCells = int(cells, f); val nIters = int(iters, f)
+        val threshold = dbl(thr, f)
+        // k-means training iterates driver-side (one action per Lloyd
+        // round, centroids collected as plan literals) — same deferred
+        // contract as graft_cluster_keep so EXPLAIN/re-analysis launch
+        // no job and the training runs once, at first execution
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField("cell", org.apache.spark.sql.types.LongType, nullable = false))),
+          memo { () =>
+            val cents = Similarity.centroidsOf(
+              Similarity.kmeansTrain(tbl, idc, vecc, nCells, nIters))
+            Similarity.semanticDedup(tbl, idc, vecc, cents, threshold)
+          })
+      case args => bad(
+        "graft_semdedup(table, id_col, vec_col, n_cells, iters, threshold)", args)
+    }
+    reg(spark, "graft_shards") {
+      case Seq(t, key, n, salt) =>
+        val f = "graft_shards"
+        Sampling.assignShards(table(str(t, f)), col(str(key, f)),
+          numShards = int(n, f), salt = str(salt, f))
+      case args => bad("graft_shards(table, key_col, num_shards, salt)", args)
+    }
+
     // per-row text-analysis SCALAR functions (pure codegen'd column
     // expressions — usable anywhere an expression is, including as the
     // score feeding graft_cluster_best)

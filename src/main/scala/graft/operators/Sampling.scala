@@ -125,6 +125,28 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Deterministic training-shard assignment — the "global shuffle"
+    * every training run does before writing its final dataset: shard =
+    * hash(salt‖key) mod numShards, plus an INDEPENDENT salted hash as
+    * the within-shard order key (independent so shard membership and
+    * intra-shard order aren't correlated). Both are pure functions of
+    * (salt, key): the same document lands in the same shard at the same
+    * position regardless of cluster layout, partition count, or engine —
+    * and an incremental re-run appends into a stable order.
+    *
+    * This op is a pure codegen'd projection (zero shuffle); the physical
+    * reshuffle belongs to the WRITE: `repartition(numShards, $"shard")
+    * .sortWithinPartitions($"shard", $"order_key")` — one exchange keyed
+    * by an int column, one partition-local sort, no global sort at any
+    * corpus size. */
+  def assignShards(df: DataFrame, key: Column, numShards: Int,
+                   salt: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.withColumn("shard",
+        pmod(saltedHash(key, salt), lit(numShards)).cast("int"))
+      .withColumn("order_key", saltedHash(key, "ord:" + salt))
+  }
+
   /** Stratified sample: per-stratum rates (basis points), rows in
     * strata missing from `rates` are dropped. The rate lookup is a
     * codegen'd CASE chain — no join, no shuffle; the gate stays a pure

@@ -255,6 +255,53 @@ object Similarity {
       .filter(col("cos_sim") >= simThreshold)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: documents are
+    * assigned to trained k-means cells ([[kmeansTrain]] →
+    * [[centroidsOf]] → the zero-exchange [[cellOf]] projection), and
+    * exact cosine is computed only WITHIN a cell — the cluster-then-
+    * compare decomposition that makes corpus-scale semantic dedup
+    * tractable (pairwise work is quadratic per cell, never global).
+    *
+    * 100 TB posture: cell assignment is a per-row projection against
+    * inlined centroid literals (zero exchange); the self-join shuffles
+    * on the cell id only; `maxCellSize` drops degenerate cells before
+    * the join ([[Dedup.capBuckets]] — same worst-case fanout bound as
+    * the LSH band joins; a capped cell costs recall, never blowup).
+    * Recall is sub-unit by construction (near-dups straddling a cell
+    * boundary are missed) — the standard SemDeDup trade. */
+  def semanticNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[(Long, Seq[Double])],
+                       simThreshold: Double,
+                       maxCellSize: Option[Int] = None,
+                       reuse: Reuse = Reuse.Local): DataFrame = {
+    val assigned = Dedup.capBuckets(
+      reuse(emb.select(col(idCol), col(vecCol),
+        cellOf(col(vecCol), centroids).as("cell"))),
+      Seq("cell"), maxCellSize)
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        round(cosine(col(s"x.$vecCol"), col(s"y.$vecCol")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= simThreshold)
+  }
+
+  /** SemDeDup keep-set: every document that is NOT the semantic
+    * duplicate of a lower-id document in its cell. Anti-join against
+    * the pair list's right side — the same keep-first-ingested contract
+    * as [[Dedup]]'s exact dedup, per semantic group. Returns (id, cell)
+    * for the survivors (the cell id is the partition-prunable index key
+    * a downstream write would bucket by). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Long, Seq[Double])],
+                    simThreshold: Double,
+                    maxCellSize: Option[Int] = None): DataFrame = {
+    val pairs = semanticNearDups(emb, idCol, vecCol, centroids,
+      simThreshold, maxCellSize)
+    emb.select(col(idCol), cellOf(col(vecCol), centroids).as("cell"))
+      .join(pairs.select(col("id_b")), col(idCol) === col("id_b"), "left_anti")
+  }
+
   /** Exact top-k by cosine against the embedding of `queryId`.
     * orderBy+limit ⇒ Spark plans TakeOrderedAndProject (per-partition
     * top-k, then k·partitions rows to the driver side of the exchange —

@@ -232,6 +232,50 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Repeated-span removal — the C4/RefinedWeb "line dedup" step
+    * generalized to corpora without line structure: the text is cut into
+    * fixed `spanTokens`-token blocks ([[chunk]] with zero overlap), every
+    * block whose corpus-wide DOCUMENT frequency exceeds `maxDf` (a
+    * boilerplate header/footer/template) is removed, and the survivors
+    * are reassembled in order. Output: (id, n_spans, n_dropped,
+    * clean_text) — one row per input document, including documents whose
+    * every span was dropped (clean_text = '').
+    *
+    * Scale shape — hash-first, like [[topShinglesByDf]]: the df count
+    * runs on 60-bit [[Dedup.sharedHash60]] keys (8-byte exchange; 32
+    * bits would birthday-collide counts at ~10⁵ distinct spans); the
+    * hot-span set (df > maxDf) is by nature tiny — boilerplate IS the
+    * high-frequency tail — and joins back as an equi-join on the hash
+    * that AQE converts to broadcast when small (an adversarial corpus
+    * where it isn't small still only shuffles 8-byte keys). Span text
+    * crosses one exchange: the per-document reassembly groupBy — that
+    * exchange is inherent (the output carries the text) and its payload
+    * is exactly one copy of the surviving corpus. Reassembly avoids a
+    * window sort: collect_list(struct(start_tok, span)) + array_sort
+    * inside the aggregate, so span order is restored per group with no
+    * per-document window pass. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int = 16, maxDf: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    def spans = chunk(df, idCol, textCol, spanTokens, overlap = 0)
+      .select(col(idCol), col("start_tok"), col("chunk_text").as("span"),
+        Dedup.sharedHash60(col("chunk_text")).as("__h"))
+    val hot = spans.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+    spans.join(hot, Seq("__h"), "left")
+      .select(col(idCol), col("start_tok"), col("span"),
+        col("__df").isNotNull.as("__drop"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("start_tok"), col("span"))))),
+          _.getField("span"))).as("clean_text"))
+  }
+
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 

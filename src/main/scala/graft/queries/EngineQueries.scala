@@ -220,7 +220,28 @@ object EngineQueries {
                  WHERE doc_id <= (SELECT max(doc_id) - 100 FROM documents)""")
       e.query(
         "SELECT * FROM graft_decontaminate('graft_corpus_v', 'graft_eval_v', 'doc_id', 'text', 13)")
-    })
+    }),
+    // C4-style repeated-span removal from one line of SQL
+    "e_sql_span_dedup" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_span_dedup('documents', 'doc_id', 'text', 16, 1)")),
+    // SemDeDup from SQL: train+dedup on the clone-doubled corpus — the
+    // doubled corpus trains to BIT-IDENTICAL centroids (exact decimal
+    // sums: 2S/2n = S/n; clones share their original's cell at every
+    // round), so the llm_semdedup oracle (which trains on the base)
+    // verifies this gate verbatim
+    "e_sql_semdedup" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_semdup_corpus AS
+                 SELECT vec_id, embedding FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings""")
+      e.query(
+        "SELECT * FROM graft_semdedup('graft_semdup_corpus', 'vec_id', 'embedding', 8, 1, 0.99)")
+    }),
+    // deterministic global shuffle from SQL
+    "e_sql_shards" -> ((s, d) => via(s, d)(
+      "SELECT doc_id, shard, order_key FROM graft_shards('documents', 'text', 32, 'shard:')"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -297,6 +318,9 @@ object EngineQueries {
     "e_sql_cosine" -> LlmQueries.oracle("llm_cosine"),
     "e_sql_rep_ratio" -> LlmQueries.oracle("llm_rep_ratio"),
     "e_sql_resample" -> ExtraQueries.oracle("ts_resample"),
-    "e_sql_embedding_dups" -> LlmQueries.oracle("llm_embedding_dups")
+    "e_sql_embedding_dups" -> LlmQueries.oracle("llm_embedding_dups"),
+    "e_sql_span_dedup" -> LlmQueries.oracle("llm_span_dedup"),
+    "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
+    "e_sql_shards" -> LlmQueries.oracle("llm_shards")
   )
 }

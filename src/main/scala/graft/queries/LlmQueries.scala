@@ -480,6 +480,38 @@ object LlmQueries {
         sp.filter($"split" === "train").select($"doc_id", $"text"),
         sp.filter($"split" === "test").select($"doc_id", $"text"),
         "doc_id", "text", n = 13)
+    }),
+    "llm_span_dedup" -> ((s, d) =>
+      // C4-style repeated-span removal: 16-token blocks present in more
+      // than one document (the planted near-dup clusters guarantee hot
+      // spans at every SF) are cut; survivors reassemble in order
+      TextAnalysis.removeRepeatedSpans(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        spanTokens = 16, maxDf = 1)),
+    "llm_semdedup" -> ((s, d) => {
+      import s.implicits._
+      // SemDeDup end-to-end: train cells on the base corpus (one Lloyd
+      // round), then dedup the corpus + planted clones (ids shifted by
+      // 10000) — every clone is cosine-1.0 with its original in the
+      // same cell, so the keep-set is exactly the originals plus any
+      // genuine semantic dups' representatives
+      val emb = Tables.load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val corpus = emb.unionAll(
+        emb.select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+      val cents = Similarity.centroidsOf(
+        Similarity.kmeansTrain(emb, "vec_id", "embedding", nCells = 8, iters = 1))
+      Similarity.semanticDedup(corpus, "vec_id", "embedding", cents,
+        simThreshold = 0.99)
+    }),
+    "llm_shards" -> ((s, d) => {
+      import s.implicits._
+      // deterministic global shuffle: shard + independent within-shard
+      // order key, both pure functions of the text — the pre-write step
+      // that randomizes training order reproducibly
+      graft.operators.Sampling.assignShards(
+          Tables.load(s, d, "documents").select($"doc_id", $"text"),
+          $"text", numShards = 32, salt = "shard:")
+        .select($"doc_id", $"shard", $"order_key")
     })
   )
 
@@ -927,6 +959,77 @@ object LlmQueries {
           FROM (SELECT doc_id FROM sp WHERE split = 'train') d
           LEFT JOIN hits USING (doc_id)"""
     },
+    // 16-token blocks; a block's doc-frequency counts DISTINCT documents
+    // on the 60-bit shared hash (mirroring the Spark distinct-on-hash),
+    // blocks in > 1 document are cut, survivors reassemble by position
+    "llm_span_dedup" ->
+      """WITH toks AS (
+            SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+            FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                  FROM documents)),
+          spans AS (
+            SELECT doc_id, pos // 16 AS blk,
+                   string_agg(tok, ' ' ORDER BY pos) AS span
+            FROM toks GROUP BY doc_id, blk),
+          hot AS (
+            SELECT h FROM (
+              SELECT h, count(*) AS df FROM (
+                SELECT DISTINCT doc_id,
+                       CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) AS h
+                FROM spans)
+              GROUP BY h)
+            WHERE df > 1),
+          flagged AS (
+            SELECT s.doc_id, s.blk, s.span, h.h IS NOT NULL AS dropit
+            FROM spans s LEFT JOIN hot h
+              ON CAST(('0x'||substr(md5(s.span),1,15)) AS BIGINT) = h.h)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(sum(CASE WHEN dropit THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 coalesce(string_agg(CASE WHEN NOT dropit THEN span END,
+                                     ' ' ORDER BY blk), '') AS clean_text
+          FROM flagged GROUP BY doc_id""",
+    // SemDeDup: one Lloyd round on the base corpus (cent0 -> cent1,
+    // identical CTE chain to llm_ann_ivf_trained's first round), clones
+    // assigned with the trained cells, within-cell cosine pairs at
+    // >= 0.99, keep = ids never appearing as a pair's larger side
+    "llm_semdedup" ->
+      """WITH cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          s1 AS (SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent0 c),
+          a1 AS (SELECT vec_id, v, cid AS cell FROM s1 WHERE rk = 1),
+          ex1 AS (SELECT cell,
+                         CAST(unnest(generate_series(1, len(v))) - 1 AS INTEGER) AS pos,
+                         unnest(v) AS elem
+                  FROM a1),
+          up1 AS (SELECT cell, pos,
+                         round(CAST(sum(CAST(elem AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c_val
+                  FROM ex1 GROUP BY cell, pos),
+          cent1 AS (SELECT cell AS cid, list(c_val ORDER BY pos) AS cv
+                    FROM up1 GROUP BY cell),
+          corpus AS (SELECT vec_id, v FROM e
+                     UNION ALL SELECT vec_id + 10000, v FROM e),
+          s2 AS (SELECT x.vec_id, x.v, c.cid,
+                        row_number() OVER (PARTITION BY x.vec_id
+                          ORDER BY list_cosine_similarity(x.v, c.cv) DESC, c.cid) AS rk
+                 FROM corpus x CROSS JOIN cent1 c),
+          a2 AS (SELECT vec_id, v, cid AS cell FROM s2 WHERE rk = 1),
+          pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM a2 a JOIN a2 b
+                      ON a.cell = b.cell AND a.vec_id < b.vec_id
+                    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99)
+          SELECT x.vec_id, x.cell FROM a2 x
+          WHERE x.vec_id NOT IN (SELECT id_b FROM pairs)""",
+    // shard = hash(salt||text) mod 32; order_key an independent salt —
+    // the exact md5 recipe of Sampling.saltedHash
+    "llm_shards" ->
+      """SELECT doc_id,
+                CAST(CAST(('0x'||substr(md5('shard:'||text),1,8)) AS BIGINT) % 32 AS INTEGER) AS shard,
+                CAST(('0x'||substr(md5('ord:shard:'||text),1,8)) AS BIGINT) AS order_key
+         FROM documents""",
     "llm_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),

@@ -454,6 +454,11 @@ class EngineSpec extends AnyFunSuite {
       val planBest = engine.explain(
         "SELECT * FROM graft_cluster_best('documents', 'doc_id', 'text', 0.5, 'n_chars')")
       assert(planBest.contains("GraftDeferredScan"))
+      // k-means training (semdedup) has the same deferred contract
+      val planSem = engine.explain(
+        "SELECT * FROM graft_semdedup('embeddings', 'vec_id', 'embedding', 8, 1, 0.99)")
+      assert(planSem.contains("GraftDeferredScan"),
+        "semdedup's Lloyd training must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the cluster TVFs must launch no Spark job, saw $jobs")

@@ -576,4 +576,73 @@ class LlmOpsSpec extends AnyFunSuite {
     // (P(subset) under independence is astronomically small)
     assert((books -- web).nonEmpty && (books & web).nonEmpty)
   }
+
+  test("removeRepeatedSpans cuts shared blocks and reassembles in order") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // span size 2: "x1 x2" is the boilerplate block shared by all three
+    // docs; every other block is unique to its doc
+    val df = Seq(
+      (1L, "x1 x2 a1 a2 a3"),
+      (2L, "b1 b2 x1 x2 b3"),
+      (3L, "x1 x2 c1 c2")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeRepeatedSpans(df, "doc_id", "text",
+        spanTokens = 2, maxDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: blocks [x1 x2][a1 a2][a3] -> drop the first
+    assert(out(1L) == ((3L, 1L, "a1 a2 a3")))
+    // doc 2: [b1 b2][x1 x2][b3] -> middle cut, order of survivors kept
+    assert(out(2L) == ((3L, 1L, "b1 b2 b3")))
+    // doc 3: [x1 x2][c1 c2] -> half survives
+    assert(out(3L) == ((2L, 1L, "c1 c2")))
+    // a doc whose EVERY span is hot comes back empty, not absent
+    val clones = Seq((1L, "x1 x2"), (2L, "x1 x2")).toDF("doc_id", "text")
+    val all = TextAnalysis.removeRepeatedSpans(clones, "doc_id", "text", 2, 1)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(all == Map(1L -> "", 2L -> ""))
+  }
+
+  test("semanticDedup keeps the lowest id per within-cell duplicate group") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val base = emb.select($"vec_id", $"embedding")
+    val corpus = base.unionAll(
+      base.select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val cents = Similarity.centroidsOf(
+      Similarity.kmeansTrain(base, "vec_id", "embedding", nCells = 8, iters = 1))
+    val kept = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      cents, simThreshold = 0.99).collect().map(_.getLong(0)).toSet
+    val baseIds = base.collect().map(_.getLong(0)).toSet
+    // every planted clone (cosine 1.0 with its original, same cell) is
+    // dropped; every original survives
+    assert(kept == baseIds, s"expected exactly the originals, got ${kept.size}")
+    // pairs are symmetric-free and above threshold
+    val pairs = Similarity.semanticNearDups(corpus, "vec_id", "embedding",
+      cents, simThreshold = 0.99).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.99))
+  }
+
+  test("assignShards: deterministic, layout-invariant, balanced, order-independent") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = docs.select($"doc_id", $"text")
+    def run(part: Int) = Sampling.assignShards(d.repartition(part), $"text",
+        numShards = 8, salt = "t:")
+      .select($"doc_id", $"shard", $"order_key").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val a = run(4)
+    // layout-invariant: same assignment under a different partitioning
+    assert(run(13) == a)
+    // shards in range and roughly balanced (multinomial at n=500)
+    val sizes = a.values.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.keys.forall(s => s >= 0 && s < 8))
+    assert(sizes.values.min > 0)
+    // order key is independent of the shard hash: within a shard the
+    // order keys are not constant and not correlated with doc_id order
+    val oneShard = a.values.filter(_._1 == sizes.keys.head).map(_._2).toSeq
+    assert(oneShard.distinct.size > 1)
+  }
 }

@@ -273,6 +273,42 @@ class PlanSpec extends AnyFunSuite {
     assert(win.contains("user_id"), s"range frame must partition by user_id: $win")
   }
 
+  test("span dedup: df count keys on span hashes, never span strings") {
+    val p = plan("llm_span_dedup")
+    // the hot-span document-frequency count and its join back key on the
+    // 60-bit __h hash; span text crosses an exchange only as the payload
+    // of the per-document reassembly groupBy (keyed on doc_id)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e => e.contains("span#") || e.contains("chunk_text#")),
+      s"span strings must not key an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("semdedup: cell assignment is a projection; pair join keys on cell") {
+    val p = plan("llm_semdedup")
+    assert(!p.contains("Window"),
+      "cell assignment must be the argmax projection, not a row_number window")
+    assert(!p.contains("CartesianProduct"))
+    // the within-cell pair join is an EQUI-join on the cell id (hash
+    // exchange at scale; broadcast of the checkpointed side at this SF)
+    val joins = p.linesIterator.filter(_.contains("HashJoin")).toSeq
+    assert(joins.exists(j => j.contains("[cell#") || j.contains("(cell#")),
+      s"the pair join must key on the cell id:\n${joins.mkString("\n")}")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("embedding")),
+      "vectors must never key an exchange")
+  }
+
+  test("shard assignment is a pure projection (zero exchange)") {
+    val p = plan("llm_shards")
+    assert(!p.contains("Exchange"),
+      "assignShards must not shuffle — the physical reshuffle belongs to the write")
+    assert(p.linesIterator.next().trim.startsWith("*("),
+      "shard/order-key hashing must stay codegen'd")
+  }
+
   test("kmeans iteration shuffles only (cell, pos) accumulators") {
     val p = plan("llm_kmeans")
     // assignment is the inlined-centroid projection (no window); the
