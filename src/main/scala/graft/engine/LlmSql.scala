@@ -296,6 +296,30 @@ object LlmSql {
           numShards = int(n, f), salt = str(salt, f))
       case args => bad("graft_shards(table, key_col, num_shards, salt)", args)
     }
+    reg(spark, "graft_span_dedup_doc") {
+      case Seq(t, id, text, st) =>
+        val f = "graft_span_dedup_doc"
+        TextAnalysis.dedupSpansWithinDoc(table(str(t, f)), str(id, f),
+          str(text, f), spanTokens = int(st, f))
+      case args => bad(
+        "graft_span_dedup_doc(table, id_col, text_col, span_tokens)", args)
+    }
+    reg(spark, "graft_gopher") {
+      case Seq(t, id, text, minT, maxT, minW, maxW, maxSym, minStops) =>
+        val f = "graft_gopher"
+        TextAnalysis.gopherRules(table(str(t, f)), str(id, f), str(text, f),
+          minTokens = int(minT, f), maxTokens = int(maxT, f),
+          minMeanWordLen = dbl(minW, f), maxMeanWordLen = dbl(maxW, f),
+          maxSymbolRatio = dbl(maxSym, f), minStopwordHits = int(minStops, f))
+      case args => bad(
+        "graft_gopher(table, id_col, text_col, min_tokens, max_tokens, min_word_len, max_word_len, max_symbol_ratio, min_stop_hits)", args)
+    }
+    reg(spark, "graft_quantile_filter") {
+      case Seq(t, v, q) =>
+        val f = "graft_quantile_filter"
+        Sampling.keepAboveQuantile(table(str(t, f)), col(str(v, f)), dbl(q, f))
+      case args => bad("graft_quantile_filter(table, value_col, q)", args)
+    }
 
     // per-row text-analysis SCALAR functions (pure codegen'd column
     // expressions — usable anywhere an expression is, including as the

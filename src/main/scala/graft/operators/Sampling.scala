@@ -147,6 +147,24 @@ object Sampling {
       .withColumn("order_key", saltedHash(key, "ord:" + salt))
   }
 
+  /** Corpus-quantile filter — "drop the bottom quartile by length /
+    * quality score", the relative-threshold pruning step that adapts to
+    * the corpus instead of hard-coding a cutoff. Keeps rows where
+    * `value >= quantile_q(value)`; the threshold is a broadcast single
+    * row, the filter a per-row comparison.
+    *
+    * Uses the EXACT interpolated percentile (engine-portable — DuckDB's
+    * `quantile_cont` interpolates identically, proven by the a11 gate).
+    * Exact `percentile` aggregates a value→count map, fine for the
+    * discrete score/length columns this is meant for; for an unbounded
+    * continuous column at 100 TB swap in `approx_percentile` and accept
+    * the sketch's rank error at the boundary. */
+  def keepAboveQuantile(df: DataFrame, value: Column, q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val thr = df.agg(percentile(value, lit(q)).as("__thr"))
+    df.crossJoin(broadcast(thr)).filter(value >= col("__thr")).drop("__thr")
+  }
+
   /** Stratified sample: per-stratum rates (basis points), rows in
     * strata missing from `rates` are dropped. The rate lookup is a
     * codegen'd CASE chain — no join, no shuffle; the gate stays a pure

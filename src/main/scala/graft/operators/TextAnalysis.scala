@@ -276,6 +276,79 @@ object TextAnalysis {
           _.getField("span"))).as("clean_text"))
   }
 
+  /** Within-document repeated-span removal — the in-document half of
+    * C4's dedup (a crawled page repeating its own navigation/footer):
+    * every repeat occurrence of a `spanTokens`-block INSIDE the same
+    * document is cut, the first occurrence stays. Same output contract
+    * as [[removeRepeatedSpans]] (id, n_spans, n_dropped, clean_text).
+    *
+    * Scale shape: first-occurrence ranking is a window partitioned by
+    * (document, span hash) — group size is bounded by the repeats of one
+    * block inside one document, so no task ever sees more than a
+    * document's worth of rows; the reassembly is the same single
+    * id-keyed groupBy as the corpus-wide variant. Nothing corpus-global
+    * anywhere — the op is per-document by construction. */
+  def dedupSpansWithinDoc(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int = 16): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val spans = chunk(df, idCol, textCol, spanTokens, overlap = 0)
+      .select(col(idCol), col("start_tok"), col("chunk_text").as("span"),
+        Dedup.sharedHash60(col("chunk_text")).as("__h"))
+    val w = Window.partitionBy(col(idCol), col("__h")).orderBy(col("start_tok"))
+    spans.withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("start_tok"), col("span"),
+        (col("__rn") > 1).as("__drop"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("start_tok"), col("span"))))),
+          _.getField("span"))).as("clean_text"))
+  }
+
+  /** Gopher-style quality-rule filter: the published rule family
+    * (token-count bounds, mean-word-length bounds, symbol ratio,
+    * stopword presence) as per-rule flags plus the conjunction —
+    * returned per document rather than silently filtered, so a pipeline
+    * can audit WHY a document fell (the flags are what a production
+    * quality dashboard aggregates). Thresholds are parameters; the
+    * published defaults assume web-scale prose, so callers tune them to
+    * their corpus.
+    *
+    * All rational arithmetic over codegen'd built-ins (mean word length
+    * = non-whitespace chars / tokens — no per-token HOF), zero shuffle,
+    * embarrassingly parallel. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 50, maxTokens: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  minStopwordHits: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = size(toks)
+    val meanLen = round(
+      length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
+        greatest(nToks, lit(1)), 6)
+    val symRatio = round(punctRatio(col(textCol)), 6)
+    val stops = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CountInSet(
+        org.apache.spark.sql.GraftBridge.expression(tokens(lower(col(textCol)))),
+        stopwordsEn))
+    df.select(col(idCol), nToks.as("n_tokens"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), stops.as("stop_hits"))
+      .select(col(idCol), col("n_tokens"), col("mean_word_len"),
+        col("symbol_ratio"), col("stop_hits"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .as("ok_len"),
+        (col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen).as("ok_word_len"),
+        (col("symbol_ratio") <= maxSymbolRatio).as("ok_symbols"),
+        (col("stop_hits") >= minStopwordHits).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_word_len") && col("ok_symbols") &&
+          col("ok_stopwords"))
+  }
+
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 

@@ -241,7 +241,16 @@ object EngineQueries {
     }),
     // deterministic global shuffle from SQL
     "e_sql_shards" -> ((s, d) => via(s, d)(
-      "SELECT doc_id, shard, order_key FROM graft_shards('documents', 'text', 32, 'shard:')"))
+      "SELECT doc_id, shard, order_key FROM graft_shards('documents', 'text', 32, 'shard:')")),
+    // in-document span dedup from SQL
+    "e_sql_span_dedup_doc" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_span_dedup_doc('documents', 'doc_id', 'text', 2)")),
+    // the Gopher rule panel, fully parameterized from SQL
+    "e_sql_gopher" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_gopher('documents', 'doc_id', 'text', 10, 100000, 2.0, 10.0, 0.1, 1)")),
+    // relative-threshold pruning from SQL
+    "e_sql_quantile_filter" -> ((s, d) => via(s, d)(
+      "SELECT doc_id, n_chars FROM graft_quantile_filter('documents', 'n_chars', 0.25)"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -321,6 +330,9 @@ object EngineQueries {
     "e_sql_embedding_dups" -> LlmQueries.oracle("llm_embedding_dups"),
     "e_sql_span_dedup" -> LlmQueries.oracle("llm_span_dedup"),
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
-    "e_sql_shards" -> LlmQueries.oracle("llm_shards")
+    "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
+    "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
+    "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),
+    "e_sql_quantile_filter" -> LlmQueries.oracle("llm_quantile_filter")
   )
 }

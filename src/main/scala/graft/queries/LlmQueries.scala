@@ -512,6 +512,27 @@ object LlmQueries {
           Tables.load(s, d, "documents").select($"doc_id", $"text"),
           $"text", numShards = 32, salt = "shard:")
         .select($"doc_id", $"shard", $"order_key")
+    }),
+    "llm_span_dedup_doc" -> ((s, d) =>
+      // in-document half of C4 dedup: bigram blocks (small enough to
+      // repeat inside this corpus's docs) cut after their first
+      // occurrence, per document
+      TextAnalysis.dedupSpansWithinDoc(
+        Tables.load(s, d, "documents"), "doc_id", "text", spanTokens = 2)),
+    "llm_gopher" -> ((s, d) =>
+      // Gopher rule family with thresholds tuned to this corpus's short
+      // synthetic docs (the published web defaults would drop everything)
+      TextAnalysis.gopherRules(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        minTokens = 10, maxTokens = 100000,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        maxSymbolRatio = 0.1, minStopwordHits = 1)),
+    "llm_quantile_filter" -> ((s, d) => {
+      import s.implicits._
+      // relative-threshold pruning: drop the shortest quartile
+      graft.operators.Sampling.keepAboveQuantile(
+          Tables.load(s, d, "documents").select($"doc_id", $"n_chars"),
+          $"n_chars", q = 0.25)
     })
   )
 
@@ -1030,6 +1051,55 @@ object LlmQueries {
                 CAST(CAST(('0x'||substr(md5('shard:'||text),1,8)) AS BIGINT) % 32 AS INTEGER) AS shard,
                 CAST(('0x'||substr(md5('ord:shard:'||text),1,8)) AS BIGINT) AS order_key
          FROM documents""",
+    // within-doc variant: rank occurrences of each block inside its
+    // document (first stays), reassemble by position
+    "llm_span_dedup_doc" ->
+      """WITH toks AS (
+            SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+            FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                  FROM documents)),
+          spans AS (
+            SELECT doc_id, pos // 2 AS blk,
+                   string_agg(tok, ' ' ORDER BY pos) AS span
+            FROM toks GROUP BY doc_id, blk),
+          r AS (
+            SELECT doc_id, blk, span,
+                   row_number() OVER (
+                     PARTITION BY doc_id,
+                       CAST(('0x'||substr(md5(span),1,15)) AS BIGINT)
+                     ORDER BY blk) AS rn
+            FROM spans)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 coalesce(string_agg(CASE WHEN rn = 1 THEN span END,
+                                     ' ' ORDER BY blk), '') AS clean_text
+          FROM r GROUP BY doc_id""",
+    // Gopher rule panel: token bounds, mean word length (non-whitespace
+    // chars / tokens), symbol ratio, stopword presence
+    "llm_gopher" ->
+      s"""SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, stop_hits,
+                 (n_tokens >= 10 AND n_tokens <= 100000) AS ok_len,
+                 (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS ok_word_len,
+                 (symbol_ratio <= 0.1) AS ok_symbols,
+                 (stop_hits >= 1) AS ok_stopwords,
+                 ((n_tokens >= 10 AND n_tokens <= 100000)
+                  AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+                  AND (symbol_ratio <= 0.1)
+                  AND (stop_hits >= 1)) AS keep
+          FROM (SELECT doc_id,
+                  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+                  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                        / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len,
+                  round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                        / length(text), 6) AS symbol_ratio,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t IN ($stopsEn))) AS INTEGER) AS stop_hits
+                FROM documents)""",
+    // exact interpolated quantile threshold (quantile_cont == Spark
+    // percentile, parity pinned by a11_percentile)
+    "llm_quantile_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)""",
     "llm_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),

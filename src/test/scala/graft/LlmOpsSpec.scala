@@ -625,6 +625,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.99))
   }
 
+  test("dedupSpansWithinDoc keeps first occurrences only, per document") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // doc 1 repeats [x1 x2] twice more; doc 2 shares the block but has
+    // no internal repeat — within-doc dedup must NOT touch it
+    val df = Seq(
+      (1L, "x1 x2 a1 a2 x1 x2 x1 x2"),
+      (2L, "x1 x2 b1 b2")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpansWithinDoc(df, "doc_id", "text", spanTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4L, 2L, "x1 x2 a1 a2")))
+    assert(out(2L) == ((2L, 0L, "x1 x2 b1 b2")))
+  }
+
+  test("gopherRules: each rule flags independently; keep is the conjunction") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the of and to in is it for on a b c"), // 12 toks, stopword-rich
+      (2L, "zz"),                                  // too short
+      (3L, "!!! ??? *** ### $$$ %%% @@@ &&& ((( ))) ___ +++") // symbols
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text",
+        minTokens = 10, maxTokens = 100, minMeanWordLen = 1.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.2, minStopwordHits = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9)))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._5 == false) // fails length only...
+    assert(out(2L)._3 == true)                          // ...symbols fine
+    assert(out(3L)._3 == false && out(3L)._4 == false && out(3L)._5 == false)
+    assert(out(3L)._1 == true) // 12 tokens — length rule passes
+  }
+
+  test("keepAboveQuantile keeps exactly the upper (1-q) mass incl. boundary") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val kept = Sampling.keepAboveQuantile(df, $"v", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    // quantile_cont(0.25) over 1..100 = 25.75 -> keep 26..100
+    assert(kept == (26L to 100L).toSet)
+    // q=0 keeps everything; q=1 keeps only the max
+    assert(Sampling.keepAboveQuantile(df, $"v", 0.0).count() == 100)
+    assert(Sampling.keepAboveQuantile(df, $"v", 1.0)
+      .collect().map(_.getLong(0)).toSet == Set(100L))
+  }
+
   test("assignShards: deterministic, layout-invariant, balanced, order-independent") {
     import spark.implicits._
     import graft.operators.Sampling

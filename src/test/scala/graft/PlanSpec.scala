@@ -91,7 +91,9 @@ class PlanSpec extends AnyFunSuite {
       // (the fused form plans an Expand with per-key HLL buffers)
       "a8_hll",
       // broadcast 1-row top-k boundary df (hash-first boilerplate report)
-      "llm_boilerplate", "e_sql_boilerplate")
+      "llm_boilerplate", "e_sql_boilerplate",
+      // broadcast 1-row quantile threshold
+      "llm_quantile_filter", "e_sql_quantile_filter")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -307,6 +309,32 @@ class PlanSpec extends AnyFunSuite {
       "assignShards must not shuffle — the physical reshuffle belongs to the write")
     assert(p.linesIterator.next().trim.startsWith("*("),
       "shard/order-key hashing must stay codegen'd")
+  }
+
+  test("within-doc span dedup: occurrence window is (doc, hash)-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("llm_span_dedup_doc")(spark, TestSpark.sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty), "no global window allowed")
+    // the occurrence-ranking window keys on (document, span hash) so no
+    // task ever holds more than one document's repeats of one block
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "the ranking window must partition by (doc, span-hash)")
+  }
+
+  test("gopher rule panel is a pure scan+project (zero exchange)") {
+    val p = plan("llm_gopher")
+    assert(!p.contains("Exchange"),
+      "the rule panel is per-row arithmetic — it must not shuffle")
+  }
+
+  test("quantile filter: threshold broadcasts as one row; corpus never shuffles") {
+    val p = plan("llm_quantile_filter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the quantile threshold must broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the corpus side must stream through the filter unshuffled")
   }
 
   test("kmeans iteration shuffles only (cell, pos) accumulators") {
