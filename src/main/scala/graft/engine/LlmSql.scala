@@ -320,6 +320,12 @@ object LlmSql {
         Sampling.keepAboveQuantile(table(str(t, f)), col(str(v, f)), dbl(q, f))
       case args => bad("graft_quantile_filter(table, value_col, q)", args)
     }
+    reg(spark, "graft_unigram_lp") {
+      case Seq(t, id, text) =>
+        val f = "graft_unigram_lp"
+        TextAnalysis.unigramLogProb(table(str(t, f)), str(id, f), str(text, f))
+      case args => bad("graft_unigram_lp(table, id_col, text_col)", args)
+    }
 
     // per-row text-analysis SCALAR functions (pure codegen'd column
     // expressions — usable anywhere an expression is, including as the

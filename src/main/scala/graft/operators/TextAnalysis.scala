@@ -276,6 +276,35 @@ object TextAnalysis {
           _.getField("span"))).as("clean_text"))
   }
 
+  /** Unigram log-probability score — the perplexity-proxy quality
+    * signal (CCNet ranks documents by LM perplexity; the unigram model
+    * self-trained on the corpus is its deterministic, dependency-free
+    * analog): avg over a document's token occurrences of
+    * ln(corpus_count(token) / corpus_total). Rare-token-heavy docs
+    * (gibberish, codes, OCR noise) score low; stopword-rich prose
+    * scores high. Output: (id, n_tokens, avg_logprob).
+    *
+    * Scale shape — mirrors [[tfidfTopTerms]]: per-(doc, term) tf is a
+    * partial-aggregable count; the unigram table is a partial-aggregable
+    * term count over the tf frame (reused, not re-tokenized); the corpus
+    * total is a broadcast single row; the score join shuffles (id, term,
+    * tf) tuples — document text never leaves the first projection. The
+    * quantization argument is tfidf's: round(·, 4) after the avg makes
+    * the result robust to 1-ulp libm `ln` differences across engines. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     reuse: Reuse = Reuse.Local): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = reuse(toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    tf.join(counts, "term").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * log(col("cnt").cast("double") / col("n_total"))) /
+          sum(col("tf")), 4).as("avg_logprob"))
+  }
+
   /** Within-document repeated-span removal — the in-document half of
     * C4's dedup (a crawled page repeating its own navigation/footer):
     * every repeat occurrence of a `spanTokens`-block INSIDE the same

@@ -250,7 +250,29 @@ object EngineQueries {
       "SELECT * FROM graft_gopher('documents', 'doc_id', 'text', 10, 100000, 2.0, 10.0, 0.1, 1)")),
     // relative-threshold pruning from SQL
     "e_sql_quantile_filter" -> ((s, d) => via(s, d)(
-      "SELECT doc_id, n_chars FROM graft_quantile_filter('documents', 'n_chars', 0.25)"))
+      "SELECT doc_id, n_chars FROM graft_quantile_filter('documents', 'n_chars', 0.25)")),
+    // perplexity-proxy scoring from SQL
+    "e_sql_unigram_lp" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_unigram_lp('documents', 'doc_id', 'text')")),
+    // the round-5 flagship as pure TVF COMPOSITION: gopher filter and
+    // span dedup feed each other through SQL views; the shard TVF reads
+    // the cleaned view — three operators chained without a line of Scala
+    "e_sql_pipeline2" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_p2_kept AS
+                 SELECT d.doc_id, d.text FROM documents d
+                 JOIN (SELECT doc_id
+                       FROM graft_gopher('documents', 'doc_id', 'text',
+                                         10, 100000, 2.0, 10.0, 0.1, 1)
+                       WHERE keep) k
+                 USING (doc_id)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_p2_clean AS
+                 SELECT doc_id, n_dropped, clean_text
+                 FROM graft_span_dedup('graft_p2_kept', 'doc_id', 'text', 16, 1)""")
+      e.query(
+        "SELECT doc_id, n_dropped, shard, order_key FROM graft_shards('graft_p2_clean', 'clean_text', 32, 'shard:')")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -333,6 +355,8 @@ object EngineQueries {
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),
-    "e_sql_quantile_filter" -> LlmQueries.oracle("llm_quantile_filter")
+    "e_sql_quantile_filter" -> LlmQueries.oracle("llm_quantile_filter"),
+    "e_sql_unigram_lp" -> LlmQueries.oracle("llm_unigram_lp"),
+    "e_sql_pipeline2" -> LlmQueries.oracle("llm_pipeline2")
   )
 }

@@ -533,6 +533,31 @@ object LlmQueries {
       graft.operators.Sampling.keepAboveQuantile(
           Tables.load(s, d, "documents").select($"doc_id", $"n_chars"),
           $"n_chars", q = 0.25)
+    }),
+    "llm_unigram_lp" -> ((s, d) =>
+      // perplexity-proxy quality score, unigram model self-trained on
+      // the corpus
+      TextAnalysis.unigramLogProb(
+        Tables.load(s, d, "documents"), "doc_id", "text")),
+    "llm_pipeline2" -> ((s, d) => {
+      import s.implicits._
+      // the round-5 prep flow end to end: Gopher rule filter -> corpus
+      // repeated-span removal -> deterministic shard assignment. The
+      // order_key (a pure hash of clean_text) makes the compare verify
+      // the reassembled text exactly without shipping it
+      val docs = Tables.load(s, d, "documents")
+      val kept = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minTokens = 10, maxTokens = 100000,
+          minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+          maxSymbolRatio = 0.1, minStopwordHits = 1)
+        .filter($"keep").select($"doc_id")
+      val cleaned = TextAnalysis.removeRepeatedSpans(
+          docs.join(kept, "doc_id").select($"doc_id", $"text"),
+          "doc_id", "text", spanTokens = 16, maxDf = 1)
+        .select($"doc_id", $"n_dropped", $"clean_text")
+      graft.operators.Sampling.assignShards(cleaned, $"clean_text",
+          numShards = 32, salt = "shard:")
+        .select($"doc_id", $"n_dropped", $"shard", $"order_key")
     })
   )
 
@@ -1100,6 +1125,64 @@ object LlmQueries {
     "llm_quantile_filter" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)""",
+    // unigram self-trained log-prob; round(.,4) is the tfidf libm-ln
+    // quantization argument
+    "llm_unigram_lp" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+                       FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          c AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+          n AS (SELECT sum(cnt) AS total FROM c)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                round(sum(tf * ln(cnt * 1.0 / total)) / sum(tf), 4) AS avg_logprob
+         FROM tf JOIN c USING (term) CROSS JOIN n
+         GROUP BY doc_id""",
+    // gopher keep-filter -> span removal over the SURVIVORS -> shard
+    // hashes of the reassembled text (order_key doubles as an exact
+    // clean_text checksum)
+    "llm_pipeline2" ->
+      s"""WITH kept AS (
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+                round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                      / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
+                round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                      / length(text), 6) AS sym,
+                len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> t IN ($stopsEn))) AS stops
+              FROM documents)
+            WHERE n_tokens >= 10 AND n_tokens <= 100000
+              AND mwl >= 2.0 AND mwl <= 10.0 AND sym <= 0.1 AND stops >= 1),
+          toks AS (
+            SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM kept)),
+          spans AS (
+            SELECT doc_id, pos // 16 AS blk,
+                   string_agg(tok, ' ' ORDER BY pos) AS span
+            FROM toks GROUP BY doc_id, blk),
+          hot AS (
+            SELECT h FROM (
+              SELECT h, count(*) AS df FROM (
+                SELECT DISTINCT doc_id,
+                       CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) AS h
+                FROM spans)
+              GROUP BY h)
+            WHERE df > 1),
+          flagged AS (
+            SELECT s.doc_id, s.blk, s.span, h.h IS NOT NULL AS dropit
+            FROM spans s LEFT JOIN hot h
+              ON CAST(('0x'||substr(md5(s.span),1,15)) AS BIGINT) = h.h),
+          cleaned AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN dropit THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                   coalesce(string_agg(CASE WHEN NOT dropit THEN span END,
+                                       ' ' ORDER BY blk), '') AS clean_text
+            FROM flagged GROUP BY doc_id)
+          SELECT doc_id, n_dropped,
+                 CAST(CAST(('0x'||substr(md5('shard:'||clean_text),1,8)) AS BIGINT) % 32 AS INTEGER) AS shard,
+                 CAST(('0x'||substr(md5('ord:shard:'||clean_text),1,8)) AS BIGINT) AS order_key
+          FROM cleaned""",
     "llm_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),

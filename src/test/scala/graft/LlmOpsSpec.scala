@@ -675,6 +675,19 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(100L))
   }
 
+  test("unigramLogProb: common-token docs outrank rare-token docs; exact values") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "a a a a"), (2L, "q r s t")).toDF("doc_id", "text")
+    // corpus: a=4, q=r=s=t=1, total 8 -> doc1 = ln(1/2), doc2 = ln(1/8)
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 4L && out(2L)._1 == 4L)
+    assert(out(1L)._2 == math.rint(math.log(0.5) * 1e4) / 1e4)
+    assert(out(2L)._2 == math.rint(math.log(0.125) * 1e4) / 1e4)
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("assignShards: deterministic, layout-invariant, balanced, order-independent") {
     import spark.implicits._
     import graft.operators.Sampling

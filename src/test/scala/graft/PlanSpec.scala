@@ -93,7 +93,9 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row top-k boundary df (hash-first boilerplate report)
       "llm_boilerplate", "e_sql_boilerplate",
       // broadcast 1-row quantile threshold
-      "llm_quantile_filter", "e_sql_quantile_filter")
+      "llm_quantile_filter", "e_sql_quantile_filter",
+      // broadcast 1-row corpus token total (unigram model)
+      "llm_unigram_lp", "e_sql_unigram_lp")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
