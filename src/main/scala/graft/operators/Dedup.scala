@@ -59,15 +59,24 @@ object Dedup {
     * machinery. One exchange on `idCol` which downstream per-id
     * aggregates reuse. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3): DataFrame = {
+                  n: Int = 3): DataFrame =
+    shingleRowsPos(df, idCol, textCol, n).drop("pos")
+
+  /** [[shingleRows]] keeping the shingle's 0-based token START position
+    * as `pos` — positional consumers (winnowing's sliding-window
+    * selection) need the in-document order, and the `pos`-ordered window
+    * they run next reuses this exchange AND sort on `idCol`. */
+  def shingleRowsPos(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     val exploded = df.select(col(idCol),
       posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__tok")))
-    if (n == 1) exploded.select(col(idCol), col("__tok").as("s"))
+    if (n == 1)
+      exploded.select(col(idCol), col("__pos").as("pos"), col("__tok").as("s"))
     else {
       val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       val leads = (1 until n).map(k => lead(col("__tok"), k).over(w))
-      exploded.select(col(idCol),
+      exploded.select(col(idCol), col("__pos").as("pos"),
           concat_ws(" ", (col("__tok") +: leads): _*).as("s"),
           leads.last.isNotNull.as("__ok"))
         .filter(col("__ok")).drop("__ok")

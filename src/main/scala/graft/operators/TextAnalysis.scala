@@ -84,6 +84,39 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Winnowing fingerprints (the MOSS selection scheme, Schleimer/
+    * Wilkerson/Aiken SIGMOD'03): hash every `k`-token shingle, slide a
+    * `w`-hash window over them in document order, keep each window's
+    * minimum; the DISTINCT kept hashes are the document's fingerprint
+    * set. Guarantee: any run of >= w+k-1 tokens shared by two documents
+    * yields at least one shared fingerprint, while storing only
+    * ~2/(w+1) of the shingle hashes — the partial-overlap detector that
+    * [[fingerprint]] (whole-doc) and MinHash (set-level, no positions)
+    * are not. Docs with fewer than k+w-1 tokens have no full window and
+    * are absent. Output: (idCol, fp).
+    *
+    * Scale shape: [[Dedup.shingleRowsPos]] exchanges token rows once on
+    * `idCol`; both the shingle-forming `lead` and the min-in-window
+    * selection run over that same (idCol, pos)-sorted partition — per-
+    * task state is one window of w hashes. Only after hashing does
+    * anything leave the document partition: the final distinct shuffles
+    * (id, fp) pairs, 16 bytes a row, partially aggregated map-side. Ties
+    * inside a window collapse in the distinct, so min (not rightmost-
+    * min) selection gives the same fingerprint SET as the paper's. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val hs = Dedup.shingleRowsPos(df.select(col(idCol), col(textCol)),
+        idCol, textCol, k)
+      .select(col(idCol), col("pos"), Dedup.sharedHash60(col("s")).as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hs.select(col(idCol), min(col("h")).over(win).as("fp"),
+        count(lit(1)).over(win).as("__n"))
+      .filter(col("__n") === w).drop("__n")
+      .distinct()
+  }
+
   /** Within-document n-gram repetition ratio (Gopher-style boilerplate /
     * repetition quality signal): 1 − distinct(ngrams)/total(ngrams).
     * High ratio = repeated boilerplate — a standard pre-training drop
