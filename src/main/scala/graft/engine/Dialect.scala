@@ -201,6 +201,40 @@ object Dialect {
     -1
   }
 
+  /** Refuse a top-level `LIMIT <bare identifier>` in a region a rewrite
+    * is about to restructure. [[topLevelLimitOffset]] deliberately does
+    * not CLAIM a bare-identifier operand (an alias NAMED `limit` is
+    * indistinguishable from the clause without a full parse), so the
+    * splice would leave such a LIMIT inside the rewritten subquery's
+    * ORDER BY tail — mangled SQL instead of a clear error. Only
+    * occurrences whose operand token sits in tail position (end of
+    * region, or followed by OFFSET) are flagged, so aliases named
+    * `limit` mid-statement keep working. Also documented in README
+    * ("SQL-surface notes"). */
+  private def rejectBareLimitOperand(region: String): Unit = {
+    var i = topLevelIndexFrom(region, "LIMIT", 0)
+    while (i >= 0) {
+      if (topLevelLimitOffset(region, "LIMIT", i) != i) {
+        val nxt = nextCode(region, i + "LIMIT".length)
+        if (nxt >= 0 && isIdentChar(region.charAt(nxt)) &&
+            !region.charAt(nxt).isDigit) {
+          var j = nxt
+          while (j < region.length && isIdentChar(region.charAt(j))) j += 1
+          val operand = region.substring(nxt, j)
+          val after = nextCode(region, j)
+          val tailPos = after < 0 || tokenAt(region, after, "OFFSET")
+          if (tailPos && !notAFunction.contains(operand.toUpperCase))
+            throw new IllegalArgumentException(
+              s"LIMIT with a bare-identifier operand ('LIMIT $operand') cannot " +
+                "be combined with a DISTINCT ON / QUALIFY / set-operation " +
+                "rewrite (the rewriter cannot safely claim it): use a literal " +
+                "LIMIT, a parameter marker, or a parenthesized expression")
+        }
+      }
+      i = topLevelIndexFrom(region, "LIMIT", i + "LIMIT".length)
+    }
+  }
+
   /** Case-insensitive whole-token match at `pos`. */
   private def tokenAt(s: String, pos: Int, t: String): Boolean =
     s.regionMatches(true, pos, t, 0, t.length) &&
@@ -351,6 +385,9 @@ object Dialect {
   private def parenthesizeSetOpArms(stmt: String): String = {
     val occs = setOpOccurrences(stmt)
     require(occs.nonEmpty, s"no set operator to split in: $stmt")
+    // a bare-identifier LIMIT in the statement tail cannot be claimed
+    // as part of the outer tail — refuse before splicing mangled SQL
+    rejectBareLimitOperand(stmt.substring(occs.last._2))
     val start = armOneStart(stmt)
     val tailIdx = (topLevelOrderBy(stmt, occs.last._2).map(_._1).toSeq ++
       Seq("LIMIT", "OFFSET")
@@ -444,7 +481,9 @@ object Dialect {
     val keys = sql.substring(openIdx + 1, closeIdx).trim
     val rest = sql.substring(closeIdx + 1) // "<select list> FROM <tail>"
     // LIMIT/OFFSET apply AFTER dedup (PostgreSQL) — peel them off the
-    // tail so they end up on the outer query, not inside the window
+    // tail so they end up on the outer query, not inside the window; a
+    // bare-identifier LIMIT cannot be peeled safely — refuse loudly
+    rejectBareLimitOperand(rest)
     def splitTrailing(s: String): (String, String) = {
       val idxs = Seq("LIMIT", "OFFSET")
         .map(topLevelLimitOffset(s, _)).filter(_ >= 0)

@@ -82,7 +82,15 @@ object LlmSql {
   /** Register every LLM-pipeline table function on `spark`. Idempotent
     * per session, called by the [[Engine]] constructor. */
   def registerAll(spark: SparkSession): Unit = {
+    // mark-before-register guards re-entrancy, but a partial failure
+    // must UNmark — otherwise the session is permanently half-registered
+    // and every later call returns early instead of retrying
     if (!registeredSessions.add(spark)) return
+    try registerAllImpl(spark)
+    catch { case t: Throwable => registeredSessions.remove(spark); throw t }
+  }
+
+  private def registerAllImpl(spark: SparkSession): Unit = {
     reg(spark, "graft_exact_dedup") {
       case Seq(t, id, text) =>
         val f = "graft_exact_dedup"

@@ -41,6 +41,15 @@ object Reuse {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint(false)
   }
 
+  /** Raw dir last passed to `sc.setCheckpointDir` per context — the
+    * idempotence guard can NOT compare against `sc.getCheckpointDir`:
+    * the setter stores a fs-qualified path with a random UUID
+    * subdirectory, which never equals the raw dir (every apply would
+    * re-point the global dir and mkdir a fresh UUID directory). */
+  private val reliableDirs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+
   /** Reliable-checkpoint mode. The pre-checkpoint persist keeps the
     * checkpoint's file-write job reading fresh cache instead of
     * recomputing; the cache is reference-tracked (ContextCleaner
@@ -50,13 +59,15 @@ object Reuse {
     * NOTE the checkpoint dir is SparkContext-GLOBAL (same contract as
     * `Graph.connectedComponents(checkpointDir)` and `sc.setCheckpointDir`
     * itself): one reliable location per application. The setter fires
-    * only when the dir actually differs, so repeated builds don't
-    * re-point an already-configured application; mixing different
+    * only when the RAW dir differs from the one this mode last set
+    * (tracked in [[reliableDirs]]), so repeated builds don't re-point
+    * an already-configured application; mixing different
     * `Reliable(dir)` values concurrently is not supported. */
   final case class Reliable(dir: String) extends Reuse {
     def apply(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      if (reliableDirs.put(sc, dir) != dir || sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(dir)
       df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(false)
     }
   }

@@ -27,10 +27,14 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
-  /** Fraction of characters outside [a-z0-9 ] (punctuation-ish). */
+  /** Fraction of characters outside [a-z0-9 ] (punctuation-ish). The
+    * denominator is floored at 1 (same guard as mean word length in
+    * [[gopherRules]]): a zero-length document scores 0, not NULL — a
+    * NULL here would silently pass negated quality filters and diverge
+    * across engines on the empty-text edge. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(lower(text), "[^a-z0-9 ]", ""))).cast("double") /
-      length(text)
+      greatest(length(text), lit(1))
 
   private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
@@ -288,13 +292,21 @@ object TextAnalysis {
     * inside the aggregate, so span order is restored per group with no
     * per-document window pass. */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                          spanTokens: Int = 16, maxDf: Int = 2): DataFrame = {
+                          spanTokens: Int = 16, maxDf: Int = 2,
+                          reuse: Reuse = Reuse.Local): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     def spans = chunk(df, idCol, textCol, spanTokens, overlap = 0)
       .select(col(idCol), col("start_tok"), col("chunk_text").as("span"),
         Dedup.sharedHash60(col("chunk_text")).as("__h"))
-    val hot = spans.select(col(idCol), col("__h")).distinct()
+    // two corpus tokenize+chunk passes are DELIBERATE (the
+    // topShinglesByDf policy: span text is never checkpointed, compact
+    // frames only) — the hot-set branch aggregates this reuse-truncated
+    // per-doc-distinct (id, 8-byte hash) frame, while the text-bearing
+    // flag/reassembly pass below runs fresh; `reuse` makes the hot
+    // branch caller-tunable like every sibling diamond operator
+    val hashes = reuse(spans.select(col(idCol), col("__h")).distinct())
+    val hot = hashes
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
     spans.join(hot, Seq("__h"), "left")

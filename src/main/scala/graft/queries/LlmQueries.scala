@@ -636,7 +636,7 @@ object LlmQueries {
           scored AS (
             SELECT doc_id,
                    round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
-                         + (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 0.4
+                         + (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / greatest(length(text), 1)) * 0.4
                          + least(len(list_filter(string_split_regex(text, '\\s+'), t -> t IN ($stopsEn))) * 1.0
                                  / greatest(len(string_split_regex(text, '\\s+')), 1) * 5.0, 1.0) * 0.3, 6) AS quality,
                    CASE WHEN es > en AND es >= fr AND es >= de THEN 'es'
@@ -667,7 +667,7 @@ object LlmQueries {
                        + least(stop * 5.0, 1.0) * 0.3, 6) AS quality
           FROM (SELECT doc_id, text,
                   (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
-                    / length(text) AS punct,
+                    / greatest(length(text), 1) AS punct,
                   len(list_filter(string_split_regex(text, '\\s+'),
                       t -> t IN ($stopsEn))) * 1.0
                     / greatest(len(string_split_regex(text, '\\s+')), 1) AS stop
@@ -870,7 +870,7 @@ object LlmQueries {
           comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
           q AS (SELECT doc_id,
                   round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
-                        + (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 0.4
+                        + (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / greatest(length(text), 1)) * 0.4
                         + least(len(list_filter(string_split_regex(text, '\\s+'), t -> t IN ($stopsEn))) * 1.0
                                 / greatest(len(string_split_regex(text, '\\s+')), 1) * 5.0, 1.0) * 0.3, 6) AS q
                 FROM documents),
@@ -1116,7 +1116,7 @@ object LlmQueries {
                   round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
                         / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len,
                   round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
-                        / length(text), 6) AS symbol_ratio,
+                        / greatest(length(text), 1), 6) AS symbol_ratio,
                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
                        t -> t IN ($stopsEn))) AS INTEGER) AS stop_hits
                 FROM documents)""",
@@ -1148,7 +1148,7 @@ object LlmQueries {
                 round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
                       / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
                 round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
-                      / length(text), 6) AS sym,
+                      / greatest(length(text), 1), 6) AS sym,
                 len(list_filter(string_split_regex(lower(text), '\\s+'),
                     t -> t IN ($stopsEn))) AS stops
               FROM documents)

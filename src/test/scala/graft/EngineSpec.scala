@@ -54,6 +54,27 @@ class EngineSpec extends AnyFunSuite {
     assert(noOrder.length == 3)
   }
 
+  test("bare-identifier LIMIT in a rewrite path is refused, not mangled") {
+    // the rewriter cannot claim `LIMIT <name>` (indistinguishable from an
+    // alias named limit) — DISTINCT ON / set-op statements using one get
+    // a targeted error instead of mangled SQL (README SQL-surface notes)
+    val e1 = intercept[IllegalArgumentException] {
+      Dialect.rewriteDistinctOn(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k LIMIT cnt")
+    }
+    assert(e1.getMessage.contains("bare-identifier"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dialect.rewriteDistinctOn(
+        "SELECT DISTINCT ON (k) k AS id FROM t UNION ALL SELECT k FROM u LIMIT cnt OFFSET 2")
+    }
+    assert(e2.getMessage.contains("bare-identifier"))
+    // aliases NAMED limit mid-statement keep working (operand position
+    // is followed by FROM, not tail position)
+    val ok = Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, v AS limit FROM t ORDER BY k")
+    assert(!ok.toUpperCase.contains("DISTINCT ON"))
+  }
+
   test("identifiers containing keyword substrings survive the rewrite") {
     Tables.registerAll(spark, TestSpark.sf)
     // 'valid_from'-style names must not be split as FROM/LIMIT keywords

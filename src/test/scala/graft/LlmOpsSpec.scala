@@ -661,6 +661,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == true) // 12 tokens — length rule passes
   }
 
+  test("gopherRules: empty text yields false flags, never NULL") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // a zero-length doc must get symbol_ratio 0 and keep=false (the
+    // word-length rule), not NULL from a 0/0 division that would slip
+    // through negated filters and diverge across engines
+    val out = TextAnalysis.gopherRules(Seq((1L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", minTokens = 1).collect().head
+    assert(!out.isNullAt(3) && out.getDouble(3) == 0.0) // symbol_ratio
+    assert(!out.isNullAt(7) && out.getBoolean(7))       // ok_symbols
+    assert(!out.isNullAt(9) && !out.getBoolean(9))      // keep = false
+  }
+
   test("keepAboveQuantile keeps exactly the upper (1-q) mass incl. boundary") {
     import spark.implicits._
     import graft.operators.Sampling
