@@ -323,10 +323,22 @@ object LlmSql {
         "graft_gopher(table, id_col, text_col, min_tokens, max_tokens, min_word_len, max_word_len, max_symbol_ratio, min_stop_hits)", args)
     }
     reg(spark, "graft_quantile_filter") {
-      case Seq(t, v, q) =>
+      case args if args.length == 3 || args.length == 4 =>
         val f = "graft_quantile_filter"
-        Sampling.keepAboveQuantile(table(str(t, f)), col(str(v, f)), dbl(q, f))
-      case args => bad("graft_quantile_filter(table, value_col, q)", args)
+        // optional 4th arg selects the bounded-memory GK estimator
+        // (accuracy a → boundary rank within N/a); default stays the
+        // exact oracle-gated percentile
+        val acc = if (args.length == 4) Some(int(args(3), f)) else None
+        Sampling.keepAboveQuantile(table(str(args(0), f)),
+          col(str(args(1), f)), dbl(args(2), f), accuracy = acc)
+      case args => bad("graft_quantile_filter(table, value_col, q[, accuracy])", args)
+    }
+    reg(spark, "graft_winnow") {
+      case Seq(t, id, text, k, w) =>
+        val f = "graft_winnow"
+        TextAnalysis.winnowFingerprints(table(str(t, f)), str(id, f),
+          str(text, f), k = int(k, f), w = int(w, f))
+      case args => bad("graft_winnow(table, id_col, text_col, k, w)", args)
     }
     reg(spark, "graft_unigram_lp") {
       case Seq(t, id, text) =>

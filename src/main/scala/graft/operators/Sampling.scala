@@ -153,15 +153,29 @@ object Sampling {
     * `value >= quantile_q(value)`; the threshold is a broadcast single
     * row, the filter a per-row comparison.
     *
-    * Uses the EXACT interpolated percentile (engine-portable — DuckDB's
-    * `quantile_cont` interpolates identically, proven by the a11 gate).
-    * Exact `percentile` aggregates a value→count map, fine for the
-    * discrete score/length columns this is meant for; for an unbounded
-    * continuous column at 100 TB swap in `approx_percentile` and accept
-    * the sketch's rank error at the boundary. */
-  def keepAboveQuantile(df: DataFrame, value: Column, q: Double): DataFrame = {
+    * The estimator is SELECTABLE:
+    *  - `accuracy = None` (default): EXACT interpolated percentile
+    *    (engine-portable — DuckDB's `quantile_cont` interpolates
+    *    identically, proven by the a11 gate). Exact `percentile`
+    *    aggregates a value→count map — fine for DISCRETE score/length
+    *    columns, but on an unbounded continuous column (a double
+    *    quality score) that map is O(distinct values) single-aggregate
+    *    state: corpus-scale at 100 TB.
+    *  - `accuracy = Some(a)`: the GK `approx_percentile` sketch —
+    *    bounded memory at any scale, boundary rank within N/a of the
+    *    target (the llm_quantile_filter_approx gate attests the rank
+    *    contract the way a8_approx_quantile does for the raw sketch).
+    *    The threshold is an actual element of the column, so the filter
+    *    stays a broadcast 1-row comparison. */
+  def keepAboveQuantile(df: DataFrame, value: Column, q: Double,
+                        accuracy: Option[Int] = None): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
-    val thr = df.agg(percentile(value, lit(q)).as("__thr"))
+    accuracy.foreach(a => require(a >= 1, s"accuracy must be >= 1, got $a"))
+    val est = accuracy match {
+      case Some(a) => percentile_approx(value, lit(q), lit(a)).cast("double")
+      case None => percentile(value, lit(q))
+    }
+    val thr = df.agg(est.as("__thr"))
     df.crossJoin(broadcast(thr)).filter(value >= col("__thr")).drop("__thr")
   }
 

@@ -254,6 +254,9 @@ object EngineQueries {
     // perplexity-proxy scoring from SQL
     "e_sql_unigram_lp" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_unigram_lp('documents', 'doc_id', 'text')")),
+    // positional winnowing fingerprints from SQL
+    "e_sql_winnow" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_winnow('documents', 'doc_id', 'text', 3, 4)")),
     // the round-5 flagship as pure TVF COMPOSITION: gopher filter and
     // span dedup feed each other through SQL views; the shard TVF reads
     // the cleaned view — three operators chained without a line of Scala
@@ -357,6 +360,7 @@ object EngineQueries {
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),
     "e_sql_quantile_filter" -> LlmQueries.oracle("llm_quantile_filter"),
     "e_sql_unigram_lp" -> LlmQueries.oracle("llm_unigram_lp"),
+    "e_sql_winnow" -> LlmQueries.oracle("llm_winnow"),
     "e_sql_pipeline2" -> LlmQueries.oracle("llm_pipeline2")
   )
 }

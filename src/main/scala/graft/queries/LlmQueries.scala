@@ -539,6 +539,35 @@ object LlmQueries {
       // the corpus
       TextAnalysis.unigramLogProb(
         Tables.load(s, d, "documents"), "doc_id", "text")),
+    "llm_quantile_filter_approx" -> ((s, d) => {
+      import s.implicits._
+      // attestation for keepAboveQuantile's GK mode (the 100 TB path for
+      // unbounded continuous columns) — same gate recipe as
+      // a8_approx_quantile: pin the exact threshold both engines agree
+      // on, attest the sketch CONTRACT (the approx boundary is an actual
+      // element whose rank sits within eps = 1/accuracy of the target)
+      val acc = 1000
+      val docs = Tables.load(s, d, "documents").select($"n_chars")
+      val thr = docs.agg(
+        expr("percentile(n_chars, 0.25)").as("__te"),
+        expr(s"approx_percentile(n_chars, 0.25, $acc)").cast("double").as("__ta"),
+        count(lit(1)).as("__n"))
+      docs.crossJoin(broadcast(thr))
+        .groupBy($"__te", $"__ta", $"__n")
+        .agg(sum(when($"n_chars" <= $"__ta", 1L).otherwise(0L)).as("__le"),
+          sum(when($"n_chars" < $"__ta", 1L).otherwise(0L)).as("__lt"))
+        .select(round($"__te", 4).as("thr_exact"),
+          ($"__le" >= floor((lit(0.25) - 1.0 / acc) * $"__n") &&
+            $"__lt" <= ceil((lit(0.25) + 1.0 / acc) * $"__n"))
+            .as("rank_within_contract"))
+    }),
+    "llm_winnow" -> ((s, d) =>
+      // MOSS winnowing fingerprints: trigram shingle hashes, w=4
+      // selection window — the POSITIONAL partial-overlap sketch that
+      // whole-doc fingerprints (no positions) and MinHash (set-level)
+      // are not; any shared run of >= w+k-1 tokens shares a fingerprint
+      TextAnalysis.winnowFingerprints(
+        Tables.load(s, d, "documents"), "doc_id", "text", k = 3, w = 4)),
     "llm_pipeline2" -> ((s, d) => {
       import s.implicits._
       // the round-5 prep flow end to end: Gopher rule filter -> corpus
@@ -1125,6 +1154,32 @@ object LlmQueries {
     "llm_quantile_filter" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)""",
+    // exact threshold pinned (quantile_cont == Spark percentile, a11
+    // parity); the rank contract is attested Spark-side and must hold
+    "llm_quantile_filter_approx" ->
+      """SELECT round(quantile_cont(n_chars, 0.25), 4) AS thr_exact,
+                true AS rank_within_contract
+         FROM documents""",
+    // winnowing: per-position trigram 60-bit hashes, min over each
+    // 4-hash sliding window (full windows only), DISTINCT kept hashes —
+    // the same window algebra as the Spark twin, so the fingerprint
+    // SETS match bit-for-bit
+    "llm_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+          i AS (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM t WHERE len(toks) >= 3),
+          h AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                       CAST(('0x'||substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),1,15)) AS BIGINT) AS h
+                FROM i),
+          w AS (SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                       count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n
+                FROM h)
+          SELECT DISTINCT doc_id, fp FROM w WHERE n = 4""",
     // unigram self-trained log-prob; round(.,4) is the tfidf libm-ln
     // quantization argument
     "llm_unigram_lp" ->

@@ -75,6 +75,23 @@ class EngineSpec extends AnyFunSuite {
     assert(!ok.toUpperCase.contains("DISTINCT ON"))
   }
 
+  test("graft_quantile_filter optional accuracy arg selects the GK estimator") {
+    Tables.registerAll(spark, TestSpark.sf)
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    val viaSql = engine.query(
+      "SELECT count(*) AS n FROM graft_quantile_filter('documents', 'n_chars', 0.25, 10000)")
+      .head().getLong(0)
+    val viaScala = Sampling.keepAboveQuantile(
+      spark.table("documents"), col("n_chars"), 0.25, accuracy = Some(10000)).count()
+    assert(viaSql == viaScala && viaSql > 0)
+    // 3-arg form (exact estimator) still parses and keeps <= the corpus
+    val exact = engine.query(
+      "SELECT count(*) AS n FROM graft_quantile_filter('documents', 'n_chars', 0.25)")
+      .head().getLong(0)
+    assert(exact > 0 && exact <= spark.table("documents").count())
+  }
+
   test("identifiers containing keyword substrings survive the rewrite") {
     Tables.registerAll(spark, TestSpark.sf)
     // 'valid_from'-style names must not be split as FROM/LIMIT keywords

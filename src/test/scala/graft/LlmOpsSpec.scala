@@ -661,6 +661,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == true) // 12 tokens — length rule passes
   }
 
+  test("winnowFingerprints: the w+k-1 shared-run guarantee; short docs absent") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // MOSS guarantee at defaults (k=5, w=4): any run of >= w+k-1 = 8
+    // tokens shared by two documents yields >= 1 shared fingerprint,
+    // regardless of the differing surroundings
+    val shared = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val df = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"zeta eta $shared theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "docs sharing a w+k-1 token run must share a fingerprint")
+    // rows are DISTINCT (id, fp) pairs — the kept set, not per-window rows
+    assert(fps(1L).size < 1 + 8) // far fewer fingerprints than shingles
+    // a doc with fewer than k+w-1 tokens has no full window -> absent
+    val short = TextAnalysis.winnowFingerprints(
+      Seq((3L, "a b c d e f g")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() == 0)
+  }
+
   test("gopherRules: empty text yields false flags, never NULL") {
     import spark.implicits._
     import graft.operators.TextAnalysis
@@ -686,6 +710,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Sampling.keepAboveQuantile(df, $"v", 0.0).count() == 100)
     assert(Sampling.keepAboveQuantile(df, $"v", 1.0)
       .collect().map(_.getLong(0)).toSet == Set(100L))
+  }
+
+  test("keepAboveQuantile approx mode: boundary is a real element within rank contract") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+    // GK at accuracy 10000 over n=1000: rank error <= n/accuracy = 0.1
+    // rows, so the boundary element must be the rank-250 value (v=250)
+    // and the kept set differs from exact (threshold 250.75 -> 750
+    // rows) by at most the boundary element itself
+    val kept = Sampling.keepAboveQuantile(df, $"v", 0.25, accuracy = Some(10000))
+      .count()
+    assert(kept == 750 || kept == 751, s"kept $kept outside the rank contract")
+    // low accuracy still returns an element of the column (the filter
+    // stays a broadcast 1-row comparison, never an interpolated value)
+    val thrRows = Sampling.keepAboveQuantile(df, $"v", 0.25, accuracy = Some(10))
+      .agg(org.apache.spark.sql.functions.min($"v")).collect().head.getLong(0)
+    assert((1L to 1000L).contains(thrRows))
   }
 
   test("unigramLogProb: common-token docs outrank rare-token docs; exact values") {

@@ -92,8 +92,9 @@ class PlanSpec extends AnyFunSuite {
       "a8_hll",
       // broadcast 1-row top-k boundary df (hash-first boilerplate report)
       "llm_boilerplate", "e_sql_boilerplate",
-      // broadcast 1-row quantile threshold
+      // broadcast 1-row quantile threshold (exact and GK-attestation)
       "llm_quantile_filter", "e_sql_quantile_filter",
+      "llm_quantile_filter_approx",
       // broadcast 1-row corpus token total (unigram model)
       "llm_unigram_lp", "e_sql_unigram_lp")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -287,6 +288,26 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(e => e.contains("span#") || e.contains("chunk_text#")),
       s"span strings must not key an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("winnow: one doc-keyed exchange reused by both windows; hash-only distinct") {
+    val p = plan("llm_winnow")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // exactly ONE shuffle: the doc_id exchange feeds the shingle-forming
+    // lead window, the min-in-window selection (same partition spec +
+    // compatible sort), AND the final distinct — doc_id partitioning
+    // already clusters (doc_id, fp) duplicates, so EnsureRequirements
+    // inserts no second exchange; the (doc_id, fp) dedup combines
+    // map-side first (partial HashAggregate on 16-byte rows)
+    assert(exchanges.size == 1 && exchanges.head.contains("doc_id"),
+      s"expected one shared doc_id exchange:\n${exchanges.mkString("\n")}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the (doc_id, fp) distinct must partially aggregate")
+    // token/shingle strings may ride the window exchange as payload but
+    // must never KEY an exchange
+    assert(!exchanges.exists(e => e.contains("(s#") || e.contains("__tok")),
+      s"strings must not key an exchange:\n${exchanges.mkString("\n")}")
   }
 
   test("semdedup: cell assignment is a projection; pair join keys on cell") {
