@@ -191,6 +191,18 @@ object LlmSql {
       case args => bad(
         "graft_sample_strat(table, stratum_col, key_col, tiebreak_col, k, salt)", args)
     }
+    reg(spark, "graft_domain_cap") {
+      case args if args.length == 5 || args.length == 6 =>
+        val f = "graft_domain_cap"
+        // optional 6th arg: quality column — each domain keeps its k
+        // HIGHEST-scoring docs instead of a hash subsample
+        val by = if (args.length == 6) Some(col(str(args(5), f))) else None
+        Sampling.domainCap(table(str(args(0), f)), col(str(args(1), f)),
+          col(str(args(2), f)), int(args(3), f),
+          tieBreak = Seq(col(str(args(4), f))), by = by)
+      case args => bad(
+        "graft_domain_cap(table, domain_col, key_col, k, tiebreak_col[, by_col])", args)
+    }
     reg(spark, "graft_cluster_keep") {
       case args if args.length == 4 || args.length == 5 =>
         val f = "graft_cluster_keep"

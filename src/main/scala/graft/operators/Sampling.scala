@@ -79,11 +79,25 @@ object Sampling {
                        salt: String = "sample",
                        preSplit: Int = 32): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
-    require(preSplit >= 1, s"preSplit must be >= 1, got $preSplit")
     val order = saltedHash(key, salt).asc_nulls_last +: key.asc_nulls_last +:
       tieBreak.map(_.asc_nulls_last)
-    // NULL keys hash to NULL and land in one shared bucket — consistent
-    // with their NULLS LAST placement (at most k of them can win anyway)
+    twoPhaseTopK(df, stratum, order, key, k, salt, preSplit)
+  }
+
+  /** The shared two-phase per-stratum top-k: phase 1 ranks within
+    * (stratum, hash-derived salt bucket), phase 2 ranks the ≤ k·preSplit
+    * survivors per stratum. Bit-identical to the single-window form for
+    * ANY total `order` — restricting a row's competition to its own
+    * bucket can only improve its rank, so the true per-stratum top-k is
+    * contained in the union of per-bucket top-k — while a dominant
+    * stratum (one source = 90% of the corpus) sorts through `preSplit`
+    * parallel tasks instead of one. NULL keys hash to NULL and land in
+    * one shared bucket — consistent with their NULLS LAST placement (at
+    * most k of them can win anyway). */
+  private def twoPhaseTopK(df: DataFrame, stratum: Column,
+                           order: Seq[Column], key: Column, k: Int,
+                           salt: String, preSplit: Int): DataFrame = {
+    require(preSplit >= 1, s"preSplit must be >= 1, got $preSplit")
     val bucket = pmod(saltedHash(key, salt), lit(preSplit))
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum, bucket).orderBy(order: _*)
@@ -93,6 +107,38 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
       .withColumn("__rn", row_number().over(w2))
       .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Per-domain/source cap — the RefinedWeb-style corpus-balancing step
+    * between dedup and mixing: keep AT MOST `k` documents per domain,
+    * so no single crawl source dominates the training mix. Domains at
+    * or under the cap keep EVERYTHING (the keep-all contract that
+    * distinguishes a cap from a sample); domains over it keep exactly
+    * `k`, selected deterministically:
+    *  - `by = None` (default): the k smallest salted key hashes — an
+    *    unbiased, layout/engine-invariant subsample ([[exactK]]'s
+    *    contract, per domain).
+    *  - `by = Some(score)`: the k HIGHEST scores (quality-aware cap —
+    *    "keep each domain's best k"), score ties broken by the same
+    *    salted hash + `tieBreak` total order so membership stays
+    *    deterministic on real corpora with duplicate scores.
+    *
+    * Same two-phase (domain, hash-bucket) pre-split as
+    * [[exactKPerStratum]] — the dominant domain IS the expected case
+    * here (capping exists because one source swamps the corpus), so the
+    * single-window skew trap matters: phase 1 caps each of `preSplit`
+    * buckets in parallel, phase 2 ranks ≤ k·preSplit survivors.
+    * Bit-identical to the one-window form by the containment argument
+    * (holds for any total order, including the score-first one). */
+  def domainCap(df: DataFrame, domain: Column, key: Column, k: Int,
+                tieBreak: Seq[Column], by: Option[Column] = None,
+                salt: String = "domcap:",
+                preSplit: Int = 32): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    val order = by.map(_.desc_nulls_last).toSeq ++
+      (saltedHash(key, salt).asc_nulls_last +: key.asc_nulls_last +:
+        tieBreak.map(_.asc_nulls_last))
+    twoPhaseTopK(df, domain, order, key, k, salt, preSplit)
   }
 
   /** Deterministic N-way SPLIT (train/val/test): range-partition the

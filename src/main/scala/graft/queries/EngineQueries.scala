@@ -257,6 +257,10 @@ object EngineQueries {
     // positional winnowing fingerprints from SQL
     "e_sql_winnow" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_winnow('documents', 'doc_id', 'text', 3, 4)")),
+    // quality-aware per-source cap from SQL (optional by_col arg)
+    "e_sql_domain_cap" -> ((s, d) => via(s, d)(
+      """SELECT doc_id, source, n_chars
+         FROM graft_domain_cap('documents', 'source', 'text', 15, 'doc_id', 'n_chars')""")),
     // the round-5 flagship as pure TVF COMPOSITION: gopher filter and
     // span dedup feed each other through SQL views; the shard TVF reads
     // the cleaned view — three operators chained without a line of Scala
@@ -361,6 +365,7 @@ object EngineQueries {
     "e_sql_quantile_filter" -> LlmQueries.oracle("llm_quantile_filter"),
     "e_sql_unigram_lp" -> LlmQueries.oracle("llm_unigram_lp"),
     "e_sql_winnow" -> LlmQueries.oracle("llm_winnow"),
+    "e_sql_domain_cap" -> LlmQueries.oracle("llm_domain_cap"),
     "e_sql_pipeline2" -> LlmQueries.oracle("llm_pipeline2")
   )
 }

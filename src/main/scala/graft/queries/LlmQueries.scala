@@ -347,6 +347,19 @@ object LlmQueries {
           tieBreak = Seq($"doc_id"), salt = "strat:")
         .select($"doc_id", $"source")
     }),
+    "llm_domain_cap" -> ((s, d) => {
+      import s.implicits._
+      // RefinedWeb-style source balancing: each source keeps at most
+      // its 15 LONGEST docs (quality-aware cap, n_chars as the score);
+      // sources at/under the cap keep everything; score ties resolve
+      // through the salted-hash + doc_id total order
+      graft.operators.Sampling.domainCap(
+          Tables.load(s, d, "documents")
+            .select($"doc_id", $"source", $"n_chars", $"text"),
+          domain = $"source", key = $"text", k = 15,
+          tieBreak = Seq($"doc_id"), by = Some($"n_chars"))
+        .select($"doc_id", $"source", $"n_chars")
+    }),
     "llm_simhash_pairs" -> ((s, d) => {
       import s.implicits._
       // corpus + exact clones of the last 300 ids (where near-dup
@@ -986,6 +999,17 @@ object LlmQueries {
                              text NULLS LAST, doc_id NULLS LAST) AS rn
            FROM documents)
          WHERE rn <= 10""",
+    // quality-aware per-source cap: n_chars DESC first, then the same
+    // salted-hash total order as llm_sample_strat
+    "llm_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC NULLS LAST,
+                             CAST(('0x'||substr(md5('domcap:'||text),1,8)) AS BIGINT) NULLS LAST,
+                             text NULLS LAST, doc_id NULLS LAST) AS rn
+           FROM documents)
+         WHERE rn <= 15""",
     "llm_minhash_incr" ->
       s"""WITH newdocs AS (SELECT doc_id + 3000000 AS doc_id, text FROM documents
                            WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),

@@ -712,6 +712,37 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(100L))
   }
 
+  test("domainCap: keep-all under the cap, best-k over it, preSplit-invariant") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // domain a: 3 docs (under cap) — ALL kept, including the low scorers;
+    // domain b: 6 docs (over cap) — exactly the 4 highest scores kept
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 1), ("a", 3L, 5),
+      ("b", 4L, 9), ("b", 5L, 2), ("b", 6L, 7), ("b", 7L, 8),
+      ("b", 8L, 1), ("b", 9L, 6)
+    ).toDF("dom", "id", "score")
+    val kept = Sampling.domainCap(df, $"dom", $"id".cast("string"), k = 4,
+        tieBreak = Seq($"id"), by = Some($"score"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept.count(_._1 == "a") == 3, "under-cap domain must keep everything")
+    assert(kept.filter(_._1 == "b").map(_._2) == Set(4L, 6L, 7L, 9L),
+      "over-cap domain must keep exactly the k best scores")
+    // the two-phase pre-split is bit-identical to the single-window form
+    // for the score-first order too (containment argument)
+    def run(ps: Int) = Sampling.domainCap(df, $"dom", $"id".cast("string"),
+        k = 4, tieBreak = Seq($"id"), by = Some($"score"), preSplit = ps)
+      .collect().map(_.getLong(1)).toSet
+    assert(run(1) == run(32))
+    // hash-selection mode (by = None): deterministic across repeats and
+    // still keep-all under the cap
+    val h1 = Sampling.domainCap(df, $"dom", $"id".cast("string"), k = 4,
+      tieBreak = Seq($"id")).collect().map(_.getLong(1)).toSet
+    val h2 = Sampling.domainCap(df, $"dom", $"id".cast("string"), k = 4,
+      tieBreak = Seq($"id")).collect().map(_.getLong(1)).toSet
+    assert(h1 == h2 && h1.count(_ <= 3L) == 3)
+  }
+
   test("keepAboveQuantile approx mode: boundary is a real element within rank contract") {
     import spark.implicits._
     import graft.operators.Sampling

@@ -237,6 +237,18 @@ class PlanSpec extends AnyFunSuite {
       "the corpus-facing window must partition by (stratum, bucket)")
   }
 
+  test("domain cap: corpus window is (domain, bucket)-pre-split") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // capping exists BECAUSE one source dominates — so the skew-proof
+    // two-phase shape matters most here: same pin as llm_sample_strat
+    val qe = SparkEntry.queries("llm_domain_cap")(spark, TestSpark.sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected pre-split + survivor windows, got ${wins.size}")
+    assert(wins.forall(_.partitionSpec.nonEmpty), "no global window allowed")
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "the corpus-facing window must partition by (domain, bucket)")
+  }
+
   test("deterministic sampling is a pure scan+filter (zero exchange)") {
     val p = plan("llm_sample")
     assert(!p.contains("Exchange"),
