@@ -219,6 +219,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** A static corpus's precomputed LSH probe structures: `bands` =
+    * (id, band_idx, band_val) rows (hot buckets already capped), `sets`
+    * = the per-doc sketch frame (id, hset, s0..s{k-1}). Built once by
+    * [[minhashIndex]] and probed many times — the admission-check /
+    * streaming shape where the corpus side is fixed while new shards
+    * arrive. At production scale both frames would be WRITTEN (parquet,
+    * bucketed by band_val / id) and read back per ingestion run; here
+    * the `reuse` truncation gives the same compute-once property within
+    * a session. */
+  case class MinhashIndex(bands: DataFrame, sets: DataFrame)
+
+  /** Precompute a static corpus's [[MinhashIndex]]: one relational
+    * sketch pass (the scalable explode + partial-min-aggregate shape),
+    * reuse-truncated so every probe — batch or per micro-batch — reads
+    * compact fixed-width sketch rows instead of re-tokenizing the
+    * corpus. `maxBucketSize` caps the CORPUS side's hot buckets here,
+    * at build time, so no probe ever meets a boilerplate bucket. */
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, nBands: Int = 4,
+                   maxBucketSize: Option[Int] = None,
+                   reuse: Reuse = Reuse.Local): MinhashIndex = {
+    val sets = minhashSets(corpus, idCol, textCol, k, reuse)
+    MinhashIndex(
+      capBuckets(bandsOf(sets, idCol, k, nBands),
+        Seq("band_idx", "band_val"), maxBucketSize),
+      sets)
+  }
+
   /** ASYMMETRIC near-dup pairs: candidates between `newDf` and `corpus`
     * only — never within a side. The incremental-ingestion shape: a new
     * crawl shard is deduplicated AGAINST the existing corpus before
@@ -243,10 +271,11 @@ object Dedup {
                           maxBucketSize: Option[Int] = None,
                           reuse: Reuse = Reuse.Local): DataFrame = {
     val setsNew = minhashSets(newDf, idCol, textCol, k, reuse)
-    val setsCorp = minhashSets(corpus, idCol, textCol, k, reuse)
+    val idx = minhashIndex(corpus, idCol, textCol, k, nBands,
+      maxBucketSize, reuse)
+    val setsCorp = idx.sets
     val bNew = bandsOf(setsNew, idCol, k, nBands)
-    val bCorp = capBuckets(bandsOf(setsCorp, idCol, k, nBands),
-      Seq("band_idx", "band_val"), maxBucketSize)
+    val bCorp = idx.bands
     val cand = bNew.as("x").join(bCorp.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val"))

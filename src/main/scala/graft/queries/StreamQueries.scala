@@ -33,6 +33,22 @@ object StreamQueries {
         .groupBy(col("p_event"), col("user_id"))
         .agg(count(lit(1)).as("n_clicks_1h"))
     }),
+    "st_minhash" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // streaming incremental-admission dedup (batch-parity form; the
+      // stream path runs in StreamingSpec): the tail-300 slice
+      // re-ingested under new ids, probed per-row against the static
+      // corpus MinhashIndex — must equal minhashPairsBetween exactly
+      // (same split, permutations, threshold as llm_minhash_incr, whose
+      // oracle this reuses)
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val incoming = docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 300)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+      graft.streaming.Corpus.admitProbe(incoming, idx, "doc_id", "text")
+        .dropDuplicates("id_new", "id_corpus")
+    }),
     "st_decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // streaming decontamination (batch-parity form): incoming corpus
@@ -94,6 +110,9 @@ object StreamQueries {
           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
          GROUP BY 1, 2""",
+    // same pair set as the batch incremental dedup — the stream-static
+    // probe is bit-equal to minhashPairsBetween on the same split
+    "st_minhash" -> LlmQueries.oracle("llm_minhash_incr"),
     // the KEEP side of llm_decontaminate: corpus docs sharing no
     // 13-gram with the eval slice (short docs have no shingles → clean)
     "st_decontaminate" -> {

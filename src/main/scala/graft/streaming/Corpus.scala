@@ -50,6 +50,74 @@ object Corpus {
     * driver-resident hash array); a STREAMING input is refused loudly —
     * run the batch semi-join inside `foreachBatch` instead, where each
     * micro-batch is a plain DataFrame. */
+  /** Streaming incremental-admission dedup — the stream-static
+    * counterpart of [[Dedup.minhashPairsBetween]]: each incoming
+    * document is sketched PER ROW and probed against a precomputed
+    * static-corpus [[Dedup.MinhashIndex]]. Returns (id_new, id_corpus,
+    * jaccard) for near-dup hits at `threshold`; a doc with no rows in
+    * the output is admissible.
+    *
+    * STATELESS by construction, the same design point as
+    * [[cleanAgainst]]: the relational sketch (explode shingles, window,
+    * per-doc aggregate) would demand keyed state on a stream, so the
+    * probe side computes its sketch as one per-row projection —
+    * [[Dedup.shingles]] → hash → [[Dedup.minhashSignature]] (the SAME
+    * permutation recipe as the corpus index, so band values align) —
+    * then explodes its nBands band rows and stream-static-joins the
+    * index: bands on (band_idx, band_val), sketches on id_corpus, a
+    * per-row Jaccard filter. No watermark, no state store; identical
+    * code path in batch (the st_minhash oracle gate proves it equals
+    * [[Dedup.minhashPairsBetween]]) and streaming (StreamingSpec
+    * parity). The array-lambda sketch is interpreted, not codegen'd —
+    * acceptable because it runs over the micro-batch-sized NEW side
+    * only; the corpus-scale side was sketched once, relationally, at
+    * index build.
+    *
+    * DUPLICATE CONTRACT: a pair sharing b bands appears b times (the
+    * batch op's candidate `distinct` would be stateful on a stream).
+    * Admission semantics (does this doc have ANY hit?) are unaffected;
+    * batch callers `dropDuplicates(id_new, id_corpus)`, streaming
+    * exact-pair consumers collapse per micro-batch in `foreachBatch`.
+    *
+    * Docs with fewer tokens than a shingle have no sketch and emit no
+    * rows (admitted clean), matching the batch operator's absent-row
+    * behavior. */
+  def admitProbe(docs: DataFrame, index: Dedup.MinhashIndex,
+                 idCol: String, textCol: String,
+                 k: Int = 16, nBands: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    require(k % nBands == 0, s"nBands must divide k, got k=$k nBands=$nBands")
+    val rowsPerBand = k / nBands
+    // hset materialized in its own projection first: the signature HOF
+    // references it k times and interpreted lambdas re-evaluate per
+    // reference (the Dedup.shingles PERF note)
+    val sk = docs
+      .select(col(idCol).as("id_new"), array_distinct(
+        transform(Dedup.shingles(col(textCol)), s => Dedup.sharedHash(s)))
+        .as("__hset"))
+      .filter(size(col("__hset")) > 0)
+      .select(col("id_new"), col("__hset"),
+        Dedup.minhashSignature(col("__hset"), k).as("__sig"))
+    val bandStructs = array((0 until nBands).map(b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), b * rowsPerBand + r + 1)): _*)
+          .as("band_val"))): _*)
+    val probe = sk
+      .select(col("id_new"), col("__hset"), explode(bandStructs).as("band"))
+      .select(col("id_new"), col("__hset"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    probe
+      .join(index.bands.select(col(idCol).as("id_corpus"),
+        col("band_idx"), col("band_val")), Seq("band_idx", "band_val"))
+      .join(index.sets.select(col(idCol).as("id_corpus"),
+        col("hset").as("__hb")), Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        (size(array_intersect(col("__hset"), col("__hb"))).cast("double") /
+          size(array_union(col("__hset"), col("__hb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def cleanAgainst(docs: DataFrame, evalDocs: DataFrame,
                    idCol: String, textCol: String, n: Int = 13,
                    maxInlineHashes: Int = 1 << 20): DataFrame = {

@@ -87,6 +87,11 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row max-doc-id bound for the corpus/eval split
       // (the probe itself is a pure filter since round 4)
       "st_decontaminate",
+      // broadcast 1-row max-doc-id bound building the re-ingested slice;
+      // the admission probe itself is equi-joins on (band_idx, band_val)
+      // and id_corpus (llm_minhash_incr hides the same bound behind its
+      // reuse-truncated sketch leaf)
+      "st_minhash",
       // exact ndv x HLL sketch joined as two broadcast 1-row aggregates
       // (the fused form plans an Expand with per-key HLL buffers)
       "a8_hll",
@@ -126,6 +131,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("incremental dedup (between) shuffles band keys, not documents") {
     val p = plan("llm_minhash_incr")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")
+  }
+
+  test("streaming admission probe shuffles band keys, not documents") {
+    // batch-parity plan of the stream-static probe: the per-row sketch
+    // is a projection on the probe side; only band tuples / id_corpus
+    // key exchanges — document text never shuffles
+    val p = plan("st_minhash")
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")

@@ -64,6 +64,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size < batchCorpus.count())
   }
 
+  test("streaming admission dedup: stream probe == batch minhashPairsBetween") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // the ground truth: the batch relational incremental-dedup operator
+    val batch = graft.operators.Dedup.minhashPairsBetween(
+        docs.filter(col("doc_id") > mx - 300)
+          .select((col("doc_id") + 3000000).as("doc_id"), col("text")),
+        docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the static index is precomputed in batch; the NEW side arrives as
+    // a stream over the same files — identical admitProbe code path
+    val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+    val stream = graft.streaming.Corpus.readStream(spark, TestSpark.sf)
+      .filter(col("doc_id") > mx - 300)
+      .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+    Events.runToMemory(spark,
+      graft.streaming.Corpus.admitProbe(stream, idx, "doc_id", "text"),
+      "t_admit", OutputMode.Append())
+    // collapse the documented per-shared-band duplicates; the pair SET
+    // (with jaccard) must match batch exactly
+    val streamed = spark.table("t_admit")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the probe found the planted re-ingested clones (jaccard 1.0)
+    assert(batch.exists(_._3 == 1.0))
+  }
+
   test("decontamination eval-set ceiling: batch falls back, streaming refuses") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
