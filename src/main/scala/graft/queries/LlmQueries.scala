@@ -526,6 +526,37 @@ object LlmQueries {
           $"text", numShards = 32, salt = "shard:")
         .select($"doc_id", $"shard", $"order_key")
     }),
+    "llm_shards_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // assignShards' documented WRITE recipe, end to end: one exchange
+      // keyed by the int shard column, a partition-local sort, parquet
+      // out, read back. The read-back is audited for BOTH membership
+      // (per-shard counts/checksums vs the oracle recomputing the
+      // hashes) and PER-SHARD ORDER: rows are numbered in physical read
+      // order (monotonically_increasing_id = (split, position); each
+      // shard is contiguous within its written file at gate scale) and
+      // n_inversions counts order_key decreases along that order — the
+      // oracle pins it to 0, so a lost or misordered write
+      // hash-mismatches
+      val out = "target/gate_sink/documents_sharded"
+      graft.operators.Sampling.assignShards(
+          Tables.load(s, d, "documents").select($"doc_id", $"text"),
+          $"text", numShards = 8, salt = "shard:")
+        .select($"doc_id", $"shard", $"order_key")
+        .repartition(8, $"shard")
+        .sortWithinPartitions($"shard", $"order_key")
+        .write.mode("overwrite").parquet(out)
+      val rb = s.read.parquet(out)
+        .withColumn("__mid", monotonically_increasing_id())
+      val w = Window.partitionBy($"shard").orderBy($"__mid")
+      rb.withColumn("__prev", lag($"order_key", 1).over(w))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"__prev" > $"order_key", 1L).otherwise(0L)).as("n_inversions"),
+          sum($"order_key").as("sum_order"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+    }),
     "llm_span_dedup_doc" -> ((s, d) =>
       // in-document half of C4 dedup: bigram blocks (small enough to
       // repeat inside this corpus's docs) cut after their first
@@ -1129,6 +1160,21 @@ object LlmQueries {
                 CAST(CAST(('0x'||substr(md5('shard:'||text),1,8)) AS BIGINT) % 32 AS INTEGER) AS shard,
                 CAST(('0x'||substr(md5('ord:shard:'||text),1,8)) AS BIGINT) AS order_key
          FROM documents""",
+    // the round-trip: membership via per-shard count/order_key checksum
+    // (the oracle recomputes both hashes), order via the pinned-0
+    // inversion count — any write/read corruption or ordering loss
+    // breaks one of them
+    "llm_shards_roundtrip" ->
+      """WITH a AS (
+           SELECT doc_id,
+                  CAST(CAST(('0x'||substr(md5('shard:'||text),1,8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+                  CAST(('0x'||substr(md5('ord:shard:'||text),1,8)) AS BIGINT) AS order_key
+           FROM documents)
+         SELECT shard, count(*) AS n_docs,
+                CAST(0 AS BIGINT) AS n_inversions,
+                CAST(sum(order_key) AS BIGINT) AS sum_order,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM a GROUP BY shard""",
     // within-doc variant: rank occurrences of each block inside its
     // document (first stays), reassemble by position
     "llm_span_dedup_doc" ->

@@ -712,6 +712,27 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(100L))
   }
 
+  test("shard round-trip inversion audit is not vacuous: unsorted write flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // same audit as llm_shards_roundtrip, over a write that SKIPS
+    // sortWithinPartitions: the inversion count must be nonzero, or the
+    // gate's pinned-0 column would be proving nothing
+    val out = "target/gate_sink/spec_unsorted_shards"
+    graft.operators.Sampling.assignShards(
+        Tables.load(spark, TestSpark.sf, "documents").select($"doc_id", $"text"),
+        $"text", numShards = 2, salt = "shard:")
+      .select($"doc_id", $"shard", $"order_key")
+      .repartition(2, $"shard") // deliberately NOT sorted within partitions
+      .write.mode("overwrite").parquet(out)
+    val rb = spark.read.parquet(out)
+      .withColumn("__mid", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val w = Window.partitionBy($"shard").orderBy($"__mid")
+    val inversions = rb.withColumn("__prev", lag($"order_key", 1).over(w))
+      .agg(sum(when($"__prev" > $"order_key", 1L).otherwise(0L))).head().getLong(0)
+    assert(inversions > 0, "hash-ordered keys written unsorted must show inversions")
+  }
+
   test("domainCap: keep-all under the cap, best-k over it, preSplit-invariant") {
     import spark.implicits._
     import graft.operators.Sampling
