@@ -352,6 +352,18 @@ object LlmSql {
           str(text, f), k = int(k, f), w = int(w, f))
       case args => bad("graft_winnow(table, id_col, text_col, k, w)", args)
     }
+    reg(spark, "graft_overlap_extents") {
+      case args if args.length == 5 || args.length == 6 =>
+        val f = "graft_overlap_extents"
+        // optional 6th arg: minimum run length in tokens (default w+k-1,
+        // the winnow completeness threshold)
+        val minT = if (args.length == 6) int(args(5), f) else 0
+        TextAnalysis.sharedSpanExtents(table(str(args(0), f)),
+          str(args(1), f), str(args(2), f),
+          k = int(args(3), f), w = int(args(4), f), minTokens = minT)
+      case args => bad(
+        "graft_overlap_extents(table, id_col, text_col, k, w[, min_tokens])", args)
+    }
     reg(spark, "graft_unigram_lp") {
       case Seq(t, id, text) =>
         val f = "graft_unigram_lp"

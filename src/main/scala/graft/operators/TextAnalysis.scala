@@ -121,6 +121,71 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Exact shared-span EXTENTS — the "dedup exact substrings ≥ N
+    * tokens" signal from the published dedup literature (suffix-array
+    * substring dedup à la Lee et al. 2022), localized: for every
+    * candidate document pair, each maximal run of ≥ `minTokens`
+    * identical consecutive tokens is reported as (id_a, id_b, start_a,
+    * start_b, len_tokens) — the positional information containment /
+    * MinHash (set-level) and [[winnowFingerprints]] alone (membership
+    * only) don't give. Multiple distinct shared runs per pair = one row
+    * each.
+    *
+    * Pipeline, never all-pairs: candidate pairs come from shared
+    * winnow fingerprints (guarantee: every pair sharing ≥ w+k−1
+    * consecutive tokens is a candidate — so with the default
+    * `minTokens` = w+k−1 the extent report is COMPLETE for runs at or
+    * above threshold); `maxDocsPerFp` drops boilerplate fingerprints
+    * shared by more than that many docs ([[Dedup.capBuckets]] — the
+    * same hot-bucket fanout bound as every band join; a template
+    * shared by 1000 docs is boilerplate to remove with
+    * [[removeRepeatedSpans]], not a pair phenomenon to enumerate).
+    * Extents then resolve RELATIONALLY: each side's positional
+    * `k`-shingle hashes ([[Dedup.shingleRowsPos]]) equi-join through
+    * the candidate pair on (id, 60-bit hash) — per-pair fanout is the
+    * number of shared shingle occurrences, never a cross product —
+    * and a match at (pos_a, pos_b) extends the run on diagonal
+    * pos_a − pos_b: maximal runs are gaps-and-islands per (pair,
+    * diagonal), a window whose task state is one document pair's
+    * matches on one diagonal. A 60-bit shingle collision could weld a
+    * spurious extent — vanishing below ~10⁹ distinct shingles and
+    * reproduced identically by the oracle (same hash recipe).
+    *
+    * Scale shape: exchanges key on fingerprints, ids, and (id, hash)
+    * tuples — text never leaves its first projection; the output
+    * carries positions only, not text. */
+  def sharedSpanExtents(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, w: Int = 4, minTokens: Int = 0,
+                        maxDocsPerFp: Option[Int] = Some(64)): DataFrame = {
+    val minT = if (minTokens > 0) minTokens else k + w - 1
+    require(minT >= k, s"minTokens must be >= k, got $minT < $k")
+    val fps = Dedup.capBuckets(winnowFingerprints(df, idCol, textCol, k, w),
+      Seq("fp"), maxDocsPerFp)
+    val cand = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val hs = Dedup.shingleRowsPos(df.select(col(idCol), col(textCol)),
+        idCol, textCol, k)
+      .select(col(idCol), col("pos"), Dedup.sharedHash60(col("s")).as("__h"))
+    val matches = cand
+      .join(hs.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("__h")),
+        "id_a")
+      .join(hs.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("__h")),
+        Seq("id_b", "__h"))
+      .withColumn("__diag", col("pos_a") - col("pos_b"))
+    val wi = Window.partitionBy(col("id_a"), col("id_b"), col("__diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("__isl", col("pos_a") - row_number().over(wi))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__isl"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + (k - 1)).as("len_tokens"))
+      .filter(col("len_tokens") >= minT)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("len_tokens"))
+  }
+
   /** Within-document n-gram repetition ratio (Gopher-style boilerplate /
     * repetition quality signal): 1 − distinct(ngrams)/total(ngrams).
     * High ratio = repeated boilerplate — a standard pre-training drop

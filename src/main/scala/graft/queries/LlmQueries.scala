@@ -526,6 +526,19 @@ object LlmQueries {
           $"text", numShards = 32, salt = "shard:")
         .select($"doc_id", $"shard", $"order_key")
     }),
+    "llm_overlap_extents" -> ((s, d) => {
+      import s.implicits._
+      // planted-overlap fixture: the tail-100 slice re-ingested under
+      // new ids guarantees whole-document shared runs; extents must
+      // localize them (start/length per side) plus any genuine
+      // in-corpus overlaps ≥ w+k-1 = 11 tokens
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val clones = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select(($"doc_id" + 3000000).as("doc_id"), $"text")
+      TextAnalysis.sharedSpanExtents(docs.unionAll(clones),
+        "doc_id", "text", k = 8, w = 4)
+    }),
     "llm_shards_roundtrip" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1160,6 +1173,52 @@ object LlmQueries {
                 CAST(CAST(('0x'||substr(md5('shard:'||text),1,8)) AS BIGINT) % 32 AS INTEGER) AS shard,
                 CAST(('0x'||substr(md5('ord:shard:'||text),1,8)) AS BIGINT) AS order_key
          FROM documents""",
+    // candidates from capped winnow fingerprints (k=8, w=4, cap 64),
+    // extents via diagonal gaps-and-islands over positional 8-gram
+    // hash matches — the same algebra as the Spark op, so extents
+    // match bit-for-bit
+    "llm_overlap_extents" -> {
+      val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          alldocs AS (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 3000000, text FROM documents, m
+                      WHERE doc_id > mx - 100),
+          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM alldocs),
+          i AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+                FROM t WHERE len(toks) >= 8),
+          h AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                       CAST(('0x'||substr(md5($gram8),1,15)) AS BIGINT) AS h
+                FROM i),
+          wv AS (SELECT doc_id,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                        count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n
+                 FROM h),
+          fps AS (SELECT DISTINCT doc_id, fp FROM wv WHERE n = 4),
+          fcap AS (SELECT doc_id, fp FROM (
+                     SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS c
+                     FROM fps)
+                   WHERE c <= 64),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM fcap a JOIN fcap b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id),
+          mt AS (SELECT c.id_a, c.id_b, x.pos AS pos_a, y.pos AS pos_b
+                 FROM cand c
+                 JOIN h x ON x.doc_id = c.id_a
+                 JOIN h y ON y.doc_id = c.id_b AND y.h = x.h),
+          isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
+                         pos_a - row_number() OVER (
+                           PARTITION BY id_a, id_b, pos_a - pos_b
+                           ORDER BY pos_a) AS g
+                  FROM mt)
+          SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+                 CAST(count(*) + 7 AS BIGINT) AS len_tokens
+          FROM isl GROUP BY id_a, id_b, diag, g
+          HAVING count(*) + 7 >= 11"""
+    },
     // the round-trip: membership via per-shard count/order_key checksum
     // (the oracle recomputes both hashes), order via the pinned-0
     // inversion count — any write/read corruption or ordering loss

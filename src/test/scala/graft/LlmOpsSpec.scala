@@ -712,6 +712,26 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(100L))
   }
 
+  test("sharedSpanExtents: planted run localized exactly; short overlaps absent") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // doc 1 tokens: 5 unique + the 12-token shared run + 3 unique
+    //   -> run starts at pos 5
+    // doc 2 tokens: 2 unique + the same run + 4 unique -> starts at pos 2
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $run z1 z2 z3"),
+      (2L, s"b1 b2 $run y1 y2 y3 y4"),
+      // doc 3 shares only a 7-token run with doc 1 — below the
+      // k+w-1 = 11 guarantee/threshold, must not be reported
+      (3L, s"c1 c2 ${(1 to 7).map(i => s"a$i").mkString(" ")} c3")
+    ).toDF("doc_id", "text")
+    val ext = TextAnalysis.sharedSpanExtents(df, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(ext.toSeq == Seq((1L, 2L, 5, 2, 12L)),
+      s"expected the exact planted extent, got ${ext.mkString(", ")}")
+  }
+
   test("shard round-trip inversion audit is not vacuous: unsorted write flags") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

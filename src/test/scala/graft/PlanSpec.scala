@@ -92,6 +92,9 @@ class PlanSpec extends AnyFunSuite {
       // and id_corpus (llm_minhash_incr hides the same bound behind its
       // reuse-truncated sketch leaf)
       "st_minhash",
+      // broadcast 1-row max-doc-id bound building the planted-overlap
+      // clones; extent resolution itself is equi-joins on fp/id/hash
+      "llm_overlap_extents",
       // exact ndv x HLL sketch joined as two broadcast 1-row aggregates
       // (the fused form plans an Expand with per-key HLL buffers)
       "a8_hll",
@@ -335,6 +338,28 @@ class PlanSpec extends AnyFunSuite {
     // must never KEY an exchange
     assert(!exchanges.exists(e => e.contains("(s#") || e.contains("__tok")),
       s"strings must not key an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("overlap extents: hash/id-keyed exchanges only; islands window is pair-scoped") {
+    val p = plan("llm_overlap_extents")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // fingerprint join, positional-hash joins, islands window — every
+    // exchange keys on fingerprints/ids/hashes; token and shingle
+    // strings never leave their first projection (the output carries
+    // positions, not text)
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e => e.contains("text") || e.contains("(s#") ||
+        e.contains("__tok")),
+      s"text must not key an exchange:\n${exchanges.mkString("\n")}")
+    // the gaps-and-islands window partitions by (id_a, id_b, diag) —
+    // task state is one pair's matches on one diagonal, never global
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("llm_overlap_extents")(spark, TestSpark.sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty), "no global window allowed")
+    assert(wins.exists(_.partitionSpec.size == 3),
+      "the islands window must partition by (id_a, id_b, diag)")
   }
 
   test("semdedup: cell assignment is a projection; pair join keys on cell") {
