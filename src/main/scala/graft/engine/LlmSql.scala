@@ -364,6 +364,16 @@ object LlmSql {
       case args => bad(
         "graft_overlap_extents(table, id_col, text_col, k, w[, min_tokens])", args)
     }
+    reg(spark, "graft_dedup_substrings") {
+      case args if args.length == 5 || args.length == 6 =>
+        val f = "graft_dedup_substrings"
+        val minT = if (args.length == 6) int(args(5), f) else 0
+        TextAnalysis.dedupExactSubstrings(table(str(args(0), f)),
+          str(args(1), f), str(args(2), f),
+          k = int(args(3), f), w = int(args(4), f), minTokens = minT)
+      case args => bad(
+        "graft_dedup_substrings(table, id_col, text_col, k, w[, min_tokens])", args)
+    }
     reg(spark, "graft_unigram_lp") {
       case Seq(t, id, text) =>
         val f = "graft_unigram_lp"

@@ -186,6 +186,64 @@ object TextAnalysis {
         col("len_tokens"))
   }
 
+  /** Exact-substring DEDUPLICATION — the removal half of the
+    * suffix-array substring dedup recipe (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): every maximal shared
+    * run of ≥ `minTokens` tokens found by [[sharedSpanExtents]] keeps
+    * its occurrence in the LOWEST-id document and is cut from every
+    * higher-id document sharing it (deterministic keep-first, the same
+    * tie-break as the cluster keep family). Output, one row per input
+    * document: (id, n_tokens, n_removed, clean_text) — the
+    * [[removeRepeatedSpans]] contract with exact token accounting, so a
+    * fully-cloned document comes back as (id, n, n, '').
+    *
+    * Overlapping extents (one document sharing intersecting runs with
+    * several partners) are interval-merged per document before removal,
+    * so each token is counted and cut at most once.
+    *
+    * Scale shape: extents carry positions only ([[sharedSpanExtents]]'s
+    * contract); interval merging is a window partitioned by document —
+    * task state is one document's removal intervals; covered positions
+    * explode via `sequence` (bounded by the corpus token count, keyed
+    * (id, pos) — 12 bytes); the survivors anti-join on (id, pos) and
+    * reassemble through the one inherent text-bearing exchange, the
+    * per-document groupBy whose payload is exactly one copy of the
+    * surviving corpus ([[removeRepeatedSpans]]'s argument). */
+  def dedupExactSubstrings(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, w: Int = 4, minTokens: Int = 0,
+                           maxDocsPerFp: Option[Int] = Some(64)): DataFrame = {
+    val ext = sharedSpanExtents(df, idCol, textCol, k, w, minTokens,
+      maxDocsPerFp)
+    // keep-first: the run stays in id_a (the smaller id), is cut from id_b
+    val ints = ext.select(col("id_b").as(idCol), col("start_b").as("__s"),
+      (col("start_b") + col("len_tokens")).cast("int").as("__e"))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+    val merged = ints
+      .withColumn("__pmax",
+        max(col("__e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wOrd))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+    val covered = merged.select(col(idCol),
+      explode(sequence(col("__s"), col("__e") - 1)).as("__pos"))
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val kept = toks.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          _.getField("__tok"))).as("__clean"))
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   /** Within-document n-gram repetition ratio (Gopher-style boilerplate /
     * repetition quality signal): 1 − distinct(ngrams)/total(ngrams).
     * High ratio = repeated boilerplate — a standard pre-training drop

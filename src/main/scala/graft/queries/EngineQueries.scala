@@ -269,6 +269,18 @@ object EngineQueries {
       e.query(
         "SELECT * FROM graft_overlap_extents('graft_ov_docs', 'doc_id', 'text', 8, 4)")
     }),
+    // exact-substring removal from SQL over the same planted view
+    "e_sql_substr_dedup" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_ov_docs AS
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 3000000 AS doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query(
+        "SELECT * FROM graft_dedup_substrings('graft_ov_docs', 'doc_id', 'text', 8, 4)")
+    }),
     // quality-aware per-source cap from SQL (optional by_col arg)
     "e_sql_domain_cap" -> ((s, d) => via(s, d)(
       """SELECT doc_id, source, n_chars
@@ -379,6 +391,7 @@ object EngineQueries {
     "e_sql_winnow" -> LlmQueries.oracle("llm_winnow"),
     "e_sql_domain_cap" -> LlmQueries.oracle("llm_domain_cap"),
     "e_sql_overlap_extents" -> LlmQueries.oracle("llm_overlap_extents"),
+    "e_sql_substr_dedup" -> LlmQueries.oracle("llm_substr_dedup"),
     "e_sql_pipeline2" -> LlmQueries.oracle("llm_pipeline2")
   )
 }

@@ -539,6 +539,18 @@ object LlmQueries {
       TextAnalysis.sharedSpanExtents(docs.unionAll(clones),
         "doc_id", "text", k = 8, w = 4)
     }),
+    "llm_substr_dedup" -> ((s, d) => {
+      import s.implicits._
+      // same planted-overlap fixture as llm_overlap_extents: the
+      // tail-100 clones must come back fully cut (n_removed = n_tokens,
+      // clean_text = ''), their originals untouched by keep-first
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val clones = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select(($"doc_id" + 3000000).as("doc_id"), $"text")
+      TextAnalysis.dedupExactSubstrings(docs.unionAll(clones),
+        "doc_id", "text", k = 8, w = 4)
+    }),
     "llm_shards_roundtrip" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -648,6 +660,52 @@ object LlmQueries {
   )
 
   private val stopsEn = "'the','a','of','and','to','in','is','it','for','on'"
+
+  /** Shared WITH-clause prefix for the overlap-extents family: planted
+    * tail-100 clones → positional 8-gram 60-bit hashes → winnow
+    * fingerprints (w=4, df-cap 64) → candidate pairs → diagonal
+    * gaps-and-islands (`isl`) — the same algebra as
+    * [[graft.operators.TextAnalysis.sharedSpanExtents]], so extents
+    * match bit-for-bit. Both the extents report and the removal oracle
+    * build on this prefix; keeping it single-sourced prevents drift. */
+  private val overlapCtes: String = {
+    val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""m AS (SELECT max(doc_id) AS mx FROM documents),
+          alldocs AS (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 3000000, text FROM documents, m
+                      WHERE doc_id > mx - 100),
+          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM alldocs),
+          i AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+                FROM t WHERE len(toks) >= 8),
+          h AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                       CAST(('0x'||substr(md5($gram8),1,15)) AS BIGINT) AS h
+                FROM i),
+          wv AS (SELECT doc_id,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                        count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n
+                 FROM h),
+          fps AS (SELECT DISTINCT doc_id, fp FROM wv WHERE n = 4),
+          fcap AS (SELECT doc_id, fp FROM (
+                     SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS c
+                     FROM fps)
+                   WHERE c <= 64),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM fcap a JOIN fcap b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id),
+          mt AS (SELECT c.id_a, c.id_b, x.pos AS pos_a, y.pos AS pos_b
+                 FROM cand c
+                 JOIN h x ON x.doc_id = c.id_a
+                 JOIN h y ON y.doc_id = c.id_b AND y.h = x.h),
+          isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
+                         pos_a - row_number() OVER (
+                           PARTITION BY id_a, id_b, pos_a - pos_b
+                           ORDER BY pos_a) AS g
+                  FROM mt)"""
+  }
 
   def oracle: Map[String, String] = Map(
     "llm_ann_ivf" ->
@@ -1177,48 +1235,48 @@ object LlmQueries {
     // extents via diagonal gaps-and-islands over positional 8-gram
     // hash matches — the same algebra as the Spark op, so extents
     // match bit-for-bit
-    "llm_overlap_extents" -> {
-      val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
-          alldocs AS (SELECT doc_id, text FROM documents
-                      UNION ALL
-                      SELECT doc_id + 3000000, text FROM documents, m
-                      WHERE doc_id > mx - 100),
-          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-                FROM alldocs),
-          i AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
-                FROM t WHERE len(toks) >= 8),
-          h AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-                       CAST(('0x'||substr(md5($gram8),1,15)) AS BIGINT) AS h
-                FROM i),
-          wv AS (SELECT doc_id,
-                        min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-                        count(*) OVER (PARTITION BY doc_id ORDER BY pos
-                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n
-                 FROM h),
-          fps AS (SELECT DISTINCT doc_id, fp FROM wv WHERE n = 4),
-          fcap AS (SELECT doc_id, fp FROM (
-                     SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS c
-                     FROM fps)
-                   WHERE c <= 64),
-          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM fcap a JOIN fcap b
-                     ON a.fp = b.fp AND a.doc_id < b.doc_id),
-          mt AS (SELECT c.id_a, c.id_b, x.pos AS pos_a, y.pos AS pos_b
-                 FROM cand c
-                 JOIN h x ON x.doc_id = c.id_a
-                 JOIN h y ON y.doc_id = c.id_b AND y.h = x.h),
-          isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
-                         pos_a - row_number() OVER (
-                           PARTITION BY id_a, id_b, pos_a - pos_b
-                           ORDER BY pos_a) AS g
-                  FROM mt)
+    "llm_overlap_extents" ->
+      s"""WITH $overlapCtes
           SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
                  CAST(count(*) + 7 AS BIGINT) AS len_tokens
           FROM isl GROUP BY id_a, id_b, diag, g
-          HAVING count(*) + 7 >= 11"""
-    },
+          HAVING count(*) + 7 >= 11""",
+    // removal: extents keep-first (cut from id_b), intervals merged per
+    // doc by the running-max island trick, covered positions dropped,
+    // survivors reassembled in token order — same algebra as the op
+    "llm_substr_dedup" ->
+      s"""WITH $overlapCtes,
+          ext AS (SELECT id_b AS doc_id, min(pos_b) AS s,
+                         min(pos_b) + count(*) + 7 AS e
+                  FROM isl GROUP BY id_a, id_b, diag, g
+                  HAVING count(*) + 7 >= 11),
+          ord AS (SELECT doc_id, s, e,
+                         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                  FROM ext),
+          isl2 AS (SELECT doc_id, s, e,
+                          sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+                   FROM ord),
+          merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+                     FROM isl2 GROUP BY doc_id, grp),
+          cov AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos
+                  FROM merged),
+          tokpos AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks))) AS i
+                           FROM t)),
+          kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+                   FROM tokpos tp LEFT JOIN cov c
+                     ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+                   WHERE c.pos IS NULL),
+          ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY pos) AS clean
+                 FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                 CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+                 coalesce(ka.clean, '') AS clean_text
+          FROM t LEFT JOIN ka ON ka.doc_id = t.doc_id""",
     // the round-trip: membership via per-shard count/order_key checksum
     // (the oracle recomputes both hashes), order via the pinned-0
     // inversion count — any write/read corruption or ordering loss

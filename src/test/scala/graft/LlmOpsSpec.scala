@@ -732,6 +732,31 @@ class LlmOpsSpec extends AnyFunSuite {
       s"expected the exact planted extent, got ${ext.mkString(", ")}")
   }
 
+  test("dedupExactSubstrings: keep-first removal; overlapping extents merge") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // doc 4 = u1..u20; doc 1 carries u1..u12, doc 2 carries u7..u18 —
+    // two 12-token extents against doc 4 whose intervals [0,12) and
+    // [6,18) OVERLAP and must merge to [0,18): doc 4 loses 18 tokens
+    // exactly once, keeps "u19 u20". Docs 1 and 2 are the lower ids in
+    // every pair (their mutual overlap u7..u12 is 6 < 11 tokens, no
+    // extent) so they come back untouched.
+    val u = (1 to 20).map(i => s"u$i")
+    val df = Seq(
+      (1L, s"a1 a2 ${u.take(12).mkString(" ")} a3"),
+      (2L, s"b1 ${u.slice(6, 18).mkString(" ")} b2 b3"),
+      (4L, u.mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupExactSubstrings(df, "doc_id", "text",
+        k = 8, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((15L, 0L, s"a1 a2 ${u.take(12).mkString(" ")} a3")))
+    assert(out(2L) == ((15L, 0L, s"b1 ${u.slice(6, 18).mkString(" ")} b2 b3")))
+    assert(out(4L) == ((20L, 18L, "u19 u20")),
+      s"overlapping intervals must merge; got ${out(4L)}")
+  }
+
   test("shard round-trip inversion audit is not vacuous: unsorted write flags") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

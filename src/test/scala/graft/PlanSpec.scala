@@ -94,7 +94,7 @@ class PlanSpec extends AnyFunSuite {
       "st_minhash",
       // broadcast 1-row max-doc-id bound building the planted-overlap
       // clones; extent resolution itself is equi-joins on fp/id/hash
-      "llm_overlap_extents",
+      "llm_overlap_extents", "llm_substr_dedup",
       // exact ndv x HLL sketch joined as two broadcast 1-row aggregates
       // (the fused form plans an Expand with per-key HLL buffers)
       "a8_hll",
@@ -360,6 +360,27 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.forall(_.partitionSpec.nonEmpty), "no global window allowed")
     assert(wins.exists(_.partitionSpec.size == 3),
       "the islands window must partition by (id_a, id_b, diag)")
+  }
+
+  test("substring removal: windows doc/pair-scoped; strings never key an exchange") {
+    val p = plan("llm_substr_dedup")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // the reassembly groupBy keys on doc_id (its token payload is the
+    // one inherent text crossing); everything else keys on
+    // fingerprints/ids/hashes/positions
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e => e.contains("text") || e.contains("(s#") ||
+        e.contains("__tok")),
+      s"text must not key an exchange:\n${exchanges.mkString("\n")}")
+    // every window is bounded: islands by (id_a, id_b, diag), interval
+    // merge by doc — task state is one pair's diagonal or one doc's
+    // removal intervals, never corpus-global
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("llm_substr_dedup")(spark, TestSpark.sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "no global window allowed")
   }
 
   test("semdedup: cell assignment is a projection; pair join keys on cell") {
