@@ -17,12 +17,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-      // read nanos as long and floor-convert to a micros timestamp (matches
-      // what DuckDB/pyarrow yield once values pass through µs-precision).
+      // The driver has generated events.ts two ways across rounds:
+      // TIMESTAMP(NANOS) (which Spark's reader rejects — read nanos as
+      // long, floor to micros) and plain µs TIMESTAMP (read as NTZ under
+      // inferTimestampNTZ). Branch on the read type and normalize both to
+      // a session-UTC TimestampType column, so downstream queries and the
+      // DuckDB oracle see identical µs wall-clock values either way.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Last dir registered per session — registerAll is called from every

@@ -97,8 +97,14 @@ object Catalog {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.sql(s"""CREATE TABLE IF NOT EXISTS $db._events_raw
                       USING parquet LOCATION '$dir/events.parquet'""")
+        // ts is nanos-as-long in some testdata generations and plain µs
+        // TIMESTAMP in others (see Tables.load) — branch on the read type
+        val tsExpr =
+          if (spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType) "timestamp_micros(ts div 1000)"
+          else "CAST(ts AS TIMESTAMP)"
         spark.sql(s"""CREATE VIEW IF NOT EXISTS $db.events AS
-                      SELECT event_id, timestamp_micros(ts div 1000) AS ts,
+                      SELECT event_id, $tsExpr AS ts,
                              user_id, event_type, value, props
                       FROM $db._events_raw""")
       case t =>

@@ -26,20 +26,28 @@ object Events {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-based streaming read of the events table (nanos → micros
-    * conversion, same as Tables.load). */
+  /** File-based streaming read of the events table (ts normalization,
+    * same contract as Tables.load: the driver has generated ts both as
+    * nanos-as-long TIMESTAMP(NANOS) and as plain µs TIMESTAMP across
+    * rounds — peek the batch footer once and branch). */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(StructType(schema.map {
+    val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == LongType
+    val readSchema =
+      if (tsIsLong) StructType(schema.map {
         case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
         case f => f
-      }))
+      })
+      else schema
+    val raw = spark.readStream
+      .schema(readSchema)
       // the file-stream source wants a directory; events.parquet is a
       // single file inside the sf dir, so glob-filter to it
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Tumbling-window counts/sums per event type. */
