@@ -380,6 +380,14 @@ object LlmSql {
         TextAnalysis.unigramLogProb(table(str(t, f)), str(id, f), str(text, f))
       case args => bad("graft_unigram_lp(table, id_col, text_col)", args)
     }
+    reg(spark, "graft_dsir") {
+      case Seq(t, tgt, id, text, b) =>
+        val f = "graft_dsir"
+        Sampling.importanceWeights(table(str(t, f)), table(str(tgt, f)),
+          str(id, f), str(text, f), buckets = int(b, f))
+      case args => bad(
+        "graft_dsir(table, target_table, id_col, text_col, buckets)", args)
+    }
 
     // per-row text-analysis SCALAR functions (pure codegen'd column
     // expressions — usable anywhere an expression is, including as the

@@ -225,6 +225,67 @@ object Sampling {
     df.crossJoin(broadcast(thr)).filter(value >= col("__thr")).drop("__thr")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public method
+    * description only): score every raw-corpus document by how much it
+    * resembles a TARGET corpus under hashed bag-of-n-gram unigram+bigram
+    * features. Per feature bucket `f` (n-gram hash mod `buckets`), the
+    * add-1-smoothed log-likelihood ratio
+    * `lw_f = ln(((cnt_target_f+1)/(T+B)) / ((cnt_raw_f+1)/(R+B)))`;
+    * a document's `log_w` is the sum of `lw_f` over its feature
+    * OCCURRENCES (bag semantics — repeated n-grams count repeatedly,
+    * as in the paper). Selection composes: rank by `log_w` (the
+    * deterministic engine-portable variant of the paper's Gumbel-noised
+    * top-k — production adds per-doc Gumbel noise seeded from a salted
+    * hash) via [[exactK]]/[[domainCap]] with `by = Some(log_w)`.
+    *
+    * Output: (idCol, n_feats, log_w); log_w rounded to 4 decimals (the
+    * tfidf libm-ln quantization argument — a 1-ulp `ln` divergence
+    * between engines cannot flip a 5e-5 grid except on a ~1e-13 knife
+    * edge). Documents with at least one token appear; the empty document
+    * has no features and is absent.
+    *
+    * Scale shape: both distributions are `buckets`-row bounded
+    * aggregates (partial-aggregable counts — map-side combine does the
+    * heavy lifting), joined into ONE broadcast bucket table; scoring is
+    * a broadcast join + id-keyed partial-aggregable sum, so the only
+    * corpus-scale exchanges carry (id, bucket-int) pairs and the
+    * id-keyed bigram window. Text never keys an exchange. The raw
+    * feature frame feeds both the raw counts and the scoring join — a
+    * diamond, truncated via `reuse` like every sibling. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        buckets: Int = 1024,
+                        reuse: Reuse = Reuse.Local): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def featsOf(df: DataFrame): DataFrame = {
+      val uni = Dedup.shingleRowsPos(df.select(col(idCol), col(textCol)),
+        idCol, textCol, n = 1)
+      val bi = Dedup.shingleRowsPos(df.select(col(idCol), col(textCol)),
+        idCol, textCol, n = 2)
+      uni.unionByName(bi)
+        .select(col(idCol), pmod(Dedup.sharedHash60(col("s")), lit(buckets)).as("__f"))
+    }
+    val rawFeats = reuse(featsOf(raw))
+    val cntR = rawFeats.groupBy(col("__f")).agg(count(lit(1)).as("__cr"))
+    val cntT = featsOf(target).groupBy(col("__f")).agg(count(lit(1)).as("__ct"))
+    val totals = cntR.agg(sum(col("__cr")).as("__r"))
+      .crossJoin(broadcast(cntT.agg(sum(col("__ct")).as("__t"))))
+    // bucket table: ≤ `buckets` rows — buckets absent from the target
+    // smooth to cnt 0; buckets absent from raw can't be probed (every
+    // scored feature came from raw), so a left join is exact
+    val bucketLw = cntR
+      .join(cntT, Seq("__f"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__f"),
+        log(((coalesce(col("__ct"), lit(0L)) + 1.0) / (col("__t") + buckets)) /
+          ((col("__cr") + 1.0) / (col("__r") + buckets))).as("__lw"))
+    rawFeats.join(broadcast(bucketLw), "__f")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("__lw")), 4).as("log_w"))
+  }
+
   /** Stratified sample: per-stratum rates (basis points), rows in
     * strata missing from `rates` are dropped. The rate lookup is a
     * codegen'd CASE chain — no join, no shuffle; the gate stays a pure

@@ -281,6 +281,17 @@ object EngineQueries {
       e.query(
         "SELECT * FROM graft_dedup_substrings('graft_ov_docs', 'doc_id', 'text', 8, 4)")
     }),
+    // DSIR importance weights from SQL: the target corpus is just
+    // another SQL view — any predicate can define "what good data looks
+    // like" without a line of Scala
+    "e_sql_dsir" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_dsir_target AS
+                 SELECT doc_id, text FROM documents WHERE lang = 'en'""")
+      e.query(
+        "SELECT * FROM graft_dsir('documents', 'graft_dsir_target', 'doc_id', 'text', 1024)")
+    }),
     // quality-aware per-source cap from SQL (optional by_col arg)
     "e_sql_domain_cap" -> ((s, d) => via(s, d)(
       """SELECT doc_id, source, n_chars
@@ -390,6 +401,7 @@ object EngineQueries {
     "e_sql_unigram_lp" -> LlmQueries.oracle("llm_unigram_lp"),
     "e_sql_winnow" -> LlmQueries.oracle("llm_winnow"),
     "e_sql_domain_cap" -> LlmQueries.oracle("llm_domain_cap"),
+    "e_sql_dsir" -> LlmQueries.oracle("llm_dsir"),
     "e_sql_overlap_extents" -> LlmQueries.oracle("llm_overlap_extents"),
     "e_sql_substr_dedup" -> LlmQueries.oracle("llm_substr_dedup"),
     "e_sql_pipeline2" -> LlmQueries.oracle("llm_pipeline2")

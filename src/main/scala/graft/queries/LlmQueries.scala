@@ -656,6 +656,15 @@ object LlmQueries {
       graft.operators.Sampling.assignShards(cleaned, $"clean_text",
           numShards = 32, salt = "shard:")
         .select($"doc_id", $"n_dropped", $"shard", $"order_key")
+    }),
+    "llm_dsir" -> ((s, d) => {
+      import s.implicits._
+      // DSIR importance weights: how much does each document resemble
+      // the English subset? target = lang='en' docs, raw = whole corpus
+      val docs = Tables.load(s, d, "documents")
+      graft.operators.Sampling.importanceWeights(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text",
+        buckets = 1024)
     })
   )
 
@@ -1605,6 +1614,35 @@ object LlmQueries {
                  CAST(len(range(0, n_frames, 30)) AS INTEGER) AS n_sampled,
                  array_to_string(range(0, n_frames, 30), ',') AS frames_csv,
                  mean_luma
-          FROM d"""
+          FROM d""",
+    // DSIR importance weights: hashed unigram+bigram bucket counts, add-1
+    // smoothed target/raw log-likelihood ratio per bucket, bag-of-feature
+    // sum per doc. The per-bucket ln argument is built with the EXACT
+    // same IEEE op sequence as the Spark twin ((cnt+1.0)/(total+B), then
+    // ratio) so only libm's 1-ulp ln spread is in play — absorbed by
+    // round(.,4) (the tfidf quantization argument).
+    "llm_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
+                      FROM documents),
+          uni AS (SELECT doc_id, lang, unnest(t) AS g FROM tok),
+          bi AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS g
+                 FROM (SELECT doc_id, lang, t,
+                              unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM tok WHERE len(t) >= 2)),
+          feats AS (SELECT doc_id, lang,
+                           CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) % 1024 AS f
+                    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+          cr AS (SELECT f, count(*) AS cr FROM feats GROUP BY f),
+          ct AS (SELECT f, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY f),
+          tot AS (SELECT (SELECT sum(cr) FROM cr) AS r,
+                         (SELECT coalesce(sum(ct), 0) FROM ct) AS t),
+          lw AS (SELECT cr.f,
+                        ln(((coalesce(ct.ct, 0) + 1.0) / (tot.t + 1024)) /
+                           ((cr.cr + 1.0) / (tot.r + 1024))) AS lw
+                 FROM cr LEFT JOIN ct USING (f), tot)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 round(sum(lw), 4) AS log_w
+          FROM feats JOIN lw USING (f)
+          GROUP BY doc_id"""
   )
 }

@@ -860,4 +860,29 @@ class LlmOpsSpec extends AnyFunSuite {
     val oneShard = a.values.filter(_._1 == sizes.keys.head).map(_._2).toSeq
     assert(oneShard.distinct.size > 1)
   }
+
+  test("importanceWeights: target-like docs score positive, unlike negative; exact values") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // raw: doc1 target-vocab, doc2 disjoint vocab; target = doc1's text.
+    // Features (uni+bi bag): doc1 {a x3, "a a" x2}, doc2 {z x3, "z z" x2}
+    // -> R=10, T=5, B=1024; with no bucket collisions the per-bucket
+    // log-ratios are fully hand-computable.
+    val raw = Seq((1L, "a a a"), (2L, "z z z")).toDF("doc_id", "text")
+    val target = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val out = Sampling.importanceWeights(raw, target, "doc_id", "text",
+        buckets = 1024)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val lwA = math.log(((3 + 1.0) / (5 + 1024)) / ((3 + 1.0) / (10 + 1024)))
+    val lwAA = math.log(((2 + 1.0) / (5 + 1024)) / ((2 + 1.0) / (10 + 1024)))
+    val lwZ = math.log(((0 + 1.0) / (5 + 1024)) / ((3 + 1.0) / (10 + 1024)))
+    val lwZZ = math.log(((0 + 1.0) / (5 + 1024)) / ((2 + 1.0) / (10 + 1024)))
+    assert(out(1L)._1 == 5L && out(2L)._1 == 5L)
+    assert(out(1L)._2 == r4(3 * lwA + 2 * lwAA))
+    assert(out(2L)._2 == r4(3 * lwZ + 2 * lwZZ))
+    // the guarantee: a doc drawn from the target distribution outranks
+    // one with zero target-vocabulary overlap
+    assert(out(1L)._2 > 0 && out(2L)._2 < 0 && out(1L)._2 > out(2L)._2)
+  }
 }

@@ -104,7 +104,10 @@ class PlanSpec extends AnyFunSuite {
       "llm_quantile_filter", "e_sql_quantile_filter",
       "llm_quantile_filter_approx",
       // broadcast 1-row corpus token total (unigram model)
-      "llm_unigram_lp", "e_sql_unigram_lp")
+      "llm_unigram_lp", "e_sql_unigram_lp",
+      // broadcast 1-row raw/target distribution totals (DSIR smoothing
+      // denominators); the bucket table itself equi-joins on __f
+      "llm_dsir", "e_sql_dsir")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -431,6 +434,21 @@ class PlanSpec extends AnyFunSuite {
       "the quantile threshold must broadcast")
     assert(!p.contains("Exchange hashpartitioning"),
       "the corpus side must stream through the filter unshuffled")
+  }
+
+  test("dsir: bucket table broadcasts; exchanges key on id/bucket only") {
+    val p = plan("llm_dsir")
+    // the <=buckets-row log-ratio table must broadcast into the scoring
+    // join — the corpus-scale side never shuffles on the bucket key
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket log-ratio table must broadcast into the scoring join")
+    // every hash exchange carries (id, bucket-int) or window rows keyed
+    // by id — document text never keys an exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => e.contains("doc_id") || e.contains("__f")),
+      s"dsir must exchange only id/bucket keys:\n${exchanges.mkString("\n")}")
+    assert(p.contains("partial"), "bucket counts must combine map-side")
   }
 
   test("kmeans iteration shuffles only (cell, pos) accumulators") {
