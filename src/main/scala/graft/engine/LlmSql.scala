@@ -278,6 +278,22 @@ object LlmSql {
         "graft_embedding_dups(table, id_col, vec_col, threshold, n_planes, dim)", args)
     }
 
+    reg(spark, "graft_c4_filters") {
+      case Seq(t, id, text, minW, minK) =>
+        val f = "graft_c4_filters"
+        TextAnalysis.c4LineFilters(table(str(t, f)), str(id, f), str(text, f),
+          minWordsPerLine = int(minW, f), minKeptLines = int(minK, f))
+      case args => bad(
+        "graft_c4_filters(table, id_col, text_col, min_words_per_line, min_kept_lines)", args)
+    }
+    reg(spark, "graft_line_dedup") {
+      case Seq(t, id, text, mdf) =>
+        val f = "graft_line_dedup"
+        TextAnalysis.removeRepeatedLines(table(str(t, f)), str(id, f),
+          str(text, f), maxDf = int(mdf, f))
+      case args => bad(
+        "graft_line_dedup(table, id_col, text_col, max_df)", args)
+    }
     reg(spark, "graft_span_dedup") {
       case Seq(t, id, text, st, mdf) =>
         val f = "graft_span_dedup"

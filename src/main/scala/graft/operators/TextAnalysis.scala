@@ -546,6 +546,93 @@ object TextAnalysis {
           col("ok_stopwords"))
   }
 
+  /** C4-style line-level cleaning panel (public C4/T5 heuristics): a
+    * line survives iff it ends in terminal punctuation (`. ! ? "`),
+    * has ≥ `minWordsPerLine` words, and does not contain
+    * `banLineSubstring` (case-insensitive — C4 drops "javascript"
+    * lines); the PAGE is flagged bad if its full text contains any of
+    * `banPageSubstrings` (C4: "lorem ipsum", "{") or fewer than
+    * `minKeptLines` lines survive. Output per input row: (id, n_lines,
+    * n_kept, ok_no_banned, ok_min_lines, keep, clean_text) — flags stay
+    * auditable like [[gopherRules]]; `clean_text` is the surviving
+    * lines rejoined with newlines regardless of `keep` (callers filter).
+    *
+    * Scale shape: a pure zero-shuffle projection. The per-line
+    * predicate is an array `filter` lambda — interpreted, not
+    * codegen'd, which this file's policy forbids PER TOKEN; per LINE it
+    * is deliberate: the alternative (posexplode → codegen'd per-row
+    * predicate → per-doc reassembly groupBy) shuffles the entire corpus
+    * text through an exchange, while the lambda keeps the op
+    * embarrassingly parallel and the predicate itself is cheap string
+    * ops (trim/substr/instr + one split for the word count). */
+  def c4LineFilters(df: DataFrame, idCol: String, textCol: String,
+                    minWordsPerLine: Int = 3, minKeptLines: Int = 1,
+                    banLineSubstring: String = "javascript",
+                    banPageSubstrings: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    require(minKeptLines >= 0, s"minKeptLines must be >= 0, got $minKeptLines")
+    val lines = split(col(textCol), "\n")
+    def lineOk(l: Column): Column = {
+      val t = trim(l)
+      val terminal = substring(t, -1, 1).isin(".", "!", "?", "\"")
+      val words = when(t === "", lit(0)).otherwise(size(split(t, "\\s+")))
+      terminal && words >= minWordsPerLine &&
+        instr(lower(t), banLineSubstring) === 0
+    }
+    val kept = filter(lines, lineOk(_))
+    val okBanned = banPageSubstrings
+      .map(s => instr(lower(col(textCol)), s) === 0)
+      .reduce(_ && _)
+    df.select(col(idCol), size(lines).as("n_lines"), size(kept).as("n_kept"),
+        okBanned.as("ok_no_banned"), array_join(kept, "\n").as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("n_kept"), col("ok_no_banned"),
+        (col("n_kept") >= minKeptLines).as("ok_min_lines"),
+        (col("ok_no_banned") && col("n_kept") >= minKeptLines).as("keep"),
+        col("clean_text"))
+  }
+
+  /** Corpus-wide repeated-LINE removal — the literal C4/RefinedWeb line
+    * dedup (the [[removeRepeatedSpans]] sibling for corpora that DO
+    * have line structure): every line whose corpus-wide document
+    * frequency exceeds `maxDf` (navigation, cookie banners, footers) is
+    * cut from every document; lines shorter than `minChars` characters
+    * (default 1 — i.e. only empty lines) are exempt from both counting
+    * and removal, so blank-line formatting survives. Output: (id,
+    * n_lines, n_dropped, clean_text) — one row per input document.
+    *
+    * Scale shape — identical to [[removeRepeatedSpans]]: the df count
+    * runs per-doc-distinct on 60-bit [[Dedup.sharedHash60]] keys (8-byte
+    * exchange), the hot set is tiny by nature and joins back
+    * AQE-broadcastable, and reassembly is the window-free
+    * collect_list + array_sort aggregate. Line text crosses only the
+    * inherent output exchange. A hot-hash match implies equal content
+    * (modulo 60-bit collision), hence equal length — so the `minChars`
+    * exemption composes with the join flag without a re-count. */
+  def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                          maxDf: Int = 1, minChars: Int = 1,
+                          reuse: Reuse = Reuse.Local): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    require(minChars >= 0, s"minChars must be >= 0, got $minChars")
+    def lineRows = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("__h", Dedup.sharedHash60(col("line")))
+    val hashes = reuse(lineRows.filter(length(col("line")) >= minChars)
+      .select(col(idCol), col("__h")).distinct())
+    val hot = hashes
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+    lineRows.join(hot, Seq("__h"), "left")
+      .select(col(idCol), col("line_no"), col("line"),
+        (col("__df").isNotNull && length(col("line")) >= minChars).as("__drop"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("line_no"), col("line"))))),
+          _.getField("line"))).as("clean_text"))
+  }
+
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 

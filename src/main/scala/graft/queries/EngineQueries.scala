@@ -224,6 +224,37 @@ object EngineQueries {
     // C4-style repeated-span removal from one line of SQL
     "e_sql_span_dedup" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_span_dedup('documents', 'doc_id', 'text', 16, 1)")),
+    // C4 line panel from SQL: the planted multi-line fixture is itself
+    // a SQL view (same construction as the llm_c4_filters oracle)
+    "e_sql_c4_filters" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_c4_docs AS
+                 SELECT doc_id,
+                   text || chr(10) || 'no terminal punctuation line' || chr(10) ||
+                   CASE WHEN doc_id % 5 = 0 THEN 'Please enable javascript to continue reading.'
+                        ELSE 'A perfectly fine closing sentence.' END ||
+                   CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'short one.' ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code sample { return 0; }' ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+                   AS text
+                 FROM documents""")
+      e.query(
+        "SELECT * FROM graft_c4_filters('graft_c4_docs', 'doc_id', 'text', 3, 2)")
+    }),
+    // corpus line dedup from SQL over the same planted fixture
+    "e_sql_line_dedup" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_line_docs AS
+                 SELECT doc_id,
+                   text || chr(10) || 'Subscribe to our newsletter today.' ||
+                   chr(10) || chr(10) || 'Unique closing line for document ' ||
+                   doc_id || '.' AS text
+                 FROM documents""")
+      e.query(
+        "SELECT * FROM graft_line_dedup('graft_line_docs', 'doc_id', 'text', 1)")
+    }),
     // SemDeDup from SQL: train+dedup on the clone-doubled corpus — the
     // doubled corpus trains to BIT-IDENTICAL centroids (exact decimal
     // sums: 2S/2n = S/n; clones share their original's cell at every
@@ -393,6 +424,8 @@ object EngineQueries {
     "e_sql_resample" -> ExtraQueries.oracle("ts_resample"),
     "e_sql_embedding_dups" -> LlmQueries.oracle("llm_embedding_dups"),
     "e_sql_span_dedup" -> LlmQueries.oracle("llm_span_dedup"),
+    "e_sql_c4_filters" -> LlmQueries.oracle("llm_c4_filters"),
+    "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),

@@ -494,6 +494,36 @@ object LlmQueries {
         sp.filter($"split" === "test").select($"doc_id", $"text"),
         "doc_id", "text", n = 13)
     }),
+    "llm_c4_filters" -> ((s, d) => {
+      import s.implicits._
+      // C4 line-level cleaning panel over a planted multi-line fixture
+      // (testdata text is single-line): every doc gains a
+      // no-terminal-punct line; doc_id strata plant a javascript line
+      // (line rule), a 2-word line (word-count rule), a brace line and
+      // a lorem-ipsum line (page rules)
+      val planted = Tables.load(s, d, "documents").select($"doc_id", concat(
+        $"text", lit("\nno terminal punctuation line\n"),
+        when($"doc_id" % 5 === 0, "Please enable javascript to continue reading.")
+          .otherwise("A perfectly fine closing sentence."),
+        when($"doc_id" % 7 === 0, "\nshort one.").otherwise(""),
+        when($"doc_id" % 11 === 0, "\ncode sample { return 0; }").otherwise(""),
+        when($"doc_id" % 13 === 0, "\nLorem ipsum dolor sit amet.").otherwise("")
+      ).as("text"))
+      TextAnalysis.c4LineFilters(planted, "doc_id", "text",
+        minWordsPerLine = 3, minKeptLines = 2)
+    }),
+    "llm_line_dedup" -> ((s, d) => {
+      import s.implicits._
+      // corpus-wide line dedup over a planted multi-line fixture: a
+      // newsletter line shared by every doc (hot, cut), an empty line
+      // (exempt), a per-doc unique closing line (kept); duplicate
+      // single-line texts in the base corpus count hot too
+      val planted = Tables.load(s, d, "documents").select($"doc_id", concat(
+        $"text",
+        lit("\nSubscribe to our newsletter today.\n\nUnique closing line for document "),
+        $"doc_id".cast("string"), lit(".")).as("text"))
+      TextAnalysis.removeRepeatedLines(planted, "doc_id", "text", maxDf = 1)
+    }),
     "llm_span_dedup" -> ((s, d) =>
       // C4-style repeated-span removal: 16-token blocks present in more
       // than one document (the planted near-dup clusters guarantee hot
@@ -1169,6 +1199,63 @@ object LlmQueries {
           FROM (SELECT doc_id FROM sp WHERE split = 'train') d
           LEFT JOIN hits USING (doc_id)"""
     },
+    // C4 line panel: same planted fixture, list_filter with the same
+    // three line rules (terminal punct, >= 3 words, no 'javascript'),
+    // page flags from the full text
+    "llm_c4_filters" ->
+      """WITH d AS (SELECT doc_id,
+                text || chr(10) || 'no terminal punctuation line' || chr(10) ||
+                CASE WHEN doc_id % 5 = 0 THEN 'Please enable javascript to continue reading.'
+                     ELSE 'A perfectly fine closing sentence.' END ||
+                CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'short one.' ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code sample { return 0; }' ELSE '' END ||
+                CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+                AS text
+              FROM documents),
+          k AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+                       list_filter(string_split(text, chr(10)), x ->
+                         substr(trim(x), -1, 1) IN ('.', '!', '?', '"')
+                         AND (CASE WHEN trim(x) = '' THEN 0
+                              ELSE len(string_split_regex(trim(x), '\s+')) END) >= 3
+                         AND NOT contains(lower(x), 'javascript')) AS kept
+                FROM d)
+          SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
+                 CAST(len(kept) AS INTEGER) AS n_kept,
+                 (NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(lower(text), '{')) AS ok_no_banned,
+                 (len(kept) >= 2) AS ok_min_lines,
+                 ((NOT contains(lower(text), 'lorem ipsum')
+                   AND NOT contains(lower(text), '{'))
+                  AND len(kept) >= 2) AS keep,
+                 coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+          FROM k""",
+    // line dedup: same planted fixture; a line's doc-frequency counts
+    // DISTINCT documents on the 60-bit hash, lines in > 1 document are
+    // cut (empty lines exempt), survivors reassemble by position
+    "llm_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+                text || chr(10) || 'Subscribe to our newsletter today.' ||
+                chr(10) || chr(10) || 'Unique closing line for document ' ||
+                doc_id || '.' AS text
+              FROM documents),
+          lx AS (SELECT doc_id, generate_subscripts(l, 1) AS ln, unnest(l) AS line
+                 FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM d)),
+          hot AS (SELECT h FROM (
+                    SELECT h, count(*) AS df FROM (
+                      SELECT DISTINCT doc_id,
+                             CAST(('0x'||substr(md5(line),1,15)) AS BIGINT) AS h
+                      FROM lx WHERE length(line) >= 1)
+                    GROUP BY h)
+                  WHERE df > 1),
+          flagged AS (SELECT x.doc_id, x.ln, x.line,
+                             (h.h IS NOT NULL AND length(x.line) >= 1) AS dropit
+                      FROM lx x LEFT JOIN hot h
+                        ON CAST(('0x'||substr(md5(x.line),1,15)) AS BIGINT) = h.h)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(CASE WHEN dropit THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 coalesce(string_agg(CASE WHEN NOT dropit THEN line END,
+                                     chr(10) ORDER BY ln), '') AS clean_text
+          FROM flagged GROUP BY doc_id""",
     // 16-token blocks; a block's doc-frequency counts DISTINCT documents
     // on the 60-bit shared hash (mirroring the Spark distinct-on-hash),
     // blocks in > 1 document are cut, survivors reassemble by position

@@ -861,6 +861,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(oneShard.distinct.size > 1)
   }
 
+  test("c4LineFilters: line rules and page rules on a hand-built page") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val page =
+      "A good opening sentence here.\n" +      // kept
+      "no terminal punctuation\n" +            // dropped: no terminal punct
+      "Too few.\n" +                           // dropped: 2 words
+      "Please enable javascript to read.\n" +  // dropped: banned word
+      "  Trailing spaces still fine.  \n" +    // kept (trimmed before checks)
+      ""                                       // dropped: empty
+    val df = Seq((1L, page), (2L, "Lorem Ipsum dolor sit amet."),
+      (3L, "A brace { appears mid sentence.")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilters(df, "doc_id", "text",
+        minWordsPerLine = 3, minKeptLines = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getString(6)))).toMap
+    assert(out(1L) == ((6, 2, true, true, true,
+      "A good opening sentence here.\n  Trailing spaces still fine.  ")))
+    // page rules: lorem ipsum (case-insensitive) and brace flag the page
+    // even though their single line passes the line rules
+    assert(out(2L)._3 == false && out(2L)._5 == false && out(2L)._2 == 1)
+    assert(out(3L)._3 == false && out(3L)._5 == false)
+  }
+
+  test("removeRepeatedLines: hot lines cut everywhere, short lines exempt, order kept") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val boiler = "Subscribe to our newsletter."
+    val df = Seq(
+      (1L, s"alpha body one\n$boiler\n\nunique tail one"),
+      (2L, s"$boiler\nbeta body two\n\nunique tail two"),
+      (3L, s"gamma body three\n$boiler")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeRepeatedLines(df, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // boiler is in 3 docs > maxDf=2 -> cut; the empty line (minChars=1
+    // exemption) survives in place; everything else df=1 -> kept
+    assert(out(1L) == ((4L, 1L, "alpha body one\n\nunique tail one")))
+    assert(out(2L) == ((4L, 1L, "beta body two\n\nunique tail two")))
+    assert(out(3L) == ((2L, 1L, "gamma body three")))
+    // at maxDf=3 nothing is hot
+    val none = TextAnalysis.removeRepeatedLines(df, "doc_id", "text", maxDf = 3)
+      .agg(sum($"n_dropped")).collect().head.getLong(0)
+    assert(none == 0L)
+  }
+
   test("importanceWeights: target-like docs score positive, unlike negative; exact values") {
     import spark.implicits._
     import graft.operators.Sampling

@@ -323,6 +323,24 @@ class PlanSpec extends AnyFunSuite {
       s"span strings must not key an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("c4 line panel is a pure scan+project (zero exchange)") {
+    val p = plan("llm_c4_filters")
+    assert(!p.contains("Exchange"),
+      "the line panel is per-row array filtering — it must not shuffle")
+  }
+
+  test("line dedup: df count keys on line hashes, never line strings") {
+    val p = plan("llm_line_dedup")
+    // same contract as span dedup: the hot-line df count and its join
+    // back key on the 60-bit __h hash; line text crosses an exchange
+    // only as the payload of the per-document reassembly groupBy
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("line#")),
+      s"line strings must not key an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("winnow: one doc-keyed exchange reused by both windows; hash-only distinct") {
     val p = plan("llm_winnow")
     val exchanges = p.linesIterator
