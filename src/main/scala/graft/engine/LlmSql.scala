@@ -415,6 +415,7 @@ object LlmSql {
           b(GraftBridge.column(e)))
         case args => bad(s"$name(text)", args)
       }, "scala_udf")
+    scalar("graft_normalize")(t => TextAnalysis.normalizeText(t))
     scalar("graft_quality")(TextAnalysis.qualityScore)
     scalar("graft_pii_redact")(TextAnalysis.piiRedact)
     scalar("graft_langid")(TextAnalysis.langId)

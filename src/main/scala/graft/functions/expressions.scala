@@ -167,3 +167,29 @@ case class UrlParseMap(child: Expression)
 
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
+
+/** Unicode normalization (the mandatory first step of a text-cleaning
+  * pipeline — mixed NFC/NFD sources hash-split identical text, so every
+  * dedup/fingerprint operator upstream of this is form-sensitive):
+  * `form` ∈ NFC | NFD | NFKC | NFKD via `java.text.Normalizer`.
+  * Oracle-comparable: DuckDB's `nfc_normalize` (utf8proc) and the JDK
+  * implement the same Unicode normalization spec, so NFC results agree;
+  * the K/D forms are spec-pinned (no DuckDB builtin to compare).
+  * Per-row scalar, CodegenFallback like every expression here — never
+  * in a scan/join/agg hot path. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    // fast path: Normalizer.isNormalized is a cheap scan and true for
+    // the overwhelming majority of real text — skip the copy
+    if (java.text.Normalizer.isNormalized(s, f)) v
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -644,6 +644,33 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, emailRe, "[EMAIL]"),
       phoneRe, "[PHONE]")
 
+  /** Text normalization — the pipeline's mandatory first step (mixed
+    * NFC/NFD sources hash-split identical text, so EVERY hash-keyed
+    * operator in this library — exact dedup, minhash, span/line dedup,
+    * fingerprints, shards — is normalization-form-sensitive):
+    * Unicode-normalize (`form`, default NFC), then optionally normalize
+    * CRLF/CR to LF, strip the non-whitespace C0/C1 control characters,
+    * and collapse horizontal-whitespace runs (space, tab, NBSP) to one
+    * space + trim. Pure per-row projection, zero shuffle.
+    *
+    * Oracle-comparable by construction: the regex steps use only
+    * char-class ranges valid in both Java regex and RE2 (DuckDB), and
+    * NFC agrees between the JDK and utf8proc (same Unicode spec). */
+  def normalizeText(text: Column, form: String = "NFC",
+                    normalizeNewlines: Boolean = true,
+                    stripControl: Boolean = true,
+                    collapseSpaces: Boolean = true): Column = {
+    val norm = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.GraftBridge.expression(text), form))
+    val nl = if (normalizeNewlines) regexp_replace(norm, "\\r\\n?", "\n") else norm
+    val ctrl = if (stripControl)
+      regexp_replace(nl, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "") else nl
+    if (collapseSpaces)
+      trim(regexp_replace(ctrl, "[ \\t\\x{00A0}]+", " "))
+    else ctrl
+  }
+
   /** PII pattern scan (redaction pre-step every training-data pipeline
     * runs): per-row counts of email- and US-phone-shaped substrings plus
     * a drop/redact flag. Pure codegen'd per-row regexes —

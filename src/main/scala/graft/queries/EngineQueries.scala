@@ -224,6 +224,23 @@ object EngineQueries {
     // C4-style repeated-span removal from one line of SQL
     "e_sql_span_dedup" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_span_dedup('documents', 'doc_id', 'text', 16, 1)")),
+    // Unicode normalization from SQL: the planted fixture is built via
+    // the DataFrame API (Spark SQL chr() is ASCII-only, so the
+    // codepoints can't be spliced in SQL text), then the scalar applies
+    "e_sql_normalize" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.col("text"),
+            org.apache.spark.sql.functions.lit(
+              "  cafe\u0301 \u00a0 nai\u0308ve\r\nx\u0001y  ")).as("text"))
+        .createOrReplaceTempView("graft_norm_docs")
+      e.query("""SELECT doc_id, graft_normalize(text) AS norm_text,
+                        length(graft_normalize(text)) AS n_chars_norm
+                 FROM graft_norm_docs""")
+    }),
     // C4 line panel from SQL: the planted multi-line fixture is itself
     // a SQL view (same construction as the llm_c4_filters oracle)
     "e_sql_c4_filters" -> ((s, d) => {
@@ -425,6 +442,7 @@ object EngineQueries {
     "e_sql_embedding_dups" -> LlmQueries.oracle("llm_embedding_dups"),
     "e_sql_span_dedup" -> LlmQueries.oracle("llm_span_dedup"),
     "e_sql_c4_filters" -> LlmQueries.oracle("llm_c4_filters"),
+    "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
     "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),

@@ -524,6 +524,19 @@ object LlmQueries {
         $"doc_id".cast("string"), lit(".")).as("text"))
       TextAnalysis.removeRepeatedLines(planted, "doc_id", "text", maxDf = 1)
     }),
+    "llm_normalize" -> ((s, d) => {
+      import s.implicits._
+      // Unicode + whitespace normalization over a planted fixture: every
+      // doc gains a decomposed é (e + U+0301), an NBSP, a decomposed ï,
+      // a CRLF, a control char and padding spaces; NFC + cleanup must
+      // yield identical text to DuckDB's nfc_normalize + regex chain
+      val planted = Tables.load(s, d, "documents").select($"doc_id",
+        concat($"text", lit("  cafe\u0301 \u00a0 nai\u0308ve\r\nx\u0001y  "))
+          .as("text"))
+      planted.select($"doc_id",
+        TextAnalysis.normalizeText($"text").as("norm_text"),
+        length(TextAnalysis.normalizeText($"text")).as("n_chars_norm"))
+    }),
     "llm_span_dedup" -> ((s, d) =>
       // C4-style repeated-span removal: 16-token blocks present in more
       // than one document (the planted near-dup clusters guarantee hot
@@ -1256,6 +1269,25 @@ object LlmQueries {
                  coalesce(string_agg(CASE WHEN NOT dropit THEN line END,
                                      chr(10) ORDER BY ln), '') AS clean_text
           FROM flagged GROUP BY doc_id""",
+    // normalization: same planted fixture via chr() codepoints; NFC
+    // (utf8proc vs JDK — same Unicode spec), CRLF->LF, control strip,
+    // horizontal-whitespace collapse + trim, in the same order
+    "llm_normalize" ->
+      """WITH d AS (SELECT doc_id,
+                text || '  cafe' || chr(769) || ' ' || chr(160) || ' nai' ||
+                chr(776) || 've' || chr(13) || chr(10) || 'x' || chr(1) || 'y  '
+                AS text
+              FROM documents),
+          n AS (SELECT doc_id,
+                trim(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(nfc_normalize(text), '\r\n?', chr(10), 'g'),
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                  '[ \t\x{00A0}]+', ' ', 'g')) AS norm_text
+              FROM d)
+          SELECT doc_id, norm_text,
+                 CAST(length(norm_text) AS INTEGER) AS n_chars_norm
+          FROM n""",
     // 16-token blocks; a block's doc-frequency counts DISTINCT documents
     // on the 60-bit shared hash (mirroring the Spark distinct-on-hash),
     // blocks in > 1 document are cut, survivors reassemble by position

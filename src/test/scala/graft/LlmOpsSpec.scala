@@ -861,6 +861,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(oneShard.distinct.size > 1)
   }
 
+  test("normalizeText: NFC composition, newline/control/space cleanup, NFKC forms") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def run(s: String, form: String = "NFC") =
+      Seq(Tuple1(s)).toDF("t")
+        .select(TextAnalysis.normalizeText($"t", form).as("n"))
+        .collect().head.getString(0)
+    // decomposed -> composed; CRLF/CR -> LF; control stripped; NBSP +
+    // space runs collapse; ends trimmed
+    assert(run("cafe\u0301") == "caf\u00e9")
+    assert(run("a\r\nb\rc") == "a\nb\nc")
+    assert(run("x\u0001y\u007fz") == "xyz")
+    assert(run("  a \u00a0\t b  ") == "a b")
+    // newlines survive the horizontal-whitespace collapse
+    assert(run("line one.\n\nline two.") == "line one.\n\nline two.")
+    // NFKC additionally folds compatibility forms: ligature fi, circled
+    // digit, fullwidth letter (spec-pinned; DuckDB has no NFKC builtin)
+    assert(run("\ufb01le \u2460 \uff21", form = "NFKC") == "file 1 A")
+    // idempotent and identity on already-clean ASCII
+    val clean = "The quick brown fox."
+    assert(run(clean) == clean && run(run(clean)) == clean)
+    // null passes through
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(TextAnalysis.normalizeText($"t").as("n")).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("c4LineFilters: line rules and page rules on a hand-built page") {
     import spark.implicits._
     import graft.operators.TextAnalysis
