@@ -329,6 +329,38 @@ object EngineQueries {
       e.query(
         "SELECT * FROM graft_dedup_substrings('graft_ov_docs', 'doc_id', 'text', 8, 4)")
     }),
+    // the round-6 flagship prep chain as PURE TVF composition through
+    // views — C4 rules, normalize scalar, line dedup, quantile filter,
+    // domain cap, shards — zero Scala between stages
+    "e_sql_pipeline3" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p3_fix AS
+                 SELECT doc_id, source,
+                   text || ' end.' || chr(10) || 'no terminal punctuation line' || chr(10) ||
+                   CASE WHEN doc_id % 5 = 0 THEN 'Please enable javascript to continue reading.'
+                        ELSE 'A perfectly fine closing sentence.' END ||
+                   CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code sample { return 0; }' ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+                   AS text
+                 FROM documents""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p3_clean AS
+                 SELECT c.doc_id, graft_normalize(c.clean_text) AS text
+                 FROM graft_c4_filters('p3_fix', 'doc_id', 'text', 3, 1) c
+                 WHERE c.keep""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p3_dedup AS
+                 SELECT l.doc_id, f.source, l.clean_text,
+                        length(l.clean_text) AS n_clean
+                 FROM graft_line_dedup('p3_clean', 'doc_id', 'text', 1) l
+                 JOIN p3_fix f ON f.doc_id = l.doc_id""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p3_kept AS
+                 SELECT * FROM graft_quantile_filter('p3_dedup', 'n_clean', 0.25)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p3_capped AS
+                 SELECT * FROM graft_domain_cap(
+                   'p3_kept', 'source', 'clean_text', 25, 'doc_id', 'n_clean')""")
+      e.query("""SELECT doc_id, source, n_clean, shard, order_key
+                 FROM graft_shards('p3_capped', 'clean_text', 8, 'p3:')""")
+    }),
     // DSIR importance weights from SQL: the target corpus is just
     // another SQL view — any predicate can define "what good data looks
     // like" without a line of Scala
@@ -455,6 +487,7 @@ object EngineQueries {
     "e_sql_dsir" -> LlmQueries.oracle("llm_dsir"),
     "e_sql_overlap_extents" -> LlmQueries.oracle("llm_overlap_extents"),
     "e_sql_substr_dedup" -> LlmQueries.oracle("llm_substr_dedup"),
-    "e_sql_pipeline2" -> LlmQueries.oracle("llm_pipeline2")
+    "e_sql_pipeline2" -> LlmQueries.oracle("llm_pipeline2"),
+    "e_sql_pipeline3" -> LlmQueries.oracle("llm_pipeline3")
   )
 }

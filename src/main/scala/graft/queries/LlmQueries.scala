@@ -700,6 +700,38 @@ object LlmQueries {
           numShards = 32, salt = "shard:")
         .select($"doc_id", $"n_dropped", $"shard", $"order_key")
     }),
+    "llm_pipeline3" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Sampling
+      // the round-6 web-corpus prep flow end to end: C4 line rules ->
+      // Unicode/whitespace normalization -> corpus line dedup -> keep
+      // docs above the 25th length percentile -> best-25-per-source cap
+      // -> deterministic shards. The order_key (a pure hash of the
+      // deduped text) verifies the surviving text exactly without
+      // shipping it
+      val fixture = Tables.load(s, d, "documents").select($"doc_id", $"source",
+        concat(
+          $"text", lit(" end.\nno terminal punctuation line\n"),
+          when($"doc_id" % 5 === 0, "Please enable javascript to continue reading.")
+            .otherwise("A perfectly fine closing sentence."),
+          when($"doc_id" % 11 === 0, "\ncode sample { return 0; }").otherwise(""),
+          when($"doc_id" % 13 === 0, "\nLorem ipsum dolor sit amet.").otherwise("")
+        ).as("text"))
+      val c4 = TextAnalysis.c4LineFilters(fixture, "doc_id", "text",
+        minWordsPerLine = 3, minKeptLines = 1)
+      val cleaned = c4.filter($"keep")
+        .select($"doc_id", TextAnalysis.normalizeText($"clean_text").as("text"))
+      val deduped = TextAnalysis.removeRepeatedLines(cleaned, "doc_id", "text",
+          maxDf = 1)
+        .join(fixture.select($"doc_id", $"source"), "doc_id")
+        .select($"doc_id", $"source", $"clean_text",
+          length($"clean_text").as("n_clean"))
+      val kept = Sampling.keepAboveQuantile(deduped, $"n_clean", 0.25)
+      val capped = Sampling.domainCap(kept, $"source", $"clean_text", k = 25,
+        tieBreak = Seq($"doc_id"), by = Some($"n_clean"))
+      Sampling.assignShards(capped, $"clean_text", numShards = 8, salt = "p3:")
+        .select($"doc_id", $"source", $"n_clean", $"shard", $"order_key")
+    }),
     "llm_dsir" -> ((s, d) => {
       import s.implicits._
       // DSIR importance weights: how much does each document resemble
@@ -1269,6 +1301,70 @@ object LlmQueries {
                  coalesce(string_agg(CASE WHEN NOT dropit THEN line END,
                                      chr(10) ORDER BY ln), '') AS clean_text
           FROM flagged GROUP BY doc_id""",
+    // round-6 flagship: the full web-corpus prep chain — C4 line rules,
+    // normalize, corpus line dedup, 25th-pct length filter, per-source
+    // cap, shards — each stage the same algebra as its standalone oracle
+    "llm_pipeline3" ->
+      """WITH d AS (SELECT doc_id, source,
+                text || ' end.' || chr(10) || 'no terminal punctuation line' || chr(10) ||
+                CASE WHEN doc_id % 5 = 0 THEN 'Please enable javascript to continue reading.'
+                     ELSE 'A perfectly fine closing sentence.' END ||
+                CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code sample { return 0; }' ELSE '' END ||
+                CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+                AS text
+              FROM documents),
+          c4 AS (SELECT doc_id, source,
+                        coalesce(array_to_string(list_filter(string_split(text, chr(10)), x ->
+                          substr(trim(x), -1, 1) IN ('.', '!', '?', '"')
+                          AND (CASE WHEN trim(x) = '' THEN 0
+                               ELSE len(string_split_regex(trim(x), '\s+')) END) >= 3
+                          AND NOT contains(lower(x), 'javascript')), chr(10)), '') AS ct,
+                        (NOT contains(lower(text), 'lorem ipsum')
+                         AND NOT contains(lower(text), '{')) AS okb,
+                        len(list_filter(string_split(text, chr(10)), x ->
+                          substr(trim(x), -1, 1) IN ('.', '!', '?', '"')
+                          AND (CASE WHEN trim(x) = '' THEN 0
+                               ELSE len(string_split_regex(trim(x), '\s+')) END) >= 3
+                          AND NOT contains(lower(x), 'javascript'))) AS nk
+                 FROM d),
+          norm AS (SELECT doc_id, source,
+                          trim(regexp_replace(
+                            regexp_replace(
+                              regexp_replace(nfc_normalize(ct), '\r\n?', chr(10), 'g'),
+                              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                            '[ \t\x{00A0}]+', ' ', 'g')) AS nt
+                   FROM c4 WHERE okb AND nk >= 1),
+          lx AS (SELECT doc_id, source, generate_subscripts(l, 1) AS ln, unnest(l) AS line
+                 FROM (SELECT doc_id, source, string_split(nt, chr(10)) AS l FROM norm)),
+          hot AS (SELECT h FROM (
+                    SELECT h, count(*) AS df FROM (
+                      SELECT DISTINCT doc_id,
+                             CAST(('0x'||substr(md5(line),1,15)) AS BIGINT) AS h
+                      FROM lx WHERE length(line) >= 1)
+                    GROUP BY h)
+                  WHERE df > 1),
+          flagged AS (SELECT x.doc_id, x.source, x.ln, x.line,
+                             (h.h IS NOT NULL AND length(x.line) >= 1) AS dropit
+                      FROM lx x LEFT JOIN hot h
+                        ON CAST(('0x'||substr(md5(x.line),1,15)) AS BIGINT) = h.h),
+          dedup AS (SELECT doc_id, source,
+                           coalesce(string_agg(CASE WHEN NOT dropit THEN line END,
+                                               chr(10) ORDER BY ln), '') AS ct2
+                    FROM flagged GROUP BY doc_id, source),
+          q AS (SELECT doc_id, source, ct2, length(ct2) AS n_clean FROM dedup),
+          kept AS (SELECT q.* FROM q
+                   WHERE n_clean >= (SELECT quantile_cont(n_clean, 0.25) FROM q)),
+          capped AS (SELECT doc_id, source, ct2, n_clean FROM (
+                       SELECT *, row_number() OVER (PARTITION BY source
+                         ORDER BY n_clean DESC NULLS LAST,
+                                  CAST(('0x'||substr(md5('domcap:'||ct2),1,8)) AS BIGINT) NULLS LAST,
+                                  ct2 NULLS LAST, doc_id NULLS LAST) AS rn
+                       FROM kept)
+                     WHERE rn <= 25)
+          SELECT doc_id, source, CAST(n_clean AS INTEGER) AS n_clean,
+                 CAST(CAST(('0x'||substr(md5('p3:'||ct2),1,8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+                 CAST(('0x'||substr(md5('ord:p3:'||ct2),1,8)) AS BIGINT) AS order_key
+          FROM capped""",
     // normalization: same planted fixture via chr() codepoints; NFC
     // (utf8proc vs JDK — same Unicode spec), CRLF->LF, control strip,
     // horizontal-whitespace collapse + trim, in the same order

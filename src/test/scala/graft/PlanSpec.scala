@@ -103,6 +103,8 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row quantile threshold (exact and GK-attestation)
       "llm_quantile_filter", "e_sql_quantile_filter",
       "llm_quantile_filter_approx",
+      // pipeline3 embeds the quantile filter's broadcast 1-row threshold
+      "llm_pipeline3", "e_sql_pipeline3",
       // broadcast 1-row corpus token total (unigram model)
       "llm_unigram_lp", "e_sql_unigram_lp",
       // broadcast 1-row raw/target distribution totals (DSIR smoothing
