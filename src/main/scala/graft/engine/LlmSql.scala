@@ -254,6 +254,30 @@ object LlmSql {
       case args => bad(
         "graft_decontaminate(corpus_table, eval_table, id_col, text_col, n)", args)
     }
+    reg(spark, "graft_decontaminate_bloom") {
+      case Seq(c, ev, id, text, n, items, bits) =>
+        val f = "graft_decontaminate_bloom"
+        val corpus = table(str(c, f)); val evalSet = table(str(ev, f))
+        val idc = str(id, f); val textc = str(text, f)
+        val ng = int(n, f); val ei = int(items, f).toLong
+        val nb = int(bits, f).toLong
+        // the bloom build is an ACTION (the sketch bytes inline into the
+        // probe filter) — defer it like the cluster/semdedup TVFs so
+        // EXPLAIN/prepare launch no job and the build runs once
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, corpus.select(col(idc)).schema.head.dataType),
+            StructField("eval_shingles", org.apache.spark.sql.types.LongType,
+              nullable = false),
+            StructField("contaminated", org.apache.spark.sql.types.BooleanType,
+              nullable = false))),
+          memo { () =>
+            Dedup.decontaminateBloom(corpus, evalSet, idc, textc, n = ng,
+              expectedItems = ei, numBits = nb)
+          })
+      case args => bad(
+        "graft_decontaminate_bloom(corpus_table, eval_table, id_col, text_col, n, expected_items, num_bits)", args)
+    }
     reg(spark, "graft_rep_ratio") {
       case Seq(t, id, text, n) =>
         val f = "graft_rep_ratio"

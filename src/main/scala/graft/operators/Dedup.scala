@@ -467,6 +467,65 @@ object Dedup {
     * [[shingleRows]]' idCol window, whose partitioning the per-doc
     * distinct+count reuses. The shared hash makes the match set
     * engine-reproducible (the DuckDB oracle counts identical keys). */
+  /** [[decontaminate]]'s huge-eval-set scale path — SAME output, down
+    * to the row ((id, eval_shingles, contaminated) for every corpus id;
+    * the shared oracle verifies both): when the eval side is too big to
+    * broadcast as a hash set (the `maxInlineHashes` ceiling the
+    * streaming variant enforces), probe a BLOOM FILTER of the eval
+    * shingle hashes first and run the exact confirming semi-join only
+    * over the candidate rows.
+    *
+    * Scale shape: the bloom is built DISTRIBUTED
+    * (`BloomFilterAggregate` over the 8-byte hash frame — the same
+    * machinery Spark's runtime join filters use); only the finished
+    * sketch (`numBits`/8 bytes, default 8 MB) reaches the driver — a
+    * bounded boundary like the k-means centroids — and returns inlined
+    * in a codegen'd `might_contain` filter, so the corpus side drops
+    * non-candidate shingles BEFORE any exchange. The confirming join is
+    * deliberately relational (NOT broadcast — the eval set being
+    * un-broadcastable is the premise); it shuffles only the candidate
+    * (id, hash) pairs, which the bloom has already thinned by ~the
+    * corpus's clean fraction. False positives cost a probe in the
+    * confirm join, never a wrong answer. */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, n: Int = 13,
+                         expectedItems: Long = 4000000L,
+                         numBits: Long = 1L << 26,
+                         reuse: Reuse = Reuse.Local): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedItems > 0 && numBits > 0)
+    // the eval hash frame feeds BOTH the bloom build (an action, below)
+    // and the confirming join — `reuse` truncates so the bloom action
+    // materializes it once and the join reads the checkpoint
+    val evalH = reuse(shingleRows(evalSet.select(col(idCol), col(textCol)),
+        idCol, textCol, n)
+      .select(sharedHash(col("s")).as("h")).distinct())
+    val bloomBytes = evalH.agg(GraftBridge.column(
+        new BloomFilterAggregate(
+          GraftBridge.expression(col("h")),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+      .as("bf")).head().getAs[Array[Byte]](0)
+    val corpusH = shingleRows(corpus.select(col(idCol), col(textCol)),
+        idCol, textCol, n)
+      .select(col(idCol), sharedHash(col("s")).as("h")).distinct()
+    // empty eval set -> null sketch -> nothing can match
+    val cand =
+      if (bloomBytes == null) corpusH.filter(lit(false))
+      else corpusH.filter(GraftBridge.column(BloomFilterMightContain(
+        Literal(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        GraftBridge.expression(col("h")))))
+    val hits = cand.join(evalH, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("eval_shingles"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("eval_shingles"), lit(0L)).as("eval_shingles"),
+        (coalesce(col("eval_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
                     idCol: String, textCol: String, n: Int = 13): DataFrame = {
     val evalH = shingleRows(evalSet.select(col(idCol), col(textCol)),

@@ -221,6 +221,21 @@ object EngineQueries {
       e.query(
         "SELECT * FROM graft_decontaminate('graft_corpus_v', 'graft_eval_v', 'doc_id', 'text', 13)")
     }),
+    // the bloom scale path from SQL — deferred sketch build (EXPLAIN
+    // launches no job), same oracle as the broadcast path
+    "e_sql_decontaminate_bloom" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_eval_v AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_corpus_v AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id <= (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query(
+        """SELECT * FROM graft_decontaminate_bloom(
+             'graft_corpus_v', 'graft_eval_v', 'doc_id', 'text', 13, 65536, 1048576)""")
+    }),
     // C4-style repeated-span removal from one line of SQL
     "e_sql_span_dedup" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_span_dedup('documents', 'doc_id', 'text', 16, 1)")),
@@ -474,6 +489,7 @@ object EngineQueries {
     "e_sql_embedding_dups" -> LlmQueries.oracle("llm_embedding_dups"),
     "e_sql_span_dedup" -> LlmQueries.oracle("llm_span_dedup"),
     "e_sql_c4_filters" -> LlmQueries.oracle("llm_c4_filters"),
+    "e_sql_decontaminate_bloom" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
     "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),

@@ -23,6 +23,28 @@ object LlmQueries {
     * decontamination-family oracle so the shingle format can't diverge. */
   private val gram13Sql = (0 until 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
 
+  /** Shared by `llm_decontaminate` and `llm_decontaminate_bloom` — the
+    * bloom path is a bandwidth optimization with identical output. */
+  private lazy val decontaminateOracleSql =
+    s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+              FROM documents),
+        g AS (SELECT doc_id,
+                list_distinct(list_transform(generate_series(1, len(toks) - 12),
+                  i -> $gram13Sql)) AS gs
+              FROM t WHERE len(toks) >= 13),
+        h AS (SELECT doc_id,
+                list_distinct(list_transform(gs, s -> $hashSql)) AS hs
+              FROM g),
+        ev AS (SELECT DISTINCT unnest(hs) AS eh FROM h, m WHERE doc_id > mx - 100),
+        co AS (SELECT doc_id, unnest(hs) AS eh FROM h, m WHERE doc_id <= mx - 100),
+        hits AS (SELECT doc_id, count(*) AS c
+                 FROM co JOIN ev USING (eh) GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(hits.c, 0) AS eval_shingles,
+               coalesce(hits.c, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents, m WHERE doc_id <= mx - 100) d
+        LEFT JOIN hits USING (doc_id)"""
+
   /** The last `n` documents by id — the slice where the driver plants
     * near-duplicates — selected via a broadcast 1-row max bound.
     * Shared by the containment gates (and mirrored in their oracles'
@@ -225,6 +247,21 @@ object LlmQueries {
       val corpus = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
         .select($"doc_id", $"text")
       Dedup.decontaminate(corpus, ev, "doc_id", "text", n = 13)
+    }),
+    "llm_decontaminate_bloom" -> ((s, d) => {
+      import s.implicits._
+      // the huge-eval-set scale path: bloom prefilter + exact confirm
+      // join — same fixture, same oracle, IDENTICAL output by contract
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val ev = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      val corpus = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      // sketch sized to the ~100-doc eval set (the 8 MB production
+      // default would only bloat this plan's inlined literal)
+      Dedup.decontaminateBloom(corpus, ev, "doc_id", "text", n = 13,
+        expectedItems = 1L << 16, numBits = 1L << 20)
     }),
     "llm_pack" -> ((s, d) =>
       // concat-and-split packing offsets: 512-token training sequences,
@@ -1021,26 +1058,11 @@ object LlmQueries {
           WHERE ov * 1.0 / least(sa.sz, sb.sz) >= 0.5""",
     // 13-gram train/eval overlap; hashes via the shared-md5 recipe so
     // both engines count identical key sets
-    "llm_decontaminate" -> {
-      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
-          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-                FROM documents),
-          g AS (SELECT doc_id,
-                  list_distinct(list_transform(generate_series(1, len(toks) - 12),
-                    i -> $gram13Sql)) AS gs
-                FROM t WHERE len(toks) >= 13),
-          h AS (SELECT doc_id,
-                  list_distinct(list_transform(gs, s -> $hashSql)) AS hs
-                FROM g),
-          ev AS (SELECT DISTINCT unnest(hs) AS eh FROM h, m WHERE doc_id > mx - 100),
-          co AS (SELECT doc_id, unnest(hs) AS eh FROM h, m WHERE doc_id <= mx - 100),
-          hits AS (SELECT doc_id, count(*) AS c
-                   FROM co JOIN ev USING (eh) GROUP BY doc_id)
-          SELECT d.doc_id, coalesce(hits.c, 0) AS eval_shingles,
-                 coalesce(hits.c, 0) > 0 AS contaminated
-          FROM (SELECT doc_id FROM documents, m WHERE doc_id <= mx - 100) d
-          LEFT JOIN hits USING (doc_id)"""
-    },
+    "llm_decontaminate" -> decontaminateOracleSql,
+    // the bloom path is a bandwidth optimization with IDENTICAL output
+    // (false positives only cost a probe in the exact confirm join), so
+    // the same oracle verifies it
+    "llm_decontaminate_bloom" -> decontaminateOracleSql,
     // global running token offsets (the hierarchical prefix sum must
     // equal DuckDB's single global window) + integer-division seq cuts
     "llm_pack" ->

@@ -497,6 +497,12 @@ class EngineSpec extends AnyFunSuite {
         "SELECT * FROM graft_semdedup('embeddings', 'vec_id', 'embedding', 8, 1, 0.99)")
       assert(planSem.contains("GraftDeferredScan"),
         "semdedup's Lloyd training must sit behind a deferred-scan leaf")
+      // the bloom sketch build (an action) has the same deferred contract
+      val planBloom = engine.explain(
+        """SELECT * FROM graft_decontaminate_bloom(
+             'documents', 'documents', 'doc_id', 'text', 13, 65536, 1048576)""")
+      assert(planBloom.contains("GraftDeferredScan"),
+        "the bloom sketch build must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the cluster TVFs must launch no Spark job, saw $jobs")

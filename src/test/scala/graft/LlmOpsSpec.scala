@@ -861,6 +861,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(oneShard.distinct.size > 1)
   }
 
+  test("decontaminateBloom: bit-equal to the broadcast path; empty eval set is clean") {
+    import spark.implicits._
+    val d = docs.select($"doc_id", $"text")
+    val m = d.agg(max($"doc_id")).head.getLong(0)
+    val ev = d.filter($"doc_id" > m - 100)
+    val corpus = d.filter($"doc_id" <= m - 100)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val exact = key(Dedup.decontaminate(corpus, ev, "doc_id", "text", n = 13))
+    val bloom = key(Dedup.decontaminateBloom(corpus, ev, "doc_id", "text",
+      n = 13, expectedItems = 1L << 16, numBits = 1L << 20))
+    assert(bloom == exact, "bloom path must be output-identical (FPs only cost probes)")
+    assert(exact.exists(_._3), "fixture should contain contaminated docs")
+    // a deliberately tiny, saturated sketch still yields exact results —
+    // saturation only degrades the prefilter's selectivity
+    val tiny = key(Dedup.decontaminateBloom(corpus, ev, "doc_id", "text",
+      n = 13, expectedItems = 4L, numBits = 64L))
+    assert(tiny == exact)
+    // empty eval set -> null sketch -> everything clean
+    val none = Dedup.decontaminateBloom(corpus, ev.filter(lit(false)),
+      "doc_id", "text", n = 13, expectedItems = 16L, numBits = 256L)
+    assert(none.filter($"contaminated").count() == 0)
+  }
+
   test("normalizeText: NFC composition, newline/control/space cleanup, NFKC forms") {
     import spark.implicits._
     import graft.operators.TextAnalysis

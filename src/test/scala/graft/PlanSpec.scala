@@ -81,7 +81,8 @@ class PlanSpec extends AnyFunSuite {
       "llm_ngram_jaccard",
       // broadcast of a 1-row bound/total (max doc_id; corpus N)
       "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment",
-      "llm_containment_dfcap", "llm_decontaminate", "llm_minhash_capped",
+      "llm_containment_dfcap", "llm_decontaminate", "llm_decontaminate_bloom",
+      "llm_minhash_capped",
       // SQL-façade twin of llm_tfidf (same broadcast 1-row corpus count)
       "e_sql_tfidf",
       // broadcast 1-row max-doc-id bound for the corpus/eval split
@@ -454,6 +455,14 @@ class PlanSpec extends AnyFunSuite {
       "the quantile threshold must broadcast")
     assert(!p.contains("Exchange hashpartitioning"),
       "the corpus side must stream through the filter unshuffled")
+  }
+
+  test("bloom decontaminate: inlined might_contain prefilter before the confirm join") {
+    val p = plan("llm_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      "corpus shingles must probe the inlined bloom sketch before any join")
+    assert(p.contains("LeftSemi"),
+      "the exact confirm must remain a semi-join on the hash key")
   }
 
   test("dsir: bucket table broadcasts; exchanges key on id/bucket only") {
