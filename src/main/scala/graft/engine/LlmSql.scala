@@ -302,6 +302,22 @@ object LlmSql {
         "graft_embedding_dups(table, id_col, vec_col, threshold, n_planes, dim)", args)
     }
 
+    reg(spark, "graft_temperature_mix") {
+      case Seq(t, src, key, a, tf) =>
+        val f = "graft_temperature_mix"
+        Sampling.temperatureMix(table(str(t, f)), col(str(src, f)),
+          col(str(key, f)), alpha = dbl(a, f), targetFraction = dbl(tf, f))
+      case args => bad(
+        "graft_temperature_mix(table, source_col, key_col, alpha, target_fraction)", args)
+    }
+    reg(spark, "graft_corpus_report") {
+      case Seq(t, src, lang, text) =>
+        val f = "graft_corpus_report"
+        TextAnalysis.corpusReport(table(str(t, f)), str(src, f),
+          str(lang, f), str(text, f))
+      case args => bad(
+        "graft_corpus_report(table, source_col, lang_col, text_col)", args)
+    }
     reg(spark, "graft_c4_filters") {
       case Seq(t, id, text, minW, minK) =>
         val f = "graft_c4_filters"

@@ -286,6 +286,42 @@ object Sampling {
         round(sum(col("__lw")), 4).as("log_w"))
   }
 
+  /** Temperature-weighted source mixing (the published multinomial
+    * sampling recipe — T5/mT5/GPT-3 mix sources with p_s ∝ n_s^α,
+    * α < 1 upweighting small sources): derive each source's sampling
+    * rate from its OWN corpus counts so the sampled mix approaches the
+    * tempered distribution at `targetFraction` of the corpus, then gate
+    * rows with the deterministic salted hash (layout/engine-invariant,
+    * like every sampler here). rate_s = min(1, t·N·p_s / n_s) with
+    * p_s = n_s^α / Σ n_s^α, floored to basis points.
+    *
+    * Engine parity: the rate arithmetic uses `pow` (libm) and then a
+    * FLOOR — round(·,6) before the floor absorbs the 1-ulp cross-engine
+    * `pow` spread (the tfidf quantization argument) so the basis-point
+    * table is bit-identical in the oracle.
+    *
+    * Scale shape: the rate table is one tiny per-source aggregate
+    * (partial-aggregable count) broadcast back; the gate itself is a
+    * per-row codegen'd filter — no corpus-scale exchange at all. */
+  def temperatureMix(df: DataFrame, source: Column, key: Column,
+                     alpha: Double, targetFraction: Double,
+                     salt: String = "mix:"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__tot"),
+      sum(pow(col("__n"), alpha)).as("__z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("__src"),
+        least(lit(10000L), floor(round(
+          lit(10000.0 * targetFraction) * col("__tot") * pow(col("__n"), alpha) /
+            col("__z") / col("__n"), 6))).cast("int").as("__bp"))
+    df.join(broadcast(rates), source === col("__src"))
+      .filter(hashGate(key, col("__bp"), salt))
+      .drop("__src", "__bp")
+  }
+
   /** Stratified sample: per-stratum rates (basis points), rows in
     * strata missing from `rates` are dropped. The rate lookup is a
     * codegen'd CASE chain — no join, no shuffle; the gate stays a pure

@@ -546,6 +546,24 @@ object TextAnalysis {
           col("ok_stopwords"))
   }
 
+  /** Per-(source, lang) corpus statistics panel — the dashboard query
+    * every ingestion round runs (doc counts, token and char volumes,
+    * document-size envelope per slice). One partial-aggregable groupBy
+    * — the only exchange carries the tiny per-slice accumulator rows;
+    * text reduces to counts in the first projection. avg is rounded
+    * (·,4) for cross-engine float parity. */
+  def corpusReport(df: DataFrame, sourceCol: String, langCol: String,
+                   textCol: String): DataFrame =
+    df.select(col(sourceCol), col(langCol),
+        tokenCount(col(textCol)).as("__t"), length(col(textCol)).as("__c"))
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t").cast("long")).as("n_tokens"),
+        sum(col("__c").cast("long")).as("n_chars"),
+        round(avg(col("__c")), 4).as("avg_chars"),
+        min(col("__c")).as("min_chars"),
+        max(col("__c")).as("max_chars"))
+
   /** C4-style line-level cleaning panel (public C4/T5 heuristics): a
     * line survives iff it ends in terminal punctuation (`. ! ? "`),
     * has ≥ `minWordsPerLine` words, and does not contain

@@ -239,6 +239,12 @@ object EngineQueries {
     // C4-style repeated-span removal from one line of SQL
     "e_sql_span_dedup" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_span_dedup('documents', 'doc_id', 'text', 16, 1)")),
+    // tempered source mixing and the ingestion dashboard from SQL
+    "e_sql_temperature_mix" -> ((s, d) => via(s, d)(
+      """SELECT doc_id, source
+         FROM graft_temperature_mix('documents', 'source', 'text', 0.5, 0.25)""")),
+    "e_sql_corpus_report" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_corpus_report('documents', 'source', 'lang', 'text')")),
     // Unicode normalization from SQL: the planted fixture is built via
     // the DataFrame API (Spark SQL chr() is ASCII-only, so the
     // codepoints can't be spliced in SQL text), then the scalar applies
@@ -491,6 +497,8 @@ object EngineQueries {
     "e_sql_c4_filters" -> LlmQueries.oracle("llm_c4_filters"),
     "e_sql_decontaminate_bloom" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
+    "e_sql_temperature_mix" -> LlmQueries.oracle("llm_temperature_mix"),
+    "e_sql_corpus_report" -> LlmQueries.oracle("llm_corpus_report"),
     "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),

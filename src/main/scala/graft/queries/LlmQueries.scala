@@ -561,6 +561,20 @@ object LlmQueries {
         $"doc_id".cast("string"), lit(".")).as("text"))
       TextAnalysis.removeRepeatedLines(planted, "doc_id", "text", maxDf = 1)
     }),
+    "llm_temperature_mix" -> ((s, d) => {
+      import s.implicits._
+      // tempered multinomial source mixing: alpha=0.5 upweights small
+      // sources, target 25% of the corpus; membership is a pure
+      // function of (salt, text) given the per-source count table
+      graft.operators.Sampling.temperatureMix(
+          Tables.load(s, d, "documents").select($"doc_id", $"source", $"text"),
+          $"source", $"text", alpha = 0.5, targetFraction = 0.25)
+        .select($"doc_id", $"source")
+    }),
+    "llm_corpus_report" -> ((s, d) =>
+      // the per-(source, lang) ingestion dashboard panel
+      TextAnalysis.corpusReport(
+        Tables.load(s, d, "documents"), "source", "lang", "text")),
     "llm_normalize" -> ((s, d) => {
       import s.implicits._
       // Unicode + whitespace normalization over a planted fixture: every
@@ -1387,6 +1401,27 @@ object LlmQueries {
                  CAST(CAST(('0x'||substr(md5('p3:'||ct2),1,8)) AS BIGINT) % 8 AS INTEGER) AS shard,
                  CAST(('0x'||substr(md5('ord:p3:'||ct2),1,8)) AS BIGINT) AS order_key
           FROM capped""",
+    // tempered mixing: same rate algebra (round(.,6) before the floor
+    // absorbs libm pow spread), same salted hash gate
+    "llm_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          t AS (SELECT sum(n) AS nn, sum(pow(n, 0.5)) AS z FROM c),
+          r AS (SELECT source,
+                       CAST(least(10000, floor(round(
+                         10000 * 0.25 * nn * pow(n, 0.5) / z / n, 6))) AS INTEGER) AS bp
+                FROM c, t)
+          SELECT d.doc_id, d.source
+          FROM documents d JOIN r USING (source)
+          WHERE CAST(('0x'||substr(md5('mix:'||text),1,8)) AS BIGINT) % 10000 < bp""",
+    // per-(source, lang) statistics panel
+    "llm_corpus_report" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+                CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                round(avg(length(text)), 4) AS avg_chars,
+                CAST(min(length(text)) AS INTEGER) AS min_chars,
+                CAST(max(length(text)) AS INTEGER) AS max_chars
+         FROM documents GROUP BY source, lang""",
     // normalization: same planted fixture via chr() codepoints; NFC
     // (utf8proc vs JDK — same Unicode spec), CRLF->LF, control strip,
     // horizontal-whitespace collapse + trim, in the same order

@@ -861,6 +861,61 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(oneShard.distinct.size > 1)
   }
 
+  test("temperatureMix: layout-invariant, tempering upweights small sources") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = docs.select($"doc_id", $"source", $"text")
+    def run(part: Int) = Sampling.temperatureMix(d.repartition(part),
+        $"source", $"text", alpha = 0.5, targetFraction = 0.25)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val a = run(4)
+    assert(run(13) == a, "membership must not depend on physical layout")
+    // overall volume lands near the target (loose binomial bound)
+    val frac = a.size.toDouble / d.count()
+    assert(frac > 0.15 && frac < 0.40, s"sampled fraction $frac far from 0.25")
+    // alpha < 1 tempers: on a skewed hand-built corpus (testdata sources
+    // are uniform-sized) the small source's sampling rate must exceed
+    // the large source's. n=400 vs 25 at alpha=.5, t=.25 gives expected
+    // rates 0.2125 vs 0.85 — far outside binomial noise
+    val skew = ((1 to 400).map(i => (i.toLong, "big", s"big doc number $i")) ++
+      (1 to 25).map(i => (i + 1000L, "small", s"small doc number $i")))
+      .toDF("doc_id", "source", "text")
+    val bySrc = skew.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.temperatureMix(skew, $"source", $"text", 0.5, 0.25)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rSmall = sampled.getOrElse("small", 0L).toDouble / bySrc("small")
+    val rBig = sampled.getOrElse("big", 0L).toDouble / bySrc("big")
+    assert(rSmall > rBig + 0.2,
+      s"tempering should upweight the small source: small=$rSmall big=$rBig")
+    // alpha = 1 degenerates to the uniform rate: both sources sampled
+    // at ~the global target
+    val uni = Sampling.temperatureMix(skew, $"source", $"text", 1.0, 0.25)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniBig = uni.getOrElse("big", 0L).toDouble / bySrc("big")
+    assert(uniBig > 0.15 && uniBig < 0.35,
+      s"alpha=1 must sample at ~the target rate, saw $uniBig")
+  }
+
+  test("corpusReport: exact panel on a hand-built corpus") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "web", "en", "one two three"),
+      (2L, "web", "en", "four five"),
+      (3L, "web", "de", "sechs"),
+      (4L, "book", "en", "a b c d")).toDF("doc_id", "source", "lang", "text")
+    val out = TextAnalysis.corpusReport(df, "source", "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getInt(6), r.getInt(7)))).toMap
+    assert(out(("web", "en")) == ((2L, 5L, 22L, 11.0, 9, 13)))
+    assert(out(("web", "de")) == ((1L, 1L, 5L, 5.0, 5, 5)))
+    assert(out(("book", "en")) == ((1L, 4L, 7L, 7.0, 7, 7)))
+  }
+
   test("decontaminateBloom: bit-equal to the broadcast path; empty eval set is clean") {
     import spark.implicits._
     val d = docs.select($"doc_id", $"text")

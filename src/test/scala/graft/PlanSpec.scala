@@ -106,6 +106,8 @@ class PlanSpec extends AnyFunSuite {
       "llm_quantile_filter_approx",
       // pipeline3 embeds the quantile filter's broadcast 1-row threshold
       "llm_pipeline3", "e_sql_pipeline3",
+      // broadcast 1-row corpus totals feeding the per-source rate table
+      "llm_temperature_mix", "e_sql_temperature_mix",
       // broadcast 1-row corpus token total (unigram model)
       "llm_unigram_lp", "e_sql_unigram_lp",
       // broadcast 1-row raw/target distribution totals (DSIR smoothing
