@@ -391,15 +391,20 @@ object LlmSql {
         "graft_gopher(table, id_col, text_col, min_tokens, max_tokens, min_word_len, max_word_len, max_symbol_ratio, min_stop_hits)", args)
     }
     reg(spark, "graft_quantile_filter") {
-      case args if args.length == 3 || args.length == 4 =>
+      case args if args.length >= 3 && args.length <= 5 =>
         val f = "graft_quantile_filter"
         // optional 4th arg selects the bounded-memory GK estimator
-        // (accuracy a → boundary rank within N/a); default stays the
-        // exact oracle-gated percentile
-        val acc = if (args.length == 4) Some(int(args(3), f)) else None
+        // (accuracy a → boundary rank within N/a; 0 = the exact
+        // oracle-gated percentile); optional 5th arg 'local' truncates
+        // the input diamond (threshold agg + filter) when the table is
+        // an expensive view chain rather than a cheap scan
+        val acc = if (args.length >= 4) Some(int(args(3), f)).filter(_ > 0) else None
+        val reuse = if (args.length == 5 && str(args(4), f) == "local")
+          graft.operators.Reuse.Local else graft.operators.Reuse.Off
         Sampling.keepAboveQuantile(table(str(args(0), f)),
-          col(str(args(1), f)), dbl(args(2), f), accuracy = acc)
-      case args => bad("graft_quantile_filter(table, value_col, q[, accuracy])", args)
+          col(str(args(1), f)), dbl(args(2), f), accuracy = acc, reuse = reuse)
+      case args => bad(
+        "graft_quantile_filter(table, value_col, q[, accuracy_or_0[, 'local']])", args)
     }
     reg(spark, "graft_winnow") {
       case Seq(t, id, text, k, w) =>

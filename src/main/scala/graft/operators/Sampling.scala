@@ -212,17 +212,25 @@ object Sampling {
     *    target (the llm_quantile_filter_approx gate attests the rank
     *    contract the way a8_approx_quantile does for the raw sketch).
     *    The threshold is an actual element of the column, so the filter
-    *    stays a broadcast 1-row comparison. */
+    *    stays a broadcast 1-row comparison.
+    *
+    * `df` feeds BOTH the threshold aggregate and the output filter — a
+    * diamond. `reuse` truncates it like every sibling (default Off:
+    * the usual input is a cheap selective scan where recompute keeps
+    * pushdown/pruning; pass `Reuse.Local` when the input is an
+    * expensive derived frame, as the pipeline3 gate does). */
   def keepAboveQuantile(df: DataFrame, value: Column, q: Double,
-                        accuracy: Option[Int] = None): DataFrame = {
+                        accuracy: Option[Int] = None,
+                        reuse: Reuse = Reuse.Off): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
     accuracy.foreach(a => require(a >= 1, s"accuracy must be >= 1, got $a"))
     val est = accuracy match {
       case Some(a) => percentile_approx(value, lit(q), lit(a)).cast("double")
       case None => percentile(value, lit(q))
     }
-    val thr = df.agg(est.as("__thr"))
-    df.crossJoin(broadcast(thr)).filter(value >= col("__thr")).drop("__thr")
+    val in = reuse(df)
+    val thr = in.agg(est.as("__thr"))
+    in.crossJoin(broadcast(thr)).filter(value >= col("__thr")).drop("__thr")
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -268,7 +276,11 @@ object Sampling {
     }
     val rawFeats = reuse(featsOf(raw))
     val cntR = rawFeats.groupBy(col("__f")).agg(count(lit(1)).as("__cr"))
-    val cntT = featsOf(target).groupBy(col("__f")).agg(count(lit(1)).as("__ct"))
+    // cntT is referenced twice (its own total + the bucket join) — the
+    // ≤buckets-row count frame is the compact thing to truncate, so the
+    // target tokenize+window chain runs once
+    val cntT = reuse(featsOf(target).groupBy(col("__f"))
+      .agg(count(lit(1)).as("__ct")))
     val totals = cntR.agg(sum(col("__cr")).as("__r"))
       .crossJoin(broadcast(cntT.agg(sum(col("__ct")).as("__t"))))
     // bucket table: ≤ `buckets` rows — buckets absent from the target
@@ -305,11 +317,17 @@ object Sampling {
     * per-row codegen'd filter — no corpus-scale exchange at all. */
   def temperatureMix(df: DataFrame, source: Column, key: Column,
                      alpha: Double, targetFraction: Double,
-                     salt: String = "mix:"): DataFrame = {
+                     salt: String = "mix:",
+                     reuse: Reuse = Reuse.Local): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0,1], got $targetFraction")
-    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    // the per-source count frame feeds both the totals and the rate
+    // table — truncate the tiny frame so the corpus aggregates once
+    // (two corpus passes total: this count + the gate scan, the minimum
+    // for a derived-rate gate)
+    val counts = reuse(df.groupBy(source.as("__src"))
+      .agg(count(lit(1)).as("__n")))
     val tot = counts.agg(sum(col("__n")).as("__tot"),
       sum(pow(col("__n"), alpha)).as("__z"))
     val rates = counts.crossJoin(broadcast(tot))

@@ -375,7 +375,8 @@ object EngineQueries {
                  FROM graft_line_dedup('p3_clean', 'doc_id', 'text', 1) l
                  JOIN p3_fix f ON f.doc_id = l.doc_id""")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p3_kept AS
-                 SELECT * FROM graft_quantile_filter('p3_dedup', 'n_clean', 0.25)""")
+                 SELECT * FROM graft_quantile_filter(
+                   'p3_dedup', 'n_clean', 0.25, 0, 'local')""")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p3_capped AS
                  SELECT * FROM graft_domain_cap(
                    'p3_kept', 'source', 'clean_text', 25, 'doc_id', 'n_clean')""")

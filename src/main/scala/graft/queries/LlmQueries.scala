@@ -777,7 +777,10 @@ object LlmQueries {
         .join(fixture.select($"doc_id", $"source"), "doc_id")
         .select($"doc_id", $"source", $"clean_text",
           length($"clean_text").as("n_clean"))
-      val kept = Sampling.keepAboveQuantile(deduped, $"n_clean", 0.25)
+      // the upstream chain is expensive — truncate it so the quantile
+      // diamond (threshold agg + filter) computes it once
+      val kept = Sampling.keepAboveQuantile(deduped, $"n_clean", 0.25,
+        reuse = graft.operators.Reuse.Local)
       val capped = Sampling.domainCap(kept, $"source", $"clean_text", k = 25,
         tieBreak = Seq($"doc_id"), by = Some($"n_clean"))
       Sampling.assignShards(capped, $"clean_text", numShards = 8, salt = "p3:")

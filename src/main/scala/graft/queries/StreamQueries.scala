@@ -49,6 +49,16 @@ object StreamQueries {
       graft.streaming.Corpus.admitProbe(incoming, idx, "doc_id", "text")
         .dropDuplicates("id_new", "id_corpus")
     }),
+    "st_quality" -> ((s, d) =>
+      // streaming quality gate (batch-parity form): the Gopher panel is
+      // a stateless pure projection, so the identical transform runs on
+      // a document stream (StreamingSpec parity case) — same thresholds
+      // and oracle as llm_gopher
+      graft.operators.TextAnalysis.gopherRules(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        minTokens = 10, maxTokens = 100000,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        maxSymbolRatio = 0.1, minStopwordHits = 1)),
     "st_decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // streaming decontamination (batch-parity form): incoming corpus
@@ -66,6 +76,8 @@ object StreamQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // stateless per-row panel — identical to llm_gopher's oracle
+    "st_quality" -> LlmQueries.oracle("llm_gopher"),
     "st_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
                 event_type, count(*) AS n

@@ -42,6 +42,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming quality panel: Gopher rules on a stream == batch, stateless") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    def panel(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.gopherRules(df, "doc_id", "text",
+        minTokens = 10, maxTokens = 100000,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        maxSymbolRatio = 0.1, minStopwordHits = 1)
+    val batch = panel(docs).collect().map(_.toSeq).toSet
+    val stream = graft.streaming.Corpus.readStream(spark, TestSpark.sf)
+    Events.runToMemory(spark, panel(stream), "t_quality", OutputMode.Append())
+    val streamed = spark.table("t_quality").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the panel discriminates on this corpus (some keep=false)
+    assert(batch.exists(r => r.last == false))
+  }
+
   test("streaming decontamination: stream over files == batch, stateless") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
