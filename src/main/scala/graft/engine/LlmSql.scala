@@ -461,6 +461,7 @@ object LlmSql {
         case args => bad(s"$name(text)", args)
       }, "scala_udf")
     scalar("graft_normalize")(t => TextAnalysis.normalizeText(t))
+    scalar("graft_script")(TextAnalysis.scriptOf)
     scalar("graft_quality")(TextAnalysis.qualityScore)
     scalar("graft_pii_redact")(TextAnalysis.piiRedact)
     scalar("graft_langid")(TextAnalysis.langId)

@@ -82,6 +82,35 @@ object TextAnalysis {
       .otherwise("en")
   }
 
+  /** Script classes for [[scriptOf]] in PRIORITY order (ties go to the
+    * earlier entry). Char-class ranges only — valid in both Java regex
+    * and RE2, so the DuckDB oracle counts identically. */
+  private val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]")
+
+  /** Dominant Unicode SCRIPT of a document — [[langId]]'s multilingual
+    * complement (langId separates same-script European languages;
+    * script detection is the cheap first split a multilingual corpus
+    * routes on): per-script character counts via portable char-class
+    * ranges, argmax with ties broken by the fixed [[scriptClasses]]
+    * order, `'other'` when no script character occurs. Pure per-row
+    * codegen'd expression, zero shuffle. */
+  def scriptOf(text: Column): Column = {
+    val counts = scriptClasses.map { case (name, cls) =>
+      name -> (length(text) - length(regexp_replace(text, cls, "")))
+    }
+    val mx = greatest(counts.map(_._2): _*)
+    counts.foldLeft(when(mx <= 0, "other")) { case (acc, (name, c)) =>
+      acc.when(c === mx, name)
+    }.otherwise("other")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text. Stable across engines (md5 is md5 everywhere), usable as an
     * exact-dedup key at any scale. */

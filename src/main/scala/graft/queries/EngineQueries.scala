@@ -262,6 +262,25 @@ object EngineQueries {
                         length(graft_normalize(text)) AS n_chars_norm
                  FROM graft_norm_docs""")
     }),
+    // script detection from SQL over the same multilingual fixture
+    // (DataFrame-built: Spark SQL chr() is ASCII-only)
+    "e_sql_script" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      Tables.load(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 9 === 0, "ДДДДД")
+            .when(col("doc_id") % 9 === 1, "中中中中")
+            .when(col("doc_id") % 9 === 2, "اااااا")
+            .when(col("doc_id") % 9 === 3, "ααααα")
+            .when(col("doc_id") % 9 === 4, "가가가")
+            .when(col("doc_id") % 9 === 5, "कककक")
+            .when(col("doc_id") % 9 === 6, lit("123 456"))
+            .when(col("doc_id") % 9 === 7, concat(col("text"), lit(" ДД")))
+            .otherwise(col("text")).as("t"))
+        .createOrReplaceTempView("graft_script_docs")
+      e.query("SELECT doc_id, graft_script(t) AS script FROM graft_script_docs")
+    }),
     // C4 line panel from SQL: the planted multi-line fixture is itself
     // a SQL view (same construction as the llm_c4_filters oracle)
     "e_sql_c4_filters" -> ((s, d) => {
@@ -498,6 +517,7 @@ object EngineQueries {
     "e_sql_c4_filters" -> LlmQueries.oracle("llm_c4_filters"),
     "e_sql_decontaminate_bloom" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
+    "e_sql_script" -> LlmQueries.oracle("llm_script"),
     "e_sql_temperature_mix" -> LlmQueries.oracle("llm_temperature_mix"),
     "e_sql_corpus_report" -> LlmQueries.oracle("llm_corpus_report"),
     "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),

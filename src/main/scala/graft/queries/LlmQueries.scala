@@ -575,6 +575,23 @@ object LlmQueries {
       // the per-(source, lang) ingestion dashboard panel
       TextAnalysis.corpusReport(
         Tables.load(s, d, "documents"), "source", "lang", "text")),
+    "llm_script" -> ((s, d) => {
+      import s.implicits._
+      // script detection over a planted multilingual fixture: one
+      // stratum per script class, a digits-only 'other' case, and two
+      // latin-dominant cases (raw text; text with a trace of cyrillic)
+      val docs = Tables.load(s, d, "documents")
+      val t = when($"doc_id" % 9 === 0, "ДДДДД")
+        .when($"doc_id" % 9 === 1, "中中中中")
+        .when($"doc_id" % 9 === 2, "اااااا")
+        .when($"doc_id" % 9 === 3, "ααααα")
+        .when($"doc_id" % 9 === 4, "가가가")
+        .when($"doc_id" % 9 === 5, "कककक")
+        .when($"doc_id" % 9 === 6, lit("123 456"))
+        .when($"doc_id" % 9 === 7, concat($"text", lit(" ДД")))
+        .otherwise($"text")
+      docs.select($"doc_id", TextAnalysis.scriptOf(t).as("script"))
+    }),
     "llm_normalize" -> ((s, d) => {
       import s.implicits._
       // Unicode + whitespace normalization over a planted fixture: every
@@ -1404,6 +1421,40 @@ object LlmQueries {
                  CAST(CAST(('0x'||substr(md5('p3:'||ct2),1,8)) AS BIGINT) % 8 AS INTEGER) AS shard,
                  CAST(('0x'||substr(md5('ord:p3:'||ct2),1,8)) AS BIGINT) AS order_key
           FROM capped""",
+    // script detection: same planted fixture via chr() codepoints, same
+    // portable char-class counts, same priority-ordered argmax
+    "llm_script" ->
+      """WITH p AS (SELECT doc_id,
+                CASE CAST(doc_id % 9 AS INTEGER)
+                  WHEN 0 THEN repeat(chr(1044), 5)
+                  WHEN 1 THEN repeat(chr(20013), 4)
+                  WHEN 2 THEN repeat(chr(1575), 6)
+                  WHEN 3 THEN repeat(chr(945), 5)
+                  WHEN 4 THEN repeat(chr(44032), 3)
+                  WHEN 5 THEN repeat(chr(2325), 4)
+                  WHEN 6 THEN '123 456'
+                  WHEN 7 THEN text || ' ' || repeat(chr(1044), 2)
+                  ELSE text END AS t
+              FROM documents),
+          c AS (SELECT doc_id,
+                length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS lat,
+                length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr,
+                length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk,
+                length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')) AS ara,
+                length(t) - length(regexp_replace(t, '[\x{0370}-\x{03FF}]', '', 'g')) AS gre,
+                length(t) - length(regexp_replace(t, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS han,
+                length(t) - length(regexp_replace(t, '[\x{0900}-\x{097F}]', '', 'g')) AS dev
+                FROM p)
+          SELECT doc_id,
+                 CASE WHEN greatest(lat, cyr, cjk, ara, gre, han, dev) <= 0 THEN 'other'
+                      WHEN lat = greatest(lat, cyr, cjk, ara, gre, han, dev) THEN 'latin'
+                      WHEN cyr = greatest(lat, cyr, cjk, ara, gre, han, dev) THEN 'cyrillic'
+                      WHEN cjk = greatest(lat, cyr, cjk, ara, gre, han, dev) THEN 'cjk'
+                      WHEN ara = greatest(lat, cyr, cjk, ara, gre, han, dev) THEN 'arabic'
+                      WHEN gre = greatest(lat, cyr, cjk, ara, gre, han, dev) THEN 'greek'
+                      WHEN han = greatest(lat, cyr, cjk, ara, gre, han, dev) THEN 'hangul'
+                      ELSE 'devanagari' END AS script
+          FROM c""",
     // tempered mixing: same rate algebra (round(.,6) before the floor
     // absorbs libm pow spread), same salted hash gate
     "llm_temperature_mix" ->

@@ -861,6 +861,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(oneShard.distinct.size > 1)
   }
 
+  test("scriptOf: majority script wins; ties break by priority; no-script is other") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def run(s: String) = Seq(Tuple1(s)).toDF("t")
+      .select(TextAnalysis.scriptOf($"t").as("s")).collect().head.getString(0)
+    assert(run("hello world") == "latin")
+    assert(run("Привет мир") == "cyrillic")
+    assert(run("中文文本测试") == "cjk")
+    assert(run("ひらがなとカタカナ") == "cjk") // kana counts as cjk
+    assert(run("مرحبا بالعالم") == "arabic")
+    assert(run("γειά σου κόσμε") == "greek")
+    assert(run("안녕하세요") == "hangul")
+    assert(run("नमस्ते दुनिया") == "devanagari")
+    assert(run("12345 !?.") == "other")
+    assert(run("") == "other")
+    // majority: latin text with a trace of cyrillic stays latin
+    assert(run("mostly english text Д") == "latin")
+    // tie (2 latin vs 2 cyrillic chars) breaks by priority order
+    assert(run("abДД") == "latin")
+  }
+
   test("temperatureMix: layout-invariant, tempering upweights small sources") {
     import spark.implicits._
     import graft.operators.Sampling
