@@ -314,7 +314,11 @@ object Sampling {
     *
     * Scale shape: the rate table is one tiny per-source aggregate
     * (partial-aggregable count) broadcast back; the gate itself is a
-    * per-row codegen'd filter — no corpus-scale exchange at all. */
+    * per-row codegen'd filter — no corpus-scale exchange at all.
+    *
+    * NULL sources are dropped (the rate join is an equi-join and SQL
+    * nulls never equal) — coalesce the source column upstream if
+    * null-source rows must participate. */
   def temperatureMix(df: DataFrame, source: Column, key: Column,
                      alpha: Double, targetFraction: Double,
                      salt: String = "mix:",

@@ -618,16 +618,20 @@ object TextAnalysis {
                     banPageSubstrings: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
     require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1, got $minWordsPerLine")
     require(minKeptLines >= 0, s"minKeptLines must be >= 0, got $minKeptLines")
+    // the checks run against lowercased text — lower the needles too so
+    // a caller passing "JavaScript" doesn't silently never match
+    val banLine = banLineSubstring.toLowerCase
+    val banPage = banPageSubstrings.map(_.toLowerCase)
     val lines = split(col(textCol), "\n")
     def lineOk(l: Column): Column = {
       val t = trim(l)
       val terminal = substring(t, -1, 1).isin(".", "!", "?", "\"")
       val words = when(t === "", lit(0)).otherwise(size(split(t, "\\s+")))
       terminal && words >= minWordsPerLine &&
-        instr(lower(t), banLineSubstring) === 0
+        instr(lower(t), banLine) === 0
     }
     val kept = filter(lines, lineOk(_))
-    val okBanned = banPageSubstrings
+    val okBanned = banPage
       .map(s => instr(lower(col(textCol)), s) === 0)
       .reduce(_ && _)
     df.select(col(idCol), size(lines).as("n_lines"), size(kept).as("n_kept"),
