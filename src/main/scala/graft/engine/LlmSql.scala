@@ -441,6 +441,12 @@ object LlmSql {
         TextAnalysis.unigramLogProb(table(str(t, f)), str(id, f), str(text, f))
       case args => bad("graft_unigram_lp(table, id_col, text_col)", args)
     }
+    reg(spark, "graft_bigram_lp") {
+      case Seq(t, id, text) =>
+        val f = "graft_bigram_lp"
+        TextAnalysis.bigramLogProb(table(str(t, f)), str(id, f), str(text, f))
+      case args => bad("graft_bigram_lp(table, id_col, text_col)", args)
+    }
     reg(spark, "graft_dsir") {
       case Seq(t, tgt, id, text, b) =>
         val f = "graft_dsir"

@@ -695,6 +695,45 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, emailRe, "[EMAIL]"),
       phoneRe, "[PHONE]")
 
+  /** Bigram language-model score — [[unigramLogProb]]'s next rung on
+    * the CCNet ladder (perplexity under a self-trained corpus LM):
+    * avg over a document's bigram OCCURRENCES of
+    * `ln((c(w1 w2)+1) / (c(w1)+V))` — add-1-smoothed conditional
+    * log-likelihood, V = corpus vocabulary size. Documents whose
+    * bigrams are corpus-typical score high; shuffled/gibberish word
+    * salad scores low even when its UNIGRAMS are common — the failure
+    * mode the unigram score cannot see. Output: (id, n_bigrams,
+    * avg_logprob); documents with < 2 tokens have no bigrams and are
+    * absent.
+    *
+    * Scale shape — tfidf-family: per-(doc, bigram) tf is partial-
+    * aggregable; bigram and unigram count tables join on 60-bit
+    * [[Dedup.sharedHash60]] keys (8-byte exchanges — these tables are
+    * vocabulary-scale, NOT broadcastable, which is why the join is
+    * relational); V is a broadcast single row; text leaves the first
+    * projections only as hashes. round(·,4) absorbs libm-ln spread. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    reuse: Reuse = Reuse.Local): DataFrame = {
+    val uh = reuse(df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), Dedup.sharedHash60(col("w")).as("uh")))
+    val cu = uh.groupBy(col("uh")).agg(count(lit(1)).as("cu"))
+    val vocab = cu.agg(count(lit(1)).as("v"))
+    val btf = reuse(
+      Dedup.shingleRowsPos(df.select(col(idCol), col(textCol)),
+          idCol, textCol, n = 2)
+        .select(col(idCol), Dedup.sharedHash60(col("s")).as("bh"),
+          Dedup.sharedHash60(element_at(split(col("s"), " "), 1)).as("wh"))
+        .groupBy(col(idCol), col("bh"), col("wh"))
+        .agg(count(lit(1)).as("tf")))
+    val cb = btf.groupBy(col("bh")).agg(sum(col("tf")).as("cb"))
+    btf.join(cb, "bh").join(cu, btf("wh") === cu("uh"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * log((col("cb") + 1.0) / (col("cu") + col("v")))) /
+          sum(col("tf")), 4).as("avg_logprob"))
+  }
+
   /** Text normalization — the pipeline's mandatory first step (mixed
     * NFC/NFD sources hash-split identical text, so EVERY hash-keyed
     * operator in this library — exact dedup, minhash, span/line dedup,

@@ -262,6 +262,8 @@ object EngineQueries {
                         length(graft_normalize(text)) AS n_chars_norm
                  FROM graft_norm_docs""")
     }),
+    "e_sql_bigram_lp" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_bigram_lp('documents', 'doc_id', 'text')")),
     // script detection from SQL over the same multilingual fixture
     // (DataFrame-built: Spark SQL chr() is ASCII-only)
     "e_sql_script" -> ((s, d) => {
@@ -518,6 +520,7 @@ object EngineQueries {
     "e_sql_decontaminate_bloom" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
     "e_sql_script" -> LlmQueries.oracle("llm_script"),
+    "e_sql_bigram_lp" -> LlmQueries.oracle("llm_bigram_lp"),
     "e_sql_temperature_mix" -> LlmQueries.oracle("llm_temperature_mix"),
     "e_sql_corpus_report" -> LlmQueries.oracle("llm_corpus_report"),
     "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),

@@ -575,6 +575,11 @@ object LlmQueries {
       // the per-(source, lang) ingestion dashboard panel
       TextAnalysis.corpusReport(
         Tables.load(s, d, "documents"), "source", "lang", "text")),
+    "llm_bigram_lp" -> ((s, d) =>
+      // bigram LM score: corpus-typical word ORDER scores high — the
+      // signal the unigram score cannot see
+      TextAnalysis.bigramLogProb(
+        Tables.load(s, d, "documents"), "doc_id", "text")),
     "llm_script" -> ((s, d) => {
       import s.implicits._
       // script detection over a planted multilingual fixture: one
@@ -1421,6 +1426,31 @@ object LlmQueries {
                  CAST(CAST(('0x'||substr(md5('p3:'||ct2),1,8)) AS BIGINT) % 8 AS INTEGER) AS shard,
                  CAST(('0x'||substr(md5('ord:p3:'||ct2),1,8)) AS BIGINT) AS order_key
           FROM capped""",
+    // bigram LM: identical hash-keyed count algebra; the IEEE ln
+    // argument is built with the same op sequence so only libm's 1-ulp
+    // spread is in play — absorbed by round(.,4)
+    "llm_bigram_lp" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+                    FROM documents),
+          uh AS (SELECT doc_id, CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) AS h
+                 FROM (SELECT doc_id, unnest(tk) AS w FROM t)),
+          cu AS (SELECT h, count(*) AS cu FROM uh GROUP BY h),
+          v AS (SELECT count(*) AS v FROM cu),
+          b AS (SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bg
+                FROM (SELECT doc_id, tk,
+                             unnest(generate_series(1, len(tk) - 1)) AS i
+                      FROM t WHERE len(tk) >= 2)),
+          btf AS (SELECT doc_id,
+                         CAST(('0x'||substr(md5(bg),1,15)) AS BIGINT) AS bh,
+                         CAST(('0x'||substr(md5(w1),1,15)) AS BIGINT) AS wh,
+                         count(*) AS tf
+                  FROM b GROUP BY 1, 2, 3),
+          cb AS (SELECT bh, sum(tf) AS cb FROM btf GROUP BY bh)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                 round(sum(tf * ln((cb + 1.0) / (cu + v))) / sum(tf), 4)
+                   AS avg_logprob
+          FROM btf JOIN cb USING (bh) JOIN cu ON cu.h = btf.wh, v
+          GROUP BY doc_id""",
     // script detection: same planted fixture via chr() codepoints, same
     // portable char-class counts, same priority-ordered argmax
     "llm_script" ->

@@ -861,6 +861,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(oneShard.distinct.size > 1)
   }
 
+  test("bigramLogProb: typical word order outranks shuffled; exact values") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // corpus unigrams: a x4, b x1 -> V=2, c(a)=4, c(b)=1
+    // bigrams: "a a" x2 (doc1), "a b" x1 (doc2)
+    val df = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L) == ((2L, r4(math.log(3.0 / 6.0)))))
+    assert(out(2L) == ((1L, r4(math.log(2.0 / 6.0)))))
+    // word ORDER discriminates where unigrams cannot: same bag of
+    // words, opposite order -> the corpus-typical order scores higher
+    val ord = Seq((1L, "x y x y x y"), (2L, "x y x y x y"),
+      (3L, "y x y x y x")).toDF("doc_id", "text")
+    val s = TextAnalysis.bigramLogProb(ord, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) > s(3L),
+      s"typical order should outrank reversed: ${s(1L)} vs ${s(3L)}")
+    // a one-token document has no bigrams and is absent
+    val one = TextAnalysis.bigramLogProb(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(one.count() == 0)
+  }
+
   test("scriptOf: majority script wins; ties break by priority; no-script is other") {
     import spark.implicits._
     import graft.operators.TextAnalysis

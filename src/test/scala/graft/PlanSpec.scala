@@ -108,8 +108,10 @@ class PlanSpec extends AnyFunSuite {
       "llm_pipeline3", "e_sql_pipeline3",
       // broadcast 1-row corpus totals feeding the per-source rate table
       "llm_temperature_mix", "e_sql_temperature_mix",
-      // broadcast 1-row corpus token total (unigram model)
+      // broadcast 1-row corpus token total (unigram model) / vocabulary
+      // size (bigram model)
       "llm_unigram_lp", "e_sql_unigram_lp",
+      "llm_bigram_lp", "e_sql_bigram_lp",
       // broadcast 1-row raw/target distribution totals (DSIR smoothing
       // denominators); the bucket table itself equi-joins on __f
       "llm_dsir", "e_sql_dsir")
@@ -465,6 +467,20 @@ class PlanSpec extends AnyFunSuite {
       "corpus shingles must probe the inlined bloom sketch before any join")
     assert(p.contains("LeftSemi"),
       "the exact confirm must remain a semi-join on the hash key")
+  }
+
+  test("bigram LM: exchanges key on id/hash columns, never token strings") {
+    val p = plan("llm_bigram_lp")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    // (doc_id window for bigram forming) + hash-keyed count/join
+    // exchanges; token/bigram strings ride only as window payload
+    assert(exchanges.forall(e =>
+      e.contains("doc_id") || e.contains("bh") || e.contains("wh") ||
+        e.contains("uh")),
+      s"bigram LM must exchange only id/hash keys:\n${exchanges.mkString("\n")}")
+    assert(p.contains("partial"), "count tables must combine map-side")
   }
 
   test("dsir: bucket table broadcasts; exchanges key on id/bucket only") {
