@@ -537,6 +537,16 @@ class LlmOpsSpec extends AnyFunSuite {
         reuse = Reuse.Reliable(dir))
       .select($"id_a", $"id_b").collect().map(key).toSet
     assert(rel == local)
+    // round-6 reuse-takers: Off == Local bit-equal on their diamonds
+    import graft.operators.TextAnalysis
+    def lines(r: Reuse) = TextAnalysis.removeRepeatedLines(
+        docs.select($"doc_id", $"text"), "doc_id", "text", maxDf = 1, reuse = r)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(lines(Reuse.Off) == lines(Reuse.Local))
+    def bigram(r: Reuse) = TextAnalysis.bigramLogProb(
+        docs.select($"doc_id", $"text"), "doc_id", "text", reuse = r)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bigram(Reuse.Off) == bigram(Reuse.Local))
   }
 
   test("topShinglesByDf counts each doc once and orders deterministically") {
