@@ -550,16 +550,7 @@ object TextAnalysis {
                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                   maxSymbolRatio: Double = 0.1,
                   minStopwordHits: Int = 2): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nToks = size(toks)
-    val meanLen = round(
-      length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
-        greatest(nToks, lit(1)), 6)
-    val symRatio = round(punctRatio(col(textCol)), 6)
-    val stops = org.apache.spark.sql.GraftBridge.column(
-      graft.functions.CountInSet(
-        org.apache.spark.sql.GraftBridge.expression(tokens(lower(col(textCol)))),
-        stopwordsEn))
+    val (nToks, meanLen, symRatio, stops) = gopherMetrics(col(textCol))
     df.select(col(idCol), nToks.as("n_tokens"), meanLen.as("mean_word_len"),
         symRatio.as("symbol_ratio"), stops.as("stop_hits"))
       .select(col(idCol), col("n_tokens"), col("mean_word_len"),
@@ -592,6 +583,37 @@ object TextAnalysis {
         round(avg(col("__c")), 4).as("avg_chars"),
         min(col("__c")).as("min_chars"),
         max(col("__c")).as("max_chars"))
+
+  /** The four Gopher metric columns (token count, mean word length,
+    * symbol ratio, stopword hits) — shared by [[gopherRules]] (the
+    * auditable panel) and [[gopherKeep]] (the bare predicate). */
+  private def gopherMetrics(text: Column): (Column, Column, Column, Column) = {
+    val nToks = size(tokens(text))
+    val meanLen = round(
+      length(regexp_replace(text, "\\s+", "")).cast("double") /
+        greatest(nToks, lit(1)), 6)
+    val symRatio = round(punctRatio(text), 6)
+    val stops = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CountInSet(
+        org.apache.spark.sql.GraftBridge.expression(tokens(lower(text))),
+        stopwordsEn))
+    (nToks, meanLen, symRatio, stops)
+  }
+
+  /** [[gopherRules]]' keep conjunction as a bare COLUMN predicate — for
+    * use as a stream/batch `filter` that keeps the input's own columns
+    * flowing (the panel projects them away). Identical arithmetic by
+    * construction ([[gopherMetrics]] is shared). */
+  def gopherKeep(text: Column,
+                 minTokens: Int = 50, maxTokens: Int = 100000,
+                 minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 minStopwordHits: Int = 2): Column = {
+    val (nToks, meanLen, symRatio, stops) = gopherMetrics(text)
+    nToks >= minTokens && nToks <= maxTokens &&
+      meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+      symRatio <= maxSymbolRatio && stops >= minStopwordHits
+  }
 
   /** C4-style line-level cleaning panel (public C4/T5 heuristics): a
     * line survives iff it ends in terminal punctuation (`. ! ? "`),

@@ -23,6 +23,65 @@ object LlmQueries {
     * decontamination-family oracle so the shingle format can't diverge. */
   private val gram13Sql = (0 until 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
 
+  /** The `st_admission` oracle (lives here for the shared CTE helpers;
+    * referenced from [[StreamQueries.oracle]]): the full admission path
+    * — Gopher keep → 13-gram decontamination vs the eval slice →
+    * band-candidate + exact-jaccard near-dup rejection vs the corpus —
+    * each stage the same algebra as its standalone oracle. */
+  private[queries] lazy val admissionOracleSql =
+    s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        aa AS (SELECT doc_id, text FROM documents, m
+               WHERE doc_id > mx - 300 AND doc_id <= mx - 200),
+        inc AS (SELECT doc_id + 3000000 AS doc_id, text FROM aa
+                UNION ALL
+                SELECT a.doc_id + 4000000 AS doc_id,
+                       a.text || ' ' || b.text || ' ' || c.text AS text
+                FROM aa a
+                JOIN documents b ON b.doc_id = a.doc_id - 120
+                JOIN documents c ON c.doc_id = a.doc_id - 240),
+        q AS (SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+                  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                        / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
+                  round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                        / greatest(length(text), 1), 6) AS sym,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t IN ($stopsEn))) AS INTEGER) AS stops
+                FROM inc)
+              WHERE n_tokens >= 10 AND n_tokens <= 100000
+                AND mwl >= 2.0 AND mwl <= 10.0 AND sym <= 0.1 AND stops >= 1),
+        qt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM q),
+        qg AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(toks) - 12), i -> $gram13Sql)) AS gs
+               FROM qt WHERE len(toks) >= 13),
+        qh AS (SELECT doc_id, list_distinct(list_transform(gs, s -> $hashSql)) AS hs
+               FROM qg),
+        evt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents, m WHERE doc_id > mx - 100),
+        evg AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, len(toks) - 12), i -> $gram13Sql)) AS gs
+                FROM evt WHERE len(toks) >= 13),
+        evh AS (SELECT DISTINCT unnest(list_distinct(list_transform(gs, s -> $hashSql))) AS eh
+                FROM evg),
+        contaminated AS (SELECT DISTINCT x.doc_id
+                         FROM (SELECT doc_id, unnest(hs) AS eh FROM qh) x
+                         JOIN evh USING (eh)),
+        clean AS (SELECT doc_id, text FROM q
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        ${minhashSketchCtes("clean", None, "n")},
+        ${minhashSketchCtes("documents", None, "c")},
+        cand AS (SELECT DISTINCT x.doc_id AS id_new, y.doc_id AS id_corpus
+                 FROM bandsn x JOIN bandsc y
+                   ON x.band_idx = y.band_idx AND x.band_val = y.band_val),
+        rejected AS (SELECT DISTINCT c.id_new AS doc_id
+                     FROM cand c JOIN hsn a ON a.doc_id = c.id_new
+                     JOIN hsc b ON b.doc_id = c.id_corpus
+                     WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+                           / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5)
+        SELECT doc_id FROM clean
+        WHERE doc_id NOT IN (SELECT doc_id FROM rejected)"""
+
   /** Shared by `llm_decontaminate` and `llm_decontaminate_bloom` — the
     * bloom path is a bandwidth optimization with identical output. */
   private lazy val decontaminateOracleSql =

@@ -49,6 +49,44 @@ object StreamQueries {
       graft.streaming.Corpus.admitProbe(incoming, idx, "doc_id", "text")
         .dropDuplicates("id_new", "id_corpus")
     }),
+    "st_admission" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // THE complete continuous-ingestion admission path (batch-parity
+      // form; streamed end-to-end in StreamingSpec): quality rules ->
+      // decontamination vs the static eval slice -> near-dup probe vs
+      // the static corpus index. Admitted = incoming docs surviving all
+      // three — every stage stateless/stream-static by construction
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      // incoming mixes CLONES of corpus docs (near-dup probe rejects
+      // them) with NOVEL docs built by concatenating three distant
+      // corpus docs (pairwise jaccard vs any one original ~ 1/3 < 0.5
+      // -> admitted unless quality/decontamination drops them); all
+      // component docs sit below the eval slice
+      val a = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && col("doc_id") <= col("m") - 200)
+      val clones = a.select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      val novel = a.select(col("doc_id").as("aid"), col("text").as("atext"))
+        .join(docs.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("aid") - 120 === col("bid"))
+        .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")),
+          col("aid") - 240 === col("cid"))
+        .select((col("aid") + 4000000).as("doc_id"),
+          concat_ws(" ", col("atext"), col("btext"), col("ctext")).as("text"))
+      val incoming = clones.unionAll(novel)
+      val ev = docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 100)
+        .select(col("doc_id"), col("text"))
+      val quality = incoming.filter(graft.operators.TextAnalysis.gopherKeep(
+        col("text"), minTokens = 10, maxTokens = 100000,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        maxSymbolRatio = 0.1, minStopwordHits = 1))
+      val clean = graft.streaming.Corpus.cleanAgainst(
+        quality, ev, "doc_id", "text", n = 13)
+      val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+      val hits = graft.streaming.Corpus.admitProbe(clean, idx, "doc_id", "text")
+        .select(col("id_new").as("doc_id")).distinct()
+      clean.select(col("doc_id")).join(hits, Seq("doc_id"), "left_anti")
+    }),
     "st_quality" -> ((s, d) =>
       // streaming quality gate (batch-parity form): the Gopher panel is
       // a stateless pure projection, so the identical transform runs on
@@ -72,10 +110,14 @@ object StreamQueries {
       val corpus = docs.crossJoin(broadcast(m)).filter(col("doc_id") <= col("m") - 100)
         .select(col("doc_id"), col("text"))
       graft.streaming.Corpus.cleanAgainst(corpus, ev, "doc_id", "text", n = 13)
+        .select(col("doc_id"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // the composed admission-path oracle lives in LlmQueries (shared
+    // CTE helpers)
+    "st_admission" -> LlmQueries.admissionOracleSql,
     // stateless per-row panel — identical to llm_gopher's oracle
     "st_quality" -> LlmQueries.oracle("llm_gopher"),
     "st_tumbling" ->

@@ -137,7 +137,9 @@ object Corpus {
         graft.functions.ShingleContaminated(
           org.apache.spark.sql.GraftBridge.expression(split(col(textCol), "\\s+")),
           n, evalH.toIndexedSeq))
-      docs.filter(!coalesce(contaminated, lit(false))).select(col(idCol))
+      // FILTER semantics: every input column passes through, so the
+      // clean frame composes directly into the next pipeline stage
+      docs.filter(!coalesce(contaminated, lit(false)))
     } else if (docs.isStreaming) {
       throw new IllegalArgumentException(
         s"eval set exceeds $maxInlineHashes distinct $n-gram hashes — too big " +
@@ -154,7 +156,7 @@ object Corpus {
         .select(col(idCol), Dedup.sharedHash(col("s")).as("h"))
       val dirty = docH.join(evalHDf, Seq("h"), "left_semi")
         .select(col(idCol)).distinct()
-      docs.select(col(idCol)).join(dirty, Seq(idCol), "left_anti")
+      docs.join(dirty, Seq(idCol), "left_anti")
     }
   }
 }

@@ -93,6 +93,10 @@ class PlanSpec extends AnyFunSuite {
       // and id_corpus (llm_minhash_incr hides the same bound behind its
       // reuse-truncated sketch leaf)
       "st_minhash",
+      // broadcast 1-row max-doc-id bound building the admission fixture
+      // (the path itself: codegen'd quality filter, inlined-hash
+      // decontamination, band equi-joins, id anti-join)
+      "st_admission",
       // broadcast 1-row max-doc-id bound building the planted-overlap
       // clones; extent resolution itself is equi-joins on fp/id/hash
       "llm_overlap_extents", "llm_substr_dedup",

@@ -42,6 +42,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming admission path: quality -> decontaminate -> probe == batch") {
+    import org.apache.spark.sql.functions._
+    // the full continuous-ingestion admission pipeline composed on one
+    // stream — every stage stateless/stream-static; parity against the
+    // st_admission batch gate's stages run on the same input
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ev = docs.filter(col("doc_id") > mx - 100)
+    val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+    def pipeline(in: org.apache.spark.sql.DataFrame) = {
+      val q = in.filter(graft.operators.TextAnalysis.gopherKeep(col("text"),
+        minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+      val clean = graft.streaming.Corpus.cleanAgainst(q, ev, "doc_id", "text")
+      graft.streaming.Corpus.admitProbe(clean, idx, "doc_id", "text")
+    }
+    // batch ground truth over a clone slice (every clone is a near-dup
+    // of its original, so the probe must reject all survivors)
+    val incoming = docs.filter(col("doc_id") > mx - 200)
+      .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+    val batchHits = pipeline(incoming)
+      .select(col("id_new"), col("id_corpus")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the same docs arrive as a STREAM (re-id applied on the stream)
+    val stream = graft.streaming.Corpus.readStream(spark, TestSpark.sf)
+      .filter(col("doc_id") > mx - 200)
+      .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+    Events.runToMemory(spark, pipeline(stream), "t_admit", OutputMode.Append())
+    val streamedHits = spark.table("t_admit")
+      .select(col("id_new"), col("id_corpus")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedHits == batchHits && batchHits.nonEmpty)
+  }
+
   test("streaming quality panel: Gopher rules on a stream == batch, stateless") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
