@@ -278,6 +278,26 @@ object LlmSql {
       case args => bad(
         "graft_decontaminate_bloom(corpus_table, eval_table, id_col, text_col, n, expected_items, num_bits)", args)
     }
+    reg(spark, "graft_contamination") {
+      case Seq(c, ev, id, text, n, mf) =>
+        val f = "graft_contamination"
+        Dedup.contaminationFraction(table(str(c, f)), table(str(ev, f)),
+          str(id, f), str(text, f), n = int(n, f), minFrac = dbl(mf, f))
+      case args => bad(
+        "graft_contamination(corpus_table, eval_table, id_col, text_col, n, min_frac)", args)
+    }
+    reg(spark, "graft_token_budget") {
+      case Seq(t, id, text, b) =>
+        val f = "graft_token_budget"
+        Sampling.tokenBudget(table(str(t, f)), str(id, f), str(text, f),
+          budget = int(b, f).toLong)
+      case Seq(t, id, text, b, salt) =>
+        val f = "graft_token_budget"
+        Sampling.tokenBudget(table(str(t, f)), str(id, f), str(text, f),
+          budget = int(b, f).toLong, salt = str(salt, f))
+      case args => bad(
+        "graft_token_budget(table, id_col, text_col, budget[, salt])", args)
+    }
     reg(spark, "graft_rep_ratio") {
       case Seq(t, id, text, n) =>
         val f = "graft_rep_ratio"

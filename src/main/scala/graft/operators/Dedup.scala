@@ -542,4 +542,50 @@ object Dedup {
         coalesce(col("eval_shingles"), lit(0L)).as("eval_shingles"),
         (coalesce(col("eval_shingles"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Contamination FRACTION — the graded variant of [[decontaminate]]:
+    * per document, |distinct n-grams ∩ eval set| / |distinct n-grams|,
+    * flagged at `minFrac`. The any-single-13-gram flag (GPT-3 appendix C)
+    * is this with minFrac → 0⁺; the published follow-ups (PaLM, GPT-4)
+    * report and threshold on the overlap FRACTION, which separates a
+    * long document that merely quotes one benchmark question from a
+    * verbatim benchmark inclusion.
+    *
+    * Scale shape: identical to [[decontaminate]] — eval hashes broadcast,
+    * corpus text never crosses an exchange — except hits and totals come
+    * from ONE aggregate over the (id, hash) frame (a broadcast left join
+    * marks eval membership; the count and the conditional sum share the
+    * id-keyed exchange) instead of a second corpus pass. Documents too
+    * short to have any n-gram (< n tokens) report 0/0 → fraction 0.0,
+    * never NULL — nothing to contaminate, and a NULL would silently pass
+    * a negated filter. The fraction is a single IEEE double division of
+    * two exact integers, so the oracle compares it raw (README
+    * "Correctness method"). */
+  def contaminationFraction(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, textCol: String, n: Int = 13,
+                            minFrac: Double = 0.8): DataFrame = {
+    require(minFrac >= 0.0 && minFrac <= 1.0,
+      s"minFrac must be in [0, 1], got $minFrac")
+    val evalH = shingleRows(evalSet.select(col(idCol), col(textCol)),
+        idCol, textCol, n)
+      .select(sharedHash(col("s")).as("h")).distinct()
+    val corpusH = shingleRows(corpus.select(col(idCol), col(textCol)),
+        idCol, textCol, n)
+      .select(col(idCol), sharedHash(col("s")).as("h")).distinct()
+    val counted = corpusH
+      .join(broadcast(evalH.select(col("h"), lit(1L).as("__e"))),
+        Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_shingles"),
+        sum(coalesce(col("__e"), lit(0L))).as("eval_shingles"))
+    corpus.select(col(idCol))
+      .join(counted, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("eval_shingles"), lit(0L)).as("eval_shingles"),
+        coalesce(col("total_shingles"), lit(0L)).as("total_shingles"))
+      .withColumn("overlap_frac",
+        when(col("total_shingles") === 0, lit(0.0))
+          .otherwise(col("eval_shingles").cast("double") / col("total_shingles")))
+      .withColumn("contaminated", col("overlap_frac") >= minFrac)
+  }
 }

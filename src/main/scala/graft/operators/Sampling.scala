@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for LLM data pipelines (SURVEY.md
@@ -342,6 +343,128 @@ object Sampling {
     df.join(broadcast(rates), source === col("__src"))
       .filter(hashGate(key, col("__bp"), salt))
       .drop("__src", "__bp")
+  }
+
+  /** Deterministic token-budget cut — "a reproducible N-token subset of
+    * the corpus": fill `budget` tokens in salted-hash order and stop.
+    * Training runs are budgeted in TOKENS, not documents; a Bernoulli
+    * rate gate ([[bernoulli]]) needs the corpus token total to hit a
+    * token target and still only hits it in expectation. This operator
+    * is exact: order docs by (hash(salt||text), id) — a total order,
+    * layout/engine-invariant — and keep every doc whose EXCLUSIVE
+    * running token total is still under `budget` (the boundary doc is
+    * kept, so the selection reaches at least `budget` tokens whenever
+    * the corpus has them — the concat-and-split convention of
+    * [[TextAnalysis.packOffsets]]). Nested: budget b₁ ≤ b₂ ⇒
+    * selection(b₁) ⊆ selection(b₂) (same hash order), so curriculum
+    * ablations at 1B/10B/100B tokens are strict supersets.
+    *
+    * Scale shape: a single global running sum would funnel the corpus
+    * through one task, so the prefix sum is HIERARCHICAL (the
+    * [[TextAnalysis.packOffsets]] recipe, transposed to hash order):
+    * `__b = hash div (2³²/numBuckets)` is monotone in the (hash, id)
+    * order, so buckets are CONTIGUOUS order ranges and the global
+    * exclusive prefix = broadcast per-bucket offset (a tiny
+    * ≤ numBuckets-row single-partition pass) + a bucket-PARTITIONED
+    * within-bucket window. Text reduces to (id, n_toks, hash) in the
+    * first projection and never crosses an exchange. NULL text rows
+    * hash NULL and are never selected (no deterministic position —
+    * matching [[hashGate]]'s NULL policy); `idCol` must be unique (the
+    * boundary tie-break, [[exactK]]'s contract).
+    *
+    * Output: (idCol, n_toks, token_offset) for the selected docs. */
+  def tokenBudget(df: DataFrame, idCol: String, textCol: String,
+                  budget: Long, salt: String = "budget:",
+                  numBuckets: Int = 1024,
+                  reuse: Reuse = Reuse.Local): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(numBuckets >= 1 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [1, 2^20], got $numBuckets")
+    val width = math.max(1L, (1L << 32) / numBuckets)
+    // read by the bucket-totals aggregate AND the offset join — one
+    // tokenize+hash pass, not two (the packOffsets diamond)
+    val toks = reuse(df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"),
+        saltedHash(col(textCol), salt).as("__h"))
+      .filter(col("__h").isNotNull)
+      .withColumn("__b", expr(s"`__h` div $width")))
+    val totals = toks.groupBy(col("__b")).agg(sum(col("n_toks")).as("__bt"))
+    val wBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__b"),
+      coalesce(sum(col("__bt")).over(wBuckets), lit(0L)).as("__boff"))
+    val wInBucket = Window.partitionBy(col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), Seq("__b"))
+      .select(col(idCol), col("n_toks"),
+        (col("__boff") + coalesce(sum(col("n_toks")).over(wInBucket), lit(0L)))
+          .as("token_offset"))
+      .filter(col("token_offset") < budget)
+  }
+
+  /** EXACT corpus percent-rank of a score column — the normalization
+    * step behind percentile-phrased quality rules (CCNet buckets by
+    * perplexity percentile; "keep the top 30%" thresholds are
+    * percentile statements): every row gets its global `rank()` and
+    * SQL `percent_rank()` = (rank−1)/(N−1), ties sharing the min rank.
+    * [[keepAboveQuantile]] answers one threshold; this returns the
+    * whole transform, so head/middle/tail bucketing and cross-corpus
+    * score calibration compose downstream as plain projections.
+    *
+    * Scale shape: a global rank window would sort the corpus through
+    * one task. Instead: (1) a GK sketch (`approx_percentile`) proposes
+    * `numBuckets−1` boundary values — ONE bounded-size action, the
+    * documented KB-scale driver boundary (like the IVF centroids);
+    * (2) bucket assignment is an inlined codegen'd CASE chain over the
+    * boundary literals (the [[stratified]] recipe — no join, no HOF,
+    * zero shuffle), and because assignment is a PURE FUNCTION of the
+    * value, equal values can never straddle buckets, so per-bucket
+    * `rank()` + broadcast bucket offsets compose to the EXACT global
+    * rank — sketch error moves bucket SIZES, never the answer (at
+    * worst a skewed bucket ranks more rows in one task); (3) the only
+    * unpartitioned window runs over the ≤ numBuckets-row count frame.
+    * NULL scores are excluded (no rank position — the
+    * [[keepAboveQuantile]] comparison-drop policy). The pct_rank
+    * division is two exact integers in IEEE double — oracle-raw. */
+  def percentRank(df: DataFrame, idCol: String, valueCol: String,
+                  numBuckets: Int = 64,
+                  reuse: Reuse = Reuse.Local): DataFrame = {
+    require(numBuckets >= 1 && numBuckets <= 4096,
+      s"numBuckets must be in [1, 4096], got $numBuckets")
+    val in = reuse(df.select(col(idCol), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull))
+    val bucket: Column =
+      if (numBuckets == 1) lit(0)
+      else {
+        val ps = (1 until numBuckets).map(_.toDouble / numBuckets)
+        val row = in.agg(percentile_approx(col("__v"),
+          array(ps.map(lit): _*), lit(10000)).as("bs")).head()
+        val bs: Seq[Any] =
+          if (row.isNullAt(0)) Nil else row.getSeq[Any](0).distinct
+        if (bs.isEmpty) lit(0)
+        else bs.tail.zipWithIndex.foldLeft(
+          when(col("__v") < lit(bs.head), lit(0))) {
+            case (acc, (b, i)) => acc.when(col("__v") < lit(b), lit(i + 1))
+          }.otherwise(lit(bs.length))
+      }
+    val marked = in.withColumn("__bk", bucket)
+    val counts = marked.groupBy(col("__bk")).agg(count(lit(1)).as("__c"))
+    val wOff = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(col("__bk"),
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"),
+      sum(col("__c")).over(wTot).as("__n"))
+    val wRank = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+    marked.join(broadcast(offsets), Seq("__bk"))
+      .select(col(idCol), col("__v"), col("__n"),
+        (col("__off") + rank().over(wRank)).as("rnk"))
+      .select(col(idCol), col("__v").as(valueCol), col("rnk"),
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("rnk") - 1).cast("double") / (col("__n") - 1))
+          .as("pct_rank"))
   }
 
   /** Stratified sample: per-stratum rates (basis points), rows in

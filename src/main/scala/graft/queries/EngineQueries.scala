@@ -236,6 +236,23 @@ object EngineQueries {
         """SELECT * FROM graft_decontaminate_bloom(
              'graft_corpus_v', 'graft_eval_v', 'doc_id', 'text', 13, 65536, 1048576)""")
     }),
+    // graded contamination fraction from SQL — same eval/corpus views
+    "e_sql_contamination" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_eval_v AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_corpus_v AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id <= (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query(
+        """SELECT * FROM graft_contamination(
+             'graft_corpus_v', 'graft_eval_v', 'doc_id', 'text', 13, 0.2)""")
+    }),
+    // deterministic token-budget fill from one line of SQL
+    "e_sql_token_budget" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_token_budget('documents', 'doc_id', 'text', 10000)")),
     // C4-style repeated-span removal from one line of SQL
     "e_sql_span_dedup" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_span_dedup('documents', 'doc_id', 'text', 16, 1)")),
@@ -498,6 +515,8 @@ object EngineQueries {
     "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),
+    "e_sql_contamination" -> LlmQueries.oracle("llm_contamination"),
+    "e_sql_token_budget" -> LlmQueries.oracle("llm_token_budget"),
     "e_sql_cluster_keep" -> LlmQueries.oracle("llm_cluster_keep"),
     "e_sql_cluster_best" -> LlmQueries.oracle("llm_cluster_best"),
     "e_sql_exact_dedup" -> LlmQueries.oracle("llm_exact_dedup"),

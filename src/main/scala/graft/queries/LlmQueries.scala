@@ -322,6 +322,28 @@ object LlmQueries {
       Dedup.decontaminateBloom(corpus, ev, "doc_id", "text", n = 13,
         expectedItems = 1L << 16, numBits = 1L << 20)
     }),
+    "llm_contamination" -> ((s, d) => {
+      import s.implicits._
+      // graded eval-overlap: the llm_decontaminate fixture (eval =
+      // tail-100 slice, corpus = the rest), scored as the FRACTION of
+      // each corpus doc's distinct 13-grams found in the eval set and
+      // flagged at 20% — the PaLM/GPT-4-style threshold that separates
+      // quoting one benchmark question from verbatim inclusion
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val ev = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      val corpus = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      Dedup.contaminationFraction(corpus, ev, "doc_id", "text",
+        n = 13, minFrac = 0.2)
+    }),
+    "llm_token_budget" -> ((s, d) =>
+      // deterministic 10k-token fill in salted-hash order (~1/3 of the
+      // corpus at this SF); 64 hash-range buckets so the hierarchical
+      // prefix sum really tiers (the llm_pack recipe, hash order)
+      graft.operators.Sampling.tokenBudget(Tables.load(s, d, "documents"),
+        "doc_id", "text", budget = 10000L, numBuckets = 64)),
     "llm_pack" -> ((s, d) =>
       // concat-and-split packing offsets: 512-token training sequences,
       // 64-doc buckets so the hierarchical prefix sum really tiers
@@ -1161,6 +1183,45 @@ object LlmQueries {
     // (false positives only cost a probe in the exact confirm join), so
     // the same oracle verifies it
     "llm_decontaminate_bloom" -> decontaminateOracleSql,
+    // graded variant: totals + hits in one aggregate, fraction = exact
+    // integer division in double (IEEE-deterministic, compared raw)
+    "llm_contamination" ->
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents),
+          g AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(toks) - 12),
+                    i -> $gram13Sql)) AS gs
+                FROM t WHERE len(toks) >= 13),
+          h AS (SELECT doc_id,
+                  list_distinct(list_transform(gs, s -> $hashSql)) AS hs
+                FROM g),
+          ev AS (SELECT DISTINCT unnest(hs) AS eh FROM h, m WHERE doc_id > mx - 100),
+          co AS (SELECT doc_id, unnest(hs) AS eh FROM h, m WHERE doc_id <= mx - 100),
+          agg AS (SELECT co.doc_id, count(*) AS t, count(ev.eh) AS c
+                  FROM co LEFT JOIN ev ON co.eh = ev.eh GROUP BY co.doc_id)
+          SELECT d.doc_id, coalesce(agg.c, 0) AS eval_shingles,
+                 coalesce(agg.t, 0) AS total_shingles,
+                 CASE WHEN coalesce(agg.t, 0) = 0 THEN 0.0
+                      ELSE CAST(agg.c AS DOUBLE) / agg.t END AS overlap_frac,
+                 CASE WHEN coalesce(agg.t, 0) = 0 THEN 0.0
+                      ELSE CAST(agg.c AS DOUBLE) / agg.t END >= 0.2 AS contaminated
+          FROM (SELECT doc_id FROM documents, m WHERE doc_id <= mx - 100) d
+          LEFT JOIN agg USING (doc_id)""",
+    // global exclusive prefix over (hash, id) order == the hierarchical
+    // bucket-offset + within-bucket form (buckets are contiguous order
+    // ranges); boundary doc kept (token_offset < budget)
+    "llm_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks,
+               CAST(('0x'||substr(md5('budget:'||text),1,8)) AS BIGINT) AS h
+             FROM documents),
+          o AS (SELECT doc_id, n_toks,
+                  CAST(coalesce(sum(n_toks) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS token_offset
+                FROM t)
+          SELECT doc_id, n_toks, token_offset FROM o WHERE token_offset < 10000""",
     // global running token offsets (the hierarchical prefix sum must
     // equal DuckDB's single global window) + integer-division seq cuts
     "llm_pack" ->

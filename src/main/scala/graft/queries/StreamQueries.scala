@@ -87,6 +87,15 @@ object StreamQueries {
         .select(col("id_new").as("doc_id")).distinct()
       clean.select(col("doc_id")).join(hits, Seq("doc_id"), "left_anti")
     }),
+    "st_corpus_report" -> ((s, d) =>
+      // the ingestion dashboard ON THE INGESTION STREAM (batch-parity
+      // form; StreamingSpec runs the identical transform as a
+      // complete-mode streaming aggregate): same panel and oracle as
+      // llm_corpus_report — counts/sums/min/max merge exactly, and the
+      // double avg is exact-integer addition below 2^53 so the
+      // incremental merge order cannot change it
+      graft.operators.TextAnalysis.corpusReport(
+        Tables.load(s, d, "documents"), "source", "lang", "text")),
     "st_quality" -> ((s, d) =>
       // streaming quality gate (batch-parity form): the Gopher panel is
       // a stateless pure projection, so the identical transform runs on
@@ -120,6 +129,8 @@ object StreamQueries {
     "st_admission" -> LlmQueries.admissionOracleSql,
     // stateless per-row panel — identical to llm_gopher's oracle
     "st_quality" -> LlmQueries.oracle("llm_gopher"),
+    // complete-mode streaming aggregate — identical to the batch panel
+    "st_corpus_report" -> LlmQueries.oracle("llm_corpus_report"),
     "st_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
                 event_type, count(*) AS n

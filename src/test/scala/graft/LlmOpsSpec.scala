@@ -1094,4 +1094,60 @@ class LlmOpsSpec extends AnyFunSuite {
     // one with zero target-vocabulary overlap
     assert(out(1L)._2 > 0 && out(2L)._2 < 0 && out(1L)._2 > out(2L)._2)
   }
+
+  test("tokenBudget: nested, layout-invariant, hierarchy-invariant, boundary fill") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = docs.select($"doc_id", $"text")
+    def sel(b: Long, nb: Int = 64, part: Int = 4) =
+      Sampling.tokenBudget(d.repartition(part), "doc_id", "text",
+          budget = b, numBuckets = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = sel(5000)
+    assert(a.nonEmpty && a.length < d.count(),
+      "budget must select a strict non-empty subset at this SF")
+    // membership is a pure function of (salt, text) — not of layout
+    assert(sel(5000, part = 13).toSet == a.toSet)
+    // bucketing granularity is invisible: 1 bucket IS the global
+    // window, so the hierarchical decomposition is proven bit-equal
+    assert(sel(5000, nb = 1).toSet == a.toSet)
+    assert(sel(5000, nb = 1024).toSet == a.toSet)
+    // nested: a smaller budget selects a subset of a larger one
+    val b = sel(12000)
+    assert(a.map(_._1).toSet.subsetOf(b.map(_._1).toSet))
+    // boundary convention: every kept doc's EXCLUSIVE prefix is under
+    // budget, the fill reaches at least the budget, and removing the
+    // boundary doc drops under it (no over-selection)
+    assert(a.forall(_._3 < 5000))
+    val total = a.map(_._2).sum
+    assert(total >= 5000)
+    val last = a.maxBy(_._3)
+    assert(total - last._2 < 5000)
+    // offsets are internally consistent: each doc's offset equals the
+    // token sum of the docs selected before it
+    assert(last._3 == total - last._2)
+  }
+
+  test("contaminationFraction: exact fractions, 0-gram docs score 0.0, any-hit agrees with decontaminate") {
+    import spark.implicits._
+    // trigrams: doc1 {"a b c","b c d"}, doc2 none (too short),
+    // doc3 {"p q r","q r s","r s t"}; eval = {"a b c"} → doc1 = 1/2
+    val corpus = Seq((1L, "a b c d"), (2L, "x y"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val ev = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.contaminationFraction(corpus, ev, "doc_id", "text",
+        n = 3, minFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((1L, 2L, 0.5, true)))
+    assert(out(2L) == ((0L, 0L, 0.0, false)), "0/0 must be 0.0, never NULL")
+    assert(out(3L) == ((0L, 3L, 0.0, false)))
+    // minFrac → 0⁺ degenerates to decontaminate's any-hit flag
+    val anyHit = Dedup.decontaminate(corpus, ev, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    out.foreach { case (id, (_, _, frac, _)) =>
+      assert((frac > 0.0) == anyHit(id),
+        s"doc $id: fraction ${frac} disagrees with decontaminate flag ${anyHit(id)}")
+    }
+  }
 }

@@ -513,4 +513,37 @@ class PlanSpec extends AnyFunSuite {
       s"kmeans must exchange only cell/pos accumulator rows:\n${exchanges.mkString("\n")}")
     assert(p.contains("partial"), "centroid sums must combine map-side")
   }
+
+  test("token budget: running sum is bucket-partitioned; exchanges key on bucket only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the packOffsets hierarchy, transposed to hash order: exactly one
+    // unpartitioned window and it runs over per-bucket totals (tiny),
+    // never the doc stream; the corpus running sum is bucket-partitioned
+    val qe = SparkEntry.queries("llm_token_budget")(spark, TestSpark.sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected 2 windows (bucket offsets + in-bucket), got ${wins.size}")
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1, "exactly one unpartitioned window (the tiny bucket-offset pass)")
+    assert(unpart.head.child.output.map(_.name).contains("__bt"),
+      "the unpartitioned window must run over per-bucket totals, never the doc stream")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the corpus running sum must be bucket-partitioned")
+    // text reduces to (id, n_toks, hash) in the first projection — every
+    // hash exchange carries the bucket key, never document text
+    val p = plan("llm_token_budget")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("__b")),
+      s"token budget must exchange only bucket keys:\n${exchanges.mkString("\n")}")
+  }
+
+  test("contamination fraction: eval broadcasts; hits+totals share one id-keyed aggregate") {
+    val p = plan("llm_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval shingle hashes must broadcast (corpus never shuffles for the match)")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => e.contains("doc_id") || e.contains("h#")),
+      s"contamination must exchange only id/hash keys:\n${exchanges.mkString("\n")}")
+    assert(p.contains("partial"), "the count+sum aggregate must combine map-side")
+  }
 }

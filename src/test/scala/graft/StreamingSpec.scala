@@ -94,6 +94,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists(r => r.last == false))
   }
 
+  test("streaming corpus report: complete-mode aggregate == batch") {
+    // the ingestion dashboard on the ingestion stream: a stateful
+    // complete-mode aggregate (unlike the stateless parity cases) —
+    // counts/sums/min/max merge exactly; avg is exact-integer double
+    // addition below 2^53, so incremental merge order cannot change it
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val batch = graft.operators.TextAnalysis
+      .corpusReport(docs, "source", "lang", "text")
+      .collect().map(_.toSeq).toSet
+    val stream = graft.streaming.Corpus.readStream(spark, TestSpark.sf)
+    Events.runToMemory(spark,
+      graft.operators.TextAnalysis.corpusReport(stream, "source", "lang", "text"),
+      "t_report", OutputMode.Complete())
+    val streamed = spark.table("t_report").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the panel is real: more than one (source, lang) slice
+    assert(batch.size > 1)
+  }
+
   test("streaming decontamination: stream over files == batch, stateless") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
