@@ -385,6 +385,30 @@ object LlmSql {
       case args => bad(
         "graft_semdedup(table, id_col, vec_col, n_cells, iters, threshold)", args)
     }
+    reg(spark, "graft_rank_norm") {
+      case Seq(t, id, value, buckets) =>
+        val f = "graft_rank_norm"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val vc = str(value, f)
+        val nb = int(buckets, f)
+        // the boundary sketch is an ACTION (approx_percentile collected
+        // as CASE-chain literals) — defer it like semdedup/the cluster
+        // TVFs so EXPLAIN/prepare launch no job
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField(vc, tbl.select(col(vc)).schema.head.dataType),
+            StructField("rnk", org.apache.spark.sql.types.LongType),
+            StructField("pct_rank", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            Sampling.percentRank(tbl, idc, vc, numBuckets = nb)
+              .select(col(idc), col(vc).cast(
+                  tbl.select(col(vc)).schema.head.dataType),
+                col("rnk").cast("long"), col("pct_rank").cast("double"))
+          })
+      case args => bad(
+        "graft_rank_norm(table, id_col, value_col, n_buckets)", args)
+    }
     reg(spark, "graft_shards") {
       case Seq(t, key, n, salt) =>
         val f = "graft_shards"

@@ -253,6 +253,10 @@ object EngineQueries {
     // deterministic token-budget fill from one line of SQL
     "e_sql_token_budget" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_token_budget('documents', 'doc_id', 'text', 10000)")),
+    // exact percent-rank normalization from SQL (deferred boundary
+    // sketch — EXPLAIN launches no job)
+    "e_sql_rank_norm" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_rank_norm('documents', 'doc_id', 'n_chars', 16)")),
     // C4-style repeated-span removal from one line of SQL
     "e_sql_span_dedup" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_span_dedup('documents', 'doc_id', 'text', 16, 1)")),
@@ -517,6 +521,7 @@ object EngineQueries {
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_contamination" -> LlmQueries.oracle("llm_contamination"),
     "e_sql_token_budget" -> LlmQueries.oracle("llm_token_budget"),
+    "e_sql_rank_norm" -> LlmQueries.oracle("llm_rank_norm"),
     "e_sql_cluster_keep" -> LlmQueries.oracle("llm_cluster_keep"),
     "e_sql_cluster_best" -> LlmQueries.oracle("llm_cluster_best"),
     "e_sql_exact_dedup" -> LlmQueries.oracle("llm_exact_dedup"),

@@ -344,6 +344,13 @@ object LlmQueries {
       // prefix sum really tiers (the llm_pack recipe, hash order)
       graft.operators.Sampling.tokenBudget(Tables.load(s, d, "documents"),
         "doc_id", "text", budget = 10000L, numBuckets = 64)),
+    "llm_rank_norm" -> ((s, d) =>
+      // exact corpus percent-rank of a score column (n_chars carries
+      // heavy ties, exercising the tie-sharing contract); 16 sketch
+      // buckets so the bucketed hierarchy really tiers at this SF
+      graft.operators.Sampling.percentRank(
+        Tables.load(s, d, "documents"), "doc_id", "n_chars",
+        numBuckets = 16)),
     "llm_pack" -> ((s, d) =>
       // concat-and-split packing offsets: 512-token training sequences,
       // 64-doc buckets so the hierarchical prefix sum really tiers
@@ -1222,6 +1229,13 @@ object LlmQueries {
                     AS token_offset
                 FROM t)
           SELECT doc_id, n_toks, token_offset FROM o WHERE token_offset < 10000""",
+    // the bucketed hierarchical rank must equal the plain global window:
+    // rank() with min-rank tie sharing, percent_rank = (rank-1)/(N-1)
+    "llm_rank_norm" ->
+      """SELECT doc_id, n_chars,
+                CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS rnk,
+                percent_rank() OVER (ORDER BY n_chars) AS pct_rank
+         FROM documents""",
     // global running token offsets (the hierarchical prefix sum must
     // equal DuckDB's single global window) + integer-division seq cuts
     "llm_pack" ->

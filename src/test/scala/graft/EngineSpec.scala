@@ -503,6 +503,11 @@ class EngineSpec extends AnyFunSuite {
              'documents', 'documents', 'doc_id', 'text', 13, 65536, 1048576)""")
       assert(planBloom.contains("GraftDeferredScan"),
         "the bloom sketch build must sit behind a deferred-scan leaf")
+      // the percent-rank boundary sketch (an action) likewise
+      val planRank = engine.explain(
+        "SELECT * FROM graft_rank_norm('documents', 'doc_id', 'n_chars', 16)")
+      assert(planRank.contains("GraftDeferredScan"),
+        "the rank-norm boundary sketch must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the cluster TVFs must launch no Spark job, saw $jobs")

@@ -1128,6 +1128,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(last._3 == total - last._2)
   }
 
+  test("percentRank: bucketing- and layout-invariant, tie-sharing, exact values, NULL policy") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = docs.select($"doc_id", $"n_chars")
+    def run(nb: Int, part: Int = 4) =
+      Sampling.percentRank(d.repartition(part), "doc_id", "n_chars",
+          numBuckets = nb)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    val a = run(16)
+    // 1 bucket IS the plain global rank window — the sketch-bucketed
+    // hierarchy must be bit-equal to it (sketch error moves bucket
+    // sizes, never the answer), at any granularity and any layout
+    assert(run(1) == a)
+    assert(run(64) == a)
+    assert(run(16, part = 13) == a)
+    // hand-exact with ties: 10, 20, 20, 30 → ranks 1, 2, 2, 4
+    val t = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L)).toDF("id", "v")
+    val out = Sampling.percentRank(t, "id", "v", numBuckets = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1L, 0.0)))
+    assert(out(2L) == ((2L, 1.0 / 3)) && out(3L) == ((2L, 1.0 / 3)),
+      "ties must share the min rank")
+    assert(out(4L) == ((4L, 1.0)))
+    // NULL scores have no rank position and are excluded
+    val withNull = Seq((1L, Some(10L)), (2L, None)).toDF("id", "v")
+    val nn = Sampling.percentRank(withNull, "id", "v", numBuckets = 4).collect()
+    assert(nn.map(_.getLong(0)).toSet == Set(1L))
+    // the N == 1 corner: a single row is percent-rank 0.0, not 0/0
+    assert(nn.head.getDouble(3) == 0.0)
+  }
+
   test("contaminationFraction: exact fractions, 0-gram docs score 0.0, any-hit agrees with decontaminate") {
     import spark.implicits._
     // trigrams: doc1 {"a b c","b c d"}, doc2 none (too short),

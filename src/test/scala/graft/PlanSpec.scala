@@ -536,6 +536,28 @@ class PlanSpec extends AnyFunSuite {
       s"token budget must exchange only bucket keys:\n${exchanges.mkString("\n")}")
   }
 
+  test("percent rank: rank window bucket-partitioned; offsets tiny and broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("llm_rank_norm")(spark, TestSpark.sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    // exactly one unpartitioned window and it runs over the per-bucket
+    // COUNT frame (≤ numBuckets rows), never the corpus
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1, s"expected 1 unpartitioned window, got ${unpart.size}")
+    assert(unpart.head.child.output.map(_.name).contains("__c"),
+      "the unpartitioned window must run over per-bucket counts")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the corpus rank window must be bucket-partitioned")
+    // bucket assignment is an inlined CASE chain — every hash exchange
+    // carries the bucket key, and the offsets side broadcasts
+    val p = plan("llm_rank_norm")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("__bk")),
+      s"percent rank must exchange only bucket keys:\n${exchanges.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "bucket offsets must broadcast back to the corpus side")
+  }
+
   test("contamination fraction: eval broadcasts; hits+totals share one id-keyed aggregate") {
     val p = plan("llm_contamination")
     assert(p.contains("BroadcastHashJoin"),
