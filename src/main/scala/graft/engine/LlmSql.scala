@@ -434,6 +434,17 @@ object LlmSql {
       case args => bad(
         "graft_gopher(table, id_col, text_col, min_tokens, max_tokens, min_word_len, max_word_len, max_symbol_ratio, min_stop_hits)", args)
     }
+    reg(spark, "graft_gopher_rep") {
+      case Seq(t, id, text) =>
+        val f = "graft_gopher_rep"
+        TextAnalysis.gopherRepetition(table(str(t, f)), str(id, f), str(text, f))
+      case Seq(t, id, text, topN, dupN) =>
+        val f = "graft_gopher_rep"
+        TextAnalysis.gopherRepetition(table(str(t, f)), str(id, f), str(text, f),
+          topN = int(topN, f), dupN = int(dupN, f))
+      case args => bad(
+        "graft_gopher_rep(table, id_col, text_col[, top_n, dup_n])", args)
+    }
     reg(spark, "graft_quantile_filter") {
       case args if args.length >= 3 && args.length <= 5 =>
         val f = "graft_quantile_filter"

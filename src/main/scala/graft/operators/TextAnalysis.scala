@@ -615,6 +615,103 @@ object TextAnalysis {
       symRatio <= maxSymbolRatio && stops >= minStopwordHits
   }
 
+  /** Gopher REPETITION panel (the published Table-A1 repetition section
+    * — [[gopherRules]] covers the length/symbol/stopword section): per
+    * document,
+    *  - `dup_line_frac`: duplicate line occurrences / total lines;
+    *  - `dup_line_char_frac`: characters in duplicate line occurrences
+    *    / total characters across lines;
+    *  - `top_ngram_char_frac`: characters covered by the most frequent
+    *    `topN`-gram (count × gram length / document characters — the
+    *    sliding-window accounting can exceed 1 on degenerate repetition,
+    *    so it is capped at 1);
+    *  - `dup_ngram_char_frac`: characters covered by ALL occurrences of
+    *    repeated `dupN`-grams, capped at 1;
+    * plus per-rule `ok_*` flags at the published thresholds and their
+    * `keep` conjunction. "Most frequent" ties break deterministically by
+    * (count, gram length, gram hash) — a total order, engine-portable.
+    * Docs too short for an n-gram score 0 on that fraction (nothing is
+    * repeated), never NULL.
+    *
+    * Scale shape: hash-first like every counting op here — lines and
+    * n-grams reduce to (id, 60-bit hash, length) in their first
+    * projection, so the per-(doc, hash) occurrence counts and every
+    * downstream aggregate exchange fixed-width rows keyed by id/hash;
+    * gram text rides only as the shingle window's payload
+    * ([[bigramLogProb]]'s argument). The top-gram winner is a
+    * partial-aggregable lexicographic `max(struct(c, len, hash))` — no
+    * corpus window. Three passes over the corpus text (lines, topN-grams,
+    * dupN-grams) are deliberate: checkpointing exploded token streams
+    * would store corpus-scale frames (compact-frame policy). */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+                       topN: Int = 2, dupN: Int = 5,
+                       maxDupLineFrac: Double = 0.30,
+                       maxDupLineCharFrac: Double = 0.20,
+                       maxTopNgramCharFrac: Double = 0.20,
+                       maxDupNgramCharFrac: Double = 0.15): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(dupN >= 1, s"dupN must be >= 1, got $dupN")
+    val in = df.select(col(idCol), col(textCol))
+    val lineCounts = in.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col(idCol), Dedup.sharedHash60(col("__line")).as("__h"),
+        length(col("__line")).cast("long").as("__len"))
+      .groupBy(col(idCol), col("__h"))
+      // max, not first: deterministic even under a 60-bit collision
+      .agg(count(lit(1)).as("__c"), max(col("__len")).as("__len"))
+    val lineAgg = lineCounts.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__nl"),
+        sum(col("__c") - 1).as("__dl"),
+        sum(col("__c") * col("__len")).as("__lc"),
+        sum((col("__c") - 1) * col("__len")).as("__dlc"))
+    def gramCounts(n: Int) =
+      Dedup.shingleRowsPos(in, idCol, textCol, n)
+        .select(col(idCol), Dedup.sharedHash60(col("s")).as("__h"),
+          length(col("s")).cast("long").as("__len"))
+        .groupBy(col(idCol), col("__h"))
+        .agg(count(lit(1)).as("__c"), max(col("__len")).as("__len"))
+    val top = gramCounts(topN).groupBy(col(idCol))
+      .agg(max(struct(col("__c"), col("__len"), col("__h"))).as("__t"))
+      .select(col(idCol),
+        (col("__t").getField("__c") * col("__t").getField("__len"))
+          .as("__topchars"))
+    val dup = gramCounts(dupN).filter(col("__c") > 1)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c") * col("__len")).as("__dupchars"))
+    val out = in
+      .select(col(idCol), length(col(textCol)).cast("long").as("__nch"))
+      .join(lineAgg, Seq(idCol), "left")
+      .join(top, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(round(col("__dl").cast("double") / col("__nl"), 6), lit(0.0))
+          .as("dup_line_frac"),
+        coalesce(when(col("__lc") === 0, lit(0.0))
+            .otherwise(round(col("__dlc").cast("double") / col("__lc"), 6)),
+          lit(0.0)).as("dup_line_char_frac"),
+        // coalesce BEFORE least: least/greatest skip NULL operands (in
+        // Spark and DuckDB alike), so least(1.0, NULL) is 1.0 and an
+        // absent gram frame would silently flag the doc
+        when(col("__nch") === 0, lit(0.0)).otherwise(
+          least(lit(1.0),
+            round(coalesce(col("__topchars"), lit(0L)).cast("double") /
+              col("__nch"), 6))).as("top_ngram_char_frac"),
+        when(col("__nch") === 0, lit(0.0)).otherwise(
+          least(lit(1.0),
+            round(coalesce(col("__dupchars"), lit(0L)).cast("double") /
+              col("__nch"), 6))).as("dup_ngram_char_frac"))
+    out.select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"),
+      col("top_ngram_char_frac"), col("dup_ngram_char_frac"),
+      (col("dup_line_frac") <= maxDupLineFrac).as("ok_dup_line"),
+      (col("dup_line_char_frac") <= maxDupLineCharFrac).as("ok_dup_line_char"),
+      (col("top_ngram_char_frac") <= maxTopNgramCharFrac).as("ok_top_ngram"),
+      (col("dup_ngram_char_frac") <= maxDupNgramCharFrac).as("ok_dup_ngram"),
+      (col("dup_line_frac") <= maxDupLineFrac &&
+        col("dup_line_char_frac") <= maxDupLineCharFrac &&
+        col("top_ngram_char_frac") <= maxTopNgramCharFrac &&
+        col("dup_ngram_char_frac") <= maxDupNgramCharFrac).as("keep"))
+  }
+
   /** C4-style line-level cleaning panel (public C4/T5 heuristics): a
     * line survives iff it ends in terminal punctuation (`. ! ? "`),
     * has ≥ `minWordsPerLine` words, and does not contain

@@ -257,6 +257,21 @@ object EngineQueries {
     // sketch — EXPLAIN launches no job)
     "e_sql_rank_norm" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_rank_norm('documents', 'doc_id', 'n_chars', 16)")),
+    // the Gopher repetition panel from SQL, over the same planted
+    // fixture as llm_gopher_rep (doubled text / repeated footer lines)
+    "e_sql_gopher_rep" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_rep_fixture AS
+                 SELECT doc_id,
+                   (CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END) ||
+                   (CASE WHEN doc_id % 5 = 0
+                         THEN chr(10) || 'repeated footer line' || chr(10) || 'repeated footer line'
+                         ELSE '' END) AS text
+                 FROM documents""")
+      e.query(
+        "SELECT * FROM graft_gopher_rep('graft_rep_fixture', 'doc_id', 'text', 2, 5)")
+    }),
     // C4-style repeated-span removal from one line of SQL
     "e_sql_span_dedup" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_span_dedup('documents', 'doc_id', 'text', 16, 1)")),
@@ -522,6 +537,7 @@ object EngineQueries {
     "e_sql_contamination" -> LlmQueries.oracle("llm_contamination"),
     "e_sql_token_budget" -> LlmQueries.oracle("llm_token_budget"),
     "e_sql_rank_norm" -> LlmQueries.oracle("llm_rank_norm"),
+    "e_sql_gopher_rep" -> LlmQueries.oracle("llm_gopher_rep"),
     "e_sql_cluster_keep" -> LlmQueries.oracle("llm_cluster_keep"),
     "e_sql_cluster_best" -> LlmQueries.oracle("llm_cluster_best"),
     "e_sql_exact_dedup" -> LlmQueries.oracle("llm_exact_dedup"),

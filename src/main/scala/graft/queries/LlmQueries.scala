@@ -800,6 +800,21 @@ object LlmQueries {
         minTokens = 10, maxTokens = 100000,
         minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
         maxSymbolRatio = 0.1, minStopwordHits = 1)),
+    "llm_gopher_rep" -> ((s, d) => {
+      import s.implicits._
+      // the repetition section of the Gopher panel, on a fixture that
+      // exercises both flag polarities: every 7th doc is its own text
+      // doubled (dup 5-grams cover ~everything), every 5th gains a
+      // twice-repeated footer line (duplicate lines)
+      val fixture = Tables.load(s, d, "documents").select($"doc_id",
+        concat(
+          when($"doc_id" % 7 === 0, concat($"text", lit(" "), $"text"))
+            .otherwise($"text"),
+          when($"doc_id" % 5 === 0,
+            lit("\nrepeated footer line\nrepeated footer line"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.gopherRepetition(fixture, "doc_id", "text")
+    }),
     "llm_quantile_filter" -> ((s, d) => {
       import s.implicits._
       // relative-threshold pruning: drop the shortest quartile
@@ -1835,6 +1850,71 @@ object LlmQueries {
                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
                        t -> t IN ($stopsEn))) AS INTEGER) AS stop_hits
                 FROM documents)""",
+    // Gopher repetition section: per-(doc, 60-bit hash) occurrence
+    // counts over lines / 2-grams / 5-grams — same hash recipe as the
+    // Spark twin so collision behavior (vanishing) is mirrored; the
+    // top-gram tie breaks by (count, len, hash) on both sides
+    "llm_gopher_rep" ->
+      """WITH src AS (SELECT doc_id,
+              (CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END) ||
+              (CASE WHEN doc_id % 5 = 0
+                    THEN chr(10) || 'repeated footer line' || chr(10) || 'repeated footer line'
+                    ELSE '' END) AS text
+            FROM documents),
+          l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM src),
+          lh AS (SELECT doc_id,
+                   CAST(('0x'||substr(md5(line),1,15)) AS BIGINT) AS h,
+                   count(*) AS c, max(length(line)) AS len
+                 FROM l GROUP BY 1, 2),
+          la AS (SELECT doc_id, sum(c) AS nl, sum(c-1) AS dl,
+                   sum(c*len) AS lc, sum((c-1)*len) AS dlc
+                 FROM lh GROUP BY doc_id),
+          t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+                  length(text) AS nch FROM src),
+          g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1])) AS s
+                 FROM t WHERE len(toks) >= 2),
+          g2h AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h,
+                   count(*) AS c, max(length(s)) AS len FROM g2 GROUP BY 1, 2),
+          top2 AS (SELECT doc_id, c * len AS topchars FROM (
+                     SELECT doc_id, c, len,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, len DESC, h DESC) AS rn
+                     FROM g2h) WHERE rn = 1),
+          g5 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                        toks[i+3] || ' ' || toks[i+4])) AS s
+                 FROM t WHERE len(toks) >= 5),
+          g5h AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h,
+                   count(*) AS c, max(length(s)) AS len FROM g5 GROUP BY 1, 2),
+          dup5 AS (SELECT doc_id, sum(c*len) AS dupchars FROM g5h WHERE c > 1
+                   GROUP BY doc_id),
+          fr AS (SELECT b.doc_id,
+                   coalesce(round(CAST(la.dl AS DOUBLE) / la.nl, 6), 0.0)
+                     AS dup_line_frac,
+                   coalesce(CASE WHEN la.lc = 0 THEN 0.0
+                     ELSE round(CAST(la.dlc AS DOUBLE) / la.lc, 6) END, 0.0)
+                     AS dup_line_char_frac,
+                   CASE WHEN b.nch = 0 THEN 0.0
+                     ELSE least(1.0, round(CAST(coalesce(t2.topchars, 0) AS DOUBLE)
+                                           / b.nch, 6)) END AS top_ngram_char_frac,
+                   CASE WHEN b.nch = 0 THEN 0.0
+                     ELSE least(1.0, round(CAST(coalesce(d5.dupchars, 0) AS DOUBLE)
+                                           / b.nch, 6)) END AS dup_ngram_char_frac
+                 FROM (SELECT doc_id, length(text) AS nch FROM src) b
+                 LEFT JOIN la USING (doc_id)
+                 LEFT JOIN top2 t2 USING (doc_id)
+                 LEFT JOIN dup5 d5 USING (doc_id))
+          SELECT doc_id, dup_line_frac, dup_line_char_frac,
+                 top_ngram_char_frac, dup_ngram_char_frac,
+                 dup_line_frac <= 0.30 AS ok_dup_line,
+                 dup_line_char_frac <= 0.20 AS ok_dup_line_char,
+                 top_ngram_char_frac <= 0.20 AS ok_top_ngram,
+                 dup_ngram_char_frac <= 0.15 AS ok_dup_ngram,
+                 (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                  AND top_ngram_char_frac <= 0.20
+                  AND dup_ngram_char_frac <= 0.15) AS keep
+          FROM fr""",
     // exact interpolated quantile threshold (quantile_cont == Spark
     // percentile, parity pinned by a11_percentile)
     "llm_quantile_filter" ->

@@ -1128,6 +1128,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(last._3 == total - last._2)
   }
 
+  test("gopherRepetition: hand-exact fractions, caps, short-doc zeros, flag polarity") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "a b a b"),                          // top 2-gram "a b" ×2 (3 chars) / 7 chars
+      (2L, "x y\nfoo\nfoo"),                    // 3 lines, 1 duplicate (3 of 9 line chars)
+      (3L, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5"),    // 5-gram ×2 → 28 of 29 chars duplicated
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val o1 = out(1L)
+    assert(o1.getDouble(1) == 0.0 && o1.getDouble(2) == 0.0)
+    assert(o1.getDouble(3) == r6(6.0 / 7))
+    assert(o1.getDouble(4) == 0.0, "no 5-grams in a 4-token doc → 0.0, never NULL")
+    assert(!o1.getBoolean(7) && !o1.getBoolean(9), "top-gram rule must flag doc 1")
+    val o2 = out(2L)
+    assert(o2.getDouble(1) == r6(1.0 / 3) && o2.getDouble(2) == r6(3.0 / 9))
+    assert(!o2.getBoolean(5) && !o2.getBoolean(9), "dup-line rule must flag doc 2")
+    val o3 = out(3L)
+    // every tied top 2-gram has 5 chars ×2 occurrences → 10/29 either way
+    assert(o3.getDouble(3) == r6(10.0 / 29))
+    assert(o3.getDouble(4) == r6(28.0 / 29))
+    assert(!o3.getBoolean(8) && !o3.getBoolean(9), "dup-5-gram rule must flag doc 3")
+    val o4 = out(4L)
+    (1 to 4).foreach(i => assert(o4.getDouble(i) == 0.0,
+      "the empty doc scores 0 on every fraction"))
+    assert(o4.getBoolean(9), "the empty doc repeats nothing — keep")
+  }
+
   test("percentRank: bucketing- and layout-invariant, tie-sharing, exact values, NULL policy") {
     import spark.implicits._
     import graft.operators.Sampling

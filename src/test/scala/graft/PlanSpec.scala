@@ -536,6 +536,17 @@ class PlanSpec extends AnyFunSuite {
       s"token budget must exchange only bucket keys:\n${exchanges.mkString("\n")}")
   }
 
+  test("gopher repetition: hash-first — every exchange keys on the doc id") {
+    val p = plan("llm_gopher_rep")
+    // lines and n-grams reduce to (id, hash, len) before any exchange;
+    // the shingle windows and all occurrence-count aggregates key on
+    // doc_id (± the 60-bit hash) — line/gram strings never key a shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("doc_id")),
+      s"repetition panel must exchange only id/hash keys:\n${exchanges.mkString("\n")}")
+    assert(p.contains("partial"), "occurrence counts must combine map-side")
+  }
+
   test("percent rank: rank window bucket-partitioned; offsets tiny and broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val qe = SparkEntry.queries("llm_rank_norm")(spark, TestSpark.sf).queryExecution
