@@ -33,12 +33,29 @@ sealed trait Reuse {
 }
 
 object Reuse {
+  /** True iff the frame's plan contains a [[org.apache.spark.sql.GraftDeferredScan]]
+    * leaf. Checkpointing (even non-eager) calls `queryExecution.toRdd`,
+    * i.e. PHYSICAL PLANNING AT CONSTRUCTION TIME — on a deferred leaf
+    * that invokes the builder, which (a) breaks the deferred TVFs'
+    * EXPLAIN-launches-no-job contract when the construction happens
+    * during SQL analysis, and (b) can DEADLOCK: analysis holds the
+    * SessionCatalog monitor while the builder's own Dataset analysis
+    * (possibly on another thread via a memoized LazyRef) waits for that
+    * same monitor. Truncation modes therefore degrade to no-op on such
+    * plans — the deferred builder is memoized, so its expensive part
+    * (the driver-side action) still runs once. */
+  private def hasDeferredLeaf(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case _: org.apache.spark.sql.GraftDeferredScan => ()
+    }.isDefined
+
   case object Off extends Reuse {
     def apply(df: DataFrame): DataFrame = df
   }
 
   case object Local extends Reuse {
-    def apply(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    def apply(df: DataFrame): DataFrame =
+      if (hasDeferredLeaf(df)) df else df.localCheckpoint(false)
   }
 
   /** Raw dir last passed to `sc.setCheckpointDir` per context — the
@@ -65,6 +82,7 @@ object Reuse {
     * `Reliable(dir)` values concurrently is not supported. */
   final case class Reliable(dir: String) extends Reuse {
     def apply(df: DataFrame): DataFrame = {
+      if (hasDeferredLeaf(df)) return df
       val sc = df.sparkSession.sparkContext
       if (reliableDirs.put(sc, dir) != dir || sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(dir)

@@ -440,6 +440,30 @@ object EngineQueries {
       e.query("""SELECT doc_id, source, n_clean, shard, order_key
                  FROM graft_shards('p3_capped', 'clean_text', 8, 'p3:')""")
     }),
+    // the round-6b data-selection flow as PURE TVF composition through
+    // views: repetition panel -> quality scalar -> deferred rank TVF ->
+    // token-budget TVF -> shard TVF, zero Scala between stages
+    "e_sql_pipeline4" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p4_scored AS
+                 SELECT d.doc_id, d.text, graft_quality(d.text) AS quality
+                 FROM documents d
+                 JOIN (SELECT doc_id
+                       FROM graft_gopher_rep('documents', 'doc_id', 'text', 2, 5)
+                       WHERE keep) k USING (doc_id)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p4_top AS
+                 SELECT s.doc_id, s.text
+                 FROM graft_rank_norm('p4_scored', 'doc_id', 'quality', 16) r
+                 JOIN p4_scored s USING (doc_id)
+                 WHERE r.pct_rank >= 0.25""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p4_sel AS
+                 SELECT t.doc_id, t.text, b.n_toks, b.token_offset
+                 FROM graft_token_budget('p4_top', 'doc_id', 'text', 8000) b
+                 JOIN p4_top t USING (doc_id)""")
+      e.query("""SELECT doc_id, n_toks, token_offset, shard, order_key
+                 FROM graft_shards('p4_sel', 'text', 8, 'p4:')""")
+    }),
     // DSIR importance weights from SQL: the target corpus is just
     // another SQL view — any predicate can define "what good data looks
     // like" without a line of Scala
@@ -538,6 +562,7 @@ object EngineQueries {
     "e_sql_token_budget" -> LlmQueries.oracle("llm_token_budget"),
     "e_sql_rank_norm" -> LlmQueries.oracle("llm_rank_norm"),
     "e_sql_gopher_rep" -> LlmQueries.oracle("llm_gopher_rep"),
+    "e_sql_pipeline4" -> LlmQueries.oracle("llm_pipeline4"),
     "e_sql_cluster_keep" -> LlmQueries.oracle("llm_cluster_keep"),
     "e_sql_cluster_best" -> LlmQueries.oracle("llm_cluster_best"),
     "e_sql_exact_dedup" -> LlmQueries.oracle("llm_exact_dedup"),

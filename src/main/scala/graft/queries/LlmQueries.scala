@@ -104,6 +104,65 @@ object LlmQueries {
         FROM (SELECT doc_id FROM documents, m WHERE doc_id <= mx - 100) d
         LEFT JOIN hits USING (doc_id)"""
 
+  /** The Gopher repetition panel as DuckDB CTEs over a relation `src`
+    * (doc_id, text), ending in `fr(doc_id, dup_line_frac,
+    * dup_line_char_frac, top_ngram_char_frac, dup_ngram_char_frac)` —
+    * shared by the llm_gopher_rep oracle (planted fixture src) and the
+    * pipeline4 oracle (raw documents src), single-sourced to prevent
+    * drift. Same 60-bit hash recipe as the Spark twin; the top-gram tie
+    * breaks by (count, len, hash) on both sides. */
+  private val gopherRepCtes: String =
+    """l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM src),
+       lh AS (SELECT doc_id,
+                CAST(('0x'||substr(md5(line),1,15)) AS BIGINT) AS h,
+                count(*) AS c, max(length(line)) AS len
+              FROM l GROUP BY 1, 2),
+       la AS (SELECT doc_id, sum(c) AS nl, sum(c-1) AS dl,
+                sum(c*len) AS lc, sum((c-1)*len) AS dlc
+              FROM lh GROUP BY doc_id),
+       t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+               length(text) AS nch FROM src),
+       g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS s
+              FROM t WHERE len(toks) >= 2),
+       g2h AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h,
+                count(*) AS c, max(length(s)) AS len FROM g2 GROUP BY 1, 2),
+       top2 AS (SELECT doc_id, c * len AS topchars FROM (
+                  SELECT doc_id, c, len,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY c DESC, len DESC, h DESC) AS rn
+                  FROM g2h) WHERE rn = 1),
+       g5 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4])) AS s
+              FROM t WHERE len(toks) >= 5),
+       g5h AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h,
+                count(*) AS c, max(length(s)) AS len FROM g5 GROUP BY 1, 2),
+       dup5 AS (SELECT doc_id, sum(c*len) AS dupchars FROM g5h WHERE c > 1
+                GROUP BY doc_id),
+       fr AS (SELECT b.doc_id,
+                coalesce(round(CAST(la.dl AS DOUBLE) / la.nl, 6), 0.0)
+                  AS dup_line_frac,
+                coalesce(CASE WHEN la.lc = 0 THEN 0.0
+                  ELSE round(CAST(la.dlc AS DOUBLE) / la.lc, 6) END, 0.0)
+                  AS dup_line_char_frac,
+                CASE WHEN b.nch = 0 THEN 0.0
+                  ELSE least(1.0, round(CAST(coalesce(t2.topchars, 0) AS DOUBLE)
+                                        / b.nch, 6)) END AS top_ngram_char_frac,
+                CASE WHEN b.nch = 0 THEN 0.0
+                  ELSE least(1.0, round(CAST(coalesce(d5.dupchars, 0) AS DOUBLE)
+                                        / b.nch, 6)) END AS dup_ngram_char_frac
+              FROM (SELECT doc_id, length(text) AS nch FROM src) b
+              LEFT JOIN la USING (doc_id)
+              LEFT JOIN top2 t2 USING (doc_id)
+              LEFT JOIN dup5 d5 USING (doc_id))"""
+
+  /** The keep conjunction over `fr`'s fraction columns (published
+    * Gopher thresholds) — shared by the panel oracle and pipeline4. */
+  private val gopherRepKeep: String =
+    """(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        AND top_ngram_char_frac <= 0.20 AND dup_ngram_char_frac <= 0.15)"""
+
   /** The last `n` documents by id — the slice where the driver plants
     * near-duplicates — selected via a broadcast 1-row max bound.
     * Shared by the containment gates (and mirrored in their oracles'
@@ -910,6 +969,30 @@ object LlmQueries {
         tieBreak = Seq($"doc_id"), by = Some($"n_clean"))
       Sampling.assignShards(capped, $"clean_text", numShards = 8, salt = "p3:")
         .select($"doc_id", $"source", $"n_clean", $"shard", $"order_key")
+    }),
+    "llm_pipeline4" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Sampling
+      // the round-6b data-selection flow end to end: repetition panel
+      // -> quality score -> exact percent-rank (keep the top 75%) ->
+      // deterministic 8k-token budget -> shards. The order_key (a pure
+      // hash of text) verifies the surviving text exactly
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val kept = docs.join(
+        TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+          .filter($"keep").select($"doc_id"), "doc_id")
+      val scored = kept.select($"doc_id", $"text",
+        TextAnalysis.qualityScore($"text").as("quality"))
+      val top = Sampling.percentRank(scored, "doc_id", "quality",
+          numBuckets = 16)
+        .filter($"pct_rank" >= 0.25).select($"doc_id")
+      val sel = Sampling.tokenBudget(docs.join(top, "doc_id"),
+        "doc_id", "text", budget = 8000L, numBuckets = 64)
+      Sampling.assignShards(
+          sel.join(docs, "doc_id")
+            .select($"doc_id", $"text", $"n_toks", $"token_offset"),
+          $"text", numShards = 8, salt = "p4:")
+        .select($"doc_id", $"n_toks", $"token_offset", $"shard", $"order_key")
     }),
     "llm_dsir" -> ((s, d) => {
       import s.implicits._
@@ -1855,66 +1938,53 @@ object LlmQueries {
     // Spark twin so collision behavior (vanishing) is mirrored; the
     // top-gram tie breaks by (count, len, hash) on both sides
     "llm_gopher_rep" ->
-      """WITH src AS (SELECT doc_id,
+      s"""WITH src AS (SELECT doc_id,
               (CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END) ||
               (CASE WHEN doc_id % 5 = 0
                     THEN chr(10) || 'repeated footer line' || chr(10) || 'repeated footer line'
                     ELSE '' END) AS text
             FROM documents),
-          l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM src),
-          lh AS (SELECT doc_id,
-                   CAST(('0x'||substr(md5(line),1,15)) AS BIGINT) AS h,
-                   count(*) AS c, max(length(line)) AS len
-                 FROM l GROUP BY 1, 2),
-          la AS (SELECT doc_id, sum(c) AS nl, sum(c-1) AS dl,
-                   sum(c*len) AS lc, sum((c-1)*len) AS dlc
-                 FROM lh GROUP BY doc_id),
-          t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks,
-                  length(text) AS nch FROM src),
-          g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-                   i -> toks[i] || ' ' || toks[i+1])) AS s
-                 FROM t WHERE len(toks) >= 2),
-          g2h AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h,
-                   count(*) AS c, max(length(s)) AS len FROM g2 GROUP BY 1, 2),
-          top2 AS (SELECT doc_id, c * len AS topchars FROM (
-                     SELECT doc_id, c, len,
-                       row_number() OVER (PARTITION BY doc_id
-                         ORDER BY c DESC, len DESC, h DESC) AS rn
-                     FROM g2h) WHERE rn = 1),
-          g5 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-                        toks[i+3] || ' ' || toks[i+4])) AS s
-                 FROM t WHERE len(toks) >= 5),
-          g5h AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h,
-                   count(*) AS c, max(length(s)) AS len FROM g5 GROUP BY 1, 2),
-          dup5 AS (SELECT doc_id, sum(c*len) AS dupchars FROM g5h WHERE c > 1
-                   GROUP BY doc_id),
-          fr AS (SELECT b.doc_id,
-                   coalesce(round(CAST(la.dl AS DOUBLE) / la.nl, 6), 0.0)
-                     AS dup_line_frac,
-                   coalesce(CASE WHEN la.lc = 0 THEN 0.0
-                     ELSE round(CAST(la.dlc AS DOUBLE) / la.lc, 6) END, 0.0)
-                     AS dup_line_char_frac,
-                   CASE WHEN b.nch = 0 THEN 0.0
-                     ELSE least(1.0, round(CAST(coalesce(t2.topchars, 0) AS DOUBLE)
-                                           / b.nch, 6)) END AS top_ngram_char_frac,
-                   CASE WHEN b.nch = 0 THEN 0.0
-                     ELSE least(1.0, round(CAST(coalesce(d5.dupchars, 0) AS DOUBLE)
-                                           / b.nch, 6)) END AS dup_ngram_char_frac
-                 FROM (SELECT doc_id, length(text) AS nch FROM src) b
-                 LEFT JOIN la USING (doc_id)
-                 LEFT JOIN top2 t2 USING (doc_id)
-                 LEFT JOIN dup5 d5 USING (doc_id))
+          $gopherRepCtes
           SELECT doc_id, dup_line_frac, dup_line_char_frac,
                  top_ngram_char_frac, dup_ngram_char_frac,
                  dup_line_frac <= 0.30 AS ok_dup_line,
                  dup_line_char_frac <= 0.20 AS ok_dup_line_char,
                  top_ngram_char_frac <= 0.20 AS ok_top_ngram,
                  dup_ngram_char_frac <= 0.15 AS ok_dup_ngram,
-                 (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
-                  AND top_ngram_char_frac <= 0.20
-                  AND dup_ngram_char_frac <= 0.15) AS keep
+                 $gopherRepKeep AS keep
           FROM fr""",
+    // pipeline4: repetition keep -> quality -> percent-rank top 75% ->
+    // 8k-token budget in salted-hash order -> shard assignment; each
+    // stage is the same algebra as its standalone oracle
+    "llm_pipeline4" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents),
+          $gopherRepCtes,
+          rep AS (SELECT doc_id FROM fr WHERE $gopherRepKeep),
+          q AS (SELECT d.doc_id, d.text,
+                  round(least(length(d.text) * 1.0 / 500.0, 1.0) * 0.3
+                    + (1.0 - (length(d.text) - length(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                        / greatest(length(d.text), 1)) * 0.4
+                    + least(len(list_filter(string_split_regex(d.text, '\\s+'),
+                          t -> t IN ($stopsEn))) * 1.0
+                        / greatest(len(string_split_regex(d.text, '\\s+')), 1) * 5.0,
+                        1.0) * 0.3, 6) AS quality
+                FROM documents d JOIN rep USING (doc_id)),
+          r AS (SELECT doc_id, text,
+                  percent_rank() OVER (ORDER BY quality) AS pr FROM q),
+          tb0 AS (SELECT doc_id, text,
+                    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_toks,
+                    CAST(('0x'||substr(md5('budget:'||text),1,8)) AS BIGINT) AS h
+                  FROM r WHERE pr >= 0.25),
+          tb AS (SELECT doc_id, text, n_toks,
+                   CAST(coalesce(sum(n_toks) OVER (ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS token_offset
+                 FROM tb0)
+          SELECT doc_id, n_toks, token_offset,
+                 CAST(CAST(('0x'||substr(md5('p4:'||text),1,8)) AS BIGINT) % 8
+                   AS INTEGER) AS shard,
+                 CAST(('0x'||substr(md5('ord:p4:'||text),1,8)) AS BIGINT) AS order_key
+          FROM tb WHERE token_offset < 8000""",
     // exact interpolated quantile threshold (quantile_cont == Spark
     // percentile, parity pinned by a11_percentile)
     "llm_quantile_filter" ->

@@ -83,6 +83,9 @@ class PlanSpec extends AnyFunSuite {
       "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment",
       "llm_containment_dfcap", "llm_decontaminate", "llm_decontaminate_bloom",
       "llm_minhash_capped",
+      // same broadcast 1-row max-doc-id eval/corpus split as
+      // llm_decontaminate (the fraction itself is equi-join + aggregate)
+      "llm_contamination",
       // SQL-façade twin of llm_tfidf (same broadcast 1-row corpus count)
       "e_sql_tfidf",
       // broadcast 1-row max-doc-id bound for the corpus/eval split
