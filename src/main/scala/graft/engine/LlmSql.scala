@@ -173,6 +173,13 @@ object LlmSql {
       case args => bad(
         "graft_boilerplate(table, id_col, text_col, n, top_k)", args)
     }
+    reg(spark, "graft_vocab") {
+      case Seq(t, id, text, k) =>
+        val f = "graft_vocab"
+        TextAnalysis.vocabReport(table(str(t, f)), str(id, f),
+          str(text, f), topK = int(k, f))
+      case args => bad("graft_vocab(table, id_col, text_col, top_k)", args)
+    }
     reg(spark, "graft_split") {
       case Seq(t, key, salt, tr, va, te) =>
         val f = "graft_split"
@@ -385,6 +392,31 @@ object LlmSql {
       case args => bad(
         "graft_semdedup(table, id_col, vec_col, n_cells, iters, threshold)", args)
     }
+    reg(spark, "graft_cluster_sample") {
+      case Seq(t, id, vec, cells, iters, k, salt) =>
+        val f = "graft_cluster_sample"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val nCells = int(cells, f); val nIters = int(iters, f)
+        val kk = int(k, f); val sl = str(salt, f)
+        // same deferred contract as graft_semdedup: the Lloyd rounds
+        // are driver actions and must not run at analysis time
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField("cell", org.apache.spark.sql.types.LongType, nullable = false))),
+          memo { () =>
+            val cents = Similarity.centroidsOf(
+              Similarity.kmeansTrain(tbl, idc, vecc, nCells, nIters))
+            val assigned = tbl.select(col(idc), col(vecc),
+              Similarity.cellOf(col(vecc), cents).as("cell"))
+            Sampling.exactKPerStratum(assigned, col("cell"),
+                col(idc).cast("string"), kk, Seq(col(idc)), sl)
+              .select(col(idc), col("cell"))
+          })
+      case args => bad(
+        "graft_cluster_sample(table, id_col, vec_col, n_cells, iters, k, salt)", args)
+    }
     reg(spark, "graft_rank_norm") {
       case Seq(t, id, value, buckets) =>
         val f = "graft_rank_norm"
@@ -522,6 +554,7 @@ object LlmSql {
         case args => bad(s"$name(text)", args)
       }, "scala_udf")
     scalar("graft_normalize")(t => TextAnalysis.normalizeText(t))
+    scalar("graft_strip_html")(TextAnalysis.stripMarkup)
     scalar("graft_script")(TextAnalysis.scriptOf)
     scalar("graft_quality")(TextAnalysis.qualityScore)
     scalar("graft_pii_redact")(TextAnalysis.piiRedact)

@@ -269,21 +269,37 @@ object Dedup {
                           k: Int = 16, nBands: Int = 4,
                           threshold: Double = 0.5,
                           maxBucketSize: Option[Int] = None,
-                          reuse: Reuse = Reuse.Local): DataFrame = {
+                          reuse: Reuse = Reuse.Local): DataFrame =
+    minhashProbe(newDf,
+      minhashIndex(corpus, idCol, textCol, k, nBands, maxBucketSize, reuse),
+      idCol, textCol, k, nBands, threshold, reuse)
+
+  /** Probe a precomputed [[MinhashIndex]] with a new shard — the second
+    * half of [[minhashPairsBetween]], decoupled so the index can come
+    * from STORAGE: at production scale the corpus's band/sketch frames
+    * are written once (parquet, bucketed by band_val / id) and every
+    * ingestion run reads them back — the corpus text is never touched
+    * again. `index.bands`/`index.sets` are plain DataFrames, so
+    * `MinhashIndex(spark.read.parquet(…), spark.read.parquet(…))`
+    * reconstructs the index exactly (the llm_minhash_index_roundtrip
+    * gate pins result equality with the recompute path). The index must
+    * have been built with the same `k` and `nBands`. */
+  def minhashProbe(newDf: DataFrame, index: MinhashIndex,
+                   idCol: String, textCol: String,
+                   k: Int = 16, nBands: Int = 4,
+                   threshold: Double = 0.5,
+                   reuse: Reuse = Reuse.Local): DataFrame = {
     val setsNew = minhashSets(newDf, idCol, textCol, k, reuse)
-    val idx = minhashIndex(corpus, idCol, textCol, k, nBands,
-      maxBucketSize, reuse)
-    val setsCorp = idx.sets
     val bNew = bandsOf(setsNew, idCol, k, nBands)
-    val bCorp = idx.bands
-    val cand = bNew.as("x").join(bCorp.as("y"),
+    val cand = bNew.as("x").join(index.bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val"))
       .select(col(s"x.$idCol").as("id_new"), col(s"y.$idCol").as("id_corpus"))
       .distinct()
     cand
       .join(setsNew.select(col(idCol).as("id_new"), col("hset").as("h_a")), "id_new")
-      .join(setsCorp.select(col(idCol).as("id_corpus"), col("hset").as("h_b")), "id_corpus")
+      .join(index.sets.select(col(idCol).as("id_corpus"), col("hset").as("h_b")),
+        "id_corpus")
       .select(col("id_new"), col("id_corpus"),
         jaccardOf(col("h_a"), col("h_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

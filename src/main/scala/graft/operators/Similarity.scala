@@ -317,6 +317,106 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-subspace product-quantization codebooks: the embedding is cut
+    * into `m` contiguous `subDim`-dim blocks; each block gets its own
+    * `nCodes`-entry codebook. `iters = 0` seeds each codebook from the
+    * sub-vectors of the `nCodes` lowest ids (the [[collectCentroids]]
+    * convention — deterministic, oracle-replayable); `iters > 0` runs
+    * that many Lloyd rounds per subspace via [[kmeansTrain]] (the
+    * production build). Codebooks are m·nCodes·subDim doubles — KB at
+    * any corpus size, safe to collect and inline as plan literals. */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 4, subDim: Int = 16, nCodes: Int = 8,
+                  iters: Int = 0): Array[Array[(Long, Seq[Double])]] = {
+    require(m >= 1 && subDim >= 1 && nCodes >= 1,
+      s"need m, subDim, nCodes >= 1, got m=$m subDim=$subDim nCodes=$nCodes")
+    Array.tabulate(m) { s =>
+      val sub = emb.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as("__sv"))
+      if (iters == 0) collectCentroids(sub, idCol, "__sv", nCodes)
+      else centroidsOf(kmeansTrain(sub, idCol, "__sv", nCodes, iters))
+    }
+  }
+
+  /** PQ code for subspace `s`: argmin_j ‖x_s − c_j‖² over the inlined
+    * codebook, ties to the LOWEST code id. ‖x_s‖² is constant under the
+    * argmin, so the score is `‖c_j‖² − 2·x_s·c_j` with ‖c_j‖²
+    * precomputed as a literal — one codegen'd dot product per codebook
+    * entry, zero exchange. The score is quantized to 6 decimals before
+    * the argmin (the cross-engine libm/accumulation-order hardening used
+    * throughout — a sub-ulp spread cannot flip the argmin except on a
+    * ~1e-13 knife edge, and the cid tie-break keeps the order total). */
+  private def pqCode(vec: Column, s: Int, subDim: Int,
+                     codebook: Array[(Long, Seq[Double])]): Column = {
+    val sv = slice(vec, s * subDim + 1, subDim)
+    val scored = array(codebook.toIndexedSeq.map { case (cid, cv) =>
+      val csq = cv.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        round(lit(csq) - lit(2.0) * bridgeC(graft.functions.DotProduct(
+          bridgeE(sv), bridgeE(typedLit(cv)))), 6).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    array_min(scored).getField("cid")
+  }
+
+  /** PQ-encode the corpus: (idCol, code_0 … code_{m−1}) — each code the
+    * nearest codebook entry of the corresponding sub-vector. A pure
+    * per-row projection against inlined codebook literals (zero
+    * exchange); at 100 TB this is the ONE pass that reads the vectors —
+    * the code table it emits is m small ints per row (m bytes with a
+    * byte-wide cast at the write), the compression that lets an ANN
+    * index of a trillion vectors sit in cluster memory. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[(Long, Seq[Double])]],
+               subDim: Int): DataFrame =
+    emb.select(col(idCol) +: codebooks.toIndexedSeq.zipWithIndex.map {
+      case (cb, s) => pqCode(col(vecCol), s, subDim, cb).as(s"code_$s")
+    }: _*)
+
+  /** PQ/ADC approximate top-k by inner product: the query's per-subspace
+    * lookup tables `lut_s[j] = q_s · c_{s,j}` are computed once on the
+    * driver (m·nCodes dots over a SINGLE collected row — the documented
+    * KB-scale boundary, like the centroid sets) and inlined; every
+    * encoded row's score is `Σ_s lut_s[code_s]` — the classic
+    * asymmetric-distance computation (Jégou/Douze/Schmid TPAMI'11,
+    * public method). Inner product decomposes exactly over subspaces
+    * (cosine does not), which is why ADC serves normalized-embedding
+    * cosine search in production.
+    *
+    * 100 TB posture: scoring touches ONLY the code columns — a codegen'd
+    * CASE-chain projection + TakeOrderedAndProject (per-partition top-k,
+    * no corpus shuffle, no vector reads). Approximate by construction
+    * (quantization error); LlmOpsSpec measures recall against
+    * [[bruteForceTopK]]. Ties break by id; scores round to 6 decimals
+    * (oracle parity). */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             codebooks: Array[Array[(Long, Seq[Double])]], subDim: Int,
+             queryId: Long, k: Int): DataFrame = {
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head()
+    val q: IndexedSeq[Double] = qRow.getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(
+        s"expected float/double embedding element, got $other")
+    }.toIndexedSeq
+    val score = codebooks.toIndexedSeq.zipWithIndex.map { case (cb, s) =>
+      val qs = q.slice(s * subDim, (s + 1) * subDim)
+      val lut = cb.toIndexedSeq.map { case (cid, cv) =>
+        (cid, qs.zip(cv).foldLeft(0.0)((a, p) => a + p._1 * p._2))
+      }
+      val codeCol = col(s"code_$s")
+      lut.tail.foldLeft(when(codeCol === lut.head._1, lit(lut.head._2))) {
+        case (acc, (cid, v)) => acc.when(codeCol === cid, lit(v))
+      }
+    }.reduce(_ + _)
+    pqEncode(emb, idCol, vecCol, codebooks, subDim)
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(score, 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Multi-probe LSH top-k: only rows whose hyperplane bucket is within
     * `probe` bit flips of the query's bucket are scored — with defaults,
     * (1+P)/2^P of the corpus (≈11% at P=6). Recall < 1 by construction;

@@ -421,6 +421,52 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Token-vocabulary coverage report — the corpus statistic every
+    * tokenizer-training / vocab-sizing decision reads (the Zipf curve:
+    * "how much of the token stream do the top-k types cover?"): the
+    * `topK` most frequent tokens with occurrence count, document
+    * frequency, rank, and CUMULATIVE coverage fraction of the corpus
+    * token stream.
+    *
+    * Scale shape — hash-first, like [[topShinglesByDf]]: occurrence/df
+    * counts aggregate on 60-bit [[Dedup.sharedHash60]] keys (8-byte
+    * partial-aggregable exchange; token strings never key an exchange);
+    * only the ≤ `64·topK`-row candidate set (the [[topShinglesByDf]]
+    * boundary-tie cap, same exactness argument) is broadcast back to
+    * resolve strings; the coverage window runs over the ≤ topK-row
+    * result. The corpus total is derived from the count frame — no
+    * second corpus pass. The token-row frame feeds both the count pass
+    * and the resolution join — the compact (hash, cnt, df) frame is the
+    * thing `reuse` truncates. */
+  def vocabReport(df: DataFrame, idCol: String, textCol: String,
+                  topK: Int = 100, reuse: Reuse = Reuse.Local): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val cnts = reuse(tok
+      .select(col(idCol), Dedup.sharedHash60(col("__t")).as("__h"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col(idCol)).as("df")))
+    val total = cnts.agg(sum(col("cnt")).as("__tot"))
+    val kth = cnts.orderBy(col("cnt").desc).limit(topK)
+      .agg(min(col("cnt")).as("__ck"))
+    val candCap = math.max(64 * topK, 1024)
+    val cand = cnts.crossJoin(broadcast(kth))
+      .filter(col("cnt") >= col("__ck"))
+      .select(col("__h"), col("cnt"), col("df"))
+      .orderBy(col("cnt").desc, col("__h").asc).limit(candCap)
+    val resolved = tok.select(col("__t"), Dedup.sharedHash60(col("__t")).as("__h"))
+      .join(broadcast(cand), "__h")
+      .groupBy(col("__h"), col("cnt"), col("df")).agg(min(col("__t")).as("token"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(topK)
+    val wOrd = Window.orderBy(col("cnt").desc, col("token").asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    resolved.crossJoin(broadcast(total))
+      .select(col("token"), col("cnt"), col("df"),
+        row_number().over(wOrd).as("rank"),
+        round(sum(col("cnt")).over(wCum).cast("double") / col("__tot"), 6)
+          .as("coverage"))
+  }
+
   /** Repeated-span removal — the C4/RefinedWeb "line dedup" step
     * generalized to corpora without line structure: the text is cut into
     * fixed `spanTokens`-token blocks ([[chunk]] with zero overlap), every
@@ -878,6 +924,35 @@ object TextAnalysis {
     if (collapseSpaces)
       trim(regexp_replace(ctrl, "[ \\t\\x{00A0}]+", " "))
     else ctrl
+  }
+
+  /** HTML/markup strip — the raw-crawl → text step every web-scale
+    * pipeline runs before any quality or dedup pass (C4/WET-style
+    * extraction, public method): drop `<script>`/`<style>` blocks WHOLE
+    * (their content is code, not prose — and `1 < 2` inside them must
+    * never be mistaken for a tag), drop comments, drop tags (only real
+    * ones: `<` followed by an optional `/` or `!` and a letter, so
+    * prose like `3 < 4` survives), unescape the common entities
+    * (`&amp;` LAST so `&amp;lt;` yields the literal `&lt;`, per the
+    * HTML spec's single-pass rule; unknown entities pass through),
+    * then collapse all whitespace runs and trim.
+    *
+    * Engine-portable by construction: every regex avoids backreferences
+    * (RE2 has none) and uses only `(?is)` inline flags and lazy `.*?`,
+    * which Java regex and RE2 treat identically — the DuckDB oracle
+    * replays the chain verbatim. Unterminated script/style blocks keep
+    * their content (the lazy match needs a closer); real extraction
+    * truncates such documents upstream. Pure per-row codegen'd
+    * projection, zero shuffle at any scale. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)</?[a-zA-Z!][^>]*>", " ")
+    val unesc = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(replace(unesc, lit("&amp;"), lit("&")), "\\s+", " "))
   }
 
   /** PII pattern scan (redaction pre-step every training-data pipeline

@@ -148,6 +148,8 @@ object EngineQueries {
     }),
     "e_sql_boilerplate" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_boilerplate('documents', 'doc_id', 'text', 3, 20)")),
+    "e_sql_vocab" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_vocab('documents', 'doc_id', 'text', 100)")),
     // incremental-ingestion dedup from SQL: a re-ingested shard (view)
     // deduplicated AGAINST the corpus
     "e_sql_minhash_incr" -> ((s, d) => {
@@ -298,6 +300,15 @@ object EngineQueries {
                         length(graft_normalize(text)) AS n_chars_norm
                  FROM graft_norm_docs""")
     }),
+    // markup strip from SQL: the fixture is ASCII, so it splices
+    // directly into the statement (unlike the normalize codepoints)
+    "e_sql_html_strip" -> ((s, d) => via(s, d)(
+      """SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS n_chars
+         FROM (SELECT doc_id, graft_strip_html(
+                 '<!DOCTYPE html><html><head><style type="text/css">p{color:red}</style><script>if (1 < 2 && x > 0) { y = "a&b"; }</script></head><body><h1>Title</h1><p class="a">'
+                 || text ||
+                 '</p><!-- hidden note --> 3 &lt; 4 &amp;&amp; y &gt; 1&nbsp;&quot;it&#39;s&quot; &copy; fine</body></html>') AS clean_text
+               FROM documents)""")),
     "e_sql_bigram_lp" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_bigram_lp('documents', 'doc_id', 'text')")),
     // script detection from SQL over the same multilingual fixture
@@ -355,6 +366,10 @@ object EngineQueries {
     // sums: 2S/2n = S/n; clones share their original's cell at every
     // round), so the llm_semdedup oracle (which trains on the base)
     // verifies this gate verbatim
+    "e_sql_cluster_sample" -> ((s, d) => via(s, d)(
+      """SELECT vec_id, cell
+         FROM graft_cluster_sample('embeddings', 'vec_id', 'embedding',
+                                   8, 2, 20, 'csamp:')""")),
     "e_sql_semdedup" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -568,6 +583,7 @@ object EngineQueries {
     "e_sql_exact_dedup" -> LlmQueries.oracle("llm_exact_dedup"),
     "e_sql_simhash" -> LlmQueries.oracle("llm_simhash_pairs"),
     "e_sql_boilerplate" -> LlmQueries.oracle("llm_boilerplate"),
+    "e_sql_vocab" -> LlmQueries.oracle("llm_vocab"),
     "e_sql_minhash_incr" -> LlmQueries.oracle("llm_minhash_incr"),
     "e_sql_sample_strat" -> LlmQueries.oracle("llm_sample_strat"),
     "e_sql_pii_redact" -> LlmQueries.oracle("llm_pii_redact"),
@@ -584,12 +600,14 @@ object EngineQueries {
     "e_sql_c4_filters" -> LlmQueries.oracle("llm_c4_filters"),
     "e_sql_decontaminate_bloom" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
+    "e_sql_html_strip" -> LlmQueries.oracle("llm_html_strip"),
     "e_sql_script" -> LlmQueries.oracle("llm_script"),
     "e_sql_bigram_lp" -> LlmQueries.oracle("llm_bigram_lp"),
     "e_sql_temperature_mix" -> LlmQueries.oracle("llm_temperature_mix"),
     "e_sql_corpus_report" -> LlmQueries.oracle("llm_corpus_report"),
     "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
+    "e_sql_cluster_sample" -> LlmQueries.oracle("llm_cluster_sample"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),

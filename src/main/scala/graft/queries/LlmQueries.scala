@@ -479,6 +479,32 @@ object LlmQueries {
       Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents,
         queryId = 0, k = 10, probes = 2)
     }),
+    "llm_cluster_sample" -> ((s, d) => {
+      import s.implicits._
+      // cluster-balanced subsample (diversity-preserving selection):
+      // exactly k per trained k-means cell, membership a pure function
+      // of (salt, id) — kmeansTrain ∘ cellOf ∘ exactKPerStratum
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.centroidsOf(
+        Similarity.kmeansTrain(emb, "vec_id", "embedding", nCells = 8, iters = 2))
+      val assigned = emb.select($"vec_id", $"embedding",
+        Similarity.cellOf($"embedding", cents).as("cell"))
+      graft.operators.Sampling.exactKPerStratum(
+          assigned, stratum = $"cell", key = $"vec_id".cast("string"),
+          k = 20, tieBreak = Seq($"vec_id"), salt = "csamp:")
+        .select($"vec_id", $"cell")
+    }),
+    "llm_ann_pq" -> ((s, d) => {
+      // PQ/ADC (the memory-bounded ANN serving path): 4×16-dim
+      // subspaces, 8-entry seed codebooks; the corpus is encoded to 4
+      // code columns once, the query becomes 32 driver-side LUT dots,
+      // scoring is a codes-only projection + TakeOrdered
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.pqTopK(emb, "vec_id", "embedding",
+        Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          m = 4, subDim = 16, nCodes = 8),
+        subDim = 16, queryId = 0, k = 10)
+    }),
     "llm_embedding_dups" -> ((s, d) => {
       import s.implicits._
       // corpus with planted duplicates (ids shifted by 10000): the
@@ -520,6 +546,11 @@ object LlmQueries {
       // maxBucketSize before the dedup passes
       TextAnalysis.topShinglesByDf(
         Tables.load(s, d, "documents"), "doc_id", "text", n = 3, topK = 20)),
+    "llm_vocab" -> ((s, d) =>
+      // vocabulary Zipf report: top-100 token types with occurrence
+      // count, doc frequency, and cumulative corpus coverage
+      TextAnalysis.vocabReport(
+        Tables.load(s, d, "documents"), "doc_id", "text", topK = 100)),
     "llm_sample_strat" -> ((s, d) => {
       import s.implicits._
       // balanced eval set: exactly 10 docs per source, membership a
@@ -653,6 +684,26 @@ object LlmQueries {
       Dedup.minhashPairsBetween(incoming, docs, "doc_id", "text",
         k = 16, nBands = 4, threshold = 0.5)
     }),
+    "llm_minhash_index_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      // the PRODUCTION incremental-dedup composition, end to end: build
+      // the corpus band/sketch index once, persist both frames to
+      // parquet, reconstruct the index from the files, probe the
+      // incoming shard against it — same oracle as llm_minhash_incr, so
+      // any drift through the storage round-trip hash-mismatches
+      val out = "target/gate_sink/minhash_index"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val incoming = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+        .select(($"doc_id" + 3000000).as("doc_id"), $"text")
+      val idx = Dedup.minhashIndex(docs, "doc_id", "text", k = 16, nBands = 4)
+      idx.bands.write.mode("overwrite").parquet(s"$out/bands")
+      idx.sets.write.mode("overwrite").parquet(s"$out/sets")
+      val stored = Dedup.MinhashIndex(
+        s.read.parquet(s"$out/bands"), s.read.parquet(s"$out/sets"))
+      Dedup.minhashProbe(incoming, stored, "doc_id", "text",
+        k = 16, nBands = 4, threshold = 0.5)
+    }),
     "llm_split" -> ((s, d) => {
       import s.implicits._
       // deterministic train/val/test cut: disjoint + exhaustive hash
@@ -756,6 +807,24 @@ object LlmQueries {
       planted.select($"doc_id",
         TextAnalysis.normalizeText($"text").as("norm_text"),
         length(TextAnalysis.normalizeText($"text")).as("n_chars_norm"))
+    }),
+    "llm_html_strip" -> ((s, d) => {
+      import s.implicits._
+      // raw-crawl fixture around every doc: style + script blocks (the
+      // script contains `1 < 2 && x > 0` — eaten as a tag if block
+      // removal were skipped), a comment, attributed tags, the handled
+      // entities, and the UNhandled &copy; that must pass through
+      val pre = "<!DOCTYPE html><html><head><style type=\"text/css\">" +
+        "p{color:red}</style><script>if (1 < 2 && x > 0) { y = \"a&b\"; }" +
+        "</script></head><body><h1>Title</h1><p class=\"a\">"
+      val post = "</p><!-- hidden note --> 3 &lt; 4 &amp;&amp; y &gt; 1&nbsp;" +
+        "&quot;it&#39;s&quot; &copy; fine</body></html>"
+      Tables.load(s, d, "documents")
+        .select($"doc_id",
+          TextAnalysis.stripMarkup(concat(lit(pre), $"text", lit(post)))
+            .as("clean_text"))
+        .select($"doc_id", $"clean_text",
+          length($"clean_text").cast("int").as("n_chars"))
     }),
     "llm_span_dedup" -> ((s, d) =>
       // C4-style repeated-span removal: 16-token blocks present in more
@@ -1053,7 +1122,12 @@ object LlmQueries {
                   FROM mt)"""
   }
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = oracleBase ++ Map(
+    // the index round-trip must reproduce the recompute path exactly —
+    // same oracle, so storage drift hash-mismatches
+    "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "llm_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
           c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
@@ -1120,6 +1194,81 @@ object LlmQueries {
             ON a.cell = q.cell
           WHERE a.vec_id <> 0
           ORDER BY cos_sim DESC, a.vec_id LIMIT 10""",
+    // cluster-balanced sample: the llm_kmeans2 train chain (two Lloyd
+    // rounds, cent0 -> cent2) assigns cells; then exactly 20 per cell by
+    // the salted-hash total order (llm_sample_strat's idiom, cast key)
+    "llm_cluster_sample" ->
+      """WITH cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          s1 AS (SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent0 c),
+          a1 AS (SELECT vec_id, v, cid AS cell FROM s1 WHERE rk = 1),
+          ex1 AS (SELECT cell,
+                         CAST(unnest(generate_series(1, len(v))) - 1 AS INTEGER) AS pos,
+                         unnest(v) AS elem
+                  FROM a1),
+          up1 AS (SELECT cell, pos,
+                         round(CAST(sum(CAST(elem AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c_val
+                  FROM ex1 GROUP BY cell, pos),
+          cent1 AS (SELECT cell AS cid, list(c_val ORDER BY pos) AS cv
+                    FROM up1 GROUP BY cell),
+          s2 AS (SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent1 c),
+          a2 AS (SELECT vec_id, v, cid AS cell FROM s2 WHERE rk = 1),
+          ex2 AS (SELECT cell,
+                         CAST(unnest(generate_series(1, len(v))) - 1 AS INTEGER) AS pos,
+                         unnest(v) AS elem
+                  FROM a2),
+          up2 AS (SELECT cell, pos,
+                         round(CAST(sum(CAST(elem AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c_val
+                  FROM ex2 GROUP BY cell, pos),
+          cent2 AS (SELECT cell AS cid, list(c_val ORDER BY pos) AS cv
+                    FROM up2 GROUP BY cell),
+          s3 AS (SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent2 c),
+          a3 AS (SELECT vec_id, cid AS cell FROM s3 WHERE rk = 1)
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY cell
+                     ORDER BY CAST(('0x'||substr(md5('csamp:'||CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT) NULLS LAST,
+                              CAST(vec_id AS VARCHAR) NULLS LAST,
+                              vec_id NULLS LAST) AS rn
+            FROM a3)
+          WHERE rn <= 20""",
+    // PQ/ADC: seed codebooks = sub-vectors of the 8 lowest ids; encode =
+    // per-(vec,subspace) argmin of round(|c|^2 - 2 x_s.c, 6) with ties
+    // to the lowest code id (the Spark array_min-over-struct order);
+    // score = sum over subspaces of the query LUT entries
+    "llm_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+          sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+          cb AS (SELECT sub.s, seed.vec_id AS cid,
+                        seed.v[sub.s*16+1 : sub.s*16+16] AS cv
+                 FROM sub CROSS JOIN seed),
+          enc AS (SELECT vec_id, s, cid AS code FROM (
+                    SELECT e.vec_id, b.s, b.cid,
+                           row_number() OVER (PARTITION BY e.vec_id, b.s
+                             ORDER BY round(list_inner_product(b.cv, b.cv)
+                               - 2 * list_inner_product(e.v[b.s*16+1 : b.s*16+16], b.cv), 6) ASC,
+                             b.cid ASC) AS rk
+                    FROM e CROSS JOIN cb b) WHERE rk = 1),
+          q AS (SELECT v FROM e WHERE vec_id = 0),
+          lut AS (SELECT b.s, b.cid,
+                         list_inner_product(q.v[b.s*16+1 : b.s*16+16], b.cv) AS d
+                  FROM cb b CROSS JOIN q)
+          SELECT enc.vec_id, round(sum(lut.d), 6) AS adc_score
+          FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cid
+          WHERE enc.vec_id <> 0
+          GROUP BY enc.vec_id
+          ORDER BY adc_score DESC, enc.vec_id LIMIT 10""",
     "llm_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
                           UNION ALL SELECT doc_id + 500000, text FROM documents),
@@ -1757,6 +1906,27 @@ object LlmQueries {
           SELECT doc_id, norm_text,
                  CAST(length(norm_text) AS INTEGER) AS n_chars_norm
           FROM n""",
+    // markup strip: identical fixture + identical regex/replace chain
+    // (RE2-safe patterns — no backreferences; &amp; unescapes LAST)
+    "llm_html_strip" ->
+      """WITH d AS (SELECT doc_id,
+               '<!DOCTYPE html><html><head><style type="text/css">p{color:red}</style><script>if (1 < 2 && x > 0) { y = "a&b"; }</script></head><body><h1>Title</h1><p class="a">'
+               || text ||
+               '</p><!-- hidden note --> 3 &lt; 4 &amp;&amp; y &gt; 1&nbsp;&quot;it&#39;s&quot; &copy; fine</body></html>' AS h
+             FROM documents),
+          s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM d),
+          s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+          s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+          s4 AS (SELECT doc_id, regexp_replace(t, '(?s)</?[a-zA-Z!][^>]*>', ' ', 'g') AS t FROM s3),
+          u AS (SELECT doc_id,
+                  replace(replace(replace(replace(replace(replace(replace(t,
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+                FROM s4),
+          f AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM u)
+          SELECT doc_id, clean_text,
+                 CAST(length(clean_text) AS INTEGER) AS n_chars
+          FROM f""",
     // 16-token blocks; a block's doc-frequency counts DISTINCT documents
     // on the 60-bit shared hash (mirroring the Spark distinct-on-hash),
     // blocks in > 1 document are cut, survivors reassemble by position
@@ -2084,6 +2254,21 @@ object LlmQueries {
           e AS (SELECT doc_id, unnest(gs) AS shingle FROM g)
          SELECT shingle, count(*) AS df FROM e
          GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""",
+    // vocabulary coverage: counts by token STRING (the Spark side counts
+    // 60-bit hashes and resolves — identical barring a 2^-60 collision)
+    "llm_vocab" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                      FROM documents),
+          c AS (SELECT t, count(*) AS cnt, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY t),
+          tot AS (SELECT sum(cnt) AS tot FROM c),
+          top AS (SELECT t, cnt, df FROM c ORDER BY cnt DESC, t ASC LIMIT 100)
+          SELECT t AS token, CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, t ASC) AS INTEGER) AS rank,
+                 round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, t ASC
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / (SELECT tot FROM tot), 6) AS coverage
+          FROM top""",
     "llm_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
                        FROM documents),

@@ -508,6 +508,12 @@ class EngineSpec extends AnyFunSuite {
         "SELECT * FROM graft_rank_norm('documents', 'doc_id', 'n_chars', 16)")
       assert(planRank.contains("GraftDeferredScan"),
         "the rank-norm boundary sketch must sit behind a deferred-scan leaf")
+      // cluster-balanced sampling trains k-means too — same contract
+      val planCs = engine.explain(
+        """SELECT * FROM graft_cluster_sample(
+             'embeddings', 'vec_id', 'embedding', 8, 1, 20, 'csamp:')""")
+      assert(planCs.contains("GraftDeferredScan"),
+        "cluster-sample's Lloyd training must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the cluster TVFs must launch no Spark job, saw $jobs")

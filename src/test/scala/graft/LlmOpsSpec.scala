@@ -61,6 +61,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((exact & approx3).size >= (exact & approx).size)
   }
 
+  test("PQ/ADC ANN: deterministic, reasonable recall, trained codebooks work") {
+    import spark.implicits._
+    // unit-norm corpus (checked in testdata) ⇒ inner product ≈ cosine,
+    // so the cosine brute-force top-k is the fair ADC ground truth
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, nCodes = 8)
+    assert(cb.length == 4 && cb.forall(_.length == 8)
+      && cb.forall(_.forall(_._2.length == 16)))
+    val pq1 = Similarity.pqTopK(emb, "vec_id", "embedding", cb, 16, 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0))
+    val pq2 = Similarity.pqTopK(emb, "vec_id", "embedding", cb, 16, 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0))
+    assert(pq1.sameElements(pq2), "PQ must be deterministic")
+    val recall = (exact & pq1.toSet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ recall@10 $recall unexpectedly low")
+    // Lloyd-trained codebooks: the production build path must encode the
+    // whole corpus (every row gets m codes) and return a full top-k
+    val cbT = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, nCodes = 8, iters = 1)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbT, 16)
+    assert(codes.count() == emb.count())
+    assert(codes.columns.toSeq == Seq("vec_id", "code_0", "code_1", "code_2", "code_3"))
+    val pqT = Similarity.pqTopK(emb, "vec_id", "embedding", cbT, 16, 0, 10).collect()
+    assert(pqT.length == 10)
+  }
+
   test("IVF ANN: deterministic, bounded scan, reasonable recall") {
     import spark.implicits._
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
@@ -1020,6 +1048,37 @@ class LlmOpsSpec extends AnyFunSuite {
     // null passes through
     val n = Seq(Tuple1(null: String)).toDF("t")
       .select(TextAnalysis.normalizeText($"t").as("n")).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("stripMarkup: blocks, tags, entities, pass-throughs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def run(s: String) =
+      Seq(Tuple1(s)).toDF("t")
+        .select(TextAnalysis.stripMarkup($"t").as("n"))
+        .collect().head.getString(0)
+    // script/style vanish WHOLE — the `1 < 2` inside must not leak or
+    // be half-eaten as a tag; comments and attributed tags vanish
+    assert(run("""a<script>if (1 < 2) x = "<b>";</script>b""") == "a b")
+    assert(run("""a<style media="x">p > span { }</style>b""") == "a b")
+    assert(run("a<!-- <b>hidden</b> -->b") == "a b")
+    assert(run("""<p class="x" data-y="1">text</p>""") == "text")
+    assert(run("<!DOCTYPE html><BR/>x</BR>") == "x")
+    // prose comparisons survive: `<` not followed by a letter is text
+    assert(run("3 < 4 and x >1") == "3 < 4 and x >1")
+    // entities: handled set unescapes, &amp; LAST (single-pass rule),
+    // unknown entities pass through
+    assert(run("&lt;tag&gt; &quot;q&quot; it&#39;s a&nbsp;b") ==
+      "<tag> \"q\" it's a b")
+    assert(run("&amp;lt; &amp;&amp;") == "&lt; &&")
+    assert(run("&copy; 2024") == "&copy; 2024")
+    // whitespace collapses across removed blocks; ends trim
+    assert(run("  <div>\n a \n</div>  \t b ") == "a b")
+    // unterminated script keeps content (documented); null passes through
+    assert(run("a<script>var x;") == "a var x;")
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(TextAnalysis.stripMarkup($"t").as("n")).collect().head
     assert(n.isNullAt(0))
   }
 

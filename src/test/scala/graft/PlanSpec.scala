@@ -108,6 +108,9 @@ class PlanSpec extends AnyFunSuite {
       "a8_hll",
       // broadcast 1-row top-k boundary df (hash-first boilerplate report)
       "llm_boilerplate", "e_sql_boilerplate",
+      // broadcast 1-row top-k boundary count + corpus token total
+      // (hash-first vocabulary report)
+      "llm_vocab", "e_sql_vocab",
       // broadcast 1-row quantile threshold (exact and GK-attestation)
       "llm_quantile_filter", "e_sql_quantile_filter",
       "llm_quantile_filter_approx",
@@ -139,6 +142,16 @@ class PlanSpec extends AnyFunSuite {
       "IVF must not hash-shuffle the corpus to assign cells")
     assert(!p.contains("Window"),
       "IVF cell assignment must be a projection, not a row_number window")
+  }
+
+  test("PQ scoring is a codes-only projection (no exchange, no join, top-k)") {
+    val p = plan("llm_ann_pq")
+    // encode = argmin over inlined codebook literals, score = CASE-chain
+    // LUT sum: the corpus must reach TakeOrdered without any exchange,
+    // window, or join — the memory-bounded ANN serving shape
+    assert(!p.contains("Exchange"), "PQ scoring must not shuffle the corpus")
+    assert(!p.contains("Window") && !p.contains("Join"))
+    assert(p.contains("TakeOrderedAndProject"))
   }
 
   test("minhash pipeline shuffles band keys, not documents") {
@@ -282,6 +295,20 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.forall(_.partitionSpec.nonEmpty), "no global window allowed")
     assert(wins.exists(_.partitionSpec.size == 2),
       "the corpus-facing window must partition by (domain, bucket)")
+  }
+
+  test("cluster sample: zero-exchange cell assignment + pre-split windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // cell = argmax over inlined centroid literals (no exchange to
+    // assign), then the same two-phase (cell, bucket) sampler shape
+    val qe = SparkEntry.queries("llm_cluster_sample")(spark, TestSpark.sf).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected pre-split + survivor windows, got ${wins.size}")
+    assert(wins.forall(_.partitionSpec.nonEmpty), "no global window allowed")
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "the corpus-facing window must partition by (cell, bucket)")
+    assert(!qe.executedPlan.toString.contains("Join"),
+      "cell assignment must be a projection, not a centroid join")
   }
 
   test("deterministic sampling is a pure scan+filter (zero exchange)") {
