@@ -354,12 +354,17 @@ object LlmSql {
         "graft_c4_filters(table, id_col, text_col, min_words_per_line, min_kept_lines)", args)
     }
     reg(spark, "graft_line_dedup") {
-      case Seq(t, id, text, mdf) =>
+      // optional 5th arg 'local' truncates the INPUT chain (both the
+      // hash and reassembly branches read it — when the table arg is a
+      // view over an expensive TVF pipeline stage, recompute doubles it)
+      case args @ Seq(t, id, text, mdf, _*) if args.length <= 5 =>
         val f = "graft_line_dedup"
+        val inputReuse = if (args.length == 5 && str(args(4), f) == "local")
+          graft.operators.Reuse.Local else graft.operators.Reuse.Off
         TextAnalysis.removeRepeatedLines(table(str(t, f)), str(id, f),
-          str(text, f), maxDf = int(mdf, f))
+          str(text, f), maxDf = int(mdf, f), inputReuse = inputReuse)
       case args => bad(
-        "graft_line_dedup(table, id_col, text_col, max_df)", args)
+        "graft_line_dedup(table, id_col, text_col, max_df[, 'local'])", args)
     }
     reg(spark, "graft_span_dedup") {
       case Seq(t, id, text, st, mdf) =>

@@ -826,10 +826,19 @@ object TextAnalysis {
     * exemption composes with the join flag without a re-count. */
   def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
                           maxDf: Int = 1, minChars: Int = 1,
-                          reuse: Reuse = Reuse.Local): DataFrame = {
+                          reuse: Reuse = Reuse.Local,
+                          inputReuse: Reuse = Reuse.Off): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     require(minChars >= 0, s"minChars must be >= 0, got $minChars")
-    def lineRows = df.select(col(idCol),
+    // the hash branch and the flag/reassembly branch both read the
+    // input — a cheap selective scan should recompute (default Off
+    // keeps pushdown/pruning), but when `df` is an expensive DERIVED
+    // chain (a filter+normalize pipeline stage), `inputReuse = Local`
+    // truncates it so the chain runs once. This deliberately
+    // checkpoints a text-bearing frame — the caller's storage-vs-
+    // compute trade, same as the quantile filter's 'local' option.
+    val in = inputReuse(df)
+    def lineRows = in.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .withColumn("__h", Dedup.sharedHash60(col("line")))
     val hashes = reuse(lineRows.filter(length(col("line")) >= minChars)

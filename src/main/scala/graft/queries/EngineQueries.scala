@@ -444,7 +444,7 @@ object EngineQueries {
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p3_dedup AS
                  SELECT l.doc_id, f.source, l.clean_text,
                         length(l.clean_text) AS n_clean
-                 FROM graft_line_dedup('p3_clean', 'doc_id', 'text', 1) l
+                 FROM graft_line_dedup('p3_clean', 'doc_id', 'text', 1, 'local') l
                  JOIN p3_fix f ON f.doc_id = l.doc_id""")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p3_kept AS
                  SELECT * FROM graft_quantile_filter(

@@ -1025,8 +1025,10 @@ object LlmQueries {
         minWordsPerLine = 3, minKeptLines = 1)
       val cleaned = c4.filter($"keep")
         .select($"doc_id", TextAnalysis.normalizeText($"clean_text").as("text"))
+      // the c4+normalize chain is expensive and feeds both line-dedup
+      // branches — truncate it (same 'local' the SQL twin passes)
       val deduped = TextAnalysis.removeRepeatedLines(cleaned, "doc_id", "text",
-          maxDf = 1)
+          maxDf = 1, inputReuse = graft.operators.Reuse.Local)
         .join(fixture.select($"doc_id", $"source"), "doc_id")
         .select($"doc_id", $"source", $"clean_text",
           length($"clean_text").as("n_clean"))

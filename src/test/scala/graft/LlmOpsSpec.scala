@@ -571,6 +571,12 @@ class LlmOpsSpec extends AnyFunSuite {
         docs.select($"doc_id", $"text"), "doc_id", "text", maxDf = 1, reuse = r)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(lines(Reuse.Off) == lines(Reuse.Local))
+    // the opt-in INPUT truncation must be bit-equal too
+    def linesIn(r: Reuse) = TextAnalysis.removeRepeatedLines(
+        docs.select($"doc_id", $"text"), "doc_id", "text", maxDf = 1,
+        inputReuse = r)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(linesIn(Reuse.Local) == lines(Reuse.Off))
     def bigram(r: Reuse) = TextAnalysis.bigramLogProb(
         docs.select($"doc_id", $"text"), "doc_id", "text", reuse = r)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
