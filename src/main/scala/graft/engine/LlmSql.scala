@@ -173,6 +173,12 @@ object LlmSql {
       case args => bad(
         "graft_boilerplate(table, id_col, text_col, n, top_k)", args)
     }
+    reg(spark, "graft_sentences") {
+      case Seq(t, id, text) =>
+        val f = "graft_sentences"
+        TextAnalysis.sentenceRows(table(str(t, f)), str(id, f), str(text, f))
+      case args => bad("graft_sentences(table, id_col, text_col)", args)
+    }
     reg(spark, "graft_vocab") {
       case Seq(t, id, text, k) =>
         val f = "graft_vocab"

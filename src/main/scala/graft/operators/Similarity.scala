@@ -392,15 +392,32 @@ object Similarity {
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              codebooks: Array[Array[(Long, Seq[Double])]], subDim: Int,
              queryId: Long, k: Int): DataFrame = {
-    val qRow = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol)).head()
-    val q: IndexedSeq[Double] = qRow.getSeq[Any](0).map {
-      case f: Float => f.toDouble
-      case d: Double => d
-      case other => throw new IllegalArgumentException(
-        s"expected float/double embedding element, got $other")
-    }.toIndexedSeq
-    val score = codebooks.toIndexedSeq.zipWithIndex.map { case (cb, s) =>
+    val q = queryVecOf(emb, idCol, vecCol, queryId)
+    pqEncode(emb, idCol, vecCol, codebooks, subDim)
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(adcScore(codebooks, subDim, q), 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Collect ONE query vector to the driver (the documented KB-scale
+    * boundary — the per-query coordinator step of every ANN serving
+    * flow that builds lookup tables or probe lists from the query). */
+  private def queryVecOf(emb: DataFrame, idCol: String, vecCol: String,
+                         queryId: Long): IndexedSeq[Double] =
+    emb.filter(col(idCol) === queryId).select(col(vecCol)).head()
+      .getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"expected float/double embedding element, got $other")
+      }.toIndexedSeq
+
+  /** The ADC score column over `code_0 … code_{m−1}`: per-subspace
+    * query-LUT CASE chains (driver-built literals), summed. */
+  private def adcScore(codebooks: Array[Array[(Long, Seq[Double])]],
+                       subDim: Int, q: IndexedSeq[Double]): Column =
+    codebooks.toIndexedSeq.zipWithIndex.map { case (cb, s) =>
       val qs = q.slice(s * subDim, (s + 1) * subDim)
       val lut = cb.toIndexedSeq.map { case (cid, cv) =>
         (cid, qs.zip(cv).foldLeft(0.0)((a, p) => a + p._1 * p._2))
@@ -410,9 +427,44 @@ object Similarity {
         case (acc, (cid, v)) => acc.when(codeCol === cid, lit(v))
       }
     }.reduce(_ + _)
-    pqEncode(emb, idCol, vecCol, codebooks, subDim)
+
+  /** IVF-PQ top-k (no-residual variant) — the production ANN index
+    * composed end to end: coarse centroids prune the scan to the
+    * query's `probes` nearest cells (at 100 TB the cell id is the
+    * partition key, so probing is partition PRUNING), and within the
+    * probed cells scoring reads only PQ codes (memory-bounded ADC).
+    * The full recipe quantizes residuals (x − centroid) for tighter
+    * codes; this variant encodes raw vectors — same plan shape, one
+    * fewer subtraction, and the cells/codebooks stay independently
+    * reusable. Recall compounds coarse-probe misses with quantization
+    * error (LlmOpsSpec measures both stages).
+    *
+    * Plan shape: zero-exchange cell assignment (inlined centroid
+    * literals) → broadcast probe-cell semi-join → zero-exchange encode
+    * + LUT projection → TakeOrderedAndProject. The corpus is never
+    * shuffled; vectors are read only inside probed cells. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[(Long, Seq[Double])],
+                codebooks: Array[Array[(Long, Seq[Double])]], subDim: Int,
+                queryId: Long, k: Int, probes: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val q = queryVecOf(emb, idCol, vecCol, queryId)
+    val assigned = emb.select(col(idCol), col(vecCol),
+      cellOf(col(vecCol), centroids).as("cell"))
+    val centDf = spark.createDataFrame(centroids.toSeq)
+      .toDF("__cid", "__cvec")
+    val qCells = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+      .crossJoin(broadcast(centDf))
+      .select(col("__cid"),
+        cosine(col("__qvec"), col("__cvec")).as("__qsim"))
+      .orderBy(col("__qsim").desc, col("__cid")).limit(probes)
+      .select(col("__cid").as("cell"))
+    val pruned = assigned.join(broadcast(qCells), "cell")
       .filter(col(idCol) =!= queryId)
-      .select(col(idCol), round(score, 6).as("adc_score"))
+      .select(col(idCol), col(vecCol))
+    pqEncode(pruned, idCol, vecCol, codebooks, subDim)
+      .select(col(idCol), round(adcScore(codebooks, subDim, q), 6).as("adc_score"))
       .orderBy(col("adc_score").desc, col(idCol))
       .limit(k)
   }

@@ -318,6 +318,33 @@ object TextAnalysis {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** Sentence segmentation — decontamination, quotation detection, and
+    * fine-grained dedup are often phrased at SENTENCE granularity (the
+    * published eval-overlap checks match n-grams within sentences):
+    * one row per sentence with its 0-based index and length. The
+    * boundary rule is the standard naive heuristic (a run of text up to
+    * a terminal-punctuation run `[.!?]+`, plus a terminator-less tail):
+    * deliberately abbreviation-blind ("Mr. Smith" splits) — portable
+    * determinism over locale smartness, like [[tokens]].
+    *
+    * Engine parity: the tail anchor is `\z` (absolute end), NOT `$` —
+    * Java's default `$` also matches before a final newline, RE2's does
+    * not; `\z` means the same thing in both. Sentences are trimmed and
+    * empties dropped (a trailing newline extracts as a whitespace-only
+    * tail). Per-SENTENCE array lambdas are fine (the c4LineFilters
+    * precedent — the per-token HOF ban is about token granularity).
+    * Pure per-row projection + explode, zero shuffle. */
+  def sentenceRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pat = "[^.!?]+[.!?]+|[^.!?]+\\z"
+    val sents = org.apache.spark.sql.functions.filter(
+      transform(regexp_extract_all(col(textCol), lit(pat), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+    df.select(col(idCol), posexplode(sents).as(Seq("sent_no", "sentence")))
+      .select(col(idCol), col("sent_no"), col("sentence"),
+        length(col("sentence")).cast("int").as("n_chars"))
+  }
+
   /** Global token offsets for concat-and-split sequence packing: the
     * corpus token stream in `idCol` order is cut every `seqLen` tokens
     * into training sequences; per doc this returns its running

@@ -150,6 +150,17 @@ object EngineQueries {
       "SELECT * FROM graft_boilerplate('documents', 'doc_id', 'text', 3, 20)")),
     "e_sql_vocab" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_vocab('documents', 'doc_id', 'text', 100)")),
+    // sentence segmentation from SQL over the same planted fixture
+    "e_sql_sentences" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_sent_docs AS
+                 SELECT doc_id,
+                        text || ' Ellipsis... mixed?! A tail without terminator'
+                             || char(10) AS text
+                 FROM documents""")
+      e.query("SELECT * FROM graft_sentences('graft_sent_docs', 'doc_id', 'text')")
+    }),
     // incremental-ingestion dedup from SQL: a re-ingested shard (view)
     // deduplicated AGAINST the corpus
     "e_sql_minhash_incr" -> ((s, d) => {
@@ -584,6 +595,7 @@ object EngineQueries {
     "e_sql_simhash" -> LlmQueries.oracle("llm_simhash_pairs"),
     "e_sql_boilerplate" -> LlmQueries.oracle("llm_boilerplate"),
     "e_sql_vocab" -> LlmQueries.oracle("llm_vocab"),
+    "e_sql_sentences" -> LlmQueries.oracle("llm_sentences"),
     "e_sql_minhash_incr" -> LlmQueries.oracle("llm_minhash_incr"),
     "e_sql_sample_strat" -> LlmQueries.oracle("llm_sample_strat"),
     "e_sql_pii_redact" -> LlmQueries.oracle("llm_pii_redact"),

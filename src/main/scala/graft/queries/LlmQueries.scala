@@ -505,6 +505,16 @@ object LlmQueries {
           m = 4, subDim = 16, nCodes = 8),
         subDim = 16, queryId = 0, k = 10)
     }),
+    "llm_ann_ivf_pq" -> ((s, d) => {
+      // the production index composed: coarse cells prune the scan
+      // (seed centroids, 2 probes), PQ/ADC scores within probed cells
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        Similarity.collectCentroids(emb, "vec_id", "embedding", nCells = 8),
+        Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          m = 4, subDim = 16, nCodes = 8),
+        subDim = 16, queryId = 0, k = 10, probes = 2)
+    }),
     "llm_embedding_dups" -> ((s, d) => {
       import s.implicits._
       // corpus with planted duplicates (ids shifted by 10000): the
@@ -807,6 +817,16 @@ object LlmQueries {
       planted.select($"doc_id",
         TextAnalysis.normalizeText($"text").as("norm_text"),
         length(TextAnalysis.normalizeText($"text")).as("n_chars_norm"))
+    }),
+    "llm_sentences" -> ((s, d) => {
+      import s.implicits._
+      // planted suffix exercises the corners: ellipsis run, mixed ?!,
+      // a terminator-less tail, and a trailing newline (the \z anchor —
+      // Java's $ would also match before it, RE2's would not)
+      val planted = Tables.load(s, d, "documents").select($"doc_id",
+        concat($"text", lit(" Ellipsis... mixed?! A tail without terminator\n"))
+          .as("text"))
+      TextAnalysis.sentenceRows(planted, "doc_id", "text")
     }),
     "llm_html_strip" -> ((s, d) => {
       import s.implicits._
@@ -1269,6 +1289,44 @@ object LlmQueries {
           SELECT enc.vec_id, round(sum(lut.d), 6) AS adc_score
           FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cid
           WHERE enc.vec_id <> 0
+          GROUP BY enc.vec_id
+          ORDER BY adc_score DESC, enc.vec_id LIMIT 10""",
+    // IVF-PQ: llm_ann_ivf's coarse assignment + probe prunes to 2
+    // cells; llm_ann_pq's codebook/encode/LUT chain scores the pruned
+    // set only
+    "llm_ann_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+          a AS (SELECT vec_id, v, cid AS cell FROM (
+                  SELECT e.vec_id, e.v, c.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                  FROM e CROSS JOIN cent c) WHERE rk = 1),
+          qc AS (SELECT c.cid AS cell,
+                        row_number() OVER (
+                          ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rk
+                 FROM cent c CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q),
+          pr AS (SELECT a.vec_id, a.v FROM a
+                 JOIN (SELECT cell FROM qc WHERE rk <= 2) p ON a.cell = p.cell
+                 WHERE a.vec_id <> 0),
+          seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+          sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+          cb AS (SELECT sub.s, seed.vec_id AS cid,
+                        seed.v[sub.s*16+1 : sub.s*16+16] AS cv
+                 FROM sub CROSS JOIN seed),
+          enc AS (SELECT vec_id, s, cid AS code FROM (
+                    SELECT pr.vec_id, b.s, b.cid,
+                           row_number() OVER (PARTITION BY pr.vec_id, b.s
+                             ORDER BY round(list_inner_product(b.cv, b.cv)
+                               - 2 * list_inner_product(pr.v[b.s*16+1 : b.s*16+16], b.cv), 6) ASC,
+                             b.cid ASC) AS rk
+                    FROM pr CROSS JOIN cb b) WHERE rk = 1),
+          q AS (SELECT v FROM e WHERE vec_id = 0),
+          lut AS (SELECT b.s, b.cid,
+                         list_inner_product(q.v[b.s*16+1 : b.s*16+16], b.cv) AS d
+                  FROM cb b CROSS JOIN q)
+          SELECT enc.vec_id, round(sum(lut.d), 6) AS adc_score
+          FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cid
           GROUP BY enc.vec_id
           ORDER BY adc_score DESC, enc.vec_id LIMIT 10""",
     "llm_pipeline" ->
@@ -1908,6 +1966,22 @@ object LlmQueries {
           SELECT doc_id, norm_text,
                  CAST(length(norm_text) AS INTEGER) AS n_chars_norm
           FROM n""",
+    // sentence segmentation: identical fixture + identical RE2-safe
+    // pattern (terminal-punct runs; \z-anchored tail), trim + drop-empty
+    "llm_sentences" ->
+      """WITH d AS (SELECT doc_id,
+               text || ' Ellipsis... mixed?! A tail without terminator' || chr(10) AS text
+             FROM documents),
+          s AS (SELECT doc_id, list_filter(list_transform(
+                  regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+\z'),
+                  x -> trim(x)), x -> length(x) > 0) AS ss
+                FROM d)
+          SELECT doc_id, sent_no, sentence,
+                 CAST(length(sentence) AS INTEGER) AS n_chars
+          FROM (SELECT doc_id,
+                       CAST(generate_subscripts(ss, 1) - 1 AS INTEGER) AS sent_no,
+                       unnest(ss) AS sentence
+                FROM s)""",
     // markup strip: identical fixture + identical regex/replace chain
     // (RE2-safe patterns — no backreferences; &amp; unescapes LAST)
     "llm_html_strip" ->

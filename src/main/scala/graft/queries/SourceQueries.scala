@@ -79,6 +79,26 @@ object SourceQueries {
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
           min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+    }),
+    "s7_jsonl_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      // the JSONL sink (the interchange format S8 reads): write the
+      // corpus as newline-delimited JSON, read it back through the S8
+      // reader path, aggregate INCLUDING a text checksum — JSON string
+      // escaping round-trips or the hash mismatches the parquet-sourced
+      // oracle
+      val out = "target/gate_sink/documents_jsonl"
+      graft.Tables.load(s, d, "documents")
+        .select($"doc_id", $"lang", $"text")
+        .write.mode("overwrite").json(out)
+      s.read.json(out)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_chars"),
+          // 32-bit hash: the sum stays far from Long overflow (the
+          // 60-bit variant would overflow within 8 rows)
+          sum(graft.operators.Dedup.sharedHash($"text")).as("text_sum"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
     })
   )
 
@@ -108,6 +128,12 @@ object SourceQueries {
     "s7_sink_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY lang""",
+    "s7_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                CAST(sum(CAST(('0x'||substr(md5(text),1,8)) AS BIGINT)) AS BIGINT) AS text_sum,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents GROUP BY lang"""
     // s3_metrics / s4_env: environment-dependent — driver rows-only check

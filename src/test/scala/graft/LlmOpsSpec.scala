@@ -89,6 +89,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pqT.length == 10)
   }
 
+  test("IVF-PQ ANN: deterministic, recall no worse than both stages imply") {
+    import spark.implicits._
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 8)
+    val r1 = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb, 16, 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0))
+    val r2 = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb, 16, 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0))
+    assert(r1.sameElements(r2), "IVF-PQ must be deterministic")
+    assert(r1.length == 10)
+    // compounding stages can only lose recall vs pure PQ restricted to
+    // the probed cells — sanity floor, not a tight bound
+    val recall = (exact & r1.toSet).size.toDouble / exact.size
+    assert(recall >= 0.1, s"IVF-PQ recall@10 $recall unexpectedly low")
+    // all-cells probe degrades to pure PQ (same candidate set)
+    val allCells = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb,
+        16, 0, 10, probes = 8)
+      .select($"vec_id").collect().map(_.getLong(0))
+    val purePq = Similarity.pqTopK(emb, "vec_id", "embedding", cb, 16, 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0))
+    assert(allCells.sameElements(purePq),
+      "probing every cell must equal pure PQ")
+  }
+
   test("IVF ANN: deterministic, bounded scan, reasonable recall") {
     import spark.implicits._
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)

@@ -77,7 +77,8 @@ class PlanSpec extends AnyFunSuite {
     // BNLJ is legitimate only where the build side is a broadcast
     // single-row/bounded set or the op is an intentional cross/brute-force
     val allowedBnlj = Set("j4_cross", "llm_ann_lsh", "llm_ann_topk",
-      "llm_ann_ivf", "llm_ann_ivf_trained", "llm_cosine", "e_sql_cosine",
+      "llm_ann_ivf", "llm_ann_ivf_trained", "llm_ann_ivf_pq",
+      "llm_cosine", "e_sql_cosine",
       "llm_ngram_jaccard",
       // broadcast of a 1-row bound/total (max doc_id; corpus N)
       "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment",
@@ -151,6 +152,14 @@ class PlanSpec extends AnyFunSuite {
     // window, or join — the memory-bounded ANN serving shape
     assert(!p.contains("Exchange"), "PQ scoring must not shuffle the corpus")
     assert(!p.contains("Window") && !p.contains("Join"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("IVF-PQ: no corpus shuffle — prune by broadcast probe cells, ADC, top-k") {
+    val p = plan("llm_ann_ivf_pq")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "IVF-PQ must not hash-shuffle the corpus")
+    assert(!p.contains("Window"))
     assert(p.contains("TakeOrderedAndProject"))
   }
 
