@@ -490,6 +490,35 @@ object EngineQueries {
       e.query("""SELECT doc_id, n_toks, token_offset, shard, order_key
                  FROM graft_shards('p4_sel', 'text', 8, 'p4:')""")
     }),
+    // the raw-crawl ingestion flow as pure SQL composition: strip +
+    // normalize scalars -> gopher TVF keep -> keep-first dedup on the
+    // fingerprint scalar -> shard TVF
+    "e_sql_pipeline5" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW p5_clean AS
+                 SELECT doc_id,
+                        graft_normalize(graft_strip_html(
+                          '${LlmQueries.htmlPre}' || text || '${LlmQueries.htmlPost}'))
+                          AS text
+                 FROM (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT doc_id + 700000, text FROM documents)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p5_kept AS
+                 SELECT c.doc_id, c.text
+                 FROM p5_clean c
+                 JOIN graft_gopher('p5_clean', 'doc_id', 'text',
+                        10, 100000, 2.0, 10.0, 0.2, 1) g
+                   ON g.doc_id = c.doc_id
+                 WHERE g.keep""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p5_dedup AS
+                 SELECT doc_id, text FROM (
+                   SELECT doc_id, text, row_number() OVER (
+                     PARTITION BY graft_fingerprint(text)
+                     ORDER BY doc_id) AS rn
+                   FROM p5_kept) WHERE rn = 1""")
+      e.query("""SELECT doc_id, shard, order_key
+                 FROM graft_shards('p5_dedup', 'text', 8, 'p5:')""")
+    }),
     // DSIR importance weights from SQL: the target corpus is just
     // another SQL view — any predicate can define "what good data looks
     // like" without a line of Scala
@@ -613,6 +642,7 @@ object EngineQueries {
     "e_sql_decontaminate_bloom" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
     "e_sql_html_strip" -> LlmQueries.oracle("llm_html_strip"),
+    "e_sql_pipeline5" -> LlmQueries.oracle("llm_pipeline5"),
     "e_sql_script" -> LlmQueries.oracle("llm_script"),
     "e_sql_bigram_lp" -> LlmQueries.oracle("llm_bigram_lp"),
     "e_sql_temperature_mix" -> LlmQueries.oracle("llm_temperature_mix"),

@@ -830,21 +830,38 @@ object LlmQueries {
     }),
     "llm_html_strip" -> ((s, d) => {
       import s.implicits._
-      // raw-crawl fixture around every doc: style + script blocks (the
-      // script contains `1 < 2 && x > 0` — eaten as a tag if block
-      // removal were skipped), a comment, attributed tags, the handled
-      // entities, and the UNhandled &copy; that must pass through
-      val pre = "<!DOCTYPE html><html><head><style type=\"text/css\">" +
-        "p{color:red}</style><script>if (1 < 2 && x > 0) { y = \"a&b\"; }" +
-        "</script></head><body><h1>Title</h1><p class=\"a\">"
-      val post = "</p><!-- hidden note --> 3 &lt; 4 &amp;&amp; y &gt; 1&nbsp;" +
-        "&quot;it&#39;s&quot; &copy; fine</body></html>"
       Tables.load(s, d, "documents")
         .select($"doc_id",
-          TextAnalysis.stripMarkup(concat(lit(pre), $"text", lit(post)))
+          TextAnalysis.stripMarkup(concat(lit(htmlPre), $"text", lit(htmlPost)))
             .as("clean_text"))
         .select($"doc_id", $"clean_text",
           length($"clean_text").cast("int").as("n_chars"))
+    }),
+    "llm_pipeline5" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Sampling
+      // the raw-CRAWL ingestion flow end to end: markup strip →
+      // normalize → Gopher panel (symbol threshold 0.2 — the stripped
+      // fixture legitimately keeps its entity/comparison symbols) →
+      // exact dedup keep-first → deterministic shards. The corpus is
+      // DOUBLED so dedup provably removes the clones; order_key is the
+      // exact surviving-text checksum (the pipeline2/3 convention)
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val base = docs.unionAll(
+        docs.select(($"doc_id" + 700000).as("doc_id"), $"text"))
+      val stripped = base.select($"doc_id",
+        TextAnalysis.stripMarkup(concat(lit(htmlPre), $"text", lit(htmlPost)))
+          .as("text"))
+      val normed = stripped.select($"doc_id",
+        TextAnalysis.normalizeText($"text").as("text"))
+      val keepIds = TextAnalysis.gopherRules(normed, "doc_id", "text",
+          minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+          maxMeanWordLen = 10.0, maxSymbolRatio = 0.2, minStopwordHits = 1)
+        .filter($"keep").select($"doc_id")
+      val deduped = Dedup.exactDedupRows(normed.join(keepIds, "doc_id"),
+        "doc_id", "text")
+      Sampling.assignShards(deduped, $"text", numShards = 8, salt = "p5:")
+        .select($"doc_id", $"shard", $"order_key")
     }),
     "llm_span_dedup" -> ((s, d) =>
       // C4-style repeated-span removal: 16-token blocks present in more
@@ -1097,6 +1114,33 @@ object LlmQueries {
   )
 
   private val stopsEn = "'the','a','of','and','to','in','is','it','for','on'"
+
+  /** Raw-crawl fixture around every doc (shared by the html-strip gate
+    * and pipeline5, Scala AND SQL sides): style + script blocks (the
+    * script contains `1 < 2 && x > 0` — eaten as a tag if block removal
+    * were skipped), a comment, attributed tags, the handled entities,
+    * and the UNhandled &copy; that must pass through. No single quotes,
+    * so it splices into a SQL literal verbatim. */
+  private[queries] val htmlPre = "<!DOCTYPE html><html><head><style type=\"text/css\">" +
+    "p{color:red}</style><script>if (1 < 2 && x > 0) { y = \"a&b\"; }" +
+    "</script></head><body><h1>Title</h1><p class=\"a\">"
+  private[queries] val htmlPost = "</p><!-- hidden note --> 3 &lt; 4 &amp;&amp; y &gt; 1&nbsp;" +
+    "&quot;it&#39;s&quot; &copy; fine</body></html>"
+
+  /** The markup-strip chain as DuckDB CTEs: expects `d(doc_id, h)`,
+    * yields `f(doc_id, clean_text)` — the exact algebra of
+    * [[graft.operators.TextAnalysis.stripMarkup]]. */
+  private val stripChainSql =
+    """s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM d),
+       s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+       s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+       s4 AS (SELECT doc_id, regexp_replace(t, '(?s)</?[a-zA-Z!][^>]*>', ' ', 'g') AS t FROM s3),
+       u AS (SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(replace(t,
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                 '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+             FROM s4),
+       f AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM u)"""
 
   /** Shared WITH-clause prefix for the overlap-extents family: planted
     * tail-100 clones → positional 8-gram 60-bit hashes → winnow
@@ -1985,24 +2029,49 @@ object LlmQueries {
     // markup strip: identical fixture + identical regex/replace chain
     // (RE2-safe patterns — no backreferences; &amp; unescapes LAST)
     "llm_html_strip" ->
-      """WITH d AS (SELECT doc_id,
-               '<!DOCTYPE html><html><head><style type="text/css">p{color:red}</style><script>if (1 < 2 && x > 0) { y = "a&b"; }</script></head><body><h1>Title</h1><p class="a">'
-               || text ||
-               '</p><!-- hidden note --> 3 &lt; 4 &amp;&amp; y &gt; 1&nbsp;&quot;it&#39;s&quot; &copy; fine</body></html>' AS h
-             FROM documents),
-          s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM d),
-          s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
-          s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
-          s4 AS (SELECT doc_id, regexp_replace(t, '(?s)</?[a-zA-Z!][^>]*>', ' ', 'g') AS t FROM s3),
-          u AS (SELECT doc_id,
-                  replace(replace(replace(replace(replace(replace(replace(t,
-                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-                    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
-                FROM s4),
-          f AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM u)
+      s"""WITH d AS (SELECT doc_id, '$htmlPre' || text || '$htmlPost' AS h
+                     FROM documents),
+          $stripChainSql
           SELECT doc_id, clean_text,
                  CAST(length(clean_text) AS INTEGER) AS n_chars
           FROM f""",
+    // raw-crawl pipeline: strip chain over the DOUBLED corpus →
+    // normalize (llm_normalize's chain) → gopher keep (llm_gopher's
+    // formulas, symbol 0.2) → keep-first dedup on the fingerprint →
+    // shard/order hashes (llm_shards' idiom, salt p5:)
+    "llm_pipeline5" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+                        UNION ALL SELECT doc_id + 700000, text FROM documents),
+          d AS (SELECT doc_id, '$htmlPre' || text || '$htmlPost' AS h FROM base),
+          $stripChainSql,
+          n AS (SELECT doc_id,
+                  trim(regexp_replace(
+                    regexp_replace(
+                      regexp_replace(nfc_normalize(clean_text), '\\r\\n?', chr(10), 'g'),
+                      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                    '[ \\t\\x{00A0}]+', ' ', 'g')) AS text
+                FROM f),
+          g AS (SELECT doc_id, text,
+                  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+                  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                        / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len,
+                  round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                        / greatest(length(text), 1), 6) AS symbol_ratio,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t IN ($stopsEn))) AS INTEGER) AS stop_hits
+                FROM n),
+          k AS (SELECT doc_id, text FROM g
+                WHERE n_tokens >= 10 AND n_tokens <= 100000
+                  AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+                  AND symbol_ratio <= 0.2 AND stop_hits >= 1),
+          dd AS (SELECT doc_id, text FROM (
+                   SELECT doc_id, text, row_number() OVER (
+                     PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id) AS rn FROM k) WHERE rn = 1)
+          SELECT doc_id,
+                 CAST(CAST(('0x'||substr(md5('p5:'||text),1,8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+                 CAST(('0x'||substr(md5('ord:p5:'||text),1,8)) AS BIGINT) AS order_key
+          FROM dd""",
     // 16-token blocks; a block's doc-frequency counts DISTINCT documents
     // on the 60-bit shared hash (mirroring the Spark distinct-on-hash),
     // blocks in > 1 document are cut, survivors reassemble by position
