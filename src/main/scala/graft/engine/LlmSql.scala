@@ -116,6 +116,19 @@ object LlmSql {
       case args => bad(
         "graft_minhash_between(new_table, corpus_table, id_col, text_col, threshold[, max_bucket])", args)
     }
+    reg(spark, "graft_minhash_probe") {
+      // probe a STORED index: bands/sets are any registered views —
+      // typically parquet read-backs of a minhashIndex write; k and
+      // n_bands must match the build (minhashProbe's contract)
+      case Seq(bands, sets, t, id, text, k, nb, thr) =>
+        val f = "graft_minhash_probe"
+        Dedup.minhashProbe(table(str(t, f)),
+          Dedup.MinhashIndex(table(str(bands, f)), table(str(sets, f))),
+          str(id, f), str(text, f),
+          k = int(k, f), nBands = int(nb, f), threshold = dbl(thr, f))
+      case args => bad(
+        "graft_minhash_probe(bands_table, sets_table, new_table, id_col, text_col, k, n_bands, threshold)", args)
+    }
     reg(spark, "graft_containment_pairs") {
       case args if args.length == 5 || args.length == 6 =>
         val f = "graft_containment_pairs"

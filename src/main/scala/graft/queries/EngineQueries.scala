@@ -172,6 +172,29 @@ object EngineQueries {
       e.query(
         "SELECT * FROM graft_minhash_between('graft_incoming', 'documents', 'doc_id', 'text', 0.5)")
     }),
+    // probe a PERSISTED index from SQL: the band/sketch parquet of a
+    // minhashIndex write registered as plain views — the per-ingestion
+    // run never touches corpus text (same oracle as the recompute path)
+    "e_sql_minhash_probe" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/minhash_index_sql"
+      val docs = Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text",
+        k = 16, nBands = 4)
+      idx.bands.write.mode("overwrite").parquet(s"$out/bands")
+      idx.sets.write.mode("overwrite").parquet(s"$out/sets")
+      s.read.parquet(s"$out/bands").createOrReplaceTempView("graft_idx_bands")
+      s.read.parquet(s"$out/sets").createOrReplaceTempView("graft_idx_sets")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_probe_new AS
+                 SELECT doc_id + 3000000 AS doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)""")
+      e.query("""SELECT * FROM graft_minhash_probe(
+                   'graft_idx_bands', 'graft_idx_sets', 'graft_probe_new',
+                   'doc_id', 'text', 16, 4, 0.5)""")
+    }),
     "e_sql_sample_strat" -> ((s, d) => via(s, d)(
       "SELECT doc_id, source FROM graft_sample_strat('documents', 'source', 'text', 'doc_id', 10, 'strat:')")),
     // per-row text-analysis SCALARS from SQL text (same codegen'd
@@ -643,6 +666,7 @@ object EngineQueries {
     "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
     "e_sql_html_strip" -> LlmQueries.oracle("llm_html_strip"),
     "e_sql_pipeline5" -> LlmQueries.oracle("llm_pipeline5"),
+    "e_sql_minhash_probe" -> LlmQueries.oracle("llm_minhash_incr"),
     "e_sql_script" -> LlmQueries.oracle("llm_script"),
     "e_sql_bigram_lp" -> LlmQueries.oracle("llm_bigram_lp"),
     "e_sql_temperature_mix" -> LlmQueries.oracle("llm_temperature_mix"),

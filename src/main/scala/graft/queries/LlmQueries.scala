@@ -694,6 +694,27 @@ object LlmQueries {
       Dedup.minhashPairsBetween(incoming, docs, "doc_id", "text",
         k = 16, nBands = 4, threshold = 0.5)
     }),
+    "llm_exact_incr" -> ((s, d) => {
+      import s.implicits._
+      // the FIRST admission check of every ingestion run: exact dedup
+      // against a persisted fingerprint store — byte-identical
+      // re-ingests bounce, genuinely new docs pass. The incoming shard
+      // mixes clones of corpus docs (must all bounce) with suffixed
+      // variants (must all pass); the store is (fp) parquet — 16 bytes
+      // a row, the cheapest index a corpus can keep
+      val out = "target/gate_sink/fingerprint_store"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      docs.select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
+        .write.mode("overwrite").parquet(out)
+      val m = docs.agg(max($"doc_id").as("m"))
+      val tail = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+      val incoming = tail.select(($"doc_id" + 3000000).as("doc_id"), $"text")
+        .unionAll(tail.select(($"doc_id" + 4000000).as("doc_id"),
+          concat($"text", lit(" novel suffix")).as("text")))
+      incoming.join(s.read.parquet(out),
+          TextAnalysis.fingerprint($"text") === $"fp", "left_anti")
+        .select($"doc_id")
+    }),
     "llm_minhash_index_roundtrip" -> ((s, d) => {
       import s.implicits._
       // the PRODUCTION incremental-dedup composition, end to end: build
@@ -1471,6 +1492,18 @@ object LlmQueries {
          FROM (SELECT doc_id, text FROM documents
                UNION ALL SELECT doc_id + 100000, text FROM documents)
          GROUP BY 1""",
+    // fingerprint-store admission: clones bounce, suffixed variants pass
+    "llm_exact_incr" ->
+      """WITH m AS (SELECT max(doc_id) AS m FROM documents),
+          tail AS (SELECT doc_id, text FROM documents, m WHERE doc_id > m.m - 300),
+          inc AS (SELECT doc_id + 3000000 AS doc_id, text FROM tail
+                  UNION ALL
+                  SELECT doc_id + 4000000, text || ' novel suffix' FROM tail),
+          store AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+                    FROM documents)
+          SELECT doc_id FROM inc
+          WHERE md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                NOT IN (SELECT fp FROM store)""",
     "llm_minhash_pairs" ->
       s"""WITH $minhashCtes
           SELECT id_a, id_b, jaccard FROM pairs""",

@@ -92,6 +92,9 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row max-doc-id bound for the corpus/eval split
       // (the probe itself is a pure filter since round 4)
       "st_decontaminate",
+      // broadcast 1-row max-doc-id bound building the incoming shard;
+      // the admission itself is a left-anti hash join on the fingerprint
+      "llm_exact_incr",
       // broadcast 1-row max-doc-id bound building the re-ingested slice;
       // the admission probe itself is equi-joins on (band_idx, band_val)
       // and id_corpus (llm_minhash_incr hides the same bound behind its
