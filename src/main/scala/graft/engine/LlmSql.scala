@@ -465,6 +465,31 @@ object LlmSql {
       case args => bad(
         "graft_rank_norm(table, id_col, value_col, n_buckets)", args)
     }
+    reg(spark, "graft_rank_norm_by") {
+      case Seq(t, id, grp, value, buckets) =>
+        val f = "graft_rank_norm_by"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val gc = str(grp, f); val vc = str(value, f)
+        val nb = int(buckets, f)
+        // same deferred contract as graft_rank_norm (the boundary
+        // sketch is an action)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField(gc, tbl.select(col(gc)).schema.head.dataType),
+            StructField(vc, tbl.select(col(vc)).schema.head.dataType),
+            StructField("rnk", org.apache.spark.sql.types.LongType),
+            StructField("pct_rank", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            Sampling.percentRankByGroup(tbl, idc, gc, vc, numBuckets = nb)
+              .select(col(idc),
+                col(gc).cast(tbl.select(col(gc)).schema.head.dataType),
+                col(vc).cast(tbl.select(col(vc)).schema.head.dataType),
+                col("rnk").cast("long"), col("pct_rank").cast("double"))
+          })
+      case args => bad(
+        "graft_rank_norm_by(table, id_col, group_col, value_col, n_buckets)", args)
+    }
     reg(spark, "graft_shards") {
       case Seq(t, key, n, salt) =>
         val f = "graft_shards"
@@ -516,6 +541,20 @@ object LlmSql {
           col(str(args(1), f)), dbl(args(2), f), accuracy = acc, reuse = reuse)
       case args => bad(
         "graft_quantile_filter(table, value_col, q[, accuracy_or_0[, 'local']])", args)
+    }
+    reg(spark, "graft_quantile_filter_by") {
+      // per-GROUP thresholds — same optional estimator/reuse tail as
+      // graft_quantile_filter
+      case args if args.length >= 4 && args.length <= 6 =>
+        val f = "graft_quantile_filter_by"
+        val acc = if (args.length >= 5) Some(int(args(4), f)).filter(_ > 0) else None
+        val reuse = if (args.length == 6 && str(args(5), f) == "local")
+          graft.operators.Reuse.Local else graft.operators.Reuse.Off
+        Sampling.keepAboveQuantileByGroup(table(str(args(0), f)),
+          col(str(args(1), f)), col(str(args(2), f)), dbl(args(3), f),
+          accuracy = acc, reuse = reuse)
+      case args => bad(
+        "graft_quantile_filter_by(table, group_col, value_col, q[, accuracy_or_0[, 'local']])", args)
     }
     reg(spark, "graft_winnow") {
       case Seq(t, id, text, k, w) =>

@@ -234,6 +234,37 @@ object Sampling {
     in.crossJoin(broadcast(thr)).filter(value >= col("__thr")).drop("__thr")
   }
 
+  /** Per-GROUP corpus-quantile filter — "drop each LANGUAGE's bottom
+    * quartile by quality": the CCNet-style relative threshold computed
+    * within every group instead of globally ([[keepAboveQuantile]]'s
+    * group-wise sibling — a global cut would gut low-scoring languages
+    * entirely). Same selectable estimator contract: exact interpolated
+    * `percentile` by default (value→count buffer per GROUP — fine for
+    * discrete columns), `accuracy = Some(a)` for the GK sketch when the
+    * column is continuous at scale.
+    *
+    * Scale shape: the threshold table is one row per group — bounded by
+    * group cardinality (languages/sources: hundreds), broadcast; the
+    * filter is an equi-join + per-row comparison. NULL groups drop (the
+    * equi-join — [[temperatureMix]]'s policy; coalesce upstream if
+    * null-group rows must participate). `reuse` truncates the
+    * threshold/filter diamond like the global variant. */
+  def keepAboveQuantileByGroup(df: DataFrame, group: Column, value: Column,
+                               q: Double, accuracy: Option[Int] = None,
+                               reuse: Reuse = Reuse.Off): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    accuracy.foreach(a => require(a >= 1, s"accuracy must be >= 1, got $a"))
+    val est = accuracy match {
+      case Some(a) => percentile_approx(value, lit(q), lit(a)).cast("double")
+      case None => percentile(value, lit(q))
+    }
+    val in = reuse(df)
+    val thr = in.groupBy(group.as("__g")).agg(est.as("__thr"))
+    in.join(broadcast(thr), group === col("__g"))
+      .filter(value >= col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — public method
     * description only): score every raw-corpus document by how much it
@@ -462,6 +493,69 @@ object Sampling {
       .select(col(idCol), col("__v"), col("__n"),
         (col("__off") + rank().over(wRank)).as("rnk"))
       .select(col(idCol), col("__v").as(valueCol), col("rnk"),
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("rnk") - 1).cast("double") / (col("__n") - 1))
+          .as("pct_rank"))
+  }
+
+  /** Per-GROUP exact percent-rank — [[percentRank]] computed WITHIN
+    * every group ("bucket each language by its own perplexity
+    * percentile", the CCNet recipe — a global rank would compare
+    * languages against each other's score scales). Same hierarchical
+    * construction, one level deeper: ONE global GK boundary sketch
+    * proposes the value buckets (assignment stays a pure zero-shuffle
+    * function of the value — boundaries need not be per-group, they
+    * only shape bucket SIZES); per-(group, bucket) counts make a tiny
+    * frame whose per-group running sum gives the offsets; per-(group,
+    * bucket) `rank()` + offset = the EXACT per-group rank by the same
+    * ties-never-straddle argument. The only group-partitioned windows
+    * run over the counts frame (≤ groups·numBuckets rows). NULL
+    * values are excluded; NULL groups form their own group (window
+    * partitioning treats NULL as a key, unlike the quantile filter's
+    * equi-join — documented asymmetry). */
+  def percentRankByGroup(df: DataFrame, idCol: String, groupCol: String,
+                         valueCol: String, numBuckets: Int = 64,
+                         reuse: Reuse = Reuse.Local): DataFrame = {
+    require(numBuckets >= 1 && numBuckets <= 4096,
+      s"numBuckets must be in [1, 4096], got $numBuckets")
+    val in = reuse(df.select(col(idCol), col(groupCol).as("__grp"),
+        col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull))
+    val bucket: Column =
+      if (numBuckets == 1) lit(0)
+      else {
+        val ps = (1 until numBuckets).map(_.toDouble / numBuckets)
+        val row = in.agg(percentile_approx(col("__v"),
+          array(ps.map(lit): _*), lit(10000)).as("bs")).head()
+        val bs: Seq[Any] =
+          if (row.isNullAt(0)) Nil else row.getSeq[Any](0).distinct
+        if (bs.isEmpty) lit(0)
+        else bs.tail.zipWithIndex.foldLeft(
+          when(col("__v") < lit(bs.head), lit(0))) {
+            case (acc, (b, i)) => acc.when(col("__v") < lit(b), lit(i + 1))
+          }.otherwise(lit(bs.length))
+      }
+    val marked = in.withColumn("__bk", bucket)
+    val counts = marked.groupBy(col("__grp"), col("__bk"))
+      .agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(col("__grp")).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("__grp")).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(col("__grp"), col("__bk"),
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"),
+      sum(col("__c")).over(wTot).as("__n"))
+    // null-SAFE group match: groupBy ranks NULL as its own group (the
+    // SQL PARTITION BY model), so the join back must too — a plain
+    // equi-join would silently drop every NULL-group row
+    val wRank = Window.partitionBy(col("m.__grp"), col("m.__bk"))
+      .orderBy(col("m.__v"))
+    marked.as("m").join(broadcast(offsets).as("o"),
+        col("m.__grp") <=> col("o.__grp") && col("m.__bk") === col("o.__bk"))
+      .select(col(s"m.$idCol"), col("m.__grp"), col("m.__v"), col("o.__n"),
+        (col("o.__off") + rank().over(wRank)).as("rnk"))
+      .select(col(idCol), col("__grp").as(groupCol), col("__v").as(valueCol),
+        col("rnk"),
         when(col("__n") === 1, lit(0.0))
           .otherwise((col("rnk") - 1).cast("double") / (col("__n") - 1))
           .as("pct_rank"))

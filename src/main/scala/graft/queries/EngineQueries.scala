@@ -293,6 +293,8 @@ object EngineQueries {
     // sketch — EXPLAIN launches no job)
     "e_sql_rank_norm" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_rank_norm('documents', 'doc_id', 'n_chars', 16)")),
+    "e_sql_rank_norm_group" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_rank_norm_by('documents', 'doc_id', 'lang', 'n_chars', 16)")),
     // the Gopher repetition panel from SQL, over the same planted
     // fixture as llm_gopher_rep (doubled text / repeated footer lines)
     "e_sql_gopher_rep" -> ((s, d) => {
@@ -426,6 +428,9 @@ object EngineQueries {
     // relative-threshold pruning from SQL
     "e_sql_quantile_filter" -> ((s, d) => via(s, d)(
       "SELECT doc_id, n_chars FROM graft_quantile_filter('documents', 'n_chars', 0.25)")),
+    "e_sql_quantile_by_group" -> ((s, d) => via(s, d)(
+      """SELECT doc_id, lang, n_chars
+         FROM graft_quantile_filter_by('documents', 'lang', 'n_chars', 0.25)""")),
     // perplexity-proxy scoring from SQL
     "e_sql_unigram_lp" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_unigram_lp('documents', 'doc_id', 'text')")),
@@ -639,6 +644,7 @@ object EngineQueries {
     "e_sql_contamination" -> LlmQueries.oracle("llm_contamination"),
     "e_sql_token_budget" -> LlmQueries.oracle("llm_token_budget"),
     "e_sql_rank_norm" -> LlmQueries.oracle("llm_rank_norm"),
+    "e_sql_rank_norm_group" -> LlmQueries.oracle("llm_rank_norm_group"),
     "e_sql_gopher_rep" -> LlmQueries.oracle("llm_gopher_rep"),
     "e_sql_pipeline4" -> LlmQueries.oracle("llm_pipeline4"),
     "e_sql_cluster_keep" -> LlmQueries.oracle("llm_cluster_keep"),
@@ -678,6 +684,7 @@ object EngineQueries {
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),
     "e_sql_quantile_filter" -> LlmQueries.oracle("llm_quantile_filter"),
+    "e_sql_quantile_by_group" -> LlmQueries.oracle("llm_quantile_by_group"),
     "e_sql_unigram_lp" -> LlmQueries.oracle("llm_unigram_lp"),
     "e_sql_winnow" -> LlmQueries.oracle("llm_winnow"),
     "e_sql_domain_cap" -> LlmQueries.oracle("llm_domain_cap"),

@@ -410,6 +410,12 @@ object LlmQueries {
       graft.operators.Sampling.percentRank(
         Tables.load(s, d, "documents"), "doc_id", "n_chars",
         numBuckets = 16)),
+    "llm_rank_norm_group" -> ((s, d) =>
+      // per-LANGUAGE percent-rank (the CCNet per-language bucketing):
+      // one global boundary sketch, exact rank within every lang
+      graft.operators.Sampling.percentRankByGroup(
+        Tables.load(s, d, "documents"), "doc_id", "lang", "n_chars",
+        numBuckets = 16)),
     "llm_pack" -> ((s, d) =>
       // concat-and-split packing offsets: 512-token training sequences,
       // 64-doc buckets so the hierarchical prefix sum really tiers
@@ -1007,6 +1013,14 @@ object LlmQueries {
       graft.operators.Sampling.keepAboveQuantile(
           Tables.load(s, d, "documents").select($"doc_id", $"n_chars"),
           $"n_chars", q = 0.25)
+    }),
+    "llm_quantile_by_group" -> ((s, d) => {
+      import s.implicits._
+      // CCNet-style per-language relative threshold: drop each lang's
+      // shortest quartile (a global cut would gut short-doc languages)
+      graft.operators.Sampling.keepAboveQuantileByGroup(
+          Tables.load(s, d, "documents").select($"doc_id", $"lang", $"n_chars"),
+          $"lang", $"n_chars", q = 0.25)
     }),
     "llm_unigram_lp" -> ((s, d) =>
       // perplexity-proxy quality score, unigram model self-trained on
@@ -1619,6 +1633,11 @@ object LlmQueries {
       """SELECT doc_id, n_chars,
                 CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS rnk,
                 percent_rank() OVER (ORDER BY n_chars) AS pct_rank
+         FROM documents""",
+    "llm_rank_norm_group" ->
+      """SELECT doc_id, lang, n_chars,
+                CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS rnk,
+                percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pct_rank
          FROM documents""",
     // global running token offsets (the hierarchical prefix sum must
     // equal DuckDB's single global window) + integer-division seq cuts
@@ -2338,6 +2357,14 @@ object LlmQueries {
     "llm_quantile_filter" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)""",
+    // per-group threshold table joined back (Spark percentile ==
+    // quantile_cont, the a11 parity)
+    "llm_quantile_by_group" ->
+      """WITH t AS (SELECT lang, quantile_cont(n_chars, 0.25) AS thr
+                    FROM documents GROUP BY lang)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d JOIN t ON d.lang = t.lang
+         WHERE d.n_chars >= t.thr""",
     // exact threshold pinned (quantile_cont == Spark percentile, a11
     // parity); the rank contract is attested Spark-side and must hold
     "llm_quantile_filter_approx" ->

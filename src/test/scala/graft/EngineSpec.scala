@@ -514,6 +514,11 @@ class EngineSpec extends AnyFunSuite {
              'embeddings', 'vec_id', 'embedding', 8, 1, 20, 'csamp:')""")
       assert(planCs.contains("GraftDeferredScan"),
         "cluster-sample's Lloyd training must sit behind a deferred-scan leaf")
+      // the per-group rank's boundary sketch likewise
+      val planRankBy = engine.explain(
+        "SELECT * FROM graft_rank_norm_by('documents', 'doc_id', 'lang', 'n_chars', 16)")
+      assert(planRankBy.contains("GraftDeferredScan"),
+        "rank-norm-by's boundary sketch must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the cluster TVFs must launch no Spark job, saw $jobs")

@@ -1282,6 +1282,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nn.head.getDouble(3) == 0.0)
   }
 
+  test("percentRankByGroup: per-group exactness, bucketing/layout-invariant, NULL group keeps its rows") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = docs.select($"doc_id", $"lang", $"n_chars")
+    def run(nb: Int, part: Int = 4) =
+      Sampling.percentRankByGroup(d.repartition(part), "doc_id", "lang",
+          "n_chars", numBuckets = nb)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+    val a = run(16)
+    // 1 bucket IS the plain per-group rank window — the shared global
+    // boundary sketch must be bit-equal to it at any granularity/layout
+    assert(run(1) == a)
+    assert(run(64) == a)
+    assert(run(16, part = 13) == a)
+    // hand-exact: groups rank independently; a NULL group is ITS OWN
+    // group (window partitioning, unlike the quantile filter's equi-join)
+    val t = Seq((1L, Some("x"), 10L), (2L, Some("x"), 20L),
+        (3L, Some("y"), 5L), (4L, None, 7L))
+      .toDF("id", "g", "v")
+    val out = Sampling.percentRankByGroup(t, "id", "g", "v", numBuckets = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((1L, 0.0)) && out(2L) == ((2L, 1.0)))
+    assert(out(3L) == ((1L, 0.0)), "singleton group is pct 0.0, not 0/0")
+    assert(out(4L) == ((1L, 0.0)), "NULL group must keep its rows")
+  }
+
   test("contaminationFraction: exact fractions, 0-gram docs score 0.0, any-hit agrees with decontaminate") {
     import spark.implicits._
     // trigrams: doc1 {"a b c","b c d"}, doc2 none (too short),

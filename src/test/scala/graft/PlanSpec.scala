@@ -309,6 +309,19 @@ class PlanSpec extends AnyFunSuite {
       "the corpus-facing window must partition by (domain, bucket)")
   }
 
+  test("per-group quantile filter: tiny threshold agg broadcast back, no corpus shuffle") {
+    val p = plan("llm_quantile_by_group")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-group threshold table must broadcast")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size <= 1,
+      s"only the group-keyed threshold agg may exchange, saw:\n${exchanges.mkString("\n")}")
+    // the optimizer collapses the __g alias to the raw group column
+    exchanges.foreach(e => assert(e.contains("lang") || e.contains("__g"),
+      s"the one exchange must key on the group, saw: $e"))
+  }
+
   test("cluster sample: zero-exchange cell assignment + pre-split windows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // cell = argmax over inlined centroid literals (no exchange to
