@@ -403,8 +403,8 @@ object Similarity {
   /** Collect ONE query vector to the driver (the documented KB-scale
     * boundary — the per-query coordinator step of every ANN serving
     * flow that builds lookup tables or probe lists from the query). */
-  private def queryVecOf(emb: DataFrame, idCol: String, vecCol: String,
-                         queryId: Long): IndexedSeq[Double] =
+  def queryVecOf(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long): IndexedSeq[Double] =
     emb.filter(col(idCol) === queryId).select(col(vecCol)).head()
       .getSeq[Any](0).map {
         case f: Float => f.toDouble
@@ -427,6 +427,25 @@ object Similarity {
         case (acc, (cid, v)) => acc.when(codeCol === cid, lit(v))
       }
     }.reduce(_ + _)
+
+  /** ADC top-k over a STORED code table — the PQ serving path proper:
+    * at production scale [[pqEncode]]'s output is WRITTEN once (m small
+    * ints per row) and every query scores the read-back codes — the
+    * original vectors are never touched again (the [[Dedup.minhashProbe]]
+    * symmetry, for ANN). The query vector arrives explicitly (the
+    * serving coordinator holds it); `excludeId` drops the query's own
+    * row when it came from the corpus. Codebooks must be the ones the
+    * codes were encoded with. */
+  def pqTopKStored(codes: DataFrame, idCol: String,
+                   codebooks: Array[Array[(Long, Seq[Double])]], subDim: Int,
+                   queryVec: IndexedSeq[Double], k: Int,
+                   excludeId: Option[Long] = None): DataFrame = {
+    val base = excludeId.fold(codes)(q => codes.filter(col(idCol) =!= q))
+    base.select(col(idCol),
+        round(adcScore(codebooks, subDim, queryVec), 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
 
   /** IVF-PQ top-k (no-residual variant) — the production ANN index
     * composed end to end: coarse centroids prune the scan to the

@@ -521,6 +521,22 @@ object LlmQueries {
           m = 4, subDim = 16, nCodes = 8),
         subDim = 16, queryId = 0, k = 10, probes = 2)
     }),
+    "llm_ann_pq_stored" -> ((s, d) => {
+      // the PQ SERVING path: encode once, write the m-int code table to
+      // parquet, read it back, score with the query LUTs — the vectors
+      // are never touched after the encode (same oracle as llm_ann_pq,
+      // so storage drift hash-mismatches)
+      val out = "target/gate_sink/pq_codes"
+      val emb = Tables.load(s, d, "embeddings")
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      Similarity.pqEncode(emb, "vec_id", "embedding", cb, subDim = 16)
+        .write.mode("overwrite").parquet(out)
+      Similarity.pqTopKStored(s.read.parquet(out), "vec_id", cb,
+        subDim = 16,
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, excludeId = Some(0L))
+    }),
     "llm_embedding_dups" -> ((s, d) => {
       import s.implicits._
       // corpus with planted duplicates (ids shifted by 10000): the
@@ -1224,9 +1240,10 @@ object LlmQueries {
   }
 
   def oracle: Map[String, String] = oracleBase ++ Map(
-    // the index round-trip must reproduce the recompute path exactly —
-    // same oracle, so storage drift hash-mismatches
-    "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"))
+    // the storage round-trips must reproduce the recompute paths
+    // exactly — same oracles, so storage drift hash-mismatches
+    "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"),
+    "llm_ann_pq_stored" -> oracleBase("llm_ann_pq"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_ann_ivf" ->
