@@ -416,6 +416,69 @@ object LlmSql {
       case args => bad(
         "graft_semdedup(table, id_col, vec_col, n_cells, iters, threshold)", args)
     }
+    reg(spark, "graft_ann_topk") {
+      // exact brute-force cosine top-k: fully LAZY (the query row is a
+      // broadcast inside the plan, no driver action)
+      case Seq(t, id, vec, q, k) =>
+        val f = "graft_ann_topk"
+        Similarity.bruteForceTopK(table(str(t, f)), str(id, f), str(vec, f),
+          queryId = int(q, f).toLong, k = int(k, f))
+      case args => bad(
+        "graft_ann_topk(table, id_col, vec_col, query_id, k)", args)
+    }
+    reg(spark, "graft_ann_lsh") {
+      // multi-probe hyperplane LSH top-k: planes are pure Scala
+      // constants, the bucket filter a broadcast join — fully LAZY
+      case Seq(t, id, vec, q, k, planes, dim) =>
+        val f = "graft_ann_lsh"
+        Similarity.lshTopK(table(str(t, f)), str(id, f), str(vec, f),
+          queryId = int(q, f).toLong, k = int(k, f),
+          nPlanes = int(planes, f), dim = int(dim, f))
+      case args => bad(
+        "graft_ann_lsh(table, id_col, vec_col, query_id, k, n_planes, dim)", args)
+    }
+    reg(spark, "graft_ann_ivf") {
+      // seed-centroid IVF: collectCentroids is an ACTION — deferred
+      // like every training TVF
+      case Seq(t, id, vec, q, k, cells, probes) =>
+        val f = "graft_ann_ivf"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val qid = int(q, f).toLong; val kk = int(k, f)
+        val nCells = int(cells, f); val np = int(probes, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField("cos_sim", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            Similarity.ivfTopKWith(tbl, idc, vecc,
+              Similarity.collectCentroids(tbl, idc, vecc, nCells),
+              qid, kk, np)
+          })
+      case args => bad(
+        "graft_ann_ivf(table, id_col, vec_col, query_id, k, n_cells, probes)", args)
+    }
+    reg(spark, "graft_ann_pq") {
+      // PQ/ADC: codebook collection + the query LUT build are ACTIONS —
+      // deferred
+      case Seq(t, id, vec, q, k, m, subDim, nCodes) =>
+        val f = "graft_ann_pq"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val qid = int(q, f).toLong; val kk = int(k, f)
+        val mm = int(m, f); val sd = int(subDim, f); val nc = int(nCodes, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField("adc_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            Similarity.pqTopK(tbl, idc, vecc,
+              Similarity.pqCodebooks(tbl, idc, vecc, mm, sd, nc),
+              sd, qid, kk)
+          })
+      case args => bad(
+        "graft_ann_pq(table, id_col, vec_col, query_id, k, m, sub_dim, n_codes)", args)
+    }
     reg(spark, "graft_cluster_sample") {
       case Seq(t, id, vec, cells, iters, k, salt) =>
         val f = "graft_cluster_sample"

@@ -402,6 +402,15 @@ object EngineQueries {
     // sums: 2S/2n = S/n; clones share their original's cell at every
     // round), so the llm_semdedup oracle (which trains on the base)
     // verifies this gate verbatim
+    // the ANN family from SQL: brute/LSH lazy, IVF/PQ deferred
+    "e_sql_ann_topk" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_ann_topk('embeddings', 'vec_id', 'embedding', 0, 10)")),
+    "e_sql_ann_lsh" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_ann_lsh('embeddings', 'vec_id', 'embedding', 0, 10, 6, 64)")),
+    "e_sql_ann_ivf" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_ann_ivf('embeddings', 'vec_id', 'embedding', 0, 10, 8, 2)")),
+    "e_sql_ann_pq" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_ann_pq('embeddings', 'vec_id', 'embedding', 0, 10, 4, 16, 8)")),
     "e_sql_cluster_sample" -> ((s, d) => via(s, d)(
       """SELECT vec_id, cell
          FROM graft_cluster_sample('embeddings', 'vec_id', 'embedding',
@@ -680,6 +689,10 @@ object EngineQueries {
     "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
     "e_sql_cluster_sample" -> LlmQueries.oracle("llm_cluster_sample"),
+    "e_sql_ann_topk" -> LlmQueries.oracle("llm_ann_topk"),
+    "e_sql_ann_lsh" -> LlmQueries.oracle("llm_ann_lsh"),
+    "e_sql_ann_ivf" -> LlmQueries.oracle("llm_ann_ivf"),
+    "e_sql_ann_pq" -> LlmQueries.oracle("llm_ann_pq"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),

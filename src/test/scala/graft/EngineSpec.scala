@@ -519,6 +519,15 @@ class EngineSpec extends AnyFunSuite {
         "SELECT * FROM graft_rank_norm_by('documents', 'doc_id', 'lang', 'n_chars', 16)")
       assert(planRankBy.contains("GraftDeferredScan"),
         "rank-norm-by's boundary sketch must sit behind a deferred-scan leaf")
+      // the ANN TVFs that collect centroids/codebooks likewise
+      val planIvf = engine.explain(
+        "SELECT * FROM graft_ann_ivf('embeddings', 'vec_id', 'embedding', 0, 10, 8, 2)")
+      assert(planIvf.contains("GraftDeferredScan"),
+        "ann-ivf's centroid collection must sit behind a deferred-scan leaf")
+      val planPq = engine.explain(
+        "SELECT * FROM graft_ann_pq('embeddings', 'vec_id', 'embedding', 0, 10, 4, 16, 8)")
+      assert(planPq.contains("GraftDeferredScan"),
+        "ann-pq's codebook/LUT collection must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the cluster TVFs must launch no Spark job, saw $jobs")

@@ -78,6 +78,7 @@ class PlanSpec extends AnyFunSuite {
     // single-row/bounded set or the op is an intentional cross/brute-force
     val allowedBnlj = Set("j4_cross", "llm_ann_lsh", "llm_ann_topk",
       "llm_ann_ivf", "llm_ann_ivf_trained", "llm_ann_ivf_pq",
+      "e_sql_ann_topk", "e_sql_ann_lsh",
       "llm_cosine", "e_sql_cosine",
       "llm_ngram_jaccard",
       // broadcast of a 1-row bound/total (max doc_id; corpus N)
