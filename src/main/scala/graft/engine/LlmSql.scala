@@ -48,6 +48,13 @@ object LlmSql {
     case other => throw new IllegalArgumentException(
       s"$fn: expected an integer, got $other")
   }
+  // for id-valued params: intValue would silently TRUNCATE a bigint
+  // literal above Int.MaxValue (routine for shifted doc/vec ids)
+  private def lng(e: Expression, fn: String): Long = lit(e, fn) match {
+    case n: java.lang.Number => n.longValue
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer, got $other")
+  }
   private def dbl(e: Expression, fn: String): Double = lit(e, fn) match {
     case n: java.lang.Number => n.doubleValue // covers Decimal literals
     case d: org.apache.spark.sql.types.Decimal => d.toDouble
@@ -422,7 +429,7 @@ object LlmSql {
       case Seq(t, id, vec, q, k) =>
         val f = "graft_ann_topk"
         Similarity.bruteForceTopK(table(str(t, f)), str(id, f), str(vec, f),
-          queryId = int(q, f).toLong, k = int(k, f))
+          queryId = lng(q, f), k = int(k, f))
       case args => bad(
         "graft_ann_topk(table, id_col, vec_col, query_id, k)", args)
     }
@@ -432,7 +439,7 @@ object LlmSql {
       case Seq(t, id, vec, q, k, planes, dim) =>
         val f = "graft_ann_lsh"
         Similarity.lshTopK(table(str(t, f)), str(id, f), str(vec, f),
-          queryId = int(q, f).toLong, k = int(k, f),
+          queryId = lng(q, f), k = int(k, f),
           nPlanes = int(planes, f), dim = int(dim, f))
       case args => bad(
         "graft_ann_lsh(table, id_col, vec_col, query_id, k, n_planes, dim)", args)
@@ -444,7 +451,7 @@ object LlmSql {
         val f = "graft_ann_ivf"
         val tbl = table(str(t, f))
         val idc = str(id, f); val vecc = str(vec, f)
-        val qid = int(q, f).toLong; val kk = int(k, f)
+        val qid = lng(q, f); val kk = int(k, f)
         val nCells = int(cells, f); val np = int(probes, f)
         GraftDeferred.frame(spark,
           StructType(Seq(
@@ -465,7 +472,7 @@ object LlmSql {
         val f = "graft_ann_pq"
         val tbl = table(str(t, f))
         val idc = str(id, f); val vecc = str(vec, f)
-        val qid = int(q, f).toLong; val kk = int(k, f)
+        val qid = lng(q, f); val kk = int(k, f)
         val mm = int(m, f); val sd = int(subDim, f); val nc = int(nCodes, f)
         GraftDeferred.frame(spark,
           StructType(Seq(

@@ -289,6 +289,15 @@ object Dedup {
                    k: Int = 16, nBands: Int = 4,
                    threshold: Double = 0.5,
                    reuse: Reuse = Reuse.Local): DataFrame = {
+    // parameter drift between build and probe makes the band join match
+    // NOTHING — the probe would silently report "no duplicates" and
+    // ADMIT them. k is mechanically checkable from the stored schema
+    // (sets carry s0..s{k-1}); nBands is not (band_val strings don't
+    // encode it) — it stays a documented contract.
+    val sigCols = index.sets.columns.count(_.matches("s\\d+"))
+    require(sigCols == k,
+      s"stored index carries $sigCols permutation minima but probe k=$k " +
+        "— probe with the index's build parameters")
     val setsNew = minhashSets(newDf, idCol, textCol, k, reuse)
     val bNew = bandsOf(setsNew, idCol, k, nBands)
     val cand = bNew.as("x").join(index.bands.as("y"),

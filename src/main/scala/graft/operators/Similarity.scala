@@ -82,24 +82,32 @@ object Similarity {
   def ivfTopKWith(emb: DataFrame, idCol: String, vecCol: String,
                   centroids: Array[(Long, Seq[Double])],
                   queryId: Long, k: Int, probes: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
     val assigned = emb.select(col(idCol), col(vecCol),
       cellOf(col(vecCol), centroids).as("cell"))
-    // probe cells for the query: a 1-row × nCells plan, nothing from the corpus
-    val centDf = spark.createDataFrame(centroids.toSeq)
+    assigned.join(broadcast(probeCells(emb, idCol, vecCol, centroids,
+        queryId, probes)), "cell")
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The query's `probes` nearest coarse cells, with the query vector
+    * carried alongside — a 1-row × nCells plan, nothing from the
+    * corpus. Shared by [[ivfTopKWith]] and [[ivfPqTopK]] so the probe
+    * tie-break (cosine desc, lowest cid) can never drift between them. */
+  private def probeCells(emb: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[(Long, Seq[Double])],
+                         queryId: Long, probes: Int): DataFrame = {
+    val centDf = emb.sparkSession.createDataFrame(centroids.toSeq)
       .toDF("__cid", "__cvec")
-    val qCells = emb.filter(col(idCol) === queryId)
+    emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
       .crossJoin(broadcast(centDf))
       .select(col("__qvec"), col("__cid"),
         cosine(col("__qvec"), col("__cvec")).as("__qsim"))
       .orderBy(col("__qsim").desc, col("__cid")).limit(probes)
       .select(col("__qvec"), col("__cid").as("cell"))
-    assigned.join(broadcast(qCells), "cell")
-      .filter(col(idCol) =!= queryId)
-      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
   }
 
   /** Deterministic seed centroids: the embeddings of the `nCells`
@@ -330,12 +338,25 @@ object Similarity {
                   iters: Int = 0): Array[Array[(Long, Seq[Double])]] = {
     require(m >= 1 && subDim >= 1 && nCodes >= 1,
       s"need m, subDim, nCodes >= 1, got m=$m subDim=$subDim nCodes=$nCodes")
-    Array.tabulate(m) { s =>
+    val books = Array.tabulate(m) { s =>
       val sub = emb.select(col(idCol),
         slice(col(vecCol), s * subDim + 1, subDim).as("__sv"))
       if (iters == 0) collectCentroids(sub, idCol, "__sv", nCodes)
       else centroidsOf(kmeansTrain(sub, idCol, "__sv", nCodes, iters))
     }
+    // m·subDim past the embedding dimension slices to SHORT/empty
+    // sub-vectors: every distance ties at |c|², all rows code to the
+    // lowest cid, and the score mass of those subspaces silently
+    // vanishes — fail loudly instead
+    books.zipWithIndex.foreach { case (cb, s) =>
+      cb.foreach { case (cid, cv) =>
+        require(cv.length == subDim,
+          s"subspace $s codebook entry $cid has ${cv.length} dims, " +
+            s"expected $subDim — m*subDim=${m * subDim} exceeds the " +
+            "embedding dimension?")
+      }
+    }
+    books
   }
 
   /** PQ code for subspace `s`: argmin_j ‖x_s − c_j‖² over the inlined
@@ -391,27 +412,28 @@ object Similarity {
     * (oracle parity). */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              codebooks: Array[Array[(Long, Seq[Double])]], subDim: Int,
-             queryId: Long, k: Int): DataFrame = {
-    val q = queryVecOf(emb, idCol, vecCol, queryId)
-    pqEncode(emb, idCol, vecCol, codebooks, subDim)
-      .filter(col(idCol) =!= queryId)
-      .select(col(idCol), round(adcScore(codebooks, subDim, q), 6).as("adc_score"))
-      .orderBy(col("adc_score").desc, col(idCol))
-      .limit(k)
-  }
+             queryId: Long, k: Int): DataFrame =
+    pqTopKStored(pqEncode(emb, idCol, vecCol, codebooks, subDim),
+      idCol, codebooks, subDim,
+      queryVecOf(emb, idCol, vecCol, queryId), k,
+      excludeId = Some(queryId))
 
   /** Collect ONE query vector to the driver (the documented KB-scale
     * boundary — the per-query coordinator step of every ANN serving
     * flow that builds lookup tables or probe lists from the query). */
   def queryVecOf(emb: DataFrame, idCol: String, vecCol: String,
-                 queryId: Long): IndexedSeq[Double] =
-    emb.filter(col(idCol) === queryId).select(col(vecCol)).head()
-      .getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case other => throw new IllegalArgumentException(
-          s"expected float/double embedding element, got $other")
-      }.toIndexedSeq
+                 queryId: Long): IndexedSeq[Double] = {
+    val rows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
+    require(rows.nonEmpty,
+      s"query id $queryId not found in $idCol — the lazy ANN paths " +
+        "return empty for a missing id; the LUT paths need its vector")
+    rows.head.getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(
+        s"expected float/double embedding element, got $other")
+    }.toIndexedSeq
+  }
 
   /** The ADC score column over `code_0 … code_{m−1}`: per-subspace
     * query-LUT CASE chains (driver-built literals), summed. */
@@ -466,26 +488,16 @@ object Similarity {
                 centroids: Array[(Long, Seq[Double])],
                 codebooks: Array[Array[(Long, Seq[Double])]], subDim: Int,
                 queryId: Long, k: Int, probes: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
-    val q = queryVecOf(emb, idCol, vecCol, queryId)
     val assigned = emb.select(col(idCol), col(vecCol),
       cellOf(col(vecCol), centroids).as("cell"))
-    val centDf = spark.createDataFrame(centroids.toSeq)
-      .toDF("__cid", "__cvec")
-    val qCells = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"))
-      .crossJoin(broadcast(centDf))
-      .select(col("__cid"),
-        cosine(col("__qvec"), col("__cvec")).as("__qsim"))
-      .orderBy(col("__qsim").desc, col("__cid")).limit(probes)
-      .select(col("__cid").as("cell"))
-    val pruned = assigned.join(broadcast(qCells), "cell")
-      .filter(col(idCol) =!= queryId)
+    val pruned = assigned.join(broadcast(
+        probeCells(emb, idCol, vecCol, centroids, queryId, probes)
+          .select(col("cell"))), "cell")
       .select(col(idCol), col(vecCol))
-    pqEncode(pruned, idCol, vecCol, codebooks, subDim)
-      .select(col(idCol), round(adcScore(codebooks, subDim, q), 6).as("adc_score"))
-      .orderBy(col("adc_score").desc, col(idCol))
-      .limit(k)
+    pqTopKStored(pqEncode(pruned, idCol, vecCol, codebooks, subDim),
+      idCol, codebooks, subDim,
+      queryVecOf(emb, idCol, vecCol, queryId), k,
+      excludeId = Some(queryId))
   }
 
   /** Multi-probe LSH top-k: only rows whose hyperplane bucket is within

@@ -115,6 +115,31 @@ class LlmOpsSpec extends AnyFunSuite {
       "probing every cell must equal pure PQ")
   }
 
+  test("ANN guard rails: PQ geometry, missing query id, stored-index k drift") {
+    import org.apache.spark.sql.functions.col
+    // m*subDim beyond the embedding dimension must fail loudly, not
+    // silently zero half the score mass
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 32, nCodes = 8)
+    }
+    assert(e1.getMessage.contains("embedding dimension"))
+    // a missing query id names itself instead of 'next on empty iterator'
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.queryVecOf(emb, "vec_id", "embedding", queryId = 99999999L)
+    }
+    assert(e2.getMessage.contains("99999999"))
+    // probing a stored index with a drifted k refuses instead of
+    // silently admitting duplicates (the band join would match nothing)
+    val idx = Dedup.minhashIndex(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", k = 16, nBands = 4)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.minhashProbe(docs.select(col("doc_id"), col("text")), idx,
+        "doc_id", "text", k = 8, nBands = 4)
+    }
+    assert(e3.getMessage.contains("16") && e3.getMessage.contains("8"))
+  }
+
   test("IVF ANN: deterministic, bounded scan, reasonable recall") {
     import spark.implicits._
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
