@@ -320,16 +320,25 @@ object LlmSql {
         "graft_contamination(corpus_table, eval_table, id_col, text_col, n, min_frac)", args)
     }
     reg(spark, "graft_token_budget") {
+      // lng, not int: real token budgets (1e9–1e12) exceed Int.MaxValue
       case Seq(t, id, text, b) =>
         val f = "graft_token_budget"
         Sampling.tokenBudget(table(str(t, f)), str(id, f), str(text, f),
-          budget = int(b, f).toLong)
+          budget = lng(b, f))
       case Seq(t, id, text, b, salt) =>
         val f = "graft_token_budget"
         Sampling.tokenBudget(table(str(t, f)), str(id, f), str(text, f),
-          budget = int(b, f).toLong, salt = str(salt, f))
+          budget = lng(b, f), salt = str(salt, f))
       case args => bad(
         "graft_token_budget(table, id_col, text_col, budget[, salt])", args)
+    }
+    reg(spark, "graft_token_budget_by") {
+      case Seq(t, id, grp, text, b) =>
+        val f = "graft_token_budget_by"
+        Sampling.tokenBudgetByGroup(table(str(t, f)), str(id, f),
+          str(grp, f), str(text, f), budget = lng(b, f))
+      case args => bad(
+        "graft_token_budget_by(table, id_col, group_col, text_col, budget)", args)
     }
     reg(spark, "graft_rep_ratio") {
       case Seq(t, id, text, n) =>

@@ -434,6 +434,53 @@ object Sampling {
       .filter(col("token_offset") < budget)
   }
 
+  /** Per-GROUP token-budget cut — "N tokens per LANGUAGE", the
+    * language-balanced form of [[tokenBudget]] (a global budget lets
+    * the dominant language eat the fill; budgeting per group is the
+    * published mixing recipe's constraint expressed in tokens). Same
+    * contract per group: fill `budget` tokens in salted-hash order,
+    * boundary doc kept, nested across budgets, layout/engine-invariant.
+    *
+    * Same hierarchical prefix sum, partitioned one level deeper: bucket
+    * ranges are contiguous per (group, bucket); per-group bucket
+    * offsets come from a window over the tiny totals frame; the
+    * corpus-facing window partitions by (group, bucket). The join back
+    * is null-safe (`<=>`) — a NULL group budgets as its own group, the
+    * [[percentRankByGroup]] convention. NULL text hashes NULL and is
+    * never selected. Output: (idCol, groupCol, n_toks, token_offset)
+    * where token_offset is the WITHIN-group exclusive prefix. */
+  def tokenBudgetByGroup(df: DataFrame, idCol: String, groupCol: String,
+                         textCol: String, budget: Long,
+                         salt: String = "budget:",
+                         numBuckets: Int = 1024,
+                         reuse: Reuse = Reuse.Local): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(numBuckets >= 1 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [1, 2^20], got $numBuckets")
+    val width = math.max(1L, (1L << 32) / numBuckets)
+    val toks = reuse(df.select(col(idCol), col(groupCol).as("__grp"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"),
+        saltedHash(col(textCol), salt).as("__h"))
+      .filter(col("__h").isNotNull)
+      .withColumn("__b", expr(s"`__h` div $width")))
+    val totals = toks.groupBy(col("__grp"), col("__b"))
+      .agg(sum(col("n_toks")).as("__bt"))
+    val wBuckets = Window.partitionBy(col("__grp")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__grp"), col("__b"),
+      coalesce(sum(col("__bt")).over(wBuckets), lit(0L)).as("__boff"))
+    val wInBucket = Window.partitionBy(col("t.__grp"), col("t.__b"))
+      .orderBy(col("t.__h").asc, col(s"t.$idCol").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.as("t").join(broadcast(offsets).as("o"),
+        col("t.__grp") <=> col("o.__grp") && col("t.__b") === col("o.__b"))
+      .select(col(s"t.$idCol"), col("t.__grp").as(groupCol), col("t.n_toks"),
+        (col("o.__boff") +
+          coalesce(sum(col("t.n_toks")).over(wInBucket), lit(0L)))
+          .as("token_offset"))
+      .filter(col("token_offset") < budget)
+  }
+
   /** EXACT corpus percent-rank of a score column — the normalization
     * step behind percentile-phrased quality rules (CCNet buckets by
     * perplexity percentile; "keep the top 30%" thresholds are

@@ -289,6 +289,8 @@ object EngineQueries {
     // deterministic token-budget fill from one line of SQL
     "e_sql_token_budget" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_token_budget('documents', 'doc_id', 'text', 10000)")),
+    "e_sql_token_budget_group" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_token_budget_by('documents', 'doc_id', 'lang', 'text', 4000)")),
     // exact percent-rank normalization from SQL (deferred boundary
     // sketch — EXPLAIN launches no job)
     "e_sql_rank_norm" -> ((s, d) => via(s, d)(
@@ -652,6 +654,7 @@ object EngineQueries {
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_contamination" -> LlmQueries.oracle("llm_contamination"),
     "e_sql_token_budget" -> LlmQueries.oracle("llm_token_budget"),
+    "e_sql_token_budget_group" -> LlmQueries.oracle("llm_token_budget_group"),
     "e_sql_rank_norm" -> LlmQueries.oracle("llm_rank_norm"),
     "e_sql_rank_norm_group" -> LlmQueries.oracle("llm_rank_norm_group"),
     "e_sql_gopher_rep" -> LlmQueries.oracle("llm_gopher_rep"),

@@ -403,6 +403,12 @@ object LlmQueries {
       // prefix sum really tiers (the llm_pack recipe, hash order)
       graft.operators.Sampling.tokenBudget(Tables.load(s, d, "documents"),
         "doc_id", "text", budget = 10000L, numBuckets = 64)),
+    "llm_token_budget_group" -> ((s, d) =>
+      // language-balanced fill: 4k tokens PER language (a global budget
+      // would let the dominant language eat the fill)
+      graft.operators.Sampling.tokenBudgetByGroup(
+        Tables.load(s, d, "documents"),
+        "doc_id", "lang", "text", budget = 4000L, numBuckets = 64)),
     "llm_rank_norm" -> ((s, d) =>
       // exact corpus percent-rank of a score column (n_chars carries
       // heavy ties, exercising the tie-sharing contract); 16 sketch
@@ -1644,6 +1650,20 @@ object LlmQueries {
                     AS token_offset
                 FROM t)
           SELECT doc_id, n_toks, token_offset FROM o WHERE token_offset < 10000""",
+    // the per-group hierarchy must equal the per-group plain window
+    "llm_token_budget_group" ->
+      """WITH t AS (SELECT doc_id, lang,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks,
+               CAST(('0x'||substr(md5('budget:'||text),1,8)) AS BIGINT) AS h
+             FROM documents),
+          o AS (SELECT doc_id, lang, n_toks,
+                  CAST(coalesce(sum(n_toks) OVER (PARTITION BY lang
+                    ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS token_offset
+                FROM t)
+          SELECT doc_id, lang, n_toks, token_offset FROM o
+          WHERE token_offset < 4000""",
     // the bucketed hierarchical rank must equal the plain global window:
     // rank() with min-rank tie sharing, percent_rank = (rank-1)/(N-1)
     "llm_rank_norm" ->

@@ -1307,6 +1307,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nn.head.getDouble(3) == 0.0)
   }
 
+  test("tokenBudgetByGroup: bucketing/layout-invariant, nested budgets, NULL group kept") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = docs.select($"doc_id", $"lang", $"text")
+    def run(budget: Long, nb: Int, part: Int = 4) =
+      Sampling.tokenBudgetByGroup(d.repartition(part), "doc_id", "lang",
+          "text", budget, numBuckets = nb)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val a = run(4000, 64)
+    // 1 bucket IS the plain per-group running sum; any bucketing/layout
+    // must be bit-equal (contiguous-range containment, per group)
+    assert(run(4000, 1) == a)
+    assert(run(4000, 64, part = 13) == a)
+    // nested: a smaller budget selects a SUBSET with identical offsets
+    val b = run(2000, 64)
+    assert(b.keySet.subsetOf(a.keySet) && b.forall { case (k, v) => a(k) == v })
+    // NULL group budgets as its own group (null-safe join back)
+    val t = Seq((1L, Some("x"), "a b c"), (2L, None, "d e f"))
+      .toDF("id", "g", "text")
+    val nn = Sampling.tokenBudgetByGroup(t, "id", "g", "text", budget = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(nn == Set(1L, 2L), "NULL group must keep its rows")
+  }
+
   test("percentRankByGroup: per-group exactness, bucketing/layout-invariant, NULL group keeps its rows") {
     import spark.implicits._
     import graft.operators.Sampling
