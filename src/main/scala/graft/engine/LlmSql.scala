@@ -292,8 +292,10 @@ object LlmSql {
         val f = "graft_decontaminate_bloom"
         val corpus = table(str(c, f)); val evalSet = table(str(ev, f))
         val idc = str(id, f); val textc = str(text, f)
-        val ng = int(n, f); val ei = int(items, f).toLong
-        val nb = int(bits, f).toLong
+        // lng, not int: a production filter's item count / bit width
+        // routinely exceeds Int.MaxValue (4 Gbit = 4.3e9 bits)
+        val ng = int(n, f); val ei = lng(items, f)
+        val nb = lng(bits, f)
         // the bloom build is an ACTION (the sketch bytes inline into the
         // probe filter) — defer it like the cluster/semdedup TVFs so
         // EXPLAIN/prepare launch no job and the build runs once
