@@ -55,6 +55,16 @@ object LlmSql {
     case other => throw new IllegalArgumentException(
       s"$fn: expected an integer, got $other")
   }
+  // optional reuse-tail arguments: anything other than the documented
+  // 'local' (or an explicit 'off') is REJECTED — a typo like 'Local'
+  // silently disabling input truncation is the failure mode this guards
+  private def reuseOpt(e: Expression, fn: String): graft.operators.Reuse =
+    str(e, fn) match {
+      case "local" => graft.operators.Reuse.Local
+      case "off"   => graft.operators.Reuse.Off
+      case other => throw new IllegalArgumentException(
+        s"$fn: unrecognized reuse option '$other' (expected 'local' or 'off')")
+    }
   private def dbl(e: Expression, fn: String): Double = lit(e, fn) match {
     case n: java.lang.Number => n.doubleValue // covers Decimal literals
     case d: org.apache.spark.sql.types.Decimal => d.toDouble
@@ -169,6 +179,15 @@ object LlmSql {
           tieBreak = Seq(col(str(tie, f))), salt = str(salt, f))
       case args => bad(
         "graft_sample_k(table, key_col, tiebreak_col, k, salt)", args)
+    }
+    reg(spark, "graft_sample_weighted") {
+      case Seq(t, key, w, tie, k, salt) =>
+        val f = "graft_sample_weighted"
+        Sampling.weightedK(table(str(t, f)), col(str(key, f)),
+          col(str(w, f)), int(k, f),
+          tieBreak = Seq(col(str(tie, f))), salt = str(salt, f))
+      case args => bad(
+        "graft_sample_weighted(table, key_col, weight_col, tiebreak_col, k, salt)", args)
     }
     reg(spark, "graft_tfidf") {
       case Seq(t, id, text, k) =>
@@ -396,8 +415,8 @@ object LlmSql {
       // view over an expensive TVF pipeline stage, recompute doubles it)
       case args @ Seq(t, id, text, mdf, _*) if args.length <= 5 =>
         val f = "graft_line_dedup"
-        val inputReuse = if (args.length == 5 && str(args(4), f) == "local")
-          graft.operators.Reuse.Local else graft.operators.Reuse.Off
+        val inputReuse = if (args.length == 5) reuseOpt(args(4), f)
+          else graft.operators.Reuse.Off
         TextAnalysis.removeRepeatedLines(table(str(t, f)), str(id, f),
           str(text, f), maxDf = int(mdf, f), inputReuse = inputReuse)
       case args => bad(
@@ -616,8 +635,8 @@ object LlmSql {
         // the input diamond (threshold agg + filter) when the table is
         // an expensive view chain rather than a cheap scan
         val acc = if (args.length >= 4) Some(int(args(3), f)).filter(_ > 0) else None
-        val reuse = if (args.length == 5 && str(args(4), f) == "local")
-          graft.operators.Reuse.Local else graft.operators.Reuse.Off
+        val reuse = if (args.length == 5) reuseOpt(args(4), f)
+          else graft.operators.Reuse.Off
         Sampling.keepAboveQuantile(table(str(args(0), f)),
           col(str(args(1), f)), dbl(args(2), f), accuracy = acc, reuse = reuse)
       case args => bad(
@@ -629,8 +648,8 @@ object LlmSql {
       case args if args.length >= 4 && args.length <= 6 =>
         val f = "graft_quantile_filter_by"
         val acc = if (args.length >= 5) Some(int(args(4), f)).filter(_ > 0) else None
-        val reuse = if (args.length == 6 && str(args(5), f) == "local")
-          graft.operators.Reuse.Local else graft.operators.Reuse.Off
+        val reuse = if (args.length == 6) reuseOpt(args(5), f)
+          else graft.operators.Reuse.Off
         Sampling.keepAboveQuantileByGroup(table(str(args(0), f)),
           col(str(args(1), f)), col(str(args(2), f)), dbl(args(3), f),
           accuracy = acc, reuse = reuse)

@@ -291,16 +291,31 @@ object Dedup {
                    reuse: Reuse = Reuse.Local): DataFrame = {
     // parameter drift between build and probe makes the band join match
     // NOTHING — the probe would silently report "no duplicates" and
-    // ADMIT them. k is mechanically checkable from the stored schema
-    // (sets carry s0..s{k-1}); nBands is not (band_val strings don't
-    // encode it) — it stays a documented contract.
-    val sigCols = index.sets.columns.count(_.matches("s\\d+"))
-    require(sigCols == k,
-      s"stored index carries $sigCols permutation minima but probe k=$k " +
-        "— probe with the index's build parameters")
+    // ADMIT them. k is mechanically checkable from the stored schema:
+    // sets must carry EXACTLY s0..s{k-1} (excluding idCol/hset, so an
+    // id column named like "s3" or appended read-back metadata neither
+    // miscounts nor spuriously rejects). nBands is checked lazily from
+    // the data: band_val carries k/nBands "_"-joined minima, so a
+    // per-row segment-count guard on the stored bands raises at first
+    // execution instead of silently admitting every duplicate.
+    val expectedSig = (0 until k).map(i => s"s$i").toSet
+    val actualSig = index.sets.columns
+      .filterNot(c => c == idCol || c == "hset").filter(_.matches("s\\d+")).toSet
+    require(actualSig == expectedSig,
+      s"stored index carries ${actualSig.size} signature columns " +
+        s"(${actualSig.toSeq.sorted.mkString(",")}) but probe k=$k expects " +
+        s"exactly s0..s${k - 1} — probe with the index's build parameters")
+    val rowsPerBand = k / nBands
+    val bandsChecked = index.bands.withColumn("band_val",
+      when(size(split(col("band_val"), "_", -1)) === rowsPerBand, col("band_val"))
+        .otherwise(raise_error(concat(
+          lit("stored index band_val carries "),
+          size(split(col("band_val"), "_", -1)).cast("string"),
+          lit(s" minima per band but probe k=$k/nBands=$nBands expects " +
+            s"$rowsPerBand — probe with the index's build parameters")))))
     val setsNew = minhashSets(newDf, idCol, textCol, k, reuse)
     val bNew = bandsOf(setsNew, idCol, k, nBands)
-    val cand = bNew.as("x").join(index.bands.as("y"),
+    val cand = bNew.as("x").join(bandsChecked.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val"))
       .select(col(s"x.$idCol").as("id_new"), col(s"y.$idCol").as("id_corpus"))

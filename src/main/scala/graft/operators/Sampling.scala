@@ -59,6 +59,51 @@ object Sampling {
     df.orderBy(order: _*).limit(k)
   }
 
+  /** Deterministic WEIGHTED exact-k sample — priority sampling
+    * (Duffield/Lund/Thorup, JACM'07, public method): each row gets
+    * priority `w / u` with `u = (h+1)·2⁻³²` uniform on (0,1] derived
+    * from the salted key hash, and the k highest priorities win.
+    * Selection probability grows with weight (a weight-w row beats a
+    * weight-1 row whenever its u/w quotient is smaller), membership is
+    * a pure function of (salt, key, weight) — the [[exactK]]
+    * reproducibility contract, weighted. The shape for "sample 10k
+    * docs ∝ quality score" / length-proportional eval draws; the k+1-th
+    * priority is DLT's threshold τ for unbiased subset-sum estimates.
+    *
+    * Oracle-parity note: the priority is ONE exact scale by a power of
+    * two (h+1 ≤ 2³² is exact in binary64, ·2⁻³² shifts the exponent)
+    * followed by ONE correctly-rounded IEEE division — bit-identical in
+    * any IEEE engine, so the DuckDB oracle can rank on the same value
+    * with no transcendental-libm drift (the reason this uses DLT's
+    * w/u and not Efraimidis–Spirakis' u^(1/w)).
+    *
+    * NULL/negative handling: NULL keys or weights give NULL priority →
+    * NULLS LAST, never displacing real rows; weights must be >= 0
+    * (weight 0 → priority 0, sorts after every positive row). Same
+    * total-order requirement as [[exactK]]: pass the unique id as
+    * `tieBreak` so equal (priority, key) boundaries are deterministic.
+    *
+    * Plan shape: zero-exchange projection + TakeOrderedAndProject —
+    * per-partition top-k, k·partitions rows to one reducer, the corpus
+    * is never sorted or shuffled. */
+  def weightedK(df: DataFrame, key: Column, weight: Column, k: Int,
+                tieBreak: Seq[Column], salt: String = "wsample"): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    // 2⁻³² as its shortest decimal repr — parses to exactly 2⁻³² in any
+    // correctly-rounding engine, so the oracle can use the same literal
+    val u = (saltedHash(key, salt) + lit(1L)).cast("double") *
+      lit(2.3283064365386963e-10)
+    val pri = when(weight.cast("double") >= 0, weight.cast("double") / u)
+      .when(weight.isNull, lit(null).cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedK: negative weight "), weight.cast("string"),
+        lit(" — weights must be >= 0"))))
+    val order = pri.desc_nulls_last +: key.asc_nulls_last +:
+      tieBreak.map(_.asc_nulls_last)
+    df.withColumn("priority", round(pri, 6))
+      .orderBy(order: _*).limit(k)
+  }
+
   /** Deterministic exact-k PER STRATUM: within every stratum, the k
     * rows with the smallest salted key hash — same hash and total-order
     * contract as [[exactK]], so membership is layout- and
@@ -448,15 +493,27 @@ object Sampling {
     * is null-safe (`<=>`) — a NULL group budgets as its own group, the
     * [[percentRankByGroup]] convention. NULL text hashes NULL and is
     * never selected. Output: (idCol, groupCol, n_toks, token_offset)
-    * where token_offset is the WITHIN-group exclusive prefix. */
+    * where token_offset is the WITHIN-group exclusive prefix.
+    *
+    * The broadcast offsets frame is |groups|×numBuckets rows worst
+    * case — bounded for the documented group columns (languages /
+    * sources: hundreds) but corpus-scale for a high-cardinality column
+    * like domain. `maxBroadcastRows` guards that LAZILY: a one-row
+    * count of the actual offsets frame is checked in-plan, so a
+    * too-large frame raises at first execution instead of silently
+    * collecting to the driver (and the guard never runs a job at
+    * call time). */
   def tokenBudgetByGroup(df: DataFrame, idCol: String, groupCol: String,
                          textCol: String, budget: Long,
                          salt: String = "budget:",
                          numBuckets: Int = 1024,
+                         maxBroadcastRows: Long = 1L << 20,
                          reuse: Reuse = Reuse.Local): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(numBuckets >= 1 && numBuckets <= (1 << 20),
       s"numBuckets must be in [1, 2^20], got $numBuckets")
+    require(maxBroadcastRows >= 1,
+      s"maxBroadcastRows must be >= 1, got $maxBroadcastRows")
     val width = math.max(1L, (1L << 32) / numBuckets)
     val toks = reuse(df.select(col(idCol), col(groupCol).as("__grp"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"),
@@ -469,10 +526,25 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(col("__grp"), col("__b"),
       coalesce(sum(col("__bt")).over(wBuckets), lit(0L)).as("__boff"))
+    // |offsets| == |totals|; the 1-row count distributes (a plain agg,
+    // no single-task window) and the per-row check fails the broadcast
+    // build fast when the group column is high-cardinality
+    val offCount = totals.groupBy().agg(count(lit(1)).as("__noff"))
+    val offsetsChecked = offsets.crossJoin(offCount)
+      .select(col("__grp"), col("__b"),
+        when(col("__noff") <= maxBroadcastRows, col("__boff"))
+          .otherwise(raise_error(concat(
+            lit("tokenBudgetByGroup: bucket-offset frame has "),
+            col("__noff").cast("string"),
+            lit(s" rows (> maxBroadcastRows=$maxBroadcastRows) — the group " +
+              s"column is too high-cardinality to broadcast |groups|×" +
+              s"$numBuckets offsets; lower numBuckets or budget per a " +
+              "bounded-cardinality column"))))
+          .as("__boff"))
     val wInBucket = Window.partitionBy(col("t.__grp"), col("t.__b"))
       .orderBy(col("t.__h").asc, col(s"t.$idCol").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks.as("t").join(broadcast(offsets).as("o"),
+    toks.as("t").join(broadcast(offsetsChecked).as("o"),
         col("t.__grp") <=> col("o.__grp") && col("t.__b") === col("o.__b"))
       .select(col(s"t.$idCol"), col("t.__grp").as(groupCol), col("t.n_toks"),
         (col("o.__boff") +

@@ -445,9 +445,16 @@ object Similarity {
         (cid, qs.zip(cv).foldLeft(0.0)((a, p) => a + p._1 * p._2))
       }
       val codeCol = col(s"code_$s")
+      // a stored code outside the codebook's cid set means codebook /
+      // codes drift — raise loudly instead of scoring NULL (which would
+      // sort last and return plausible-but-wrong top-k silently)
       lut.tail.foldLeft(when(codeCol === lut.head._1, lit(lut.head._2))) {
         case (acc, (cid, v)) => acc.when(codeCol === cid, lit(v))
-      }
+      }.otherwise(raise_error(concat(
+        lit(s"pq code out of codebook range in subspace $s: "),
+        codeCol.cast("string"),
+        lit(s" (codebook has ${cb.length} centroids) — score with the " +
+          "codebooks the codes were encoded with"))))
     }.reduce(_ + _)
 
   /** ADC top-k over a STORED code table — the PQ serving path proper:

@@ -96,6 +96,10 @@ object EngineQueries {
       "SELECT * FROM graft_pack_offsets('documents', 'doc_id', 'text', 512, 64)")),
     "e_sql_sample_k" -> ((s, d) => via(s, d)(
       "SELECT doc_id FROM graft_sample_k('documents', 'text', 'doc_id', 200, 'eval:')")),
+    "e_sql_sample_weighted" -> ((s, d) => via(s, d)(
+      """SELECT doc_id, n_chars AS weight, priority
+         FROM graft_sample_weighted('documents', 'text', 'n_chars',
+                                    'doc_id', 200, 'wpri:')""")),
     "e_sql_tfidf" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_tfidf('documents', 'doc_id', 'text', 3)")),
     // composition: the TVFs resolve through the catalog, so a view
@@ -507,7 +511,12 @@ object EngineQueries {
     }),
     // the round-6b data-selection flow as PURE TVF composition through
     // views: repetition panel -> quality scalar -> deferred rank TVF ->
-    // token-budget TVF -> shard TVF, zero Scala between stages
+    // token-budget TVF -> shard TVF, zero Scala between stages.
+    // id-keyed stages join text back from the base documents SCAN, not
+    // the derived views — re-deriving text through the gopher/rank
+    // chain re-evaluated the whole corpus stage once per consumer (the
+    // llm_pipeline4 Scala twin always had this shape; 7.5s -> Scala-twin
+    // parity on the driver bench)
     "e_sql_pipeline4" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -518,14 +527,14 @@ object EngineQueries {
                        FROM graft_gopher_rep('documents', 'doc_id', 'text', 2, 5)
                        WHERE keep) k USING (doc_id)""")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p4_top AS
-                 SELECT s.doc_id, s.text
+                 SELECT r.doc_id, d.text
                  FROM graft_rank_norm('p4_scored', 'doc_id', 'quality', 16) r
-                 JOIN p4_scored s USING (doc_id)
+                 JOIN documents d USING (doc_id)
                  WHERE r.pct_rank >= 0.25""")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p4_sel AS
-                 SELECT t.doc_id, t.text, b.n_toks, b.token_offset
+                 SELECT b.doc_id, d.text, b.n_toks, b.token_offset
                  FROM graft_token_budget('p4_top', 'doc_id', 'text', 8000) b
-                 JOIN p4_top t USING (doc_id)""")
+                 JOIN documents d USING (doc_id)""")
       e.query("""SELECT doc_id, n_toks, token_offset, shard, order_key
                  FROM graft_shards('p4_sel', 'text', 8, 'p4:')""")
     }),
@@ -649,6 +658,7 @@ object EngineQueries {
     "e_sql_chunk" -> LlmQueries.oracle("llm_chunk"),
     "e_sql_pack" -> LlmQueries.oracle("llm_pack"),
     "e_sql_sample_k" -> LlmQueries.oracle("llm_sample_k"),
+    "e_sql_sample_weighted" -> LlmQueries.oracle("llm_sample_weighted"),
     "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

@@ -575,6 +575,18 @@ object LlmQueries {
           $"text", k = 200, tieBreak = Seq($"doc_id"), salt = "eval:")
         .select($"doc_id")
     }),
+    "llm_sample_weighted" -> ((s, d) => {
+      import s.implicits._
+      // weighted exact-k sample (DLT priority sampling): 200 docs drawn
+      // ∝ n_chars — longer docs proportionally likelier, membership a
+      // pure function of (salt, text, weight); the emitted priority is
+      // the DLT estimator input (the 201st priority would be τ)
+      graft.operators.Sampling.weightedK(
+          Tables.load(s, d, "documents").select($"doc_id", $"text", $"n_chars"),
+          $"text", $"n_chars", k = 200, tieBreak = Seq($"doc_id"),
+          salt = "wpri:")
+        .select($"doc_id", $"n_chars".as("weight"), $"priority")
+    }),
     "llm_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(
         Tables.load(s, d, "documents"), "doc_id", "text", topK = 3)),
@@ -1810,6 +1822,20 @@ object LlmQueries {
     "llm_sample_k" ->
       """SELECT doc_id FROM documents
          ORDER BY CAST(('0x'||substr(md5('eval:'||text),1,8)) AS BIGINT) NULLS LAST,
+                  text NULLS LAST, doc_id NULLS LAST
+         LIMIT 200""",
+    // DLT priority = w / u, u = (h+1)·2⁻³² — one exact power-of-two
+    // scale + one correctly-rounded division, so ranking on the raw
+    // double is engine-exact (the literal is 2⁻³²'s shortest decimal)
+    "llm_sample_weighted" ->
+      """SELECT doc_id, n_chars AS weight,
+                round(CAST(n_chars AS DOUBLE) /
+                  ((CAST(('0x'||substr(md5('wpri:'||text),1,8)) AS BIGINT) + 1)
+                    * 2.3283064365386963e-10), 6) AS priority
+         FROM documents
+         ORDER BY CAST(n_chars AS DOUBLE) /
+                  ((CAST(('0x'||substr(md5('wpri:'||text),1,8)) AS BIGINT) + 1)
+                    * 2.3283064365386963e-10) DESC NULLS LAST,
                   text NULLS LAST, doc_id NULLS LAST
          LIMIT 200""",
     "llm_sample_strat" ->

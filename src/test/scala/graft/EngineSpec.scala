@@ -92,6 +92,30 @@ class EngineSpec extends AnyFunSuite {
     assert(exact > 0 && exact <= spark.table("documents").count())
   }
 
+  test("reuse-tail options reject typos instead of silently mapping to Off") {
+    Tables.registerAll(spark, TestSpark.sf)
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // 'Local' is a typo for 'local' — it must error, not quietly disable
+    // input truncation (three surfaces share the tail: line_dedup and
+    // the two quantile filters)
+    for (sql <- Seq(
+      "SELECT count(*) AS n FROM graft_quantile_filter('documents', 'n_chars', 0.25, 0, 'Local')",
+      "SELECT count(*) AS n FROM graft_quantile_filter_by('documents', 'lang', 'n_chars', 0.25, 0, 'truncate')",
+      "SELECT count(*) AS n FROM graft_line_dedup('documents', 'doc_id', 'text', 3, 'LOCAL')")) {
+      val e = intercept[Exception] { engine.query(sql).collect() }
+      assert(chain(e).contains("unrecognized reuse option"), s"$sql -> ${chain(e)}")
+    }
+    // the documented lowercase forms (and the explicit 'off') still work
+    val n1 = engine.query(
+      "SELECT count(*) AS n FROM graft_quantile_filter('documents', 'n_chars', 0.25, 0, 'off')")
+      .head().getLong(0)
+    val n2 = engine.query(
+      "SELECT count(*) AS n FROM graft_quantile_filter('documents', 'n_chars', 0.25, 0, 'local')")
+      .head().getLong(0)
+    assert(n1 == n2 && n1 > 0)
+  }
+
   test("identifiers containing keyword substrings survive the rewrite") {
     Tables.registerAll(spark, TestSpark.sf)
     // 'valid_from'-style names must not be split as FROM/LIMIT keywords

@@ -140,6 +140,114 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("16") && e3.getMessage.contains("8"))
   }
 
+  test("stored-surface drift guards: s-like id col, metadata cols, nBands, PQ codes") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // an id column NAMED like a signature column must not miscount the
+    // stored k (the guard excludes idCol instead of regex-counting)
+    val renamed = docs.select(col("doc_id").as("s99"), col("text")).limit(50)
+    val idx = Dedup.minhashIndex(renamed, "s99", "text", k = 16, nBands = 4)
+    assert(Dedup.minhashProbe(renamed, idx, "s99", "text",
+      k = 16, nBands = 4).count() > 0)
+    // appended read-back metadata columns must not spuriously reject
+    val idxMeta = Dedup.MinhashIndex(idx.bands,
+      idx.sets.withColumn("ingested_at", lit("r7")))
+    assert(Dedup.minhashProbe(renamed, idxMeta, "s99", "text",
+      k = 16, nBands = 4).count() > 0)
+    // an EXTRA s-column IS drift — reject with the column named
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.minhashProbe(renamed, Dedup.MinhashIndex(idx.bands,
+        idx.sets.withColumn("s16", lit(0L))), "s99", "text", k = 16, nBands = 4)
+    }
+    assert(e1.getMessage.contains("s16"))
+    // nBands drift: checked lazily from the stored band_val shape — the
+    // probe RAISES at first execution instead of matching nothing and
+    // silently admitting every duplicate
+    val e2 = intercept[Exception] {
+      Dedup.minhashProbe(renamed, idx, "s99", "text",
+        k = 16, nBands = 8).collect()
+    }
+    assert(chain(e2).contains("minima per band"), chain(e2))
+    // a stored PQ code outside the codebook's cid set raises instead of
+    // scoring NULL (which would sort last and return wrong top-k)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, nCodes = 8)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, subDim = 16)
+    val q = Similarity.queryVecOf(emb, "vec_id", "embedding", 0)
+    val e3b = intercept[Exception] {
+      Similarity.pqTopKStored(codes.withColumn("code_0", lit(999999L)),
+        "vec_id", cb, 16, q, 10).collect()
+    }
+    assert(chain(e3b).contains("out of codebook range"), chain(e3b))
+    // the un-drifted stored path still serves
+    assert(Similarity.pqTopKStored(codes, "vec_id", cb, 16, q, 10,
+      excludeId = Some(0L)).count() == 10)
+  }
+
+  test("weightedK: layout-invariant, weight-monotone, scale-invariant, guards negatives") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = docs.select($"doc_id", $"text", $"n_chars")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(Sampling.weightedK(d, $"text", $"n_chars", 100,
+      Seq($"doc_id"), salt = "wt:"))
+    // membership is a pure function of (salt, key, weight) — layout must
+    // not matter
+    val b = ids(Sampling.weightedK(d.repartition(13), $"text", $"n_chars",
+      100, Seq($"doc_id"), salt = "wt:"))
+    assert(a == b && a.size == 100)
+    // scaling every weight by a constant preserves the priority ORDER,
+    // so membership is identical (priorities scale linearly)
+    val scaled = ids(Sampling.weightedK(
+      d.select($"doc_id", $"text", ($"n_chars" * 7).as("w")),
+      $"text", $"w", 100, Seq($"doc_id"), salt = "wt:"))
+    assert(scaled == a)
+    // a weight-0 row can never displace a positive-weight row
+    val zeroed = Sampling.weightedK(
+      d.select($"doc_id", $"text",
+        when($"doc_id" % 2 === 0, lit(0)).otherwise($"n_chars").as("w")),
+      $"text", $"w", 100, Seq($"doc_id"), salt = "wt:")
+    assert(zeroed.select($"doc_id").collect()
+      .forall(_.getLong(0) % 2 == 1), "zero-weight rows must sort last")
+    // heavier rows win more often: weight 1000 on odd ids vs 1 on even
+    val biased = Sampling.weightedK(
+      d.select($"doc_id", $"text",
+        when($"doc_id" % 2 === 1, lit(1000)).otherwise(lit(1)).as("w")),
+      $"text", $"w", 100, Seq($"doc_id"), salt = "wt:")
+    val oddFrac = biased.filter($"doc_id" % 2 === 1).count().toDouble / 100
+    assert(oddFrac >= 0.9, s"1000:1 weights should dominate, got $oddFrac")
+    // negative weights raise instead of silently winning/losing
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Exception] {
+      Sampling.weightedK(
+        d.select($"doc_id", $"text", ($"n_chars" * -1).as("w")),
+        $"text", $"w", 10, Seq($"doc_id"), salt = "wt:").collect()
+    }
+    assert(chain(e).contains("weights must be >= 0"), chain(e))
+  }
+
+  test("tokenBudgetByGroup: high-cardinality group column fails the broadcast loudly") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val d = docs.select($"doc_id", $"lang", $"text")
+    // the guard is lazy (plan construction runs no job) and fails the
+    // broadcast build with the limit named when the offsets frame
+    // exceeds maxBroadcastRows
+    val guarded = Sampling.tokenBudgetByGroup(d, "doc_id", "lang", "text",
+      budget = 4000L, numBuckets = 64, maxBroadcastRows = 2L)
+    val e = intercept[Exception] { guarded.collect() }
+    assert(chain(e).contains("maxBroadcastRows"), chain(e))
+    // a bound that fits changes nothing
+    val ok = Sampling.tokenBudgetByGroup(d, "doc_id", "lang", "text",
+      budget = 4000L, numBuckets = 64)
+    assert(ok.count() > 0)
+  }
+
   test("IVF ANN: deterministic, bounded scan, reasonable recall") {
     import spark.implicits._
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)

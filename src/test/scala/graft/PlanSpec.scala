@@ -123,6 +123,9 @@ class PlanSpec extends AnyFunSuite {
       "llm_pipeline3", "e_sql_pipeline3",
       // broadcast 1-row corpus totals feeding the per-source rate table
       "llm_temperature_mix", "e_sql_temperature_mix",
+      // broadcast 1-row offsets-frame row count (the maxBroadcastRows
+      // cardinality guard on the per-group bucket offsets)
+      "llm_token_budget_group", "e_sql_token_budget_group",
       // broadcast 1-row corpus token total (unigram model) / vocabulary
       // size (bigram model)
       "llm_unigram_lp", "e_sql_unigram_lp",
@@ -270,7 +273,17 @@ class PlanSpec extends AnyFunSuite {
   test("exact-k sampling plans TakeOrderedAndProject (top-k, no full sort)") {
     val p = plan("llm_sample_k")
     assert(p.contains("TakeOrderedAndProject"),
-      s"exactK must be a per-partition top-k, not a global sort:\n$p")
+      s"exactK must be a per-partition top-k, not a full sort:\n$p")
+  }
+
+  test("weighted sampling: zero-exchange projection + TakeOrderedAndProject") {
+    val p = plan("llm_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weightedK must be a per-partition top-k, not a full sort:\n$p")
+    // priority is a pure projection of (weight, hash) — the corpus is
+    // never shuffled on the way to the top-k
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"weightedK must not shuffle the corpus:\n$p")
   }
 
   test("boilerplate report: no corpus-scale string-keyed exchange") {
