@@ -332,6 +332,29 @@ object LlmSql {
       case args => bad(
         "graft_decontaminate_bloom(corpus_table, eval_table, id_col, text_col, n, expected_items, num_bits)", args)
     }
+    reg(spark, "graft_decontaminate_stored") {
+      case Seq(c, sk, hs, id, text) =>
+        val f = "graft_decontaminate_stored"
+        val corpus = table(str(c, f))
+        val sketch = table(str(sk, f)); val hashes = table(str(hs, f))
+        val idc = str(id, f); val textc = str(text, f)
+        // reading the 1-row sketch is an ACTION (and the probe inlines
+        // its bytes) — defer like graft_decontaminate_bloom so EXPLAIN
+        // launches no job and the read happens once
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, corpus.select(col(idc)).schema.head.dataType),
+            StructField("eval_shingles", org.apache.spark.sql.types.LongType,
+              nullable = false),
+            StructField("contaminated", org.apache.spark.sql.types.BooleanType,
+              nullable = false))),
+          memo { () =>
+            Dedup.decontaminateStored(corpus,
+              Dedup.DecontamIndex(sketch, hashes), idc, textc)
+          })
+      case args => bad(
+        "graft_decontaminate_stored(corpus_table, sketch_table, hashes_table, id_col, text_col)", args)
+    }
     reg(spark, "graft_contamination") {
       case Seq(c, ev, id, text, n, mf) =>
         val f = "graft_contamination"

@@ -531,24 +531,102 @@ object Dedup {
                          idCol: String, textCol: String, n: Int = 13,
                          expectedItems: Long = 4000000L,
                          numBits: Long = 1L << 26,
-                         reuse: Reuse = Reuse.Local): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+                         reuse: Reuse = Reuse.Local): DataFrame =
+    // build + probe in one pass — the inline twin of the stored path,
+    // so the two can never diverge; count validation is skipped (the
+    // hash frame was built one line up, it cannot have drifted)
+    decontaminateStored(corpus,
+      decontamIndex(evalSet, idCol, textCol, n, expectedItems, numBits, reuse),
+      idCol, textCol, validateCount = false)
+
+  /** A PERSISTED decontamination index — the admission-control artifact
+    * a production ingestion fleet reads instead of re-shingling the
+    * benchmark suite on every run: `sketch` is ONE row (`bf` the
+    * serialized bloom filter over eval shingle hashes — NULL for an
+    * empty eval set — plus the build parameters `n`/`expected_items`/
+    * `num_bits` and the hash-frame row count `n_hashes`); `hashes` is
+    * the exact eval shingle-hash frame (`h` BIGINT) the confirming join
+    * probes. Both are plain DataFrames, so
+    * `DecontamIndex(spark.read.parquet(…), spark.read.parquet(…))`
+    * reconstructs the index exactly (the llm_decontam_roundtrip gate
+    * pins result equality with the inline path). The [[MinhashIndex]]
+    * symmetry, for decontamination. */
+  case class DecontamIndex(sketch: DataFrame, hashes: DataFrame)
+
+  /** Build a [[DecontamIndex]] from an eval/benchmark set: shingle,
+    * hash, distinct (the [[decontaminate]] frame), then ONE aggregate
+    * pass produces both the bloom sketch and the row count recorded for
+    * the probe-side drift guard. The `reuse` checkpoint makes the
+    * sketch action and the returned hash frame share one computation. */
+  def decontamIndex(evalSet: DataFrame, idCol: String, textCol: String,
+                    n: Int = 13, expectedItems: Long = 4000000L,
+                    numBits: Long = 1L << 26,
+                    reuse: Reuse = Reuse.Local): DecontamIndex = {
+    import org.apache.spark.sql.{GraftBridge, Row}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types._
     require(expectedItems > 0 && numBits > 0)
-    // the eval hash frame feeds BOTH the bloom build (an action, below)
-    // and the confirming join — `reuse` truncates so the bloom action
-    // materializes it once and the join reads the checkpoint
+    require(n >= 1, s"shingle size must be >= 1, got $n")
     val evalH = reuse(shingleRows(evalSet.select(col(idCol), col(textCol)),
         idCol, textCol, n)
       .select(sharedHash(col("s")).as("h")).distinct())
-    val bloomBytes = evalH.agg(GraftBridge.column(
-        new BloomFilterAggregate(
+    val built = evalH.agg(
+      GraftBridge.column(new BloomFilterAggregate(
           GraftBridge.expression(col("h")),
           Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-      .as("bf")).head().getAs[Array[Byte]](0)
+        .as("bf"),
+      count(lit(1)).as("n_hashes")).head()
+    val schema = StructType(Seq(
+      StructField("bf", BinaryType, nullable = true),
+      StructField("n", IntegerType, nullable = false),
+      StructField("expected_items", LongType, nullable = false),
+      StructField("num_bits", LongType, nullable = false),
+      StructField("n_hashes", LongType, nullable = false)))
+    val sketch = evalSet.sparkSession.createDataFrame(
+      java.util.Arrays.asList(Row(built.getAs[Array[Byte]]("bf"), n,
+        expectedItems, numBits, built.getAs[Long]("n_hashes"))), schema)
+    DecontamIndex(sketch, evalH)
+  }
+
+  /** Probe a (possibly read-back) [[DecontamIndex]] — [[decontaminateBloom]]
+    * with the build factored out: the shingle size comes from the STORED
+    * sketch row (parameter drift is impossible by construction), the
+    * bloom bytes inline into a codegen'd `might_contain` prefilter, and
+    * the exact confirming semi-join runs against the stored hash frame.
+    * `validateCount` (on by default for read-back indexes) checks the
+    * hash frame's row count against the sketch's recorded `n_hashes`
+    * LAZILY in-plan — a truncated or partially-copied hash frame would
+    * otherwise silently under-report contamination, the one drift mode
+    * the exact confirm join cannot absorb (bloom false positives cost a
+    * probe, never a wrong answer; missing confirm rows DO). */
+  def decontaminateStored(corpus: DataFrame, index: DecontamIndex,
+                          idCol: String, textCol: String,
+                          validateCount: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val have = index.sketch.columns.toSet
+    require(Set("bf", "n", "n_hashes").subsetOf(have),
+      s"decontamination sketch must carry bf/n/n_hashes, got " +
+        index.sketch.columns.mkString(","))
+    val srow = index.sketch.head()
+    val bloomBytes = srow.getAs[Array[Byte]]("bf")
+    val ng = srow.getAs[Int]("n")
+    val nHashes = srow.getAs[Long]("n_hashes")
+    val evalH =
+      if (!validateCount) index.hashes
+      else {
+        val cnt = index.hashes.groupBy().agg(count(lit(1)).as("__nh"))
+        index.hashes.crossJoin(broadcast(cnt)).select(
+          when(col("__nh") === nHashes, col("h"))
+            .otherwise(raise_error(concat(
+              lit("stored decontamination index drift: hash frame carries "),
+              col("__nh").cast("string"),
+              lit(s" rows but the sketch recorded $nHashes — rebuild or " +
+                "re-copy the index")))).as("h"))
+      }
     val corpusH = shingleRows(corpus.select(col(idCol), col(textCol)),
-        idCol, textCol, n)
+        idCol, textCol, ng)
       .select(col(idCol), sharedHash(col("s")).as("h")).distinct()
     // empty eval set -> null sketch -> nothing can match
     val cand =

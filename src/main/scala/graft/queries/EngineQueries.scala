@@ -276,6 +276,32 @@ object EngineQueries {
         """SELECT * FROM graft_decontaminate_bloom(
              'graft_corpus_v', 'graft_eval_v', 'doc_id', 'text', 13, 65536, 1048576)""")
     }),
+    // the stored admission index probed from SQL: build+persist in
+    // Scala (the write side), reconstruct as plain views over the
+    // parquet, probe via the deferred TVF — same oracle as the inline
+    // bloom path, so storage drift hash-mismatches
+    "e_sql_decontam_roundtrip" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/decontam_index_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, max}
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val ev = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 100).select(col("doc_id"), col("text"))
+      val idx = graft.operators.Dedup.decontamIndex(ev, "doc_id", "text",
+        n = 13, expectedItems = 1L << 16, numBits = 1L << 20)
+      idx.sketch.write.mode("overwrite").parquet(s"$out/sketch")
+      idx.hashes.write.mode("overwrite").parquet(s"$out/hashes")
+      s.read.parquet(s"$out/sketch").createOrReplaceTempView("graft_dc_sketch")
+      s.read.parquet(s"$out/hashes").createOrReplaceTempView("graft_dc_hashes")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_corpus_v AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id <= (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query("""SELECT * FROM graft_decontaminate_stored(
+                   'graft_corpus_v', 'graft_dc_sketch', 'graft_dc_hashes',
+                   'doc_id', 'text')""")
+    }),
     // graded contamination fraction from SQL — same eval/corpus views
     "e_sql_contamination" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -691,6 +717,7 @@ object EngineQueries {
     "e_sql_span_dedup" -> LlmQueries.oracle("llm_span_dedup"),
     "e_sql_c4_filters" -> LlmQueries.oracle("llm_c4_filters"),
     "e_sql_decontaminate_bloom" -> LlmQueries.oracle("llm_decontaminate"),
+    "e_sql_decontam_roundtrip" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
     "e_sql_html_strip" -> LlmQueries.oracle("llm_html_strip"),
     "e_sql_pipeline5" -> LlmQueries.oracle("llm_pipeline5"),

@@ -381,6 +381,28 @@ object LlmQueries {
       Dedup.decontaminateBloom(corpus, ev, "doc_id", "text", n = 13,
         expectedItems = 1L << 16, numBits = 1L << 20)
     }),
+    "llm_decontam_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      // the PRODUCTION admission-control composition: build the eval
+      // decontamination index once, persist sketch + hash frame to
+      // parquet, reconstruct from the files, probe the corpus — same
+      // fixture and oracle as llm_decontaminate_bloom, so any drift
+      // through the storage round-trip hash-mismatches
+      val out = "target/gate_sink/decontam_index"
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val ev = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      val corpus = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      val idx = Dedup.decontamIndex(ev, "doc_id", "text", n = 13,
+        expectedItems = 1L << 16, numBits = 1L << 20)
+      idx.sketch.write.mode("overwrite").parquet(s"$out/sketch")
+      idx.hashes.write.mode("overwrite").parquet(s"$out/hashes")
+      val stored = Dedup.DecontamIndex(
+        s.read.parquet(s"$out/sketch"), s.read.parquet(s"$out/hashes"))
+      Dedup.decontaminateStored(corpus, stored, "doc_id", "text")
+    }),
     "llm_contamination" -> ((s, d) => {
       import s.implicits._
       // graded eval-overlap: the llm_decontaminate fixture (eval =
@@ -1623,6 +1645,8 @@ object LlmQueries {
     // (false positives only cost a probe in the exact confirm join), so
     // the same oracle verifies it
     "llm_decontaminate_bloom" -> decontaminateOracleSql,
+    // storage round-trip is output-identical to the inline bloom path
+    "llm_decontam_roundtrip" -> decontaminateOracleSql,
     // graded variant: totals + hits in one aggregate, fraction = exact
     // integer division in double (IEEE-deterministic, compared raw)
     "llm_contamination" ->

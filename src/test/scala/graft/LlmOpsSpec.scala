@@ -185,6 +185,40 @@ class LlmOpsSpec extends AnyFunSuite {
       excludeId = Some(0L)).count() == 10)
   }
 
+  test("decontamination index: storage symmetry and truncated-hash-frame guard") {
+    import spark.implicits._
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val docs2 = docs.select($"doc_id", $"text")
+    val mx = docs2.agg(max($"doc_id")).head().getLong(0)
+    val ev = docs2.filter($"doc_id" > mx - 100)
+    val corpus = docs2.filter($"doc_id" <= mx - 100)
+    val idx = Dedup.decontamIndex(ev, "doc_id", "text", n = 13,
+      expectedItems = 1L << 16, numBits = 1L << 20)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // the inline bloom path and the stored probe agree row for row
+    val inline = asSet(Dedup.decontaminateBloom(corpus, ev, "doc_id", "text",
+      n = 13, expectedItems = 1L << 16, numBits = 1L << 20))
+    val stored = asSet(Dedup.decontaminateStored(corpus, idx, "doc_id", "text"))
+    assert(inline == stored && inline.exists(_._3),
+      "stored probe must match the inline path (with real contamination hit)")
+    // a truncated hash frame raises instead of silently under-reporting
+    // contamination (the one drift the exact confirm join cannot absorb)
+    val truncated = Dedup.DecontamIndex(idx.sketch, idx.hashes.limit(3))
+    val e = intercept[Exception] {
+      Dedup.decontaminateStored(corpus, truncated, "doc_id", "text").collect()
+    }
+    assert(chain(e).contains("decontamination index drift"), chain(e))
+    // a sketch frame missing its metadata refuses by name
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.decontaminateStored(corpus,
+        Dedup.DecontamIndex(idx.sketch.drop("n_hashes"), idx.hashes),
+        "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("n_hashes"))
+  }
+
   test("weightedK: layout-invariant, weight-monotone, scale-invariant, guards negatives") {
     import spark.implicits._
     import graft.operators.Sampling

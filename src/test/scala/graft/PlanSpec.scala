@@ -85,6 +85,9 @@ class PlanSpec extends AnyFunSuite {
       "llm_simhash_pairs", "llm_simhash_wide", "llm_tfidf", "llm_containment",
       "llm_containment_dfcap", "llm_decontaminate", "llm_decontaminate_bloom",
       "llm_minhash_capped",
+      // broadcast 1-row max-doc-id fixture bound + the stored index's
+      // broadcast 1-row n_hashes drift guard on the confirm frame
+      "llm_decontam_roundtrip", "e_sql_decontam_roundtrip",
       // same broadcast 1-row max-doc-id eval/corpus split as
       // llm_decontaminate (the fraction itself is equi-join + aggregate)
       "llm_contamination",
