@@ -476,6 +476,31 @@ object LlmSql {
       case args => bad(
         "graft_semdedup(table, id_col, vec_col, n_cells, iters, threshold)", args)
     }
+    reg(spark, "graft_embed_outliers") {
+      case Seq(t, id, vec, cells, iters, q) =>
+        val f = "graft_embed_outliers"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val nCells = int(cells, f); val nIters = int(iters, f)
+        val quant = dbl(q, f)
+        // centroid collection (and optional Lloyd training) is an
+        // ACTION — same deferred contract as graft_semdedup
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField("cell", org.apache.spark.sql.types.LongType,
+              nullable = false),
+            StructField("centroid_sim", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            val cents =
+              if (nIters == 0) Similarity.collectCentroids(tbl, idc, vecc, nCells)
+              else Similarity.centroidsOf(
+                Similarity.kmeansTrain(tbl, idc, vecc, nCells, nIters))
+            Similarity.embeddingOutliers(tbl, idc, vecc, cents, quant)
+          })
+      case args => bad(
+        "graft_embed_outliers(table, id_col, vec_col, n_cells, iters, q)", args)
+    }
     reg(spark, "graft_ann_topk") {
       // exact brute-force cosine top-k: fully LAZY (the query row is a
       // broadcast inside the plan, no driver action)

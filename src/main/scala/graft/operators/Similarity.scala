@@ -310,6 +310,43 @@ object Similarity {
       .join(pairs.select(col("id_b")), col(idCol) === col("id_b"), "left_anti")
   }
 
+  /** Embedding OUTLIER filter — the curation step that drops vectors
+    * least like their own neighborhood (mislabeled captions, encoder
+    * failures, off-distribution noise park far from every centroid):
+    * assign each vector to its nearest centroid (the zero-exchange
+    * [[cellOf]] projection), score cosine to the OWN cell centroid, and
+    * keep rows at or above the per-cell `q`-quantile of that
+    * similarity. Per-CELL rather than global because typicality is
+    * local: a tight cluster's 0.90 similarity can be its outlier tail
+    * while a diffuse cluster's 0.70 is mainstream — one global cut
+    * would empty diffuse cells and keep every tight-cell outlier.
+    *
+    * Composition, not new machinery: [[cellOf]] +
+    * [[Sampling.keepAboveQuantileByGroup]]. Scale shape: assignment and
+    * own-centroid scoring are codegen'd projections over inlined
+    * centroid literals (zero exchange); the per-cell threshold agg
+    * shuffles only (id, cell, sim) rows and broadcasts back nCells
+    * 1-row thresholds. Similarity rounds to 6 decimals before the
+    * quantile (oracle float parity). Output: (idCol, cell,
+    * centroid_sim) for the kept rows. */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: Array[(Long, Seq[Double])],
+                        q: Double, reuse: Reuse = Reuse.Off): DataFrame = {
+    require(centroids.nonEmpty, "embeddingOutliers: need at least one centroid")
+    val simToOwn = centroids.toIndexedSeq.tail.foldLeft(
+      when(col("cell") === centroids.head._1,
+        cosine(col(vecCol), typedLit(centroids.head._2)))) {
+      case (acc, (cid, cv)) =>
+        acc.when(col("cell") === cid, cosine(col(vecCol), typedLit(cv)))
+    }.otherwise(raise_error(
+      lit("embeddingOutliers: cell id outside the centroid set")))
+    val scored = emb
+      .select(col(idCol), cellOf(col(vecCol), centroids).as("cell"), col(vecCol))
+      .select(col(idCol), col("cell"), round(simToOwn, 6).as("centroid_sim"))
+    Sampling.keepAboveQuantileByGroup(scored, col("cell"),
+      col("centroid_sim"), q, reuse = reuse)
+  }
+
   /** Exact top-k by cosine against the embedding of `queryId`.
     * orderBy+limit ⇒ Spark plans TakeOrderedAndProject (per-partition
     * top-k, then k·partitions rows to the driver side of the exchange —

@@ -447,6 +447,8 @@ object EngineQueries {
       """SELECT vec_id, cell
          FROM graft_cluster_sample('embeddings', 'vec_id', 'embedding',
                                    8, 2, 20, 'csamp:')""")),
+    "e_sql_embed_outliers" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_embed_outliers('embeddings', 'vec_id', 'embedding', 8, 0, 0.25)")),
     "e_sql_semdedup" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -728,6 +730,7 @@ object EngineQueries {
     "e_sql_corpus_report" -> LlmQueries.oracle("llm_corpus_report"),
     "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
+    "e_sql_embed_outliers" -> LlmQueries.oracle("llm_embed_outliers"),
     "e_sql_cluster_sample" -> LlmQueries.oracle("llm_cluster_sample"),
     "e_sql_ann_topk" -> LlmQueries.oracle("llm_ann_topk"),
     "e_sql_ann_lsh" -> LlmQueries.oracle("llm_ann_lsh"),

@@ -968,6 +968,16 @@ object LlmQueries {
       Similarity.semanticDedup(corpus, "vec_id", "embedding", cents,
         simThreshold = 0.99)
     }),
+    "llm_embed_outliers" -> ((s, d) => {
+      import s.implicits._
+      // per-cell typicality filter: assign to nearest seed centroid,
+      // keep the 75% of each cell most similar to its own centroid —
+      // the curation pass that drops encoder failures / mislabeled
+      // vectors without emptying diffuse-but-healthy cells
+      val emb = Tables.load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      Similarity.embeddingOutliers(emb, "vec_id", "embedding", cents, q = 0.25)
+    }),
     "llm_shards" -> ((s, d) => {
       import s.implicits._
       // deterministic global shuffle: shard + independent within-shard
@@ -2275,6 +2285,24 @@ object LlmQueries {
                     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99)
           SELECT x.vec_id, x.cell FROM a2 x
           WHERE x.vec_id NOT IN (SELECT id_b FROM pairs)""",
+    // nearest seed centroid (argmax cosine, tie lowest cid — the cellOf
+    // contract), cosine to the OWN centroid rounded to 6, then the
+    // per-cell exact-quantile keep (quantile_cont == Spark percentile)
+    "llm_embed_outliers" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          s AS (SELECT e.vec_id, c.cid,
+                       round(list_cosine_similarity(e.v, c.cv), 6) AS centroid_sim,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                FROM e CROSS JOIN c),
+          a AS (SELECT vec_id, cid AS cell, centroid_sim FROM s WHERE rk = 1),
+          t AS (SELECT cell, quantile_cont(centroid_sim, 0.25) AS thr
+                FROM a GROUP BY cell)
+         SELECT a.vec_id, a.cell, a.centroid_sim
+         FROM a JOIN t ON a.cell = t.cell
+         WHERE a.centroid_sim >= t.thr""",
     // shard = hash(salt||text) mod 32; order_key an independent salt —
     // the exact md5 recipe of Sampling.saltedHash
     "llm_shards" ->

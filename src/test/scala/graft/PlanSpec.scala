@@ -279,6 +279,19 @@ class PlanSpec extends AnyFunSuite {
       s"exactK must be a per-partition top-k, not a full sort:\n$p")
   }
 
+  test("embedding outlier filter: vectors never shuffle; thresholds broadcast back") {
+    val p = plan("llm_embed_outliers")
+    // per-cell thresholds come back as a broadcast join, and the only
+    // hash exchange is the (cell)-keyed threshold aggregate — the
+    // embedding column itself must never key or ride an exchange
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-cell thresholds must broadcast:\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("embedding")),
+      s"vectors must not ride an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("weighted sampling: zero-exchange projection + TakeOrderedAndProject") {
     val p = plan("llm_sample_weighted")
     assert(p.contains("TakeOrderedAndProject"),
