@@ -189,6 +189,15 @@ object LlmSql {
       case args => bad(
         "graft_sample_weighted(table, key_col, weight_col, tiebreak_col, k, salt)", args)
     }
+    reg(spark, "graft_sample_weighted_by") {
+      case Seq(t, strat, key, w, tie, k, salt) =>
+        val f = "graft_sample_weighted_by"
+        Sampling.weightedKPerStratum(table(str(t, f)), col(str(strat, f)),
+          col(str(key, f)), col(str(w, f)), int(k, f),
+          tieBreak = Seq(col(str(tie, f))), salt = str(salt, f))
+      case args => bad(
+        "graft_sample_weighted_by(table, stratum_col, key_col, weight_col, tiebreak_col, k, salt)", args)
+    }
     reg(spark, "graft_tfidf") {
       case Seq(t, id, text, k) =>
         val f = "graft_tfidf"

@@ -89,19 +89,48 @@ object Sampling {
   def weightedK(df: DataFrame, key: Column, weight: Column, k: Int,
                 tieBreak: Seq[Column], salt: String = "wsample"): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
-    // 2⁻³² as its shortest decimal repr — parses to exactly 2⁻³² in any
-    // correctly-rounding engine, so the oracle can use the same literal
-    val u = (saltedHash(key, salt) + lit(1L)).cast("double") *
-      lit(2.3283064365386963e-10)
-    val pri = when(weight.cast("double") >= 0, weight.cast("double") / u)
-      .when(weight.isNull, lit(null).cast("double"))
-      .otherwise(raise_error(concat(
-        lit("weightedK: negative weight "), weight.cast("string"),
-        lit(" — weights must be >= 0"))))
+    val pri = priorityOf(key, weight, salt)
     val order = pri.desc_nulls_last +: key.asc_nulls_last +:
       tieBreak.map(_.asc_nulls_last)
     df.withColumn("priority", round(pri, 6))
       .orderBy(order: _*).limit(k)
+  }
+
+  /** The DLT priority `w / u`, `u = (h+1)·2⁻³²` — shared by
+    * [[weightedK]] and [[weightedKPerStratum]] so the two can never
+    * diverge on the sampling law. NULL key/weight → NULL priority;
+    * negative weights raise. */
+  private def priorityOf(key: Column, weight: Column, salt: String): Column = {
+    // 2⁻³² as its shortest decimal repr — parses to exactly 2⁻³² in any
+    // correctly-rounding engine, so the oracle can use the same literal
+    val u = (saltedHash(key, salt) + lit(1L)).cast("double") *
+      lit(2.3283064365386963e-10)
+    when(weight.cast("double") >= 0, weight.cast("double") / u)
+      .when(weight.isNull, lit(null).cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedK: negative weight "), weight.cast("string"),
+        lit(" — weights must be >= 0"))))
+  }
+
+  /** Per-STRATUM deterministic weighted exact-k — [[weightedK]] within
+    * every stratum ("200 docs per language, drawn ∝ quality score"),
+    * with [[exactKPerStratum]]'s two-phase (stratum, hash-bucket)
+    * pre-split so a dominant stratum never sorts through one task. The
+    * ordering contract is the ROUNDED priority (6 decimals — already
+    * engine-exact before the round) over the key + tieBreak total
+    * order, so the per-bucket containment argument applies unchanged
+    * and membership stays layout/engine-invariant. Output: the input
+    * columns plus `priority`. */
+  def weightedKPerStratum(df: DataFrame, stratum: Column, key: Column,
+                          weight: Column, k: Int, tieBreak: Seq[Column],
+                          salt: String = "wsample",
+                          preSplit: Int = 32): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val scored = df.withColumn("priority",
+      round(priorityOf(key, weight, salt), 6))
+    val order = col("priority").desc_nulls_last +: key.asc_nulls_last +:
+      tieBreak.map(_.asc_nulls_last)
+    twoPhaseTopK(scored, stratum, order, key, k, salt, preSplit)
   }
 
   /** Deterministic exact-k PER STRATUM: within every stratum, the k

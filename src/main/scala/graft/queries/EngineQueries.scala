@@ -100,6 +100,10 @@ object EngineQueries {
       """SELECT doc_id, n_chars AS weight, priority
          FROM graft_sample_weighted('documents', 'text', 'n_chars',
                                     'doc_id', 200, 'wpri:')""")),
+    "e_sql_sample_weighted_strat" -> ((s, d) => via(s, d)(
+      """SELECT doc_id, source, priority
+         FROM graft_sample_weighted_by('documents', 'source', 'text',
+                                       'n_chars', 'doc_id', 10, 'wps:')""")),
     "e_sql_tfidf" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_tfidf('documents', 'doc_id', 'text', 3)")),
     // composition: the TVFs resolve through the catalog, so a view
@@ -687,6 +691,7 @@ object EngineQueries {
     "e_sql_pack" -> LlmQueries.oracle("llm_pack"),
     "e_sql_sample_k" -> LlmQueries.oracle("llm_sample_k"),
     "e_sql_sample_weighted" -> LlmQueries.oracle("llm_sample_weighted"),
+    "e_sql_sample_weighted_strat" -> LlmQueries.oracle("llm_sample_weighted_strat"),
     "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

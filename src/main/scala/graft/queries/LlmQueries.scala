@@ -609,6 +609,18 @@ object LlmQueries {
           salt = "wpri:")
         .select($"doc_id", $"n_chars".as("weight"), $"priority")
     }),
+    "llm_sample_weighted_strat" -> ((s, d) => {
+      import s.implicits._
+      // per-source weighted draw: 10 docs per source ∝ n_chars — the
+      // balanced-but-quality-weighted eval-set shape; two-phase
+      // pre-split keeps a dominant source off the single-task window
+      graft.operators.Sampling.weightedKPerStratum(
+          Tables.load(s, d, "documents")
+            .select($"doc_id", $"source", $"text", $"n_chars"),
+          stratum = $"source", key = $"text", weight = $"n_chars", k = 10,
+          tieBreak = Seq($"doc_id"), salt = "wps:")
+        .select($"doc_id", $"source", $"priority")
+    }),
     "llm_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(
         Tables.load(s, d, "documents"), "doc_id", "text", topK = 3)),
@@ -1872,6 +1884,20 @@ object LlmQueries {
                     * 2.3283064365386963e-10) DESC NULLS LAST,
                   text NULLS LAST, doc_id NULLS LAST
          LIMIT 200""",
+    // per-stratum variant ranks on the ROUNDED priority (the stated
+    // ordering contract) under the same text/doc_id total order
+    "llm_sample_weighted_strat" ->
+      """SELECT doc_id, source, priority FROM (
+           SELECT doc_id, source, priority,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY priority DESC NULLS LAST,
+                             text NULLS LAST, doc_id NULLS LAST) AS rn
+           FROM (SELECT doc_id, source, text,
+                        round(CAST(n_chars AS DOUBLE) /
+                          ((CAST(('0x'||substr(md5('wps:'||text),1,8)) AS BIGINT) + 1)
+                            * 2.3283064365386963e-10), 6) AS priority
+                 FROM documents))
+         WHERE rn <= 10""",
     "llm_sample_strat" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,

@@ -327,6 +327,19 @@ class PlanSpec extends AnyFunSuite {
       "the corpus-facing window must partition by (stratum, bucket)")
   }
 
+  test("per-stratum weighted sampling: corpus window is (stratum, bucket)-pre-split") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // same skew-proof two-phase contract as llm_sample_strat, with the
+    // priority ordering on top
+    val qe = SparkEntry.queries("llm_sample_weighted_strat")(spark, TestSpark.sf)
+      .queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected pre-split + survivor windows, got ${wins.size}")
+    assert(wins.forall(_.partitionSpec.nonEmpty), "no global window allowed")
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "the corpus-facing window must partition by (stratum, bucket)")
+  }
+
   test("domain cap: corpus window is (domain, bucket)-pre-split") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // capping exists BECAUSE one source dominates — so the skew-proof
