@@ -88,16 +88,20 @@ object Corpus {
                  threshold: Double = 0.5): DataFrame = {
     require(k % nBands == 0, s"nBands must divide k, got k=$k nBands=$nBands")
     val rowsPerBand = k / nBands
-    // hset materialized in its own projection first: the signature HOF
-    // references it k times and interpreted lambdas re-evaluate per
-    // reference (the Dedup.shingles PERF note)
+    // ONE fused per-row expression for the whole sketch (hset + k-perm
+    // signature): the composable HOF form — shingle lambdas, hex-md5
+    // sharedHash per element, signature transform — is interpreted and
+    // cost ~8 s per 300-doc micro-batch at sf0.1; the compiled
+    // single-pass expression is the stream-safe twin of the batch
+    // explode/aggregate shape (graft.functions.MinhashSketch scaladoc)
     val sk = docs
-      .select(col(idCol).as("id_new"), array_distinct(
-        transform(Dedup.shingles(col(textCol)), s => Dedup.sharedHash(s)))
-        .as("__hset"))
-      .filter(size(col("__hset")) > 0)
-      .select(col("id_new"), col("__hset"),
-        Dedup.minhashSignature(col("__hset"), k).as("__sig"))
+      .select(col(idCol).as("id_new"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.MinhashSketch(
+          org.apache.spark.sql.GraftBridge.expression(
+            split(col(textCol), "\\s+")), 3, k)).as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col("id_new"), col("__mh.hset").as("__hset"),
+        col("__mh.sig").as("__sig"))
     val bandStructs = array((0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", (0 until rowsPerBand).map(r =>

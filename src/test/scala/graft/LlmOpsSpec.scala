@@ -185,6 +185,30 @@ class LlmOpsSpec extends AnyFunSuite {
       excludeId = Some(0L)).count() == 10)
   }
 
+  test("MinhashSketch expression matches the HOF sketch bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    // the fused per-row sketch must be indistinguishable from the
+    // composable HOF form it replaced in the streaming probe — same
+    // distinct-hash set (first-occurrence order) and same k-perm minima
+    val d = docs.select($"doc_id", $"text").limit(200)
+    val hof = d.select($"doc_id",
+        array_distinct(transform(Dedup.shingles($"text"),
+          s => Dedup.sharedHash(s))).as("hset"))
+      .filter(size($"hset") > 0)
+      .select($"doc_id", $"hset", Dedup.minhashSignature($"hset", 16).as("sig"))
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))).toMap
+    val fused = d.select($"doc_id",
+        GraftBridge.column(graft.functions.MinhashSketch(
+          GraftBridge.expression(split($"text", "\\s+")), 3, 16)).as("mh"))
+      .filter($"mh".isNotNull)
+      .select($"doc_id", $"mh.hset".as("hset"), $"mh.sig".as("sig"))
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))).toMap
+    assert(fused.nonEmpty && fused == hof)
+  }
+
   test("decontamination index: storage symmetry and truncated-hash-frame guard") {
     import spark.implicits._
     def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
