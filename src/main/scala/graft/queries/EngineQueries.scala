@@ -570,6 +570,26 @@ object EngineQueries {
       e.query("""SELECT doc_id, n_toks, token_offset, shard, order_key
                  FROM graft_shards('p4_sel', 'text', 8, 'p4:')""")
     }),
+    // the round-7 quality-weighted balanced draw as pure SQL: gopher
+    // TVF keep -> quality scalar as the sampling weight -> per-language
+    // weighted-priority TVF -> shard TVF
+    "e_sql_pipeline6" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p6_scored AS
+                 SELECT d.doc_id, d.lang, d.text, graft_quality(d.text) AS quality
+                 FROM documents d
+                 JOIN (SELECT doc_id
+                       FROM graft_gopher('documents', 'doc_id', 'text',
+                              10, 100000, 2.0, 10.0, 0.1, 1)
+                       WHERE keep) k USING (doc_id)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p6_sel AS
+                 SELECT doc_id, lang, text, priority
+                 FROM graft_sample_weighted_by('p6_scored', 'lang', 'text',
+                                               'quality', 'doc_id', 25, 'p6:')""")
+      e.query("""SELECT doc_id, lang, priority, shard, order_key
+                 FROM graft_shards('p6_sel', 'text', 4, 'p6s:')""")
+    }),
     // the raw-crawl ingestion flow as pure SQL composition: strip +
     // normalize scalars -> gopher TVF keep -> keep-first dedup on the
     // fingerprint scalar -> shard TVF
@@ -728,6 +748,7 @@ object EngineQueries {
     "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
     "e_sql_html_strip" -> LlmQueries.oracle("llm_html_strip"),
     "e_sql_pipeline5" -> LlmQueries.oracle("llm_pipeline5"),
+    "e_sql_pipeline6" -> LlmQueries.oracle("llm_pipeline6"),
     "e_sql_minhash_probe" -> LlmQueries.oracle("llm_minhash_incr"),
     "e_sql_script" -> LlmQueries.oracle("llm_script"),
     "e_sql_bigram_lp" -> LlmQueries.oracle("llm_bigram_lp"),

@@ -1223,6 +1223,26 @@ object LlmQueries {
       graft.operators.Sampling.importanceWeights(
         docs, docs.filter($"lang" === "en"), "doc_id", "text",
         buckets = 1024)
+    }),
+    "llm_pipeline6" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Sampling
+      // the round-7 selection flow: quality-WEIGHTED balanced draw —
+      // Gopher keep → quality score as the sampling weight →
+      // per-language weighted priority draw (25 docs per lang; a
+      // language's best docs are likelier but not certain — the
+      // diversity-preserving alternative to a hard top-k) → shards
+      val docs = Tables.load(s, d, "documents")
+        .select($"doc_id", $"lang", $"text")
+      val kept = docs.filter(TextAnalysis.gopherKeep($"text",
+        minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+      val scored = kept.select($"doc_id", $"lang", $"text",
+        TextAnalysis.qualityScore($"text").as("quality"))
+      val sel = Sampling.weightedKPerStratum(scored, $"lang", $"text",
+        $"quality", k = 25, tieBreak = Seq($"doc_id"), salt = "p6:")
+      Sampling.assignShards(sel, $"text", numShards = 4, salt = "p6s:")
+        .select($"doc_id", $"lang", $"priority", $"shard", $"order_key")
     })
   )
 
@@ -2493,6 +2513,48 @@ object LlmQueries {
                    AS INTEGER) AS shard,
                  CAST(('0x'||substr(md5('ord:p4:'||text),1,8)) AS BIGINT) AS order_key
           FROM tb WHERE token_offset < 8000""",
+    // pipeline6: Gopher keep (rounded-metric comparisons, the
+    // llm_gopher algebra) -> quality scalar (the pipeline4 q CTE) ->
+    // DLT priority from the quality weight -> per-language rounded-
+    // priority window -> shards
+    "llm_pipeline6" ->
+      s"""WITH g AS (SELECT doc_id, lang, text FROM (
+              SELECT d.doc_id, d.lang, d.text,
+                CAST(len(string_split_regex(d.text, '\\s+')) AS INTEGER) AS n_tokens,
+                round(length(regexp_replace(d.text, '\\s+', '', 'g')) * 1.0
+                      / greatest(len(string_split_regex(d.text, '\\s+')), 1), 6) AS mean_word_len,
+                round((length(d.text) - length(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                      / greatest(length(d.text), 1), 6) AS symbol_ratio,
+                CAST(len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                     t -> t IN ($stopsEn))) AS INTEGER) AS stop_hits
+              FROM documents d)
+            WHERE n_tokens >= 10 AND n_tokens <= 100000
+              AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+              AND symbol_ratio <= 0.1 AND stop_hits >= 1),
+          q AS (SELECT doc_id, lang, text,
+                  round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+                    + (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                        / greatest(length(text), 1)) * 0.4
+                    + least(len(list_filter(string_split_regex(text, '\\s+'),
+                          t -> t IN ($stopsEn))) * 1.0
+                        / greatest(len(string_split_regex(text, '\\s+')), 1) * 5.0,
+                        1.0) * 0.3, 6) AS quality
+                FROM g),
+          p AS (SELECT doc_id, lang, text,
+                  round(quality /
+                    ((CAST(('0x'||substr(md5('p6:'||text),1,8)) AS BIGINT) + 1)
+                      * 2.3283064365386963e-10), 6) AS priority
+                FROM q),
+          w AS (SELECT doc_id, lang, text, priority,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY priority DESC NULLS LAST,
+                             text NULLS LAST, doc_id NULLS LAST) AS rn
+                FROM p)
+         SELECT doc_id, lang, priority,
+                CAST(CAST(('0x'||substr(md5('p6s:'||text),1,8)) AS BIGINT) % 4
+                  AS INTEGER) AS shard,
+                CAST(('0x'||substr(md5('ord:p6s:'||text),1,8)) AS BIGINT) AS order_key
+         FROM w WHERE rn <= 25""",
     // exact interpolated quantile threshold (quantile_cont == Spark
     // percentile, parity pinned by a11_percentile)
     "llm_quantile_filter" ->
