@@ -552,6 +552,42 @@ object LlmSql {
       case args => bad(
         "graft_ann_ivf(table, id_col, vec_col, query_id, k, n_cells, probes)", args)
     }
+    reg(spark, "graft_knn_join") {
+      // exact kNN join: fully LAZY (queries broadcast inside the plan,
+      // no driver action)
+      case Seq(qt, ct, qid, cid, qvec, cvec, k, excl) =>
+        val f = "graft_knn_join"
+        Similarity.knnJoin(table(str(qt, f)), table(str(ct, f)),
+          str(qid, f), str(cid, f), str(qvec, f), str(cvec, f),
+          k = int(k, f), excludeSelf = int(excl, f) != 0)
+      case args => bad(
+        "graft_knn_join(queries_table, corpus_table, q_id_col, c_id_col, q_vec_col, c_vec_col, k, exclude_self)", args)
+    }
+    reg(spark, "graft_knn_join_ivf") {
+      // seed-centroid IVF-pruned kNN join: collectCentroids is an
+      // ACTION — deferred like every training TVF
+      case Seq(qt, ct, qid, cid, qvec, cvec, cells, probes, k, excl) =>
+        val f = "graft_knn_join_ivf"
+        val queries = table(str(qt, f)); val corpus = table(str(ct, f))
+        val qidc = str(qid, f); val cidc = str(cid, f)
+        val qvecc = str(qvec, f); val cvecc = str(cvec, f)
+        val nCells = int(cells, f); val np = int(probes, f)
+        val kk = int(k, f); val ex = int(excl, f) != 0
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField("query_id",
+              queries.select(col(qidc)).schema.head.dataType),
+            StructField("neighbor_id",
+              corpus.select(col(cidc)).schema.head.dataType),
+            StructField("cos_sim", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            Similarity.ivfKnnJoin(queries, corpus, qidc, cidc, qvecc, cvecc,
+              Similarity.collectCentroids(corpus, cidc, cvecc, nCells),
+              k = kk, probes = np, excludeSelf = ex)
+          })
+      case args => bad(
+        "graft_knn_join_ivf(queries_table, corpus_table, q_id_col, c_id_col, q_vec_col, c_vec_col, n_cells, probes, k, exclude_self)", args)
+    }
     reg(spark, "graft_ann_pq") {
       // PQ/ADC: codebook collection + the query LUT build are ACTIONS —
       // deferred

@@ -169,9 +169,9 @@ object Sampling {
     * parallel tasks instead of one. NULL keys hash to NULL and land in
     * one shared bucket — consistent with their NULLS LAST placement (at
     * most k of them can win anyway). */
-  private def twoPhaseTopK(df: DataFrame, stratum: Column,
-                           order: Seq[Column], key: Column, k: Int,
-                           salt: String, preSplit: Int): DataFrame = {
+  private[operators] def twoPhaseTopK(df: DataFrame, stratum: Column,
+                                      order: Seq[Column], key: Column, k: Int,
+                                      salt: String, preSplit: Int): DataFrame = {
     require(preSplit >= 1, s"preSplit must be >= 1, got $preSplit")
     val bucket = pmod(saltedHash(key, salt), lit(preSplit))
     val w1 = org.apache.spark.sql.expressions.Window

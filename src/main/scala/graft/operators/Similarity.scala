@@ -362,6 +362,92 @@ object Similarity {
       .limit(k)
   }
 
+  /** kNN JOIN — every query row's exact top-k cosine neighbors from the
+    * corpus in ONE statement: the batch ANN *serving* shape ("score
+    * tonight's 10k eval prompts against the corpus"), where
+    * [[bruteForceTopK]] answers one query at a time. Queries BROADCAST
+    * (the bounded side — eval sets, probe batches; the corpus side
+    * streams), each corpus partition scores its rows against every
+    * query, and the per-query top-k runs through [[Sampling.twoPhaseTopK]]'s
+    * (query, hash-bucket) pre-split — one query's candidate list is
+    * corpus-sized, exactly the dominant-stratum skew the single-window
+    * form dies on. Ties break by neighbor id; similarity rounds to 6
+    * decimals (oracle parity). Output: (query_id, neighbor_id, cos_sim).
+    *
+    * Scale: work is |Q|·|C| scoring operations — inherent to the exact
+    * answer, all map-side; nothing corpus-scale ever shuffles on one
+    * key. For corpus-scale probe batches use [[ivfKnnJoin]], which
+    * turns the cross join into a cell EQUI-join. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame,
+              qIdCol: String, cIdCol: String,
+              qVecCol: String, cVecCol: String, k: Int,
+              excludeSelf: Boolean = false,
+              preSplit: Int = 32): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    val base = corpus
+      .select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("__cv"))
+      .crossJoin(broadcast(q))
+    val paired = if (excludeSelf)
+      base.filter(col("neighbor_id") =!= col("query_id")) else base
+    val scored = paired.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("__cv"), col("__qv")), 6).as("cos_sim"))
+    Sampling.twoPhaseTopK(scored, col("query_id"),
+      Seq(col("cos_sim").desc_nulls_last, col("neighbor_id").asc_nulls_last),
+      col("neighbor_id"), k, salt = "knn:", preSplit = preSplit)
+  }
+
+  /** Top-`probes` cell ids for a query vector — the multi-cell form of
+    * [[cellOf]] (argmax → arg-top-p), same tie convention (higher sim
+    * first, then LOWER cid): ascending struct sort on (sim, −cid)
+    * reversed gives sim DESC with cid ASC on ties. Pure per-row
+    * projection over inlined centroid literals. */
+  def topCellsOf(vec: Column, centroids: Array[(Long, Seq[Double])],
+                 probes: Int): Column = {
+    val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
+      struct(cosine(vec, typedLit(cv)).as("sim"), lit(-cid).as("ncid"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, probes),
+      s => -s.getField("ncid"))
+  }
+
+  /** IVF-pruned kNN join — [[knnJoin]] at corpus-scale probe batches:
+    * queries expand to their `probes` nearest cells ([[topCellsOf]],
+    * zero-exchange), the corpus assigns to its one cell ([[cellOf]],
+    * zero-exchange), and the cross join becomes a cell EQUI-join — each
+    * corpus row is scored only against the queries probing its cell (at
+    * 100 TB with the corpus partitioned by cell this is partition
+    * pruning per query batch). A corpus row meets a query through at
+    * most one cell (its own), so no distinct pass is needed. Exact
+    * cosine within probed cells; approximate overall (coarse-probe
+    * misses — LlmOpsSpec measures recall; probing every cell degrades
+    * to [[knnJoin]] exactly). Same per-query two-phase top-k and output
+    * shape as [[knnJoin]]. */
+  def ivfKnnJoin(queries: DataFrame, corpus: DataFrame,
+                 qIdCol: String, cIdCol: String,
+                 qVecCol: String, cVecCol: String,
+                 centroids: Array[(Long, Seq[Double])],
+                 k: Int, probes: Int = 2,
+                 excludeSelf: Boolean = false,
+                 preSplit: Int = 32): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val q = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        explode(topCellsOf(col("__qv"), centroids, probes)).as("__cell"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"),
+      col(cVecCol).as("__cv"), cellOf(col(cVecCol), centroids).as("__cell"))
+    val base = c.join(broadcast(q), Seq("__cell"))
+    val paired = if (excludeSelf)
+      base.filter(col("neighbor_id") =!= col("query_id")) else base
+    val scored = paired.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("__cv"), col("__qv")), 6).as("cos_sim"))
+    Sampling.twoPhaseTopK(scored, col("query_id"),
+      Seq(col("cos_sim").desc_nulls_last, col("neighbor_id").asc_nulls_last),
+      col("neighbor_id"), k, salt = "knn:", preSplit = preSplit)
+  }
+
   /** Per-subspace product-quantization codebooks: the embedding is cut
     * into `m` contiguous `subDim`-dim blocks; each block gets its own
     * `nCodes`-entry codebook. `iters = 0` seeds each codebook from the

@@ -453,6 +453,25 @@ object EngineQueries {
                                    8, 2, 20, 'csamp:')""")),
     "e_sql_embed_outliers" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_embed_outliers('embeddings', 'vec_id', 'embedding', 8, 0, 0.25)")),
+    "e_sql_knn_join" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW knn_queries AS
+                 SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10""")
+      e.query("""SELECT query_id, neighbor_id, cos_sim
+                 FROM graft_knn_join('knn_queries', 'embeddings', 'vec_id',
+                                     'vec_id', 'embedding', 'embedding', 5, 1)""")
+    }),
+    "e_sql_knn_join_ivf" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW knn_queries AS
+                 SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10""")
+      e.query("""SELECT query_id, neighbor_id, cos_sim
+                 FROM graft_knn_join_ivf('knn_queries', 'embeddings', 'vec_id',
+                                         'vec_id', 'embedding', 'embedding',
+                                         8, 2, 5, 1)""")
+    }),
     "e_sql_semdedup" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -757,6 +776,8 @@ object EngineQueries {
     "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
     "e_sql_embed_outliers" -> LlmQueries.oracle("llm_embed_outliers"),
+    "e_sql_knn_join" -> LlmQueries.oracle("llm_knn_join"),
+    "e_sql_knn_join_ivf" -> LlmQueries.oracle("llm_knn_join_ivf"),
     "e_sql_cluster_sample" -> LlmQueries.oracle("llm_cluster_sample"),
     "e_sql_ann_topk" -> LlmQueries.oracle("llm_ann_topk"),
     "e_sql_ann_lsh" -> LlmQueries.oracle("llm_ann_lsh"),

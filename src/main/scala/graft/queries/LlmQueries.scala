@@ -980,6 +980,28 @@ object LlmQueries {
       Similarity.semanticDedup(corpus, "vec_id", "embedding", cents,
         simThreshold = 0.99)
     }),
+    "llm_knn_join" -> ((s, d) => {
+      import s.implicits._
+      // batch ANN serving: ten query vectors' exact top-5 neighbors in
+      // ONE statement — queries broadcast, per-query top-k through the
+      // (query, bucket) pre-split so no single-task window
+      val emb = Tables.load(s, d, "embeddings").select($"vec_id", $"embedding")
+      Similarity.knnJoin(emb.filter($"vec_id" < 10), emb,
+        "vec_id", "vec_id", "embedding", "embedding", k = 5,
+        excludeSelf = true)
+    }),
+    "llm_knn_join_ivf" -> ((s, d) => {
+      import s.implicits._
+      // the corpus-scale path: queries expand to their 2 nearest cells,
+      // the corpus assigns to its one cell, and the cross join becomes
+      // a cell EQUI-join — each corpus row scored only against the
+      // queries probing its cell
+      val emb = Tables.load(s, d, "embeddings").select($"vec_id", $"embedding")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      Similarity.ivfKnnJoin(emb.filter($"vec_id" < 10), emb,
+        "vec_id", "vec_id", "embedding", "embedding", cents,
+        k = 5, probes = 2, excludeSelf = true)
+    }),
     "llm_embed_outliers" -> ((s, d) => {
       import s.implicits._
       // per-cell typicality filter: assign to nearest seed centroid,
@@ -2331,6 +2353,48 @@ object LlmQueries {
                     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99)
           SELECT x.vec_id, x.cell FROM a2 x
           WHERE x.vec_id NOT IN (SELECT id_b FROM pairs)""",
+    // per-query exact top-k: rank on the ROUNDED similarity (the scored
+    // column Spark orders on), neighbor-id tie-break
+    "llm_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings),
+          s AS (SELECT q.query_id, c.neighbor_id,
+                       round(list_cosine_similarity(c.cv, q.qv), 6) AS cos_sim,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC NULLS LAST,
+                                  c.neighbor_id NULLS LAST) AS rn
+                FROM c CROSS JOIN q
+                WHERE c.neighbor_id <> q.query_id)
+         SELECT query_id, neighbor_id, cos_sim FROM s WHERE rn <= 5""",
+    // IVF-pruned variant: corpus rows carry their argmax cell, queries
+    // their top-2 cells (both ranked on the UNROUNDED similarity, tie
+    // lowest cid — the cellOf/topCellsOf contract), candidates from the
+    // cell equi-join only
+    "llm_knn_join_ivf" ->
+      """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          ca AS (SELECT e.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent c),
+          corpus AS (SELECT e.vec_id AS neighbor_id, e.v AS cv2, a.cid AS cell
+                     FROM e JOIN (SELECT vec_id, cid FROM ca WHERE rk = 1) a
+                       USING (vec_id)),
+          qry AS (SELECT e.vec_id AS query_id, e.v AS qv, a.cid AS cell
+                  FROM e JOIN (SELECT vec_id, cid FROM ca WHERE rk <= 2) a
+                    USING (vec_id)
+                  WHERE e.vec_id < 10),
+          s AS (SELECT q.query_id, c.neighbor_id,
+                       round(list_cosine_similarity(c.cv2, q.qv), 6) AS cos_sim,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY round(list_cosine_similarity(c.cv2, q.qv), 6) DESC NULLS LAST,
+                                  c.neighbor_id NULLS LAST) AS rn
+                FROM corpus c JOIN qry q ON c.cell = q.cell
+                WHERE c.neighbor_id <> q.query_id)
+         SELECT query_id, neighbor_id, cos_sim FROM s WHERE rn <= 5""",
     // nearest seed centroid (argmax cosine, tie lowest cid — the cellOf
     // contract), cosine to the OWN centroid rounded to 6, then the
     // per-cell exact-quantile keep (quantile_cont == Spark percentile)

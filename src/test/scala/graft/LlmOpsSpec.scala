@@ -185,6 +185,40 @@ class LlmOpsSpec extends AnyFunSuite {
       excludeId = Some(0L)).count() == 10)
   }
 
+  test("kNN join: agrees with bruteForceTopK; all-cells IVF degrades to exact") {
+    import spark.implicits._
+    val e = emb.select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.knnJoin(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, excludeSelf = true)
+    val rows = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly k neighbors per query
+    assert(rows.groupBy(_._1).forall(_._2.length == 5) &&
+      rows.map(_._1).distinct.length == 10)
+    // per-query result equals the single-query operator
+    val one = Similarity.bruteForceTopK(e, "vec_id", "embedding", 3L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromJoin = rows.filter(_._1 == 3L).sortBy(x => (-x._3, x._2))
+      .map(x => (x._2, x._3)).toSeq
+    assert(fromJoin == one, s"join result for query 3 must equal bruteForceTopK")
+    // probing every cell removes the coarse-prune loss entirely
+    val cents = Similarity.collectCentroids(e, "vec_id", "embedding", 8)
+    val all = Similarity.ivfKnnJoin(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", cents, k = 5, probes = 8,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(all == rows.toSet, "probes = nCells must equal the exact join")
+    // the pruned form keeps reasonable recall
+    val pruned = Similarity.ivfKnnJoin(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", cents, k = 5, probes = 2,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pruned & rows.map(x => (x._1, x._2)).toSet).size.toDouble /
+      rows.length
+    assert(recall >= 0.3, s"IVF kNN join recall $recall unexpectedly low")
+  }
+
   test("MinhashSketch expression matches the HOF sketch bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.GraftBridge

@@ -129,6 +129,10 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row offsets-frame row count (the maxBroadcastRows
       // cardinality guard on the per-group bucket offsets)
       "llm_token_budget_group", "e_sql_token_budget_group",
+      // exact kNN join: the bounded QUERY side broadcast-cross-joins the
+      // corpus by design (|Q|·|C| scoring is the exact answer); the IVF
+      // variant replaces it with a cell equi-join and is NOT allowlisted
+      "llm_knn_join", "e_sql_knn_join",
       // broadcast 1-row corpus token total (unigram model) / vocabulary
       // size (bigram model)
       "llm_unigram_lp", "e_sql_unigram_lp",
@@ -277,6 +281,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("llm_sample_k")
     assert(p.contains("TakeOrderedAndProject"),
       s"exactK must be a per-partition top-k, not a full sort:\n$p")
+  }
+
+  test("IVF kNN join: cell EQUI-join (no cartesian), pre-split per-query windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("llm_knn_join_ivf")(spark, TestSpark.sf)
+      .queryExecution
+    val p = qe.executedPlan.toString
+    // the whole point of the IVF variant: the query×corpus pairing is an
+    // equi-join on the cell id, never a nested-loop cross join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF kNN join must pair via the cell equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded query side must broadcast into the cell join:\n$p")
+    // per-query top-k through the (query, bucket) pre-split
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2 && wins.exists(_.partitionSpec.size == 2),
+      "per-query top-k must be the two-phase pre-split")
   }
 
   test("embedding outlier filter: vectors never shuffle; thresholds broadcast back") {
