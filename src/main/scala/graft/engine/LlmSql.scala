@@ -552,6 +552,37 @@ object LlmSql {
       case args => bad(
         "graft_ann_ivf(table, id_col, vec_col, query_id, k, n_cells, probes)", args)
     }
+    reg(spark, "graft_cms_heavy_hitters") {
+      // the sketch build + probe are ACTIONS — deferred like the bloom
+      // and training TVFs
+      case Seq(t, id, text, k, eps, conf) =>
+        val f = "graft_cms_heavy_hitters"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val textc = str(text, f)
+        val kk = int(k, f); val e = dbl(eps, f); val c = dbl(conf, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField("token", org.apache.spark.sql.types.StringType),
+            StructField("n_occurrences", org.apache.spark.sql.types.LongType,
+              nullable = false),
+            StructField("within_contract",
+              org.apache.spark.sql.types.BooleanType, nullable = false))),
+          memo { () =>
+            TextAnalysis.heavyHittersCms(tbl, idc, textc, kk, e, c)
+          })
+      case args => bad(
+        "graft_cms_heavy_hitters(table, id_col, text_col, top_k, eps, confidence)", args)
+    }
+    reg(spark, "graft_sentence_filter") {
+      // fully lazy: the 1-row quantile threshold is an in-plan aggregate
+      case args @ Seq(t, id, text, q, _*) if args.length <= 5 =>
+        val f = "graft_sentence_filter"
+        val acc = if (args.length == 5) Some(int(args(4), f)).filter(_ > 0) else None
+        TextAnalysis.filterSentencesByLm(table(str(t, f)), str(id, f),
+          str(text, f), q = dbl(q, f), accuracy = acc)
+      case args => bad(
+        "graft_sentence_filter(table, id_col, text_col, q[, accuracy_or_0])", args)
+    }
     reg(spark, "graft_knn_join") {
       // exact kNN join: fully LAZY (queries broadcast inside the plan,
       // no driver action)

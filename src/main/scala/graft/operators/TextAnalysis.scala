@@ -345,6 +345,57 @@ object TextAnalysis {
         length(col("sentence")).cast("int").as("n_chars"))
   }
 
+  /** CCNet-style sentence-level LM filter (Wenzek et al. 2020, public
+    * method shape: score text segments with a language model, drop the
+    * worst tail): every sentence is scored by the SENTENCE-corpus
+    * bigram model ([[bigramLogProb]] over the exploded sentence frame),
+    * sentences in the bottom `q` quantile of `avg_logprob` — and
+    * single-token sentences, which have no bigram and are unscorable —
+    * are dropped; survivors reassemble in order. Output: (idCol,
+    * n_sentences, n_kept, clean_text) for EVERY input doc (a
+    * fully-filtered doc keeps an empty clean_text). This is the
+    * segment-granular complement of the DOC-level quantile filter: a
+    * good document with one garbage boilerplate sentence loses the
+    * sentence, not the document.
+    *
+    * Scale shape: pure composition of audited operators — sentence
+    * explode (per-row projection), the bigram LM's partial-aggregable
+    * hash-count frames (sentence text leaves its first projection only
+    * as the reassembled output), [[Sampling.keepAboveQuantile]]'s
+    * broadcast 1-row threshold (exact by default; pass `accuracy` for
+    * the GK estimator at corpus scale), and an id-keyed reassembly
+    * aggregate. Sentence ids are `idCol·10⁶ + sent_no` — requires
+    * nonnegative ids and < 10⁶ sentences per doc (corpus documents sit
+    * orders of magnitude under both; ids stay exact to 2⁶³/10⁶ ≈ 9·10¹²
+    * docs). */
+  def filterSentencesByLm(df: DataFrame, idCol: String, textCol: String,
+                          q: Double = 0.2,
+                          accuracy: Option[Int] = None,
+                          reuse: Reuse = Reuse.Local): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val sents = reuse(sentenceRows(df, idCol, textCol)
+      .select(col(idCol), col("sent_no"), col("sentence"),
+        (col(idCol).cast("long") * lit(1000000L) + col("sent_no")).as("__sid")))
+    val lp = bigramLogProb(sents.select(col("__sid"), col("sentence")),
+      "__sid", "sentence", reuse)
+    val kept = Sampling.keepAboveQuantile(
+      lp.select(col("__sid"), col("avg_logprob")), col("avg_logprob"), q,
+      accuracy = accuracy)
+    val keptSents = sents.join(kept.select(col("__sid")), Seq("__sid"), "left_semi")
+    val re = keptSents.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nk"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("sent_no"), col("sentence")))),
+          _.getField("sentence"))).as("__clean"))
+    val totals = sents.groupBy(col(idCol)).agg(count(lit(1)).as("n_sentences"))
+    df.select(col(idCol)).join(totals, Seq(idCol), "left")
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   /** Global token offsets for concat-and-split sequence packing: the
     * corpus token stream in `idCol` order is cut every `seqLen` tokens
     * into training sequences; per doc this returns its running
@@ -492,6 +543,67 @@ object TextAnalysis {
         row_number().over(wOrd).as("rank"),
         round(sum(col("cnt")).over(wCum).cast("double") / col("__tot"), 6)
           .as("coverage"))
+  }
+
+  /** Count-min-sketch heavy-hitter ATTESTATION — the frequency-sketch
+    * member of the sketch-contract family (HLL: `a8_hll`, GK quantiles:
+    * `a8_approx_quantile`/`llm_quantile_filter_approx`, bloom:
+    * decontamination): the top-`topK` tokens by EXACT occurrence count
+    * (the [[vocabReport]] hash-first machinery) are each probed against
+    * a count-min sketch built over the same 60-bit token hashes —
+    * Spark's own `CountMinSketchAgg`, the fixed-size MERGEABLE state a
+    * streaming/partitioned frequency pipeline keeps instead of exact
+    * counts — and every row attests the CMS one-sided error contract:
+    * `estimate >= exact` always, `estimate <= exact + ⌈eps·N⌉` with
+    * probability 1−δ per item (Cormode/Muthukrishnan '05, public
+    * method). The gate pins the contract (the estimates themselves are
+    * sketch-layout detail, deliberately not output).
+    *
+    * Scale shape: the sketch build is one distributed aggregate whose
+    * state is the fixed d×w counter array (KBs at eps=1e-3); only the
+    * finished sketch reaches the driver — the bloom-build boundary. The
+    * exact side is the audited hash-first top-k. Output: (token,
+    * n_occurrences, within_contract), rank order (count desc, token). */
+  def heavyHittersCms(df: DataFrame, idCol: String, textCol: String,
+                      topK: Int = 20, eps: Double = 0.001,
+                      confidence: Double = 0.99,
+                      reuse: Reuse = Reuse.Local): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    require(confidence > 0 && confidence < 1,
+      s"confidence must be in (0,1), got $confidence")
+    def tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val hashes = reuse(tok.select(Dedup.sharedHash60(col("__t")).as("__h")))
+    val skBytes = hashes.agg(GraftBridge.column(new CountMinSketchAgg(
+        GraftBridge.expression(col("__h")),
+        Literal(eps), Literal(confidence), Literal(42)).toAggregateExpression())
+      .as("cms")).head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    // exact top-k with string resolution — the vocabReport recipe
+    val cnts = hashes.groupBy(col("__h")).agg(count(lit(1)).as("cnt"))
+    val kth = cnts.orderBy(col("cnt").desc).limit(topK)
+      .agg(min(col("cnt")).as("__ck"))
+    val candCap = math.max(64 * topK, 1024)
+    val cand = cnts.crossJoin(broadcast(kth))
+      .filter(col("cnt") >= col("__ck"))
+      .orderBy(col("cnt").desc, col("__h").asc).limit(candCap)
+    val resolved = tok.select(col("__t"), Dedup.sharedHash60(col("__t")).as("__h"))
+      .join(broadcast(cand), "__h")
+      .groupBy(col("__h"), col("cnt")).agg(min(col("__t")).as("token"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(topK)
+      .collect() // bounded: topK rows
+    val bound = math.ceil(eps * cms.totalCount()).toLong
+    val rows = resolved.toIndexedSeq.map { r =>
+      val est = cms.estimateCount(java.lang.Long.valueOf(r.getAs[Long]("__h")))
+      val cnt = r.getAs[Long]("cnt")
+      (r.getAs[String]("token"), cnt, est >= cnt && est <= cnt + bound)
+    }
+    import df.sparkSession.implicits._
+    rows.toDF("token", "n_occurrences", "within_contract")
   }
 
   /** Repeated-span removal — the C4/RefinedWeb "line dedup" step

@@ -453,6 +453,10 @@ object EngineQueries {
                                    8, 2, 20, 'csamp:')""")),
     "e_sql_embed_outliers" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_embed_outliers('embeddings', 'vec_id', 'embedding', 8, 0, 0.25)")),
+    "e_sql_sentence_filter" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_sentence_filter('documents', 'doc_id', 'text', 0.2)")),
+    "e_sql_cms_heavy_hitters" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_cms_heavy_hitters('documents', 'doc_id', 'text', 20, 0.001, 0.99)")),
     "e_sql_knn_join" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -777,6 +781,8 @@ object EngineQueries {
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
     "e_sql_embed_outliers" -> LlmQueries.oracle("llm_embed_outliers"),
     "e_sql_knn_join" -> LlmQueries.oracle("llm_knn_join"),
+    "e_sql_sentence_filter" -> LlmQueries.oracle("llm_sentence_filter"),
+    "e_sql_cms_heavy_hitters" -> LlmQueries.oracle("llm_cms_heavy_hitters"),
     "e_sql_knn_join_ivf" -> LlmQueries.oracle("llm_knn_join_ivf"),
     "e_sql_cluster_sample" -> LlmQueries.oracle("llm_cluster_sample"),
     "e_sql_ann_topk" -> LlmQueries.oracle("llm_ann_topk"),

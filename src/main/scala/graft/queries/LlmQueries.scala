@@ -980,6 +980,21 @@ object LlmQueries {
       Similarity.semanticDedup(corpus, "vec_id", "embedding", cents,
         simThreshold = 0.99)
     }),
+    "llm_cms_heavy_hitters" -> ((s, d) =>
+      // count-min-sketch frequency attestation: the top-20 exact tokens
+      // each probed against the fixed-size mergeable sketch; the gate
+      // pins the one-sided error contract (est >= exact, est <= exact
+      // + ceil(eps*N)) — the estimates themselves are sketch detail
+      TextAnalysis.heavyHittersCms(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        topK = 20, eps = 0.001, confidence = 0.99)),
+    "llm_sentence_filter" -> ((s, d) =>
+      // CCNet-style segment filter: drop each corpus's worst-quintile
+      // sentences by bigram-LM score (and unscorable single-token
+      // sentences), keep documents with their surviving text — the
+      // segment-granular complement of the doc-level quantile filter
+      TextAnalysis.filterSentencesByLm(
+        Tables.load(s, d, "documents"), "doc_id", "text", q = 0.2)),
     "llm_knn_join" -> ((s, d) => {
       import s.implicits._
       // batch ANN serving: ten query vectors' exact top-5 neighbors in
@@ -2353,6 +2368,60 @@ object LlmQueries {
                     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99)
           SELECT x.vec_id, x.cell FROM a2 x
           WHERE x.vec_id NOT IN (SELECT id_b FROM pairs)""",
+    // exact top-20 token counts (the llm_vocab algebra and tie order);
+    // the contract flag is attested Spark-side and must hold
+    "llm_cms_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+                      FROM documents),
+          c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t)
+         SELECT t AS token, CAST(cnt AS BIGINT) AS n_occurrences,
+                true AS within_contract
+         FROM c ORDER BY cnt DESC, t ASC LIMIT 20""",
+    // sentence explode (the llm_sentences algebra, raw fixture) ->
+    // bigram LM over sentences-as-docs (the llm_bigram_lp algebra,
+    // sid = doc_id*1e6 + sent_no) -> bottom-quintile + unscorable drop
+    // -> in-order reassembly; every doc reports, filtered-empty as ''
+    "llm_sentence_filter" ->
+      """WITH s0 AS (SELECT doc_id, list_filter(list_transform(
+                       regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+\z'),
+                       x -> trim(x)), x -> length(x) > 0) AS ss
+                     FROM documents),
+          sid AS (SELECT doc_id,
+                         CAST(generate_subscripts(ss, 1) - 1 AS INTEGER) AS sent_no,
+                         unnest(ss) AS sentence,
+                         doc_id * 1000000 + (generate_subscripts(ss, 1) - 1) AS sid
+                  FROM s0),
+          t AS (SELECT sid, string_split_regex(sentence, '\s+') AS tk FROM sid),
+          uh AS (SELECT CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) AS h
+                 FROM (SELECT unnest(tk) AS w FROM t)),
+          cu AS (SELECT h, count(*) AS cu FROM uh GROUP BY h),
+          v AS (SELECT count(*) AS v FROM cu),
+          b AS (SELECT sid, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bg
+                FROM (SELECT sid, tk,
+                             unnest(generate_series(1, len(tk) - 1)) AS i
+                      FROM t WHERE len(tk) >= 2)),
+          btf AS (SELECT sid,
+                         CAST(('0x'||substr(md5(bg),1,15)) AS BIGINT) AS bh,
+                         CAST(('0x'||substr(md5(w1),1,15)) AS BIGINT) AS wh,
+                         count(*) AS tf
+                  FROM b GROUP BY 1, 2, 3),
+          cb AS (SELECT bh, sum(tf) AS cb FROM btf GROUP BY bh),
+          lp AS (SELECT sid, round(sum(tf * ln((cb + 1.0) / (cu + v))) / sum(tf), 4)
+                        AS alp
+                 FROM btf JOIN cb USING (bh) JOIN cu ON cu.h = btf.wh, v
+                 GROUP BY sid),
+          thr AS (SELECT quantile_cont(alp, 0.2) AS t FROM lp),
+          keptq AS (SELECT sid FROM lp, thr WHERE alp >= t),
+          re AS (SELECT x.doc_id, count(*) AS n_kept,
+                        string_agg(x.sentence, ' ' ORDER BY x.sent_no) AS clean_text
+                 FROM sid x JOIN keptq USING (sid) GROUP BY x.doc_id),
+          tot AS (SELECT doc_id, count(*) AS n_sentences FROM sid GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(tot.n_sentences, 0) AS n_sentences,
+                coalesce(re.n_kept, 0) AS n_kept,
+                coalesce(re.clean_text, '') AS clean_text
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN tot USING (doc_id) LEFT JOIN re USING (doc_id)""",
     // per-query exact top-k: rank on the ROUNDED similarity (the scored
     // column Spark orders on), neighbor-id tie-break
     "llm_knn_join" ->

@@ -137,6 +137,10 @@ class PlanSpec extends AnyFunSuite {
       // size (bigram model)
       "llm_unigram_lp", "e_sql_unigram_lp",
       "llm_bigram_lp", "e_sql_bigram_lp",
+      // sentence filter composes the bigram model (broadcast 1-row
+      // vocabulary size) + the quantile filter (broadcast 1-row
+      // threshold) — both classes already allowlisted standalone
+      "llm_sentence_filter", "e_sql_sentence_filter",
       // broadcast 1-row raw/target distribution totals (DSIR smoothing
       // denominators); the bucket table itself equi-joins on __f
       "llm_dsir", "e_sql_dsir")
