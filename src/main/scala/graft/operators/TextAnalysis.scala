@@ -581,6 +581,13 @@ object TextAnalysis {
         GraftBridge.expression(col("__h")),
         Literal(eps), Literal(confidence), Literal(42)).toAggregateExpression())
       .as("cms")).head().getAs[Array[Byte]](0)
+    // a token-free corpus aggregates to a NULL sketch — return the empty
+    // report instead of NPEing on the deserialize
+    if (skBytes == null) {
+      import df.sparkSession.implicits._
+      return Seq.empty[(String, Long, Boolean)]
+        .toDF("token", "n_occurrences", "within_contract")
+    }
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(skBytes))
     // exact top-k with string resolution — the vocabReport recipe

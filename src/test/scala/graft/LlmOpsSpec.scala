@@ -185,6 +185,47 @@ class LlmOpsSpec extends AnyFunSuite {
       excludeId = Some(0L)).count() == 10)
   }
 
+  test("CMS heavy hitters: contract rows, empty corpus, determinism") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val a = TextAnalysis.heavyHittersCms(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(a.length == 10 && a.forall(_._3),
+      "every top token must sit inside the CMS one-sided error contract")
+    // deterministic (fixed seed, order-independent counters)
+    val b = TextAnalysis.heavyHittersCms(docs.repartition(13), "doc_id",
+      "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(a.sameElements(b))
+    // a token-free corpus reports empty instead of NPEing on the sketch
+    val empty = TextAnalysis.heavyHittersCms(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    assert(empty.count() == 0)
+  }
+
+  test("sentence filter: threshold monotone, q=0 keeps every scorable sentence") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val d = docs.select($"doc_id", $"text").limit(200)
+    def kept(q: Double) = TextAnalysis.filterSentencesByLm(d, "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val loose = kept(0.0)
+    val tight = kept(0.5)
+    // n_sentences identical; a higher cut can only drop more
+    assert(loose.keySet == tight.keySet)
+    assert(loose.forall { case (id, (ns, nk)) =>
+      tight(id)._1 == ns && tight(id)._2 <= nk })
+    // q=0 keeps every SCORABLE sentence (only single-token ones drop)
+    val sents = TextAnalysis.sentenceRows(d, "doc_id", "text")
+      .select($"doc_id", $"sentence").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1))).toMap
+    assert(loose.forall { case (id, (ns, nk)) =>
+      val scorable = sents.getOrElse(id, Array.empty[String])
+        .count(_.split("\\s+").length >= 2)
+      nk == scorable && ns == sents.getOrElse(id, Array.empty[String]).length
+    })
+  }
+
   test("kNN join: agrees with bruteForceTopK; all-cells IVF degrades to exact") {
     import spark.implicits._
     val e = emb.select($"vec_id", $"embedding")
