@@ -448,6 +448,43 @@ object Similarity {
       col("neighbor_id"), k, salt = "knn:", preSplit = preSplit)
   }
 
+  /** Incremental SEMANTIC admission — [[semanticDedup]]'s
+    * new-shard-versus-corpus form, the embedding counterpart of
+    * [[Dedup.minhashPairsBetween]]: every incoming vector is assigned
+    * to its `probes` nearest cells ([[topCellsOf]] — pure projection,
+    * STREAM-SAFE), the corpus carries its one [[cellOf]] cell, and
+    * candidate pairs come from the cell EQUI-join, confirmed at
+    * `simThreshold` exact cosine. With `probes = 1` a pair is caught
+    * exactly when both sides argmax to the same cell — the
+    * [[semanticNearDups]] within-cell contract, asymmetric; more probes
+    * buy back boundary-straddling near-dups. Output: (id_new,
+    * id_corpus, cos_sim) for every confirmed pair — the admission
+    * anti-join's right side.
+    *
+    * Scale/streaming shape: both cell assignments are zero-exchange
+    * inlined-literal projections; the join is a stream-static equi-join
+    * (stateless — no watermark, no state store) when `newEmb` is a
+    * micro-batch stream, and a plain broadcast-able equi-join in batch.
+    * The corpus is never shuffled on anything but its cell id. */
+  def semanticPairsBetween(newEmb: DataFrame, corpus: DataFrame,
+                           idNewCol: String, idCorpusCol: String,
+                           vecNewCol: String, vecCorpusCol: String,
+                           centroids: Array[(Long, Seq[Double])],
+                           simThreshold: Double,
+                           probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val q = newEmb
+      .select(col(idNewCol).as("id_new"), col(vecNewCol).as("__qv"))
+      .select(col("id_new"), col("__qv"),
+        explode(topCellsOf(col("__qv"), centroids, probes)).as("__cell"))
+    val c = corpus.select(col(idCorpusCol).as("id_corpus"),
+      col(vecCorpusCol).as("__cv"), cellOf(col(vecCorpusCol), centroids).as("__cell"))
+    q.join(c, Seq("__cell"))
+      .select(col("id_new"), col("id_corpus"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= simThreshold)
+  }
+
   /** Per-subspace product-quantization codebooks: the embedding is cut
     * into `m` contiguous `subDim`-dim blocks; each block gets its own
     * `nCodes`-entry codebook. `iters = 0` seeds each codebook from the

@@ -87,6 +87,25 @@ object StreamQueries {
         .select(col("id_new").as("doc_id")).distinct()
       clean.select(col("doc_id")).join(hits, Seq("doc_id"), "left_anti")
     }),
+    "st_semdedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // streaming SEMANTIC admission (batch-parity form; the stream
+      // path runs in StreamingSpec): incoming vector clones probed
+      // per-row against the static corpus cells — the embedding
+      // counterpart of st_minhash. Both cell assignments are pure
+      // projections, the probe a stateless stream-static equi-join
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val m = emb.agg(max(col("vec_id")).as("m"))
+      val incoming = emb.crossJoin(broadcast(m))
+        .filter(col("vec_id") > col("m") - 100)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val cents = graft.operators.Similarity.collectCentroids(
+        emb, "vec_id", "embedding", 8)
+      graft.operators.Similarity.semanticPairsBetween(incoming, emb,
+        "vec_id", "vec_id", "embedding", "embedding", cents,
+        simThreshold = 0.99)
+    }),
     "st_corpus_report" -> ((s, d) =>
       // the ingestion dashboard ON THE INGESTION STREAM (batch-parity
       // form; StreamingSpec runs the identical transform as a
@@ -178,6 +197,28 @@ object StreamQueries {
     // same pair set as the batch incremental dedup — the stream-static
     // probe is bit-equal to minhashPairsBetween on the same split
     "st_minhash" -> LlmQueries.oracle("llm_minhash_incr"),
+    // seed-centroid cells (the cellOf argmax contract on both sides,
+    // probes = 1), exact-cosine confirm at 0.99 on the clone slice
+    "st_semdedup" ->
+      """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          m AS (SELECT max(vec_id) AS mx FROM embeddings),
+          ca AS (SELECT e.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent c),
+          corpus AS (SELECT e.vec_id AS id_corpus, e.v, a.cid AS cell
+                     FROM e JOIN (SELECT vec_id, cid FROM ca WHERE rk = 1) a
+                       USING (vec_id)),
+          newv AS (SELECT e.vec_id + 10000 AS id_new, e.v AS qv, a.cid AS cell
+                   FROM e JOIN (SELECT vec_id, cid FROM ca WHERE rk = 1) a
+                     USING (vec_id), m
+                   WHERE e.vec_id > m.mx - 100)
+         SELECT n.id_new, c.id_corpus,
+                round(list_cosine_similarity(n.qv, c.v), 6) AS cos_sim
+         FROM newv n JOIN corpus c ON n.cell = c.cell
+         WHERE round(list_cosine_similarity(n.qv, c.v), 6) >= 0.99""",
     // the KEEP side of llm_decontaminate: corpus docs sharing no
     // 13-gram with the eval slice (short docs have no shingles → clean)
     "st_decontaminate" -> {

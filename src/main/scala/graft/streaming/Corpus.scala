@@ -34,6 +34,21 @@ object Corpus {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-based streaming read of the embeddings table — the vector
+    * ingestion stream the semantic-admission probe consumes. */
+  def readEmbeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
   /** Documents sharing NO n-token shingle with `evalDocs` — the
     * decontamination KEEP-side as a stateless per-row filter. The eval
     * hash set is computed with the batch relational shape and collected

@@ -104,6 +104,9 @@ class PlanSpec extends AnyFunSuite {
       // and id_corpus (llm_minhash_incr hides the same bound behind its
       // reuse-truncated sketch leaf)
       "st_minhash",
+      // same broadcast 1-row max-vec-id fixture bound; the semantic
+      // probe itself is the cell equi-join
+      "st_semdedup",
       // broadcast 1-row max-doc-id bound building the admission fixture
       // (the path itself: codegen'd quality filter, inlined-hash
       // decontamination, band equi-joins, id anti-join)

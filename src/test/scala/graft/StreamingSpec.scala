@@ -164,6 +164,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists(_._3 == 1.0))
   }
 
+  test("streaming semantic admission: stream == batch, stateless") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cents = graft.operators.Similarity.collectCentroids(
+      emb, "vec_id", "embedding", 8)
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.semanticPairsBetween(df, emb,
+        "vec_id", "vec_id", "embedding", "embedding", cents,
+        simThreshold = 0.99)
+    val incoming = emb.filter(col("vec_id") > mx - 100)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val batch = probe(incoming).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the same vectors arrive as a STREAM (re-id applied on the stream);
+    // cell assignment is a pure projection, the probe a stream-static
+    // equi-join — no watermark, no state store
+    val stream = graft.streaming.Corpus.readEmbeddingsStream(spark, TestSpark.sf)
+      .filter(col("vec_id") > mx - 100)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    Events.runToMemory(spark, probe(stream), "t_semadmit", OutputMode.Append())
+    val streamed = spark.table("t_semadmit")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // every clone is cosine-1.0 with its original in the same cell
+    assert(batch.exists(_._3 == 1.0))
+  }
+
   test("decontamination eval-set ceiling: batch falls back, streaming refuses") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
