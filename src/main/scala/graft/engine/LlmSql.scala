@@ -583,6 +583,36 @@ object LlmSql {
       case args => bad(
         "graft_sentence_filter(table, id_col, text_col, q[, accuracy_or_0])", args)
     }
+    reg(spark, "graft_ann_stored") {
+      // IVF-PQ serving from stored artifacts: the centroid/codebook
+      // reconstruction collects KB-scale tables — deferred like the
+      // other index TVFs; the query vector is read from `emb_table` by
+      // id (the serving coordinator's lookup)
+      case Seq(codesT, cellsT, cbT, embT, id, vec, q, k, probes) =>
+        val f = "graft_ann_stored"
+        val codes = table(str(codesT, f)); val cells = table(str(cellsT, f))
+        val cb = table(str(cbT, f)); val emb = table(str(embT, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val qid = lng(q, f); val kk = int(k, f); val np = int(probes, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, codes.select(col(idc)).schema.head.dataType),
+            StructField("adc_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            val books = Similarity.codebooksFromDf(cb)
+            require(books.nonEmpty && books.head.nonEmpty,
+              s"$f: empty codebook table")
+            // subDim is carried by the stored artifact itself — each
+            // codebook entry's element count — so it cannot drift
+            Similarity.ivfPqTopKStored(codes, idc,
+              Similarity.centroidsFromDf(cells), books,
+              subDim = books.head.head._2.length,
+              Similarity.queryVecOf(emb, idc, vecc, qid),
+              k = kk, probes = np, excludeId = Some(qid))
+          })
+      case args => bad(
+        "graft_ann_stored(codes_table, cells_table, codebooks_table, emb_table, id_col, vec_col, query_id, k, probes)", args)
+    }
     reg(spark, "graft_knn_join") {
       // exact kNN join: fully LAZY (queries broadcast inside the plan,
       // no driver action)

@@ -448,6 +448,85 @@ object Similarity {
       col("neighbor_id"), k, salt = "knn:", preSplit = preSplit)
   }
 
+  /** Centroid set ⇄ plain DataFrame — the KB-scale ANN index artifacts
+    * (coarse cells, and via the codebook twins below, PQ codebooks) as
+    * ordinary parquet-able tables of (cid, pos, val) rows, so the FULL
+    * serving index (cells + codebooks + encoded codes) ships as three
+    * plain tables and reconstructs bit-identically (doubles round-trip
+    * parquet exactly; the llm_ann_index_roundtrip gate pins result
+    * equality with the in-memory path). */
+  def centroidsToDf(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[(Long, Seq[Double])]): DataFrame =
+    spark.createDataFrame(centroids.toIndexedSeq.flatMap { case (cid, v) =>
+      v.zipWithIndex.map { case (x, p) => (cid, p, x) } })
+      .toDF("cid", "pos", "val")
+
+  def centroidsFromDf(df: DataFrame): Array[(Long, Seq[Double])] =
+    df.select(col("cid").cast("long"), col("pos").cast("int"),
+        col("val").cast("double"))
+      .collect() // KB-scale by construction (cells × dim doubles)
+      .groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      .map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq: Seq[Double]) }
+
+  /** PQ codebooks ⇄ plain DataFrame: (s, cid, pos, val) rows. */
+  def codebooksToDf(spark: org.apache.spark.sql.SparkSession,
+                    codebooks: Array[Array[(Long, Seq[Double])]]): DataFrame =
+    spark.createDataFrame(codebooks.toIndexedSeq.zipWithIndex.flatMap {
+      case (cb, sIdx) => cb.toIndexedSeq.flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, p) => (sIdx, cid, p, x) } } })
+      .toDF("s", "cid", "pos", "val")
+
+  def codebooksFromDf(df: DataFrame): Array[Array[(Long, Seq[Double])]] =
+    df.select(col("s").cast("int"), col("cid").cast("long"),
+        col("pos").cast("int"), col("val").cast("double"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, sub) =>
+        sub.groupBy(_.getLong(1)).toArray.sortBy(_._1).map { case (cid, rs) =>
+          (cid, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toIndexedSeq: Seq[Double])
+        }
+      }
+
+  /** Cell-tagged PQ encode — the row layout the STORED IVF-PQ index
+    * keeps on disk: (id, cell, code_0 … code_{m−1}), one small-int
+    * vector per row. ONE pass reads the vectors; every later query
+    * touches only this table. */
+  def ivfPqEncode(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[(Long, Seq[Double])],
+                  codebooks: Array[Array[(Long, Seq[Double])]],
+                  subDim: Int): DataFrame =
+    emb.select(col(idCol) +: cellOf(col(vecCol), centroids).as("cell") +:
+      codebooks.toIndexedSeq.zipWithIndex.map { case (cb, s) =>
+        pqCode(col(vecCol), s, subDim, cb).as(s"code_$s")
+      }: _*)
+
+  /** IVF-PQ serving from STORAGE — [[ivfPqTopK]] with the one
+    * vector-reading pass factored out: `codes` is the read-back
+    * [[ivfPqEncode]] table, probe cells come from the explicit query
+    * vector against the (read-back) centroids via the same
+    * cosine-desc/lowest-cid expression pipeline as the in-memory path
+    * (the tie-break cannot drift), and scoring is pure ADC over the
+    * stored codes. Identical output to [[ivfPqTopK]] on the same
+    * artifacts — the llm_ann_index_roundtrip gate pins it. */
+  def ivfPqTopKStored(codes: DataFrame, idCol: String,
+                      centroids: Array[(Long, Seq[Double])],
+                      codebooks: Array[Array[(Long, Seq[Double])]],
+                      subDim: Int, queryVec: IndexedSeq[Double], k: Int,
+                      probes: Int = 2,
+                      excludeId: Option[Long] = None): DataFrame = {
+    val spark = codes.sparkSession
+    val centDf = spark.createDataFrame(centroids.toSeq).toDF("__cid", "__cvec")
+    val probed = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq)))
+      .toDF("__qvec")
+      .crossJoin(broadcast(centDf))
+      .select(col("__cid"), cosine(col("__qvec"), col("__cvec")).as("__qsim"))
+      .orderBy(col("__qsim").desc, col("__cid")).limit(probes)
+      .select(col("__cid").as("cell"))
+    pqTopKStored(codes.join(broadcast(probed), "cell").drop("cell"),
+      idCol, codebooks, subDim, queryVec, k, excludeId)
+  }
+
   /** Incremental SEMANTIC admission — [[semanticDedup]]'s
     * new-shard-versus-corpus form, the embedding counterpart of
     * [[Dedup.minhashPairsBetween]]: every incoming vector is assigned

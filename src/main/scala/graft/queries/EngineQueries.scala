@@ -457,6 +457,30 @@ object EngineQueries {
       "SELECT * FROM graft_sentence_filter('documents', 'doc_id', 'text', 0.2)")),
     "e_sql_cms_heavy_hitters" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_cms_heavy_hitters('documents', 'doc_id', 'text', 20, 0.001, 0.99)")),
+    // the full stored ANN index served from SQL: artifacts written in
+    // Scala (the write side), read back as plain views, probed via the
+    // deferred TVF — same oracle as the in-memory IVF-PQ path
+    "e_sql_ann_stored" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/ann_index_sql"
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
+      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_ann_cells")
+      s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_ann_cbs")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_ann_codes")
+      e.query("""SELECT vec_id, adc_score
+                 FROM graft_ann_stored('graft_ann_codes', 'graft_ann_cells',
+                                       'graft_ann_cbs', 'embeddings',
+                                       'vec_id', 'embedding', 0, 10, 2)""")
+    }),
     "e_sql_knn_join" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -781,6 +805,7 @@ object EngineQueries {
     "e_sql_semdedup" -> LlmQueries.oracle("llm_semdedup"),
     "e_sql_embed_outliers" -> LlmQueries.oracle("llm_embed_outliers"),
     "e_sql_knn_join" -> LlmQueries.oracle("llm_knn_join"),
+    "e_sql_ann_stored" -> LlmQueries.oracle("llm_ann_ivf_pq"),
     "e_sql_sentence_filter" -> LlmQueries.oracle("llm_sentence_filter"),
     "e_sql_cms_heavy_hitters" -> LlmQueries.oracle("llm_cms_heavy_hitters"),
     "e_sql_knn_join_ivf" -> LlmQueries.oracle("llm_knn_join_ivf"),

@@ -549,6 +549,32 @@ object LlmQueries {
           m = 4, subDim = 16, nCodes = 8),
         subDim = 16, queryId = 0, k = 10, probes = 2)
     }),
+    "llm_ann_index_roundtrip" -> ((s, d) => {
+      // the COMPLETE ANN serving index through storage: cells,
+      // codebooks, and cell-tagged codes written as three plain parquet
+      // tables, reconstructed from the files, served via stored IVF-PQ
+      // — identical output to the in-memory llm_ann_ivf_pq (same
+      // oracle), so any artifact drift hash-mismatches. After the one
+      // encode pass the vectors are never read again; the query vector
+      // arrives explicitly (the serving coordinator holds it)
+      val out = "target/gate_sink/ann_index"
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      Similarity.centroidsToDf(s, cents)
+        .write.mode("overwrite").parquet(s"$out/cells")
+      Similarity.codebooksToDf(s, cbs)
+        .write.mode("overwrite").parquet(s"$out/codebooks")
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      val cents2 = Similarity.centroidsFromDf(s.read.parquet(s"$out/cells"))
+      val cbs2 = Similarity.codebooksFromDf(s.read.parquet(s"$out/codebooks"))
+      Similarity.ivfPqTopKStored(s.read.parquet(s"$out/codes"), "vec_id",
+        cents2, cbs2, subDim = 16,
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, probes = 2, excludeId = Some(0L))
+    }),
     "llm_ann_pq_stored" -> ((s, d) => {
       // the PQ SERVING path: encode once, write the m-int code table to
       // parquet, read it back, score with the query LUTs — the vectors
@@ -1362,7 +1388,9 @@ object LlmQueries {
     // the storage round-trips must reproduce the recompute paths
     // exactly — same oracles, so storage drift hash-mismatches
     "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"),
-    "llm_ann_pq_stored" -> oracleBase("llm_ann_pq"))
+    "llm_ann_pq_stored" -> oracleBase("llm_ann_pq"),
+    // the full-index storage round-trip is output-identical by contract
+    "llm_ann_index_roundtrip" -> oracleBase("llm_ann_ivf_pq"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_ann_ivf" ->
