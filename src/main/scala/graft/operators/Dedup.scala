@@ -609,7 +609,14 @@ object Dedup {
     require(Set("bf", "n", "n_hashes").subsetOf(have),
       s"decontamination sketch must carry bf/n/n_hashes, got " +
         index.sketch.columns.mkString(","))
-    val srow = index.sketch.head()
+    // a doubly-written/unioned sketch store is drift, not a choice —
+    // refuse instead of silently probing with whichever row came first
+    val srows = index.sketch.limit(2).collect()
+    require(srows.length == 1,
+      s"decontamination sketch must be exactly one row, got " +
+        s"${srows.length}${if (srows.length == 2) "+" else ""} — " +
+        "rebuild or re-copy the index")
+    val srow = srows(0)
     val bloomBytes = srow.getAs[Array[Byte]]("bf")
     val ng = srow.getAs[Int]("n")
     val nHashes = srow.getAs[Long]("n_hashes")

@@ -515,6 +515,8 @@ object Similarity {
                       subDim: Int, queryVec: IndexedSeq[Double], k: Int,
                       probes: Int = 2,
                       excludeId: Option[Long] = None): DataFrame = {
+    require(centroids.nonEmpty && codebooks.nonEmpty,
+      "ivfPqTopKStored: empty stored cells/codebooks — artifact drift")
     val spark = codes.sparkSession
     val centDf = spark.createDataFrame(centroids.toSeq).toDF("__cid", "__cvec")
     val probed = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq)))

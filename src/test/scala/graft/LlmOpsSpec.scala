@@ -316,6 +316,14 @@ class LlmOpsSpec extends AnyFunSuite {
         "doc_id", "text")
     }
     assert(e2.getMessage.contains("n_hashes"))
+    // a doubly-written sketch (two rows) refuses instead of probing
+    // with whichever row came first
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.decontaminateStored(corpus,
+        Dedup.DecontamIndex(idx.sketch.unionAll(idx.sketch), idx.hashes),
+        "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("exactly one row"))
   }
 
   test("weightedK: layout-invariant, weight-monotone, scale-invariant, guards negatives") {
