@@ -78,6 +78,9 @@ class PlanSpec extends AnyFunSuite {
     // single-row/bounded set or the op is an intentional cross/brute-force
     val allowedBnlj = Set("j4_cross", "llm_ann_lsh", "llm_ann_topk",
       "llm_ann_ivf", "llm_ann_ivf_trained", "llm_ann_ivf_pq",
+      // same 1-row query-vector × centroid-frame probe-cell selection
+      // as llm_ann_ivf_pq, from the stored artifacts
+      "llm_ann_index_roundtrip",
       "e_sql_ann_topk", "e_sql_ann_lsh",
       "llm_cosine", "e_sql_cosine",
       "llm_ngram_jaccard",
