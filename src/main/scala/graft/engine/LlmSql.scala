@@ -552,6 +552,14 @@ object LlmSql {
       case args => bad(
         "graft_ann_ivf(table, id_col, vec_col, query_id, k, n_cells, probes)", args)
     }
+    reg(spark, "graft_distinct_ngrams") {
+      case Seq(t, id, text) =>
+        val f = "graft_distinct_ngrams"
+        TextAnalysis.distinctNgramReport(table(str(t, f)), str(id, f),
+          str(text, f))
+      case args => bad(
+        "graft_distinct_ngrams(table, id_col, text_col)", args)
+    }
     reg(spark, "graft_cms_heavy_hitters") {
       // the sketch build + probe are ACTIONS — deferred like the bloom
       // and training TVFs

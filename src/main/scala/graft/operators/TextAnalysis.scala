@@ -465,6 +465,34 @@ object TextAnalysis {
     * only). A 60-bit collision would merge two shingles' counts and
     * surface min(shingle) — vanishing below ~10⁹ distinct shingles and
     * reproduced identically by the oracle (same hash recipe). */
+  /** Corpus distinct-n DIVERSITY report — the published distinct-1/2/3
+    * panel (Zhu et al. '18 "Texygen"'s distinct-n, Li et al. '16's
+    * diversity metric; public method shape): per n-gram size, total
+    * occurrences, distinct types, and the type/occurrence ratio. Low
+    * distinct-3 against a same-size reference corpus is the standard
+    * mode-collapse / boilerplate-saturation signal a generation or
+    * crawl pipeline dashboards BEFORE training on it.
+    *
+    * Hash-first like every counting op here: distinct types are counted
+    * on 60-bit [[Dedup.sharedHash60]] keys (8-byte exchange, never
+    * n-gram strings; the oracle counts the identical hashes, so the
+    * rare 60-bit collision cannot mismatch). One [[Dedup.shingleRows]]
+    * pass per n — all partial-aggregable. Output: (n, total_ngrams,
+    * distinct_ngrams, diversity) ordered by n. */
+  def distinctNgramReport(df: DataFrame, idCol: String, textCol: String,
+                          ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
+    ns.map { n =>
+      Dedup.shingleRows(df.select(col(idCol), col(textCol)), idCol, textCol, n)
+        .select(Dedup.sharedHash60(col("s")).as("__h"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("__h")).as("distinct_ngrams"))
+        .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double") /
+            greatest(col("total_ngrams"), lit(1L)), 6).as("diversity"))
+    }.reduce(_ unionAll _)
+  }
+
   def topShinglesByDf(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, topK: Int = 20,
                       reuse: Reuse = Reuse.Local): DataFrame = {

@@ -457,6 +457,8 @@ object EngineQueries {
       "SELECT * FROM graft_sentence_filter('documents', 'doc_id', 'text', 0.2)")),
     "e_sql_cms_heavy_hitters" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_cms_heavy_hitters('documents', 'doc_id', 'text', 20, 0.001, 0.99)")),
+    "e_sql_distinct_n" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_distinct_ngrams('documents', 'doc_id', 'text')")),
     // the full stored ANN index served from SQL: artifacts written in
     // Scala (the write side), read back as plain views, probed via the
     // deferred TVF — same oracle as the in-memory IVF-PQ path
@@ -808,6 +810,7 @@ object EngineQueries {
     "e_sql_ann_stored" -> LlmQueries.oracle("llm_ann_ivf_pq"),
     "e_sql_sentence_filter" -> LlmQueries.oracle("llm_sentence_filter"),
     "e_sql_cms_heavy_hitters" -> LlmQueries.oracle("llm_cms_heavy_hitters"),
+    "e_sql_distinct_n" -> LlmQueries.oracle("llm_distinct_n"),
     "e_sql_knn_join_ivf" -> LlmQueries.oracle("llm_knn_join_ivf"),
     "e_sql_cluster_sample" -> LlmQueries.oracle("llm_cluster_sample"),
     "e_sql_ann_topk" -> LlmQueries.oracle("llm_ann_topk"),

@@ -1006,6 +1006,11 @@ object LlmQueries {
       Similarity.semanticDedup(corpus, "vec_id", "embedding", cents,
         simThreshold = 0.99)
     }),
+    "llm_distinct_n" -> ((s, d) =>
+      // corpus distinct-1/2/3 diversity panel — the mode-collapse /
+      // boilerplate-saturation dashboard read before training
+      TextAnalysis.distinctNgramReport(
+        Tables.load(s, d, "documents"), "doc_id", "text")),
     "llm_cms_heavy_hitters" -> ((s, d) =>
       // count-min-sketch frequency attestation: the top-20 exact tokens
       // each probed against the fixed-size mergeable sketch; the gate
@@ -2396,6 +2401,26 @@ object LlmQueries {
                     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99)
           SELECT x.vec_id, x.cell FROM a2 x
           WHERE x.vec_id NOT IN (SELECT id_b FROM pairs)""",
+    // occurrence and distinct counts per n on the shared 60-bit hashes
+    // (counting identical hashes on both sides, so the rare collision
+    // cannot mismatch)
+    "llm_distinct_n" ->
+      """WITH t AS (SELECT string_split_regex(text, '\s+') AS toks FROM documents),
+          a AS (SELECT 1 AS n, s FROM (SELECT unnest(toks) AS s FROM t)
+                UNION ALL
+                SELECT 2, toks[i] || ' ' || toks[i+1]
+                FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM t WHERE len(toks) >= 2)
+                UNION ALL
+                SELECT 3, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                      FROM t WHERE len(toks) >= 3)),
+          h AS (SELECT n, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h FROM a)
+         SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams,
+                CAST(count(DISTINCT h) AS BIGINT) AS distinct_ngrams,
+                round(count(DISTINCT h) * 1.0 / greatest(count(*), 1), 6)
+                  AS diversity
+         FROM h GROUP BY n""",
     // exact top-20 token counts (the llm_vocab algebra and tie order);
     // the contract flag is attested Spark-side and must hold
     "llm_cms_heavy_hitters" ->
