@@ -657,6 +657,70 @@ object LlmSql {
       case args => bad(
         "graft_knn_join_ivf(queries_table, corpus_table, q_id_col, c_id_col, q_vec_col, c_vec_col, n_cells, probes, k, exclude_self)", args)
     }
+    reg(spark, "graft_knn_join_stored") {
+      // batch serving from the stored index: centroid/codebook
+      // reconstruction collects KB-scale tables — deferred like
+      // graft_ann_stored; subDim comes from the stored codebook itself
+      case Seq(codesT, cellsT, cbT, qt, qid, cid, qvec, k, probes, excl) =>
+        val f = "graft_knn_join_stored"
+        val codes = table(str(codesT, f)); val cells = table(str(cellsT, f))
+        val cb = table(str(cbT, f)); val queries = table(str(qt, f))
+        val qidc = str(qid, f); val cidc = str(cid, f)
+        val qvecc = str(qvec, f); val kk = int(k, f)
+        val np = int(probes, f); val ex = int(excl, f) != 0
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField("query_id",
+              queries.select(col(qidc)).schema.head.dataType),
+            StructField("neighbor_id",
+              codes.select(col(cidc)).schema.head.dataType),
+            StructField("adc_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            val books = Similarity.codebooksFromDf(cb)
+            require(books.nonEmpty && books.head.nonEmpty,
+              s"$f: empty codebook table")
+            Similarity.ivfPqKnnJoinStored(queries, codes, qidc, cidc, qvecc,
+              Similarity.centroidsFromDf(cells), books,
+              subDim = books.head.head._2.length,
+              k = kk, probes = np, excludeSelf = ex)
+          })
+      case args => bad(
+        "graft_knn_join_stored(codes_table, cells_table, codebooks_table, queries_table, q_id_col, c_id_col, q_vec_col, k, probes, exclude_self)", args)
+    }
+    reg(spark, "graft_ann_rerank") {
+      // two-stage retrieval: ADC proposes cand_c, exact cosine re-ranks
+      // only those — codebook collection + query LUT are ACTIONS, deferred
+      case Seq(t, id, vec, q, k, cells, probes, m, subDim, nCodes, candC) =>
+        val f = "graft_ann_rerank"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val qid = lng(q, f); val kk = int(k, f)
+        val nCells = int(cells, f); val np = int(probes, f)
+        val mm = int(m, f); val sd = int(subDim, f); val nc = int(nCodes, f)
+        val cc = int(candC, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField("cos_sim", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            Similarity.ivfPqTopKRerank(tbl, idc, vecc,
+              Similarity.collectCentroids(tbl, idc, vecc, nCells),
+              Similarity.pqCodebooks(tbl, idc, vecc, mm, sd, nc),
+              sd, qid, kk, np, cc)
+          })
+      case args => bad(
+        "graft_ann_rerank(table, id_col, vec_col, query_id, k, n_cells, probes, m, sub_dim, n_codes, cand_c)", args)
+    }
+    reg(spark, "graft_url_filter") {
+      // URL/domain admission: fully LAZY (the blocklist broadcasts
+      // inside the plan, no driver action)
+      case Seq(t, id, url, bl) =>
+        val f = "graft_url_filter"
+        TextAnalysis.urlFilter(table(str(t, f)), str(id, f), str(url, f),
+          table(str(bl, f)))
+      case args => bad(
+        "graft_url_filter(table, id_col, url_col, blocklist_table)", args)
+    }
     reg(spark, "graft_ann_pq") {
       // PQ/ADC: codebook collection + the query LUT build are ACTIONS —
       // deferred

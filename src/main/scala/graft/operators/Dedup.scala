@@ -298,13 +298,7 @@ object Dedup {
     // the data: band_val carries k/nBands "_"-joined minima, so a
     // per-row segment-count guard on the stored bands raises at first
     // execution instead of silently admitting every duplicate.
-    val expectedSig = (0 until k).map(i => s"s$i").toSet
-    val actualSig = index.sets.columns
-      .filterNot(c => c == idCol || c == "hset").filter(_.matches("s\\d+")).toSet
-    require(actualSig == expectedSig,
-      s"stored index carries ${actualSig.size} signature columns " +
-        s"(${actualSig.toSeq.sorted.mkString(",")}) but probe k=$k expects " +
-        s"exactly s0..s${k - 1} — probe with the index's build parameters")
+    requireIndexK(index, idCol, k, "probe")
     val rowsPerBand = k / nBands
     val bandsChecked = index.bands.withColumn("band_val",
       when(size(split(col("band_val"), "_", -1)) === rowsPerBand, col("band_val"))
@@ -327,6 +321,53 @@ object Dedup {
       .select(col("id_new"), col("id_corpus"),
         jaccardOf(col("h_a"), col("h_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The stored-index k-parameter guard shared by [[minhashProbe]] and
+    * [[minhashIndexAppend]]: the sets frame must carry EXACTLY
+    * s0..s{k-1} (excluding idCol/hset so s-like id names and appended
+    * metadata neither miscount nor spuriously reject). */
+  private def requireIndexK(index: MinhashIndex, idCol: String, k: Int,
+                            verb: String): Unit = {
+    val expectedSig = (0 until k).map(i => s"s$i").toSet
+    val actualSig = index.sets.columns
+      .filterNot(c => c == idCol || c == "hset").filter(_.matches("s\\d+")).toSet
+    require(actualSig == expectedSig,
+      s"stored index carries ${actualSig.size} signature columns " +
+        s"(${actualSig.toSeq.sorted.mkString(",")}) but $verb k=$k expects " +
+        s"exactly s0..s${k - 1} — $verb with the index's build parameters")
+  }
+
+  /** APPEND admitted documents into a [[MinhashIndex]] — the maintenance
+    * step that closes the ingestion loop (probe → admit → append):
+    * without it a production pipeline re-sketches the whole corpus each
+    * run or lets the stored index drift behind reality. The admitted
+    * docs are sketched with the scalable [[minhashSets]] pass and their
+    * band/sets rows UNIONED onto the index frames — per-document
+    * sketches are independent, so `append(build(A), B) ≡ build(A ∪ B)`
+    * bit-for-bit (LlmOpsSpec pins the law) PROVIDED the build used no
+    * `maxBucketSize` cap: the cap is a global count over the corpus, so
+    * a capped index must re-cap after append ([[capBuckets]] over the
+    * appended bands) rather than assume the law. At storage level the
+    * same delta frames are what a parquet `mode("append")` write adds —
+    * the in-memory union and the storage append cannot diverge (the
+    * llm_minhash_index_append gate probes the appended store against
+    * the full-corpus oracle).
+    *
+    * The same k-schema guard as the probe applies: appending with
+    * drifted build parameters would interleave incompatible sketches
+    * and silently miss every cross-shard duplicate. `newDocs` ids are
+    * the caller's contract (re-appending an already-indexed id simply
+    * duplicates its bands, like any store double-write). */
+  def minhashIndexAppend(index: MinhashIndex, newDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 16, nBands: Int = 4,
+                         reuse: Reuse = Reuse.Local): MinhashIndex = {
+    requireIndexK(index, idCol, k, "append")
+    val setsNew = minhashSets(newDocs, idCol, textCol, k, reuse)
+    MinhashIndex(
+      index.bands.unionByName(bandsOf(setsNew, idCol, k, nBands)),
+      index.sets.unionByName(setsNew))
   }
 
   /** SimHash banded near-dup pairs: sketch every document to a
@@ -599,7 +640,15 @@ object Dedup {
     * LAZILY in-plan — a truncated or partially-copied hash frame would
     * otherwise silently under-report contamination, the one drift mode
     * the exact confirm join cannot absorb (bloom false positives cost a
-    * probe, never a wrong answer; missing confirm rows DO). */
+    * probe, never a wrong answer; missing confirm rows DO). The guard
+    * rides the CANDIDATE side of the confirm join, not the hash frame:
+    * a guard projected onto `index.hashes` evaluates zero rows when the
+    * frame is FULLY truncated (the worst drift — every contaminated doc
+    * admitted) and would fail open; on the candidate side any
+    * bloom-probed row trips it, and the intact bloom guarantees
+    * candidates exist whenever contamination exists (no false
+    * negatives). An empty candidate set with a drifted frame means the
+    * bloom itself attests no contamination — the answer is right anyway. */
   def decontaminateStored(corpus: DataFrame, index: DecontamIndex,
                           idCol: String, textCol: String,
                           validateCount: Boolean = true): DataFrame = {
@@ -620,18 +669,6 @@ object Dedup {
     val bloomBytes = srow.getAs[Array[Byte]]("bf")
     val ng = srow.getAs[Int]("n")
     val nHashes = srow.getAs[Long]("n_hashes")
-    val evalH =
-      if (!validateCount) index.hashes
-      else {
-        val cnt = index.hashes.groupBy().agg(count(lit(1)).as("__nh"))
-        index.hashes.crossJoin(broadcast(cnt)).select(
-          when(col("__nh") === nHashes, col("h"))
-            .otherwise(raise_error(concat(
-              lit("stored decontamination index drift: hash frame carries "),
-              col("__nh").cast("string"),
-              lit(s" rows but the sketch recorded $nHashes — rebuild or " +
-                "re-copy the index")))).as("h"))
-      }
     val corpusH = shingleRows(corpus.select(col(idCol), col(textCol)),
         idCol, textCol, ng)
       .select(col(idCol), sharedHash(col("s")).as("h")).distinct()
@@ -642,13 +679,34 @@ object Dedup {
         Literal(bloomBytes,
           org.apache.spark.sql.types.BinaryType),
         GraftBridge.expression(col("h")))))
-    val hits = cand.join(evalH, Seq("h"), "left_semi")
+    val hits = cand.join(index.hashes, Seq("h"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("eval_shingles"))
-    corpus.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
+    val joined = corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
+    if (!validateCount)
+      joined.select(col(idCol),
         coalesce(col("eval_shingles"), lit(0L)).as("eval_shingles"),
         (coalesce(col("eval_shingles"), lit(0L)) > 0).as("contaminated"))
+    else {
+      // the guard rides the OUTPUT frame, not the hash frame or the
+      // bloom-candidate side: a zero-row hash frame has no rows to
+      // carry a projection guard, and an EMPTY confirm build side lets
+      // AQE's empty-relation propagation collapse the semi-join before
+      // any candidate row would evaluate one — the output left join
+      // cannot collapse (one row per corpus id), so every probe run
+      // over a non-empty corpus checks the count exactly once per row
+      val cnt = index.hashes.groupBy().agg(count(lit(1)).as("__nh"))
+      joined.crossJoin(broadcast(cnt))
+        .withColumn("__es",
+          when(col("__nh") === nHashes,
+            coalesce(col("eval_shingles"), lit(0L)))
+            .otherwise(raise_error(concat(
+              lit("stored decontamination index drift: hash frame carries "),
+              col("__nh").cast("string"),
+              lit(s" rows but the sketch recorded $nHashes — rebuild or " +
+                "re-copy the index")))))
+        .select(col(idCol), col("__es").as("eval_shingles"),
+          (col("__es") > 0).as("contaminated"))
+    }
   }
 
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,

@@ -83,16 +83,25 @@ object Sampling {
     * total-order requirement as [[exactK]]: pass the unique id as
     * `tieBreak` so equal (priority, key) boundaries are deterministic.
     *
+    * The ordering contract is the ROUNDED priority (6 decimals — the
+    * emitted `priority` column), identical to [[weightedKPerStratum]]'s,
+    * so the per-stratum form really is this operator within every
+    * stratum: two priorities colliding at 6 decimals select the SAME
+    * subset through either entry point (ordering on the raw value here
+    * would let a 6-decimal collision pick different winners than the
+    * stratified form — a one-in-10⁶ contract divergence the gates'
+    * fixtures would never surface).
+    *
     * Plan shape: zero-exchange projection + TakeOrderedAndProject —
     * per-partition top-k, k·partitions rows to one reducer, the corpus
     * is never sorted or shuffled. */
   def weightedK(df: DataFrame, key: Column, weight: Column, k: Int,
                 tieBreak: Seq[Column], salt: String = "wsample"): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
-    val pri = priorityOf(key, weight, salt)
+    val pri = round(priorityOf(key, weight, salt), 6)
     val order = pri.desc_nulls_last +: key.asc_nulls_last +:
       tieBreak.map(_.asc_nulls_last)
-    df.withColumn("priority", round(pri, 6))
+    df.withColumn("priority", pri)
       .orderBy(order: _*).limit(k)
   }
 

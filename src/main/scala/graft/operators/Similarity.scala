@@ -529,6 +529,106 @@ object Similarity {
       idCol, codebooks, subDim, queryVec, k, excludeId)
   }
 
+  /** Batch kNN serving from the STORED index — the production shape the
+    * two audited halves compose into ("tonight's 10k eval prompts
+    * against the stored codes table"): [[ivfKnnJoin]]'s query batching
+    * against [[ivfPqEncode]]'s read-back code table, vectors never read.
+    * Each query expands to its `probes` nearest cells ([[topCellsOf]]
+    * over the read-back centroids — zero exchange) and precomputes its
+    * FULL ADC lookup table as m·nCodes projection columns (the classic
+    * per-query LUT, built in-plan on the bounded query side rather than
+    * driver-side as [[pqTopKStored]] does for one query); pairing is a
+    * cell EQUI-join against the codes table; scoring selects LUT columns
+    * by code via CASE chains — the corpus side touches ONLY (cell, id,
+    * code_0…code_{m−1}). At 100 TB with the codes table partitioned by
+    * cell this is partition pruning per query batch.
+    *
+    * A stored code outside its codebook raises (the [[pqTopKStored]]
+    * drift guard, per subspace); codes tables missing the cell or code
+    * columns are refused up front. Approximate like every ADC path
+    * (coarse-probe misses + quantization error — LlmOpsSpec measures
+    * recall); `probes = nCells` with one query reproduces
+    * [[pqTopKStored]] exactly (spec-pinned). Same per-query two-phase
+    * top-k and tie convention as [[knnJoin]]. Output: (query_id,
+    * neighbor_id, adc_score). */
+  def ivfPqKnnJoinStored(queries: DataFrame, codes: DataFrame,
+                         qIdCol: String, cIdCol: String, qVecCol: String,
+                         centroids: Array[(Long, Seq[Double])],
+                         codebooks: Array[Array[(Long, Seq[Double])]],
+                         subDim: Int, k: Int, probes: Int = 2,
+                         excludeSelf: Boolean = false,
+                         preSplit: Int = 32): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(centroids.nonEmpty && codebooks.nonEmpty,
+      "ivfPqKnnJoinStored: empty stored cells/codebooks — artifact drift")
+    val m = codebooks.length
+    val missing = ("cell" +: (0 until m).map(i => s"code_$i"))
+      .filterNot(codes.columns.contains)
+    require(missing.isEmpty,
+      s"stored codes table lacks ${missing.mkString(",")} — serve the " +
+        s"table ivfPqEncode wrote with the codebooks it was encoded with")
+    val lutCols = for {
+      s <- 0 until m; (cid, cv) <- codebooks(s).toIndexedSeq
+    } yield bridgeC(graft.functions.DotProduct(
+        bridgeE(slice(col(qVecCol), s * subDim + 1, subDim)),
+        bridgeE(typedLit(cv)))).as(s"__lut_${s}_$cid")
+    val q = queries.select(Seq(col(qIdCol).as("query_id"),
+      explode(topCellsOf(col(qVecCol), centroids, probes)).as("cell")) ++
+      lutCols: _*)
+    val base = codes.join(broadcast(q), Seq("cell"))
+    val paired = if (excludeSelf)
+      base.filter(col(cIdCol) =!= col("query_id")) else base
+    val score = (0 until m).map { s =>
+      val codeCol = col(s"code_$s")
+      val cb = codebooks(s)
+      cb.toIndexedSeq.tail.foldLeft(
+        when(codeCol === cb.head._1, col(s"__lut_${s}_${cb.head._1}"))) {
+        case (acc, (cid, _)) => acc.when(codeCol === cid, col(s"__lut_${s}_$cid"))
+      }.otherwise(raise_error(concat(
+        lit(s"pq code out of codebook range in subspace $s: "),
+        codeCol.cast("string"),
+        lit(s" (codebook has ${cb.length} centroids) — serve with the " +
+          "codebooks the codes were encoded with"))))
+    }.reduce(_ + _)
+    val scored = paired.select(col("query_id"),
+      col(cIdCol).as("neighbor_id"), round(score, 6).as("adc_score"))
+    Sampling.twoPhaseTopK(scored, col("query_id"),
+      Seq(col("adc_score").desc_nulls_last, col("neighbor_id").asc_nulls_last),
+      col("neighbor_id"), k, salt = "knn:", preSplit = preSplit)
+  }
+
+  /** Two-stage retrieval — EXACT re-rank over ADC candidates (the
+    * published recipe: ADC proposes top-`candC`, exact distance is
+    * computed for those candidates ONLY, final order is exact): buys
+    * back quantization error at a bounded cost — the candidate set is
+    * candC rows, so the exact stage reads candC vectors no matter the
+    * corpus size, where pure ADC's order is final and wrong by up to
+    * the quantization error. Candidates come from [[ivfPqTopK]] (cells
+    * prune, codes score); the re-rank joins the candidate ids BACK to
+    * the vector table (broadcast semi-join — the ONLY vector read
+    * besides the query lookup) and ranks exact cosine. Recall ≥ the
+    * pure-ADC path's by construction whenever candC ≥ k (re-ranking a
+    * superset can only promote true neighbors — LlmOpsSpec pins it).
+    * Output: (idCol, cos_sim), ties by id, rounded to 6 (oracle
+    * parity). */
+  def ivfPqTopKRerank(emb: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[(Long, Seq[Double])],
+                      codebooks: Array[Array[(Long, Seq[Double])]],
+                      subDim: Int, queryId: Long, k: Int,
+                      probes: Int = 2, candC: Int = 32): DataFrame = {
+    require(candC >= k, s"candC ($candC) must be >= k ($k) — the exact " +
+      "stage can only re-rank candidates ADC proposed")
+    val cand = ivfPqTopK(emb, idCol, vecCol, centroids, codebooks, subDim,
+      queryId, candC, probes).select(col(idCol))
+    val qv = queryVecOf(emb, idCol, vecCol, queryId)
+    emb.join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(cosine(col(vecCol), typedLit(qv)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Incremental SEMANTIC admission — [[semanticDedup]]'s
     * new-shard-versus-corpus form, the embedding counterpart of
     * [[Dedup.minhashPairsBetween]]: every incoming vector is assigned

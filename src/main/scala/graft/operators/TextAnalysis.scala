@@ -367,15 +367,33 @@ object TextAnalysis {
     * aggregate. Sentence ids are `idCol·10⁶ + sent_no` — requires
     * nonnegative ids and < 10⁶ sentences per doc (corpus documents sit
     * orders of magnitude under both; ids stay exact to 2⁶³/10⁶ ≈ 9·10¹²
-    * docs). */
+    * docs). The contract is ENFORCED in-plan: a non-castable id (a
+    * string/UUID id column casts to NULL, whose NULL sids would
+    * silently drop every sentence through the keep join and return an
+    * EMPTIED corpus), a negative id, or a doc at ≥ 10⁶ sentences (sid
+    * collision across docs) raises at first execution instead — the
+    * loud-failure convention of every stored-surface guard here. */
   def filterSentencesByLm(df: DataFrame, idCol: String, textCol: String,
                           q: Double = 0.2,
                           accuracy: Option[Int] = None,
                           reuse: Reuse = Reuse.Local): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    // try_cast, not cast: under ANSI semantics a malformed id would
+    // throw the generic CAST_INVALID_INPUT mid-plan; the try form lets
+    // the guard below name the operator and its contract instead
+    val idL = expr(s"try_cast(`$idCol` AS BIGINT)")
+    val sid = when(idL.isNull || idL < 0, raise_error(concat(
+        lit("filterSentencesByLm: id "), col(idCol).cast("string"),
+        lit(" does not cast to a nonnegative long — sentence ids are " +
+          "idCol*1e6 + sent_no; a NULL/negative id would silently " +
+          "empty the document"))))
+      .when(col("sent_no") >= 1000000L, raise_error(concat(
+        lit("filterSentencesByLm: document "), col(idCol).cast("string"),
+        lit(" has >= 1e6 sentences — sentence ids would collide across " +
+          "documents; split the document upstream"))))
+      .otherwise(idL * lit(1000000L) + col("sent_no"))
     val sents = reuse(sentenceRows(df, idCol, textCol)
-      .select(col(idCol), col("sent_no"), col("sentence"),
-        (col(idCol).cast("long") * lit(1000000L) + col("sent_no")).as("__sid")))
+      .select(col(idCol), col("sent_no"), col("sentence"), sid.as("__sid")))
     val lp = bigramLogProb(sents.select(col("__sid"), col("sentence")),
       "__sid", "sentence", reuse)
     val kept = Sampling.keepAboveQuantile(
@@ -623,8 +641,21 @@ object TextAnalysis {
     val kth = cnts.orderBy(col("cnt").desc).limit(topK)
       .agg(min(col("cnt")).as("__ck"))
     val candCap = math.max(64 * topK, 1024)
-    val cand = cnts.crossJoin(broadcast(kth))
+    val boundary = cnts.crossJoin(broadcast(kth))
       .filter(col("cnt") >= col("__ck"))
+    // this op REPORTS named tokens (unlike the hash-order-contract
+    // boilerplate/vocab reports): final rank is (cnt desc, token asc)
+    // but the cut is (cnt desc, hash asc), so a boundary tie set larger
+    // than the cap could silently exclude token-asc winners from the
+    // attested top-k — refuse loudly instead (one count over the
+    // compact (hash, cnt) frame; the op is already action-shaped)
+    val nBoundary = boundary.count()
+    require(nBoundary <= candCap,
+      s"heavyHittersCms: $nBoundary tokens tie at the top-$topK count " +
+        s"boundary (> candidate cap $candCap) — the (count, token) rank " +
+        "order cannot be resolved from a hash-order cut; raise topK or " +
+        "report on a corpus with meaningful heavy hitters")
+    val cand = boundary
       .orderBy(col("cnt").desc, col("__h").asc).limit(candCap)
     val resolved = tok.select(col("__t"), Dedup.sharedHash60(col("__t")).as("__h"))
       .join(broadcast(cand), "__h")
@@ -1187,5 +1218,68 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** The second-level labels under which a 2-letter ccTLD hosts its own
+    * registration namespace — the documented PUBLIC-SUFFIX APPROXIMATION
+    * (the full Mozilla public-suffix list is thousands of rules and a
+    * moving target; these seven labels cover the dominant ccSLD pattern
+    * — co.uk, com.au, ac.jp, gov.in, org.nz, net.cn, edu.sg — which is
+    * the standard approximation when the list isn't shipped). */
+  val ccSlds: Seq[String] = Seq("co", "com", "net", "org", "ac", "gov", "edu")
+
+  /** Lowercased host of a URL column (port/userinfo stripped); NULL for
+    * unparseable URLs — `try_parse_url`, not `parse_url`, because under
+    * ANSI semantics the strict form THROWS on the first garbage URL and
+    * raw crawl data always contains one. */
+  def urlHost(url: Column): Column = lower(try_parse_url(url, lit("HOST")))
+
+  /** Registrable-domain of a (lowercased) host — the key URL-level
+    * curation groups and blocks by (RefinedWeb filters on it; C4's
+    * badlist matching and [[Sampling.domainCap]]'s grouping both want
+    * the REGISTERED site, not the subdomain): the last two labels, or
+    * the last THREE when the second-to-last is a [[ccSlds]] label under
+    * a 2-letter ccTLD (news.bbc.co.uk → bbc.co.uk, ads.x.example.com →
+    * example.com). A bare 1/2-label host is its own domain. Pure
+    * codegen'd string projection (RE2-safe split — no backreferences),
+    * zero shuffle. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last = element_at(labels, -1)
+    val second = element_at(labels, -2)
+    val ccSld = second.isin(ccSlds: _*) && length(last) === 2 && n >= 3
+    when(n <= 2, host)
+      .when(ccSld, concat_ws(".", element_at(labels, -3), second, last))
+      .otherwise(concat_ws(".", second, last))
+  }
+
+  /** URL/domain-level filter — the raw-crawl admission step that runs
+    * BEFORE any text heuristic (RefinedWeb's URL filtering, C4's
+    * badlist): parse each row's URL to its host, reduce to the
+    * registrable domain, and drop rows whose domain sits in the
+    * blocklist. The blocklist arrives as a DataFrame (one `domain`
+    * column — at production scale a read-back parquet/curated table; it
+    * is lowercased here so list casing can't silently miss) and
+    * BROADCASTS into a left-anti join; rows whose URL yields no host
+    * (garbage crawl URLs) are dropped — a row that cannot attest its
+    * domain cannot pass a domain gate. Output: (idCol, host, domain)
+    * for the survivors; compose `groupBy(domain).count` /
+    * [[Sampling.domainCap]] downstream for the per-domain balancing the
+    * domain key exists for. Pure projection + broadcast anti-join —
+    * zero corpus-scale exchange. */
+  def urlFilter(df: DataFrame, idCol: String, urlCol: String,
+                blocklist: DataFrame): DataFrame = {
+    require(blocklist.columns.contains("domain"),
+      s"blocklist must carry a `domain` column, got " +
+        blocklist.columns.mkString(","))
+    val parsed = df
+      .select(col(idCol), urlHost(col(urlCol)).as("host"))
+      .filter(col("host").isNotNull)
+      .withColumn("domain", registrableDomain(col("host")))
+    parsed.join(
+        broadcast(blocklist.select(lower(col("domain")).as("domain"))),
+        Seq("domain"), "left_anti")
+      .select(col(idCol), col("host"), col("domain"))
   }
 }

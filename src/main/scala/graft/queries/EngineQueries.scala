@@ -502,6 +502,91 @@ object EngineQueries {
                                          'vec_id', 'embedding', 'embedding',
                                          8, 2, 5, 1)""")
     }),
+    // batch serving against the stored index from SQL: artifacts
+    // written in Scala (the write side), read back as plain views,
+    // served via the deferred TVF — same oracle as llm_knn_join_stored
+    "e_sql_knn_join_stored" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/knn_stored_sql"
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
+      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_knn_cells")
+      s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_knn_cbs")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_knn_codes")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW knn_queries AS
+                 SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10""")
+      e.query("""SELECT query_id, neighbor_id, adc_score
+                 FROM graft_knn_join_stored('graft_knn_codes', 'graft_knn_cells',
+                                            'graft_knn_cbs', 'knn_queries',
+                                            'vec_id', 'vec_id', 'embedding',
+                                            5, 2, 1)""")
+    }),
+    // two-stage retrieval from one line of SQL (deferred TVF)
+    "e_sql_ann_rerank" -> ((s, d) => via(s, d)(
+      """SELECT * FROM graft_ann_rerank('embeddings', 'vec_id', 'embedding',
+                                        0, 10, 8, 2, 4, 16, 8, 20)""")),
+    // the appended minhash index probed from SQL: generation A written
+    // in Scala, the admitted shard's delta frames parquet-APPENDED, the
+    // union read back as plain views and probed via the existing
+    // deferred probe TVF — same oracle as the full-corpus incremental
+    // probe, so a lost append hash-mismatches
+    "e_sql_minhash_append" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/minhash_index_append_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val a = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") <= col("m") - 150).select(col("doc_id"), col("text"))
+      val b = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 150).select(col("doc_id"), col("text"))
+      val idxA = graft.operators.Dedup.minhashIndex(a, "doc_id", "text",
+        k = 16, nBands = 4)
+      idxA.bands.write.mode("overwrite").parquet(s"$out/bands")
+      idxA.sets.write.mode("overwrite").parquet(s"$out/sets")
+      val delta = graft.operators.Dedup.minhashIndex(b, "doc_id", "text",
+        k = 16, nBands = 4)
+      delta.bands.write.mode("append").parquet(s"$out/bands")
+      delta.sets.write.mode("append").parquet(s"$out/sets")
+      s.read.parquet(s"$out/bands").createOrReplaceTempView("graft_mh_bands")
+      s.read.parquet(s"$out/sets").createOrReplaceTempView("graft_mh_sets")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_incoming_v AS
+                 SELECT doc_id + 3000000 AS doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)""")
+      e.query("""SELECT * FROM graft_minhash_probe(
+                   'graft_mh_bands', 'graft_mh_sets', 'graft_incoming_v',
+                   'doc_id', 'text', 16, 4, 0.5)""")
+    }),
+    // URL/domain admission from SQL over the same deterministic fixture
+    "e_sql_url_filter" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_url_docs AS
+                 SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 'https://www.example.com/a/' || doc_id
+                     WHEN 1 THEN 'http://blog.spamsite.com/p?id=' || doc_id
+                     WHEN 2 THEN 'https://news.bbc.co.uk:443/story/' || doc_id
+                     WHEN 3 THEN 'http://EXAMPLE.com/x'
+                     WHEN 4 THEN 'https://ads.tracker.net/c'
+                     ELSE 'not a url ' || doc_id END AS url
+                 FROM documents""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_url_blocklist AS
+                 SELECT * FROM (VALUES ('spamsite.com'), ('Tracker.NET'))
+                 AS t(domain)""")
+      e.query("""SELECT * FROM graft_url_filter('graft_url_docs', 'doc_id',
+                                                'url', 'graft_url_blocklist')""")
+    }),
     "e_sql_semdedup" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -829,6 +914,10 @@ object EngineQueries {
     "e_sql_overlap_extents" -> LlmQueries.oracle("llm_overlap_extents"),
     "e_sql_substr_dedup" -> LlmQueries.oracle("llm_substr_dedup"),
     "e_sql_pipeline2" -> LlmQueries.oracle("llm_pipeline2"),
-    "e_sql_pipeline3" -> LlmQueries.oracle("llm_pipeline3")
+    "e_sql_pipeline3" -> LlmQueries.oracle("llm_pipeline3"),
+    "e_sql_knn_join_stored" -> LlmQueries.oracle("llm_knn_join_stored"),
+    "e_sql_ann_rerank" -> LlmQueries.oracle("llm_ann_rerank"),
+    "e_sql_minhash_append" -> LlmQueries.oracle("llm_minhash_incr"),
+    "e_sql_url_filter" -> LlmQueries.oracle("llm_url_filter")
   )
 }

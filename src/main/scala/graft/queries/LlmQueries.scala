@@ -835,6 +835,79 @@ object LlmQueries {
       Dedup.minhashProbe(incoming, stored, "doc_id", "text",
         k = 16, nBands = 4, threshold = 0.5)
     }),
+    "llm_minhash_index_append" -> ((s, d) => {
+      import s.implicits._
+      // the ingestion loop CLOSED: the corpus index is built in two
+      // generations — build(A) written to parquet, the admitted shard B
+      // appended via the union API over the READ-BACK frames — and the
+      // re-ingested tail-300 slice probes the appended index. Oracle =
+      // the full-corpus probe (llm_minhash_incr), so a lost or drifted
+      // append under-reports pairs and hash-mismatches
+      val out = "target/gate_sink/minhash_index_append"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 150)
+        .select($"doc_id", $"text")
+      val b = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 150)
+        .select($"doc_id", $"text")
+      val incoming = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+        .select(($"doc_id" + 3000000).as("doc_id"), $"text")
+      val idxA = Dedup.minhashIndex(a, "doc_id", "text", k = 16, nBands = 4)
+      idxA.bands.write.mode("overwrite").parquet(s"$out/bands")
+      idxA.sets.write.mode("overwrite").parquet(s"$out/sets")
+      val appended = Dedup.minhashIndexAppend(
+        Dedup.MinhashIndex(
+          s.read.parquet(s"$out/bands"), s.read.parquet(s"$out/sets")),
+        b, "doc_id", "text", k = 16, nBands = 4)
+      Dedup.minhashProbe(incoming, appended, "doc_id", "text",
+        k = 16, nBands = 4, threshold = 0.5)
+    }),
+    "llm_fp_append" -> ((s, d) => {
+      import s.implicits._
+      // the fingerprint store's append path (the llm_exact_incr store,
+      // maintained instead of rebuilt): generation A written, the
+      // admitted shard's fingerprints landed as a parquet APPEND, and
+      // the mixed clone/novel incoming shard probed against the
+      // read-back union — clones of EITHER generation must bounce
+      val out = "target/gate_sink/fingerprint_store_append"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 150)
+        .select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
+        .write.mode("overwrite").parquet(out)
+      docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 150)
+        .select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
+        .write.mode("append").parquet(out)
+      val tail = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+      val incoming = tail.select(($"doc_id" + 3000000).as("doc_id"), $"text")
+        .unionAll(tail.select(($"doc_id" + 4000000).as("doc_id"),
+          concat($"text", lit(" novel suffix")).as("text")))
+      incoming.join(s.read.parquet(out),
+          TextAnalysis.fingerprint($"text") === $"fp", "left_anti")
+        .select($"doc_id")
+    }),
+    "llm_url_filter" -> ((s, d) => {
+      import s.implicits._
+      // URL/domain-level admission (the RefinedWeb/C4 pre-text gate):
+      // a deterministic URL fixture mixing subdomains, a ccSLD host
+      // (bbc.co.uk), an uppercase host, ports, and garbage non-URLs;
+      // blocked registrable domains anti-join out, unparseable rows
+      // drop, survivors carry (host, domain) for downstream domainCap
+      val docs = Tables.load(s, d, "documents").select($"doc_id")
+      val urls = docs.select($"doc_id",
+        when($"doc_id" % 6 === 0,
+            concat(lit("https://www.example.com/a/"), $"doc_id"))
+          .when($"doc_id" % 6 === 1,
+            concat(lit("http://blog.spamsite.com/p?id="), $"doc_id"))
+          .when($"doc_id" % 6 === 2,
+            concat(lit("https://news.bbc.co.uk:443/story/"), $"doc_id"))
+          .when($"doc_id" % 6 === 3, lit("http://EXAMPLE.com/x"))
+          .when($"doc_id" % 6 === 4, lit("https://ads.tracker.net/c"))
+          .otherwise(concat(lit("not a url "), $"doc_id")).as("url"))
+      val blocklist = s.createDataFrame(
+        Seq(Tuple1("spamsite.com"), Tuple1("Tracker.NET"))).toDF("domain")
+      TextAnalysis.urlFilter(urls, "doc_id", "url", blocklist)
+    }),
     "llm_split" -> ((s, d) => {
       import s.implicits._
       // deterministic train/val/test cut: disjoint + exhaustive hash
@@ -1047,6 +1120,42 @@ object LlmQueries {
       Similarity.ivfKnnJoin(emb.filter($"vec_id" < 10), emb,
         "vec_id", "vec_id", "embedding", "embedding", cents,
         k = 5, probes = 2, excludeSelf = true)
+    }),
+    "llm_knn_join_stored" -> ((s, d) => {
+      import s.implicits._
+      // the production serving fleet's shape: a BATCH of query vectors
+      // against the STORED index — cells/codebooks/codes written once
+      // as plain parquet, read back, and the ten-query batch served via
+      // probe-cell equi-join + per-query in-plan ADC LUTs; the corpus
+      // vectors are never read after the encode
+      val out = "target/gate_sink/knn_stored"
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      Similarity.centroidsToDf(s, cents)
+        .write.mode("overwrite").parquet(s"$out/cells")
+      Similarity.codebooksToDf(s, cbs)
+        .write.mode("overwrite").parquet(s"$out/codebooks")
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      Similarity.ivfPqKnnJoinStored(
+        emb.filter($"vec_id" < 10).select($"vec_id", $"embedding"),
+        s.read.parquet(s"$out/codes"), "vec_id", "vec_id", "embedding",
+        Similarity.centroidsFromDf(s.read.parquet(s"$out/cells")),
+        Similarity.codebooksFromDf(s.read.parquet(s"$out/codebooks")),
+        subDim = 16, k = 5, probes = 2, excludeSelf = true)
+    }),
+    "llm_ann_rerank" -> ((s, d) => {
+      // two-stage retrieval: IVF-PQ proposes the ADC top-20, exact
+      // cosine re-ranks ONLY those 20 (the only vector read besides the
+      // query lookup) — quantization error bought back at bounded cost
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding",
+        Similarity.collectCentroids(emb, "vec_id", "embedding", nCells = 8),
+        Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          m = 4, subDim = 16, nCodes = 8),
+        subDim = 16, queryId = 0, k = 10, probes = 2, candC = 20)
     }),
     "llm_embed_outliers" -> ((s, d) => {
       import s.implicits._
@@ -1395,7 +1504,14 @@ object LlmQueries {
     "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"),
     "llm_ann_pq_stored" -> oracleBase("llm_ann_pq"),
     // the full-index storage round-trip is output-identical by contract
-    "llm_ann_index_roundtrip" -> oracleBase("llm_ann_ivf_pq"))
+    "llm_ann_index_roundtrip" -> oracleBase("llm_ann_ivf_pq"),
+    // append(build(A), B) ≡ build(A∪B): the appended index must probe
+    // exactly like the full-corpus index — a lost/drifted append
+    // under-reports pairs and hash-mismatches
+    "llm_minhash_index_append" -> oracleBase("llm_minhash_incr"),
+    // the appended fingerprint store must bounce clones of EITHER
+    // generation — membership-identical to the full-corpus store
+    "llm_fp_append" -> oracleBase("llm_exact_incr"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_ann_ivf" ->
@@ -1961,17 +2077,18 @@ object LlmQueries {
                   text NULLS LAST, doc_id NULLS LAST
          LIMIT 200""",
     // DLT priority = w / u, u = (h+1)·2⁻³² — one exact power-of-two
-    // scale + one correctly-rounded division, so ranking on the raw
-    // double is engine-exact (the literal is 2⁻³²'s shortest decimal)
+    // scale + one correctly-rounded division, engine-exact (the literal
+    // is 2⁻³²'s shortest decimal); ranked on the ROUNDED priority (the
+    // stated ordering contract, shared with the per-stratum form)
     "llm_sample_weighted" ->
       """SELECT doc_id, n_chars AS weight,
                 round(CAST(n_chars AS DOUBLE) /
                   ((CAST(('0x'||substr(md5('wpri:'||text),1,8)) AS BIGINT) + 1)
                     * 2.3283064365386963e-10), 6) AS priority
          FROM documents
-         ORDER BY CAST(n_chars AS DOUBLE) /
+         ORDER BY round(CAST(n_chars AS DOUBLE) /
                   ((CAST(('0x'||substr(md5('wpri:'||text),1,8)) AS BIGINT) + 1)
-                    * 2.3283064365386963e-10) DESC NULLS LAST,
+                    * 2.3283064365386963e-10), 6) DESC NULLS LAST,
                   text NULLS LAST, doc_id NULLS LAST
          LIMIT 200""",
     // per-stratum variant ranks on the ROUNDED priority (the stated
@@ -2517,6 +2634,123 @@ object LlmQueries {
                 FROM corpus c JOIN qry q ON c.cell = q.cell
                 WHERE c.neighbor_id <> q.query_id)
          SELECT query_id, neighbor_id, cos_sim FROM s WHERE rn <= 5""",
+    // batch serving against the stored index: corpus rows carry their
+    // argmax cell (the encode-time cellOf), queries their top-2 cells
+    // and a per-query LUT over the seed codebooks; pairs from the cell
+    // equi-join, score = sum of the query's LUT entries at the stored
+    // codes, rank on the ROUNDED score per query
+    "llm_knn_join_stored" ->
+      """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          ca AS (SELECT e.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent c),
+          corpus AS (SELECT e.vec_id AS neighbor_id, a.cid AS cell
+                     FROM e JOIN (SELECT vec_id, cid FROM ca WHERE rk = 1) a
+                       USING (vec_id)),
+          qry AS (SELECT e.vec_id AS query_id, a.cid AS cell
+                  FROM e JOIN (SELECT vec_id, cid FROM ca WHERE rk <= 2) a
+                    USING (vec_id)
+                  WHERE e.vec_id < 10),
+          seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+          sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+          cb AS (SELECT sub.s, seed.vec_id AS cid,
+                        seed.v[sub.s*16+1 : sub.s*16+16] AS cv
+                 FROM sub CROSS JOIN seed),
+          enc AS (SELECT vec_id, s, cid AS code FROM (
+                    SELECT e.vec_id, b.s, b.cid,
+                           row_number() OVER (PARTITION BY e.vec_id, b.s
+                             ORDER BY round(list_inner_product(b.cv, b.cv)
+                               - 2 * list_inner_product(e.v[b.s*16+1 : b.s*16+16], b.cv), 6) ASC,
+                             b.cid ASC) AS rk
+                    FROM e CROSS JOIN cb b) WHERE rk = 1),
+          qv AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+          lut AS (SELECT qv.query_id, b.s, b.cid,
+                         list_inner_product(qv.v[b.s*16+1 : b.s*16+16], b.cv) AS d
+                  FROM cb b CROSS JOIN qv),
+          pairs AS (SELECT q.query_id, c.neighbor_id
+                    FROM corpus c JOIN qry q ON c.cell = q.cell
+                    WHERE c.neighbor_id <> q.query_id),
+          sc AS (SELECT p.query_id, p.neighbor_id, round(sum(l.d), 6) AS adc_score
+                 FROM pairs p
+                 JOIN enc ON enc.vec_id = p.neighbor_id
+                 JOIN lut l ON l.query_id = p.query_id
+                           AND l.s = enc.s AND l.cid = enc.code
+                 GROUP BY p.query_id, p.neighbor_id)
+         SELECT query_id, neighbor_id, adc_score FROM (
+           SELECT query_id, neighbor_id, adc_score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_score DESC NULLS LAST,
+                             neighbor_id NULLS LAST) AS rn
+           FROM sc)
+         WHERE rn <= 5""",
+    // two-stage retrieval: the llm_ann_ivf_pq chain proposes the ADC
+    // top-20, exact cosine over ONLY those candidates ranks the final 10
+    "llm_ann_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+          a AS (SELECT vec_id, v, cid AS cell FROM (
+                  SELECT e.vec_id, e.v, c.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                  FROM e CROSS JOIN cent c) WHERE rk = 1),
+          qc AS (SELECT c.cid AS cell,
+                        row_number() OVER (
+                          ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rk
+                 FROM cent c CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q),
+          pr AS (SELECT a.vec_id, a.v FROM a
+                 JOIN (SELECT cell FROM qc WHERE rk <= 2) p ON a.cell = p.cell
+                 WHERE a.vec_id <> 0),
+          seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+          sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+          cb AS (SELECT sub.s, seed.vec_id AS cid,
+                        seed.v[sub.s*16+1 : sub.s*16+16] AS cv
+                 FROM sub CROSS JOIN seed),
+          enc AS (SELECT vec_id, s, cid AS code FROM (
+                    SELECT pr.vec_id, b.s, b.cid,
+                           row_number() OVER (PARTITION BY pr.vec_id, b.s
+                             ORDER BY round(list_inner_product(b.cv, b.cv)
+                               - 2 * list_inner_product(pr.v[b.s*16+1 : b.s*16+16], b.cv), 6) ASC,
+                             b.cid ASC) AS rk
+                    FROM pr CROSS JOIN cb b) WHERE rk = 1),
+          q AS (SELECT v FROM e WHERE vec_id = 0),
+          lut AS (SELECT b.s, b.cid,
+                         list_inner_product(q.v[b.s*16+1 : b.s*16+16], b.cv) AS d
+                  FROM cb b CROSS JOIN q),
+          adc AS (SELECT enc.vec_id, round(sum(lut.d), 6) AS adc_score
+                  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cid
+                  GROUP BY enc.vec_id),
+          cand AS (SELECT vec_id FROM adc
+                   ORDER BY adc_score DESC, vec_id LIMIT 20)
+         SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS cos_sim
+         FROM e JOIN cand USING (vec_id) CROSS JOIN q
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // host from the fixture construction (the parse half is gated by
+    // f_urlparse); the registrable-domain heuristic and blocklist
+    // anti-join re-derived in DuckDB string algebra
+    "llm_url_filter" ->
+      """WITH u AS (SELECT doc_id,
+                      CASE doc_id % 6
+                        WHEN 0 THEN 'www.example.com'
+                        WHEN 1 THEN 'blog.spamsite.com'
+                        WHEN 2 THEN 'news.bbc.co.uk'
+                        WHEN 3 THEN 'example.com'
+                        WHEN 4 THEN 'ads.tracker.net'
+                        ELSE NULL END AS host
+                    FROM documents),
+          p AS (SELECT doc_id, host, string_split(host, '.') AS ls
+                FROM u WHERE host IS NOT NULL),
+          d AS (SELECT doc_id, host,
+                       CASE WHEN len(ls) <= 2 THEN host
+                            WHEN list_contains(['co','com','net','org','ac','gov','edu'], ls[-2])
+                                 AND length(ls[-1]) = 2 AND len(ls) >= 3
+                            THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                            ELSE ls[-2] || '.' || ls[-1] END AS domain
+                FROM p)
+         SELECT doc_id, host, domain FROM d
+         WHERE domain NOT IN ('spamsite.com', 'tracker.net')""",
     // nearest seed centroid (argmax cosine, tie lowest cid — the cellOf
     // contract), cosine to the OWN centroid rounded to 6, then the
     // per-cell exact-quantile keep (quantile_cont == Spark percentile)

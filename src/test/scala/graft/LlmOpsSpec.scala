@@ -1633,4 +1633,205 @@ class LlmOpsSpec extends AnyFunSuite {
         s"doc $id: fraction ${frac} disagrees with decontaminate flag ${anyHit(id)}")
     }
   }
+
+  private def causeChain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+    .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("round-8 loud-failure guards: sentence-filter sid contract") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // a STRING/UUID id corpus raises at first execution instead of
+    // silently returning every doc with clean_text = ''
+    val bad = Seq(("u-1", "One sentence here. Two sentences here."),
+      ("u-2", "Hi there friend. Bye now friend.")).toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      TextAnalysis.filterSentencesByLm(bad, "doc_id", "text", 0.2).collect()
+    }
+    assert(causeChain(e1).contains("does not cast"), causeChain(e1))
+    // negative ids raise (sid collision across docs)
+    val neg = Seq((-1L, "One sentence here. Two sentences here.")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      TextAnalysis.filterSentencesByLm(neg, "doc_id", "text", 0.2).collect()
+    }
+    assert(causeChain(e2).contains("does not cast"), causeChain(e2))
+    // NUMERIC string ids cast fine and keep working (the guard must not
+    // over-reject)
+    val ok = Seq(("7", "Good sentence one here. Good sentence two here."),
+      ("8", "Another fine doc. With two sentences.")).toDF("doc_id", "text")
+    assert(TextAnalysis.filterSentencesByLm(ok, "doc_id", "text", 0.2)
+      .count() == 2)
+    // a 10⁶-sentence document raises instead of colliding sids
+    val big = spark.range(1).select(lit(5L).as("doc_id"),
+      org.apache.spark.sql.functions.repeat(lit("a. "), 1000001).as("text"))
+    val e3 = intercept[Exception] {
+      TextAnalysis.filterSentencesByLm(big, "doc_id", "text", 0.2).collect()
+    }
+    assert(causeChain(e3).contains("1e6 sentences"), causeChain(e3))
+  }
+
+  test("round-8 loud-failure guards: EMPTY decontam hash frame, CMS tie cut") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // a FULLY truncated (zero-row) hash frame must still raise: the
+    // guard rides the bloom-candidate side, so any probed row trips it
+    // even though the hash frame has no rows to carry a guard column
+    val corpus = docs.select($"doc_id", $"text").filter($"doc_id" < 300)
+    val ev = docs.select($"doc_id", $"text")
+      .filter($"doc_id" >= 250 && $"doc_id" < 300) // ⊂ corpus ⇒ candidates certain
+    val idx = Dedup.decontamIndex(ev, "doc_id", "text", n = 13,
+      expectedItems = 1L << 12, numBits = 1L << 16)
+    val e = intercept[Exception] {
+      Dedup.decontaminateStored(corpus,
+        Dedup.DecontamIndex(idx.sketch, idx.hashes.limit(0)),
+        "doc_id", "text").collect()
+    }
+    assert(causeChain(e).contains("decontamination index drift"), causeChain(e))
+    // CMS: a boundary tie set past the candidate cap refuses instead of
+    // silently excluding token-asc winners from the attested top-k
+    val uniq = spark.range(3000).select($"id".as("doc_id"),
+      concat(lit("tok"), $"id").as("text"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHittersCms(uniq, "doc_id", "text", topK = 1)
+    }
+    assert(e2.getMessage.contains("tie"), e2.getMessage)
+  }
+
+  test("weighted sampling: per-stratum with one stratum equals the global form") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // the unified ordering contract (both rank on the ROUNDED priority):
+    // the per-stratum form really is weightedK within every stratum
+    val d = docs.select($"doc_id", $"text", $"n_chars")
+    val g = Sampling.weightedK(d, $"text", $"n_chars", 50, Seq($"doc_id"),
+      salt = "wlaw:").select($"doc_id").collect().map(_.getLong(0)).toSet
+    val ps = Sampling.weightedKPerStratum(d, lit(1), $"text", $"n_chars", 50,
+      Seq($"doc_id"), salt = "wlaw:")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(g == ps && g.size == 50)
+  }
+
+  test("stored kNN join: single-query all-probe parity, per-query parity, drift guards") {
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 8)
+    val codes = Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cb, 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"neighbor_id", $"adc_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(p => (-p._2, p._1)).toSeq
+    // probing every cell with one query reproduces pqTopKStored exactly
+    val batch = rows(Similarity.ivfPqKnnJoinStored(
+      emb.filter($"vec_id" === 0), codes, "vec_id", "vec_id", "embedding",
+      cents, cb, 16, k = 10, probes = 8, excludeSelf = true))
+    val single = Similarity.pqTopKStored(codes.drop("cell"), "vec_id", cb, 16,
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0), 10,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch == single, s"batch=$batch single=$single")
+    // each batch query's rows equal the single-query IVF-PQ path
+    val b2 = Similarity.ivfPqKnnJoinStored(
+      emb.filter($"vec_id" < 3), codes, "vec_id", "vec_id", "embedding",
+      cents, cb, 16, k = 5, probes = 2, excludeSelf = true)
+    (0L until 3L).foreach { q =>
+      val got = rows(b2.filter($"query_id" === q))
+      val want = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb,
+          16, q, 5, probes = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"query $q: got=$got want=$want")
+    }
+    // a codes table missing its code columns refuses by name
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnnJoinStored(emb.filter($"vec_id" === 0),
+        codes.drop("code_2"), "vec_id", "vec_id", "embedding",
+        cents, cb, 16, k = 5)
+    }
+    assert(e1.getMessage.contains("code_2"))
+    // a drifted stored code raises instead of scoring NULL
+    val e2 = intercept[Exception] {
+      Similarity.ivfPqKnnJoinStored(emb.filter($"vec_id" === 0),
+        codes.withColumn("code_0", lit(999999L)), "vec_id", "vec_id",
+        "embedding", cents, cb, 16, k = 5, probes = 8).collect()
+    }
+    assert(causeChain(e2).contains("out of codebook range"), causeChain(e2))
+  }
+
+  test("rerank: recall >= pure ADC, unbounded candC degrades to exact-over-probed-cells") {
+    import spark.implicits._
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 8)
+    val adc = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb,
+      16, 0, 10, probes = 2).select($"vec_id").collect().map(_.getLong(0)).toSet
+    val rr = Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding", cents, cb,
+        16, 0, 10, probes = 2, candC = 20)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact & rr).size >= (exact & adc).size,
+      s"re-ranking a candidate superset must not lose recall: " +
+        s"rr=${(exact & rr).size} adc=${(exact & adc).size}")
+    // candC covering every probed row degrades to EXACT cosine over the
+    // probed cells — ivfTopKWith's answer, bit for bit
+    val rrAll = Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding", cents,
+        cb, 16, 0, 10, probes = 2, candC = 1000000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents,
+        0, 10, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rrAll == ivf, s"rrAll=$rrAll ivf=$ivf")
+    // a candidate budget below k refuses
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding", cents, cb,
+        16, 0, 10, candC = 5)
+    }
+    assert(e.getMessage.contains("candC"))
+  }
+
+  test("minhash index append law: append(build(A), B) == build(A∪B) bit-for-bit") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text").filter($"doc_id" < 300)
+    val a = base.filter($"doc_id" < 200)
+    val b = base.filter($"doc_id" >= 200)
+    val idxA = Dedup.minhashIndex(a, "doc_id", "text", k = 16, nBands = 4)
+    val appended = Dedup.minhashIndexAppend(idxA, b, "doc_id", "text",
+      k = 16, nBands = 4)
+    val full = Dedup.minhashIndex(base, "doc_id", "text", k = 16, nBands = 4)
+    def bandsSet(i: Dedup.MinhashIndex) = i.bands.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(bandsSet(appended) == bandsSet(full),
+      "appended band rows must equal the fresh build's")
+    def setsSet(i: Dedup.MinhashIndex) = i.sets.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).sorted.toList,
+        (2 until 18).map(r.getLong).toList)).toSet
+    assert(setsSet(appended) == setsSet(full),
+      "appended sketch rows must equal the fresh build's")
+    // appending with drifted build parameters refuses
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexAppend(idxA, b, "doc_id", "text", k = 8, nBands = 4)
+    }
+    assert(e.getMessage.contains("append"))
+  }
+
+  test("urlFilter: registrable domains, ccSLD, casing, garbage URLs, blocklist") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "https://a.b.example.com/x"),
+      (2L, "http://EXAMPLE.com"),
+      (3L, "https://news.bbc.co.uk:443/s"),
+      (4L, "nonsense url"),
+      (5L, "https://spam.bad.org/z")).toDF("id", "url")
+    val bl = Seq("BAD.org").toDF("domain")
+    val out = TextAnalysis.urlFilter(df, "id", "url", bl).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out == Map(
+      1L -> (("a.b.example.com", "example.com")),
+      2L -> (("example.com", "example.com")),
+      3L -> (("news.bbc.co.uk", "bbc.co.uk"))),
+      s"got $out")
+    // a blocklist without a `domain` column refuses by name
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.urlFilter(df, "id", "url", Seq("x").toDF("d"))
+    }
+    assert(e.getMessage.contains("domain"))
+  }
 }

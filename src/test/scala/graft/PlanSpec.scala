@@ -81,6 +81,13 @@ class PlanSpec extends AnyFunSuite {
       // same 1-row query-vector × centroid-frame probe-cell selection
       // as llm_ann_ivf_pq, from the stored artifacts
       "llm_ann_index_roundtrip",
+      // the rerank's candidate stage IS llm_ann_ivf_pq (same bounded
+      // probe-cell selection); the exact stage adds only a broadcast
+      // semi-join + 1-row query-vector literal
+      "llm_ann_rerank",
+      // broadcast 1-row max-doc-id bound building the incoming shard
+      // (the llm_exact_incr fixture against the appended store)
+      "llm_fp_append",
       "e_sql_ann_topk", "e_sql_ann_lsh",
       "llm_cosine", "e_sql_cosine",
       "llm_ngram_jaccard",
@@ -185,6 +192,44 @@ class PlanSpec extends AnyFunSuite {
       "IVF-PQ must not hash-shuffle the corpus")
     assert(!p.contains("Window"))
     assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("stored kNN serving: cell equi-join, codes-only corpus side, no cartesian") {
+    val qe = SparkEntry.queries("llm_knn_join_stored")(spark, TestSpark.sf)
+      .queryExecution
+    val p = qe.executedPlan.toString
+    // pairing must be the broadcast cell EQUI-join, never a cross shape
+    assert(p.contains("BroadcastHashJoin"), "probe-cell pairing must be a BHJ")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // vectors are read ONLY on the bounded query side: exactly one scan
+    // carries the embedding column; the corpus side reads the codes
+    // table (sparkPlan, not executedPlan — the AQE wrapper hides
+    // children from collect)
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val vecScans = scans.filter(_.output.exists(_.name == "embedding"))
+    assert(vecScans.size == 1,
+      s"only the bounded query side may read vectors, got ${vecScans.size} vector scans")
+    assert(scans.exists(_.output.exists(_.name.startsWith("code_"))),
+      "the corpus side must serve from the stored codes table")
+  }
+
+  test("rerank reads vectors only for ADC candidates (semi-join gate)") {
+    val p = plan("llm_ann_rerank")
+    // the exact stage must reach the vector scan through a broadcast
+    // LeftSemi on the candC candidate ids — never a full-corpus cosine
+    assert(p.contains("LeftSemi"),
+      "the exact cosine stage must be gated by the candidate semi-join")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("url filter: broadcast blocklist anti-join, zero corpus exchange") {
+    val p = plan("llm_url_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "the blocklist must broadcast into a left-anti join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "domain admission must not shuffle the corpus")
   }
 
   test("minhash pipeline shuffles band keys, not documents") {
