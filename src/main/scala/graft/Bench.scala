@@ -16,6 +16,20 @@ object Bench {
     // appender writes WARNs to stderr, but the driver may capture merged
     // streams — keep everything below ERROR out of the logs
     spark.sparkContext.setLogLevel("ERROR")
+    // One ERROR-level logger fires in a HEALTHY run: the DAGScheduler's
+    // "Failed to update accumulator … attempted to access non-existent
+    // accumulator" barrage — tasks of an already-finished/cancelled
+    // stage (AQE re-plans cancel materialized stages; early-exit limits)
+    // report completion after the execution's metric accumulators are
+    // unregistered. Driver-side accounting noise, results unaffected —
+    // but one ~300-frame burst lands directly above the JSON line and
+    // would eat the driver's ~2000-char capture window (BASELINE.md
+    // "Bench stderr"). Pin that logger to FATAL in THIS process only; a
+    // genuinely failing query still surfaces as its action's exception →
+    // the -1 sentinel + "[bench] <name> failed" line.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
     // warm-up: touch every table's footer + JIT the read path
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     // one UNMEASURED full execution so whole-stage-codegen compilation +
