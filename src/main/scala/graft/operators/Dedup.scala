@@ -649,11 +649,13 @@ object Dedup {
     * candidates exist whenever contamination exists (no false
     * negatives). An empty candidate set with a drifted frame means the
     * bloom itself attests no contamination — the answer is right anyway. */
-  def decontaminateStored(corpus: DataFrame, index: DecontamIndex,
-                          idCol: String, textCol: String,
-                          validateCount: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+  /** The validated single sketch row of a (possibly read-back)
+    * [[DecontamIndex]] — (shingle n, recorded hash count, bloom bytes).
+    * Shared by [[decontaminateStored]] and the streaming admission's
+    * stored-store composition so the schema/single-row refusals cannot
+    * drift between the two probe surfaces. */
+  private[graft] def decontamSketchRow(
+      index: DecontamIndex): (Int, Long, Array[Byte]) = {
     val have = index.sketch.columns.toSet
     require(Set("bf", "n", "n_hashes").subsetOf(have),
       s"decontamination sketch must carry bf/n/n_hashes, got " +
@@ -665,10 +667,16 @@ object Dedup {
       s"decontamination sketch must be exactly one row, got " +
         s"${srows.length}${if (srows.length == 2) "+" else ""} — " +
         "rebuild or re-copy the index")
-    val srow = srows(0)
-    val bloomBytes = srow.getAs[Array[Byte]]("bf")
-    val ng = srow.getAs[Int]("n")
-    val nHashes = srow.getAs[Long]("n_hashes")
+    (srows(0).getAs[Int]("n"), srows(0).getAs[Long]("n_hashes"),
+      srows(0).getAs[Array[Byte]]("bf"))
+  }
+
+  def decontaminateStored(corpus: DataFrame, index: DecontamIndex,
+                          idCol: String, textCol: String,
+                          validateCount: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val (ng, nHashes, bloomBytes) = decontamSketchRow(index)
     val corpusH = shingleRows(corpus.select(col(idCol), col(textCol)),
         idCol, textCol, ng)
       .select(col(idCol), sharedHash(col("s")).as("h")).distinct()

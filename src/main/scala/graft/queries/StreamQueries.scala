@@ -87,6 +87,54 @@ object StreamQueries {
         .select(col("id_new").as("doc_id")).distinct()
       clean.select(col("doc_id")).join(hits, Seq("doc_id"), "left_anti")
     }),
+    "st_admission_stored" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // st_admission with EVERY index read back from parquet — the
+      // production-restart attestation: a fleet restart resumes
+      // admission with zero recomputation of the eval suite or the
+      // corpus sketches. Same fixture and oracle as st_admission, so
+      // any drift through storage hash-mismatches
+      val out = "target/gate_sink/admission_stores"
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val a = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && col("doc_id") <= col("m") - 200)
+      val clones = a.select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      val novel = a.select(col("doc_id").as("aid"), col("text").as("atext"))
+        .join(docs.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("aid") - 120 === col("bid"))
+        .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")),
+          col("aid") - 240 === col("cid"))
+        .select((col("aid") + 4000000).as("doc_id"),
+          concat_ws(" ", col("atext"), col("btext"), col("ctext")).as("text"))
+      val incoming = clones.unionAll(novel)
+      val ev = docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 100)
+        .select(col("doc_id"), col("text"))
+      // write both stores once (the index-build run), read them back
+      val dcIdx = graft.operators.Dedup.decontamIndex(ev, "doc_id", "text",
+        n = 13, expectedItems = 1L << 16, numBits = 1L << 20)
+      dcIdx.sketch.write.mode("overwrite").parquet(s"$out/decontam/sketch")
+      dcIdx.hashes.write.mode("overwrite").parquet(s"$out/decontam/hashes")
+      val mhIdx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+      mhIdx.bands.write.mode("overwrite").parquet(s"$out/minhash/bands")
+      mhIdx.sets.write.mode("overwrite").parquet(s"$out/minhash/sets")
+      val dcStored = graft.operators.Dedup.DecontamIndex(
+        s.read.parquet(s"$out/decontam/sketch"),
+        s.read.parquet(s"$out/decontam/hashes"))
+      val mhStored = graft.operators.Dedup.MinhashIndex(
+        s.read.parquet(s"$out/minhash/bands"),
+        s.read.parquet(s"$out/minhash/sets"))
+      val quality = incoming.filter(graft.operators.TextAnalysis.gopherKeep(
+        col("text"), minTokens = 10, maxTokens = 100000,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        maxSymbolRatio = 0.1, minStopwordHits = 1))
+      val clean = graft.streaming.Corpus.cleanAgainstStored(
+        quality, dcStored, "doc_id", "text")
+      val hits = graft.streaming.Corpus.admitProbe(clean, mhStored,
+          "doc_id", "text")
+        .select(col("id_new").as("doc_id")).distinct()
+      clean.select(col("doc_id")).join(hits, Seq("doc_id"), "left_anti")
+    }),
     "st_semdedup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // streaming SEMANTIC admission (batch-parity form; the stream
@@ -146,6 +194,8 @@ object StreamQueries {
     // the composed admission-path oracle lives in LlmQueries (shared
     // CTE helpers)
     "st_admission" -> LlmQueries.admissionOracleSql,
+    // the stored-store restart path is output-identical by contract
+    "st_admission_stored" -> LlmQueries.admissionOracleSql,
     // stateless per-row panel — identical to llm_gopher's oracle
     "st_quality" -> LlmQueries.oracle("llm_gopher"),
     // complete-mode streaming aggregate — identical to the batch panel

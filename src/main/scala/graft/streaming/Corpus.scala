@@ -137,6 +137,44 @@ object Corpus {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[cleanAgainst]] from a STORED decontamination index — the
+    * production-restart shape: the benchmark suite was shingled ONCE at
+    * index build ([[Dedup.decontamIndex]]); an ingestion-fleet restart
+    * reads the persisted hash frame back and resumes admission with
+    * ZERO recomputation of the eval side. The shingle size comes from
+    * the stored sketch row (parameter drift impossible), and the
+    * collected hash count is checked against the sketch's recorded
+    * `n_hashes` EAGERLY here (the composition collects the hashes to
+    * the driver anyway — a truncated/partially-copied frame refuses
+    * before any stream starts, the [[Dedup.decontaminateStored]] drift
+    * guard at the stream boundary). The probe itself is the same fused
+    * per-row expression as [[cleanAgainst]] — stateless, stream-safe,
+    * identical keep set (StreamingSpec pins stream == batch == the
+    * recompute path). */
+  def cleanAgainstStored(docs: DataFrame, index: Dedup.DecontamIndex,
+                         idCol: String, textCol: String,
+                         maxInlineHashes: Int = 1 << 20): DataFrame = {
+    require(maxInlineHashes >= 1, s"maxInlineHashes must be >= 1, got $maxInlineHashes")
+    val (n, nHashes, _) = Dedup.decontamSketchRow(index)
+    require(nHashes <= maxInlineHashes,
+      s"stored decontamination index records $nHashes hashes — too big to " +
+        s"inline into a streaming plan (ceiling $maxInlineHashes). Probe " +
+        "per micro-batch with Dedup.decontaminateStored inside foreachBatch, " +
+        "or raise maxInlineHashes if the driver can hold the set.")
+    val evalH: Array[Long] = index.hashes
+      .select(col("h").cast("long")).limit(maxInlineHashes + 1)
+      .collect().map(_.getLong(0))
+    require(evalH.length == nHashes,
+      s"stored decontamination index drift: hash frame carries " +
+        s"${evalH.length} rows but the sketch recorded $nHashes — rebuild " +
+        "or re-copy the index")
+    val contaminated = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ShingleContaminated(
+        org.apache.spark.sql.GraftBridge.expression(split(col(textCol), "\\s+")),
+        n, evalH.toIndexedSeq))
+    docs.filter(!coalesce(contaminated, lit(false)))
+  }
+
   def cleanAgainst(docs: DataFrame, evalDocs: DataFrame,
                    idCol: String, textCol: String, n: Int = 13,
                    maxInlineHashes: Int = 1 << 20): DataFrame = {

@@ -77,6 +77,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedHits == batchHits && batchHits.nonEmpty)
   }
 
+  test("streaming admission from STORED indexes: restart path == recompute path == stream") {
+    import org.apache.spark.sql.functions._
+    // production-restart attestation: both stores written once, read
+    // back, and the stream resumes admission with zero eval/corpus
+    // recomputation — keep set identical to the recompute pipeline
+    val out = "target/test_sink/admission_stores"
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ev = docs.filter(col("doc_id") > mx - 100)
+    val dcIdx = graft.operators.Dedup.decontamIndex(ev, "doc_id", "text",
+      n = 13, expectedItems = 1L << 16, numBits = 1L << 20)
+    dcIdx.sketch.write.mode("overwrite").parquet(s"$out/dc_sketch")
+    dcIdx.hashes.write.mode("overwrite").parquet(s"$out/dc_hashes")
+    val mhIdx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+    mhIdx.bands.write.mode("overwrite").parquet(s"$out/mh_bands")
+    mhIdx.sets.write.mode("overwrite").parquet(s"$out/mh_sets")
+    val dcStored = graft.operators.Dedup.DecontamIndex(
+      spark.read.parquet(s"$out/dc_sketch"), spark.read.parquet(s"$out/dc_hashes"))
+    val mhStored = graft.operators.Dedup.MinhashIndex(
+      spark.read.parquet(s"$out/mh_bands"), spark.read.parquet(s"$out/mh_sets"))
+    def stored(in: org.apache.spark.sql.DataFrame) = {
+      val q = in.filter(graft.operators.TextAnalysis.gopherKeep(col("text"),
+        minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+      graft.streaming.Corpus.admitProbe(
+        graft.streaming.Corpus.cleanAgainstStored(q, dcStored, "doc_id", "text"),
+        mhStored, "doc_id", "text")
+    }
+    val incoming = docs.filter(col("doc_id") > mx - 200)
+      .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+    val batchStored = stored(incoming)
+      .select(col("id_new"), col("id_corpus")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the recompute pipeline (cleanAgainst + in-memory index) agrees
+    val recompute = {
+      val q = incoming.filter(graft.operators.TextAnalysis.gopherKeep(col("text"),
+        minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+      graft.streaming.Corpus.admitProbe(
+        graft.streaming.Corpus.cleanAgainst(q, ev, "doc_id", "text"),
+        mhIdx, "doc_id", "text")
+        .select(col("id_new"), col("id_corpus")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(batchStored == recompute && batchStored.nonEmpty)
+    // and the same stored pipeline runs stream-side unchanged
+    val stream = graft.streaming.Corpus.readStream(spark, TestSpark.sf)
+      .filter(col("doc_id") > mx - 200)
+      .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+    Events.runToMemory(spark, stored(stream), "t_admit_stored", OutputMode.Append())
+    val streamedHits = spark.table("t_admit_stored")
+      .select(col("id_new"), col("id_corpus")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedHits == batchStored)
+    // a truncated stored hash frame refuses at composition time, before
+    // any stream starts
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Corpus.cleanAgainstStored(incoming,
+        graft.operators.Dedup.DecontamIndex(
+          dcStored.sketch, dcStored.hashes.limit(3)), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("drift"))
+  }
+
   test("streaming quality panel: Gopher rules on a stream == batch, stateless") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
