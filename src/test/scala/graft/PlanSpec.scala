@@ -119,8 +119,9 @@ class PlanSpec extends AnyFunSuite {
       "st_semdedup",
       // broadcast 1-row max-doc-id bound building the admission fixture
       // (the path itself: codegen'd quality filter, inlined-hash
-      // decontamination, band equi-joins, id anti-join)
-      "st_admission",
+      // decontamination, band equi-joins, id anti-join); the stored
+      // variant is the same fixture over read-back stores
+      "st_admission", "st_admission_stored",
       // broadcast 1-row max-doc-id bound building the planted-overlap
       // clones; extent resolution itself is equi-joins on fp/id/hash
       "llm_overlap_extents", "llm_substr_dedup",
