@@ -711,6 +711,49 @@ object LlmSql {
       case args => bad(
         "graft_ann_rerank(table, id_col, vec_col, query_id, k, n_cells, probes, m, sub_dim, n_codes, cand_c)", args)
     }
+    reg(spark, "graft_knn_join_rerank") {
+      // batch two-stage retrieval from the stored codes: ADC proposes
+      // cand_c per query, exact cosine re-ranks — deferred like
+      // graft_knn_join_stored
+      case Seq(codesT, cellsT, cbT, qt, ct, qid, cid, qvec, cvec, k,
+               probes, candC, excl) =>
+        val f = "graft_knn_join_rerank"
+        val codes = table(str(codesT, f)); val cells = table(str(cellsT, f))
+        val cb = table(str(cbT, f)); val queries = table(str(qt, f))
+        val corpusVec = table(str(ct, f))
+        val qidc = str(qid, f); val cidc = str(cid, f)
+        val qvecc = str(qvec, f); val cvecc = str(cvec, f)
+        val kk = int(k, f); val np = int(probes, f)
+        val cc = int(candC, f); val ex = int(excl, f) != 0
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField("query_id",
+              queries.select(col(qidc)).schema.head.dataType),
+            StructField("neighbor_id",
+              corpusVec.select(col(cidc)).schema.head.dataType),
+            StructField("cos_sim", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            val books = Similarity.codebooksFromDf(cb)
+            require(books.nonEmpty && books.head.nonEmpty,
+              s"$f: empty codebook table")
+            Similarity.ivfPqKnnJoinStoredRerank(queries, codes, corpusVec,
+              qidc, cidc, qvecc, cvecc,
+              Similarity.centroidsFromDf(cells), books,
+              subDim = books.head.head._2.length,
+              k = kk, probes = np, candC = cc, excludeSelf = ex)
+          })
+      case args => bad(
+        "graft_knn_join_rerank(codes_table, cells_table, codebooks_table, queries_table, corpus_table, q_id_col, c_id_col, q_vec_col, c_vec_col, k, probes, cand_c, exclude_self)", args)
+    }
+    reg(spark, "graft_domain_report") {
+      // fully LAZY: the corpus total is a broadcast 1-row aggregate
+      case Seq(t, id, url, k) =>
+        val f = "graft_domain_report"
+        TextAnalysis.domainReport(table(str(t, f)), str(id, f), str(url, f),
+          topK = int(k, f))
+      case args => bad(
+        "graft_domain_report(table, id_col, url_col, top_k)", args)
+    }
     reg(spark, "graft_url_filter") {
       // URL/domain admission: fully LAZY (the blocklist broadcasts
       // inside the plan, no driver action)

@@ -629,6 +629,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch TWO-STAGE retrieval from STORAGE — the full production
+    * serving story composed from two audited stages:
+    * [[ivfPqKnnJoinStored]] proposes each query's ADC top-`candC` from
+    * the stored codes (vectors untouched), then exact cosine re-ranks
+    * ONLY those candidates ([[ivfPqTopKRerank]]'s buy-back of
+    * quantization error, batched). The exact stage's probe frame is
+    * (query_id, neighbor_id, query vector) — bounded at |Q|·candC rows
+    * — which BROADCASTS into an equi-join against the vector table, so
+    * corpus vectors cross no exchange and survive the join only for
+    * candidate ids. Recall ≥ the pure stored-ADC path whenever
+    * candC ≥ k (re-ranking a superset can only promote true
+    * neighbors). Output: (query_id, neighbor_id, cos_sim), the
+    * [[knnJoin]] shape — two-stage serving is a drop-in for the exact
+    * join. */
+  def ivfPqKnnJoinStoredRerank(queries: DataFrame, codes: DataFrame,
+                               corpusVec: DataFrame,
+                               qIdCol: String, cIdCol: String,
+                               qVecCol: String, cVecCol: String,
+                               centroids: Array[(Long, Seq[Double])],
+                               codebooks: Array[Array[(Long, Seq[Double])]],
+                               subDim: Int, k: Int, probes: Int = 2,
+                               candC: Int = 32,
+                               excludeSelf: Boolean = false,
+                               preSplit: Int = 32): DataFrame = {
+    require(candC >= k, s"candC ($candC) must be >= k ($k) — the exact " +
+      "stage can only re-rank candidates ADC proposed")
+    val cand = ivfPqKnnJoinStored(queries, codes, qIdCol, cIdCol, qVecCol,
+        centroids, codebooks, subDim, k = candC, probes = probes,
+        excludeSelf = excludeSelf, preSplit = preSplit)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__qv"))
+    val candQ = cand.join(qv, "query_id")
+    val scored = corpusVec
+      .select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("__cv"))
+      .join(broadcast(candQ), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__cv"), col("__qv")), 6).as("cos_sim"))
+    Sampling.twoPhaseTopK(scored, col("query_id"),
+      Seq(col("cos_sim").desc_nulls_last, col("neighbor_id").asc_nulls_last),
+      col("neighbor_id"), k, salt = "knn:", preSplit = preSplit)
+  }
+
   /** Incremental SEMANTIC admission — [[semanticDedup]]'s
     * new-shard-versus-corpus form, the embedding counterpart of
     * [[Dedup.minhashPairsBetween]]: every incoming vector is assigned

@@ -1240,18 +1240,47 @@ object TextAnalysis {
     * the REGISTERED site, not the subdomain): the last two labels, or
     * the last THREE when the second-to-last is a [[ccSlds]] label under
     * a 2-letter ccTLD (news.bbc.co.uk → bbc.co.uk, ads.x.example.com →
-    * example.com). A bare 1/2-label host is its own domain. Pure
-    * codegen'd string projection (RE2-safe split — no backreferences),
-    * zero shuffle. */
+    * example.com). A bare 1/2-label host is its own domain; a NULL host
+    * yields a NULL domain (guarded explicitly — the otherwise-branch
+    * `concat_ws` SKIPS null arguments and would silently map every
+    * unparseable URL to the empty-string domain). Pure codegen'd string
+    * projection (RE2-safe split — no backreferences), zero shuffle. */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     val last = element_at(labels, -1)
     val second = element_at(labels, -2)
     val ccSld = second.isin(ccSlds: _*) && length(last) === 2 && n >= 3
-    when(n <= 2, host)
+    when(host.isNull, lit(null).cast("string"))
+      .when(n <= 2, host)
       .when(ccSld, concat_ws(".", element_at(labels, -3), second, last))
       .otherwise(concat_ws(".", second, last))
+  }
+
+  /** Per-registrable-domain ingestion report — the dashboard a crawl
+    * pipeline reads BEFORE setting [[Sampling.domainCap]]'s cap and the
+    * blocklist ([[urlFilter]]): the `topK` domains by document count
+    * with each one's share of the parseable corpus. Rows whose URL
+    * yields no host are excluded from both the counts and the total
+    * (they can't attest a domain — the [[urlFilter]] drop policy).
+    * Ordered (n_docs desc, domain asc) — a total order, so the LIMIT
+    * boundary is deterministic. Scale shape: host/domain are codegen'd
+    * projections, the count partial-aggregates on the domain key, the
+    * corpus total broadcasts as one row; nothing but (domain, count)
+    * pairs cross an exchange. Output: (domain, n_docs, share). */
+  def domainReport(df: DataFrame, idCol: String, urlCol: String,
+                   topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df
+      .select(registrableDomain(urlHost(col(urlCol))).as("domain"))
+      .filter(col("domain").isNotNull)
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__tot"), 6).as("share"))
+      .orderBy(col("n_docs").desc, col("domain").asc)
+      .limit(topK)
   }
 
   /** URL/domain-level filter — the raw-crawl admission step that runs

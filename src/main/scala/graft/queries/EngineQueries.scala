@@ -567,6 +567,85 @@ object EngineQueries {
                    'graft_mh_bands', 'graft_mh_sets', 'graft_incoming_v',
                    'doc_id', 'text', 16, 4, 0.5)""")
     }),
+    // batch two-stage retrieval from SQL: artifacts written in Scala,
+    // read back as views, served via the deferred rerank TVF
+    "e_sql_knn_join_rerank" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/knn_rerank_sql"
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
+      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_rr_cells")
+      s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_rr_cbs")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_rr_codes")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW knn_queries AS
+                 SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10""")
+      e.query("""SELECT query_id, neighbor_id, cos_sim
+                 FROM graft_knn_join_rerank('graft_rr_codes', 'graft_rr_cells',
+                                            'graft_rr_cbs', 'knn_queries',
+                                            'embeddings', 'vec_id', 'vec_id',
+                                            'embedding', 'embedding',
+                                            5, 2, 15, 1)""")
+    }),
+    // the appended ANN codes table served from SQL — same artifacts
+    // recipe as llm_ann_index_append (generation A's index + read-back
+    // encode of B + parquet append), probed via graft_ann_stored
+    "e_sql_ann_append" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/ann_index_append_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, max}
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val m = emb.agg(max(col("vec_id")).as("m"))
+      val a = emb.crossJoin(broadcast(m)).filter(col("vec_id") <= col("m") - 100)
+        .select(col("vec_id"), col("embedding"))
+      val b = emb.crossJoin(broadcast(m)).filter(col("vec_id") > col("m") - 100)
+        .select(col("vec_id"), col("embedding"))
+      val cents = sim.collectCentroids(a, "vec_id", "embedding", 8)
+      val cbs = sim.pqCodebooks(a, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
+      sim.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      val cents2 = sim.centroidsFromDf(s.read.parquet(s"$out/cells"))
+      val cbs2 = sim.codebooksFromDf(s.read.parquet(s"$out/codebooks"))
+      sim.ivfPqEncode(b, "vec_id", "embedding", cents2, cbs2, 16)
+        .write.mode("append").parquet(s"$out/codes")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_apnd_cells")
+      s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_apnd_cbs")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_apnd_codes")
+      e.query("""SELECT vec_id, adc_score
+                 FROM graft_ann_stored('graft_apnd_codes', 'graft_apnd_cells',
+                                       'graft_apnd_cbs', 'embeddings',
+                                       'vec_id', 'embedding', 0, 10, 2)""")
+    }),
+    // the crawl-domain dashboard from one line of SQL over the same
+    // URL fixture view as e_sql_url_filter
+    "e_sql_domain_report" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_url_docs AS
+                 SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 'https://www.example.com/a/' || doc_id
+                     WHEN 1 THEN 'http://blog.spamsite.com/p?id=' || doc_id
+                     WHEN 2 THEN 'https://news.bbc.co.uk:443/story/' || doc_id
+                     WHEN 3 THEN 'http://EXAMPLE.com/x'
+                     WHEN 4 THEN 'https://ads.tracker.net/c'
+                     ELSE 'not a url ' || doc_id END AS url
+                 FROM documents""")
+      e.query(
+        "SELECT * FROM graft_domain_report('graft_url_docs', 'doc_id', 'url', 20)")
+    }),
     // URL/domain admission from SQL over the same deterministic fixture
     "e_sql_url_filter" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -918,6 +997,9 @@ object EngineQueries {
     "e_sql_knn_join_stored" -> LlmQueries.oracle("llm_knn_join_stored"),
     "e_sql_ann_rerank" -> LlmQueries.oracle("llm_ann_rerank"),
     "e_sql_minhash_append" -> LlmQueries.oracle("llm_minhash_incr"),
-    "e_sql_url_filter" -> LlmQueries.oracle("llm_url_filter")
+    "e_sql_url_filter" -> LlmQueries.oracle("llm_url_filter"),
+    "e_sql_knn_join_rerank" -> LlmQueries.oracle("llm_knn_join_rerank"),
+    "e_sql_ann_append" -> LlmQueries.oracle("llm_ann_ivf_pq"),
+    "e_sql_domain_report" -> LlmQueries.oracle("llm_domain_report")
   )
 }

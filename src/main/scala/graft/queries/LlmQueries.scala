@@ -1146,6 +1146,81 @@ object LlmQueries {
         Similarity.codebooksFromDf(s.read.parquet(s"$out/codebooks")),
         subDim = 16, k = 5, probes = 2, excludeSelf = true)
     }),
+    "llm_knn_join_rerank" -> ((s, d) => {
+      import s.implicits._
+      // the COMPLETE production serving flow: stored-index ADC proposes
+      // each query's top-15, exact cosine re-ranks only those — the
+      // vector table is consulted solely through the broadcast
+      // candidate-pair join
+      val out = "target/gate_sink/knn_rerank"
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      Similarity.ivfPqKnnJoinStoredRerank(
+        emb.filter($"vec_id" < 10).select($"vec_id", $"embedding"),
+        s.read.parquet(s"$out/codes"), emb,
+        "vec_id", "vec_id", "embedding", "embedding",
+        cents, cbs, subDim = 16, k = 5, probes = 2, candC = 15,
+        excludeSelf = true)
+    }),
+    "llm_ann_index_append" -> ((s, d) => {
+      import s.implicits._
+      // ANN index MAINTENANCE (the minhash-append symmetry): the index
+      // was built when only generation A existed; new vectors arrive,
+      // are encoded with the READ-BACK cells/codebooks (never
+      // retrained), and their codes parquet-APPEND into the stored
+      // codes table. Serving over the appended store must equal the
+      // fresh full-corpus build — encode is per-row, so the oracle is
+      // the llm_ann_ivf_pq family (A holds the lowest ids, hence the
+      // same seed cells/codebooks as the full corpus)
+      val out = "target/gate_sink/ann_index_append"
+      val emb = Tables.load(s, d, "embeddings")
+      val m = emb.agg(max($"vec_id").as("m"))
+      val a = emb.crossJoin(broadcast(m)).filter($"vec_id" <= $"m" - 100)
+        .select($"vec_id", $"embedding")
+      val b = emb.crossJoin(broadcast(m)).filter($"vec_id" > $"m" - 100)
+        .select($"vec_id", $"embedding")
+      val cents = Similarity.collectCentroids(a, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooks(a, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      Similarity.centroidsToDf(s, cents)
+        .write.mode("overwrite").parquet(s"$out/cells")
+      Similarity.codebooksToDf(s, cbs)
+        .write.mode("overwrite").parquet(s"$out/codebooks")
+      Similarity.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      // the maintenance run: read back the artifacts, encode ONLY the
+      // new generation, append
+      val cents2 = Similarity.centroidsFromDf(s.read.parquet(s"$out/cells"))
+      val cbs2 = Similarity.codebooksFromDf(s.read.parquet(s"$out/codebooks"))
+      Similarity.ivfPqEncode(b, "vec_id", "embedding", cents2, cbs2, 16)
+        .write.mode("append").parquet(s"$out/codes")
+      Similarity.ivfPqTopKStored(s.read.parquet(s"$out/codes"), "vec_id",
+        cents2, cbs2, subDim = 16,
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, probes = 2, excludeId = Some(0L))
+    }),
+    "llm_domain_report" -> ((s, d) => {
+      import s.implicits._
+      // the pre-blocklist crawl dashboard: top domains by doc count +
+      // corpus share, over the same deterministic URL fixture as
+      // llm_url_filter (garbage URLs excluded from counts AND total)
+      val docs = Tables.load(s, d, "documents").select($"doc_id")
+      val urls = docs.select($"doc_id",
+        when($"doc_id" % 6 === 0,
+            concat(lit("https://www.example.com/a/"), $"doc_id"))
+          .when($"doc_id" % 6 === 1,
+            concat(lit("http://blog.spamsite.com/p?id="), $"doc_id"))
+          .when($"doc_id" % 6 === 2,
+            concat(lit("https://news.bbc.co.uk:443/story/"), $"doc_id"))
+          .when($"doc_id" % 6 === 3, lit("http://EXAMPLE.com/x"))
+          .when($"doc_id" % 6 === 4, lit("https://ads.tracker.net/c"))
+          .otherwise(concat(lit("not a url "), $"doc_id")).as("url"))
+      TextAnalysis.domainReport(urls, "doc_id", "url", topK = 20)
+    }),
     "llm_ann_rerank" -> ((s, d) => {
       // two-stage retrieval: IVF-PQ proposes the ADC top-20, exact
       // cosine re-ranks ONLY those 20 (the only vector read besides the
@@ -1511,7 +1586,11 @@ object LlmQueries {
     "llm_minhash_index_append" -> oracleBase("llm_minhash_incr"),
     // the appended fingerprint store must bounce clones of EITHER
     // generation — membership-identical to the full-corpus store
-    "llm_fp_append" -> oracleBase("llm_exact_incr"))
+    "llm_fp_append" -> oracleBase("llm_exact_incr"),
+    // appended ANN codes serve exactly like the fresh full-corpus build
+    // (encode is per-row; generation A holds the lowest ids, so the
+    // seed cells/codebooks match the full corpus's)
+    "llm_ann_index_append" -> oracleBase("llm_ann_ivf_pq"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_ann_ivf" ->
@@ -2686,6 +2765,93 @@ object LlmQueries {
                              neighbor_id NULLS LAST) AS rn
            FROM sc)
          WHERE rn <= 5""",
+    // batch two-stage retrieval: the llm_knn_join_stored chain proposes
+    // each query's ADC top-15, exact cosine over only those candidates
+    // ranks the final 5 per query
+    "llm_knn_join_rerank" ->
+      """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          ca AS (SELECT e.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent c),
+          corpus AS (SELECT e.vec_id AS neighbor_id, a.cid AS cell
+                     FROM e JOIN (SELECT vec_id, cid FROM ca WHERE rk = 1) a
+                       USING (vec_id)),
+          qry AS (SELECT e.vec_id AS query_id, a.cid AS cell
+                  FROM e JOIN (SELECT vec_id, cid FROM ca WHERE rk <= 2) a
+                    USING (vec_id)
+                  WHERE e.vec_id < 10),
+          seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+          sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+          cb AS (SELECT sub.s, seed.vec_id AS cid,
+                        seed.v[sub.s*16+1 : sub.s*16+16] AS cv
+                 FROM sub CROSS JOIN seed),
+          enc AS (SELECT vec_id, s, cid AS code FROM (
+                    SELECT e.vec_id, b.s, b.cid,
+                           row_number() OVER (PARTITION BY e.vec_id, b.s
+                             ORDER BY round(list_inner_product(b.cv, b.cv)
+                               - 2 * list_inner_product(e.v[b.s*16+1 : b.s*16+16], b.cv), 6) ASC,
+                             b.cid ASC) AS rk
+                    FROM e CROSS JOIN cb b) WHERE rk = 1),
+          qv AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+          lut AS (SELECT qv.query_id, b.s, b.cid,
+                         list_inner_product(qv.v[b.s*16+1 : b.s*16+16], b.cv) AS d
+                  FROM cb b CROSS JOIN qv),
+          pairs AS (SELECT q.query_id, c.neighbor_id
+                    FROM corpus c JOIN qry q ON c.cell = q.cell
+                    WHERE c.neighbor_id <> q.query_id),
+          sc AS (SELECT p.query_id, p.neighbor_id, round(sum(l.d), 6) AS adc_score
+                 FROM pairs p
+                 JOIN enc ON enc.vec_id = p.neighbor_id
+                 JOIN lut l ON l.query_id = p.query_id
+                           AND l.s = enc.s AND l.cid = enc.code
+                 GROUP BY p.query_id, p.neighbor_id),
+          cand AS (SELECT query_id, neighbor_id FROM (
+                     SELECT query_id, neighbor_id,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_score DESC NULLS LAST,
+                                       neighbor_id NULLS LAST) AS rn
+                     FROM sc) WHERE rn <= 15),
+          ex AS (SELECT c.query_id, c.neighbor_id,
+                        round(list_cosine_similarity(cv2.v, qv2.v), 6) AS cos_sim
+                 FROM cand c
+                 JOIN e cv2 ON cv2.vec_id = c.neighbor_id
+                 JOIN e qv2 ON qv2.vec_id = c.query_id)
+         SELECT query_id, neighbor_id, cos_sim FROM (
+           SELECT query_id, neighbor_id, cos_sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC NULLS LAST,
+                             neighbor_id NULLS LAST) AS rn
+           FROM ex)
+         WHERE rn <= 5""",
+    // top domains by doc count + corpus share over the llm_url_filter
+    // fixture (garbage URLs excluded from counts and total)
+    "llm_domain_report" ->
+      """WITH u AS (SELECT doc_id,
+                      CASE doc_id % 6
+                        WHEN 0 THEN 'www.example.com'
+                        WHEN 1 THEN 'blog.spamsite.com'
+                        WHEN 2 THEN 'news.bbc.co.uk'
+                        WHEN 3 THEN 'example.com'
+                        WHEN 4 THEN 'ads.tracker.net'
+                        ELSE NULL END AS host
+                    FROM documents),
+          p AS (SELECT doc_id, host, string_split(host, '.') AS ls
+                FROM u WHERE host IS NOT NULL),
+          d AS (SELECT CASE WHEN len(ls) <= 2 THEN host
+                            WHEN list_contains(['co','com','net','org','ac','gov','edu'], ls[-2])
+                                 AND length(ls[-1]) = 2 AND len(ls) >= 3
+                            THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                            ELSE ls[-2] || '.' || ls[-1] END AS domain
+                FROM p),
+          c AS (SELECT domain, count(*) AS n_docs FROM d GROUP BY domain),
+          t AS (SELECT sum(n_docs) AS tot FROM c)
+         SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+                round(n_docs * 1.0 / tot, 6) AS share
+         FROM c, t
+         ORDER BY n_docs DESC, domain ASC LIMIT 20""",
     // two-stage retrieval: the llm_ann_ivf_pq chain proposes the ADC
     // top-20, exact cosine over ONLY those candidates ranks the final 10
     "llm_ann_rerank" ->

@@ -1811,6 +1811,69 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("append"))
   }
 
+  test("batch two-stage retrieval: recall >= stored ADC; all-probe unbounded candC == exact kNN join") {
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 8)
+    val codes = Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cb, 16)
+    val queries = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    def byQuery(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(t => (t._2, t._3)).sortBy(p => (-p._2, p._1)).toSeq }
+    // probing every cell with unbounded candC degrades to the EXACT
+    // kNN join, bit for bit (candidates = the whole corpus)
+    val rrAll = byQuery(Similarity.ivfPqKnnJoinStoredRerank(queries, codes,
+      emb, "vec_id", "vec_id", "embedding", "embedding", cents, cb, 16,
+      k = 5, probes = 8, candC = 1000000, excludeSelf = true))
+    val exact = byQuery(Similarity.knnJoin(queries, emb, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, excludeSelf = true))
+    assert(rrAll == exact, s"rrAll=$rrAll exact=$exact")
+    // per query, re-ranked recall vs exact is >= the pure stored-ADC
+    // path's (re-ranking a superset can only promote true neighbors)
+    val adc = byQuery(Similarity.ivfPqKnnJoinStored(queries, codes,
+      "vec_id", "vec_id", "embedding", cents, cb, 16, k = 5, probes = 2,
+      excludeSelf = true))
+    val rr = byQuery(Similarity.ivfPqKnnJoinStoredRerank(queries, codes,
+      emb, "vec_id", "vec_id", "embedding", "embedding", cents, cb, 16,
+      k = 5, probes = 2, candC = 15, excludeSelf = true))
+    exact.foreach { case (q, want) =>
+      val wantIds = want.map(_._1).toSet
+      val adcHits = adc(q).map(_._1).toSet & wantIds
+      val rrHits = rr(q).map(_._1).toSet & wantIds
+      assert(rrHits.size >= adcHits.size,
+        s"query $q: rerank recall ${rrHits.size} < ADC ${adcHits.size}")
+    }
+    // a candidate budget below k refuses
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnnJoinStoredRerank(queries, codes, emb, "vec_id",
+        "vec_id", "embedding", "embedding", cents, cb, 16, k = 5, candC = 3)
+    }
+    assert(e.getMessage.contains("candC"))
+  }
+
+  test("domainReport: garbage URLs excluded from counts and total; NULL-host domain is NULL") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "https://a.example.com/x"), (2L, "https://b.example.com/y"),
+      (3L, "http://only.org/z"), (4L, "garbage"), (5L, "also garbage"))
+      .toDF("id", "url")
+    val out = TextAnalysis.domainReport(df, "id", "url", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // 3 parseable rows: example.com 2/3, only.org 1/3 — garbage absent
+    // from the rows AND the denominator
+    assert(out.toSeq == Seq(("example.com", 2L, 0.666667),
+      ("only.org", 1L, 0.333333)), out.toSeq.toString)
+    // the NULL-host guard: registrableDomain(NULL) is NULL, never the
+    // concat_ws empty string
+    val dom = df.select(TextAnalysis.registrableDomain(
+        TextAnalysis.urlHost($"url")).as("d"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(dom.count(_.isEmpty) == 2, dom.mkString(","))
+    assert(!dom.flatten.contains(""), "NULL host must never yield ''")
+  }
+
   test("urlFilter: registrable domains, ccSLD, casing, garbage URLs, blocklist") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -79,8 +79,11 @@ class PlanSpec extends AnyFunSuite {
     val allowedBnlj = Set("j4_cross", "llm_ann_lsh", "llm_ann_topk",
       "llm_ann_ivf", "llm_ann_ivf_trained", "llm_ann_ivf_pq",
       // same 1-row query-vector × centroid-frame probe-cell selection
-      // as llm_ann_ivf_pq, from the stored artifacts
-      "llm_ann_index_roundtrip",
+      // as llm_ann_ivf_pq, from the stored artifacts (append = the
+      // same serving path over the parquet-appended codes)
+      "llm_ann_index_roundtrip", "llm_ann_index_append",
+      // broadcast 1-row corpus total under the domain-share division
+      "llm_domain_report", "e_sql_domain_report",
       // the rerank's candidate stage IS llm_ann_ivf_pq (same bounded
       // probe-cell selection); the exact stage adds only a broadcast
       // semi-join + 1-row query-vector literal
