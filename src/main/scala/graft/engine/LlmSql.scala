@@ -745,6 +745,29 @@ object LlmSql {
       case args => bad(
         "graft_knn_join_rerank(codes_table, cells_table, codebooks_table, queries_table, corpus_table, q_id_col, c_id_col, q_vec_col, c_vec_col, k, probes, cand_c, exclude_self)", args)
     }
+    reg(spark, "graft_quality_classifier") {
+      // LR quality filter: training collects per-iteration gradients —
+      // deferred like every training TVF
+      case Seq(posT, negT, scoreT, id, text, buckets, iters) =>
+        val f = "graft_quality_classifier"
+        val pos = table(str(posT, f)); val neg = table(str(negT, f))
+        val score = table(str(scoreT, f))
+        val idc = str(id, f); val textc = str(text, f)
+        val nb = int(buckets, f); val ni = int(iters, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, score.select(col(idc)).schema.head.dataType),
+            StructField("z", org.apache.spark.sql.types.DoubleType),
+            StructField("quality_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            val w = graft.operators.Classifier.lrTrain(pos, neg, idc, textc,
+              buckets = nb, iters = ni)
+            graft.operators.Classifier.lrScore(score, idc, textc,
+              graft.operators.Classifier.weightsToDf(spark, w), buckets = nb)
+          })
+      case args => bad(
+        "graft_quality_classifier(pos_table, neg_table, score_table, id_col, text_col, buckets, iters)", args)
+    }
     reg(spark, "graft_domain_report") {
       // fully LAZY: the corpus total is a broadcast 1-row aggregate
       case Seq(t, id, url, k) =>

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** GPT-3-style QUALITY CLASSIFIER (Brown et al. 2020 appendix A, public
+  * method shape: a logistic-regression classifier over hashed document
+  * features, trained positive = curated corpus / negative = raw crawl,
+  * then used to score and filter the crawl): hashed bag-of-words
+  * features (token → 60-bit [[Dedup.sharedHash60]] mod `buckets`),
+  * batch-gradient logistic regression trained DISTRIBUTIVELY, scoring
+  * as a broadcast join + per-doc aggregate. The trained weight vector is
+  * `buckets` doubles — the KB-scale driver boundary of the k-means
+  * centroid recipe, collected once per iteration and re-broadcast.
+  *
+  * Engine-exact determinism (the [[Similarity.kmeansStep]] /
+  * tfidf-quantization recipe, applied to GD):
+  *  - every corpus-scale sum (logits, gradients) accumulates in
+  *    DECIMAL(20,10) — double accumulation order differs run-to-run
+  *    under AQE and across engines; decimal sums are exact;
+  *  - the sigmoid (the one libm call) is computed on the 6-decimal
+  *    ROUNDED logit and its output is itself rounded to 6 decimals — a
+  *    1-ulp cross-engine `exp` spread can only flip the rounding on a
+  *    ~1e-10 knife edge (the tfidf argument);
+  *  - weights land on the 1e-6 grid after every update (round(·,6)),
+  *    so each iteration starts from bit-identical state in any
+  *    correctly-rounding engine. The quantization is part of the
+  *    operator contract, like the k-means centroid rounding.
+  *
+  * 100 TB posture: the feature frame is (id, bucket, tf) rows — text
+  * never leaves its first projection; logits/gradients are
+  * partial-aggregable hash aggregates keyed by id/bucket; weights ride
+  * a broadcast ≤`buckets`-row join. One pass per iteration plus one
+  * scoring pass — iters is small (the published filters train once and
+  * score forever; the stored-weights path serves that).
+  */
+object Classifier {
+
+  /** (id, bucket, tf) hashed bag-of-words features; `label` tags the
+    * frame when training. Docs with no tokens emit no rows. */
+  private def featuresOf(df: DataFrame, idCol: String, textCol: String,
+                         buckets: Int): DataFrame =
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        pmod(Dedup.sharedHash60(col("__t")), lit(buckets)).cast("int").as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+
+  /** Per-doc logit z = Σ_f tf·w_f against a broadcast weight frame
+    * (`bucket`, `w`), accumulated in exact decimal. Buckets absent from
+    * the weight frame contribute 0 (left join + coalesce). */
+  private def logitOf(feats: DataFrame, weights: DataFrame,
+                      idCol: String): DataFrame =
+    feats.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(round(sum((col("tf") * coalesce(col("w"), lit(0.0)))
+        .cast(DecimalType(20, 10))).cast("double"), 6).as("z"))
+
+  /** σ(z) on the quantized logit, itself quantized — the one libm call,
+    * hardened per the scaladoc. */
+  private def sigmoidQ(z: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+
+  /** Train `iters` batch-GD rounds; returns the weight frame
+    * (bucket, w) — one row per feature bucket that occurs in the
+    * training set, weights on the 1e-6 grid. `pos`/`neg` are the
+    * labeled corpora (y = 1 / 0). Initial weights are zero, so
+    * iteration 1's sigmoid is exactly 0.5 — the first update is pure
+    * count algebra, engine-exact with no libm at all. */
+  def lrTrain(pos: DataFrame, neg: DataFrame, idCol: String,
+              textCol: String, buckets: Int = 256, iters: Int = 2,
+              lr: Double = 0.5): Array[(Int, Double)] = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // disjoint id spaces: prefix the label into the training id so a
+    // shared id between pos and neg cannot merge two documents' rows
+    val feats = featuresOf(pos, idCol, textCol, buckets)
+        .select(concat(lit("p:"), col(idCol).cast("string")).as("__tid"),
+          col("bucket"), col("tf"), lit(1.0).as("__y"))
+      .unionByName(featuresOf(neg, idCol, textCol, buckets)
+        .select(concat(lit("n:"), col(idCol).cast("string")).as("__tid"),
+          col("bucket"), col("tf"), lit(0.0).as("__y")))
+      .localCheckpoint(false) // read once per iteration — never re-tokenize
+    val n = feats.select(col("__tid")).distinct().count()
+    require(n > 0, "lrTrain: empty training set")
+    var w = Array.empty[(Int, Double)] // all-zero weights, sparsely
+    var i = 0
+    while (i < iters) {
+      val wDf = weightsToDf(pos.sparkSession, w)
+      val p = logitOf(feats.select(col("__tid"), col("bucket"), col("tf")),
+          wDf, "__tid")
+        .select(col("__tid"), sigmoidQ(col("z")).as("__p"))
+      // grad_f = Σ_docs tf·(y − p) / N ; update w += lr·grad (rounded
+      // to the 1e-6 grid — the iteration-boundary contract)
+      val grad = feats.join(p, "__tid")
+        .groupBy(col("bucket"))
+        .agg((sum((col("tf") * (col("__y") - col("__p")))
+          .cast(DecimalType(20, 10))).cast("double") / n).as("g"))
+      val gMap = grad.collect() // ≤ buckets rows — the KB-scale boundary
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val keys = (w.map(_._1).toSet ++ gMap.keySet).toArray.sorted
+      val wMap = w.toMap
+      w = keys.map { b =>
+        b -> BigDecimal(wMap.getOrElse(b, 0.0) + lr * gMap.getOrElse(b, 0.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      i += 1
+    }
+    w
+  }
+
+  /** Weight vector ⇄ plain DataFrame (bucket, w) — the classifier's
+    * serving artifact as an ordinary parquet-able table, the
+    * [[Similarity.centroidsToDf]] symmetry: train once, store, score
+    * every ingestion run from the read-back frame. */
+  def weightsToDf(spark: org.apache.spark.sql.SparkSession,
+                  w: Array[(Int, Double)]): DataFrame =
+    spark.createDataFrame(w.toIndexedSeq.map { case (b, x) => (b, x) })
+      .toDF("bucket", "w")
+
+  def weightsFromDf(df: DataFrame): Array[(Int, Double)] =
+    df.select(col("bucket").cast("int"), col("w").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+
+  /** Score a corpus under a trained/read-back weight frame: per doc,
+    * the quantized logit and σ(logit) as `quality_score`. Documents
+    * with at least one token appear (the feature frame's contract);
+    * compose [[Sampling.keepAboveQuantile]] / a threshold filter
+    * downstream. Scale shape: one feature pass + broadcast weight join
+    * + id-keyed decimal aggregate — text never crosses an exchange. */
+  def lrScore(df: DataFrame, idCol: String, textCol: String,
+              weights: DataFrame, buckets: Int = 256): DataFrame =
+    logitOf(featuresOf(df, idCol, textCol, buckets), weights, idCol)
+      .select(col(idCol), col("z"), sigmoidQ(col("z")).as("quality_score"))
+}

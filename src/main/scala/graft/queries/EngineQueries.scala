@@ -628,6 +628,20 @@ object EngineQueries {
                                        'graft_apnd_cbs', 'embeddings',
                                        'vec_id', 'embedding', 0, 10, 2)""")
     }),
+    // the LR quality filter from SQL: labeled fixture as views, train +
+    // score via the deferred TVF — same oracle as llm_quality_classifier
+    "e_sql_quality_classifier" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_lr_pos AS
+                 SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_lr_neg AS
+                 SELECT doc_id, upper(text) AS text FROM documents
+                 WHERE doc_id % 2 = 1""")
+      e.query("""SELECT * FROM graft_quality_classifier(
+                   'graft_lr_pos', 'graft_lr_neg', 'documents',
+                   'doc_id', 'text', 64, 2)""")
+    }),
     // the crawl-domain dashboard from one line of SQL over the same
     // URL fixture view as e_sql_url_filter
     "e_sql_domain_report" -> ((s, d) => {
@@ -1000,6 +1014,7 @@ object EngineQueries {
     "e_sql_url_filter" -> LlmQueries.oracle("llm_url_filter"),
     "e_sql_knn_join_rerank" -> LlmQueries.oracle("llm_knn_join_rerank"),
     "e_sql_ann_append" -> LlmQueries.oracle("llm_ann_ivf_pq"),
-    "e_sql_domain_report" -> LlmQueries.oracle("llm_domain_report")
+    "e_sql_domain_report" -> LlmQueries.oracle("llm_domain_report"),
+    "e_sql_quality_classifier" -> LlmQueries.oracle("llm_quality_classifier")
   )
 }

@@ -1203,6 +1203,26 @@ object LlmQueries {
         Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
         k = 10, probes = 2, excludeId = Some(0L))
     }),
+    "llm_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      // the GPT-3-style LR quality filter end-to-end: train on a
+      // deterministic labeled fixture (pos = even-id docs as-is, neg =
+      // odd-id docs uppercased — any reproducible corruption gives the
+      // hashed features a learnable signal), persist the weight frame,
+      // score the corpus from the READ-BACK weights — train once,
+      // store, serve every ingestion run
+      val out = "target/gate_sink/quality_lr"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val pos = docs.filter($"doc_id" % 2 === 0)
+      val neg = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", upper($"text").as("text"))
+      val w = graft.operators.Classifier.lrTrain(pos, neg, "doc_id", "text",
+        buckets = 64, iters = 2, lr = 0.5)
+      graft.operators.Classifier.weightsToDf(s, w)
+        .write.mode("overwrite").parquet(out)
+      graft.operators.Classifier.lrScore(docs, "doc_id", "text",
+        s.read.parquet(out), buckets = 64)
+    }),
     "llm_domain_report" -> ((s, d) => {
       import s.implicits._
       // the pre-blocklist crawl dashboard: top domains by doc count +
@@ -2826,6 +2846,62 @@ object LlmQueries {
                              neighbor_id NULLS LAST) AS rn
            FROM ex)
          WHERE rn <= 5""",
+    // two batch-GD rounds replayed in SQL: iteration 1 has w=0 so
+    // sigmoid is exactly 0.5 (pure count algebra); iteration 2 runs the
+    // quantized sigmoid on the 6-decimal logit; every corpus-scale sum
+    // accumulates in DECIMAL(20,10) (the kmeans recipe) and weights
+    // land on the 1e-6 grid at each boundary — bit-identical GD state
+    // in any correctly-rounding engine
+    "llm_quality_classifier" ->
+      """WITH pos AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+          neg AS (SELECT doc_id, upper(text) AS text FROM documents
+                  WHERE doc_id % 2 = 1),
+          feats AS (
+            SELECT 'p:' || CAST(doc_id AS VARCHAR) AS tid, bucket,
+                   count(*) AS tf, 1.0 AS y
+            FROM (SELECT doc_id,
+                    CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
+                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                        FROM pos))
+            GROUP BY 1, bucket
+            UNION ALL
+            SELECT 'n:' || CAST(doc_id AS VARCHAR), bucket, count(*), 0.0
+            FROM (SELECT doc_id,
+                    CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
+                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                        FROM neg))
+            GROUP BY 1, bucket),
+          nn AS (SELECT count(DISTINCT tid) AS n FROM feats),
+          g1 AS (SELECT bucket,
+                        CAST(sum(CAST(tf * (y - 0.5) AS DECIMAL(20,10))) AS DOUBLE)
+                          / nn.n AS g
+                 FROM feats, nn GROUP BY bucket, nn.n),
+          w1 AS (SELECT bucket, round(0.5 * g, 6) AS w FROM g1),
+          z2 AS (SELECT f.tid,
+                        round(CAST(sum(CAST(f.tf * coalesce(w1.w, 0.0)
+                          AS DECIMAL(20,10))) AS DOUBLE), 6) AS z
+                 FROM feats f LEFT JOIN w1 USING (bucket) GROUP BY f.tid),
+          p2 AS (SELECT tid, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z2),
+          g2 AS (SELECT f.bucket,
+                        CAST(sum(CAST(f.tf *
+                          ((CASE WHEN f.tid LIKE 'p:%' THEN 1.0 ELSE 0.0 END)
+                            - p2.p) AS DECIMAL(20,10))) AS DOUBLE) / nn.n AS g
+                 FROM feats f JOIN p2 USING (tid), nn GROUP BY f.bucket, nn.n),
+          w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
+                        round(coalesce(w1.w, 0) + 0.5 * coalesce(g2.g, 0), 6) AS w
+                 FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket),
+          sf AS (SELECT doc_id, bucket, count(*) AS tf
+                 FROM (SELECT doc_id,
+                         CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
+                       FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                             FROM documents))
+                 GROUP BY doc_id, bucket),
+          zz AS (SELECT sf.doc_id,
+                        round(CAST(sum(CAST(sf.tf * coalesce(w2.w, 0.0)
+                          AS DECIMAL(20,10))) AS DOUBLE), 6) AS z
+                 FROM sf LEFT JOIN w2 USING (bucket) GROUP BY sf.doc_id)
+         SELECT doc_id, z, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score
+         FROM zz""",
     // top domains by doc count + corpus share over the llm_url_filter
     // fixture (garbage URLs excluded from counts and total)
     "llm_domain_report" ->

@@ -1874,6 +1874,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!dom.flatten.contains(""), "NULL host must never yield ''")
   }
 
+  test("LR quality classifier: separates classes, deterministic, weights round-trip") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    val base = docs.select($"doc_id", $"text").filter($"doc_id" < 300)
+    val pos = base.filter($"doc_id" % 2 === 0)
+    val neg = base.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", upper($"text").as("text"))
+    val w = Classifier.lrTrain(pos, neg, "doc_id", "text",
+      buckets = 64, iters = 2, lr = 0.5)
+    // deterministic: retraining on a repartitioned input gives
+    // bit-identical weights (decimal sums + grid quantization)
+    val w2 = Classifier.lrTrain(pos.repartition(7), neg.repartition(5),
+      "doc_id", "text", buckets = 64, iters = 2, lr = 0.5)
+    assert(w.toSeq == w2.toSeq)
+    // the classifier separates the classes it was trained on
+    val wDf = Classifier.weightsToDf(spark, w)
+    def meanScore(df: org.apache.spark.sql.DataFrame) =
+      Classifier.lrScore(df, "doc_id", "text", wDf, buckets = 64)
+        .agg(avg($"quality_score")).head().getDouble(0)
+    val mp = meanScore(pos)
+    val mn = meanScore(neg)
+    assert(mp > mn + 0.1,
+      s"pos mean $mp must clearly exceed neg mean $mn")
+    // the weight frame round-trips parquet bit-for-bit
+    val out = "target/test_sink/lr_weights"
+    wDf.write.mode("overwrite").parquet(out)
+    assert(Classifier.weightsFromDf(spark.read.parquet(out)).toSeq == w.toSeq)
+    // degenerate inputs refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Classifier.lrTrain(pos.filter(lit(false)), neg.filter(lit(false)),
+        "doc_id", "text", buckets = 64)
+    }
+    assert(e.getMessage.contains("empty training set"))
+  }
+
   test("urlFilter: registrable domains, ccSLD, casing, garbage URLs, blocklist") {
     import spark.implicits._
     import graft.operators.TextAnalysis
