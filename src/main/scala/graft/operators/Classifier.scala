@@ -57,8 +57,10 @@ object Classifier {
         .cast(DecimalType(20, 10))).cast("double"), 6).as("z"))
 
   /** σ(z) on the quantized logit, itself quantized — the one libm call,
-    * hardened per the scaladoc. */
-  private def sigmoidQ(z: Column): Column =
+    * hardened per the scaladoc. Public: the stream-side scorer
+    * ([[graft.streaming.Corpus.scoreQualityStream]]) shares it so the
+    * two scoring surfaces cannot diverge on the quantization contract. */
+  def sigmoidQ(z: Column): Column =
     round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
 
   /** Train `iters` batch-GD rounds; returns the weight frame

@@ -628,6 +628,47 @@ object EngineQueries {
                                        'graft_apnd_cbs', 'embeddings',
                                        'vec_id', 'embedding', 0, 10, 2)""")
     }),
+    // the crawl front door composed PURELY from TVFs through views:
+    // url filter → domain cap → gopher gate → token budget → shards —
+    // same oracle as llm_pipeline7
+    "e_sql_pipeline7" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_url_docs AS
+                 SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 'https://www.example.com/a/' || doc_id
+                     WHEN 1 THEN 'http://blog.spamsite.com/p?id=' || doc_id
+                     WHEN 2 THEN 'https://news.bbc.co.uk:443/story/' || doc_id
+                     WHEN 3 THEN 'http://EXAMPLE.com/x'
+                     WHEN 4 THEN 'https://ads.tracker.net/c'
+                     ELSE 'not a url ' || doc_id END AS url
+                 FROM documents""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_p7_bl AS
+                 SELECT * FROM (VALUES ('spamsite.com'), ('tracker.net'))
+                 AS t(domain)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_p7_adm AS
+                 SELECT f.doc_id, f.domain, doc.text
+                 FROM graft_url_filter('graft_url_docs', 'doc_id', 'url',
+                                       'graft_p7_bl') f
+                 JOIN documents doc ON doc.doc_id = f.doc_id""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_p7_capped AS
+                 SELECT doc_id, text
+                 FROM graft_domain_cap('graft_p7_adm', 'domain', 'text',
+                                       60, 'doc_id')""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_p7_q AS
+                 SELECT g.doc_id, c.text
+                 FROM graft_gopher('graft_p7_capped', 'doc_id', 'text',
+                                   10, 100000, 2.0, 10.0, 0.1, 1) g
+                 JOIN graft_p7_capped c ON c.doc_id = g.doc_id
+                 WHERE g.keep""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_p7_b AS
+                 SELECT b.doc_id, b.n_toks, b.token_offset, q.text
+                 FROM graft_token_budget('graft_p7_q', 'doc_id', 'text', 5000) b
+                 JOIN graft_p7_q q ON q.doc_id = b.doc_id""")
+      e.query("""SELECT doc_id, n_toks, token_offset, shard, order_key
+                 FROM graft_shards('graft_p7_b', 'text', 8, 'shard:')""")
+    }),
     // the LR quality filter from SQL: labeled fixture as views, train +
     // score via the deferred TVF — same oracle as llm_quality_classifier
     "e_sql_quality_classifier" -> ((s, d) => {
@@ -1015,6 +1056,7 @@ object EngineQueries {
     "e_sql_knn_join_rerank" -> LlmQueries.oracle("llm_knn_join_rerank"),
     "e_sql_ann_append" -> LlmQueries.oracle("llm_ann_ivf_pq"),
     "e_sql_domain_report" -> LlmQueries.oracle("llm_domain_report"),
-    "e_sql_quality_classifier" -> LlmQueries.oracle("llm_quality_classifier")
+    "e_sql_quality_classifier" -> LlmQueries.oracle("llm_quality_classifier"),
+    "e_sql_pipeline7" -> LlmQueries.oracle("llm_pipeline7")
   )
 }

@@ -1203,6 +1203,43 @@ object LlmQueries {
         Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
         k = 10, probes = 2, excludeId = Some(0L))
     }),
+    "llm_pipeline7" -> ((s, d) => {
+      import s.implicits._
+      // the crawl FRONT DOOR composed end to end from the round-8
+      // surface: URL/domain admission (blocklist anti-join) →
+      // per-domain cap (no source dominates) → Gopher quality gate →
+      // deterministic 5k-token budget fill → training shards. Every
+      // stage is individually oracle-gated; the composition pins their
+      // interplay
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val urls = docs.select($"doc_id",
+        when($"doc_id" % 6 === 0,
+            concat(lit("https://www.example.com/a/"), $"doc_id"))
+          .when($"doc_id" % 6 === 1,
+            concat(lit("http://blog.spamsite.com/p?id="), $"doc_id"))
+          .when($"doc_id" % 6 === 2,
+            concat(lit("https://news.bbc.co.uk:443/story/"), $"doc_id"))
+          .when($"doc_id" % 6 === 3, lit("http://EXAMPLE.com/x"))
+          .when($"doc_id" % 6 === 4, lit("https://ads.tracker.net/c"))
+          .otherwise(concat(lit("not a url "), $"doc_id")).as("url"))
+      val blocklist = s.createDataFrame(
+        Seq(Tuple1("spamsite.com"), Tuple1("tracker.net"))).toDF("domain")
+      val admitted = TextAnalysis.urlFilter(urls, "doc_id", "url", blocklist)
+        .select($"doc_id", $"domain")
+        .join(docs, "doc_id")
+      val capped = graft.operators.Sampling.domainCap(admitted, $"domain",
+        $"text", k = 60, tieBreak = Seq($"doc_id"))
+      val quality = capped.filter(TextAnalysis.gopherKeep($"text",
+        minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+      val budgeted = graft.operators.Sampling.tokenBudget(
+        quality.select($"doc_id", $"text"), "doc_id", "text",
+        budget = 5000L, numBuckets = 64)
+      graft.operators.Sampling.assignShards(
+          budgeted.join(docs, "doc_id"), $"text", numShards = 8,
+          salt = "shard:")
+        .select($"doc_id", $"n_toks", $"token_offset", $"shard", $"order_key")
+    }),
     "llm_quality_classifier" -> ((s, d) => {
       import s.implicits._
       // the GPT-3-style LR quality filter end-to-end: train on a
@@ -2846,6 +2883,63 @@ object LlmQueries {
                              neighbor_id NULLS LAST) AS rn
            FROM ex)
          WHERE rn <= 5""",
+    // the front-door chain replayed stage by stage: url fixture →
+    // registrable domain + blocklist → domain cap (the llm_domain_cap
+    // row_number algebra) → Gopher keep (the admission predicate on
+    // rounded stats) → exclusive-prefix token budget → shard/order keys
+    "llm_pipeline7" ->
+      s"""WITH u AS (SELECT doc_id,
+                      CASE doc_id % 6
+                        WHEN 0 THEN 'www.example.com'
+                        WHEN 1 THEN 'blog.spamsite.com'
+                        WHEN 2 THEN 'news.bbc.co.uk'
+                        WHEN 3 THEN 'example.com'
+                        WHEN 4 THEN 'ads.tracker.net'
+                        ELSE NULL END AS host
+                    FROM documents),
+          p AS (SELECT doc_id, host, string_split(host, '.') AS ls
+                FROM u WHERE host IS NOT NULL),
+          dd AS (SELECT doc_id,
+                       CASE WHEN len(ls) <= 2 THEN host
+                            WHEN list_contains(['co','com','net','org','ac','gov','edu'], ls[-2])
+                                 AND length(ls[-1]) = 2 AND len(ls) >= 3
+                            THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                            ELSE ls[-2] || '.' || ls[-1] END AS domain
+                FROM p),
+          adm AS (SELECT dd.doc_id, dd.domain, doc.text
+                  FROM dd JOIN documents doc USING (doc_id)
+                  WHERE dd.domain NOT IN ('spamsite.com', 'tracker.net')),
+          capped AS (SELECT doc_id, text FROM (
+                       SELECT doc_id, text,
+                              row_number() OVER (PARTITION BY domain
+                                ORDER BY CAST(('0x'||substr(md5('domcap:'||text),1,8)) AS BIGINT) NULLS LAST,
+                                         text NULLS LAST, doc_id NULLS LAST) AS rn
+                       FROM adm) WHERE rn <= 60),
+          q AS (SELECT doc_id, text FROM (
+                  SELECT doc_id, text,
+                    CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+                    round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                          / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
+                    round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                          / greatest(length(text), 1), 6) AS sym,
+                    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t IN ($stopsEn))) AS INTEGER) AS stops
+                  FROM capped)
+                WHERE n_tokens >= 10 AND n_tokens <= 100000
+                  AND mwl >= 2.0 AND mwl <= 10.0 AND sym <= 0.1 AND stops >= 1),
+          t AS (SELECT doc_id, text,
+                       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_toks,
+                       CAST(('0x'||substr(md5('budget:'||text),1,8)) AS BIGINT) AS h
+                FROM q),
+          o AS (SELECT doc_id, text, n_toks,
+                       CAST(coalesce(sum(n_toks) OVER (ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                         AS token_offset
+                FROM t)
+         SELECT doc_id, n_toks, token_offset,
+                CAST(CAST(('0x'||substr(md5('shard:'||text),1,8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+                CAST(('0x'||substr(md5('ord:shard:'||text),1,8)) AS BIGINT) AS order_key
+         FROM o WHERE token_offset < 5000""",
     // two batch-GD rounds replayed in SQL: iteration 1 has w=0 so
     // sigmoid is exactly 0.5 (pure count algebra); iteration 2 runs the
     // quantized sigmoid on the 6-decimal logit; every corpus-scale sum

@@ -87,6 +87,29 @@ object StreamQueries {
         .select(col("id_new").as("doc_id")).distinct()
       clean.select(col("doc_id")).join(hits, Seq("doc_id"), "left_anti")
     }),
+    "st_quality_lr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // model-based quality scoring ON THE STREAM (batch-parity form;
+      // streamed in StreamingSpec): the LR classifier trains once on
+      // the labeled fixture, persists its weight frame, and the
+      // read-back weights inline into a stateless per-row scoring
+      // expression — the admission fleet's "score every incoming doc
+      // under the stored model" step. Same oracle as
+      // llm_quality_classifier (the batch scorer's algebra), so the
+      // two scoring surfaces are pinned equal on this corpus
+      val out = "target/gate_sink/quality_lr_stream"
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val pos = docs.filter(col("doc_id") % 2 === 0)
+      val neg = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), upper(col("text")).as("text"))
+      val w = graft.operators.Classifier.lrTrain(pos, neg, "doc_id", "text",
+        buckets = 64, iters = 2, lr = 0.5)
+      graft.operators.Classifier.weightsToDf(s, w)
+        .write.mode("overwrite").parquet(out)
+      graft.streaming.Corpus.scoreQualityStream(docs, "doc_id", "text",
+        graft.operators.Classifier.weightsFromDf(s.read.parquet(out)),
+        buckets = 64)
+    }),
     "st_admission_stored" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // st_admission with EVERY index read back from parquet — the
@@ -196,6 +219,9 @@ object StreamQueries {
     "st_admission" -> LlmQueries.admissionOracleSql,
     // the stored-store restart path is output-identical by contract
     "st_admission_stored" -> LlmQueries.admissionOracleSql,
+    // the stream-side per-row scorer lands on the same round(·,6)
+    // logits as the batch scorer's exact-decimal algebra
+    "st_quality_lr" -> LlmQueries.oracle("llm_quality_classifier"),
     // stateless per-row panel — identical to llm_gopher's oracle
     "st_quality" -> LlmQueries.oracle("llm_gopher"),
     // complete-mode streaming aggregate — identical to the batch panel

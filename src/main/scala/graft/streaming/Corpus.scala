@@ -175,6 +175,41 @@ object Corpus {
     docs.filter(!coalesce(contaminated, lit(false)))
   }
 
+  /** STREAM-SAFE LR quality scoring — [[graft.operators.Classifier.lrScore]]
+    * for the admission stream: the trained/read-back weight vector
+    * inlines as a map literal and each document's logit is ONE per-row
+    * expression (token → 60-bit hash bucket → map lookup, summed), so
+    * scoring is stateless — the batch scorer's (id, bucket) aggregates
+    * would demand keyed state on a stream. The [[admitProbe]] trade
+    * applies: the HOF lambda is interpreted, acceptable because it runs
+    * over the micro-batch-sized incoming side only (train/score the
+    * corpus with the batch operator).
+    *
+    * Numeric contract: the per-row sum accumulates left-to-right in
+    * doubles over TOKEN order where the batch scorer sums per-bucket
+    * tf·w in exact decimal — both land on the same round(·,6) logit
+    * except on a ~1e-14 knife edge (the tfidf quantization argument;
+    * StreamingSpec pins equality on the gate corpus). Output:
+    * (idCol, z, quality_score) — the [[graft.operators.Classifier.lrScore]]
+    * shape; docs with no tokens score z = 0 (σ = 0.5), where the batch
+    * scorer omits the row (its feature frame has nothing to aggregate)
+    * — a stream cannot "omit" a row statelessly, so the caller filters
+    * on the score either way. */
+  def scoreQualityStream(docs: DataFrame, idCol: String, textCol: String,
+                         weights: Array[(Int, Double)],
+                         buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val wmap = typedLit(weights.toMap)
+    val z = round(aggregate(
+      transform(split(col(textCol), "\\s+"), t =>
+        coalesce(element_at(wmap,
+          pmod(Dedup.sharedHash60(t), lit(buckets)).cast("int")), lit(0.0))),
+      lit(0.0), (acc, x) => acc + x), 6)
+    docs.select(col(idCol), z.as("z"))
+      .select(col(idCol), col("z"),
+        graft.operators.Classifier.sigmoidQ(col("z")).as("quality_score"))
+  }
+
   def cleanAgainst(docs: DataFrame, evalDocs: DataFrame,
                    idCol: String, textCol: String, n: Int = 13,
                    maxInlineHashes: Int = 1 << 20): DataFrame = {

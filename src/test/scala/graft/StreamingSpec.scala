@@ -142,6 +142,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("drift"))
   }
 
+  test("streaming LR quality scoring: stream == batch == the decimal-algebra scorer") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Classifier
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val pos = docs.filter(col("doc_id") % 2 === 0)
+    val neg = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), upper(col("text")).as("text"))
+    val w = Classifier.lrTrain(pos, neg, "doc_id", "text",
+      buckets = 64, iters = 2, lr = 0.5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val batchStream = rows(graft.streaming.Corpus.scoreQualityStream(
+      docs, "doc_id", "text", w, buckets = 64))
+    // the per-row scorer lands on the batch scorer's round(·,6) logits
+    val batchLr = rows(Classifier.lrScore(docs, "doc_id", "text",
+      Classifier.weightsToDf(spark, w), buckets = 64))
+    assert(batchStream == batchLr && batchLr.nonEmpty)
+    // and the same expression runs stream-side unchanged (stateless)
+    val stream = graft.streaming.Corpus.readStream(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+    Events.runToMemory(spark, graft.streaming.Corpus.scoreQualityStream(
+      stream, "doc_id", "text", w, buckets = 64), "t_quality_lr",
+      OutputMode.Append())
+    assert(rows(spark.table("t_quality_lr")) == batchStream)
+  }
+
   test("streaming quality panel: Gopher rules on a stream == batch, stateless") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
