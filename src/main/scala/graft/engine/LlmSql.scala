@@ -768,6 +768,18 @@ object LlmSql {
       case args => bad(
         "graft_quality_classifier(pos_table, neg_table, score_table, id_col, text_col, buckets, iters)", args)
     }
+    reg(spark, "graft_lr_score") {
+      // serve a STORED weight table (train once with
+      // graft_quality_classifier / Classifier.lrTrain, score every
+      // ingestion run from the read-back frame): fully LAZY — the
+      // weight frame broadcasts inside the plan, no driver action
+      case Seq(wT, t, id, text, buckets) =>
+        val f = "graft_lr_score"
+        graft.operators.Classifier.lrScore(table(str(t, f)), str(id, f),
+          str(text, f), table(str(wT, f)), int(buckets, f))
+      case args => bad(
+        "graft_lr_score(weights_table, table, id_col, text_col, buckets)", args)
+    }
     reg(spark, "graft_domain_report") {
       // fully LAZY: the corpus total is a broadcast 1-row aggregate
       case Seq(t, id, url, k) =>

@@ -683,6 +683,27 @@ object EngineQueries {
                    'graft_lr_pos', 'graft_lr_neg', 'documents',
                    'doc_id', 'text', 64, 2)""")
     }),
+    // the SERVING side decoupled: weights trained + persisted in Scala
+    // (the write side), the corpus scored from the read-back weight
+    // view via the LAZY scoring TVF — same oracle again, so any drift
+    // through the weight store hash-mismatches
+    "e_sql_lr_score_stored" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/quality_lr_sql"
+      import org.apache.spark.sql.functions.{col, upper}
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val pos = docs.filter(col("doc_id") % 2 === 0)
+      val neg = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), upper(col("text")).as("text"))
+      val w = graft.operators.Classifier.lrTrain(pos, neg, "doc_id", "text",
+        buckets = 64, iters = 2, lr = 0.5)
+      graft.operators.Classifier.weightsToDf(s, w)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("graft_lr_weights")
+      e.query("""SELECT * FROM graft_lr_score('graft_lr_weights', 'documents',
+                                              'doc_id', 'text', 64)""")
+    }),
     // the crawl-domain dashboard from one line of SQL over the same
     // URL fixture view as e_sql_url_filter
     "e_sql_domain_report" -> ((s, d) => {
@@ -1057,6 +1078,7 @@ object EngineQueries {
     "e_sql_ann_append" -> LlmQueries.oracle("llm_ann_ivf_pq"),
     "e_sql_domain_report" -> LlmQueries.oracle("llm_domain_report"),
     "e_sql_quality_classifier" -> LlmQueries.oracle("llm_quality_classifier"),
-    "e_sql_pipeline7" -> LlmQueries.oracle("llm_pipeline7")
+    "e_sql_pipeline7" -> LlmQueries.oracle("llm_pipeline7"),
+    "e_sql_lr_score_stored" -> LlmQueries.oracle("llm_quality_classifier")
   )
 }

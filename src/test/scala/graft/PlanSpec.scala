@@ -236,6 +236,15 @@ class PlanSpec extends AnyFunSuite {
       "domain admission must not shuffle the corpus")
   }
 
+  test("LR scoring: broadcast weight join; text never keys an exchange") {
+    val p = plan("llm_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "the weight frame must broadcast into the feature join")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "the per-doc aggregates shuffle (id/bucket keys)")
+    assert(!exchanges.exists(_.contains("text")), "document text must never shuffle")
+  }
+
   test("minhash pipeline shuffles band keys, not documents") {
     val p = plan("llm_minhash_pairs")
     // the self-join key is the band tuple — no text column crosses it
