@@ -782,12 +782,12 @@ object LlmSql {
     }
     reg(spark, "graft_domain_report") {
       // fully LAZY: the corpus total is a broadcast 1-row aggregate
-      case Seq(t, id, url, k) =>
+      case Seq(t, url, k) =>
         val f = "graft_domain_report"
-        TextAnalysis.domainReport(table(str(t, f)), str(id, f), str(url, f),
+        TextAnalysis.domainReport(table(str(t, f)), str(url, f),
           topK = int(k, f))
       case args => bad(
-        "graft_domain_report(table, id_col, url_col, top_k)", args)
+        "graft_domain_report(table, url_col, top_k)", args)
     }
     reg(spark, "graft_url_filter") {
       // URL/domain admission: fully LAZY (the blocklist broadcasts

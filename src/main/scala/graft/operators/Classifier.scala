@@ -118,8 +118,7 @@ object Classifier {
     * every ingestion run from the read-back frame. */
   def weightsToDf(spark: org.apache.spark.sql.SparkSession,
                   w: Array[(Int, Double)]): DataFrame =
-    spark.createDataFrame(w.toIndexedSeq.map { case (b, x) => (b, x) })
-      .toDF("bucket", "w")
+    spark.createDataFrame(w.toIndexedSeq).toDF("bucket", "w")
 
   def weightsFromDf(df: DataFrame): Array[(Int, Double)] =
     df.select(col("bucket").cast("int"), col("w").cast("double"))

@@ -641,14 +641,14 @@ object Dedup {
     * otherwise silently under-report contamination, the one drift mode
     * the exact confirm join cannot absorb (bloom false positives cost a
     * probe, never a wrong answer; missing confirm rows DO). The guard
-    * rides the CANDIDATE side of the confirm join, not the hash frame:
-    * a guard projected onto `index.hashes` evaluates zero rows when the
-    * frame is FULLY truncated (the worst drift — every contaminated doc
-    * admitted) and would fail open; on the candidate side any
-    * bloom-probed row trips it, and the intact bloom guarantees
-    * candidates exist whenever contamination exists (no false
-    * negatives). An empty candidate set with a drifted frame means the
-    * bloom itself attests no contamination — the answer is right anyway. */
+    * rides the OUTPUT frame (one row per corpus id): a guard projected
+    * onto `index.hashes` evaluates zero rows when the frame is FULLY
+    * truncated and fails open, and one on the bloom-candidate side dies
+    * the same way — an EMPTY confirm build side lets AQE empty-relation
+    * propagation collapse the semi-join before any candidate row would
+    * evaluate it. The output left join cannot collapse, so every probe
+    * run over a non-empty corpus checks the count exactly once per row
+    * and raises on ANY count drift, full or partial. */
   /** The validated single sketch row of a (possibly read-back)
     * [[DecontamIndex]] — (shingle n, recorded hash count, bloom bytes).
     * Shared by [[decontaminateStored]] and the streaming admission's

@@ -563,11 +563,22 @@ object Similarity {
     require(centroids.nonEmpty && codebooks.nonEmpty,
       "ivfPqKnnJoinStored: empty stored cells/codebooks — artifact drift")
     val m = codebooks.length
-    val missing = ("cell" +: (0 until m).map(i => s"code_$i"))
-      .filterNot(codes.columns.contains)
-    require(missing.isEmpty,
-      s"stored codes table lacks ${missing.mkString(",")} — serve the " +
-        s"table ivfPqEncode wrote with the codebooks it was encoded with")
+    require(codes.columns.contains("cell"),
+      "stored codes table lacks the cell column — serve the table " +
+        "ivfPqEncode wrote")
+    // EXACT code-column set, not mere presence: a codes table encoded
+    // with MORE subspaces (m drift — e.g. m=8/subDim=8 codes served
+    // with m=4/subDim=16 codebooks) would pass a lacks-only check,
+    // silently ignore code_4..code_7, and score each subspace against
+    // the wrong dims — code VALUES stay inside the cid range, so the
+    // per-code raise can never catch it
+    val expected = (0 until m).map(i => s"code_$i").toSet
+    val actual = codes.columns.filter(_.matches("code_\\d+")).toSet
+    require(actual == expected,
+      s"stored codes table carries ${actual.toSeq.sorted.mkString(",")} " +
+        s"but the supplied codebooks have m=$m subspaces (expected " +
+        s"code_0..code_${m - 1} exactly) — serve the table ivfPqEncode " +
+        "wrote with the codebooks it was encoded with")
     val lutCols = for {
       s <- 0 until m; (cid, cv) <- codebooks(s).toIndexedSeq
     } yield bridgeC(graft.functions.DotProduct(

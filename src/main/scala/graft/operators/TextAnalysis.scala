@@ -382,11 +382,18 @@ object TextAnalysis {
     // throw the generic CAST_INVALID_INPUT mid-plan; the try form lets
     // the guard below name the operator and its contract instead
     val idL = expr(s"try_cast(`$idCol` AS BIGINT)")
-    val sid = when(idL.isNull || idL < 0, raise_error(concat(
+    // a FRACTIONAL numeric id is the one lossy case try_cast does NOT
+    // null out — it TRUNCATES (3.2 and 3.9 both land on sid base
+    // 3·10⁶, the exact cross-doc collision this guard exists for), so
+    // the round-trip must also be checked value-wise (decimal compare:
+    // exact for longs, catches any fractional part)
+    val idExact = expr(s"try_cast(`$idCol` AS DECIMAL(38,9))") <=>
+      idL.cast("decimal(38,9)")
+    val sid = when(idL.isNull || idL < 0 || !idExact, raise_error(concat(
         lit("filterSentencesByLm: id "), col(idCol).cast("string"),
-        lit(" does not cast to a nonnegative long — sentence ids are " +
-          "idCol*1e6 + sent_no; a NULL/negative id would silently " +
-          "empty the document"))))
+        lit(" does not cast losslessly to a nonnegative long — sentence " +
+          "ids are idCol*1e6 + sent_no; a NULL/negative/fractional id " +
+          "would silently empty or merge documents"))))
       .when(col("sent_no") >= 1000000L, raise_error(concat(
         lit("filterSentencesByLm: document "), col(idCol).cast("string"),
         lit(" has >= 1e6 sentences — sentence ids would collide across " +
@@ -1267,8 +1274,9 @@ object TextAnalysis {
     * boundary is deterministic. Scale shape: host/domain are codegen'd
     * projections, the count partial-aggregates on the domain key, the
     * corpus total broadcasts as one row; nothing but (domain, count)
-    * pairs cross an exchange. Output: (domain, n_docs, share). */
-  def domainReport(df: DataFrame, idCol: String, urlCol: String,
+    * pairs cross an exchange. Output: (domain, n_docs, share) — rows
+    * count; an id column plays no role here. */
+  def domainReport(df: DataFrame, urlCol: String,
                    topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val counts = df

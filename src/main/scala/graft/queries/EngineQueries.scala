@@ -720,7 +720,7 @@ object EngineQueries {
                      ELSE 'not a url ' || doc_id END AS url
                  FROM documents""")
       e.query(
-        "SELECT * FROM graft_domain_report('graft_url_docs', 'doc_id', 'url', 20)")
+        "SELECT * FROM graft_domain_report('graft_url_docs', 'url', 20)")
     }),
     // URL/domain admission from SQL over the same deterministic fixture
     "e_sql_url_filter" -> ((s, d) => {

@@ -1276,7 +1276,7 @@ object LlmQueries {
           .when($"doc_id" % 6 === 3, lit("http://EXAMPLE.com/x"))
           .when($"doc_id" % 6 === 4, lit("https://ads.tracker.net/c"))
           .otherwise(concat(lit("not a url "), $"doc_id")).as("url"))
-      TextAnalysis.domainReport(urls, "doc_id", "url", topK = 20)
+      TextAnalysis.domainReport(urls, "url", topK = 20)
     }),
     "llm_ann_rerank" -> ((s, d) => {
       // two-stage retrieval: IVF-PQ proposes the ADC top-20, exact

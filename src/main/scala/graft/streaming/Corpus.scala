@@ -191,18 +191,24 @@ object Corpus {
     * except on a ~1e-14 knife edge (the tfidf quantization argument;
     * StreamingSpec pins equality on the gate corpus). Output:
     * (idCol, z, quality_score) — the [[graft.operators.Classifier.lrScore]]
-    * shape; docs with no tokens score z = 0 (σ = 0.5), where the batch
-    * scorer omits the row (its feature frame has nothing to aggregate)
-    * — a stream cannot "omit" a row statelessly, so the caller filters
-    * on the score either way. */
+    * shape. The one divergence from the batch scorer: a NULL text row
+    * scores NULL z/quality_score here, where the batch feature frame
+    * simply has no rows for it and omits the doc (empty-STRING text is
+    * identical on both surfaces — `split` yields one empty token whose
+    * bucket weight both paths look up). */
   def scoreQualityStream(docs: DataFrame, idCol: String, textCol: String,
                          weights: Array[(Int, Double)],
                          buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val wmap = typedLit(weights.toMap)
+    // try_element_at, NOT element_at: under ANSI (the Spark 4 default)
+    // element_at THROWS on a missing map key, and the trained weight
+    // map only carries buckets that occurred in TRAINING — the first
+    // streamed doc hitting an untrained bucket would kill the query
+    // instead of contributing the batch scorer's left-join 0.0
     val z = round(aggregate(
       transform(split(col(textCol), "\\s+"), t =>
-        coalesce(element_at(wmap,
+        coalesce(try_element_at(wmap,
           pmod(Dedup.sharedHash60(t), lit(buckets)).cast("int")), lit(0.0))),
       lit(0.0), (acc, x) => acc + x), 6)
     docs.select(col(idCol), z.as("z"))

@@ -1745,7 +1745,7 @@ class LlmOpsSpec extends AnyFunSuite {
         codes.drop("code_2"), "vec_id", "vec_id", "embedding",
         cents, cb, 16, k = 5)
     }
-    assert(e1.getMessage.contains("code_2"))
+    assert(e1.getMessage.contains("expected code_0..code_3"))
     // a drifted stored code raises instead of scoring NULL
     val e2 = intercept[Exception] {
       Similarity.ivfPqKnnJoinStored(emb.filter($"vec_id" === 0),
@@ -1859,7 +1859,7 @@ class LlmOpsSpec extends AnyFunSuite {
       (1L, "https://a.example.com/x"), (2L, "https://b.example.com/y"),
       (3L, "http://only.org/z"), (4L, "garbage"), (5L, "also garbage"))
       .toDF("id", "url")
-    val out = TextAnalysis.domainReport(df, "id", "url", topK = 10)
+    val out = TextAnalysis.domainReport(df, "url", topK = 10)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     // 3 parseable rows: example.com 2/3, only.org 1/3 — garbage absent
     // from the rows AND the denominator
@@ -1907,6 +1907,44 @@ class LlmOpsSpec extends AnyFunSuite {
         "doc_id", "text", buckets = 64)
     }
     assert(e.getMessage.contains("empty training set"))
+  }
+
+  test("round-8 review hardening: m-drift codes refusal, fractional ids, untrained buckets") {
+    import spark.implicits._
+    // a codes table with MORE subspaces than the supplied codebooks is
+    // drift, not a subset to score — refuse by name (code values stay
+    // inside the cid range, so the per-code raise could never catch it)
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 8)
+    val codes = Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cb, 16)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnnJoinStored(emb.filter($"vec_id" === 0),
+        codes.withColumn("code_4", lit(0L)), "vec_id", "vec_id",
+        "embedding", cents, cb, 16, k = 5)
+    }
+    assert(e1.getMessage.contains("m=4") && e1.getMessage.contains("code_4"))
+    // fractional numeric ids TRUNCATE under try_cast — the lossless
+    // round-trip check raises instead of colliding sids across docs
+    import graft.operators.TextAnalysis
+    val frac = Seq((3.2, "One sentence here. Two more here."),
+      (3.9, "Another doc here. Fine text here.")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      TextAnalysis.filterSentencesByLm(frac, "doc_id", "text", 0.2).collect()
+    }
+    assert(causeChain(e2).contains("losslessly"), causeChain(e2))
+    // integer-valued DOUBLE ids round-trip and still work
+    val whole = Seq((3.0, "One sentence here. Two more here."),
+      (4.0, "Another doc here. Fine text here.")).toDF("doc_id", "text")
+    assert(TextAnalysis.filterSentencesByLm(whole, "doc_id", "text", 0.2)
+      .count() == 2)
+    // stream scorer: a token hitting a bucket ABSENT from the trained
+    // weights contributes 0.0 instead of killing the query (ANSI
+    // element_at throws on missing map keys; try_element_at does not)
+    val sparse = Array((0, 0.25)) // bucket 0 only — most tokens miss it
+    val scored = graft.streaming.Corpus.scoreQualityStream(
+      docs.select($"doc_id", $"text").limit(50), "doc_id", "text",
+      sparse, buckets = 64).collect()
+    assert(scored.length == 50 && scored.forall(!_.isNullAt(1)))
   }
 
   test("urlFilter: registrable domains, ccSLD, casing, garbage URLs, blocklist") {
