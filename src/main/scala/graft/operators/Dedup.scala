@@ -364,6 +364,24 @@ object Dedup {
                          k: Int = 16, nBands: Int = 4,
                          reuse: Reuse = Reuse.Local): MinhashIndex = {
     requireIndexK(index, idCol, k, "append")
+    require(k % nBands == 0, s"nBands must divide k, got k=$k nBands=$nBands")
+    // k alone does not pin the band layout: an append with the store's k
+    // but a DRIFTED nBands would union band rows with a different
+    // segment count, and a parquet `mode("append")` persists the
+    // corruption before the probe-side rowsPerBand guard could fire —
+    // the store is already mixed by the time anything raises. The
+    // stored layout is observable from one band_val (k/nBands
+    // "_"-joined minima), so check it EAGERLY, before the union exists:
+    // one 1-row job against the compact bands frame, on an operation
+    // that is about to write anyway. An empty bands frame (empty or
+    // band-less store) has no layout to drift from and passes.
+    index.bands.select(size(split(col("band_val"), "_", -1)))
+      .head(1).headOption.foreach { r =>
+        require(r.getInt(0) == k / nBands,
+          s"stored index band_val carries ${r.getInt(0)} minima per band " +
+            s"but append k=$k/nBands=$nBands expects ${k / nBands} — " +
+            "append with the index's build parameters")
+      }
     val setsNew = minhashSets(newDocs, idCol, textCol, k, reuse)
     MinhashIndex(
       index.bands.unionByName(bandsOf(setsNew, idCol, k, nBands)),

@@ -385,10 +385,16 @@ object TextAnalysis {
     // a FRACTIONAL numeric id is the one lossy case try_cast does NOT
     // null out — it TRUNCATES (3.2 and 3.9 both land on sid base
     // 3·10⁶, the exact cross-doc collision this guard exists for), so
-    // the round-trip must also be checked value-wise (decimal compare:
-    // exact for longs, catches any fractional part)
-    val idExact = expr(s"try_cast(`$idCol` AS DECIMAL(38,9))") <=>
-      idL.cast("decimal(38,9)")
+    // the round-trip must also be checked value-wise. Scale 18, not 9:
+    // the decimal cast rounds HALF_UP, so a scale-9 compare passed any
+    // fractional part below 5e-10 (3.0000000001 truncated silently);
+    // at scale 18 every fractional part a double ≥ 2⁻⁵² can carry in
+    // the unit-or-greater range is caught (ulp(1.0) ≈ 2.2e-16 ≫
+    // 5e-19), and DECIMAL(38,18) still holds any long in its 20
+    // integer digits. Residual: a sub-5e-19 value in (0,1) — 1e-300
+    // garbage, not an id — still rounds to 0 on both sides.
+    val idExact = expr(s"try_cast(`$idCol` AS DECIMAL(38,18))") <=>
+      idL.cast("decimal(38,18)")
     val sid = when(idL.isNull || idL < 0 || !idExact, raise_error(concat(
         lit("filterSentencesByLm: id "), col(idCol).cast("string"),
         lit(" does not cast losslessly to a nonnegative long — sentence " +
@@ -1258,7 +1264,17 @@ object TextAnalysis {
     val last = element_at(labels, -1)
     val second = element_at(labels, -2)
     val ccSld = second.isin(ccSlds: _*) && length(last) === 2 && n >= 3
+    // two host shapes where "the last two labels" is NOT a registrable
+    // domain: a trailing-dot FQDN ("example.com.") splits to an EMPTY
+    // last label (the otherwise-branch would emit "com." — concat_ws
+    // keeps empty strings), and an IP-literal host ("1.2.3.4",
+    // "[2001:db8::1]") has no label hierarchy at all ("3.4" is not a
+    // site). Both pass through UNCHANGED — for those rows the host
+    // itself is the grouping/blocklist key. RE2-safe patterns (no
+    // backreferences; anchored, so no \z subtlety either).
+    val ipLike = host.rlike("^\\[") || host.rlike("^(\\d+\\.)*\\d+$")
     when(host.isNull, lit(null).cast("string"))
+      .when(last === "" || ipLike, host)
       .when(n <= 2, host)
       .when(ccSld, concat_ws(".", element_at(labels, -3), second, last))
       .otherwise(concat_ws(".", second, last))

@@ -1809,6 +1809,13 @@ class LlmOpsSpec extends AnyFunSuite {
       Dedup.minhashIndexAppend(idxA, b, "doc_id", "text", k = 8, nBands = 4)
     }
     assert(e.getMessage.contains("append"))
+    // SAME k but drifted nBands passes the k-schema guard — the eager
+    // stored-band_val layout check must refuse BEFORE anything unions
+    // (a parquet append would persist the mixed store first otherwise)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexAppend(idxA, b, "doc_id", "text", k = 16, nBands = 8)
+    }
+    assert(e2.getMessage.contains("minima per band"), e2.getMessage)
   }
 
   test("batch two-stage retrieval: recall >= stored ADC; all-probe unbounded candC == exact kNN join") {
@@ -1937,6 +1944,14 @@ class LlmOpsSpec extends AnyFunSuite {
       (4.0, "Another doc here. Fine text here.")).toDF("doc_id", "text")
     assert(TextAnalysis.filterSentencesByLm(whole, "doc_id", "text", 0.2)
       .count() == 2)
+    // a fractional part below the old DECIMAL(38,9) HALF_UP threshold
+    // (5e-10) slid through the scale-9 round-trip; scale 18 catches it
+    val tiny = Seq((3.0000000001, "One sentence here. Two more here."),
+      (4.0, "Another doc here. Fine text here.")).toDF("doc_id", "text")
+    val e3 = intercept[Exception] {
+      TextAnalysis.filterSentencesByLm(tiny, "doc_id", "text", 0.2).collect()
+    }
+    assert(causeChain(e3).contains("losslessly"), causeChain(e3))
     // stream scorer: a token hitting a bucket ABSENT from the trained
     // weights contributes 0.0 instead of killing the query (ANSI
     // element_at throws on missing map keys; try_element_at does not)
@@ -1955,15 +1970,26 @@ class LlmOpsSpec extends AnyFunSuite {
       (2L, "http://EXAMPLE.com"),
       (3L, "https://news.bbc.co.uk:443/s"),
       (4L, "nonsense url"),
-      (5L, "https://spam.bad.org/z")).toDF("id", "url")
+      (5L, "https://spam.bad.org/z"),
+      (6L, "https://example.com./x"),
+      (7L, "http://192.168.0.1/admin")).toDF("id", "url")
     val bl = Seq("BAD.org").toDF("domain")
     val out = TextAnalysis.urlFilter(df, "id", "url", bl).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
     assert(out == Map(
       1L -> (("a.b.example.com", "example.com")),
       2L -> (("example.com", "example.com")),
-      3L -> (("news.bbc.co.uk", "bbc.co.uk"))),
+      3L -> (("news.bbc.co.uk", "bbc.co.uk")),
+      // trailing-dot FQDN and IP-literal hosts pass through UNCHANGED —
+      // "com." / "168.0.1" would be bogus grouping/blocklist keys
+      6L -> (("example.com.", "example.com.")),
+      7L -> (("192.168.0.1", "192.168.0.1"))),
       s"got $out")
+    // bracketed IPv6 likewise passes through (no label hierarchy)
+    val v6 = df.sparkSession.range(1)
+      .select(TextAnalysis.registrableDomain(lit("[2001:db8::1]")).as("d"))
+      .head().getString(0)
+    assert(v6 == "[2001:db8::1]", v6)
     // a blocklist without a `domain` column refuses by name
     val e = intercept[IllegalArgumentException] {
       TextAnalysis.urlFilter(df, "id", "url", Seq("x").toDF("d"))
