@@ -535,13 +535,17 @@ object Similarity {
     * against [[ivfPqEncode]]'s read-back code table, vectors never read.
     * Each query expands to its `probes` nearest cells ([[topCellsOf]]
     * over the read-back centroids — zero exchange) and precomputes its
-    * FULL ADC lookup table as m·nCodes projection columns (the classic
-    * per-query LUT, built in-plan on the bounded query side rather than
-    * driver-side as [[pqTopKStored]] does for one query); pairing is a
-    * cell EQUI-join against the codes table; scoring selects LUT columns
-    * by code via CASE chains — the corpus side touches ONLY (cell, id,
-    * code_0…code_{m−1}). At 100 TB with the codes table partitioned by
-    * cell this is partition pruning per query batch.
+    * FULL ADC lookup table as m ARRAY columns of nCodes dots each (the
+    * classic per-query LUT, built in-plan on the bounded query side
+    * rather than driver-side as [[pqTopKStored]] does for one query);
+    * pairing is a cell EQUI-join against the codes table; scoring
+    * selects each subspace's LUT slot via [[lutLookup]] (constant
+    * expression size in nCodes — survives production m=8/nCodes=256
+    * where per-code CASE chains blew the 64KB codegen limit) — the
+    * corpus side touches ONLY (cell, id, code_0…code_{m−1}). At 100 TB
+    * with the codes table partitioned by cell this is partition pruning
+    * per query batch (the llm_ann_partition_prune gate pins the
+    * PartitionFilters).
     *
     * A stored code outside its codebook raises (the [[pqTopKStored]]
     * drift guard, per subspace); codes tables missing the cell or code
@@ -579,11 +583,17 @@ object Similarity {
         s"but the supplied codebooks have m=$m subspaces (expected " +
         s"code_0..code_${m - 1} exactly) — serve the table ivfPqEncode " +
         "wrote with the codebooks it was encoded with")
-    val lutCols = for {
-      s <- 0 until m; (cid, cv) <- codebooks(s).toIndexedSeq
-    } yield bridgeC(graft.functions.DotProduct(
-        bridgeE(slice(col(qVecCol), s * subDim + 1, subDim)),
-        bridgeE(typedLit(cv)))).as(s"__lut_${s}_$cid")
+    // per-query LUT: ONE array column per subspace (nCodes dots in
+    // codebook order), not m·nCodes scalar columns — at production PQ
+    // (m=8, nCodes=256) the scalar form was 2,048 broadcast COLUMNS and
+    // 256-branch selection chains (64KB codegen fallback); the array
+    // form broadcasts the same doubles as m array payloads and selects
+    // by [[lutLookup]] slot, constant expression size in nCodes
+    val lutCols = (0 until m).map { s =>
+      bridgeC(graft.functions.AdcLutOf(bridgeE(col(qVecCol)),
+        s * subDim, subDim,
+        codebooks(s).map(_._2.toIndexedSeq).toIndexedSeq)).as(s"__lut_$s")
+    }
     val q = queries.select(Seq(col(qIdCol).as("query_id"),
       explode(topCellsOf(col(qVecCol), centroids, probes)).as("cell")) ++
       lutCols: _*)
@@ -591,16 +601,7 @@ object Similarity {
     val paired = if (excludeSelf)
       base.filter(col(cIdCol) =!= col("query_id")) else base
     val score = (0 until m).map { s =>
-      val codeCol = col(s"code_$s")
-      val cb = codebooks(s)
-      cb.toIndexedSeq.tail.foldLeft(
-        when(codeCol === cb.head._1, col(s"__lut_${s}_${cb.head._1}"))) {
-        case (acc, (cid, _)) => acc.when(codeCol === cid, col(s"__lut_${s}_$cid"))
-      }.otherwise(raise_error(concat(
-        lit(s"pq code out of codebook range in subspace $s: "),
-        codeCol.cast("string"),
-        lit(s" (codebook has ${cb.length} centroids) — serve with the " +
-          "codebooks the codes were encoded with"))))
+      lutLookup(codebooks(s), s, col(s"__lut_$s"))
     }.reduce(_ + _)
     val scored = paired.select(col("query_id"),
       col(cIdCol).as("neighbor_id"), round(score, 6).as("adc_score"))
@@ -763,17 +764,19 @@ object Similarity {
     * throughout — a sub-ulp spread cannot flip the argmin except on a
     * ~1e-13 knife edge, and the cid tie-break keeps the order total). */
   private def pqCode(vec: Column, s: Int, subDim: Int,
-                     codebook: Array[(Long, Seq[Double])]): Column = {
-    val sv = slice(vec, s * subDim + 1, subDim)
-    val scored = array(codebook.toIndexedSeq.map { case (cid, cv) =>
-      val csq = cv.foldLeft(0.0)((a, x) => a + x * x)
-      struct(
-        round(lit(csq) - lit(2.0) * bridgeC(graft.functions.DotProduct(
-          bridgeE(sv), bridgeE(typedLit(cv)))), 6).as("d"),
-        lit(cid).as("cid"))
-    }: _*)
-    array_min(scored).getField("cid")
-  }
+                     codebook: Array[(Long, Seq[Double])]): Column =
+    // ONE compiled loop over the referenced codebook matrix
+    // ([[graft.functions.PqCodeOf]]): the composed
+    // array_min(array(struct(round(csq − 2·dot), cid) × nCodes)) form it
+    // replaces (bit-identically — same widening, accumulation order,
+    // round semantics, tie-break) carried O(nCodes) expression nodes and
+    // blew the 64KB codegen method limit at production PQ parameters
+    // (m=8, nCodes=256); this stays whole-stage-codegen at any nCodes
+    bridgeC(graft.functions.PqCodeOf(bridgeE(vec), s * subDim, subDim,
+      codebook.map(_._1).toIndexedSeq,
+      codebook.map(_._2.toIndexedSeq).toIndexedSeq,
+      codebook.map { case (_, cv) =>
+        cv.foldLeft(0.0)((a, x) => a + x * x) }.toIndexedSeq))
 
   /** PQ-encode the corpus: (idCol, code_0 … code_{m−1}) — each code the
     * nearest codebook entry of the corresponding sub-vector. A pure
@@ -800,8 +803,8 @@ object Similarity {
     * cosine search in production.
     *
     * 100 TB posture: scoring touches ONLY the code columns — a codegen'd
-    * CASE-chain projection + TakeOrderedAndProject (per-partition top-k,
-    * no corpus shuffle, no vector reads). Approximate by construction
+    * array-LUT projection ([[lutLookup]]) + TakeOrderedAndProject
+    * (per-partition top-k, no corpus shuffle, no vector reads). Approximate by construction
     * (quantization error); LlmOpsSpec measures recall against
     * [[bruteForceTopK]]. Ties break by id; scores round to 6 decimals
     * (oracle parity). */
@@ -830,26 +833,47 @@ object Similarity {
     }.toIndexedSeq
   }
 
-  /** The ADC score column over `code_0 … code_{m−1}`: per-subspace
-    * query-LUT CASE chains (driver-built literals), summed. */
+  /** cid → 1-based LUT slot for subspace `s`'s code column, 0 on a code
+    * outside the codebook (drift). Codebook cids are IDS (seed doc ids /
+    * trained cell ids), not dense ranks, so the slot comes from
+    * `array_position` over ONE literal cid array — a codegen'd loop over
+    * a primitive long array whose expression-tree size is CONSTANT in
+    * nCodes. The per-code CASE chain it replaces was O(nCodes)
+    * expression NODES per subspace: at production PQ (m=8, nCodes=256)
+    * that was 2,048 branches and a guaranteed 64KB codegen fallback;
+    * this shape stays whole-stage-codegen at any nCodes (LlmOpsSpec
+    * compiles it at m=8/nCodes=256 with codegen fallback disabled). */
+  private def codeSlot(cb: Array[(Long, Seq[Double])], s: Int): Column =
+    array_position(typedLit(cb.toIndexedSeq.map(_._1)), col(s"code_$s"))
+
+  /** Fetch subspace `s`'s LUT value for the row's code via its
+    * [[codeSlot]]; a stored code outside the codebook's cid set means
+    * codebook/codes drift — raise loudly instead of scoring NULL (which
+    * would sort last and return plausible-but-wrong top-k silently). */
+  private def lutLookup(cb: Array[(Long, Seq[Double])], s: Int,
+                        lutValues: Column): Column = {
+    val slot = codeSlot(cb, s)
+    when(slot > 0, element_at(lutValues, slot.cast("int")))
+      .otherwise(raise_error(concat(
+        lit(s"pq code out of codebook range in subspace $s: "),
+        col(s"code_$s").cast("string"),
+        lit(s" (codebook has ${cb.length} centroids) — score with the " +
+          "codebooks the codes were encoded with"))))
+  }
+
+  /** The ADC score column over `code_0 … code_{m−1}`: per subspace, the
+    * query LUT is ONE literal double array (driver-built, codebook
+    * order) and the row's code selects its slot via [[lutLookup]] —
+    * bit-identical values to the former per-code CASE chain, O(1)
+    * expression size per subspace. */
   private def adcScore(codebooks: Array[Array[(Long, Seq[Double])]],
                        subDim: Int, q: IndexedSeq[Double]): Column =
     codebooks.toIndexedSeq.zipWithIndex.map { case (cb, s) =>
       val qs = q.slice(s * subDim, (s + 1) * subDim)
-      val lut = cb.toIndexedSeq.map { case (cid, cv) =>
-        (cid, qs.zip(cv).foldLeft(0.0)((a, p) => a + p._1 * p._2))
+      val lut = cb.toIndexedSeq.map { case (_, cv) =>
+        qs.zip(cv).foldLeft(0.0)((a, p) => a + p._1 * p._2)
       }
-      val codeCol = col(s"code_$s")
-      // a stored code outside the codebook's cid set means codebook /
-      // codes drift — raise loudly instead of scoring NULL (which would
-      // sort last and return plausible-but-wrong top-k silently)
-      lut.tail.foldLeft(when(codeCol === lut.head._1, lit(lut.head._2))) {
-        case (acc, (cid, v)) => acc.when(codeCol === cid, lit(v))
-      }.otherwise(raise_error(concat(
-        lit(s"pq code out of codebook range in subspace $s: "),
-        codeCol.cast("string"),
-        lit(s" (codebook has ${cb.length} centroids) — score with the " +
-          "codebooks the codes were encoded with"))))
+      lutLookup(cb, s, typedLit(lut))
     }.reduce(_ + _)
 
   /** ADC top-k over a STORED code table — the PQ serving path proper:

@@ -1755,6 +1755,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(causeChain(e2).contains("out of codebook range"), causeChain(e2))
   }
 
+  test("production-dimension PQ (m=8, nCodes=256): compiles in whole-stage codegen, serves") {
+    import spark.implicits._
+    // the shape that killed the per-code CASE-chain LUT: m·nCodes = 2,048
+    // branches per row (and 2,048 broadcast columns in the batch form)
+    // guaranteed a 64KB-method codegen fallback at the published standard
+    // PQ parameters; the array-LUT form is constant expression size
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, subDim = 8, nCodes = 256)
+    assert(cb.length == 8 && cb.forall(_.length == 256))
+    val codes = Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cb, 8)
+    val served = Similarity.ivfPqKnnJoinStored(
+      emb.filter($"vec_id" < 3), codes, "vec_id", "vec_id", "embedding",
+      cents, cb, subDim = 8, k = 5, probes = 2, excludeSelf = true)
+    // AQE off so executedPlan exposes its WholeStageCodegen subtrees to
+    // codegenStringSeq directly; codegen fallback off so a compile
+    // failure THROWS instead of silently interpreting
+    val oldFb = spark.conf.get("spark.sql.codegen.fallback")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      assert(served.collect().length == 15) // 3 queries × k=5
+      // and no whole-stage subtree's compiled methods approach the 64KB
+      // JIT-refusal/fallback limit (hugeMethodLimit default 65535)
+      import org.apache.spark.sql.execution.debug._
+      val stats = codegenStringSeq(served.queryExecution.executedPlan)
+      assert(stats.nonEmpty, "expected whole-stage codegen subtrees")
+      stats.foreach { case (_, _, bc) =>
+        assert(bc.maxMethodCodeSize < 65535,
+          s"a generated method hit ${bc.maxMethodCodeSize} bytes") }
+      // same guarantee for the single-query stored path (driver-built LUT)
+      val single = Similarity.ivfPqTopKStored(codes, "vec_id", cents, cb,
+        subDim = 8, Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 5, probes = 2, excludeId = Some(0L))
+      val sStats = codegenStringSeq(single.queryExecution.executedPlan)
+      assert(sStats.nonEmpty)
+      sStats.foreach { case (_, _, bc) => assert(bc.maxMethodCodeSize < 65535) }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", oldFb)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
   test("rerank: recall >= pure ADC, unbounded candC degrades to exact-over-probed-cells") {
     import spark.implicits._
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
