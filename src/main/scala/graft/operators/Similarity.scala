@@ -501,14 +501,59 @@ object Similarity {
         pqCode(col(vecCol), s, subDim, cb).as(s"code_$s")
       }: _*)
 
+  /** Driver replica of [[CosineSim]]'s arithmetic (dot pass, then the
+    * two norm passes, left-to-right double accumulation) — None on dim
+    * mismatch or zero norm, exactly where the expression nulls out. The
+    * probe-cell selection must be computable on the DRIVER (centroids
+    * and query vector are both driver-resident) so the stored-serving
+    * scan can carry a STATIC partition filter; bit-parity with the
+    * expression form is what keeps the tie-break from drifting. */
+  private def cosineDriver(a: IndexedSeq[Double], b: Seq[Double]): Option[Double] = {
+    val bi = b.toIndexedSeq
+    val n = a.length
+    if (n != bi.length) return None
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * bi(i); i += 1 }
+    i = 0
+    while (i < n) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < n) { nb += bi(i) * bi(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) None
+    else Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** The query's `probes` nearest cells, computed on the driver — the
+    * same (cosine desc NULLS LAST, lowest cid) order as the in-plan
+    * [[probeCells]]/[[topCellsOf]] pipelines, over the same arithmetic
+    * ([[cosineDriver]]). KB-scale work (nCells sims), and it is what
+    * lets [[ivfPqTopKStored]] push `cell IN (...)` into the scan as a
+    * STATIC partition filter. */
+  def probeCellsOf(queryVec: IndexedSeq[Double],
+                   centroids: Array[(Long, Seq[Double])],
+                   probes: Int): Seq[Long] = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val (scored, nulls) = centroids.toIndexedSeq
+      .map { case (cid, cv) => (cid, cosineDriver(queryVec, cv)) }
+      .partition(_._2.isDefined)
+    val ordered = scored.sortBy { case (cid, s) => (-s.get, cid) } ++
+      nulls.sortBy(_._1)
+    ordered.take(probes).map(_._1)
+  }
+
   /** IVF-PQ serving from STORAGE — [[ivfPqTopK]] with the one
     * vector-reading pass factored out: `codes` is the read-back
     * [[ivfPqEncode]] table, probe cells come from the explicit query
-    * vector against the (read-back) centroids via the same
-    * cosine-desc/lowest-cid expression pipeline as the in-memory path
-    * (the tie-break cannot drift), and scoring is pure ADC over the
-    * stored codes. Identical output to [[ivfPqTopK]] on the same
-    * artifacts — the llm_ann_index_roundtrip gate pins it. */
+    * vector against the (read-back) centroids ON THE DRIVER
+    * ([[probeCellsOf]] — same cosine-desc/lowest-cid order as the
+    * in-memory path, so the tie-break cannot drift), and scoring is
+    * pure ADC over the stored codes. The probe is a literal
+    * `cell IN (...)` filter: on a codes table written
+    * `partitionBy("cell")` that is STATIC partition pruning — the scan
+    * never opens a non-probed cell's files (the
+    * llm_ann_partition_prune gate pins `PartitionFilters` on the cell
+    * key). Identical output to [[ivfPqTopK]] on the same artifacts —
+    * the llm_ann_index_roundtrip gate pins it. */
   def ivfPqTopKStored(codes: DataFrame, idCol: String,
                       centroids: Array[(Long, Seq[Double])],
                       codebooks: Array[Array[(Long, Seq[Double])]],
@@ -517,15 +562,8 @@ object Similarity {
                       excludeId: Option[Long] = None): DataFrame = {
     require(centroids.nonEmpty && codebooks.nonEmpty,
       "ivfPqTopKStored: empty stored cells/codebooks — artifact drift")
-    val spark = codes.sparkSession
-    val centDf = spark.createDataFrame(centroids.toSeq).toDF("__cid", "__cvec")
-    val probed = spark.createDataFrame(Seq(Tuple1(queryVec.toSeq)))
-      .toDF("__qvec")
-      .crossJoin(broadcast(centDf))
-      .select(col("__cid"), cosine(col("__qvec"), col("__cvec")).as("__qsim"))
-      .orderBy(col("__qsim").desc, col("__cid")).limit(probes)
-      .select(col("__cid").as("cell"))
-    pqTopKStored(codes.join(broadcast(probed), "cell").drop("cell"),
+    val cells = probeCellsOf(queryVec, centroids, probes)
+    pqTopKStored(codes.filter(col("cell").isin(cells: _*)).drop("cell"),
       idCol, codebooks, subDim, queryVec, k, excludeId)
   }
 

@@ -575,6 +575,27 @@ object LlmQueries {
         Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
         k = 10, probes = 2, excludeId = Some(0L))
     }),
+    "llm_ann_partition_prune" -> ((s, d) => {
+      // the 100 TB serving claim made checkable: the codes table is
+      // WRITTEN partitionBy("cell") — the on-disk layout a production
+      // index uses — and stored serving probes it with a literal
+      // `cell IN (...)` filter, so the scan opens ONLY the probed
+      // cells' files (PlanSpec pins PartitionFilters on the cell key).
+      // Same artifacts and parameters as llm_ann_index_roundtrip ⇒ the
+      // same llm_ann_ivf_pq oracle — a pruning bug that drops or adds
+      // cells hash-mismatches
+      val out = "target/gate_sink/ann_index_part"
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      Similarity.ivfPqTopKStored(s.read.parquet(s"$out/codes"), "vec_id",
+        cents, cbs, subDim = 16,
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, probes = 2, excludeId = Some(0L))
+    }),
     "llm_ann_pq_stored" -> ((s, d) => {
       // the PQ SERVING path: encode once, write the m-int code table to
       // parquet, read it back, score with the query LUTs — the vectors
@@ -1637,6 +1658,9 @@ object LlmQueries {
     "llm_ann_pq_stored" -> oracleBase("llm_ann_pq"),
     // the full-index storage round-trip is output-identical by contract
     "llm_ann_index_roundtrip" -> oracleBase("llm_ann_ivf_pq"),
+    // cell-partitioned serving reads only probed-cell files — output
+    // must still be the in-memory IVF-PQ's exactly
+    "llm_ann_partition_prune" -> oracleBase("llm_ann_ivf_pq"),
     // append(build(A), B) ≡ build(A∪B): the appended index must probe
     // exactly like the full-corpus index — a lost/drifted append
     // under-reports pairs and hash-mismatches

@@ -219,6 +219,28 @@ class PlanSpec extends AnyFunSuite {
       "the corpus side must serve from the stored codes table")
   }
 
+  test("cell-partitioned stored serving: PartitionFilters prune to the probe cells") {
+    val qe = SparkEntry.queries("llm_ann_partition_prune")(spark, TestSpark.sf)
+      .queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val codeScans = scans.filter(_.output.exists(_.name.startsWith("code_")))
+    assert(codeScans.nonEmpty, "expected a scan over the stored codes table")
+    codeScans.foreach { f =>
+      // the probe must reach the scan as a PARTITION filter on the cell
+      // key (static pruning: non-probed cells' files are never opened),
+      // not as a post-scan data filter
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"probe-cell selection must be a partition filter, got " +
+          s"partitionFilters=${f.partitionFilters}")
+      // and only the 2 probed cells of the 8 survive pruning
+      assert(f.selectedPartitions.partitionCount == 2,
+        s"expected 2 probed cell partitions, scan reads " +
+          s"${f.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("rerank reads vectors only for ADC candidates (semi-join gate)") {
     val p = plan("llm_ann_rerank")
     // the exact stage must reach the vector scan through a broadcast
