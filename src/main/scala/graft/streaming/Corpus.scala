@@ -176,41 +176,38 @@ object Corpus {
   }
 
   /** STREAM-SAFE LR quality scoring — [[graft.operators.Classifier.lrScore]]
-    * for the admission stream: the trained/read-back weight vector
-    * inlines as a map literal and each document's logit is ONE per-row
-    * expression (token → 60-bit hash bucket → map lookup, summed), so
+    * for the admission stream: each document's logit is ONE compiled
+    * per-row pass ([[graft.functions.LrLogit]]: token → 60-bit hash
+    * bucket → per-bucket tf → exact-decimal Σ tf·w → round 6), so
     * scoring is stateless — the batch scorer's (id, bucket) aggregates
-    * would demand keyed state on a stream. The [[admitProbe]] trade
-    * applies: the HOF lambda is interpreted, acceptable because it runs
-    * over the micro-batch-sized incoming side only (train/score the
-    * corpus with the batch operator).
-    *
-    * Numeric contract: the per-row sum accumulates left-to-right in
-    * doubles over TOKEN order where the batch scorer sums per-bucket
-    * tf·w in exact decimal — both land on the same round(·,6) logit
-    * except on a ~1e-14 knife edge (the tfidf quantization argument;
-    * StreamingSpec pins equality on the gate corpus). Output:
-    * (idCol, z, quality_score) — the [[graft.operators.Classifier.lrScore]]
-    * shape. The one divergence from the batch scorer: a NULL text row
-    * scores NULL z/quality_score here, where the batch feature frame
-    * simply has no rows for it and omits the doc (empty-STRING text is
-    * identical on both surfaces — `split` yields one empty token whose
-    * bucket weight both paths look up). */
+    * would demand keyed state on a stream. The fused expression
+    * replaces the interpreted per-token HOF chain (the
+    * [[graft.functions.MinhashSketch]] precedent — same shape, same
+    * ~100× class win on the admission path) AND upgrades the numeric
+    * contract: the old form accumulated doubles in token order, which
+    * could land on the opposite side of the round(·,6) grid from the
+    * batch scorer on a knife edge; the fused form computes the batch
+    * aggregate's decimal sum IDENTICALLY, so stream == batch holds
+    * per-doc on ANY corpus, not just the gate fixtures (LlmOpsSpec pins
+    * bit-parity against lrScore; StreamingSpec pins the streamed path).
+    * Output: (idCol, z, quality_score) — the
+    * [[graft.operators.Classifier.lrScore]] shape. The one divergence
+    * from the batch scorer: a NULL text row scores NULL z /
+    * quality_score here, where the batch feature frame simply has no
+    * rows for it and omits the doc (empty-STRING text is identical on
+    * both surfaces — `split` yields one empty token whose bucket weight
+    * both paths look up). */
   def scoreQualityStream(docs: DataFrame, idCol: String, textCol: String,
                          weights: Array[(Int, Double)],
                          buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val wmap = typedLit(weights.toMap)
-    // try_element_at, NOT element_at: under ANSI (the Spark 4 default)
-    // element_at THROWS on a missing map key, and the trained weight
-    // map only carries buckets that occurred in TRAINING — the first
-    // streamed doc hitting an untrained bucket would kill the query
-    // instead of contributing the batch scorer's left-join 0.0
-    val z = round(aggregate(
-      transform(split(col(textCol), "\\s+"), t =>
-        coalesce(try_element_at(wmap,
-          pmod(Dedup.sharedHash60(t), lit(buckets)).cast("int")), lit(0.0))),
-      lit(0.0), (acc, x) => acc + x), 6)
+    val z = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.LrLogit(
+        org.apache.spark.sql.GraftBridge.expression(
+          split(col(textCol), "\\s+")),
+        buckets,
+        weights.map(_._1).toIndexedSeq,
+        weights.map(_._2).toIndexedSeq))
     docs.select(col(idCol), z.as("z"))
       .select(col(idCol), col("z"),
         graft.operators.Classifier.sigmoidQ(col("z")).as("quality_score"))

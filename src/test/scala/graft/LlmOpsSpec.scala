@@ -1997,8 +1997,8 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(causeChain(e3).contains("losslessly"), causeChain(e3))
     // stream scorer: a token hitting a bucket ABSENT from the trained
-    // weights contributes 0.0 instead of killing the query (ANSI
-    // element_at throws on missing map keys; try_element_at does not)
+    // weights contributes the batch scorer's left-join 0.0 instead of
+    // killing the query (the fused LrLogit skips untrained buckets)
     val sparse = Array((0, 0.25)) // bucket 0 only — most tokens miss it
     val scored = graft.streaming.Corpus.scoreQualityStream(
       docs.select($"doc_id", $"text").limit(50), "doc_id", "text",
