@@ -158,6 +158,86 @@ object StreamQueries {
         .select(col("id_new").as("doc_id")).distinct()
       clean.select(col("doc_id")).join(hits, Seq("doc_id"), "left_anti")
     }),
+    "st_admission_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, TextAnalysis}
+      // the continuously-ingesting fleet's FULL cycle, closed (batch-
+      // parity form; StreamingSpec runs it as a real two-micro-batch
+      // stream under foreachBatch): micro-batch 1 is admitted against
+      // the STORED indexes, the admitted docs' fingerprints and minhash
+      // bands/sets are APPENDED back to the stores, and micro-batch 2 —
+      // exact and near clones of batch-1 admits — probes the RE-READ
+      // stores and must bounce on BOTH append paths (exact clones at
+      // the appended fingerprint store, near clones at the appended
+      // minhash index; neither existed before the append). The final
+      // admitted set is batch-1's alone == st_admission's output (same
+      // fixture, same oracle) — a LOST append admits batch-2 rows and
+      // hash-mismatches; a WRONG append changes batch-1 admission and
+      // mismatches too
+      val out = "target/gate_sink/admission_append"
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val a = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && col("doc_id") <= col("m") - 200)
+      val clones = a.select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      val novel = a.select(col("doc_id").as("aid"), col("text").as("atext"))
+        .join(docs.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("aid") - 120 === col("bid"))
+        .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")),
+          col("aid") - 240 === col("cid"))
+        .select((col("aid") + 4000000).as("doc_id"),
+          concat_ws(" ", col("atext"), col("btext"), col("ctext")).as("text"))
+      val batch1 = clones.unionAll(novel)
+      val ev = docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 100)
+        .select(col("doc_id"), col("text"))
+      // the stores, written once at corpus-build time: a fingerprint
+      // store (exact stage) and the minhash band/sketch index
+      docs.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$out/fp")
+      val mh = Dedup.minhashIndex(docs, "doc_id", "text")
+      mh.bands.write.mode("overwrite").parquet(s"$out/mh/bands")
+      mh.sets.write.mode("overwrite").parquet(s"$out/mh/sets")
+      // one micro-batch's admission against the CURRENT stores: quality
+      // -> decontamination -> exact (fp anti-join) -> near-dup probe
+      def admitted(batch: DataFrame): DataFrame = {
+        val quality = batch.filter(TextAnalysis.gopherKeep(col("text"),
+          minTokens = 10, maxTokens = 100000,
+          minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+          maxSymbolRatio = 0.1, minStopwordHits = 1))
+        val clean = graft.streaming.Corpus.cleanAgainst(
+          quality, ev, "doc_id", "text", n = 13)
+        val fresh = clean.join(s.read.parquet(s"$out/fp"),
+            TextAnalysis.fingerprint(col("text")) === col("fp"), "left_anti")
+          .select(col("doc_id"), col("text"))
+        val mhStored = Dedup.MinhashIndex(
+          s.read.parquet(s"$out/mh/bands"), s.read.parquet(s"$out/mh/sets"))
+        val hits = graft.streaming.Corpus.admitProbe(fresh, mhStored,
+            "doc_id", "text")
+          .select(col("id_new").as("doc_id")).distinct()
+        fresh.join(hits, Seq("doc_id"), "left_anti")
+      }
+      // batch 1: admit, SINK the admitted docs (they are written in any
+      // real pipeline — and the sink is what decouples the probe reads
+      // from the appends below), then append their fingerprints and
+      // their band/sketch DELTA to the stores. minhashIndex over just
+      // the admitted docs IS the delta minhashIndexAppend unions — a
+      // parquet mode("append") of its frames is the same store
+      admitted(batch1).write.mode("overwrite").parquet(s"$out/admitted_b1")
+      val adm1 = s.read.parquet(s"$out/admitted_b1")
+      adm1.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+        .write.mode("append").parquet(s"$out/fp")
+      val delta = Dedup.minhashIndex(adm1, "doc_id", "text")
+      delta.bands.write.mode("append").parquet(s"$out/mh/bands")
+      delta.sets.write.mode("append").parquet(s"$out/mh/sets")
+      // batch 2: exact clones (fp-append path) + near clones with one
+      // prepended never-in-corpus token (minhash-append path — the
+      // fingerprint differs but ~all shingles are shared, jaccard ≈ 1)
+      val batch2 = adm1.select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+        .unionAll(adm1.select((col("doc_id") + 6000000).as("doc_id"),
+          concat(lit("zqx "), col("text")).as("text")))
+      adm1.select(col("doc_id"))
+        .unionAll(admitted(batch2).select(col("doc_id")))
+    }),
     "st_semdedup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // streaming SEMANTIC admission (batch-parity form; the stream
@@ -219,6 +299,10 @@ object StreamQueries {
     "st_admission" -> LlmQueries.admissionOracleSql,
     // the stored-store restart path is output-identical by contract
     "st_admission_stored" -> LlmQueries.admissionOracleSql,
+    // the closed admit→append loop: batch 2 (clones of batch-1 admits)
+    // must FULLY bounce off the appended stores, so the admitted set is
+    // batch 1's alone — st_admission's exact output and oracle
+    "st_admission_append" -> LlmQueries.admissionOracleSql,
     // the stream-side per-row scorer lands on the same round(·,6)
     // logits as the batch scorer's exact-decimal algebra
     "st_quality_lr" -> LlmQueries.oracle("llm_quality_classifier"),

@@ -142,6 +142,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("drift"))
   }
 
+  test("admit→append loop: foreachBatch maintains the stores; clones of admits bounce; final store == batch build") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val out = "target/test_sink/admit_append"
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ev = docs.filter(col("doc_id") > mx - 100)
+    // corpus-build time: fingerprint store + minhash index on disk
+    docs.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$out/fp")
+    val mh = Dedup.minhashIndex(docs, "doc_id", "text")
+    mh.bands.write.mode("overwrite").parquet(s"$out/mh/bands")
+    mh.sets.write.mode("overwrite").parquet(s"$out/mh/sets")
+    def admitOne(batch: org.apache.spark.sql.DataFrame) = {
+      val q = batch.filter(TextAnalysis.gopherKeep(col("text"),
+        minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+      val clean = graft.streaming.Corpus.cleanAgainst(q, ev, "doc_id", "text")
+      val fresh = clean.join(spark.read.parquet(s"$out/fp"),
+          TextAnalysis.fingerprint(col("text")) === col("fp"), "left_anti")
+        .select(col("doc_id"), col("text"))
+      val hits = graft.streaming.Corpus.admitProbe(fresh,
+          Dedup.MinhashIndex(spark.read.parquet(s"$out/mh/bands"),
+            spark.read.parquet(s"$out/mh/sets")), "doc_id", "text")
+        .select(col("id_new").as("doc_id")).distinct()
+      fresh.join(hits, Seq("doc_id"), "left_anti")
+    }
+    // the production sink: admit the micro-batch, then APPEND the
+    // admitted docs' fingerprints and band/sketch delta to the stores
+    val admittedIds = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // materialize the admission BEFORE the appends mutate the
+        // stores the probe plans read (collect: micro-batch-sized)
+        val adm = admitOne(batch).collect().map(r => (r.getLong(0), r.getString(1)))
+        admittedIds ++= adm
+        if (adm.nonEmpty) {
+          val admDf = adm.toSeq.toDF("doc_id", "text")
+          admDf.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+            .write.mode("append").parquet(s"$out/fp")
+          val delta = Dedup.minhashIndex(admDf, "doc_id", "text")
+          delta.bands.write.mode("append").parquet(s"$out/mh/bands")
+          delta.sets.write.mode("append").parquet(s"$out/mh/sets")
+        }
+        ()
+      }.start()
+    // micro-batch 1: clones of corpus docs (bounce off the corpus
+    // stores) + novel three-doc concatenations (admitted)
+    val b1 = {
+      val a = docs.filter(col("doc_id") > mx - 300 && col("doc_id") <= mx - 200)
+      val clones = a.select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      val novel = a.select(col("doc_id").as("aid"), col("text").as("atext"))
+        .join(docs.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("aid") - 120 === col("bid"))
+        .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")),
+          col("aid") - 240 === col("cid"))
+        .select((col("aid") + 4000000).as("doc_id"),
+          concat_ws(" ", col("atext"), col("btext"), col("ctext")).as("text"))
+      clones.unionAll(novel).collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    val adm1 = admittedIds.toVector
+    assert(adm1.nonEmpty, "batch 1 must admit the novel docs")
+    assert(adm1.forall(_._1 >= 4000000L), "corpus clones must bounce in batch 1")
+    // micro-batch 2: exact clones of batch-1 admits (must bounce at the
+    // APPENDED fingerprint store) + near clones with a never-in-corpus
+    // token prepended (different fingerprint — must bounce at the
+    // APPENDED minhash index). Neither store held them before batch 1.
+    val b2 = adm1.map { case (id, t) => (id + 5000000L, t) } ++
+      adm1.map { case (id, t) => (id + 6000000L, "zqx " + t) }
+    mem.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    assert(admittedIds.toVector == adm1,
+      s"batch-2 clones of batch-1 admits must ALL bounce off the appended " +
+        s"stores, extra=${admittedIds.drop(adm1.length).take(5)}")
+    // the maintained stores equal a fresh batch build over ALL admitted
+    // docs — the append path cannot drift from the rebuild path
+    val full = docs.unionAll(adm1.toSeq.toDF("doc_id", "text"))
+    val fresh = Dedup.minhashIndex(full, "doc_id", "text")
+    def bandRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("band_idx"), col("band_val")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(bandRows(spark.read.parquet(s"$out/mh/bands")) == bandRows(fresh.bands))
+    def setRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("hset")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(setRows(spark.read.parquet(s"$out/mh/sets")) == setRows(fresh.sets))
+    val fpStore = spark.read.parquet(s"$out/fp").collect().map(_.getString(0)).toSet
+    val fpFull = full.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(fpStore == fpFull)
+  }
+
   test("streaming LR quality scoring: stream == batch == the decimal-algebra scorer") {
     import org.apache.spark.sql.functions._
     import graft.operators.Classifier
