@@ -820,6 +820,32 @@ object LlmSql {
       case args => bad(
         "graft_ann_pq(table, id_col, vec_col, query_id, k, m, sub_dim, n_codes)", args)
     }
+    reg(spark, "graft_ann_ivf_pq_residual") {
+      // residual IVF-PQ (the full published recipe): centroid
+      // collection + residual codebook training + the probe-cell /
+      // cell-constant builds are ACTIONS — deferred
+      case Seq(t, id, vec, q, k, cells, probes, m, subDim, nCodes) =>
+        val f = "graft_ann_ivf_pq_residual"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val qid = lng(q, f); val kk = int(k, f)
+        val nCells = int(cells, f); val np = int(probes, f)
+        val mm = int(m, f); val sd = int(subDim, f); val nc = int(nCodes, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField("adc_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            val cents = Similarity.collectCentroids(tbl, idc, vecc, nCells)
+            Similarity.ivfPqTopKResidual(tbl, idc, vecc, cents,
+              Similarity.pqCodebooksResidual(tbl, idc, vecc, cents,
+                mm, sd, nc),
+              sd, qid, kk, np)
+          })
+      case args => bad(
+        "graft_ann_ivf_pq_residual(table, id_col, vec_col, query_id, k, " +
+          "n_cells, probes, m, sub_dim, n_codes)", args)
+    }
     reg(spark, "graft_cluster_sample") {
       case Seq(t, id, vec, cells, iters, k, salt) =>
         val f = "graft_cluster_sample"

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -157,6 +158,106 @@ case class PqCodeOf(child: Expression, offset: Int, subDim: Int,
          |}
        """.stripMargin
     })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Coarse-cell assignment PLUS residual in one compiled pass:
+  * `struct(cell: bigint, res: array<double>)` where `cell` is the
+  * argmax-cosine centroid ([[graft.operators.Similarity.cellOf]]'s
+  * contract bit-for-bit: [[CosineSim]] arithmetic, ties to the LOWEST
+  * cid, zero-norm/dim-mismatch sims skipped exactly like the
+  * array_max-over-struct form skips nulls, all-null → lowest cid) and
+  * `res = x − centroid_cell` elementwise — the residual the published
+  * IVF-PQ recipe quantizes instead of x. One pass per row, constant
+  * expression size in nCells (the composed form would be a CASE chain
+  * over nCells to pick the centroid for the subtraction — the LUT
+  * blowup again, at production cell counts). NULL when the assigned
+  * centroid's dimension differs from the vector's (no silent
+  * truncation). */
+case class CellResidual(child: Expression,
+                        cids: IndexedSeq[Long],
+                        cvs: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(cids.nonEmpty && cids.length == cvs.length,
+    s"centroid shape drift: ${cids.length} cids, ${cvs.length} vectors")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("res", ArrayType(DoubleType, containsNull = false))))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<float|double> vector, got $other")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val cbArr: Array[Array[Double]] =
+    cvs.map(_.toArray).toArray
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val fl = isFloat
+    @inline def el(i: Int): Double =
+      if (fl) a.getFloat(i).toDouble else a.getDouble(i)
+    var bestSim = 0.0
+    var bestCid = Long.MaxValue
+    var bestJ = -1
+    var anySim = false
+    var j = 0
+    while (j < cbArr.length) {
+      val cv = cbArr(j)
+      if (cv.length == n) {
+        // CosineSim order: dot pass, then the two norm passes
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) { dot += el(i) * cv(i); i += 1 }
+        i = 0
+        while (i < n) { val x = el(i); na += x * x; i += 1 }
+        i = 0
+        while (i < n) { nb += cv(i) * cv(i); i += 1 }
+        if (na != 0.0 && nb != 0.0) {
+          val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+          // array_max over struct(sim, -cid): greater sim wins
+          // (SQLOrderingUtil double order), equal sim → lower cid
+          val cmp = if (!anySim) 1
+            else if (sim == bestSim) 0 else java.lang.Double.compare(sim, bestSim)
+          if (cmp > 0 || (cmp == 0 && cidArr(j) < bestCid)) {
+            bestSim = sim; bestCid = cidArr(j); bestJ = j; anySim = true
+          }
+        }
+      }
+      j += 1
+    }
+    if (!anySim) {
+      // every sim null: the struct form falls through to max(-cid) —
+      // the lowest cid — with no meaningful residual; refuse the
+      // residual rather than subtract a mismatched/zero-norm centroid
+      var mn = 0
+      var jj = 1
+      while (jj < cidArr.length) { if (cidArr(jj) < cidArr(mn)) mn = jj; jj += 1 }
+      bestJ = mn; bestCid = cidArr(mn)
+      if (cbArr(bestJ).length != n) return null
+    }
+    val cv = cbArr(bestJ)
+    val res = new Array[Double](n)
+    var i = 0
+    while (i < n) { res(i) = el(i) - cv(i); i += 1 }
+    InternalRow(bestCid, new GenericArrayData(res))
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

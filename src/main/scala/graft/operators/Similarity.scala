@@ -964,6 +964,104 @@ object Similarity {
       excludeId = Some(queryId))
   }
 
+  /** (idCol, cell, res): coarse-cell assignment plus residual
+    * x − centroid_cell as ONE compiled per-row pass
+    * ([[graft.functions.CellResidual]] — [[cellOf]]'s assignment
+    * contract bit-for-bit, constant expression size in nCells). The
+    * residual is what the FULL published IVF-PQ recipe quantizes:
+    * within a cell, residuals are centered near zero, so the same
+    * (m, nCodes) budget spends its codebook entries on a tighter
+    * distribution than raw vectors — the recall rung above the
+    * no-residual variant. Zero exchange of the corpus. */
+  def residualAssign(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "residualAssign: empty centroid set")
+    emb.select(col(idCol),
+        bridgeC(graft.functions.CellResidual(bridgeE(col(vecCol)),
+          centroids.map(_._1).toIndexedSeq,
+          centroids.map(_._2.toIndexedSeq).toIndexedSeq)).as("__cr"))
+      .select(col(idCol), col("__cr.cell").as("cell"),
+        col("__cr.res").as("res"))
+  }
+
+  /** Residual-PQ codebooks: [[pqCodebooks]] trained on the RESIDUAL
+    * frame (assign cells → subtract centroids → per-subspace codebooks
+    * over the residuals) — the training step of the full recipe. */
+  def pqCodebooksResidual(emb: DataFrame, idCol: String, vecCol: String,
+                          centroids: Array[(Long, Seq[Double])],
+                          m: Int = 4, subDim: Int = 16, nCodes: Int = 8,
+                          iters: Int = 0): Array[Array[(Long, Seq[Double])]] =
+    pqCodebooks(residualAssign(emb, idCol, vecCol, centroids),
+      idCol, "res", m, subDim, nCodes, iters)
+
+  /** Cell-tagged RESIDUAL PQ encode — [[ivfPqEncode]] with the
+    * residual step: (id, cell, code_0…code_{m−1}) where each code
+    * quantizes x − centroid_cell against residual-trained codebooks.
+    * Same one-pass/zero-exchange posture; the stored layout is
+    * identical, so every stored-serving surface (partitioned writes,
+    * appends) applies unchanged. */
+  def ivfPqEncodeResidual(emb: DataFrame, idCol: String, vecCol: String,
+                          centroids: Array[(Long, Seq[Double])],
+                          codebooks: Array[Array[(Long, Seq[Double])]],
+                          subDim: Int): DataFrame = {
+    val r = residualAssign(emb, idCol, vecCol, centroids)
+    r.select(col(idCol) +: col("cell") +:
+      codebooks.toIndexedSeq.zipWithIndex.map { case (cb, s) =>
+        pqCode(col("res"), s, subDim, cb).as(s"code_$s")
+      }: _*)
+  }
+
+  /** Driver dot product, [[DotProduct]]'s left-to-right accumulation. */
+  private def dotDriver(a: IndexedSeq[Double], b: Seq[Double]): Option[Double] = {
+    val bi = b.toIndexedSeq
+    if (a.length != bi.length) return None
+    var dot = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * bi(i); i += 1 }
+    Some(dot)
+  }
+
+  /** RESIDUAL IVF-PQ top-k — the full published recipe end to end:
+    * coarse cells prune the scan ([[probeCellsOf]], a literal cell
+    * filter — static partition pruning on a partitioned store), and
+    * within probed cells the ADC score decomposes exactly as
+    * `q·x̂ = q·centroid_cell + Σ_s q_s·r̂_s`: the per-cell constant is a
+    * driver double per PROBED cell (≤ probes CASE branches — bounded by
+    * the probe list, never nCells) and the residual term is the
+    * standard [[adcScore]] LUT sum over residual-trained codebooks.
+    * Recall ≥ the no-residual variant at equal (m, nCodes) on the
+    * gate fixture (LlmOpsSpec measures it): the codebook budget spends
+    * on the residual distribution instead of absolute position.
+    * Output: (idCol, adc_score), ties by id, rounded to 6. */
+  def ivfPqTopKResidual(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: Array[(Long, Seq[Double])],
+                        codebooks: Array[Array[(Long, Seq[Double])]],
+                        subDim: Int, queryId: Long, k: Int,
+                        probes: Int = 2): DataFrame = {
+    require(centroids.nonEmpty && codebooks.nonEmpty,
+      "ivfPqTopKResidual: empty cells/codebooks")
+    val qv = queryVecOf(emb, idCol, vecCol, queryId)
+    val cells = probeCellsOf(qv, centroids, probes)
+    val centMap = centroids.toMap
+    val cellDot: Seq[(Long, Double)] = cells.map { c =>
+      c -> dotDriver(qv, centMap(c)).getOrElse(throw new IllegalArgumentException(
+        s"probed cell $c has a centroid of ${centMap(c).length} dims but " +
+          s"the query vector has ${qv.length} — artifact drift"))
+    }
+    val codes = ivfPqEncodeResidual(emb, idCol, vecCol, centroids,
+        codebooks, subDim)
+      .filter(col("cell").isin(cells: _*) && col(idCol) =!= queryId)
+    val cellTerm = cellDot.tail
+      .foldLeft(when(col("cell") === cellDot.head._1, lit(cellDot.head._2))) {
+        case (acc, (c, v)) => acc.when(col("cell") === c, lit(v))
+      }.otherwise(raise_error(concat(
+        lit("residual serving met a row outside its probed cells: "),
+        col("cell").cast("string"))))
+    codes.select(col(idCol),
+        round(cellTerm + adcScore(codebooks, subDim, qv), 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Multi-probe LSH top-k: only rows whose hyperplane bucket is within
     * `probe` bit flips of the query's bucket are scored — with defaults,
     * (1+P)/2^P of the corpus (≈11% at P=6). Recall < 1 by construction;

@@ -447,6 +447,9 @@ object EngineQueries {
       "SELECT * FROM graft_ann_ivf('embeddings', 'vec_id', 'embedding', 0, 10, 8, 2)")),
     "e_sql_ann_pq" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_ann_pq('embeddings', 'vec_id', 'embedding', 0, 10, 4, 16, 8)")),
+    "e_sql_ann_residual" -> ((s, d) => via(s, d)(
+      """SELECT * FROM graft_ann_ivf_pq_residual('embeddings', 'vec_id',
+                                                 'embedding', 0, 10, 8, 2, 4, 16, 8)""")),
     "e_sql_cluster_sample" -> ((s, d) => via(s, d)(
       """SELECT vec_id, cell
          FROM graft_cluster_sample('embeddings', 'vec_id', 'embedding',
@@ -1057,6 +1060,7 @@ object EngineQueries {
     "e_sql_ann_lsh" -> LlmQueries.oracle("llm_ann_lsh"),
     "e_sql_ann_ivf" -> LlmQueries.oracle("llm_ann_ivf"),
     "e_sql_ann_pq" -> LlmQueries.oracle("llm_ann_pq"),
+    "e_sql_ann_residual" -> LlmQueries.oracle("llm_ann_ivf_pq_residual"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),

@@ -549,6 +549,20 @@ object LlmQueries {
           m = 4, subDim = 16, nCodes = 8),
         subDim = 16, queryId = 0, k = 10, probes = 2)
     }),
+    "llm_ann_ivf_pq_residual" -> ((s, d) => {
+      // the FULL published recipe: cells prune, then PQ quantizes the
+      // RESIDUAL x − centroid_cell against residual-trained codebooks;
+      // serving adds the per-probed-cell constant q·centroid to the
+      // standard LUT sum (q·x̂ = q·c + Σ q_s·r̂_s). Same (m, nCodes)
+      // budget as llm_ann_ivf_pq — LlmOpsSpec pins recall ≥ the
+      // no-residual variant
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      Similarity.ivfPqTopKResidual(emb, "vec_id", "embedding", cents,
+        Similarity.pqCodebooksResidual(emb, "vec_id", "embedding", cents,
+          m = 4, subDim = 16, nCodes = 8),
+        subDim = 16, queryId = 0, k = 10, probes = 2)
+    }),
     "llm_ann_index_roundtrip" -> ((s, d) => {
       // the COMPLETE ANN serving index through storage: cells,
       // codebooks, and cell-tagged codes written as three plain parquet
@@ -1852,6 +1866,53 @@ object LlmQueries {
           SELECT enc.vec_id, round(sum(lut.d), 6) AS adc_score
           FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cid
           GROUP BY enc.vec_id
+          ORDER BY adc_score DESC, enc.vec_id LIMIT 10""",
+    // residual IVF-PQ: the ivf_pq oracle with the residual chain —
+    // residuals rv = v − centroid_cell per assigned row, codebooks
+    // seeded from the 8 LOWEST ids' residuals, encode argmin over the
+    // residual distances, serving score = q·centroid_cell (per-cell
+    // constant) + Σ_s LUT over residual codebooks
+    "llm_ann_ivf_pq_residual" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+          a AS (SELECT vec_id, v, cid AS cell FROM (
+                  SELECT e.vec_id, e.v, c.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                  FROM e CROSS JOIN cent c) WHERE rk = 1),
+          r AS (SELECT a.vec_id, a.cell,
+                       list_transform(generate_series(1, len(a.v)),
+                                      i -> a.v[i] - c.cv[i]) AS rv
+                FROM a JOIN cent c ON a.cell = c.cid),
+          qc AS (SELECT c.cid AS cell,
+                        row_number() OVER (
+                          ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rk
+                 FROM cent c CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q),
+          pr AS (SELECT r.vec_id, r.cell, r.rv FROM r
+                 JOIN (SELECT cell FROM qc WHERE rk <= 2) p ON r.cell = p.cell
+                 WHERE r.vec_id <> 0),
+          seed AS (SELECT vec_id, rv FROM r ORDER BY vec_id LIMIT 8),
+          sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+          cb AS (SELECT sub.s, seed.vec_id AS cid,
+                        seed.rv[sub.s*16+1 : sub.s*16+16] AS cv
+                 FROM sub CROSS JOIN seed),
+          enc AS (SELECT vec_id, cell, s, cid AS code FROM (
+                    SELECT pr.vec_id, pr.cell, b.s, b.cid,
+                           row_number() OVER (PARTITION BY pr.vec_id, b.s
+                             ORDER BY round(list_inner_product(b.cv, b.cv)
+                               - 2 * list_inner_product(pr.rv[b.s*16+1 : b.s*16+16], b.cv), 6) ASC,
+                             b.cid ASC) AS rk
+                    FROM pr CROSS JOIN cb b) WHERE rk = 1),
+          q AS (SELECT v FROM e WHERE vec_id = 0),
+          lut AS (SELECT b.s, b.cid,
+                         list_inner_product(q.v[b.s*16+1 : b.s*16+16], b.cv) AS d
+                  FROM cb b CROSS JOIN q),
+          cc AS (SELECT c.cid AS cell, list_inner_product(q.v, c.cv) AS cd
+                 FROM cent c CROSS JOIN q)
+          SELECT enc.vec_id, round(cc.cd + sum(lut.d), 6) AS adc_score
+          FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cid
+               JOIN cc ON enc.cell = cc.cell
+          GROUP BY enc.vec_id, cc.cd
           ORDER BY adc_score DESC, enc.vec_id LIMIT 10""",
     "llm_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents

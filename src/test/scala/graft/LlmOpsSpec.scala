@@ -1755,6 +1755,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(causeChain(e2).contains("out of codebook range"), causeChain(e2))
   }
 
+  test("residual IVF-PQ: recall >= the no-residual variant at equal (m, nCodes)") {
+    import spark.implicits._
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    val plain = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents,
+        Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 8),
+        16, 0, 10, probes = 2)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val res = Similarity.ivfPqTopKResidual(emb, "vec_id", "embedding", cents,
+        Similarity.pqCodebooksResidual(emb, "vec_id", "embedding", cents,
+          4, 16, 8),
+        16, 0, 10, probes = 2)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    // the codebook budget spent on the residual distribution (centered
+    // within each cell) beats the same budget on absolute position
+    val rPlain = (exact & plain).size
+    val rRes = (exact & res).size
+    assert(rRes >= rPlain,
+      s"residual recall@10 $rRes below no-residual $rPlain")
+    assert(rRes > 0, "residual serving must recover true neighbors")
+    // trained residual codebooks (2 Lloyd rounds per subspace) are at
+    // least as good as seeds on the same fixture
+    val resTrained = Similarity.ivfPqTopKResidual(emb, "vec_id", "embedding",
+        cents,
+        Similarity.pqCodebooksResidual(emb, "vec_id", "embedding", cents,
+          4, 16, 8, iters = 2),
+        16, 0, 10, probes = 2)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact & resTrained).nonEmpty)
+  }
+
   test("production-dimension PQ (m=8, nCodes=256): compiles in whole-stage codegen, serves") {
     import spark.implicits._
     // the shape that killed the per-code CASE-chain LUT: m·nCodes = 2,048
