@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, GraftBridge, GraftDeferred, SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StructField, StructType}
-import graft.operators.{Dedup, Graph, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Graph, Multimodal, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /** SQL façade over the §2.10 LLM-pipeline operators — the reference's
   * identity is "SQL to whatever" (`README.md` [U]), so the dedup /
@@ -551,6 +551,16 @@ object LlmSql {
           })
       case args => bad(
         "graft_ann_ivf(table, id_col, vec_col, query_id, k, n_cells, probes)", args)
+    }
+    reg(spark, "graft_image_dups") {
+      // perceptual dHash near-dup over a media table — pure lazy
+      // transformation (no training action), registered directly
+      case Seq(t, id, payload, maxHam, bands) =>
+        val f = "graft_image_dups"
+        Multimodal.imageNearDups(table(str(t, f)), str(id, f),
+          str(payload, f), int(maxHam, f), int(bands, f))
+      case args => bad(
+        "graft_image_dups(table, id_col, payload_col, max_hamming, n_bands)", args)
     }
     reg(spark, "graft_distinct_ngrams") {
       case Seq(t, id, text) =>

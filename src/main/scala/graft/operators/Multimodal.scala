@@ -109,6 +109,84 @@ object Multimodal {
       explode(when(col("n_frames") > 0,
         sequence(lit(0), col("n_frames") - 1, lit(stride)))).as("frame_idx"))
 
+  /** 64-bit dHash (difference hash — the standard perceptual image
+    * fingerprint: resize to a 9×8 luma grid, emit one bit per horizontal
+    * gradient sign) over the STUB decode's luma grid: cell (r, c) of the
+    * 8×9 grid takes its luma from the md5 of ITS SLICE of the
+    * hex-encoded payload (slice k of 72 = hex chars
+    * [⌊L·k/72⌋+1, ⌊L·(k+1)/72⌋], u32(md5(slice)) mod 256 — the
+    * [[decodeStub]] recipe per cell), so a same-length LOCAL edit
+    * perturbs only the cells covering it, exactly like a local edit in
+    * a real image perturbs only its region's luma. A real
+    * implementation swaps the slice-md5 for the decoder's downscaled
+    * luma; everything downstream (gradient bits, banding, hamming) is
+    * the production algorithm. Bit i (= r·8+c) is set when
+    * luma(r, c+1) > luma(r, c); the whole chain is builtin expressions
+    * (md5/substr/conv), zero exchange, DuckDB-replayable. Output:
+    * (idCol, dhash: long). */
+  def dHash(media: DataFrame, idCol: String = "doc_id",
+            payloadCol: String = "payload"): DataFrame = {
+    val h = lower(hex(col(payloadCol)))
+    val len = length(h)
+    val lum = (0 until 72).map { k =>
+      val st = (floor(len * lit(k) / 72) + 1).cast("int")
+      val en = floor(len * lit(k + 1) / 72).cast("int")
+      conv(substring(md5(substr(h, st, greatest(en - st + 1, lit(0)))), 1, 8),
+        16, 10).cast("long") % 256
+    }
+    val bits = (0 until 64).map { i =>
+      val r = i / 8; val c = i % 8
+      // element_at is 1-based; cell (r, c) sits at r*9 + c
+      when(element_at(col("__lum"), r * 9 + c + 2) >
+             element_at(col("__lum"), r * 9 + c + 1),
+        lit(1L << i)).otherwise(lit(0L))
+    }
+    media.select(col(idCol), array(lum: _*).as("__lum"))
+      .select(col(idCol), bits.reduce(_ + _).as("dhash"))
+  }
+
+  /** Perceptual near-duplicate pairs over the media column — the dedup
+    * mandate extended to images: [[dHash]] fingerprints, banded into
+    * `nBands` disjoint bit ranges for candidate pairing (the
+    * minhash-band shape: the self-join key is a (band_idx, band_val)
+    * tuple, never the corpus), exact hamming confirms ≤ `maxHamming`.
+    * Recall is EXACT whenever `maxHamming < nBands` (pigeonhole: fewer
+    * differing bits than bands leaves at least one band untouched), so
+    * the banded output EQUALS the brute-force pair scan the DuckDB
+    * oracle runs. Payload bytes never cross the join — only (id, 64-bit
+    * hash, 16-bit band values). At corpus scale compose a bucket cap
+    * upstream if a degenerate payload population floods one band value
+    * (the [[graft.operators.Dedup.minhashPairs]] maxBucketSize
+    * argument's rationale). Output: (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDups(media: DataFrame, idCol: String = "doc_id",
+                    payloadCol: String = "payload",
+                    maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"banded recall is exact only for maxHamming < nBands " +
+        s"(got maxHamming=$maxHamming, nBands=$nBands) — raise nBands")
+    val w = 64 / nBands
+    val dh = dHash(media, idCol, payloadCol)
+    val banded = dh.select(col(idCol), col("dhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          (if (w == 64) col("dhash")
+           else shiftrightunsigned(col("dhash"), w * b) % lit(1L << w))
+            .as("band_val"))
+      }: _*)).as("band"))
+      .select(col(idCol), col("dhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Feature-extract stage over decoded media: bucketed resolution class
     * + frame-sampling positions (every `stride`th frame). */
   def features(decoded: Dataset[Decoded], stride: Int = 30): DataFrame = {

@@ -486,6 +486,24 @@ object EngineQueries {
                                        'graft_ann_cbs', 'embeddings',
                                        'vec_id', 'embedding', 0, 10, 2)""")
     }),
+    "e_sql_image_dups" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the media fixture built in engine SQL (same slice + same-length
+      // local edit as llm_image_dups), probed via the TVF
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW image_media AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id, CAST(text AS BINARY) AS payload FROM sl
+                 UNION ALL
+                 SELECT doc_id + 3000000,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY)
+                 FROM sl""")
+      e.query("""SELECT id_a, id_b, hamming
+                 FROM graft_image_dups('image_media', 'doc_id', 'payload', 3, 4)""")
+    }),
     "e_sql_knn_join" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1061,6 +1079,7 @@ object EngineQueries {
     "e_sql_ann_ivf" -> LlmQueries.oracle("llm_ann_ivf"),
     "e_sql_ann_pq" -> LlmQueries.oracle("llm_ann_pq"),
     "e_sql_ann_residual" -> LlmQueries.oracle("llm_ann_ivf_pq_residual"),
+    "e_sql_image_dups" -> LlmQueries.oracle("llm_image_dups"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),

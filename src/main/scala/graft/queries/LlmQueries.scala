@@ -791,6 +791,29 @@ object LlmQueries {
           $"meta.content_hash".as("content_hash"),
           $"meta.media_type".as("media_type"))
     }),
+    "llm_image_dups" -> ((s, d) => {
+      import s.implicits._
+      // perceptual near-dup over the media column: the tail-300 long
+      // docs as media payloads, plus SAME-LENGTH locally-edited clones
+      // (chars 11–14 overwritten — the stub-luma analog of a local
+      // image edit: only the cells covering the edit move). The banded
+      // dHash pairing must find each (original, edited-clone) pair at
+      // hamming ≤ 3 — plus whatever exact-duplicate texts the corpus
+      // already contains at hamming 0 — and nothing else; the oracle
+      // replays the full hex→slice-md5→gradient→hamming chain and
+      // brute-forces ALL pairs (banded recall is exact below nBands)
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.imageNearDups(
+        Multimodal.asMedia(slice.unionAll(edited), "doc_id", "text"),
+        maxHamming = 3, nBands = 4)
+    }),
     "llm_multimodal_resize" -> ((s, d) => {
       import s.implicits._
       Multimodal.resizePlan(
@@ -1914,6 +1937,42 @@ object LlmQueries {
                JOIN cc ON enc.cell = cc.cell
           GROUP BY enc.vec_id, cc.cd
           ORDER BY adc_score DESC, enc.vec_id LIMIT 10""",
+    // perceptual dHash near-dup: the full chain replayed — lower-hex
+    // payload, 72 slice-md5 lumas, 64 gradient bits (bit 63 is the
+    // BIGINT sign bit: DuckDB's checked << overflows at 63, so it lands
+    // as the min-long literal — two's complement, matching Spark's
+    // shiftleft), brute-force pairs (banded recall is exact < nBands)
+    "llm_image_dups" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text FROM sl
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15)
+                   FROM sl),
+          hx AS (SELECT doc_id, lower(hex(text)) AS h FROM base),
+          lum AS (SELECT doc_id,
+                    list_transform(generate_series(0, 71), k ->
+                      CAST(('0x' || substr(md5(substr(h,
+                          CAST(floor(length(h)*k/72) AS INT) + 1,
+                          greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                            - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                        AS BIGINT) % 256) AS lu
+                  FROM hx),
+          dh AS (SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                     CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                               > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                          THEN CASE WHEN i = 63
+                                    THEN -9223372036854775808
+                                    ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                          ELSE 0 END)) AS BIGINT) AS dhash
+                 FROM lum)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+          FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""",
     "llm_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
                           UNION ALL SELECT doc_id + 500000, text FROM documents),

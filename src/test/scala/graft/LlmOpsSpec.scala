@@ -1755,6 +1755,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(causeChain(e2).contains("out of codebook range"), causeChain(e2))
   }
 
+  test("image dHash near-dup: local edits pair, rewrites don't, banding is exact under nBands") {
+    import spark.implicits._
+    val base = Seq.tabulate(6)(i =>
+      (i.toLong, s"doc $i " + (0 until 200).map(j => s"w${(i * 7 + j) % 97}").mkString(" ")))
+    val media = Multimodal.asMedia(
+      (base ++
+        // same-length local edit of doc 0: must pair with it at small hamming
+        Seq((100L, base(0)._2.patch(20, "XXXX", 4))) ++
+        // exact clone of doc 1: hamming 0
+        Seq((101L, base(1)._2))
+      ).toDF("doc_id", "text"), "doc_id", "text")
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 3, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 100L && p._3 <= 3),
+      s"local edit must pair with its original: $pairs")
+    assert(pairs.contains((1L, 101L, 0)), s"exact clone must pair at hamming 0: $pairs")
+    // unrelated docs stay far apart — no cross pairs
+    assert(pairs.forall(p => Set((0L, 100L), (1L, 101L)).contains((p._1, p._2))),
+      s"unexpected pairs: $pairs")
+    // banded recall is exact below nBands: brute-force agrees
+    val dh = Multimodal.dHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- dh.keys; b <- dh.keys if a < b
+      h = java.lang.Long.bitCount(dh(a) ^ dh(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+    // maxHamming >= nBands would lose pairs silently — refused
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDups(media, maxHamming = 4, nBands = 4)
+    }
+    assert(e.getMessage.contains("nBands"))
+  }
+
   test("residual IVF-PQ: recall >= the no-residual variant at equal (m, nCodes)") {
     import spark.implicits._
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)

@@ -91,6 +91,9 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row max-doc-id bound building the incoming shard
       // (the llm_exact_incr fixture against the appended store)
       "llm_fp_append",
+      // broadcast 1-row max-doc-id bound building the edited-clone
+      // fixture; the pairing itself is the banded dHash equi-join
+      "llm_image_dups", "e_sql_image_dups",
       "e_sql_ann_topk", "e_sql_ann_lsh",
       "llm_cosine", "e_sql_cosine",
       "llm_ngram_jaccard",
