@@ -552,6 +552,17 @@ object LlmSql {
       case args => bad(
         "graft_ann_ivf(table, id_col, vec_col, query_id, k, n_cells, probes)", args)
     }
+    reg(spark, "graft_bpe_count") {
+      // trained-tokenizer counts under a stored merge table; the
+      // merge-table collect is driver-side but vocabulary-sized (KB) —
+      // registered directly like the other pure per-row counters
+      case Seq(t, id, text, merges) =>
+        val f = "graft_bpe_count"
+        TextAnalysis.bpeCount(table(str(t, f)), str(id, f), str(text, f),
+          table(str(merges, f)))
+      case args => bad(
+        "graft_bpe_count(table, id_col, text_col, merges_table)", args)
+    }
     reg(spark, "graft_image_dups") {
       // perceptual dHash near-dup over a media table — pure lazy
       // transformation (no training action), registered directly

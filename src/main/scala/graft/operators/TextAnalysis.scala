@@ -27,6 +27,33 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Token count under a STORED BPE merge table — the real-merges
+    * upgrade of [[bpeishTokenCount]]: `merges` is a (rank, left, right)
+    * frame (typically a parquet read-back — train/choose merges once,
+    * store, count every run, the classifier-weights symmetry), collected
+    * to the driver (vocabulary-sized — KB) and inlined into ONE compiled
+    * per-row expression ([[graft.functions.BpeCount]]): per whitespace
+    * word, the lowest-rank applicable merge applies to all its
+    * left-to-right occurrences, repeatedly, until none applies; the doc
+    * count sums terminal symbols over words. Output: (idCol, bpe_cnt).
+    * The DuckDB oracle replays the identical process as a recursive CTE
+    * over delimiter-wrapped symbol strings. */
+  def bpeCount(df: DataFrame, idCol: String, textCol: String,
+               merges: DataFrame): DataFrame = {
+    val cols = merges.columns.toSet
+    require(Set("rank", "left", "right").subsetOf(cols),
+      s"merge table must carry (rank, left, right), got ${cols.toSeq.sorted.mkString(",")}")
+    val m = merges.select(col("rank").cast("int"), col("left").cast("string"),
+        col("right").cast("string"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    require(m.nonEmpty, "bpeCount: empty merge table")
+    df.select(col(idCol),
+      org.apache.spark.sql.GraftBridge.column(graft.functions.BpeCount(
+        org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol))),
+        m.map(_._2).toIndexedSeq, m.map(_._3).toIndexedSeq)).as("bpe_cnt"))
+  }
+
   /** Fraction of characters outside [a-z0-9 ] (punctuation-ish). The
     * denominator is floored at 1 (same guard as mean word length in
     * [[gopherRules]]): a zero-length document scores 0, not NULL — a

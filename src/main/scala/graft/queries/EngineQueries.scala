@@ -486,6 +486,19 @@ object EngineQueries {
                                        'graft_ann_cbs', 'embeddings',
                                        'vec_id', 'embedding', 0, 10, 2)""")
     }),
+    "e_sql_bpe_count" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the merge table as a catalog view (VALUES — the SQL-side twin
+      // of the parquet store), applied via the TVF
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bpe_merges AS
+                 SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                       (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                       (6,'o','n'),(7,'r','e'))
+                   AS m(rank, left, right)""")
+      e.query("""SELECT doc_id, bpe_cnt
+                 FROM graft_bpe_count('documents', 'doc_id', 'text', 'bpe_merges')""")
+    }),
     "e_sql_image_dups" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1080,6 +1093,7 @@ object EngineQueries {
     "e_sql_ann_pq" -> LlmQueries.oracle("llm_ann_pq"),
     "e_sql_ann_residual" -> LlmQueries.oracle("llm_ann_ivf_pq_residual"),
     "e_sql_image_dups" -> LlmQueries.oracle("llm_image_dups"),
+    "e_sql_bpe_count" -> LlmQueries.oracle("llm_bpe_count"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),

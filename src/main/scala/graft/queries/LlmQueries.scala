@@ -791,6 +791,23 @@ object LlmQueries {
           $"meta.content_hash".as("content_hash"),
           $"meta.media_type".as("media_type"))
     }),
+    "llm_bpe_count" -> ((s, d) => {
+      import s.implicits._
+      // trained-tokenizer token counts: a merge table chosen once (here
+      // 8 common-English merges, incl. the chained th→the / an→and
+      // ranks that exercise merge-on-merged-symbol), STORED to parquet,
+      // read back, and applied as one compiled per-row expression —
+      // train once, count every ingestion run
+      val out = "target/gate_sink/bpe_merges"
+      s.createDataFrame(Seq(
+          (0, "t", "h"), (1, "th", "e"), (2, "i", "n"), (3, "a", "n"),
+          (4, "an", "d"), (5, "e", "r"), (6, "o", "n"), (7, "r", "e")))
+        .toDF("rank", "left", "right")
+        .write.mode("overwrite").parquet(out)
+      TextAnalysis.bpeCount(
+        Tables.load(s, d, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", s.read.parquet(out))
+    }),
     "llm_image_dups" -> ((s, d) => {
       import s.implicits._
       // perceptual near-dup over the media column: the tail-300 long
@@ -1937,6 +1954,47 @@ object LlmQueries {
                JOIN cc ON enc.cell = cc.cell
           GROUP BY enc.vec_id, cc.cd
           ORDER BY adc_score DESC, enc.vec_id LIMIT 10""",
+    // BPE apply replayed as a recursive CTE: each word is a
+    // delimiter-wrapped symbol string (' a  n  d '), one recursion step
+    // applies the LOWEST-rank merge present via string replace —
+    // replace IS left-to-right non-overlapping application, and the
+    // double-space wrapping makes mid-symbol false matches impossible —
+    // terminal states are those no merge touches; symbols = spaces/2
+    "llm_bpe_count" ->
+      """WITH RECURSIVE
+          m(rank, l, r) AS (
+            SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                  (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                  (6,'o','n'),(7,'r','e'))),
+          t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                FROM documents),
+          w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
+                FROM t),
+          w2 AS (SELECT doc_id, wi, ws[wi] AS word FROM w
+                 WHERE length(ws[wi]) > 0),
+          init AS (SELECT doc_id, wi,
+                     ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+                   FROM w2),
+          bpe AS (
+            SELECT doc_id, wi, s FROM init
+            UNION ALL
+            SELECT doc_id, wi,
+                   replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s
+            FROM (SELECT b.doc_id, b.wi, b.s, m.l, m.r,
+                         row_number() OVER (PARTITION BY b.doc_id, b.wi
+                                            ORDER BY m.rank) AS rn
+                  FROM bpe b JOIN m
+                    ON position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)
+            WHERE rn = 1),
+          term AS (SELECT doc_id, wi, s FROM bpe b
+                   WHERE NOT EXISTS (SELECT 1 FROM m
+                     WHERE position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)),
+          cnt AS (SELECT doc_id,
+                    (length(s) - length(replace(s, ' ', ''))) // 2 AS c
+                  FROM term)
+          SELECT d.doc_id, CAST(coalesce(sum(cnt.c), 0) AS INTEGER) AS bpe_cnt
+          FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+          GROUP BY d.doc_id""",
     // perceptual dHash near-dup: the full chain replayed — lower-hex
     // payload, 72 slice-md5 lumas, 64 gradient bits (bit 63 is the
     // BIGINT sign bit: DuckDB's checked << overflows at 63, so it lands

@@ -1755,6 +1755,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(causeChain(e2).contains("out of codebook range"), causeChain(e2))
   }
 
+  test("BPE count: chained merges, rank order, left-to-right non-overlap, guards") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val merges = Seq((0, "t", "h"), (1, "th", "e"), (2, "i", "n"),
+        (3, "a", "n"), (4, "an", "d"), (5, "e", "r"), (6, "o", "n"),
+        (7, "r", "e"))
+      .toDF("rank", "left", "right")
+    val docs = Seq(
+      (1L, "and"),      // a n d → an d → and           = 1
+      (2L, "the"),      // t h e → th e → the           = 1
+      (3L, "there"),    // t h e r e → the r e → the re = 2
+      (4L, "inner"),    // i n n e r → in n e r → in n er = 3
+      (5L, "xyz"),      // no merge applies             = 3
+      (6L, "the and"),  // 1 + 1                        = 2
+      (7L, ""),         // empty word contributes 0     = 0
+      (8L, "ononon")    // o n ... left-to-right: on on on = 3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeCount(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 3,
+      6L -> 2, 7L -> 0, 8L -> 3), s"got $got")
+    // rank order matters: with (a,n) ranked ABOVE (n,d), "and" merges
+    // a+n first and (an,d) then applies; flipping ranks changes the path
+    val flipped = Seq((0, "n", "d"), (1, "a", "n")).toDF("rank", "left", "right")
+    val g2 = TextAnalysis.bpeCount(docs.filter($"doc_id" === 1), "doc_id",
+        "text", flipped)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g2 == Map(1L -> 2), s"a nd (no (a,nd) merge): $g2") // a + nd
+    // a merge table without the contract columns refuses by name
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeCount(docs, "doc_id", "text",
+        Seq((0, "a", "b")).toDF("rank", "l", "r"))
+    }
+    assert(e.getMessage.contains("rank, left, right"))
+  }
+
   test("image dHash near-dup: local edits pair, rewrites don't, banding is exact under nBands") {
     import spark.implicits._
     val base = Seq.tabulate(6)(i =>
