@@ -687,16 +687,22 @@ object TextAnalysis {
     // boilerplate/vocab reports): final rank is (cnt desc, token asc)
     // but the cut is (cnt desc, hash asc), so a boundary tie set larger
     // than the cap could silently exclude token-asc winners from the
-    // attested top-k — refuse loudly instead (one count over the
-    // compact (hash, cnt) frame; the op is already action-shaped)
-    val nBoundary = boundary.count()
-    require(nBoundary <= candCap,
-      s"heavyHittersCms: $nBoundary tokens tie at the top-$topK count " +
-        s"boundary (> candidate cap $candCap) — the (count, token) rank " +
+    // attested top-k — refuse loudly instead. ONE bounded collect
+    // (candCap+1 rows of 16 bytes) doubles as the guard AND the
+    // candidate frame the resolve join broadcasts: one row past the cap
+    // proves overflow with no separate count job, and the join side
+    // becomes a local relation instead of recomputing the cnts subtree
+    val candRows = boundary
+      .orderBy(col("cnt").desc, col("__h").asc).limit(candCap + 1)
+      .select(col("__h"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(candRows.length <= candCap,
+      s"heavyHittersCms: more than $candCap tokens tie at the top-$topK " +
+        "count boundary (candidate cap) — the (count, token) rank " +
         "order cannot be resolved from a hash-order cut; raise topK or " +
         "report on a corpus with meaningful heavy hitters")
-    val cand = boundary
-      .orderBy(col("cnt").desc, col("__h").asc).limit(candCap)
+    val cand = df.sparkSession.createDataFrame(candRows.toIndexedSeq)
+      .toDF("__h", "cnt")
     val resolved = tok.select(col("__t"), Dedup.sharedHash60(col("__t")).as("__h"))
       .join(broadcast(cand), "__h")
       .groupBy(col("__h"), col("cnt")).agg(min(col("__t")).as("token"))
