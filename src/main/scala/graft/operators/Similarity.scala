@@ -648,6 +648,36 @@ object Similarity {
       col("neighbor_id"), k, salt = "knn:", preSplit = preSplit)
   }
 
+  /** [[ivfPqKnnJoinStored]] with STATIC probe-cell pruning — the batch
+    * counterpart of the single-query path's literal cell filter: the
+    * query batch's DISTINCT probe-cell union is at most nCells values
+    * no matter |Q| (one bounded job over the zero-exchange
+    * [[topCellsOf]] projection), and pushing it into the codes read as
+    * a literal filter turns a `partitionBy("cell")` store's scan into
+    * static partition pruning for the WHOLE batch — non-probed cells'
+    * files are never opened (the llm_knn_join_pruned gate pins
+    * `PartitionFilters`). Output is identical to the unpruned form by
+    * construction: the cell EQUI-join only ever matches probed cells,
+    * so pre-filtering them is invisible to the result (same oracle). */
+  def ivfPqKnnJoinStoredPruned(queries: DataFrame, codes: DataFrame,
+                               qIdCol: String, cIdCol: String,
+                               qVecCol: String,
+                               centroids: Array[(Long, Seq[Double])],
+                               codebooks: Array[Array[(Long, Seq[Double])]],
+                               subDim: Int, k: Int, probes: Int = 2,
+                               excludeSelf: Boolean = false,
+                               preSplit: Int = 32): DataFrame = {
+    require(centroids.nonEmpty,
+      "ivfPqKnnJoinStoredPruned: empty stored cells — artifact drift")
+    val cells = queries
+      .select(explode(topCellsOf(col(qVecCol), centroids, probes)).as("cell"))
+      .distinct().collect().map(_.getLong(0)) // ≤ nCells rows — KB always
+    ivfPqKnnJoinStored(queries,
+      codes.filter(col("cell").isin(cells.toIndexedSeq: _*)),
+      qIdCol, cIdCol, qVecCol, centroids, codebooks, subDim, k, probes,
+      excludeSelf, preSplit)
+  }
+
   /** Two-stage retrieval — EXACT re-rank over ADC candidates (the
     * published recipe: ADC proposes top-`candC`, exact distance is
     * computed for those candidates ONLY, final order is exact): buys

@@ -1221,6 +1221,26 @@ object LlmQueries {
         Similarity.codebooksFromDf(s.read.parquet(s"$out/codebooks")),
         subDim = 16, k = 5, probes = 2, excludeSelf = true)
     }),
+    "llm_knn_join_pruned" -> ((s, d) => {
+      import s.implicits._
+      // the batch serving path over a cell-PARTITIONED store: the ten
+      // queries' distinct probe-cell union (≤ nCells ids at any |Q|)
+      // pushes into the scan as a literal filter — static partition
+      // pruning for the whole batch; output identical to
+      // llm_knn_join_stored (same oracle), PlanSpec pins the
+      // PartitionFilters
+      val out = "target/gate_sink/knn_stored_part"
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      Similarity.ivfPqKnnJoinStoredPruned(
+        emb.filter($"vec_id" < 10).select($"vec_id", $"embedding"),
+        s.read.parquet(s"$out/codes"), "vec_id", "vec_id", "embedding",
+        cents, cbs, subDim = 16, k = 5, probes = 2, excludeSelf = true)
+    }),
     "llm_knn_join_rerank" -> ((s, d) => {
       import s.implicits._
       // the COMPLETE production serving flow: stored-index ADC proposes
@@ -1715,6 +1735,9 @@ object LlmQueries {
     // cell-partitioned serving reads only probed-cell files — output
     // must still be the in-memory IVF-PQ's exactly
     "llm_ann_partition_prune" -> oracleBase("llm_ann_ivf_pq"),
+    // the batch form: pre-filtering the codes read to the queries'
+    // probe-cell union is invisible to the cell equi-join's result
+    "llm_knn_join_pruned" -> oracleBase("llm_knn_join_stored"),
     // append(build(A), B) ≡ build(A∪B): the appended index must probe
     // exactly like the full-corpus index — a lost/drifted append
     // under-reports pairs and hash-mismatches

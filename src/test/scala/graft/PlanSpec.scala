@@ -244,6 +244,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("batch stored serving over a partitioned store: PartitionFilters + codes-only corpus side") {
+    val qe = SparkEntry.queries("llm_knn_join_pruned")(spark, TestSpark.sf)
+      .queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val codeScans = scans.filter(_.output.exists(_.name.startsWith("code_")))
+    assert(codeScans.nonEmpty, "expected a scan over the stored codes table")
+    codeScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"the batch probe-cell union must be a partition filter, got " +
+          s"partitionFilters=${f.partitionFilters}")
+    }
+    // and the batch pins carry over: vectors only on the query side
+    val vecScans = scans.filter(_.output.exists(_.name == "embedding"))
+    assert(vecScans.size == 1,
+      s"only the bounded query side may read vectors, got ${vecScans.size}")
+  }
+
   test("rerank reads vectors only for ADC candidates (semi-join gate)") {
     val p = plan("llm_ann_rerank")
     // the exact stage must reach the vector scan through a broadcast
