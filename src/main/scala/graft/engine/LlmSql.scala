@@ -573,6 +573,17 @@ object LlmSql {
       case args => bad(
         "graft_image_dups(table, id_col, payload_col, max_hamming, n_bands)", args)
     }
+    reg(spark, "graft_image_probe") {
+      // incremental perceptual admission: new media vs a STORED dhash
+      // frame — pure lazy transformation, stream-safe probe
+      case Seq(t, hashes, id, payload, maxHam, bands) =>
+        val f = "graft_image_probe"
+        Multimodal.imageNearDupsBetween(table(str(t, f)),
+          table(str(hashes, f)), str(id, f), str(payload, f),
+          int(maxHam, f), int(bands, f))
+      case args => bad(
+        "graft_image_probe(media_table, hashes_table, id_col, payload_col, max_hamming, n_bands)", args)
+    }
     reg(spark, "graft_distinct_ngrams") {
       case Seq(t, id, text) =>
         val f = "graft_distinct_ngrams"

@@ -166,9 +166,25 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"banded recall is exact only for maxHamming < nBands " +
         s"(got maxHamming=$maxHamming, nBands=$nBands) — raise nBands")
-    val w = 64 / nBands
     val dh = dHash(media, idCol, payloadCol)
-    val banded = dh.select(col(idCol), col("dhash"),
+    val banded = bandRowsOf(dh, idCol, nBands)
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** One row per (id, band) over a (idCol, dhash) frame — the banded
+    * join side shared by [[imageNearDups]] and [[imageNearDupsBetween]]
+    * (pure projection: band values are bit ranges of the hash). */
+  private def bandRowsOf(dh: DataFrame, idCol: String,
+                         nBands: Int): DataFrame = {
+    val w = 64 / nBands
+    dh.select(col(idCol), col("dhash"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band_idx"),
           (if (w == 64) col("dhash")
@@ -177,13 +193,47 @@ object Multimodal {
       }: _*)).as("band"))
       .select(col(idCol), col("dhash"),
         col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
-      .distinct()
+  }
+
+  /** Incremental perceptual admission — [[imageNearDups]]'s
+    * new-shard-versus-STORED form, the image counterpart of
+    * [[graft.operators.Dedup.minhashProbe]]: `corpusHashes` is the
+    * persisted [[dHash]] frame (idCol, dhash) read back from parquet —
+    * 8 bytes a row, written once, the corpus payloads never touched
+    * again — and each incoming media row hashes PER ROW (pure builtin
+    * projection, stream-safe: the probe runs unchanged on a micro-batch
+    * or a stream, no state, no watermark; StreamingSpec pins stream ==
+    * batch). Candidates pair on the (band_idx, band_val) equi-join,
+    * exact hamming confirms ≤ `maxHamming` — recall exact whenever
+    * maxHamming < nBands, like the self-join form.
+    *
+    * DUPLICATE CONTRACT (the [[graft.streaming.Corpus.admitProbe]]
+    * precedent): a pair sharing b bands appears b times — a distinct
+    * would be stateful on a stream; admission semantics (ANY hit ⇒
+    * bounce) are unaffected, batch callers `dropDuplicates`. Output:
+    * (id_new, id_corpus, hamming). */
+  def imageNearDupsBetween(newMedia: DataFrame, corpusHashes: DataFrame,
+                           idCol: String = "doc_id",
+                           payloadCol: String = "payload",
+                           maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"banded recall is exact only for maxHamming < nBands " +
+        s"(got maxHamming=$maxHamming, nBands=$nBands) — raise nBands")
+    require(corpusHashes.columns.contains("dhash") &&
+        corpusHashes.columns.contains(idCol),
+      s"stored hash frame must carry ($idCol, dhash) — store dHash's output")
+    val newB = bandRowsOf(dHash(newMedia, idCol, payloadCol), idCol, nBands)
+      .select(col(idCol).as("id_new"), col("dhash").as("__hn"),
+        col("band_idx"), col("band_val"))
+    val corB = bandRowsOf(corpusHashes.select(col(idCol),
+        col("dhash").cast("long").as("dhash")), idCol, nBands)
+      .select(col(idCol).as("id_corpus"), col("dhash").as("__hc"),
+        col("band_idx"), col("band_val"))
+    newB.join(corB, Seq("band_idx", "band_val"))
+      .select(col("id_new"), col("id_corpus"),
+        bit_count(col("__hn").bitwiseXOR(col("__hc"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -517,6 +517,37 @@ object EngineQueries {
       e.query("""SELECT id_a, id_b, hamming
                  FROM graft_image_dups('image_media', 'doc_id', 'payload', 3, 4)""")
     }),
+    "e_sql_image_incr" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // store side written in Scala (the write side), read back as a
+      // view; probe media fixture + TVF probe from SQL
+      val out = "target/gate_sink/image_dhash_store_sql"
+      val docs = Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val mx = docs.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("doc_id"))).head().getLong(0)
+      val slice = docs.filter(
+        org.apache.spark.sql.functions.col("doc_id") > mx - 300 &&
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")) >= 400)
+      graft.operators.Multimodal.dHash(
+          graft.operators.Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("image_hashes")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW image_probe AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT DISTINCT id_new, id_corpus, hamming
+                 FROM graft_image_probe('image_probe', 'image_hashes',
+                                        'doc_id', 'payload', 3, 4)""")
+    }),
     "e_sql_knn_join" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1094,6 +1125,7 @@ object EngineQueries {
     "e_sql_ann_residual" -> LlmQueries.oracle("llm_ann_ivf_pq_residual"),
     "e_sql_image_dups" -> LlmQueries.oracle("llm_image_dups"),
     "e_sql_bpe_count" -> LlmQueries.oracle("llm_bpe_count"),
+    "e_sql_image_incr" -> LlmQueries.oracle("llm_image_incr"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),

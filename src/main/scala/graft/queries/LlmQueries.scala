@@ -831,6 +831,29 @@ object LlmQueries {
         Multimodal.asMedia(slice.unionAll(edited), "doc_id", "text"),
         maxHamming = 3, nBands = 4)
     }),
+    "llm_image_incr" -> ((s, d) => {
+      import s.implicits._
+      // incremental perceptual admission: the corpus slice's dHash
+      // frame written ONCE (8 bytes/row — payloads never re-read), the
+      // edited-clone shard probed per row against the read-back store;
+      // every clone must hit its original (the llm_image_dups fixture
+      // split into its store/probe halves)
+      val out = "target/gate_sink/image_dhash_store"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      Multimodal.dHash(Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.imageNearDupsBetween(
+          Multimodal.asMedia(edited, "doc_id", "text"),
+          s.read.parquet(out), maxHamming = 3, nBands = 4)
+        .dropDuplicates("id_new", "id_corpus")
+    }),
     "llm_multimodal_resize" -> ((s, d) => {
       import s.implicits._
       Multimodal.resizePlan(
@@ -2018,6 +2041,40 @@ object LlmQueries {
           SELECT d.doc_id, CAST(coalesce(sum(cnt.c), 0) AS INTEGER) AS bpe_cnt
           FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
           GROUP BY d.doc_id""",
+    // incremental form: clones (the probe side) against the corpus
+    // slice (the stored side) — same dHash chain, cross-set pairs only
+    "llm_image_incr" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text, 0 AS is_new FROM sl
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15),
+                          1
+                   FROM sl),
+          hx AS (SELECT doc_id, is_new, lower(hex(text)) AS h FROM base),
+          lum AS (SELECT doc_id, is_new,
+                    list_transform(generate_series(0, 71), k ->
+                      CAST(('0x' || substr(md5(substr(h,
+                          CAST(floor(length(h)*k/72) AS INT) + 1,
+                          greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                            - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                        AS BIGINT) % 256) AS lu
+                  FROM hx),
+          dh AS (SELECT doc_id, is_new,
+                   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                     CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                               > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                          THEN CASE WHEN i = 63
+                                    THEN -9223372036854775808
+                                    ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                          ELSE 0 END)) AS BIGINT) AS dhash
+                 FROM lum)
+          SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+                 CAST(bit_count(xor(n.dhash, c.dhash)) AS INT) AS hamming
+          FROM dh n JOIN dh c ON n.is_new = 1 AND c.is_new = 0
+          WHERE bit_count(xor(n.dhash, c.dhash)) <= 3""",
     // perceptual dHash near-dup: the full chain replayed — lower-hex
     // payload, 72 slice-md5 lumas, 64 gradient bits (bit 63 is the
     // BIGINT sign bit: DuckDB's checked << overflows at 63, so it lands

@@ -240,6 +240,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(fpStore == fpFull)
   }
 
+  test("streaming image admission: per-row dHash probe vs stored hashes == batch") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val out = "target/test_sink/image_dhash"
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val slice = docs.filter(col("doc_id") > mx - 300 && length(col("text")) >= 400)
+    // corpus hashes written once — payloads never re-read
+    Multimodal.dHash(Multimodal.asMedia(slice, "doc_id", "text"))
+      .write.mode("overwrite").parquet(out)
+    val stored = spark.read.parquet(out)
+    def edited(in: org.apache.spark.sql.DataFrame) = Multimodal.asMedia(
+      in.filter(col("doc_id") > mx - 300 && length(col("text")) >= 400)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("QQQQ"),
+            expr("substring(text, 15)")).as("text")),
+      "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id_new"), col("id_corpus"), col("hamming")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = rows(Multimodal.imageNearDupsBetween(edited(docs), stored))
+    assert(batch.nonEmpty && batch.forall(_._3 <= 3))
+    // the identical probe runs on a STREAM — per-row hashing is a pure
+    // projection, the pairing a stateless stream-static join
+    val stream = graft.streaming.Corpus.readStream(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+    Events.runToMemory(spark,
+      Multimodal.imageNearDupsBetween(edited(stream), stored),
+      "t_image_admit", OutputMode.Append())
+    assert(rows(spark.table("t_image_admit")) == batch)
+  }
+
   test("streaming LR quality scoring: stream == batch == the decimal-algebra scorer") {
     import org.apache.spark.sql.functions._
     import graft.operators.Classifier
