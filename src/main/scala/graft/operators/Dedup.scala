@@ -388,6 +388,30 @@ object Dedup {
       index.sets.unionByName(setsNew))
   }
 
+  /** Tombstone DELETE over any id-keyed stored index frame — the
+    * takedown / right-to-be-forgotten corner of index maintenance
+    * (append ✓, now delete): rows whose id appears in `tombstones` drop
+    * via a LEFT ANTI join applied AT READ, no store rewrite, no corpus
+    * re-read. Works on every store this engine keeps (minhash
+    * bands/sets, fingerprint frames keyed by id, ANN codes, dHash
+    * frames) because they are all plain id-keyed parquet.
+    *
+    * Laws (spec-pinned): `purge(append(S, B), B.ids) == S` row-for-row
+    * when B's ids are disjoint from S's, and serving a purged ANN codes
+    * store equals serving a fresh encode of the remaining corpus
+    * bit-for-bit (encode is per-row; cells/codebooks are corpus
+    * STATISTICS, not member data — they survive their seed members'
+    * deletion, so takedown needs no retraining). The join strategy is
+    * left to Catalyst/AQE: takedown lists are usually broadcast-sized,
+    * but a court-ordered bulk purge still only shuffles (id) keys. */
+  def storePurge(store: DataFrame, idCol: String,
+                 tombstones: DataFrame): DataFrame = {
+    require(tombstones.columns.contains(idCol),
+      s"tombstone frame must carry the store's id column `$idCol`, got " +
+        s"${tombstones.columns.sorted.mkString(",")}")
+    store.join(tombstones.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** SimHash banded near-dup pairs: sketch every document to a
     * `hashBits`-bit simhash, explode it into `nBands` equal bit-bands,
     * candidate pairs share a (band_idx, band_val) bucket, and the

@@ -548,6 +548,32 @@ object EngineQueries {
                  FROM graft_image_probe('image_probe', 'image_hashes',
                                         'doc_id', 'payload', 3, 4)""")
     }),
+    "e_sql_ann_delete" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // takedown from SQL: the stores are plain tables, so the purge is
+      // a plain anti-predicate VIEW over the codes read-back — no new
+      // machinery, the TVF serves the purged view unchanged
+      val out = "target/gate_sink/ann_index_delete_sql"
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
+      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("del_ann_cells")
+      s.read.parquet(s"$out/codebooks").createOrReplaceTempView("del_ann_cbs")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("del_ann_codes")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW del_ann_codes_purged AS
+                 SELECT * FROM del_ann_codes WHERE vec_id % 10 <> 3""")
+      e.query("""SELECT vec_id, adc_score
+                 FROM graft_ann_stored('del_ann_codes_purged', 'del_ann_cells',
+                                       'del_ann_cbs', 'embeddings',
+                                       'vec_id', 'embedding', 0, 10, 2)""")
+    }),
     "e_sql_knn_join" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1126,6 +1152,7 @@ object EngineQueries {
     "e_sql_image_dups" -> LlmQueries.oracle("llm_image_dups"),
     "e_sql_bpe_count" -> LlmQueries.oracle("llm_bpe_count"),
     "e_sql_image_incr" -> LlmQueries.oracle("llm_image_incr"),
+    "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),

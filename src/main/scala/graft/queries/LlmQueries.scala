@@ -960,6 +960,52 @@ object LlmQueries {
       Dedup.minhashProbe(incoming, appended, "doc_id", "text",
         k = 16, nBands = 4, threshold = 0.5)
     }),
+    "llm_minhash_index_delete" -> ((s, d) => {
+      import s.implicits._
+      // takedown on the dedup index: the full-corpus store written
+      // once, the tombstoned ids (doc_id % 7 == 2) PURGED from the
+      // read-back frames — an anti-join at read, no rebuild, no corpus
+      // re-read — and the re-ingested tail probed: clones of purged
+      // docs now ADMIT (their originals are forgotten), clones of
+      // remaining docs still bounce. Oracle = the incremental probe
+      // over the remaining corpus only
+      val out = "target/gate_sink/minhash_index_delete"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val incoming = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+        .select(($"doc_id" + 3000000).as("doc_id"), $"text")
+      val idx = Dedup.minhashIndex(docs, "doc_id", "text", k = 16, nBands = 4)
+      idx.bands.write.mode("overwrite").parquet(s"$out/bands")
+      idx.sets.write.mode("overwrite").parquet(s"$out/sets")
+      val tomb = docs.filter($"doc_id" % 7 === 2).select($"doc_id")
+      val purged = Dedup.MinhashIndex(
+        Dedup.storePurge(s.read.parquet(s"$out/bands"), "doc_id", tomb),
+        Dedup.storePurge(s.read.parquet(s"$out/sets"), "doc_id", tomb))
+      Dedup.minhashProbe(incoming, purged, "doc_id", "text",
+        k = 16, nBands = 4, threshold = 0.5)
+    }),
+    "llm_ann_index_delete" -> ((s, d) => {
+      import s.implicits._
+      // takedown on the SERVING index: tombstoned vectors (vec_id % 10
+      // == 3 — including seed id 3, whose deletion must NOT perturb the
+      // stored cells/codebooks: they are corpus statistics, not member
+      // data) vanish from results with no retraining; serving the
+      // purged codes equals serving a fresh encode of the remaining
+      // corpus bit-for-bit (per-row encode — spec-pinned)
+      val out = "target/gate_sink/ann_index_delete"
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      val tomb = emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+      Similarity.ivfPqTopKStored(
+        Dedup.storePurge(s.read.parquet(s"$out/codes"), "vec_id", tomb),
+        "vec_id", cents, cbs, subDim = 16,
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, probes = 2, excludeId = Some(0L))
+    }),
     "llm_fp_append" -> ((s, d) => {
       import s.implicits._
       // the fingerprint store's append path (the llm_exact_incr store,
@@ -2558,6 +2604,65 @@ object LlmQueries {
           JOIN hsc b ON b.doc_id = c.id_corpus
           WHERE len(list_intersect(a.hs, b.hs)) * 1.0
                   / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5""",
+    // takedown: the incremental probe against the REMAINING corpus only
+    // (tombstoned ids purged from the stored frames at read) — clones
+    // of purged docs pair with nothing, clones of survivors still hit
+    "llm_minhash_index_delete" ->
+      s"""WITH remaining AS (SELECT doc_id, text FROM documents
+                             WHERE doc_id % 7 <> 2),
+          newdocs AS (SELECT doc_id + 3000000 AS doc_id, text FROM documents
+                      WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
+          ${minhashSketchCtes("newdocs", None, "n")},
+          ${minhashSketchCtes("remaining", None, "c")},
+          cand AS (SELECT DISTINCT x.doc_id id_new, y.doc_id id_corpus
+                   FROM bandsn x JOIN bandsc y
+                     ON x.band_idx = y.band_idx AND x.band_val = y.band_val)
+          SELECT c.id_new, c.id_corpus,
+                 len(list_intersect(a.hs, b.hs)) * 1.0
+                   / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+          FROM cand c
+          JOIN hsn a ON a.doc_id = c.id_new
+          JOIN hsc b ON b.doc_id = c.id_corpus
+          WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+                  / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5""",
+    // takedown on the serving index: cells/codebooks stay the FULL
+    // corpus's (stored statistics — deletion does not retrain), only
+    // the scored set excludes the tombstoned ids
+    "llm_ann_index_delete" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+          a AS (SELECT vec_id, v, cid AS cell FROM (
+                  SELECT e.vec_id, e.v, c.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                  FROM e CROSS JOIN cent c) WHERE rk = 1),
+          qc AS (SELECT c.cid AS cell,
+                        row_number() OVER (
+                          ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rk
+                 FROM cent c CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q),
+          pr AS (SELECT a.vec_id, a.v FROM a
+                 JOIN (SELECT cell FROM qc WHERE rk <= 2) p ON a.cell = p.cell
+                 WHERE a.vec_id <> 0 AND a.vec_id % 10 <> 3),
+          seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+          sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+          cb AS (SELECT sub.s, seed.vec_id AS cid,
+                        seed.v[sub.s*16+1 : sub.s*16+16] AS cv
+                 FROM sub CROSS JOIN seed),
+          enc AS (SELECT vec_id, s, cid AS code FROM (
+                    SELECT pr.vec_id, b.s, b.cid,
+                           row_number() OVER (PARTITION BY pr.vec_id, b.s
+                             ORDER BY round(list_inner_product(b.cv, b.cv)
+                               - 2 * list_inner_product(pr.v[b.s*16+1 : b.s*16+16], b.cv), 6) ASC,
+                             b.cid ASC) AS rk
+                    FROM pr CROSS JOIN cb b) WHERE rk = 1),
+          q AS (SELECT v FROM e WHERE vec_id = 0),
+          lut AS (SELECT b.s, b.cid,
+                         list_inner_product(q.v[b.s*16+1 : b.s*16+16], b.cv) AS d
+                  FROM cb b CROSS JOIN q)
+          SELECT enc.vec_id, round(sum(lut.d), 6) AS adc_score
+          FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.cid
+          GROUP BY enc.vec_id
+          ORDER BY adc_score DESC, enc.vec_id LIMIT 10""",
     "llm_split" ->
       """SELECT doc_id,
                 CASE WHEN h < 9800 THEN 'train'

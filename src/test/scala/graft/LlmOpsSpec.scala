@@ -1755,6 +1755,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(causeChain(e2).contains("out of codebook range"), causeChain(e2))
   }
 
+  test("store takedown laws: purge∘append identity; purged ANN serving == fresh encode of remaining") {
+    import spark.implicits._
+    val docs6 = docs.select($"doc_id", $"text").filter($"doc_id" < 120)
+    val a = docs6.filter($"doc_id" < 100)
+    val b = docs6.filter($"doc_id" >= 100)
+    // purge(append(S, B), B.ids) == S row-for-row (disjoint ids)
+    val idxA = Dedup.minhashIndex(a, "doc_id", "text", k = 8, nBands = 4)
+    val appended = Dedup.minhashIndexAppend(idxA, b, "doc_id", "text",
+      k = 8, nBands = 4)
+    val purged = Dedup.MinhashIndex(
+      Dedup.storePurge(appended.bands, "doc_id", b.select($"doc_id")),
+      Dedup.storePurge(appended.sets, "doc_id", b.select($"doc_id")))
+    def bandRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(bandRows(purged.bands.select($"doc_id", $"band_idx", $"band_val"))
+      == bandRows(idxA.bands.select($"doc_id", $"band_idx", $"band_val")))
+    assert(purged.sets.select($"doc_id", $"hset").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet ==
+      idxA.sets.select($"doc_id", $"hset").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet)
+    // serving a purged ANN codes store == serving a fresh encode of the
+    // remaining corpus, bit-for-bit (per-row encode; cells/codebooks
+    // are corpus statistics and survive their seed members' deletion)
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 8)
+    val codes = Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+    val tomb = emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+    val qv = Similarity.queryVecOf(emb, "vec_id", "embedding", 0)
+    def serve(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopKStored(c, "vec_id", cents, cbs, 16, qv,
+          k = 10, probes = 2, excludeId = Some(0L))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaPurge = serve(Dedup.storePurge(codes, "vec_id", tomb))
+    val viaFresh = serve(Similarity.ivfPqEncode(
+      emb.join(tomb, Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding", cents, cbs, 16))
+    assert(viaPurge == viaFresh && viaPurge.nonEmpty)
+    // and a tombstoned id really is forgotten
+    assert(!viaPurge.exists(_._1 % 10 == 3))
+    // a tombstone frame without the id column refuses by name
+    val e = intercept[IllegalArgumentException] {
+      Dedup.storePurge(codes, "vec_id", tomb.select($"vec_id".as("id")))
+    }
+    assert(e.getMessage.contains("vec_id"))
+  }
+
   test("BPE count: chained merges, rank order, left-to-right non-overlap, guards") {
     import spark.implicits._
     import graft.operators.TextAnalysis
