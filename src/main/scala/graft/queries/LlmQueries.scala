@@ -854,6 +854,36 @@ object LlmQueries {
           s.read.parquet(out), maxHamming = 3, nBands = 4)
         .dropDuplicates("id_new", "id_corpus")
     }),
+    "llm_image_append" -> ((s, d) => {
+      import s.implicits._
+      // image-index MAINTENANCE (the fp_append symmetry): the dHash
+      // store is built in two generations — gen A written, gen B's
+      // 8-byte delta parquet-APPENDED (dHash over just the new media IS
+      // the delta) — and clones of EITHER generation must hit the
+      // read-back union. Same oracle as llm_image_incr (the full-slice
+      // store), so a lost append under-reports pairs and hash-mismatches
+      val out = "target/gate_sink/image_dhash_append"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val genA = slice.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 150)
+        .select($"doc_id", $"text")
+      val genB = slice.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 150)
+        .select($"doc_id", $"text")
+      Multimodal.dHash(Multimodal.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      Multimodal.dHash(Multimodal.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(out)
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.imageNearDupsBetween(
+          Multimodal.asMedia(edited, "doc_id", "text"),
+          s.read.parquet(out), maxHamming = 3, nBands = 4)
+        .dropDuplicates("id_new", "id_corpus")
+    }),
     "llm_multimodal_resize" -> ((s, d) => {
       import s.implicits._
       Multimodal.resizePlan(
@@ -1817,7 +1847,10 @@ object LlmQueries {
     // appended ANN codes serve exactly like the fresh full-corpus build
     // (encode is per-row; generation A holds the lowest ids, so the
     // seed cells/codebooks match the full corpus's)
-    "llm_ann_index_append" -> oracleBase("llm_ann_ivf_pq"))
+    "llm_ann_index_append" -> oracleBase("llm_ann_ivf_pq"),
+    // the appended dHash store must probe exactly like the full-slice
+    // build — dHash is per-row, the append IS the delta
+    "llm_image_append" -> oracleBase("llm_image_incr"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_ann_ivf" ->
