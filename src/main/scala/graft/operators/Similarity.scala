@@ -1066,28 +1066,56 @@ object Similarity {
                         centroids: Array[(Long, Seq[Double])],
                         codebooks: Array[Array[(Long, Seq[Double])]],
                         subDim: Int, queryId: Long, k: Int,
-                        probes: Int = 2): DataFrame = {
+                        probes: Int = 2): DataFrame =
+    // the stored path over a fresh in-plan encode — ONE scoring
+    // implementation, so the in-memory and storage surfaces cannot drift
+    ivfPqTopKResidualStored(
+      ivfPqEncodeResidual(emb, idCol, vecCol, centroids, codebooks, subDim),
+      idCol, centroids, codebooks, subDim,
+      queryVecOf(emb, idCol, vecCol, queryId), k, probes,
+      excludeId = Some(queryId))
+
+  /** RESIDUAL IVF-PQ serving from STORAGE — [[ivfPqTopKResidual]] with
+    * the encode pass factored out: `codes` is the read-back
+    * [[ivfPqEncodeResidual]] table (same (id, cell, code_*) layout as
+    * the no-residual store, so partitioned writes / appends /
+    * [[graft.operators.Dedup.storePurge]] takedowns apply unchanged),
+    * probe cells come from the driver ([[probeCellsOf]] — a literal
+    * `cell IN (...)`, static partition pruning on a partitioned store),
+    * and the score is the per-probed-cell constant q·centroid plus the
+    * residual-codebook LUT sum. Identical output to
+    * [[ivfPqTopKResidual]] on the same artifacts (the
+    * llm_ann_residual_stored gate shares its oracle). */
+  def ivfPqTopKResidualStored(codes: DataFrame, idCol: String,
+                              centroids: Array[(Long, Seq[Double])],
+                              codebooks: Array[Array[(Long, Seq[Double])]],
+                              subDim: Int, queryVec: IndexedSeq[Double],
+                              k: Int, probes: Int = 2,
+                              excludeId: Option[Long] = None): DataFrame = {
     require(centroids.nonEmpty && codebooks.nonEmpty,
-      "ivfPqTopKResidual: empty cells/codebooks")
-    val qv = queryVecOf(emb, idCol, vecCol, queryId)
-    val cells = probeCellsOf(qv, centroids, probes)
+      "ivfPqTopKResidualStored: empty stored cells/codebooks — artifact drift")
+    require(codes.columns.contains("cell"),
+      "stored codes table lacks the cell column — serve the table " +
+        "ivfPqEncodeResidual wrote")
+    val cells = probeCellsOf(queryVec, centroids, probes)
     val centMap = centroids.toMap
     val cellDot: Seq[(Long, Double)] = cells.map { c =>
-      c -> dotDriver(qv, centMap(c)).getOrElse(throw new IllegalArgumentException(
-        s"probed cell $c has a centroid of ${centMap(c).length} dims but " +
-          s"the query vector has ${qv.length} — artifact drift"))
+      c -> dotDriver(queryVec, centMap(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"probed cell $c has a centroid of ${centMap(c).length} dims " +
+            s"but the query vector has ${queryVec.length} — artifact drift"))
     }
-    val codes = ivfPqEncodeResidual(emb, idCol, vecCol, centroids,
-        codebooks, subDim)
-      .filter(col("cell").isin(cells: _*) && col(idCol) =!= queryId)
+    val base = codes.filter(col("cell").isin(cells: _*))
+    val pruned = excludeId.fold(base)(q => base.filter(col(idCol) =!= q))
     val cellTerm = cellDot.tail
       .foldLeft(when(col("cell") === cellDot.head._1, lit(cellDot.head._2))) {
         case (acc, (c, v)) => acc.when(col("cell") === c, lit(v))
       }.otherwise(raise_error(concat(
         lit("residual serving met a row outside its probed cells: "),
         col("cell").cast("string"))))
-    codes.select(col(idCol),
-        round(cellTerm + adcScore(codebooks, subDim, qv), 6).as("adc_score"))
+    pruned.select(col(idCol),
+        round(cellTerm + adcScore(codebooks, subDim, queryVec), 6)
+          .as("adc_score"))
       .orderBy(col("adc_score").desc, col(idCol))
       .limit(k)
   }

@@ -563,6 +563,24 @@ object LlmQueries {
           m = 4, subDim = 16, nCodes = 8),
         subDim = 16, queryId = 0, k = 10, probes = 2)
     }),
+    "llm_ann_residual_stored" -> ((s, d) => {
+      // the residual index SERVED FROM STORAGE, cell-partitioned: same
+      // layout as the no-residual store (partition pruning, appends,
+      // takedown all apply unchanged); identical output to the
+      // in-memory residual path — same oracle, so artifact drift
+      // hash-mismatches
+      val out = "target/gate_sink/ann_residual_store"
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooksResidual(emb, "vec_id", "embedding",
+        cents, m = 4, subDim = 16, nCodes = 8)
+      Similarity.ivfPqEncodeResidual(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      Similarity.ivfPqTopKResidualStored(s.read.parquet(s"$out/codes"),
+        "vec_id", cents, cbs, subDim = 16,
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, probes = 2, excludeId = Some(0L))
+    }),
     "llm_ann_index_roundtrip" -> ((s, d) => {
       // the COMPLETE ANN serving index through storage: cells,
       // codebooks, and cell-tagged codes written as three plain parquet
@@ -1837,6 +1855,8 @@ object LlmQueries {
     // the batch form: pre-filtering the codes read to the queries'
     // probe-cell union is invisible to the cell equi-join's result
     "llm_knn_join_pruned" -> oracleBase("llm_knn_join_stored"),
+    // the residual storage round-trip is output-identical by contract
+    "llm_ann_residual_stored" -> oracleBase("llm_ann_ivf_pq_residual"),
     // append(build(A), B) ≡ build(A∪B): the appended index must probe
     // exactly like the full-corpus index — a lost/drifted append
     // under-reports pairs and hash-mismatches
