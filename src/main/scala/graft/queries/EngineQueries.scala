@@ -499,6 +499,45 @@ object EngineQueries {
       e.query("""SELECT doc_id, bpe_cnt
                  FROM graft_bpe_count('documents', 'doc_id', 'text', 'bpe_merges')""")
     }),
+    "e_sql_pipeline8" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the multimodal front door composed PURELY in SQL: media fixture
+      // view → graft_image_dups TVF → keep-first anti-predicate →
+      // decode/resize geometry as plain SQL over the payload (the stub
+      // decode is u32(md5(payload)) arithmetic — expressible in any SQL)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p8_media AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id, CAST(text AS BINARY) AS payload FROM sl
+                 UNION ALL
+                 SELECT doc_id + 3000000,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY)
+                 FROM sl""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p8_dups AS
+                 SELECT DISTINCT id_b
+                 FROM graft_image_dups('p8_media', 'doc_id', 'payload', 3, 4)""")
+      e.query("""WITH kept AS (
+                   SELECT doc_id, payload FROM p8_media
+                   WHERE doc_id NOT IN (SELECT id_b FROM p8_dups)),
+                 acc AS (SELECT doc_id,
+                           CAST(conv(substring(md5(payload), 1, 8), 16, 10)
+                             AS BIGINT) AS a
+                         FROM kept),
+                 d AS (SELECT doc_id,
+                         CAST(320 + a % 1600 AS INT) AS width,
+                         CAST(240 + (a >> 7) % 840 AS INT) AS height
+                       FROM acc),
+                 sc AS (SELECT doc_id, width, height,
+                          least(1.0D, least(1280.0D / width, 720.0D / height)) AS s
+                        FROM d)
+                 SELECT doc_id, width, height, round(s, 6) AS scale,
+                        CAST(floor(width * s / 2) * 2 AS INT) AS out_w,
+                        CAST(floor(height * s / 2) * 2 AS INT) AS out_h
+                 FROM sc""")
+    }),
     "e_sql_image_dups" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1153,6 +1192,7 @@ object EngineQueries {
     "e_sql_bpe_count" -> LlmQueries.oracle("llm_bpe_count"),
     "e_sql_image_incr" -> LlmQueries.oracle("llm_image_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
+    "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),

@@ -902,6 +902,28 @@ object LlmQueries {
           s.read.parquet(out), maxHamming = 3, nBands = 4)
         .dropDuplicates("id_new", "id_corpus")
     }),
+    "llm_pipeline8" -> ((s, d) => {
+      import s.implicits._
+      // the MULTIMODAL ingestion front door: crawl media (tail-300 long
+      // docs + same-length locally-edited near-dup clones) → perceptual
+      // dHash dedup keep-first (every pair's higher id drops — the
+      // C4-style greedy representative) → decode → resize geometry for
+      // the survivors. The composition a media-corpus build runs before
+      // handing payloads to the actual scaler fleet
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      val media = Multimodal.asMedia(slice.unionAll(edited), "doc_id", "text")
+      val dupIds = Multimodal.imageNearDups(media, maxHamming = 3, nBands = 4)
+        .select($"id_b".as("doc_id")).distinct()
+      Multimodal.resizePlan(Multimodal.decode(
+        media.join(dupIds, Seq("doc_id"), "left_anti")))
+    }),
     "llm_multimodal_resize" -> ((s, d) => {
       import s.implicits._
       Multimodal.resizePlan(
@@ -2174,6 +2196,54 @@ object LlmQueries {
                  CAST(bit_count(xor(n.dhash, c.dhash)) AS INT) AS hamming
           FROM dh n JOIN dh c ON n.is_new = 1 AND c.is_new = 0
           WHERE bit_count(xor(n.dhash, c.dhash)) <= 3""",
+    // pipeline8 = the image-dups chain → drop every pair's higher id →
+    // the decode/resize replay over the survivors
+    "llm_pipeline8" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text FROM sl
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15)
+                   FROM sl),
+          hx AS (SELECT doc_id, lower(hex(text)) AS h FROM base),
+          lum AS (SELECT doc_id,
+                    list_transform(generate_series(0, 71), k ->
+                      CAST(('0x' || substr(md5(substr(h,
+                          CAST(floor(length(h)*k/72) AS INT) + 1,
+                          greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                            - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                        AS BIGINT) % 256) AS lu
+                  FROM hx),
+          dh AS (SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                     CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                               > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                          THEN CASE WHEN i = 63
+                                    THEN -9223372036854775808
+                                    ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                          ELSE 0 END)) AS BIGINT) AS dhash
+                 FROM lum),
+          dropped AS (SELECT DISTINCT b.doc_id
+                      FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+                      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+          kept AS (SELECT doc_id, text FROM base
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+          acc AS (SELECT doc_id,
+                         CAST(('0x'||substr(md5(text),1,8)) AS BIGINT) AS a
+                  FROM kept),
+          dd AS (SELECT doc_id,
+                        CAST(320 + a % 1600 AS INTEGER) AS width,
+                        CAST(240 + (a >> 7) % 840 AS INTEGER) AS height
+                 FROM acc),
+          sc AS (SELECT doc_id, width, height,
+                        least(1.0, least(1280.0 / width, 720.0 / height)) AS s
+                 FROM dd)
+          SELECT doc_id, width, height, round(s, 6) AS scale,
+                 CAST(floor(width * s / 2) * 2 AS INTEGER) AS out_w,
+                 CAST(floor(height * s / 2) * 2 AS INTEGER) AS out_h
+          FROM sc""",
     // perceptual dHash near-dup: the full chain replayed — lower-hex
     // payload, 72 slice-md5 lumas, 64 gradient bits (bit 63 is the
     // BIGINT sign bit: DuckDB's checked << overflows at 63, so it lands
