@@ -587,6 +587,34 @@ object EngineQueries {
                  FROM graft_image_probe('image_probe', 'image_hashes',
                                         'doc_id', 'payload', 3, 4)""")
     }),
+    "e_sql_minhash_delete" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // takedown on the dedup index from SQL: the stored frames purge
+      // via plain anti-predicate views, the unchanged probe TVF serves
+      // them — clones of purged docs admit, survivors' clones bounce
+      val out = "target/gate_sink/minhash_index_delete_sql"
+      val docs = Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text",
+        k = 16, nBands = 4)
+      idx.bands.write.mode("overwrite").parquet(s"$out/bands")
+      idx.sets.write.mode("overwrite").parquet(s"$out/sets")
+      s.read.parquet(s"$out/bands").createOrReplaceTempView("del_mh_bands")
+      s.read.parquet(s"$out/sets").createOrReplaceTempView("del_mh_sets")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW del_mh_bands_p AS
+                 SELECT * FROM del_mh_bands WHERE doc_id % 7 <> 2""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW del_mh_sets_p AS
+                 SELECT * FROM del_mh_sets WHERE doc_id % 7 <> 2""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW del_mh_incoming AS
+                 SELECT doc_id + 3000000 AS doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)""")
+      e.query("""SELECT id_new, id_corpus, jaccard
+                 FROM graft_minhash_probe('del_mh_bands_p', 'del_mh_sets_p',
+                                          'del_mh_incoming', 'doc_id', 'text',
+                                          16, 4, 0.5)""")
+    }),
     "e_sql_ann_delete" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1193,6 +1221,7 @@ object EngineQueries {
     "e_sql_image_incr" -> LlmQueries.oracle("llm_image_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
     "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),
+    "e_sql_minhash_delete" -> LlmQueries.oracle("llm_minhash_index_delete"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),
     "e_sql_gopher" -> LlmQueries.oracle("llm_gopher"),
