@@ -902,6 +902,33 @@ object LlmQueries {
           s.read.parquet(out), maxHamming = 3, nBands = 4)
         .dropDuplicates("id_new", "id_corpus")
     }),
+    "llm_image_clusters" -> ((s, d) => {
+      import s.implicits._
+      // image near-dup CLUSTERS: two independent same-length edits of
+      // each original (different positions — the edits need not pair
+      // with EACH OTHER, only with the original) and the dHash pair set
+      // closed into connected components via Large-Star/Small-Star —
+      // transitivity makes the (original, edit1, edit2) triple ONE
+      // cluster, the canonical keep-one-per-cluster input for media
+      // dedup
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val e1 = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      val e2 = slice.select(($"doc_id" + 6000000).as("doc_id"),
+        concat(substring($"text", 1, 29), lit("ZZZZ"),
+          expr("substring(text, 34)")).as("text"))
+      val media = Multimodal.asMedia(
+        slice.unionAll(e1).unionAll(e2), "doc_id", "text")
+      graft.operators.Graph.connectedComponentsStar(
+          Multimodal.imageNearDups(media, maxHamming = 3, nBands = 4),
+          "id_a", "id_b")
+        .select($"node".as("doc_id"), $"component".as("cluster"))
+    }),
     "llm_pipeline8" -> ((s, d) => {
       import s.implicits._
       // the MULTIMODAL ingestion front door: crawl media (tail-300 long
@@ -2196,6 +2223,50 @@ object LlmQueries {
                  CAST(bit_count(xor(n.dhash, c.dhash)) AS INT) AS hamming
           FROM dh n JOIN dh c ON n.is_new = 1 AND c.is_new = 0
           WHERE bit_count(xor(n.dhash, c.dhash)) <= 3""",
+    // image clusters: the dHash pair set over (original, edit1, edit2)
+    // closed by recursive reachability — min reachable id per node
+    "llm_image_clusters" ->
+      """WITH RECURSIVE
+          m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text FROM sl
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15)
+                   FROM sl
+                   UNION ALL
+                   SELECT doc_id + 6000000,
+                          substr(text, 1, 29) || 'ZZZZ' || substr(text, 34)
+                   FROM sl),
+          hx AS (SELECT doc_id, lower(hex(text)) AS h FROM base),
+          lum AS (SELECT doc_id,
+                    list_transform(generate_series(0, 71), k ->
+                      CAST(('0x' || substr(md5(substr(h,
+                          CAST(floor(length(h)*k/72) AS INT) + 1,
+                          greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                            - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                        AS BIGINT) % 256) AS lu
+                  FROM hx),
+          dh AS (SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                     CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                               > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                          THEN CASE WHEN i = 63
+                                    THEN -9223372036854775808
+                                    ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                          ELSE 0 END)) AS BIGINT) AS dhash
+                 FROM lum),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+                    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+          SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""",
     // pipeline8 = the image-dups chain → drop every pair's higher id →
     // the decode/resize replay over the survivors
     "llm_pipeline8" ->
