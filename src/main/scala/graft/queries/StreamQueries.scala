@@ -238,6 +238,32 @@ object StreamQueries {
       adm1.select(col("doc_id"))
         .unionAll(admitted(batch2).select(col("doc_id")))
     }),
+    "st_image_admission" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Multimodal
+      // streaming MULTIMODAL admission (batch-parity form; the stream
+      // path runs in StreamingSpec): incoming media rows hash per row —
+      // a pure builtin projection, stateless — and probe the STORED
+      // corpus dHash frame; the image counterpart of st_minhash. Same
+      // fixture and oracle as llm_image_incr, so drift through the
+      // streaming surface hash-mismatches
+      val out = "target/gate_sink/st_image_dhash"
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      Multimodal.dHash(Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      val edited = slice.select((col("doc_id") + 3000000).as("doc_id"),
+        concat(substring(col("text"), 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.imageNearDupsBetween(
+          Multimodal.asMedia(edited, "doc_id", "text"),
+          s.read.parquet(out), maxHamming = 3, nBands = 4)
+        .dropDuplicates("id_new", "id_corpus")
+    }),
     "st_semdedup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // streaming SEMANTIC admission (batch-parity form; the stream
@@ -357,6 +383,10 @@ object StreamQueries {
     // same pair set as the batch incremental dedup — the stream-static
     // probe is bit-equal to minhashPairsBetween on the same split
     "st_minhash" -> LlmQueries.oracle("llm_minhash_incr"),
+    // the stream-safe per-row image probe is the same computation as
+    // the batch incremental form — one oracle (StreamingSpec pins the
+    // actual stream == batch)
+    "st_image_admission" -> LlmQueries.oracle("llm_image_incr"),
     // seed-centroid cells (the cellOf argmax contract on both sides,
     // probes = 1), exact-cosine confirm at 0.99 on the clone slice
     "st_semdedup" ->

@@ -95,7 +95,7 @@ class PlanSpec extends AnyFunSuite {
       // fixture; the pairing itself is the banded dHash equi-join
       "llm_image_dups", "e_sql_image_dups", "llm_image_incr",
       "e_sql_image_incr", "llm_image_append",
-      "llm_pipeline8", "e_sql_pipeline8",
+      "llm_pipeline8", "e_sql_pipeline8", "st_image_admission",
       "e_sql_ann_topk", "e_sql_ann_lsh",
       "llm_cosine", "e_sql_cosine",
       "llm_ngram_jaccard",
