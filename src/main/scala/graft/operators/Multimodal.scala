@@ -127,10 +127,12 @@ object Multimodal {
   def dHash(media: DataFrame, idCol: String = "doc_id",
             payloadCol: String = "payload"): DataFrame = {
     val h = lower(hex(col(payloadCol)))
-    val len = length(h)
+    // widen before multiplying: len * 71 overflows IntegerType for
+    // payloads past ~15 MB (hex length ~30M), throwing under ANSI
+    val len = length(h).cast("long")
     val lum = (0 until 72).map { k =>
-      val st = (floor(len * lit(k) / 72) + 1).cast("int")
-      val en = floor(len * lit(k + 1) / 72).cast("int")
+      val st = (floor(len * lit(k.toLong) / 72) + 1).cast("int")
+      val en = floor(len * lit((k + 1).toLong) / 72).cast("int")
       conv(substring(md5(substr(h, st, greatest(en - st + 1, lit(0)))), 1, 8),
         16, 10).cast("long") % 256
     }
@@ -154,20 +156,26 @@ object Multimodal {
     * differing bits than bands leaves at least one band untouched), so
     * the banded output EQUALS the brute-force pair scan the DuckDB
     * oracle runs. Payload bytes never cross the join — only (id, 64-bit
-    * hash, 16-bit band values). At corpus scale compose a bucket cap
-    * upstream if a degenerate payload population floods one band value
-    * (the [[graft.operators.Dedup.minhashPairs]] maxBucketSize
-    * argument's rationale). Output: (id_a, id_b, hamming), id_a < id_b. */
+    * hash, 16-bit band values). `maxBucketSize` is the 100 TB hot-bucket
+    * guard ([[graft.operators.Dedup.capBuckets]], the
+    * [[graft.operators.Dedup.minhashPairs]] contract): a degenerate
+    * payload population (blank or constant media — common in crawls)
+    * floods one (band_idx, band_val) bucket and the self-join goes
+    * quadratic; capped buckets are DROPPED whole, trading recall inside
+    * the flooded bucket for a bounded join (pairs still matching on an
+    * uncapped band survive). Output: (id_a, id_b, hamming), id_a < id_b. */
   def imageNearDups(media: DataFrame, idCol: String = "doc_id",
                     payloadCol: String = "payload",
-                    maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+                    maxHamming: Int = 3, nBands: Int = 4,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
     require(nBands >= 1 && 64 % nBands == 0,
       s"nBands must divide 64, got $nBands")
     require(maxHamming >= 0 && maxHamming < nBands,
       s"banded recall is exact only for maxHamming < nBands " +
         s"(got maxHamming=$maxHamming, nBands=$nBands) — raise nBands")
     val dh = dHash(media, idCol, payloadCol)
-    val banded = bandRowsOf(dh, idCol, nBands)
+    val banded = Dedup.capBuckets(bandRowsOf(dh, idCol, nBands),
+      Seq("band_idx", "band_val"), maxBucketSize)
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
@@ -181,14 +189,19 @@ object Multimodal {
   /** One row per (id, band) over a (idCol, dhash) frame — the banded
     * join side shared by [[imageNearDups]] and [[imageNearDupsBetween]]
     * (pure projection: band values are bit ranges of the hash). */
-  private def bandRowsOf(dh: DataFrame, idCol: String,
-                         nBands: Int): DataFrame = {
+  private[graft] def bandRowsOf(dh: DataFrame, idCol: String,
+                                nBands: Int): DataFrame = {
     val w = 64 / nBands
     dh.select(col(idCol), col("dhash"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band_idx"),
+          // mask, never `%`: a sign-following mod on the unshifted band 0
+          // (dhash with bit 63 set is negative) would emit a band value
+          // no other hash sharing the low bits can match, silently
+          // breaking the pigeonhole exact-recall contract
           (if (w == 64) col("dhash")
-           else shiftrightunsigned(col("dhash"), w * b) % lit(1L << w))
+           else shiftrightunsigned(col("dhash"), w * b)
+             .bitwiseAND(lit((1L << w) - 1)))
             .as("band_val"))
       }: _*)).as("band"))
       .select(col(idCol), col("dhash"),
@@ -215,7 +228,8 @@ object Multimodal {
   def imageNearDupsBetween(newMedia: DataFrame, corpusHashes: DataFrame,
                            idCol: String = "doc_id",
                            payloadCol: String = "payload",
-                           maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+                           maxHamming: Int = 3, nBands: Int = 4,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
     require(nBands >= 1 && 64 % nBands == 0,
       s"nBands must divide 64, got $nBands")
     require(maxHamming >= 0 && maxHamming < nBands,
@@ -227,8 +241,13 @@ object Multimodal {
     val newB = bandRowsOf(dHash(newMedia, idCol, payloadCol), idCol, nBands)
       .select(col(idCol).as("id_new"), col("dhash").as("__hn"),
         col("band_idx"), col("band_val"))
-    val corB = bandRowsOf(corpusHashes.select(col(idCol),
-        col("dhash").cast("long").as("dhash")), idCol, nBands)
+    // cap the CORPUS side's hot buckets (the minhashPairsBetween
+    // contract: a boilerplate bucket in the old corpus is exactly what
+    // a degenerate new shard collides with; the new side is shard-sized)
+    val corB = Dedup.capBuckets(
+        bandRowsOf(corpusHashes.select(col(idCol),
+          col("dhash").cast("long").as("dhash")), idCol, nBands),
+        Seq("band_idx", "band_val"), maxBucketSize)
       .select(col(idCol).as("id_corpus"), col("dhash").as("__hc"),
         col("band_idx"), col("band_val"))
     newB.join(corB, Seq("band_idx", "band_val"))

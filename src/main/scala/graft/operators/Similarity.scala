@@ -536,8 +536,18 @@ object Similarity {
     val (scored, nulls) = centroids.toIndexedSeq
       .map { case (cid, cv) => (cid, cosineDriver(queryVec, cv)) }
       .partition(_._2.isDefined)
-    val ordered = scored.sortBy { case (cid, s) => (-s.get, cid) } ++
-      nulls.sortBy(_._1)
+    // descending under Spark's SQL double ordering (SQLOrderingUtil
+    // semantics: -0.0 == 0.0, NaN greatest), NOT Scala's total ordering
+    // via negation — negating would split the ±0.0 class and flip where
+    // NaN lands, drifting from the in-plan topCellsOf tie-break
+    val bySimDescCidAsc = new Ordering[(Long, Option[Double])] {
+      def compare(a: (Long, Option[Double]), b: (Long, Option[Double])): Int = {
+        val x = a._2.get; val y = b._2.get
+        val c = if (x == y) 0 else java.lang.Double.compare(y, x)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+    val ordered = scored.sorted(bySimDescCidAsc) ++ nulls.sortBy(_._1)
     ordered.take(probes).map(_._1)
   }
 

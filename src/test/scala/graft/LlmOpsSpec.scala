@@ -1871,6 +1871,74 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nBands"))
   }
 
+  test("image banding: sign bit cannot break band equality (mask, not mod)") {
+    import spark.implicits._
+    // h1 sets bit 63 (negative long); h2 differs at bit 63 plus one bit
+    // each in bands 1 and 2 (nBands=4 → 16-bit bands). Bands 0 and 3
+    // of the LOW bits agree... band 3 differs (bit 63), bands 1/2 differ
+    // (bits 20, 40) — ONLY band 0 is untouched, so the pigeonhole
+    // match rides entirely on band 0. A sign-following `%` on the
+    // unshifted band 0 makes h1's band value negative and h2's positive,
+    // silently dropping the pair.
+    val h1 = (1L << 63) | (1L << 20) | (1L << 40) | 0xBEEFL
+    val h2 = 0xBEEFL
+    assert(java.lang.Long.bitCount(h1 ^ h2) == 3)
+    val dh = Seq((1L, h1), (2L, h2)).toDF("doc_id", "dhash")
+    val bands = Multimodal.bandRowsOf(dh, "doc_id", 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    // every band value sits in [0, 2^16) — never negative
+    assert(bands.forall { case (_, _, v) => v >= 0L && v < (1L << 16) },
+      s"band values must be masked unsigned: ${bands.mkString(",")}")
+    // band 0 values are EQUAL across the pair (both 0xBEEF)
+    val b0 = bands.filter(_._2 == 0).map(b => b._1 -> b._3).toMap
+    assert(b0 == Map(1L -> 0xBEEFL, 2L -> 0xBEEFL), s"band 0: $b0")
+    // and the nBands=64 single-bit-band edge keeps the raw hash
+    val w1 = Multimodal.bandRowsOf(dh, "doc_id", 1)
+      .filter($"doc_id" === 1L).select($"band_val").head().getLong(0)
+    assert(w1 == h1, "w=64 band must carry the raw hash unchanged")
+  }
+
+  test("image hot-bucket cap: flooded band buckets are dropped, bounded join") {
+    import spark.implicits._
+    // a degenerate population: 8 CONSTANT payloads (all identical —
+    // every band of every pair collides) + one genuine near-dup pair
+    val blank = "~" * 400
+    val distinct = Seq.tabulate(2)(i =>
+      (100L + i, s"doc $i " + (0 until 200).map(j => s"w${(i * 7 + j) % 97}").mkString(" ")))
+    val rows = Seq.tabulate(8)(i => (i.toLong, blank)) ++
+      distinct ++ Seq((200L, distinct(0)._2))  // exact clone of 100
+    val media = Multimodal.asMedia(rows.toDF("doc_id", "text"), "doc_id", "text")
+    val uncapped = Multimodal.imageNearDups(media, maxHamming = 3, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the blank flood pairs quadratically without a cap: C(8,2) = 28
+    assert(uncapped.count(p => p._1 < 100L && p._2 < 100L) == 28)
+    assert(uncapped.contains((100L, 200L)))
+    val capped = Multimodal.imageNearDups(media, maxHamming = 3, nBands = 4,
+        maxBucketSize = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // flooded buckets (8 > 4) dropped whole; the genuine pair's buckets
+    // are size 2 and survive every band
+    assert(!capped.exists(p => p._1 < 100L && p._2 < 100L),
+      s"flooded bucket must be dropped: $capped")
+    assert(capped.contains((100L, 200L)), s"genuine pair must survive: $capped")
+    // the between-form caps the CORPUS side the same way
+    val stored = Multimodal.dHash(
+      Multimodal.asMedia((Seq.tabulate(8)(i => (i.toLong, blank)) ++ distinct)
+        .toDF("doc_id", "text"), "doc_id", "text"))
+    val incoming = Multimodal.asMedia(
+      Seq((300L, blank), (301L, distinct(1)._2)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val between = Multimodal.imageNearDupsBetween(incoming, stored,
+        maxHamming = 3, nBands = 4, maxBucketSize = Some(4))
+      .select($"id_new", $"id_corpus").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!between.exists(_._1 == 300L),
+      s"blank probe into a capped flooded corpus bucket must not pair: $between")
+    assert(between.contains((301L, 101L)),
+      s"genuine probe must still pair: $between")
+  }
+
   test("residual IVF-PQ: recall >= the no-residual variant at equal (m, nCodes)") {
     import spark.implicits._
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
