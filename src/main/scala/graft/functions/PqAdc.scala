@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -175,11 +175,15 @@ case class PqCodeOf(child: Expression, offset: Int, subDim: Int,
   * over nCells to pick the centroid for the subtraction — the LUT
   * blowup again, at production cell counts). NULL when the assigned
   * centroid's dimension differs from the vector's (no silent
-  * truncation). */
+  * truncation). Real `doGenCode` like its [[PqCodeOf]]/[[AdcLutOf]]
+  * siblings — the residual ENCODE is the one full-corpus vector pass of
+  * a residual index build, so it must not break whole-stage codegen for
+  * that projection (LlmOpsSpec compiles the m=8/nCodes=256 residual
+  * chain with codegen fallback disabled). */
 case class CellResidual(child: Expression,
                         cids: IndexedSeq[Long],
                         cvs: IndexedSeq[IndexedSeq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(cids.nonEmpty && cids.length == cvs.length,
     s"centroid shape drift: ${cids.length} cids, ${cvs.length} vectors")
@@ -258,6 +262,78 @@ case class CellResidual(child: Expression,
     var i = 0
     while (i < n) { res(i) = el(i) - cv(i); i += 1 }
     InternalRow(bestCid, new GenericArrayData(res))
+  }
+
+  /** Java accessor for element `i` of ArrayData variable `v` —
+    * float widened to double exactly like [[nullSafeEval]]'s `el`. */
+  private def jElem(v: String, i: String): String =
+    if (isFloat) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("crCb", cbArr, "double[][]")
+    val cidsRef = ctx.addReferenceObj("crCids", cidArr, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val cv = ctx.freshName("cv")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val sim = ctx.freshName("sim"); val cmp = ctx.freshName("cmp")
+      val bs = ctx.freshName("bestSim"); val bc = ctx.freshName("bestCid")
+      val bj = ctx.freshName("bestJ"); val any = ctx.freshName("anySim")
+      val mn = ctx.freshName("mn"); val jj = ctx.freshName("jj")
+      val bad = ctx.freshName("bad"); val res = ctx.freshName("res")
+      val bcv = ctx.freshName("bestCv")
+      s"""
+         |final int $n = $a.numElements();
+         |double $bs = 0.0; long $bc = java.lang.Long.MAX_VALUE;
+         |int $bj = -1; boolean $any = false;
+         |for (int $j = 0; $j < $cb.length; $j++) {
+         |  final double[] $cv = $cb[$j];
+         |  if ($cv.length == $n) {
+         |    double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += ${jElem(a, i)} * $cv[$i];
+         |    }
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      final double $x = ${jElem(a, i)};
+         |      $na += $x * $x;
+         |    }
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $nb += $cv[$i] * $cv[$i];
+         |    }
+         |    if ($na != 0.0 && $nb != 0.0) {
+         |      final double $sim = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |      final int $cmp = !$any ? 1 :
+         |        ($sim == $bs ? 0 : java.lang.Double.compare($sim, $bs));
+         |      if ($cmp > 0 || ($cmp == 0 && $cidsRef[$j] < $bc)) {
+         |        $bs = $sim; $bc = $cidsRef[$j]; $bj = $j; $any = true;
+         |      }
+         |    }
+         |  }
+         |}
+         |boolean $bad = false;
+         |if (!$any) {
+         |  int $mn = 0;
+         |  for (int $jj = 1; $jj < $cidsRef.length; $jj++) {
+         |    if ($cidsRef[$jj] < $cidsRef[$mn]) $mn = $jj;
+         |  }
+         |  $bj = $mn; $bc = $cidsRef[$mn];
+         |  if ($cb[$bj].length != $n) $bad = true;
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $bcv = $cb[$bj];
+         |  final double[] $res = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $res[$i] = ${jElem(a, i)} - $bcv[$i];
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ java.lang.Long.valueOf($bc),
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($res) });
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

@@ -121,11 +121,27 @@ object Multimodal {
     * implementation swaps the slice-md5 for the decoder's downscaled
     * luma; everything downstream (gradient bits, banding, hamming) is
     * the production algorithm. Bit i (= r·8+c) is set when
-    * luma(r, c+1) > luma(r, c); the whole chain is builtin expressions
-    * (md5/substr/conv), zero exchange, DuckDB-replayable. Output:
-    * (idCol, dhash: long). */
+    * luma(r, c+1) > luma(r, c); the whole chain is ONE fused
+    * [[graft.functions.DHash64]] expression (72 digests, one reused
+    * MessageDigest — the 500-node composed-builtin form it replaced is
+    * kept as [[dHashComposed]] for the parity spec), zero exchange,
+    * DuckDB-replayable. Output: (idCol, dhash: long). */
   def dHash(media: DataFrame, idCol: String = "doc_id",
-            payloadCol: String = "payload"): DataFrame = {
+            payloadCol: String = "payload"): DataFrame =
+    media.select(col(idCol),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.DHash64(org.apache.spark.sql.GraftBridge.expression(
+          col(payloadCol).cast(BinaryType)))).as("dhash"))
+
+  /** The composed-builtin form [[graft.functions.DHash64]] replaced —
+    * 72 `md5(substr(hex(payload), …))` slice subtrees + a 64-branch bit
+    * sum, ~500 expression nodes per projection (the [[dHash]] scaladoc's
+    * chain spelled out as builtins). Kept as the parity SPEC for the
+    * fused expression (LlmOpsSpec pins bit-equality over real, null,
+    * and empty payloads) and as the documentation of record for the
+    * DuckDB oracle's replay; production paths all ride [[dHash]]. */
+  private[graft] def dHashComposed(media: DataFrame, idCol: String = "doc_id",
+                                   payloadCol: String = "payload"): DataFrame = {
     val h = lower(hex(col(payloadCol)))
     // widen before multiplying: len * 71 overflows IntegerType for
     // payloads past ~15 MB (hex length ~30M), throwing under ANSI

@@ -1899,6 +1899,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(w1 == h1, "w=64 band must carry the raw hash unchanged")
   }
 
+  test("fused DHash64 == composed 72-slice chain, bit for bit (null/empty included)") {
+    import spark.implicits._
+    // real texts (the gate fixture shape), a same-length local edit, an
+    // exact clone, a short payload (slices go empty), a 1-char payload,
+    // an empty payload, and a NULL payload (composed form sums to 0)
+    val base = Seq.tabulate(5)(i =>
+      (i.toLong, s"doc $i " + (0 until 150).map(j => s"w${(i * 11 + j) % 89}").mkString(" ")))
+    val rows = base ++ Seq(
+      (100L, base(0)._2.patch(20, "XXXX", 4)),
+      (101L, base(1)._2),
+      (102L, "tiny"),
+      (103L, "x"),
+      (104L, ""),
+      (105L, null.asInstanceOf[String]))
+    val media = Multimodal.asMedia(rows.toDF("doc_id", "text"), "doc_id", "text")
+    val fused = Multimodal.dHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Multimodal.dHashComposed(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == composed,
+      s"fused/composed drift: ${fused.toSeq.sorted} vs ${composed.toSeq.sorted}")
+    assert(fused(105L) == 0L, "null payload must hash to 0 (composed-form contract)")
+    assert(fused(104L) == 0L, "empty payload: all 72 slices empty, constant luma, 0 bits")
+    // the hash is genuinely non-degenerate on real payloads
+    assert(base.map(b => fused(b._1)).distinct.size == base.size)
+  }
+
   test("image hot-bucket cap: flooded band buckets are dropped, bounded join") {
     import spark.implicits._
     // a degenerate population: 8 CONSTANT payloads (all identical —
@@ -2009,6 +2036,28 @@ class LlmOpsSpec extends AnyFunSuite {
       val sStats = codegenStringSeq(single.queryExecution.executedPlan)
       assert(sStats.nonEmpty)
       sStats.foreach { case (_, _, bc) => assert(bc.maxMethodCodeSize < 65535) }
+      // the RESIDUAL chain at the same production dimensions: the encode
+      // (CellResidual assignment+subtraction feeding 8 PqCodeOf codes)
+      // is the one full-corpus vector pass of a residual index build —
+      // it must compile in whole-stage codegen, not fall back
+      val rcb = Similarity.pqCodebooksResidual(emb, "vec_id", "embedding",
+        cents, m = 8, subDim = 8, nCodes = 256)
+      val rCodes = Similarity.ivfPqEncodeResidual(
+        emb, "vec_id", "embedding", cents, rcb, 8)
+      assert(rCodes.collect().length == emb.count())
+      val eStats = codegenStringSeq(rCodes.queryExecution.executedPlan)
+      assert(eStats.nonEmpty, "residual encode must run in whole-stage codegen")
+      eStats.foreach { case (_, _, bc) =>
+        assert(bc.maxMethodCodeSize < 65535,
+          s"residual encode generated method hit ${bc.maxMethodCodeSize} bytes") }
+      val rServed = Similarity.ivfPqTopKResidualStored(rCodes, "vec_id",
+        cents, rcb, subDim = 8,
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 5, probes = 2, excludeId = Some(0L))
+      assert(rServed.collect().length == 5)
+      val rStats = codegenStringSeq(rServed.queryExecution.executedPlan)
+      assert(rStats.nonEmpty)
+      rStats.foreach { case (_, _, bc) => assert(bc.maxMethodCodeSize < 65535) }
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", oldFb)
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
