@@ -565,24 +565,51 @@ object LlmSql {
     }
     reg(spark, "graft_image_dups") {
       // perceptual dHash near-dup over a media table — pure lazy
-      // transformation (no training action), registered directly
-      case Seq(t, id, payload, maxHam, bands) =>
+      // transformation (no training action), registered directly;
+      // optional 6th arg = the hot-bucket cap (max_bucket_size)
+      case args if args.length == 5 || args.length == 6 =>
         val f = "graft_image_dups"
-        Multimodal.imageNearDups(table(str(t, f)), str(id, f),
-          str(payload, f), int(maxHam, f), int(bands, f))
+        val cap = if (args.length == 6) Some(int(args(5), f)) else None
+        Multimodal.imageNearDups(table(str(args(0), f)), str(args(1), f),
+          str(args(2), f), int(args(3), f), int(args(4), f), cap)
       case args => bad(
-        "graft_image_dups(table, id_col, payload_col, max_hamming, n_bands)", args)
+        "graft_image_dups(table, id_col, payload_col, max_hamming, n_bands[, max_bucket_size])", args)
     }
     reg(spark, "graft_image_probe") {
       // incremental perceptual admission: new media vs a STORED dhash
-      // frame — pure lazy transformation, stream-safe probe
-      case Seq(t, hashes, id, payload, maxHam, bands) =>
+      // frame — pure lazy transformation, stream-safe probe; optional
+      // 7th arg = the corpus-side hot-bucket cap (max_bucket_size)
+      case args if args.length == 6 || args.length == 7 =>
         val f = "graft_image_probe"
-        Multimodal.imageNearDupsBetween(table(str(t, f)),
-          table(str(hashes, f)), str(id, f), str(payload, f),
-          int(maxHam, f), int(bands, f))
+        val cap = if (args.length == 7) Some(int(args(6), f)) else None
+        Multimodal.imageNearDupsBetween(table(str(args(0), f)),
+          table(str(args(1), f)), str(args(2), f), str(args(3), f),
+          int(args(4), f), int(args(5), f), cap)
       case args => bad(
-        "graft_image_probe(media_table, hashes_table, id_col, payload_col, max_hamming, n_bands)", args)
+        "graft_image_probe(media_table, hashes_table, id_col, payload_col, max_hamming, n_bands[, max_bucket_size])", args)
+    }
+    reg(spark, "graft_image_clusters") {
+      // perceptual near-dup CLUSTERS: the banded dHash pair set closed
+      // into connected components. Large-Star/Small-Star CC is
+      // ITERATIVE (one Spark action per round) — deferred like
+      // graft_cluster_keep so EXPLAIN/prepare launch no job and the
+      // rounds run once per statement
+      case Seq(t, id, payload, maxHam, bands) =>
+        val f = "graft_image_clusters"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val pc = str(payload, f)
+        val mh = int(maxHam, f); val nb = int(bands, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField("node", org.apache.spark.sql.types.LongType),
+            StructField("component", org.apache.spark.sql.types.LongType))),
+          memo { () =>
+            Graph.connectedComponentsStar(
+              Multimodal.imageNearDups(tbl, idc, pc, mh, nb),
+              "id_a", "id_b")
+          })
+      case args => bad(
+        "graft_image_clusters(table, id_col, payload_col, max_hamming, n_bands)", args)
     }
     reg(spark, "graft_distinct_ngrams") {
       case Seq(t, id, text) =>
@@ -718,6 +745,66 @@ object LlmSql {
           })
       case args => bad(
         "graft_knn_join_stored(codes_table, cells_table, codebooks_table, queries_table, q_id_col, c_id_col, q_vec_col, k, probes, exclude_self)", args)
+    }
+    reg(spark, "graft_knn_join_pruned") {
+      // batch serving with STATIC probe-cell pruning: the query batch's
+      // distinct probe-cell union (≤ nCells values at any |Q|) pushes
+      // into the codes read as a literal filter — on a partitionBy(cell)
+      // store the whole batch becomes static partition pruning. The
+      // cell-union collect is an ACTION — deferred like graft_ann_stored
+      case Seq(codesT, cellsT, cbT, qt, qid, cid, qvec, k, probes, excl) =>
+        val f = "graft_knn_join_pruned"
+        val codes = table(str(codesT, f)); val cells = table(str(cellsT, f))
+        val cb = table(str(cbT, f)); val queries = table(str(qt, f))
+        val qidc = str(qid, f); val cidc = str(cid, f)
+        val qvecc = str(qvec, f); val kk = int(k, f)
+        val np = int(probes, f); val ex = int(excl, f) != 0
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField("query_id",
+              queries.select(col(qidc)).schema.head.dataType),
+            StructField("neighbor_id",
+              codes.select(col(cidc)).schema.head.dataType),
+            StructField("adc_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            val books = Similarity.codebooksFromDf(cb)
+            require(books.nonEmpty && books.head.nonEmpty,
+              s"$f: empty codebook table")
+            Similarity.ivfPqKnnJoinStoredPruned(queries, codes, qidc, cidc,
+              qvecc, Similarity.centroidsFromDf(cells), books,
+              subDim = books.head.head._2.length,
+              k = kk, probes = np, excludeSelf = ex)
+          })
+      case args => bad(
+        "graft_knn_join_pruned(codes_table, cells_table, codebooks_table, queries_table, q_id_col, c_id_col, q_vec_col, k, probes, exclude_self)", args)
+    }
+    reg(spark, "graft_ann_residual_stored") {
+      // RESIDUAL IVF-PQ serving from stored artifacts — graft_ann_stored
+      // over residual-trained codebooks (the per-probed-cell q·centroid
+      // constant plus the residual LUT sum). Same deferred contract;
+      // subDim comes from the stored codebook itself
+      case Seq(codesT, cellsT, cbT, embT, id, vec, q, k, probes) =>
+        val f = "graft_ann_residual_stored"
+        val codes = table(str(codesT, f)); val cells = table(str(cellsT, f))
+        val cb = table(str(cbT, f)); val emb = table(str(embT, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val qid = lng(q, f); val kk = int(k, f); val np = int(probes, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, codes.select(col(idc)).schema.head.dataType),
+            StructField("adc_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            val books = Similarity.codebooksFromDf(cb)
+            require(books.nonEmpty && books.head.nonEmpty,
+              s"$f: empty codebook table")
+            Similarity.ivfPqTopKResidualStored(codes, idc,
+              Similarity.centroidsFromDf(cells), books,
+              subDim = books.head.head._2.length,
+              Similarity.queryVecOf(emb, idc, vecc, qid),
+              k = kk, probes = np, excludeId = Some(qid))
+          })
+      case args => bad(
+        "graft_ann_residual_stored(codes_table, cells_table, codebooks_table, emb_table, id_col, vec_col, query_id, k, probes)", args)
     }
     reg(spark, "graft_ann_rerank") {
       // two-stage retrieval: ADC proposes cand_c, exact cosine re-ranks
@@ -1085,6 +1172,11 @@ object LlmSql {
     scalar("graft_pii_redact")(TextAnalysis.piiRedact)
     scalar("graft_langid")(TextAnalysis.langId)
     scalar("graft_fingerprint")(TextAnalysis.fingerprint)
+    // perceptual 64-bit dHash of a binary payload (the fused
+    // DHash64 expression — one digest loop, not 72 md5 subtrees)
+    scalar("graft_dhash64")(p => GraftBridge.column(
+      graft.functions.DHash64(GraftBridge.expression(
+        p.cast(org.apache.spark.sql.types.BinaryType)))))
     scalar("graft_token_count")(TextAnalysis.tokenCount)
     scalar("graft_bpeish_count")(TextAnalysis.bpeishTokenCount)
     scalar("graft_punct_ratio")(TextAnalysis.punctRatio)

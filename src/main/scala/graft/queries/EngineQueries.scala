@@ -587,6 +587,104 @@ object EngineQueries {
                  FROM graft_image_probe('image_probe', 'image_hashes',
                                         'doc_id', 'payload', 3, 4)""")
     }),
+    "e_sql_image_append" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the appended dHash store served from SQL — same artifacts
+      // recipe as llm_image_append (generation A written, generation
+      // B's 8-byte delta parquet-appended in Scala, the write side),
+      // the read-back union probed via the TVF from SQL
+      val out = "target/gate_sink/image_dhash_append_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      val genA = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") <= col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val genB = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Multimodal.dHash(
+          graft.operators.Multimodal.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      graft.operators.Multimodal.dHash(
+          graft.operators.Multimodal.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("image_hashes_apnd")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW image_probe_apnd AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT DISTINCT id_new, id_corpus, hamming
+                 FROM graft_image_probe('image_probe_apnd', 'image_hashes_apnd',
+                                        'doc_id', 'payload', 3, 4)""")
+    }),
+    "e_sql_image_clusters" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // near-dup clusters from SQL: the llm_image_clusters fixture
+      // (two independent same-length edits per original) built as a
+      // view, closed into components by the deferred TVF — EXPLAIN
+      // launches no job, the CC rounds run on execute
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW imgc_media AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id, CAST(text AS BINARY) AS payload FROM sl
+                 UNION ALL
+                 SELECT doc_id + 3000000,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY)
+                 FROM sl
+                 UNION ALL
+                 SELECT doc_id + 6000000,
+                        CAST(concat(substring(text, 1, 29), 'ZZZZ',
+                                    substring(text, 34)) AS BINARY)
+                 FROM sl""")
+      e.query("""SELECT node AS doc_id, component AS cluster
+                 FROM graft_image_clusters('imgc_media', 'doc_id',
+                                           'payload', 3, 4)""")
+    }),
+    "e_sql_fp_append" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the appended fingerprint store probed from SQL: generations
+      // written/appended in Scala (the write side), the probe a plain
+      // SQL anti-predicate over the graft_fingerprint scalar — clones
+      // of EITHER generation bounce, novel suffixes pass
+      val out = "target/gate_sink/fingerprint_store_append_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      docs.crossJoin(broadcast(m)).filter(col("doc_id") <= col("m") - 150)
+        .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct()
+        .write.mode("overwrite").parquet(out)
+      docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 150)
+        .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct()
+        .write.mode("append").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("graft_fp_store_sql")
+      e.query("""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 tail AS (SELECT doc_id, text FROM documents, m
+                          WHERE doc_id > mx - 300),
+                 inc AS (SELECT doc_id + 3000000 AS doc_id, text FROM tail
+                         UNION ALL
+                         SELECT doc_id + 4000000, concat(text, ' novel suffix')
+                         FROM tail)
+                 SELECT doc_id FROM inc
+                 WHERE graft_fingerprint(text)
+                       NOT IN (SELECT fp FROM graft_fp_store_sql)""")
+    }),
     "e_sql_minhash_delete" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -785,6 +883,84 @@ object EngineQueries {
                  FROM graft_ann_stored('graft_apnd_codes', 'graft_apnd_cells',
                                        'graft_apnd_cbs', 'embeddings',
                                        'vec_id', 'embedding', 0, 10, 2)""")
+    }),
+    // the cell-PARTITIONED store served from SQL: artifacts written
+    // partitionBy(cell) in Scala (the write side), graft_ann_stored
+    // probes it with the driver-literal cell filter — the scan opens
+    // only the probed cells' files; same llm_ann_ivf_pq oracle
+    "e_sql_ann_partition_prune" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/ann_index_part_sql"
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
+      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_part_cells")
+      s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_part_cbs")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_part_codes")
+      e.query("""SELECT vec_id, adc_score
+                 FROM graft_ann_stored('graft_part_codes', 'graft_part_cells',
+                                       'graft_part_cbs', 'embeddings',
+                                       'vec_id', 'embedding', 0, 10, 2)""")
+    }),
+    // the batch serve with static probe-cell pruning from SQL — the
+    // graft_knn_join_pruned TVF over the partitioned store; output
+    // identical to the unpruned batch serve (same oracle)
+    "e_sql_knn_join_pruned" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/knn_stored_part_sql"
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
+      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+        .createOrReplaceTempView("graft_knnp_queries")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_knnp_cells")
+      s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_knnp_cbs")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_knnp_codes")
+      e.query("""SELECT query_id, neighbor_id, adc_score
+                 FROM graft_knn_join_pruned('graft_knnp_codes',
+                        'graft_knnp_cells', 'graft_knnp_cbs',
+                        'graft_knnp_queries', 'vec_id', 'vec_id',
+                        'embedding', 5, 2, 1)""")
+    }),
+    // residual serving from SQL: residual-trained artifacts written in
+    // Scala (cells + residual codebooks + cell-partitioned residual
+    // codes), served by the graft_ann_residual_stored TVF; same oracle
+    // as the in-memory residual path
+    "e_sql_ann_residual_stored" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/ann_residual_store_sql"
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = sim.pqCodebooksResidual(emb, "vec_id", "embedding", cents,
+        m = 4, subDim = 16, nCodes = 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
+      sim.ivfPqEncodeResidual(emb, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_res_cells")
+      s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_res_cbs")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_res_codes")
+      e.query("""SELECT vec_id, adc_score
+                 FROM graft_ann_residual_stored('graft_res_codes',
+                        'graft_res_cells', 'graft_res_cbs', 'embeddings',
+                        'vec_id', 'embedding', 0, 10, 2)""")
     }),
     // the crawl front door composed PURELY from TVFs through views:
     // url filter → domain cap → gopher gate → token budget → shards —
@@ -1219,6 +1395,9 @@ object EngineQueries {
     "e_sql_image_dups" -> LlmQueries.oracle("llm_image_dups"),
     "e_sql_bpe_count" -> LlmQueries.oracle("llm_bpe_count"),
     "e_sql_image_incr" -> LlmQueries.oracle("llm_image_incr"),
+    "e_sql_image_append" -> LlmQueries.oracle("llm_image_incr"),
+    "e_sql_image_clusters" -> LlmQueries.oracle("llm_image_clusters"),
+    "e_sql_fp_append" -> LlmQueries.oracle("llm_exact_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
     "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),
     "e_sql_minhash_delete" -> LlmQueries.oracle("llm_minhash_index_delete"),
@@ -1241,6 +1420,9 @@ object EngineQueries {
     "e_sql_url_filter" -> LlmQueries.oracle("llm_url_filter"),
     "e_sql_knn_join_rerank" -> LlmQueries.oracle("llm_knn_join_rerank"),
     "e_sql_ann_append" -> LlmQueries.oracle("llm_ann_ivf_pq"),
+    "e_sql_ann_partition_prune" -> LlmQueries.oracle("llm_ann_ivf_pq"),
+    "e_sql_knn_join_pruned" -> LlmQueries.oracle("llm_knn_join_stored"),
+    "e_sql_ann_residual_stored" -> LlmQueries.oracle("llm_ann_ivf_pq_residual"),
     "e_sql_domain_report" -> LlmQueries.oracle("llm_domain_report"),
     "e_sql_quality_classifier" -> LlmQueries.oracle("llm_quality_classifier"),
     "e_sql_pipeline7" -> LlmQueries.oracle("llm_pipeline7"),

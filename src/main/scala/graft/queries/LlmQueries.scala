@@ -849,6 +849,32 @@ object LlmQueries {
         Multimodal.asMedia(slice.unionAll(edited), "doc_id", "text"),
         maxHamming = 3, nBands = 4)
     }),
+    "llm_image_dups_capped" -> ((s, d) => {
+      import s.implicits._
+      // the hot-bucket guard GATED: the llm_image_dups fixture plus a
+      // PLANTED degenerate population — 40 byte-identical "blank"
+      // payloads (the constant-media crawl case) whose every
+      // (band_idx, band_val) bucket floods past the cap and is dropped
+      // WHOLE, killing the C(40,2) quadratic pair blowup, while the
+      // genuine (original, edited-clone) pairs sit in size-2 buckets
+      // and survive every band. Oracle = the brute-force chain with the
+      // banding + bucket-count filter replayed: a pair survives iff it
+      // shares at least one UNCAPPED band
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      val flood = s.range(40).select(($"id" + 9000000).as("doc_id"),
+        lit("~" * 450).as("text"))
+      Multimodal.imageNearDups(
+        Multimodal.asMedia(slice.unionAll(edited).unionAll(flood),
+          "doc_id", "text"),
+        maxHamming = 3, nBands = 4, maxBucketSize = Some(8))
+    }),
     "llm_image_incr" -> ((s, d) => {
       import s.implicits._
       // incremental perceptual admission: the corpus slice's dHash
@@ -2350,6 +2376,55 @@ object LlmQueries {
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
           FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""",
+    // capped variant: same dhash chain over the flood-extended fixture,
+    // then the banding replayed ((dhash >> 16b) & 65535 — DuckDB's
+    // arithmetic shift is mask-equivalent to shiftrightunsigned under
+    // & 65535) with buckets > 8 dropped whole; a pair survives iff it
+    // shares at least one uncapped band and hamming <= 3
+    "llm_image_dups_capped" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text FROM sl
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15)
+                   FROM sl
+                   UNION ALL
+                   SELECT 9000000 + g.k, repeat('~', 450)
+                   FROM generate_series(0, 39) g(k)),
+          hx AS (SELECT doc_id, lower(hex(text)) AS h FROM base),
+          lum AS (SELECT doc_id,
+                    list_transform(generate_series(0, 71), k ->
+                      CAST(('0x' || substr(md5(substr(h,
+                          CAST(floor(length(h)*k/72) AS INT) + 1,
+                          greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                            - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                        AS BIGINT) % 256) AS lu
+                  FROM hx),
+          dh AS (SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                     CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                               > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                          THEN CASE WHEN i = 63
+                                    THEN -9223372036854775808
+                                    ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                          ELSE 0 END)) AS BIGINT) AS dhash
+                 FROM lum),
+          bands AS (SELECT doc_id, dhash, b.band_idx,
+                           (dhash >> (16 * b.band_idx)) & 65535 AS band_val
+                    FROM dh, (VALUES (0),(1),(2),(3)) b(band_idx)),
+          keep AS (SELECT band_idx, band_val FROM bands
+                   GROUP BY 1, 2 HAVING count(*) <= 8),
+          kb AS (SELECT bands.doc_id, bands.dhash, bands.band_idx,
+                        bands.band_val
+                 FROM bands JOIN keep USING (band_idx, band_val))
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+          FROM kb a JOIN kb b ON a.band_idx = b.band_idx
+                             AND a.band_val = b.band_val
+                             AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""",
     "llm_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents

@@ -558,6 +558,53 @@ class EngineSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("pruned/residual/image-cluster TVFs: EXPLAIN launches no Spark job") {
+    Tables.registerAll(spark, TestSpark.sf)
+    // serving artifacts built BEFORE the listener counts (training is
+    // an action and not what this pin measures); codes stay a lazy view
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val sim = graft.operators.Similarity
+    val cents = sim.collectCentroids(emb, "vec_id", "embedding", 4)
+    val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, nCodes = 4)
+    sim.centroidsToDf(spark, cents).createOrReplaceTempView("njp_cells")
+    sim.codebooksToDf(spark, cbs).createOrReplaceTempView("njp_cbs")
+    sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+      .createOrReplaceTempView("njp_codes")
+    emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .createOrReplaceTempView("njp_queries")
+    graft.operators.Multimodal.asMedia(
+        Tables.load(spark, TestSpark.sf, "documents"), "doc_id", "text")
+      .createOrReplaceTempView("njp_media")
+    val sc = spark.sparkContext
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+    sc.addSparkListener(listener)
+    try {
+      val planKnn = engine.explain(
+        """SELECT * FROM graft_knn_join_pruned('njp_codes', 'njp_cells',
+             'njp_cbs', 'njp_queries', 'vec_id', 'vec_id', 'embedding', 5, 2, 1)""")
+      assert(planKnn.contains("GraftDeferredScan"),
+        "the probe-cell-union collect must sit behind a deferred-scan leaf")
+      val planRes = engine.explain(
+        """SELECT * FROM graft_ann_residual_stored('njp_codes', 'njp_cells',
+             'njp_cbs', 'embeddings', 'vec_id', 'embedding', 0, 10, 2)""")
+      assert(planRes.contains("GraftDeferredScan"),
+        "residual artifact reconstruction must sit behind a deferred-scan leaf")
+      val planImg = engine.explain(
+        "SELECT * FROM graft_image_clusters('njp_media', 'doc_id', 'payload', 3, 4)")
+      assert(planImg.contains("GraftDeferredScan"),
+        "the image CC rounds must sit behind a deferred-scan leaf")
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      assert(jobs == 0,
+        s"EXPLAIN of the pruned/residual/image TVFs must launch no job, saw $jobs")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("cluster TVF executes lazily and matches the Scala API (incl. algo arg)") {
     import spark.implicits._
     Tables.registerAll(spark, TestSpark.sf)
