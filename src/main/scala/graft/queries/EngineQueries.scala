@@ -538,6 +538,66 @@ object EngineQueries {
                         CAST(floor(height * s / 2) * 2 AS INT) AS out_h
                  FROM sc""")
     }),
+    "e_sql_pipeline9" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the mixed-modality front door composed from SQL: stores written
+      // in Scala (the write side — minhash index frames + dHash frame),
+      // then the four-group incoming fixture, gopher keep,
+      // decontamination, minhash probe, and dHash probe ALL composed as
+      // engine SQL over the graft_* TVFs
+      val out = "target/gate_sink/pipeline9_sql"
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+      idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands")
+      idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets")
+      graft.operators.Multimodal.dHash(
+          graft.operators.Multimodal.asMedia(docs, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$out/dh")
+      s.read.parquet(s"$out/mh/bands").createOrReplaceTempView("p9_mh_bands")
+      s.read.parquet(s"$out/mh/sets").createOrReplaceTempView("p9_mh_sets")
+      s.read.parquet(s"$out/dh").createOrReplaceTempView("p9_dh")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p9_inc AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 aa AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND doc_id <= mx - 200),
+                 nov AS (SELECT a.doc_id, a.text AS atext,
+                                concat_ws(' ', a.text, b.text, c.text) AS ntext
+                         FROM aa a
+                         JOIN documents b ON b.doc_id = a.doc_id - 120
+                         JOIN documents c ON c.doc_id = a.doc_id - 240)
+                 SELECT doc_id + 3000000 AS doc_id, text, text AS pay FROM aa
+                 UNION ALL SELECT doc_id + 4000000, ntext, atext FROM nov
+                 UNION ALL SELECT doc_id + 5000000, text, reverse(text) FROM aa
+                 UNION ALL SELECT doc_id + 6000000, ntext, reverse(atext) FROM nov""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p9_quality AS
+                 SELECT i.doc_id, i.text, i.pay
+                 FROM p9_inc i
+                 JOIN graft_gopher('p9_inc', 'doc_id', 'text',
+                                   10, 100000, 2.0, 10.0, 0.1, 1) g
+                   ON i.doc_id = g.doc_id AND g.keep""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p9_eval AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p9_clean AS
+                 SELECT q.doc_id, q.text, q.pay
+                 FROM p9_quality q
+                 JOIN graft_decontaminate('p9_quality', 'p9_eval',
+                                          'doc_id', 'text', 13) d
+                   ON q.doc_id = d.doc_id AND NOT d.contaminated""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p9_media AS
+                 SELECT doc_id, CAST(pay AS BINARY) AS payload FROM p9_inc""")
+      e.query("""SELECT c.doc_id FROM p9_clean c
+                 WHERE c.doc_id NOT IN (
+                     SELECT id_new FROM graft_minhash_probe(
+                       'p9_mh_bands', 'p9_mh_sets', 'p9_clean',
+                       'doc_id', 'text', 16, 4, 0.5))
+                   AND c.doc_id NOT IN (
+                     SELECT id_new FROM graft_image_probe(
+                       'p9_media', 'p9_dh', 'doc_id', 'payload', 3, 4))""")
+    }),
     "e_sql_image_dups" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1400,6 +1460,7 @@ object EngineQueries {
     "e_sql_fp_append" -> LlmQueries.oracle("llm_exact_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
     "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),
+    "e_sql_pipeline9" -> LlmQueries.oracle("llm_pipeline9"),
     "e_sql_minhash_delete" -> LlmQueries.oracle("llm_minhash_index_delete"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),

@@ -82,6 +82,101 @@ object LlmQueries {
         SELECT doc_id FROM clean
         WHERE doc_id NOT IN (SELECT doc_id FROM rejected)"""
 
+  /** The dHash chain as DuckDB CTEs over relation `src` (doc_id, text),
+    * ending in `dh$sfx(doc_id, dhash)` — the llm_image_dups chain with
+    * suffixed names so the mixed-modality oracle can hash two relations
+    * (store + incoming payloads) in one statement. */
+  private def dhashCtes(src: String, sfx: String): String =
+    s"""hx$sfx AS (SELECT doc_id, lower(hex(text)) AS h FROM $src),
+        lum$sfx AS (SELECT doc_id,
+                  list_transform(generate_series(0, 71), k ->
+                    CAST(('0x' || substr(md5(substr(h,
+                        CAST(floor(length(h)*k/72) AS INT) + 1,
+                        greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                          - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                      AS BIGINT) % 256) AS lu
+                FROM hx$sfx),
+        dh$sfx AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                   CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                             > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                        THEN CASE WHEN i = 63
+                                  THEN -9223372036854775808
+                                  ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                        ELSE 0 END)) AS BIGINT) AS dhash
+               FROM lum$sfx)"""
+
+  /** The `llm_pipeline9` oracle: the mixed-modality admission — the
+    * st_admission TEXT path (Gopher → decontamination → minhash probe)
+    * over the incoming rows' text, AND a dHash probe of each row's
+    * MEDIA payload vs the corpus frame; admitted = survives both. */
+  private[queries] lazy val pipeline9OracleSql =
+    s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        aa AS (SELECT doc_id, text FROM documents, m
+               WHERE doc_id > mx - 300 AND doc_id <= mx - 200),
+        nov AS (SELECT a.doc_id, a.text AS atext,
+                       a.text || ' ' || b.text || ' ' || c.text AS ntext
+                FROM aa a
+                JOIN documents b ON b.doc_id = a.doc_id - 120
+                JOIN documents c ON c.doc_id = a.doc_id - 240),
+        inc AS (SELECT doc_id + 3000000 AS doc_id, text, text AS pay FROM aa
+                UNION ALL
+                SELECT doc_id + 4000000, ntext, atext FROM nov
+                UNION ALL
+                SELECT doc_id + 5000000, text, reverse(text) FROM aa
+                UNION ALL
+                SELECT doc_id + 6000000, ntext, reverse(atext) FROM nov),
+        q AS (SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+                  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                        / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
+                  round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                        / greatest(length(text), 1), 6) AS sym,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t IN ($stopsEn))) AS INTEGER) AS stops
+                FROM inc)
+              WHERE n_tokens >= 10 AND n_tokens <= 100000
+                AND mwl >= 2.0 AND mwl <= 10.0 AND sym <= 0.1 AND stops >= 1),
+        qt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM q),
+        qg AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(toks) - 12), i -> $gram13Sql)) AS gs
+               FROM qt WHERE len(toks) >= 13),
+        qh AS (SELECT doc_id, list_distinct(list_transform(gs, s -> $hashSql)) AS hs
+               FROM qg),
+        evt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents, m WHERE doc_id > mx - 100),
+        evg AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, len(toks) - 12), i -> $gram13Sql)) AS gs
+                FROM evt WHERE len(toks) >= 13),
+        evh AS (SELECT DISTINCT unnest(list_distinct(list_transform(gs, s -> $hashSql))) AS eh
+                FROM evg),
+        contaminated AS (SELECT DISTINCT x.doc_id
+                         FROM (SELECT doc_id, unnest(hs) AS eh FROM qh) x
+                         JOIN evh USING (eh)),
+        clean AS (SELECT doc_id, text FROM q
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        ${minhashSketchCtes("clean", None, "n")},
+        ${minhashSketchCtes("documents", None, "c")},
+        cand AS (SELECT DISTINCT x.doc_id AS id_new, y.doc_id AS id_corpus
+                 FROM bandsn x JOIN bandsc y
+                   ON x.band_idx = y.band_idx AND x.band_val = y.band_val),
+        rejected AS (SELECT DISTINCT c.id_new AS doc_id
+                     FROM cand c JOIN hsn a ON a.doc_id = c.id_new
+                     JOIN hsc b ON b.doc_id = c.id_corpus
+                     WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+                           / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5),
+        pays AS (SELECT doc_id, pay AS text FROM inc),
+        ${dhashCtes("pays", "p")},
+        store AS (SELECT doc_id, text FROM documents),
+        ${dhashCtes("store", "s")},
+        rejected_media AS (SELECT DISTINCT n.doc_id
+                           FROM dhp n JOIN dhs c
+                             ON bit_count(xor(n.dhash, c.dhash)) <= 3)
+        SELECT doc_id FROM clean
+        WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+          AND doc_id NOT IN (SELECT doc_id FROM rejected_media)"""
+
   /** Shared by `llm_decontaminate` and `llm_decontaminate_bloom` — the
     * bloom path is a bandwidth optimization with identical output. */
   private lazy val decontaminateOracleSql =
@@ -928,6 +1023,34 @@ object LlmQueries {
           s.read.parquet(out), maxHamming = 3, nBands = 4)
         .dropDuplicates("id_new", "id_corpus")
     }),
+    "llm_image_delete" -> ((s, d) => {
+      import s.implicits._
+      // takedown on the dHash store (the storePurge law extended to the
+      // image index): the full-slice frame written once, the tombstoned
+      // ids (doc_id % 5 == 1) purged AT READ — an anti-join, no rebuild,
+      // the payloads never re-read — and the edited-clone shard probed
+      // against the purged store: clones of purged images ADMIT again
+      // (their originals are forgotten), survivors' clones still bounce.
+      // Oracle = the incremental probe over the remaining corpus only
+      val out = "target/gate_sink/image_dhash_delete"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      Multimodal.dHash(Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      val tomb = slice.filter($"doc_id" % 5 === 1).select($"doc_id")
+      val purged = graft.operators.Dedup.storePurge(
+        s.read.parquet(out), "doc_id", tomb)
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.imageNearDupsBetween(
+          Multimodal.asMedia(edited, "doc_id", "text"),
+          purged, maxHamming = 3, nBands = 4)
+        .dropDuplicates("id_new", "id_corpus")
+    }),
     "llm_image_clusters" -> ((s, d) => {
       import s.implicits._
       // image near-dup CLUSTERS: two independent same-length edits of
@@ -976,6 +1099,69 @@ object LlmQueries {
         .select($"id_b".as("doc_id")).distinct()
       Multimodal.resizePlan(Multimodal.decode(
         media.join(dupIds, Seq("doc_id"), "left_anti")))
+    }),
+    "llm_pipeline9" -> ((s, d) => {
+      import s.implicits._
+      // pipeline9 — the MIXED-MODALITY ingestion front door: each
+      // incoming row carries BOTH a text and a media payload (the
+      // actual multimodal training-data shape); a row is admitted only
+      // if the TEXT path (gopher keep → 13-gram decontamination vs the
+      // eval slice → minhash probe vs the stored corpus index) AND the
+      // MEDIA path (per-row dHash probe vs the stored corpus frame)
+      // both pass. Four incoming groups isolate every rejection
+      // combination: text-clone+media-clone (both bounce),
+      // text-novel+media-clone (media bounces), text-clone+media-novel
+      // (text bounces), both-novel (ADMITTED)
+      val out = "target/gate_sink/pipeline9"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && $"doc_id" <= $"m" - 200)
+        .select($"doc_id", $"text")
+      val novel = a.select($"doc_id".as("aid"), $"text".as("atext"))
+        .join(docs.select($"doc_id".as("bid"), $"text".as("btext")),
+          $"aid" - 120 === $"bid")
+        .join(docs.select($"doc_id".as("cid"), $"text".as("ctext")),
+          $"aid" - 240 === $"cid")
+        .select($"aid", $"atext",
+          concat_ws(" ", $"atext", $"btext", $"ctext").as("ntext"))
+      val incoming = a
+        .select(($"doc_id" + 3000000).as("doc_id"), $"text", $"text".as("pay"))
+        .unionAll(novel.select(($"aid" + 4000000).as("doc_id"),
+          $"ntext".as("text"), $"atext".as("pay")))
+        .unionAll(a.select(($"doc_id" + 5000000).as("doc_id"), $"text",
+          reverse($"text").as("pay")))
+        .unionAll(novel.select(($"aid" + 6000000).as("doc_id"),
+          $"ntext".as("text"), reverse($"atext").as("pay")))
+      // the stores, written once at corpus-build time: the text minhash
+      // index frames and the 8-byte-per-row media dHash frame
+      val idx = Dedup.minhashIndex(docs, "doc_id", "text")
+      idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands")
+      idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets")
+      Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$out/dh")
+      val ev = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      // TEXT path (quality filter and decontamination anti-join both
+      // preserve the payload column — the row stays whole)
+      val quality = incoming.filter(TextAnalysis.gopherKeep($"text",
+        minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+      val clean = graft.streaming.Corpus.cleanAgainst(
+        quality, ev, "doc_id", "text", n = 13)
+      val mhHits = graft.streaming.Corpus.admitProbe(
+          clean.select($"doc_id", $"text"),
+          Dedup.MinhashIndex(s.read.parquet(s"$out/mh/bands"),
+            s.read.parquet(s"$out/mh/sets")), "doc_id", "text")
+        .select($"id_new".as("doc_id")).distinct()
+      val textOk = clean.join(mhHits, Seq("doc_id"), "left_anti")
+      // MEDIA path: per-row dHash probe of the payload column
+      val imgHits = Multimodal.imageNearDupsBetween(
+          Multimodal.asMedia(incoming.select($"doc_id", $"pay"),
+            "doc_id", "pay"),
+          s.read.parquet(s"$out/dh"), maxHamming = 3, nBands = 4)
+        .select($"id_new".as("doc_id")).distinct()
+      textOk.join(imgHits, Seq("doc_id"), "left_anti").select($"doc_id")
     }),
     "llm_multimodal_resize" -> ((s, d) => {
       import s.implicits._
@@ -2249,6 +2435,42 @@ object LlmQueries {
                  CAST(bit_count(xor(n.dhash, c.dhash)) AS INT) AS hamming
           FROM dh n JOIN dh c ON n.is_new = 1 AND c.is_new = 0
           WHERE bit_count(xor(n.dhash, c.dhash)) <= 3""",
+    // takedown: the llm_image_incr probe with the STORE side restricted
+    // to the un-tombstoned corpus (doc_id % 5 <> 1) — purged originals'
+    // clones vanish from the pair set, survivors' clones remain
+    "llm_image_delete" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text, 0 AS is_new FROM sl
+                   WHERE doc_id % 5 <> 1
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15),
+                          1
+                   FROM sl),
+          hx AS (SELECT doc_id, is_new, lower(hex(text)) AS h FROM base),
+          lum AS (SELECT doc_id, is_new,
+                    list_transform(generate_series(0, 71), k ->
+                      CAST(('0x' || substr(md5(substr(h,
+                          CAST(floor(length(h)*k/72) AS INT) + 1,
+                          greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                            - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                        AS BIGINT) % 256) AS lu
+                  FROM hx),
+          dh AS (SELECT doc_id, is_new,
+                   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                     CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                               > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                          THEN CASE WHEN i = 63
+                                    THEN -9223372036854775808
+                                    ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                          ELSE 0 END)) AS BIGINT) AS dhash
+                 FROM lum)
+          SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+                 CAST(bit_count(xor(n.dhash, c.dhash)) AS INT) AS hamming
+          FROM dh n JOIN dh c ON n.is_new = 1 AND c.is_new = 0
+          WHERE bit_count(xor(n.dhash, c.dhash)) <= 3""",
     // image clusters: the dHash pair set over (original, edit1, edit2)
     // closed by recursive reachability — min reachable id per node
     "llm_image_clusters" ->
@@ -2341,6 +2563,7 @@ object LlmQueries {
                  CAST(floor(width * s / 2) * 2 AS INTEGER) AS out_w,
                  CAST(floor(height * s / 2) * 2 AS INTEGER) AS out_h
           FROM sc""",
+    "llm_pipeline9" -> pipeline9OracleSql,
     // perceptual dHash near-dup: the full chain replayed — lower-hex
     // payload, 72 slice-md5 lumas, 64 gradient bits (bit 63 is the
     // BIGINT sign bit: DuckDB's checked << overflows at 63, so it lands

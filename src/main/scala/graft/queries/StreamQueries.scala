@@ -264,6 +264,54 @@ object StreamQueries {
           s.read.parquet(out), maxHamming = 3, nBands = 4)
         .dropDuplicates("id_new", "id_corpus")
     }),
+    "st_image_admission_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Multimodal
+      // the image admit→append loop CLOSED (batch-parity form;
+      // StreamingSpec runs it as a real two-micro-batch stream under
+      // foreachBatch): micro-batch 1 — exact clones of the corpus media
+      // (bounce at the stored dHash frame) + novel reversed payloads
+      // (admitted) — probes the store, the admitted rows are SUNK (the
+      // decoupling that keeps probe reads off the in-flight append),
+      // their 8-byte dHash delta is parquet-APPENDED, and micro-batch 2
+      // — exact clones AND same-length local edits of batch-1 admits —
+      // must fully bounce off the re-read appended store (a 4-char edit
+      // spans ≤ 2 adjacent luma cells ⇒ ≤ 3 gradient bits ⇒ within
+      // maxHamming deterministically). Final admitted set = batch 1's
+      // alone; a lost append admits batch-2 rows and hash-mismatches
+      val out = "target/gate_sink/image_admission_append"
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Multimodal.dHash(
+          Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$out/dh")
+      def admitted(batch: DataFrame): DataFrame = {
+        val hits = Multimodal.imageNearDupsBetween(
+            Multimodal.asMedia(batch, "doc_id", "text"),
+            s.read.parquet(s"$out/dh"), maxHamming = 3, nBands = 4)
+          .select(col("id_new").as("doc_id")).distinct()
+        batch.join(hits, Seq("doc_id"), "left_anti")
+      }
+      val batch1 = slice
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+        .unionAll(slice.select((col("doc_id") + 4000000).as("doc_id"),
+          reverse(col("text")).as("text")))
+      admitted(batch1).write.mode("overwrite").parquet(s"$out/admitted_b1")
+      val adm1 = s.read.parquet(s"$out/admitted_b1")
+      Multimodal.dHash(Multimodal.asMedia(adm1, "doc_id", "text"))
+        .write.mode("append").parquet(s"$out/dh")
+      val batch2 = adm1
+        .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+        .unionAll(adm1.select((col("doc_id") + 6000000).as("doc_id"),
+          concat(substring(col("text"), 1, 29), lit("ZZZZ"),
+            expr("substring(text, 34)")).as("text")))
+      adm1.select(col("doc_id"))
+        .unionAll(admitted(batch2).select(col("doc_id")))
+    }),
     "st_semdedup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // streaming SEMANTIC admission (batch-parity form; the stream
@@ -387,6 +435,72 @@ object StreamQueries {
     // the batch incremental form — one oracle (StreamingSpec pins the
     // actual stream == batch)
     "st_image_admission" -> LlmQueries.oracle("llm_image_incr"),
+    // the closed image loop: dhash chain replayed over store, batch 1,
+    // and the batch-2 edits; admission = NOT EXISTS a store hash within
+    // hamming 3; batch 2 probes the APPENDED store (gen-0 ∪ adm1)
+    "st_image_admission_append" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          b1 AS (SELECT doc_id + 3000000 AS doc_id, text FROM sl
+                 UNION ALL
+                 SELECT doc_id + 4000000, reverse(text) FROM sl),
+          allt AS (SELECT 0 AS grp, doc_id, text FROM sl
+                   UNION ALL SELECT 1, doc_id, text FROM b1),
+          hx AS (SELECT grp, doc_id, lower(hex(text)) AS h FROM allt),
+          lum AS (SELECT grp, doc_id,
+                    list_transform(generate_series(0, 71), k ->
+                      CAST(('0x' || substr(md5(substr(h,
+                          CAST(floor(length(h)*k/72) AS INT) + 1,
+                          greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                            - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                        AS BIGINT) % 256) AS lu
+                  FROM hx),
+          dh AS (SELECT grp, doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                     CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                               > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                          THEN CASE WHEN i = 63
+                                    THEN -9223372036854775808
+                                    ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                          ELSE 0 END)) AS BIGINT) AS dhash
+                 FROM lum),
+          adm1 AS (SELECT b.doc_id, b.text, n.dhash
+                   FROM b1 b JOIN dh n ON n.grp = 1 AND n.doc_id = b.doc_id
+                   WHERE NOT EXISTS (
+                     SELECT 1 FROM dh c WHERE c.grp = 0
+                     AND bit_count(xor(n.dhash, c.dhash)) <= 3)),
+          store2 AS (SELECT dhash FROM dh WHERE grp = 0
+                     UNION ALL SELECT dhash FROM adm1),
+          edits AS (SELECT doc_id + 6000000 AS doc_id,
+                           substr(text, 1, 29) || 'ZZZZ' || substr(text, 34) AS text
+                    FROM adm1),
+          hx2 AS (SELECT doc_id, lower(hex(text)) AS h FROM edits),
+          lum2 AS (SELECT doc_id,
+                     list_transform(generate_series(0, 71), k ->
+                       CAST(('0x' || substr(md5(substr(h,
+                           CAST(floor(length(h)*k/72) AS INT) + 1,
+                           greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                             - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                         AS BIGINT) % 256) AS lu
+                   FROM hx2),
+          dh2 AS (SELECT doc_id,
+                    CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                      CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                                > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                           THEN CASE WHEN i = 63
+                                     THEN -9223372036854775808
+                                     ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                           ELSE 0 END)) AS BIGINT) AS dhash
+                  FROM lum2),
+          b2h AS (SELECT doc_id + 5000000 AS doc_id, dhash FROM adm1
+                  UNION ALL SELECT doc_id, dhash FROM dh2),
+          adm2 AS (SELECT n.doc_id FROM b2h n
+                   WHERE NOT EXISTS (
+                     SELECT 1 FROM store2 c
+                     WHERE bit_count(xor(n.dhash, c.dhash)) <= 3))
+          SELECT doc_id FROM adm1
+          UNION ALL SELECT doc_id FROM adm2""",
     // seed-centroid cells (the cellOf argmax contract on both sides,
     // probes = 1), exact-cosine confirm at 0.99 on the clone slice
     "st_semdedup" ->

@@ -240,6 +240,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(fpStore == fpFull)
   }
 
+  test("image admit→append loop: foreachBatch maintains the dHash store; edited clones of admits bounce; final store == fresh build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val out = "target/test_sink/image_admit_append"
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val slice = docs
+      .filter(col("doc_id") > mx - 300 && length(col("text")) >= 400)
+      .select(col("doc_id"), col("text"))
+    // corpus-build time: the 8-byte-per-row dHash frame on disk
+    Multimodal.dHash(Multimodal.asMedia(slice, "doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$out/dh")
+    def admitOne(batch: org.apache.spark.sql.DataFrame) = {
+      val hits = Multimodal.imageNearDupsBetween(
+          Multimodal.asMedia(batch, "doc_id", "text"),
+          spark.read.parquet(s"$out/dh"), maxHamming = 3, nBands = 4)
+        .select(col("id_new").as("doc_id")).distinct()
+      batch.join(hits, Seq("doc_id"), "left_anti")
+    }
+    val admittedIds = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // materialize the admission BEFORE the append mutates the store
+        // the probe plan reads (collect: micro-batch-sized)
+        val adm = admitOne(batch).collect().map(r => (r.getLong(0), r.getString(1)))
+        admittedIds ++= adm
+        if (adm.nonEmpty) {
+          Multimodal.dHash(Multimodal.asMedia(
+              adm.toSeq.toDF("doc_id", "text"), "doc_id", "text"))
+            .write.mode("append").parquet(s"$out/dh")
+        }
+        ()
+      }.start()
+    // micro-batch 1: exact clones of corpus media (bounce at the stored
+    // frame) + novel reversed payloads (admitted)
+    val b1 = slice.select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      .unionAll(slice.select((col("doc_id") + 4000000).as("doc_id"),
+        reverse(col("text")).as("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    val adm1 = admittedIds.toVector
+    assert(adm1.nonEmpty, "batch 1 must admit the novel reversed payloads")
+    assert(adm1.forall(_._1 >= 4000000L), "corpus clones must bounce in batch 1")
+    // micro-batch 2: exact clones of batch-1 admits + same-length local
+    // edits (≤ 2 adjacent luma cells ⇒ ≤ 3 gradient bits ⇒ within
+    // maxHamming) — neither existed in the store before the append
+    val b2 = adm1.map { case (id, t) => (id + 5000000L, t) } ++
+      adm1.map { case (id, t) =>
+        (id + 6000000L, t.substring(0, 29) + "ZZZZ" + t.substring(33)) }
+    mem.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    assert(admittedIds.toVector == adm1,
+      s"batch-2 clones/edits of batch-1 admits must ALL bounce off the " +
+        s"appended store, extra=${admittedIds.drop(adm1.length).take(5)}")
+    // the maintained store equals a fresh dHash build over corpus +
+    // every admitted payload — append cannot drift from rebuild
+    val fresh = Multimodal.dHash(Multimodal.asMedia(
+        slice.unionAll(adm1.toSeq.toDF("doc_id", "text")), "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = spark.read.parquet(s"$out/dh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == fresh,
+      "appended dHash store must equal the fresh batch build")
+  }
+
   test("streaming image admission: per-row dHash probe vs stored hashes == batch") {
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal
