@@ -650,32 +650,66 @@ object TextAnalysis {
     * finished sketch reaches the driver — the bloom-build boundary. The
     * exact side is the audited hash-first top-k. Output: (token,
     * n_occurrences, within_contract), rank order (count desc, token). */
-  def heavyHittersCms(df: DataFrame, idCol: String, textCol: String,
-                      topK: Int = 20, eps: Double = 0.001,
-                      confidence: Double = 0.99,
-                      reuse: Reuse = Reuse.Local): DataFrame = {
+  /** The count-min sketch over a corpus's 60-bit token hashes — the
+    * fixed-size MERGEABLE frequency state ([[heavyHittersCms]]'s build
+    * step, factored out for the streaming loop): one distributed
+    * aggregate whose state is the d×w counter array; only the finished
+    * sketch reaches the driver. Per-shard/per-micro-batch sketches
+    * built with the SAME (eps, confidence, seed) merge EXACTLY to the
+    * one-shot corpus sketch (counter arrays are additive — the
+    * Cormode/Muthukrishnan mergeability property; StreamingSpec pins
+    * it cell-for-cell through `CountMinSketch.mergeInPlace`). None for
+    * a token-free corpus (the aggregate returns a NULL sketch). */
+  def cmsSketch(df: DataFrame, idCol: String, textCol: String,
+                eps: Double = 0.001, confidence: Double = 0.99,
+                reuse: Reuse = Reuse.Local):
+      Option[org.apache.spark.util.sketch.CountMinSketch] = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg
-    require(topK >= 1, s"topK must be >= 1, got $topK")
     require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
     require(confidence > 0 && confidence < 1,
       s"confidence must be in (0,1), got $confidence")
-    def tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
     val hashes = reuse(tok.select(Dedup.sharedHash60(col("__t")).as("__h")))
     val skBytes = hashes.agg(GraftBridge.column(new CountMinSketchAgg(
         GraftBridge.expression(col("__h")),
         Literal(eps), Literal(confidence), Literal(42)).toAggregateExpression())
       .as("cms")).head().getAs[Array[Byte]](0)
+    Option(skBytes).map(b =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+  }
+
+  def heavyHittersCms(df: DataFrame, idCol: String, textCol: String,
+                      topK: Int = 20, eps: Double = 0.001,
+                      confidence: Double = 0.99,
+                      reuse: Reuse = Reuse.Local): DataFrame =
+    heavyHittersAgainstCms(df, idCol, textCol,
+      cmsSketch(df, idCol, textCol, eps, confidence, reuse),
+      topK = topK, eps = eps)
+
+  /** [[heavyHittersCms]] with the sketch build factored out: attest the
+    * exact top-`topK` tokens of `df` against a PRE-BUILT sketch —
+    * `None` (token-free build) yields the empty report. The streaming
+    * gate passes the micro-batch-merged sketch here; merge exactness
+    * makes the output identical to the one-shot form. */
+  def heavyHittersAgainstCms(df: DataFrame, idCol: String, textCol: String,
+                             sketch: Option[org.apache.spark.util.sketch.CountMinSketch],
+                             topK: Int = 20,
+                             eps: Double = 0.001): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    def tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val hashes = tok.select(Dedup.sharedHash60(col("__t")).as("__h"))
     // a token-free corpus aggregates to a NULL sketch — return the empty
     // report instead of NPEing on the deserialize
-    if (skBytes == null) {
+    if (sketch.isEmpty) {
       import df.sparkSession.implicits._
       return Seq.empty[(String, Long, Boolean)]
         .toDF("token", "n_occurrences", "within_contract")
     }
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skBytes))
+    val cms = sketch.get
     // exact top-k with string resolution — the vocabReport recipe
     val cnts = hashes.groupBy(col("__h")).agg(count(lit(1)).as("cnt"))
     val kth = cnts.orderBy(col("cnt").desc).limit(topK)

@@ -331,6 +331,18 @@ object StreamQueries {
         "vec_id", "vec_id", "embedding", "embedding", cents,
         simThreshold = 0.99)
     }),
+    "st_cms_heavy_hitters" -> ((s, d) =>
+      // the frequency dashboard ON THE INGESTION STREAM (batch-parity
+      // form; StreamingSpec builds one CMS per micro-batch and
+      // CountMinSketch.mergeInPlace's them — counter arrays are
+      // additive, so the merged sketch equals the one-shot corpus
+      // sketch CELL-FOR-CELL and this batch form IS the stream's
+      // output): the second stateful streaming aggregate beside
+      // st_corpus_report, pinning the mergeable-sketch contract
+      // `exact <= estimate <= exact + ceil(eps*N)` per attested token
+      graft.operators.TextAnalysis.heavyHittersCms(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        topK = 20, eps = 0.001, confidence = 0.99)),
     "st_corpus_report" -> ((s, d) =>
       // the ingestion dashboard ON THE INGESTION STREAM (batch-parity
       // form; StreamingSpec runs the identical transform as a
@@ -435,6 +447,9 @@ object StreamQueries {
     // the batch incremental form — one oracle (StreamingSpec pins the
     // actual stream == batch)
     "st_image_admission" -> LlmQueries.oracle("llm_image_incr"),
+    // micro-batch CMS sketches merge exactly (additive counters), so
+    // the stream's report shares the batch gate's oracle verbatim
+    "st_cms_heavy_hitters" -> LlmQueries.oracle("llm_cms_heavy_hitters"),
     // the closed image loop: dhash chain replayed over store, batch 1,
     // and the batch-2 edits; admission = NOT EXISTS a store hash within
     // hamming 3; batch 2 probes the APPENDED store (gen-0 ∪ adm1)

@@ -311,6 +311,68 @@ class StreamingSpec extends AnyFunSuite {
       "appended dHash store must equal the fresh batch build")
   }
 
+  test("streaming CMS heavy hitters: micro-batch sketches merge exactly to the corpus sketch; contract attested") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    // the streaming frequency pipeline: one fixed-size CMS per
+    // micro-batch, merged into the running corpus sketch (the mergeable
+    // state a stream keeps instead of exact counts)
+    var merged: Option[org.apache.spark.util.sketch.CountMinSketch] = None
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.cmsSketch(batch, "doc_id", "text",
+            eps = 0.001, confidence = 0.99).foreach { sk =>
+          merged match {
+            case Some(acc) => acc.mergeInPlace(sk)
+            case None => merged = Some(sk)
+          }
+        }
+        ()
+      }.start()
+    def half(p: org.apache.spark.sql.Column) = docs.filter(p)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    mem.addData(half(col("doc_id") <= mid))
+    q.processAllAvailable()
+    mem.addData(half(col("doc_id") > mid))
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = TextAnalysis.cmsSketch(docs, "doc_id", "text",
+      eps = 0.001, confidence = 0.99).get
+    val m = merged.get
+    // merge EXACTNESS: counter arrays are additive, so the merged
+    // sketch equals the one-shot corpus sketch — same total and the
+    // same estimate for every attested hash (same eps/confidence/seed)
+    assert(m.totalCount() == oneShot.totalCount())
+    val topHashes = docs
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .select(graft.operators.Dedup.sharedHash60(col("t")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc).limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(topHashes.nonEmpty)
+    val bound = math.ceil(0.001 * oneShot.totalCount()).toLong
+    topHashes.foreach { case (h, exact) =>
+      val em = m.estimateCount(java.lang.Long.valueOf(h))
+      val eo = oneShot.estimateCount(java.lang.Long.valueOf(h))
+      assert(em == eo, s"merged sketch diverged from one-shot at hash $h: $em != $eo")
+      assert(em >= exact && em <= exact + bound,
+        s"CMS contract violated at hash $h: exact=$exact est=$em bound=$bound")
+    }
+    // and the attested report THROUGH the merged sketch equals the
+    // batch gate's report (heavyHittersAgainstCms over the same corpus)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows(TextAnalysis.heavyHittersAgainstCms(
+        docs, "doc_id", "text", merged, topK = 20)) ==
+      rows(TextAnalysis.heavyHittersCms(docs, "doc_id", "text", topK = 20)))
+  }
+
   test("streaming image admission: per-row dHash probe vs stored hashes == batch") {
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal
