@@ -589,14 +589,17 @@ object EngineQueries {
                    ON q.doc_id = d.doc_id AND NOT d.contaminated""")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p9_media AS
                  SELECT doc_id, CAST(pay AS BINARY) AS payload FROM p9_inc""")
+      // LEFT ANTI joins, not NOT IN (the null-aware form plans a BNLJ)
       e.query("""SELECT c.doc_id FROM p9_clean c
-                 WHERE c.doc_id NOT IN (
-                     SELECT id_new FROM graft_minhash_probe(
+                 LEFT ANTI JOIN (
+                     SELECT DISTINCT id_new FROM graft_minhash_probe(
                        'p9_mh_bands', 'p9_mh_sets', 'p9_clean',
-                       'doc_id', 'text', 16, 4, 0.5))
-                   AND c.doc_id NOT IN (
-                     SELECT id_new FROM graft_image_probe(
-                       'p9_media', 'p9_dh', 'doc_id', 'payload', 3, 4))""")
+                       'doc_id', 'text', 16, 4, 0.5)) mh
+                   ON c.doc_id = mh.id_new
+                 LEFT ANTI JOIN (
+                     SELECT DISTINCT id_new FROM graft_image_probe(
+                       'p9_media', 'p9_dh', 'doc_id', 'payload', 3, 4)) im
+                   ON c.doc_id = im.id_new""")
     }),
     "e_sql_image_dups" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -734,6 +737,9 @@ object EngineQueries {
         .distinct()
         .write.mode("append").parquet(out)
       s.read.parquet(out).createOrReplaceTempView("graft_fp_store_sql")
+      // LEFT ANTI, not NOT IN: the null-aware NOT IN form plans a
+      // BroadcastNestedLoopJoin (fingerprints are never null here, so
+      // the anti equi-join is semantics-equal and hash-joinable)
       e.query("""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
                  tail AS (SELECT doc_id, text FROM documents, m
                           WHERE doc_id > mx - 300),
@@ -741,9 +747,9 @@ object EngineQueries {
                          UNION ALL
                          SELECT doc_id + 4000000, concat(text, ' novel suffix')
                          FROM tail)
-                 SELECT doc_id FROM inc
-                 WHERE graft_fingerprint(text)
-                       NOT IN (SELECT fp FROM graft_fp_store_sql)""")
+                 SELECT i.doc_id
+                 FROM inc i LEFT ANTI JOIN graft_fp_store_sql f
+                   ON graft_fingerprint(i.text) = f.fp""")
     }),
     "e_sql_minhash_delete" -> ((s, d) => {
       Tables.registerAll(s, d)

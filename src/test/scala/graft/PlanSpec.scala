@@ -94,8 +94,15 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row max-doc-id bound building the edited-clone
       // fixture; the pairing itself is the banded dHash equi-join
       "llm_image_dups", "e_sql_image_dups", "llm_image_incr",
-      "e_sql_image_incr", "llm_image_append",
+      "e_sql_image_incr", "llm_image_append", "e_sql_image_append",
+      "llm_image_dups_capped", "llm_image_delete",
+      "e_sql_image_clusters", "st_image_admission_append",
       "llm_pipeline8", "e_sql_pipeline8", "st_image_admission",
+      // broadcast 1-row max-doc-id bound building the mixed-modality
+      // fixture; both admission probes are equi-joins (bands; dHash
+      // bands) and the exact/minhash/image rejections are anti hash
+      // joins — NOT IN forms were rewritten LEFT ANTI to keep it so
+      "llm_pipeline9", "e_sql_pipeline9", "e_sql_fp_append",
       "e_sql_ann_topk", "e_sql_ann_lsh",
       "llm_cosine", "e_sql_cosine",
       "llm_ngram_jaccard",
