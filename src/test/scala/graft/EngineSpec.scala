@@ -558,6 +558,23 @@ class EngineSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("graft_dhash64 scalar: SQL == Multimodal.dHash, null payload -> 0") {
+    Tables.registerAll(spark, TestSpark.sf)
+    graft.operators.Multimodal.asMedia(
+        Tables.load(spark, TestSpark.sf, "documents"), "doc_id", "text")
+      .createOrReplaceTempView("dh_media")
+    val viaSql = engine.query(
+        "SELECT doc_id, graft_dhash64(payload) AS dhash FROM dh_media")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaScala = graft.operators.Multimodal.dHash(spark.table("dh_media"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    // NULL payload hashes to 0 (the composed form's summed-otherwise
+    // contract), NOT null — the scalar is safe under coalesce-free SQL
+    assert(engine.query("SELECT graft_dhash64(CAST(NULL AS BINARY)) AS h")
+      .head().getLong(0) == 0L)
+  }
+
   test("pruned/residual/image-cluster TVFs: EXPLAIN launches no Spark job") {
     Tables.registerAll(spark, TestSpark.sf)
     // serving artifacts built BEFORE the listener counts (training is

@@ -373,6 +373,61 @@ class StreamingSpec extends AnyFunSuite {
       rows(TextAnalysis.heavyHittersCms(docs, "doc_id", "text", topK = 20)))
   }
 
+  test("streaming mixed-modality admission: text AND media probes on one stream == batch") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    // pipeline9's admission stages composed on ONE stream of rows
+    // carrying BOTH columns — every stage stateless or stream-static
+    // (quality filter, inlined-hash decontamination, band equi-joins,
+    // dHash projection + band equi-join), so the probe-hit frame is
+    // identical batch and stream
+    val out = "target/test_sink/mixed_admission"
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ev = docs.filter(col("doc_id") > mx - 100)
+    val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+    Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$out/dh")
+    val storedDh = spark.read.parquet(s"$out/dh")
+    def probes(in: org.apache.spark.sql.DataFrame) = {
+      val q = in.filter(graft.operators.TextAnalysis.gopherKeep(col("text"),
+        minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+      val clean = graft.streaming.Corpus.cleanAgainst(q, ev, "doc_id", "text")
+      val mh = graft.streaming.Corpus.admitProbe(
+          clean.select(col("doc_id"), col("text")), idx, "doc_id", "text")
+        .select(col("id_new").as("doc_id"), lit("text").as("path"))
+      val img = Multimodal.imageNearDupsBetween(
+          Multimodal.asMedia(in.select(col("doc_id"), col("pay")),
+            "doc_id", "pay"),
+          storedDh, maxHamming = 3, nBands = 4)
+        .select(col("id_new").as("doc_id"), lit("media").as("path"))
+      mh.unionAll(img)
+    }
+    // fixture: text clones with novel payloads + novel texts with clone
+    // payloads — each row must hit EXACTLY one path
+    def fixture(in: org.apache.spark.sql.DataFrame) = {
+      val slice = in.filter(col("doc_id") > mx - 200)
+      slice.select((col("doc_id") + 3000000).as("doc_id"), col("text"),
+          reverse(col("text")).as("pay"))
+        .unionAll(slice.select((col("doc_id") + 4000000).as("doc_id"),
+          reverse(col("text")).as("text"), col("text").as("pay")))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("path")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = rows(probes(fixture(docs)))
+    assert(batch.nonEmpty)
+    assert(batch.filter(_._2 == "text").nonEmpty &&
+      batch.filter(_._2 == "media").nonEmpty)
+    val stream = graft.streaming.Corpus.readStream(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+    Events.runToMemory(spark, probes(fixture(stream)), "t_mixed_admit",
+      OutputMode.Append())
+    assert(rows(spark.table("t_mixed_admit")) == batch)
+  }
+
   test("streaming image admission: per-row dHash probe vs stored hashes == batch") {
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal
