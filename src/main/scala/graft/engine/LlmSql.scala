@@ -563,6 +563,25 @@ object LlmSql {
       case args => bad(
         "graft_bpe_count(table, id_col, text_col, merges_table)", args)
     }
+    reg(spark, "graft_bpe_train") {
+      // BPE merge-table training is ITERATIVE (one pair-count aggregate
+      // + 1-row collect per round) — deferred like the cluster/training
+      // TVFs; EXPLAIN launches no job, the rounds run once on execute
+      case Seq(t, id, text, n) =>
+        val f = "graft_bpe_train"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val textc = str(text, f)
+        val nm = int(n, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField("rank", org.apache.spark.sql.types.IntegerType,
+              nullable = false),
+            StructField("left", org.apache.spark.sql.types.StringType),
+            StructField("right", org.apache.spark.sql.types.StringType))),
+          memo { () => TextAnalysis.bpeTrain(tbl, idc, textc, nm) })
+      case args => bad(
+        "graft_bpe_train(table, id_col, text_col, n_merges)", args)
+    }
     reg(spark, "graft_image_dups") {
       // perceptual dHash near-dup over a media table — pure lazy
       // transformation (no training action), registered directly;

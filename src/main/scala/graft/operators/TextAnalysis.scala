@@ -54,6 +54,68 @@ object TextAnalysis {
         m.map(_._2).toIndexedSeq, m.map(_._3).toIndexedSeq)).as("bpe_cnt"))
   }
 
+  /** BPE merge-table TRAINING — the learning counterpart of
+    * [[bpeCount]] (the published Sennrich '16 recipe): start from
+    * codepoint symbols per whitespace word, and for `nMerges` rounds
+    * pick the adjacent symbol pair with the highest corpus occurrence
+    * count (every adjacent position counts, weighted by word frequency;
+    * ties break (count desc, left asc, right asc) — deterministic) and
+    * merge all its left-to-right non-overlapping occurrences, exactly
+    * the application semantics [[graft.functions.BpeCount]] will replay
+    * at serve time. Output: (rank, left, right) — the table
+    * [[bpeCount]] consumes, so train→store→apply round-trips.
+    *
+    * Scale shape — the standard recipe's, and the reason it works at
+    * corpus scale: ONE corpus pass builds the (word, count) frequency
+    * table, which is VOCABULARY-scale regardless of corpus size; every
+    * training round runs on that table only (one pair-count aggregate +
+    * one literal `replace` projection, lineage truncated per round —
+    * the k-means round pattern). The per-round winner is a 1-row
+    * collect; the result is nMerges driver rows. Symbol strings use the
+    * delimiter-wrapped ' x  y ' form shared with the DuckDB oracle, so
+    * `replace` occurrences cannot overlap or start mid-symbol. Fewer
+    * than `nMerges` distinct pairs ⇒ the table ends early (every
+    * remaining word is a single symbol), never an error. */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+               nMerges: Int, reuse: Reuse = Reuse.Local): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    val wf = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var words = reuse(wf.select(
+      concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
+      col("cnt")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val syms = split(trim(col("s")), "  ")
+      val best = words
+        .filter(size(syms) >= 2)
+        .select(explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1))).as("p"), col("cnt"))
+        .select(col("p.0").as("l"), col("p.1").as("r"), col("cnt"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // bounded: the single winning pair
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0); val rt = best(0).getString(1)
+        merges += ((r, l, rt))
+        words = reuse(words.select(
+          replace(col("s"), lit(s" $l  $rt "), lit(s" $l$rt ")).as("s"),
+          col("cnt")))
+        r += 1
+      }
+    }
+    require(merges.nonEmpty,
+      "bpeTrain: corpus has no adjacent symbol pairs (no multi-char words)")
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right")
+  }
+
   /** Fraction of characters outside [a-z0-9 ] (punctuation-ish). The
     * denominator is floored at 1 (same guard as mean word length in
     * [[gopherRules]]): a zero-length document scores 0, not NULL — a

@@ -499,6 +499,27 @@ object EngineQueries {
       e.query("""SELECT doc_id, bpe_cnt
                  FROM graft_bpe_count('documents', 'doc_id', 'text', 'bpe_merges')""")
     }),
+    "e_sql_bpe_train" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // tokenizer training from SQL: the deferred TVF runs the merge
+      // rounds once on execute (EXPLAIN launches no job)
+      e.query("""SELECT rank, left, right
+                 FROM graft_bpe_train('documents', 'doc_id', 'text', 8)""")
+    }),
+    "e_sql_bpe_roundtrip" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the tokenizer lifecycle from SQL: train via the TVF INTO a
+      // view, count every document under the learned table via the
+      // apply TVF — one statement pair, no Scala between them
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bpe_merges_learned AS
+                 SELECT rank, left, right
+                 FROM graft_bpe_train('documents', 'doc_id', 'text', 8)""")
+      e.query("""SELECT doc_id, bpe_cnt
+                 FROM graft_bpe_count('documents', 'doc_id', 'text',
+                                      'bpe_merges_learned')""")
+    }),
     "e_sql_pipeline8" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1465,6 +1486,8 @@ object EngineQueries {
     "e_sql_image_clusters" -> LlmQueries.oracle("llm_image_clusters"),
     "e_sql_fp_append" -> LlmQueries.oracle("llm_exact_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
+    "e_sql_bpe_train" -> LlmQueries.oracle("llm_bpe_train"),
+    "e_sql_bpe_roundtrip" -> LlmQueries.oracle("llm_bpe_roundtrip"),
     "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),
     "e_sql_pipeline9" -> LlmQueries.oracle("llm_pipeline9"),
     "e_sql_minhash_delete" -> LlmQueries.oracle("llm_minhash_index_delete"),

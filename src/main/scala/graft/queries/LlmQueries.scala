@@ -82,6 +82,40 @@ object LlmQueries {
         SELECT doc_id FROM clean
         WHERE doc_id NOT IN (SELECT doc_id FROM rejected)"""
 
+  /** The BPE-train oracle as DuckDB CTEs: `nMerges` UNROLLED rounds
+    * over the delimiter-wrapped symbol strings (w0 → w1 → …), each
+    * round counting every adjacent symbol position weighted by word
+    * frequency, picking the (count desc, l asc, r asc) winner, and
+    * applying it via `replace` (left-to-right non-overlapping — the
+    * bpe_count oracle's established equivalence). Ends in
+    * `mAll(rank, l, r)` — the learned merge table. */
+  private def bpeTrainCtes(nMerges: Int): String = {
+    val stages = (0 until nMerges).map { i =>
+      s"""p$i AS (SELECT p.l AS l, p.r AS r, sum(cnt) AS c FROM (
+              SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                       j -> {'l': syms[j], 'r': syms[j+1]})) AS p, cnt
+              FROM (SELECT string_split(trim(s), '  ') AS syms, cnt
+                    FROM w$i)) q
+            GROUP BY 1, 2),
+          b$i AS (SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+          w${i + 1} AS (SELECT replace(w.s, ' '||b.l||'  '||b.r||' ',
+                                       ' '||b.l||b.r||' ') AS s, w.cnt
+                        FROM w$i w, b$i b)"""
+    }.mkString(",\n          ")
+    val union = (0 until nMerges)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS rank, l, r FROM b$i")
+      .mkString("\n                    UNION ALL ")
+    s"""wf AS (SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents) q
+          WHERE length(word) > 0 GROUP BY word),
+        w0 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ')
+                 || ' ' AS s, cnt
+               FROM wf),
+        $stages,
+        mAll AS ($union)"""
+  }
+
   /** The dHash chain as DuckDB CTEs over relation `src` (doc_id, text),
     * ending in `dh$sfx(doc_id, dhash)` — the llm_image_dups chain with
     * suffixed names so the mixed-modality oracle can hash two relations
@@ -920,6 +954,32 @@ object LlmQueries {
       TextAnalysis.bpeCount(
         Tables.load(s, d, "documents").select($"doc_id", $"text"),
         "doc_id", "text", s.read.parquet(out))
+    }),
+    "llm_bpe_train" -> ((s, d) =>
+      // BPE merge-table TRAINING on the corpus itself (the Sennrich
+      // recipe): one corpus pass builds the vocabulary-scale word
+      // frequencies, then 8 rounds of highest-count adjacent-pair
+      // merging (count desc, left asc, right asc ties) with
+      // left-to-right non-overlapping application — exactly what
+      // BpeCount will replay at serve time. Oracle = 8 unrolled DuckDB
+      // rounds over the same wrapped symbol strings
+      TextAnalysis.bpeTrain(
+        Tables.load(s, d, "documents").select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+        "doc_id", "text", nMerges = 8)),
+    "llm_bpe_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      // the tokenizer LIFECYCLE closed: train on the corpus, STORE the
+      // merge table, read it back, count every document under the
+      // learned tokenizer — the llm_bpe_count surface with the VALUES
+      // fixture replaced by the corpus-trained table. Oracle composes
+      // the unrolled train rounds with the recursive apply replay
+      val out = "target/gate_sink/bpe_merges_trained"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      TextAnalysis.bpeTrain(docs, "doc_id", "text", nMerges = 8)
+        .write.mode("overwrite").parquet(out)
+      TextAnalysis.bpeCount(docs, "doc_id", "text", s.read.parquet(out))
     }),
     "llm_image_dups" -> ((s, d) => {
       import s.implicits._
@@ -2381,6 +2441,45 @@ object LlmQueries {
           init AS (SELECT doc_id, wi,
                      ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
                    FROM w2),
+          bpe AS (
+            SELECT doc_id, wi, s FROM init
+            UNION ALL
+            SELECT doc_id, wi,
+                   replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s
+            FROM (SELECT b.doc_id, b.wi, b.s, m.l, m.r,
+                         row_number() OVER (PARTITION BY b.doc_id, b.wi
+                                            ORDER BY m.rank) AS rn
+                  FROM bpe b JOIN m
+                    ON position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)
+            WHERE rn = 1),
+          term AS (SELECT doc_id, wi, s FROM bpe b
+                   WHERE NOT EXISTS (SELECT 1 FROM m
+                     WHERE position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)),
+          cnt AS (SELECT doc_id,
+                    (length(s) - length(replace(s, ' ', ''))) // 2 AS c
+                  FROM term)
+          SELECT d.doc_id, CAST(coalesce(sum(cnt.c), 0) AS INTEGER) AS bpe_cnt
+          FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+          GROUP BY d.doc_id""",
+    // the learned merge table: 8 unrolled training rounds
+    "llm_bpe_train" ->
+      s"""WITH ${bpeTrainCtes(8)}
+          SELECT rank, l AS "left", r AS "right" FROM mAll""",
+    // train (unrolled rounds) composed with the recursive apply replay:
+    // m = the learned table instead of the VALUES fixture
+    "llm_bpe_roundtrip" ->
+      s"""WITH RECURSIVE
+          ${bpeTrainCtes(8)},
+          m(rank, l, r) AS (SELECT rank, l, r FROM mAll),
+          dt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                 FROM documents),
+          dwi AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
+                  FROM dt),
+          dw2 AS (SELECT doc_id, wi, ws[wi] AS word FROM dwi
+                  WHERE length(ws[wi]) > 0),
+          init AS (SELECT doc_id, wi,
+                     ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+                   FROM dw2),
           bpe AS (
             SELECT doc_id, wi, s FROM init
             UNION ALL

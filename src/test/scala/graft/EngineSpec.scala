@@ -616,6 +616,10 @@ class EngineSpec extends AnyFunSuite {
         "SELECT * FROM graft_image_clusters('njp_media', 'doc_id', 'payload', 3, 4)")
       assert(planImg.contains("GraftDeferredScan"),
         "the image CC rounds must sit behind a deferred-scan leaf")
+      val planBpe = engine.explain(
+        "SELECT * FROM graft_bpe_train('documents', 'doc_id', 'text', 4)")
+      assert(planBpe.contains("GraftDeferredScan"),
+        "the BPE merge rounds must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the pruned/residual/image TVFs must launch no job, saw $jobs")

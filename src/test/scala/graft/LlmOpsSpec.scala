@@ -1801,6 +1801,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vec_id"))
   }
 
+  test("BPE train: frequency order, deterministic ties, merge-on-merged, early exhaustion") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa ab aaa low lower lowest"),
+                 (2L, "ab ab low low")).toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis.bpeTrain(df, "doc_id", "text", nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    // hand-derivable training trace: ('l','o') 5 occurrences beats
+    // ('a','a') 4 (aaa counts BOTH adjacent positions); the round-1
+    // winner merges ON the round-0 merged symbol ('lo','w'); applying
+    // ('a','a') left-to-right turns aaa into (aa, a), so ('aa','a')
+    // appears in a LATER round — the apply semantics BpeCount replays
+    assert(m == Seq((0, "l", "o"), (1, "lo", "w"), (2, "a", "a"),
+      (3, "a", "b"), (4, "aa", "a")), s"unexpected merge trace: $m")
+    // determinism: identical input, identical table
+    val m2 = graft.operators.TextAnalysis.bpeTrain(df, "doc_id", "text", nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(m2 == m)
+    // roundtrip: the learned table applied by bpeCount — aaa and ab
+    // collapse to single symbols, low to one, lower/lowest to 3/4
+    val cnt = graft.operators.TextAnalysis.bpeCount(df, "doc_id", "text",
+        graft.operators.TextAnalysis.bpeTrain(df, "doc_id", "text", nMerges = 5))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(cnt == Map(1L -> 11, 2L -> 4), s"roundtrip counts: $cnt")
+    // early exhaustion: asking for more merges than distinct pairs ends
+    // the table when every word is one symbol — never an error
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val mt = graft.operators.TextAnalysis.bpeTrain(tiny, "doc_id", "text", nMerges = 10)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(mt == Seq(("a", "b")), s"exhausted table: $mt")
+    // no multi-char words at all: loud refusal, not an empty table
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.bpeTrain(Seq((1L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", nMerges = 3)
+    }
+    assert(e.getMessage.contains("bpeTrain"))
+  }
+
   test("BPE count: chained merges, rank order, left-to-right non-overlap, guards") {
     import spark.implicits._
     import graft.operators.TextAnalysis
