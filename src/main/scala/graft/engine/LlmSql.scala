@@ -563,6 +563,22 @@ object LlmSql {
       case args => bad(
         "graft_bpe_count(table, id_col, text_col, merges_table)", args)
     }
+    reg(spark, "graft_ann_sq") {
+      // int8 scalar-quantized serving: the query-vector lookup is an
+      // ACTION — deferred like graft_ann_stored
+      case Seq(t, id, vec, q, k) =>
+        val f = "graft_ann_sq"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val qid = lng(q, f); val kk = int(k, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField("sq_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () => Similarity.sqTopK(tbl, idc, vecc, qid, kk) })
+      case args => bad(
+        "graft_ann_sq(table, id_col, vec_col, query_id, k)", args)
+    }
     reg(spark, "graft_bpe_train") {
       // BPE merge-table training is ITERATIVE (one pair-count aggregate
       // + 1-row collect per round) — deferred like the cluster/training

@@ -1130,6 +1130,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 SCALAR-quantized encode — the "SQ" member of the quantization
+    * family ([[graft.functions.SqEncode]]: per-vector max-abs scale +
+    * one signed-byte code per dimension): (idCol, scale, q). The stored
+    * index is 1 byte/dim + one double/vector — 4–8× smaller than raw —
+    * and, unlike PQ, nothing is trained: encode is a pure per-row
+    * projection, so appends, takedown purges, and the DuckDB oracle's
+    * bit-replay all apply with no artifact beyond the codes table. */
+  def sqEncode(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol),
+        bridgeC(graft.functions.SqEncode(bridgeE(col(vecCol)))).as("__sq"))
+      .select(col(idCol), col("__sq.scale").as("scale"), col("__sq.q").as("q"))
+
+  /** SQ serving FROM STORAGE: brute-force cosine over the DEQUANTIZED
+    * codes ([[graft.functions.SqDequant]] under the audited
+    * [[CosineSim]] — no new score contract), ties by id, rounded to 6.
+    * The scan reads 1 byte/dim instead of the raw vectors; recall loss
+    * is the quantization error only (|x̂_i − x_i| ≤ scale/2,
+    * spec-pinned — far above any cell-probe recall). Output:
+    * (idCol, sq_score). */
+  def sqTopKStored(codes: DataFrame, idCol: String,
+                   queryVec: IndexedSeq[Double], k: Int,
+                   excludeId: Option[Long] = None): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(codes.columns.contains("scale") && codes.columns.contains("q"),
+      "stored SQ table must carry (scale, q) — serve the table sqEncode wrote")
+    val qLit = array(queryVec.map(lit): _*)
+    val base = excludeId.fold(codes)(x => codes.filter(col(idCol) =!= x))
+    base.select(col(idCol),
+        round(cosine(bridgeC(graft.functions.SqDequant(
+          bridgeE(col("q")), bridgeE(col("scale")))), qLit), 6).as("sq_score"))
+      .orderBy(col("sq_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** In-memory SQ top-k — composes THROUGH [[sqTopKStored]] over a
+    * fresh encode (one scoring implementation, the two surfaces cannot
+    * drift). */
+  def sqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int): DataFrame =
+    sqTopKStored(sqEncode(emb, idCol, vecCol), idCol,
+      queryVecOf(emb, idCol, vecCol, queryId), k, excludeId = Some(queryId))
+
   /** Multi-probe LSH top-k: only rows whose hyperplane bucket is within
     * `probe` bit flips of the query's bucket are scored — with defaults,
     * (1+P)/2^P of the corpus (≈11% at P=6). Recall < 1 by construction;

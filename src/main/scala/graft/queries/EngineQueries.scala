@@ -499,6 +499,12 @@ object EngineQueries {
       e.query("""SELECT doc_id, bpe_cnt
                  FROM graft_bpe_count('documents', 'doc_id', 'text', 'bpe_merges')""")
     }),
+    "e_sql_ann_sq" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""SELECT vec_id, sq_score
+                 FROM graft_ann_sq('embeddings', 'vec_id', 'embedding', 0, 10)""")
+    }),
     "e_sql_bpe_train" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1486,6 +1492,7 @@ object EngineQueries {
     "e_sql_image_clusters" -> LlmQueries.oracle("llm_image_clusters"),
     "e_sql_fp_append" -> LlmQueries.oracle("llm_exact_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
+    "e_sql_ann_sq" -> LlmQueries.oracle("llm_ann_sq"),
     "e_sql_bpe_train" -> LlmQueries.oracle("llm_bpe_train"),
     "e_sql_bpe_roundtrip" -> LlmQueries.oracle("llm_bpe_roundtrip"),
     "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),

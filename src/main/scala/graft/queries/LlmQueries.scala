@@ -757,6 +757,26 @@ object LlmQueries {
         Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
         k = 10, probes = 2, excludeId = Some(0L))
     }),
+    "llm_ann_sq" -> ((s, d) =>
+      // int8 scalar-quantized serving (the SQ rung of the quantization
+      // family): per-vector max-abs scale + signed-byte codes, scored
+      // as exact cosine over the DEQUANTIZED vectors — the whole chain
+      // is untrained per-row arithmetic, so the oracle replays it
+      // bit-for-bit (floor-based round-half-up is engine-portable)
+      Similarity.sqTopK(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", queryId = 0, k = 10)),
+    "llm_ann_sq_stored" -> ((s, d) => {
+      // the SQ path THROUGH STORAGE: 1 byte/dim codes + one double
+      // scale per vector written to parquet, read back, served — same
+      // oracle as the in-memory form, so storage drift hash-mismatches
+      val out = "target/gate_sink/sq_codes"
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.sqEncode(emb, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(out)
+      Similarity.sqTopKStored(s.read.parquet(out), "vec_id",
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, excludeId = Some(0L))
+    }),
     "llm_ann_pq_stored" -> ((s, d) => {
       // the PQ SERVING path: encode once, write the m-int code table to
       // parquet, read it back, score with the query LUTs — the vectors
@@ -2168,6 +2188,7 @@ object LlmQueries {
     // exactly — same oracles, so storage drift hash-mismatches
     "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"),
     "llm_ann_pq_stored" -> oracleBase("llm_ann_pq"),
+    "llm_ann_sq_stored" -> oracleBase("llm_ann_sq"),
     // the full-index storage round-trip is output-identical by contract
     "llm_ann_index_roundtrip" -> oracleBase("llm_ann_ivf_pq"),
     // cell-partitioned serving reads only probed-cell files — output
@@ -3100,6 +3121,26 @@ object LlmQueries {
          CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id <> 0
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // int8 scalar quantization replayed bit-for-bit: max-abs/127 scale,
+    // floor(x/scale + 0.5) codes (engine-portable round-half-up), exact
+    // cosine over the dequantized lists; zero vectors code to all-zero
+    "llm_ann_sq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          s AS (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+                FROM e),
+          xh AS (SELECT vec_id,
+                   CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / sc + 0.5) * sc)
+                   END AS xh
+                 FROM s),
+          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                WHERE vec_id = 0)
+          SELECT x.vec_id,
+                 round(list_cosine_similarity(x.xh, q.qv), 6) AS sq_score
+          FROM xh x CROSS JOIN q
+          WHERE x.vec_id <> 0
+          ORDER BY sq_score DESC, x.vec_id LIMIT 10""",
     "llm_ann_lsh" -> {
       val planes = Similarity.planeSigns(6, 64)
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

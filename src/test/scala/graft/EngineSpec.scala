@@ -620,6 +620,10 @@ class EngineSpec extends AnyFunSuite {
         "SELECT * FROM graft_bpe_train('documents', 'doc_id', 'text', 4)")
       assert(planBpe.contains("GraftDeferredScan"),
         "the BPE merge rounds must sit behind a deferred-scan leaf")
+      val planSq = engine.explain(
+        "SELECT * FROM graft_ann_sq('embeddings', 'vec_id', 'embedding', 0, 10)")
+      assert(planSq.contains("GraftDeferredScan"),
+        "the SQ query-vector lookup must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the pruned/residual/image TVFs must launch no job, saw $jobs")

@@ -2003,6 +2003,42 @@ class LlmOpsSpec extends AnyFunSuite {
       s"genuine probe must still pair: $between")
   }
 
+  test("SQ: int8 range, quantization-error bound, recall floor, zero-vector safety") {
+    import spark.implicits._
+    val codes = Similarity.sqEncode(emb, "vec_id", "embedding")
+    val raw = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    codes.collect().foreach { r =>
+      val id = r.getLong(0); val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      // signed-byte range (the 1-byte/dim storage claim)
+      assert(q.forall(c => c >= -127 && c <= 127),
+        s"codes out of int8 range for $id: ${q.filter(c => c < -127 || c > 127)}")
+      // dequantization error bound: |q_i*scale - x_i| <= scale/2
+      q.zip(raw(id)).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12,
+          s"quantization error above scale/2 for $id: code $c scale $scale x $x") }
+    }
+    // recall floor vs exact cosine: int8 over 64 dims loses little
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val sq = Similarity.sqTopK(emb, "vec_id", "embedding", 0, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact & sq).size >= 8,
+      s"SQ recall@10 collapsed: ${(exact & sq).size}/10")
+    // zero vector: all-zero codes, scale 0, null score (never NaN) —
+    // and it cannot enter a top-k over positive similarities
+    val withZero = emb.select($"vec_id", $"embedding")
+      .unionAll(Seq((99999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding"))
+    val zc = Similarity.sqEncode(withZero, "vec_id", "embedding")
+      .filter($"vec_id" === 99999L).head()
+    assert(zc.getDouble(1) == 0.0 && zc.getSeq[Int](2).forall(_ == 0))
+    val served = Similarity.sqTopK(withZero, "vec_id", "embedding", 0, 10)
+      .collect()
+    assert(!served.exists(_.getLong(0) == 99999L))
+    assert(served.forall(r => !r.isNullAt(1) && !r.getDouble(1).isNaN))
+  }
+
   test("residual IVF-PQ: recall >= the no-residual variant at equal (m, nCodes)") {
     import spark.implicits._
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)
