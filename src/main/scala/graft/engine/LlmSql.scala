@@ -579,6 +579,27 @@ object LlmSql {
       case args => bad(
         "graft_ann_sq(table, id_col, vec_col, query_id, k)", args)
     }
+    reg(spark, "graft_ann_ivf_sq") {
+      // IVF×SQ: centroid collection + query-vector lookup are ACTIONS —
+      // deferred like graft_ann_ivf
+      case Seq(t, id, vec, q, k, cells, probes) =>
+        val f = "graft_ann_ivf_sq"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val qid = lng(q, f); val kk = int(k, f)
+        val nCells = int(cells, f); val np = int(probes, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, tbl.select(col(idc)).schema.head.dataType),
+            StructField("sq_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            Similarity.ivfSqTopK(tbl, idc, vecc,
+              Similarity.collectCentroids(tbl, idc, vecc, nCells),
+              qid, kk, np)
+          })
+      case args => bad(
+        "graft_ann_ivf_sq(table, id_col, vec_col, query_id, k, n_cells, probes)", args)
+    }
     reg(spark, "graft_bpe_train") {
       // BPE merge-table training is ITERATIVE (one pair-count aggregate
       // + 1-row collect per round) — deferred like the cluster/training

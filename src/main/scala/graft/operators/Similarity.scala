@@ -1172,6 +1172,49 @@ object Similarity {
     sqTopKStored(sqEncode(emb, idCol, vecCol), idCol,
       queryVecOf(emb, idCol, vecCol, queryId), k, excludeId = Some(queryId))
 
+  /** Cell-tagged SQ encode — [[sqEncode]] plus the coarse-cell
+    * assignment, the IVF×SQ composition: (idCol, cell, scale, q). Same
+    * `partitionBy("cell")` store layout as the PQ codes tables, so
+    * partition pruning, appends, and takedown purges apply unchanged —
+    * with SQ's advantage that nothing is trained (the centroids are the
+    * only artifact). */
+  def ivfSqEncode(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[(Long, Seq[Double])]): DataFrame =
+    emb.select(col(idCol), cellOf(col(vecCol), centroids).as("cell"),
+        bridgeC(graft.functions.SqEncode(bridgeE(col(vecCol)))).as("__sq"))
+      .select(col(idCol), col("cell"),
+        col("__sq.scale").as("scale"), col("__sq.q").as("q"))
+
+  /** IVF×SQ serving FROM STORAGE: probe cells come from the driver
+    * ([[probeCellsOf]] — a literal `cell IN (...)`, static partition
+    * pruning on a `partitionBy("cell")` store), the score is
+    * [[sqTopKStored]]'s dequantized cosine over the probed cells only.
+    * Approximate like every cell-probe path (coarse-probe misses +
+    * the ≤ scale/2 quantization error). Output: (idCol, sq_score). */
+  def ivfSqTopKStored(codes: DataFrame, idCol: String,
+                      centroids: Array[(Long, Seq[Double])],
+                      queryVec: IndexedSeq[Double], k: Int,
+                      probes: Int = 2,
+                      excludeId: Option[Long] = None): DataFrame = {
+    require(centroids.nonEmpty,
+      "ivfSqTopKStored: empty stored cells — artifact drift")
+    require(codes.columns.contains("cell"),
+      "stored SQ table lacks the cell column — serve the table " +
+        "ivfSqEncode wrote")
+    val cells = probeCellsOf(queryVec, centroids, probes)
+    sqTopKStored(codes.filter(col("cell").isin(cells: _*)), idCol,
+      queryVec, k, excludeId)
+  }
+
+  /** In-memory IVF×SQ top-k — composes THROUGH [[ivfSqTopKStored]]
+    * over a fresh encode. */
+  def ivfSqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[(Long, Seq[Double])],
+                queryId: Long, k: Int, probes: Int = 2): DataFrame =
+    ivfSqTopKStored(ivfSqEncode(emb, idCol, vecCol, centroids), idCol,
+      centroids, queryVecOf(emb, idCol, vecCol, queryId), k, probes,
+      excludeId = Some(queryId))
+
   /** Multi-probe LSH top-k: only rows whose hyperplane bucket is within
     * `probe` bit flips of the query's bucket are scored — with defaults,
     * (1+P)/2^P of the corpus (≈11% at P=6). Recall < 1 by construction;

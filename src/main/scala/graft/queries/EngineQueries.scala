@@ -505,6 +505,13 @@ object EngineQueries {
       e.query("""SELECT vec_id, sq_score
                  FROM graft_ann_sq('embeddings', 'vec_id', 'embedding', 0, 10)""")
     }),
+    "e_sql_ann_ivf_sq" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      e.query("""SELECT vec_id, sq_score
+                 FROM graft_ann_ivf_sq('embeddings', 'vec_id', 'embedding',
+                                       0, 10, 8, 2)""")
+    }),
     "e_sql_bpe_train" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1493,6 +1500,7 @@ object EngineQueries {
     "e_sql_fp_append" -> LlmQueries.oracle("llm_exact_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
     "e_sql_ann_sq" -> LlmQueries.oracle("llm_ann_sq"),
+    "e_sql_ann_ivf_sq" -> LlmQueries.oracle("llm_ann_ivf_sq"),
     "e_sql_bpe_train" -> LlmQueries.oracle("llm_bpe_train"),
     "e_sql_bpe_roundtrip" -> LlmQueries.oracle("llm_bpe_roundtrip"),
     "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),

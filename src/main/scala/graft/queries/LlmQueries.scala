@@ -777,6 +777,29 @@ object LlmQueries {
         Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
         k = 10, excludeId = Some(0L))
     }),
+    "llm_ann_ivf_sq" -> ((s, d) => {
+      // the IVF×SQ composition: coarse cells prune, int8 dequant cosine
+      // scores the probed cells — in-memory form composes THROUGH the
+      // stored path
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.ivfSqTopK(emb, "vec_id", "embedding",
+        Similarity.collectCentroids(emb, "vec_id", "embedding", 8),
+        queryId = 0, k = 10, probes = 2)
+    }),
+    "llm_ann_ivf_sq_stored" -> ((s, d) => {
+      // the IVF×SQ store at its 100 TB layout: codes partitionBy(cell),
+      // serving probes with the driver-literal cell filter — static
+      // partition pruning (PlanSpec pins PartitionFilters); same oracle
+      // as the in-memory form
+      val out = "target/gate_sink/ivf_sq_codes"
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      Similarity.ivfSqEncode(emb, "vec_id", "embedding", cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+      Similarity.ivfSqTopKStored(s.read.parquet(out), "vec_id", cents,
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, probes = 2, excludeId = Some(0L))
+    }),
     "llm_ann_pq_stored" -> ((s, d) => {
       // the PQ SERVING path: encode once, write the m-int code table to
       // parquet, read it back, score with the query LUTs — the vectors
@@ -2189,6 +2212,7 @@ object LlmQueries {
     "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"),
     "llm_ann_pq_stored" -> oracleBase("llm_ann_pq"),
     "llm_ann_sq_stored" -> oracleBase("llm_ann_sq"),
+    "llm_ann_ivf_sq_stored" -> oracleBase("llm_ann_ivf_sq"),
     // the full-index storage round-trip is output-identical by contract
     "llm_ann_index_roundtrip" -> oracleBase("llm_ann_ivf_pq"),
     // cell-partitioned serving reads only probed-cell files — output
@@ -3139,6 +3163,35 @@ object LlmQueries {
           SELECT x.vec_id,
                  round(list_cosine_similarity(x.xh, q.qv), 6) AS sq_score
           FROM xh x CROSS JOIN q
+          WHERE x.vec_id <> 0
+          ORDER BY sq_score DESC, x.vec_id LIMIT 10""",
+    // IVF×SQ: the llm_ann_ivf cell assignment + probe composed with the
+    // SQ dequant-cosine tail — the query vector stays RAW (the serving
+    // coordinator holds it; only the corpus is quantized)
+    "llm_ann_ivf_sq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+          assigned AS (
+            SELECT vec_id, v, cid AS cell FROM (
+              SELECT e.vec_id, e.v, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) rk
+              FROM e CROSS JOIN c) WHERE rk = 1),
+          sq AS (SELECT vec_id, cell, v,
+                        list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+                 FROM assigned),
+          xh AS (SELECT vec_id, cell,
+                   CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> floor(x / sc + 0.5) * sc)
+                   END AS xh
+                 FROM sq),
+          qc AS (SELECT a.v AS qv, c.cid AS cell,
+                        row_number() OVER (
+                          ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) rk
+                 FROM assigned a CROSS JOIN c WHERE a.vec_id = 0)
+          SELECT x.vec_id, round(list_cosine_similarity(x.xh, q.qv), 6) AS sq_score
+          FROM xh x JOIN (SELECT qv, cell FROM qc WHERE rk <= 2) q
+            ON x.cell = q.cell
           WHERE x.vec_id <> 0
           ORDER BY sq_score DESC, x.vec_id LIMIT 10""",
     "llm_ann_lsh" -> {

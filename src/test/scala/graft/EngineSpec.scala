@@ -624,6 +624,10 @@ class EngineSpec extends AnyFunSuite {
         "SELECT * FROM graft_ann_sq('embeddings', 'vec_id', 'embedding', 0, 10)")
       assert(planSq.contains("GraftDeferredScan"),
         "the SQ query-vector lookup must sit behind a deferred-scan leaf")
+      val planIvfSq = engine.explain(
+        "SELECT * FROM graft_ann_ivf_sq('embeddings', 'vec_id', 'embedding', 0, 10, 8, 2)")
+      assert(planIvfSq.contains("GraftDeferredScan"),
+        "IVF-SQ centroid collection must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the pruned/residual/image TVFs must launch no job, saw $jobs")

@@ -2039,6 +2039,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(served.forall(r => !r.isNullAt(1) && !r.getDouble(1).isNaN))
   }
 
+  test("IVF-SQ: probes = nCells degrades to plain SQ exactly; pruning only loses probe misses") {
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id").collect().map(_.getLong(0)).toSeq
+    // probing EVERY cell covers the whole corpus — the composed path
+    // must reproduce the unpartitioned SQ serve row-for-row
+    val all = Similarity.ivfSqTopK(emb, "vec_id", "embedding", cents,
+      queryId = 0, k = 10, probes = 8)
+    val plain = Similarity.sqTopK(emb, "vec_id", "embedding", 0, 10)
+    assert(ids(all) == ids(plain), "probes = nCells must equal plain SQ")
+    // a 2-probe serve returns a subset of the probed cells' rows and
+    // keeps most of the recall on this fixture
+    val pruned = ids(Similarity.ivfSqTopK(emb, "vec_id", "embedding", cents,
+      queryId = 0, k = 10, probes = 2)).toSet
+    assert((pruned & ids(plain).toSet).size >= 5,
+      s"2-probe IVF-SQ recall collapsed: ${(pruned & ids(plain).toSet).size}")
+  }
+
   test("residual IVF-PQ: recall >= the no-residual variant at equal (m, nCodes)") {
     import spark.implicits._
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 10)

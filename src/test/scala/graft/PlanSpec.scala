@@ -253,6 +253,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-SQ stored serving: PartitionFilters prune to the probe cells") {
+    val qe = SparkEntry.queries("llm_ann_ivf_sq_stored")(spark, TestSpark.sf)
+      .queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val sqScans = scans.filter(_.output.exists(_.name == "q"))
+    assert(sqScans.nonEmpty, "expected a scan over the stored SQ codes table")
+    sqScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"SQ probe-cell selection must be a partition filter, got " +
+          s"partitionFilters=${f.partitionFilters}")
+      assert(f.selectedPartitions.partitionCount == 2,
+        s"expected 2 probed cell partitions, scan reads " +
+          s"${f.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("batch stored serving over a partitioned store: PartitionFilters + codes-only corpus side") {
     val qe = SparkEntry.queries("llm_knn_join_pruned")(spark, TestSpark.sf)
       .queryExecution
