@@ -572,6 +572,47 @@ object EngineQueries {
                         CAST(floor(height * s / 2) * 2 AS INT) AS out_h
                  FROM sc""")
     }),
+    "e_sql_admission_selfdedup" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // intra-batch keep-first + stored-index probe composed purely in
+      // SQL: graft_minhash_pairs WITHIN the batch view (higher id of
+      // every pair drops), survivors probe the read-back index via
+      // graft_minhash_probe — the admitBatch semantics, statement form
+      val out = "target/gate_sink/selfdedup_sql"
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+      idx.bands.write.mode("overwrite").parquet(s"$out/bands")
+      idx.sets.write.mode("overwrite").parquet(s"$out/sets")
+      s.read.parquet(s"$out/bands").createOrReplaceTempView("sdd_bands")
+      s.read.parquet(s"$out/sets").createOrReplaceTempView("sdd_sets")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW sdd_batch AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 aa AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND doc_id <= mx - 200),
+                 nov AS (SELECT a.doc_id,
+                                concat_ws(' ', a.text, b.text, c.text) AS ntext
+                         FROM aa a
+                         JOIN documents b ON b.doc_id = a.doc_id - 120
+                         JOIN documents c ON c.doc_id = a.doc_id - 240)
+                 SELECT doc_id + 3000000 AS doc_id, text FROM aa
+                 UNION ALL SELECT doc_id + 4000000, ntext FROM nov
+                 UNION ALL SELECT doc_id + 5000000, ntext FROM nov""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW sdd_reps AS
+                 SELECT i.doc_id, i.text FROM sdd_batch i
+                 LEFT ANTI JOIN (
+                     SELECT DISTINCT id_b FROM graft_minhash_pairs(
+                       'sdd_batch', 'doc_id', 'text', 0.5)) l
+                   ON i.doc_id = l.id_b""")
+      e.query("""SELECT r.doc_id FROM sdd_reps r
+                 LEFT ANTI JOIN (
+                     SELECT DISTINCT id_new FROM graft_minhash_probe(
+                       'sdd_bands', 'sdd_sets', 'sdd_reps',
+                       'doc_id', 'text', 16, 4, 0.5)) h
+                   ON r.doc_id = h.id_new""")
+    }),
     "e_sql_pipeline9" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1505,6 +1546,7 @@ object EngineQueries {
     "e_sql_bpe_roundtrip" -> LlmQueries.oracle("llm_bpe_roundtrip"),
     "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),
     "e_sql_pipeline9" -> LlmQueries.oracle("llm_pipeline9"),
+    "e_sql_admission_selfdedup" -> LlmQueries.oracle("llm_admission_selfdedup"),
     "e_sql_minhash_delete" -> LlmQueries.oracle("llm_minhash_index_delete"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),

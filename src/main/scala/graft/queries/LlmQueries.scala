@@ -1203,6 +1203,36 @@ object LlmQueries {
       Multimodal.resizePlan(Multimodal.decode(
         media.join(dupIds, Seq("doc_id"), "left_anti")))
     }),
+    "llm_admission_selfdedup" -> ((s, d) => {
+      import s.implicits._
+      // the one window the stored index cannot cover: INTERNAL
+      // duplicates within a single micro-batch (the same page fetched
+      // twice, syndicated copies landing together) — probing each row
+      // against the store admits EVERY copy because none is stored yet.
+      // admitBatch keep-firsts within the batch (every near-dup pair's
+      // higher id drops — the pipeline8 C4-greedy rule), THEN probes
+      // survivors: corpus clones bounce at the store, each novel admits
+      // exactly once (its in-batch clone dropped at the keep-first)
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && $"doc_id" <= $"m" - 200)
+        .select($"doc_id", $"text")
+      val novel = a.select($"doc_id".as("aid"), $"text".as("atext"))
+        .join(docs.select($"doc_id".as("bid"), $"text".as("btext")),
+          $"aid" - 120 === $"bid")
+        .join(docs.select($"doc_id".as("cid"), $"text".as("ctext")),
+          $"aid" - 240 === $"cid")
+        .select($"aid", concat_ws(" ", $"atext", $"btext", $"ctext").as("ntext"))
+      val batch = a.select(($"doc_id" + 3000000).as("doc_id"), $"text")
+        .unionAll(novel.select(($"aid" + 4000000).as("doc_id"),
+          $"ntext".as("text")))
+        .unionAll(novel.select(($"aid" + 5000000).as("doc_id"),
+          $"ntext".as("text")))
+      graft.streaming.Corpus.admitBatch(batch,
+          Dedup.minhashIndex(docs, "doc_id", "text"), "doc_id", "text")
+        .select($"doc_id")
+    }),
     "llm_pipeline9" -> ((s, d) => {
       import s.implicits._
       // pipeline9 — the MIXED-MODALITY ingestion front door: each
@@ -2708,6 +2738,44 @@ object LlmQueries {
                  CAST(floor(height * s / 2) * 2 AS INTEGER) AS out_h
           FROM sc""",
     "llm_pipeline9" -> pipeline9OracleSql,
+    // intra-batch keep-first (pairs within the batch, higher id drops)
+    // then the stored-index probe over the survivors
+    "llm_admission_selfdedup" ->
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          aa AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND doc_id <= mx - 200),
+          nov AS (SELECT a.doc_id,
+                         a.text || ' ' || b.text || ' ' || c.text AS ntext
+                  FROM aa a
+                  JOIN documents b ON b.doc_id = a.doc_id - 120
+                  JOIN documents c ON c.doc_id = a.doc_id - 240),
+          inc AS (SELECT doc_id + 3000000 AS doc_id, text FROM aa
+                  UNION ALL SELECT doc_id + 4000000, ntext FROM nov
+                  UNION ALL SELECT doc_id + 5000000, ntext FROM nov),
+          ${minhashSketchCtes("inc", None, "i")},
+          candi AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                    FROM bandsi x JOIN bandsi y
+                      ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                         AND x.doc_id < y.doc_id),
+          losers AS (SELECT DISTINCT c.id_b AS doc_id
+                     FROM candi c JOIN hsi a ON a.doc_id = c.id_a
+                     JOIN hsi b ON b.doc_id = c.id_b
+                     WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+                           / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5),
+          reps AS (SELECT doc_id, text FROM inc
+                   WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+          ${minhashSketchCtes("reps", None, "n")},
+          ${minhashSketchCtes("documents", None, "c")},
+          cand AS (SELECT DISTINCT x.doc_id AS id_new, y.doc_id AS id_corpus
+                   FROM bandsn x JOIN bandsc y
+                     ON x.band_idx = y.band_idx AND x.band_val = y.band_val),
+          rejected AS (SELECT DISTINCT c.id_new AS doc_id
+                       FROM cand c JOIN hsn a ON a.doc_id = c.id_new
+                       JOIN hsc b ON b.doc_id = c.id_corpus
+                       WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+                             / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5)
+          SELECT doc_id FROM reps
+          WHERE doc_id NOT IN (SELECT doc_id FROM rejected)""",
     // perceptual dHash near-dup: the full chain replayed — lower-hex
     // payload, 72 slice-md5 lumas, 64 gradient bits (bit 63 is the
     // BIGINT sign bit: DuckDB's checked << overflows at 63, so it lands

@@ -137,6 +137,38 @@ object Corpus {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** One micro-batch's COMPLETE dedup admission, intra-batch duplicates
+    * included — the production hole [[admitProbe]] alone leaves open: a
+    * crawl micro-batch routinely carries internal near-duplicates (the
+    * same page fetched twice, syndicated copies landing together), and
+    * probing each row against the STORED index admits every copy,
+    * because none of them is in the store yet. This helper runs inside
+    * `foreachBatch` (batch code on a micro-batch-sized frame, like the
+    * admit→append loop's store maintenance):
+    *
+    *  1. intra-batch keep-first — [[Dedup.minhashPairs]] WITHIN the
+    *     batch, then every pair's higher id drops (the pipeline8
+    *     C4-greedy representative rule: a doc pairing with ANY lower id
+    *     is never the keeper — deterministic, no iterative CC needed);
+    *  2. the survivors probe the stored index ([[admitProbe]]) and
+    *     admit only on zero hits.
+    *
+    * Appending the admitted rows' delta then keeps the NEXT batch's
+    * copies out via the store — this closes the one window (within a
+    * single micro-batch) the store cannot cover. */
+  def admitBatch(batch: DataFrame, index: Dedup.MinhashIndex,
+                 idCol: String, textCol: String,
+                 k: Int = 16, nBands: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    val losers = Dedup.minhashPairs(batch, idCol, textCol,
+        k = k, nBands = nBands, threshold = threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val reps = batch.join(losers, Seq(idCol), "left_anti")
+    val hits = admitProbe(reps, index, idCol, textCol, k, nBands, threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    reps.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** [[cleanAgainst]] from a STORED decontamination index — the
     * production-restart shape: the benchmark suite was shingled ONCE at
     * index build ([[Dedup.decontamIndex]]); an ingestion-fleet restart
