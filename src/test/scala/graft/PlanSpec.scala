@@ -103,6 +103,9 @@ class PlanSpec extends AnyFunSuite {
       // bands) and the exact/minhash/image rejections are anti hash
       // joins — NOT IN forms were rewritten LEFT ANTI to keep it so
       "llm_pipeline9", "e_sql_pipeline9", "e_sql_fp_append",
+      // broadcast 1-row max-doc-id bound building the micro-batch
+      // fixture; both stages are band equi-joins + anti hash joins
+      "llm_admission_selfdedup", "e_sql_admission_selfdedup",
       "e_sql_ann_topk", "e_sql_ann_lsh",
       "llm_cosine", "e_sql_cosine",
       "llm_ngram_jaccard",
