@@ -800,6 +800,27 @@ object LlmQueries {
         Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
         k = 10, probes = 2, excludeId = Some(0L))
     }),
+    "llm_ann_sq_append" -> ((s, d) => {
+      import s.implicits._
+      // SQ index MAINTENANCE: per-row encode means the delta IS the
+      // append (the fp/dHash symmetry, no artifacts to drift) — gen A
+      // written, gen B's codes parquet-appended, the union served; same
+      // oracle as llm_ann_sq, so a lost append hash-mismatches
+      val out = "target/gate_sink/sq_codes_append"
+      val emb = Tables.load(s, d, "embeddings")
+      val m = emb.agg(max($"vec_id").as("m"))
+      val a = emb.crossJoin(broadcast(m)).filter($"vec_id" <= $"m" - 100)
+        .select($"vec_id", $"embedding")
+      val b = emb.crossJoin(broadcast(m)).filter($"vec_id" > $"m" - 100)
+        .select($"vec_id", $"embedding")
+      Similarity.sqEncode(a, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(out)
+      Similarity.sqEncode(b, "vec_id", "embedding")
+        .write.mode("append").parquet(out)
+      Similarity.sqTopKStored(s.read.parquet(out), "vec_id",
+        Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, excludeId = Some(0L))
+    }),
     "llm_ann_pq_stored" -> ((s, d) => {
       // the PQ SERVING path: encode once, write the m-int code table to
       // parquet, read it back, score with the query LUTs — the vectors
@@ -2242,6 +2263,7 @@ object LlmQueries {
     "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"),
     "llm_ann_pq_stored" -> oracleBase("llm_ann_pq"),
     "llm_ann_sq_stored" -> oracleBase("llm_ann_sq"),
+    "llm_ann_sq_append" -> oracleBase("llm_ann_sq"),
     "llm_ann_ivf_sq_stored" -> oracleBase("llm_ann_ivf_sq"),
     // the full-index storage round-trip is output-identical by contract
     "llm_ann_index_roundtrip" -> oracleBase("llm_ann_ivf_pq"),

@@ -2039,6 +2039,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(served.forall(r => !r.isNullAt(1) && !r.getDouble(1).isNaN))
   }
 
+  test("round-10 compiled expressions: interpreted eval == generated code") {
+    import spark.implicits._
+    // force both expression factory modes over the same plans and pin
+    // bit-identical rows — the direct eval/doGenCode parity proof for
+    // SqEncode, SqDequant, and CellResidual (the oracles prove it
+    // transitively; this pins it without DuckDB in the loop)
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 4)
+    def run(): (Set[(Long, Double, Seq[Int])], Set[(Long, Long, Seq[Double])], Set[(Long, Long)]) = {
+      val enc = Similarity.sqEncode(emb, "vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toSet
+      val res = Similarity.residualAssign(emb, "vec_id", "embedding", cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toSet
+      val dh = graft.operators.Multimodal.dHash(
+          graft.operators.Multimodal.asMedia(
+            Tables.load(spark, TestSpark.sf, "documents"), "doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (enc, res, dh)
+    }
+    val mode = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.get(mode, "FALLBACK")
+    try {
+      spark.conf.set(mode, "NO_CODEGEN")
+      val interpreted = run()
+      spark.conf.set(mode, "CODEGEN_ONLY")
+      val generated = run()
+      assert(interpreted == generated,
+        "interpreted and generated evaluation diverged")
+      assert(interpreted._1.nonEmpty && interpreted._2.nonEmpty &&
+        interpreted._3.nonEmpty)
+    } finally spark.conf.set(mode, old)
+  }
+
   test("IVF-SQ: probes = nCells degrades to plain SQ exactly; pruning only loses probe misses") {
     import spark.implicits._
     val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
