@@ -23,7 +23,12 @@ import org.apache.spark.sql.types._
   * Empty words (a leading-whitespace split artifact) and NULL tokens
   * contribute 0 symbols — mirrored by the oracle's length guard.
   * Codepoint symbols, not UTF-16 units, so multibyte text merges like
-  * DuckDB's character semantics. NULL input → NULL. */
+  * DuckDB's character semantics. NULL input → NULL.
+  *
+  * Constraint: merge-table symbols must be whitespace-free (enforced at
+  * construction) — words are whitespace-split before merging, so no
+  * trained table can violate it, and the space-separated rank key (and
+  * the oracle's space-separated symbol strings) rely on it. */
 case class BpeCount(child: Expression,
                     lefts: IndexedSeq[String],
                     rights: IndexedSeq[String])
@@ -31,6 +36,15 @@ case class BpeCount(child: Expression,
 
   require(lefts.length == rights.length,
     s"merge table shape drift: ${lefts.length} lefts, ${rights.length} rights")
+  // the rank-map key is left + ' ' + right: safe for tables produced by
+  // bpeTrain (symbols come from whitespace-split words), but this is a
+  // public surface — a user-supplied symbol CONTAINING whitespace would
+  // make ('a b','c') collide with ('a','b c'). Refuse loudly instead.
+  require(lefts.forall(s => s != null && !s.exists(_.isWhitespace)) &&
+          rights.forall(s => s != null && !s.exists(_.isWhitespace)),
+    "bpe merge-table symbols must be non-null and whitespace-free: the " +
+      "rank-map separator (and the tokenizer itself) assume symbols come " +
+      "from whitespace-split words")
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true

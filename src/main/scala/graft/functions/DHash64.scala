@@ -58,7 +58,16 @@ case class DHash64(child: Expression)
     val v = child.eval(input)
     if (v == null) return 0L // composed form: all-null gradients sum to 0
     val bytes = v.asInstanceOf[Array[Byte]]
-    val hl = bytes.length * 2
+    // hex doubles the length: a payload over ~1 GiB would overflow Int
+    // on the hex buffer size — fail deliberately, not with a negative
+    // allocation (the composed form's early-widen fix, carried here)
+    val hlL = bytes.length.toLong * 2
+    if (hlL > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"dhash64: payload of ${bytes.length} bytes exceeds the " +
+          "hex-form Int.MaxValue ceiling (~1 GiB); hash a bounded " +
+          "prefix or store oversized media out of row")
+    val hl = hlL.toInt
     val hexB = new Array[Byte](hl)
     var p = 0
     while (p < bytes.length) {

@@ -8,8 +8,10 @@ import org.apache.spark.sql.types._
 
 /** Int8 SCALAR quantization of an embedding column — the "SQ" member of
   * the quantization family (per-vector max-abs scale, one signed-byte
-  * code per dimension): the stored index drops from 4/8 bytes per
-  * dimension to 1 + one double per vector, and serving scores the
+  * code per dimension): the stored index keeps one int8-VALUED code per
+  * dimension (emitted as `array<int>` — parquet bit-packs the narrow
+  * values, so the stored schema is int32 but the on-disk footprint
+  * approaches 1 byte/dim) + one double per vector, and serving scores the
   * DEQUANTIZED vectors, so the whole path is bit-replayable by the
   * DuckDB oracle (unlike learned PQ codebooks, nothing is trained).
   *

@@ -1133,7 +1133,8 @@ object Similarity {
   /** Int8 SCALAR-quantized encode — the "SQ" member of the quantization
     * family ([[graft.functions.SqEncode]]: per-vector max-abs scale +
     * one signed-byte code per dimension): (idCol, scale, q). The stored
-    * index is 1 byte/dim + one double/vector — 4–8× smaller than raw —
+    * index keeps int8-valued codes (schema `array<int>`; parquet
+    * bit-packs the narrow values toward 1 byte/dim) + one double/vector —
     * and, unlike PQ, nothing is trained: encode is a pure per-row
     * projection, so appends, takedown purges, and the DuckDB oracle's
     * bit-replay all apply with no artifact beyond the codes table. */
@@ -1145,7 +1146,8 @@ object Similarity {
   /** SQ serving FROM STORAGE: brute-force cosine over the DEQUANTIZED
     * codes ([[graft.functions.SqDequant]] under the audited
     * [[CosineSim]] — no new score contract), ties by id, rounded to 6.
-    * The scan reads 1 byte/dim instead of the raw vectors; recall loss
+    * The scan reads bit-packed int8-valued codes instead of the raw
+    * vectors; recall loss
     * is the quantization error only (|x̂_i − x_i| ≤ scale/2,
     * spec-pinned — far above any cell-probe recall). Output:
     * (idCol, sq_score). */

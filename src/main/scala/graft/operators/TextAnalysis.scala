@@ -722,9 +722,16 @@ object TextAnalysis {
     * Cormode/Muthukrishnan mergeability property; StreamingSpec pins
     * it cell-for-cell through `CountMinSketch.mergeInPlace`). None for
     * a token-free corpus (the aggregate returns a NULL sketch). */
-  def cmsSketch(df: DataFrame, idCol: String, textCol: String,
-                eps: Double = 0.001, confidence: Double = 0.99,
-                reuse: Reuse = Reuse.Local):
+  /** The corpus's (token, 60-bit hash) frame — the ONE tokenize+hash
+    * pass every CMS surface shares (the sketch aggregate, the exact
+    * top-k, and the string-resolution join all read it). */
+  private def tokenHashFrame(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col("__t"), Dedup.sharedHash60(col("__t")).as("__h"))
+
+  private def cmsSketchFromHashes(hashes: DataFrame, eps: Double,
+                                  confidence: Double):
       Option[org.apache.spark.util.sketch.CountMinSketch] = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -732,8 +739,6 @@ object TextAnalysis {
     require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
     require(confidence > 0 && confidence < 1,
       s"confidence must be in (0,1), got $confidence")
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-    val hashes = reuse(tok.select(Dedup.sharedHash60(col("__t")).as("__h")))
     val skBytes = hashes.agg(GraftBridge.column(new CountMinSketchAgg(
         GraftBridge.expression(col("__h")),
         Literal(eps), Literal(confidence), Literal(42)).toAggregateExpression())
@@ -743,37 +748,63 @@ object TextAnalysis {
         new java.io.ByteArrayInputStream(b)))
   }
 
+  def cmsSketch(df: DataFrame, idCol: String, textCol: String,
+                eps: Double = 0.001, confidence: Double = 0.99,
+                reuse: Reuse = Reuse.Local):
+      Option[org.apache.spark.util.sketch.CountMinSketch] =
+    cmsSketchFromHashes(
+      reuse(tokenHashFrame(df, idCol, textCol).select(col("__h"))),
+      eps, confidence)
+
   def heavyHittersCms(df: DataFrame, idCol: String, textCol: String,
                       topK: Int = 20, eps: Double = 0.001,
                       confidence: Double = 0.99,
-                      reuse: Reuse = Reuse.Local): DataFrame =
-    heavyHittersAgainstCms(df, idCol, textCol,
-      cmsSketch(df, idCol, textCol, eps, confidence, reuse),
-      topK = topK, eps = eps)
+                      reuse: Reuse = Reuse.Local): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    // ONE tokenize+hash pass feeds the sketch aggregate AND the exact
+    // top-k/resolve side — reuse() truncates lineage so the explode is
+    // not recomputed per consumer
+    val tokH = reuse(tokenHashFrame(df, idCol, textCol))
+    cmsSketchFromHashes(tokH.select(col("__h")), eps, confidence) match {
+      case None => emptyHeavyHitters(df)
+      case Some(cms) => heavyHittersCore(df, tokH, cms, topK)
+    }
+  }
+
+  private def emptyHeavyHitters(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    Seq.empty[(String, Long, Boolean)]
+      .toDF("token", "n_occurrences", "within_contract")
+  }
 
   /** [[heavyHittersCms]] with the sketch build factored out: attest the
     * exact top-`topK` tokens of `df` against a PRE-BUILT sketch —
     * `None` (token-free build) yields the empty report. The streaming
     * gate passes the micro-batch-merged sketch here; merge exactness
-    * makes the output identical to the one-shot form. */
+    * makes the output identical to the one-shot form. The error bound
+    * is derived FROM the sketch (`relativeError()`/`totalCount()`), so
+    * a sketch built with any eps attests against its OWN contract — a
+    * separately-passed eps could silently mis-attest. */
   def heavyHittersAgainstCms(df: DataFrame, idCol: String, textCol: String,
                              sketch: Option[org.apache.spark.util.sketch.CountMinSketch],
                              topK: Int = 20,
-                             eps: Double = 0.001): DataFrame = {
+                             reuse: Reuse = Reuse.Local): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
-    def tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-    val hashes = tok.select(Dedup.sharedHash60(col("__t")).as("__h"))
-    // a token-free corpus aggregates to a NULL sketch — return the empty
-    // report instead of NPEing on the deserialize
-    if (sketch.isEmpty) {
-      import df.sparkSession.implicits._
-      return Seq.empty[(String, Long, Boolean)]
-        .toDF("token", "n_occurrences", "within_contract")
+    sketch match {
+      // a token-free corpus aggregates to a NULL sketch — return the
+      // empty report instead of NPEing on the deserialize
+      case None => emptyHeavyHitters(df)
+      case Some(cms) =>
+        heavyHittersCore(df, reuse(tokenHashFrame(df, idCol, textCol)),
+          cms, topK)
     }
-    val cms = sketch.get
+  }
+
+  private def heavyHittersCore(df: DataFrame, tokH: DataFrame,
+                               cms: org.apache.spark.util.sketch.CountMinSketch,
+                               topK: Int): DataFrame = {
     // exact top-k with string resolution — the vocabReport recipe
-    val cnts = hashes.groupBy(col("__h")).agg(count(lit(1)).as("cnt"))
+    val cnts = tokH.groupBy(col("__h")).agg(count(lit(1)).as("cnt"))
     val kth = cnts.orderBy(col("cnt").desc).limit(topK)
       .agg(min(col("cnt")).as("__ck"))
     val candCap = math.max(64 * topK, 1024)
@@ -799,12 +830,14 @@ object TextAnalysis {
         "report on a corpus with meaningful heavy hitters")
     val cand = df.sparkSession.createDataFrame(candRows.toIndexedSeq)
       .toDF("__h", "cnt")
-    val resolved = tok.select(col("__t"), Dedup.sharedHash60(col("__t")).as("__h"))
+    val resolved = tokH
       .join(broadcast(cand), "__h")
       .groupBy(col("__h"), col("cnt")).agg(min(col("__t")).as("token"))
       .orderBy(col("cnt").desc, col("token").asc).limit(topK)
       .collect() // bounded: topK rows
-    val bound = math.ceil(eps * cms.totalCount()).toLong
+    // the sketch's OWN contract: width w counters ⇒ per-item error
+    // ≤ relativeError()·N with the sketch's confidence
+    val bound = math.ceil(cms.relativeError() * cms.totalCount()).toLong
     val rows = resolved.toIndexedSeq.map { r =>
       val est = cms.estimateCount(java.lang.Long.valueOf(r.getAs[Long]("__h")))
       val cnt = r.getAs[Long]("cnt")

@@ -766,7 +766,7 @@ object LlmQueries {
       Similarity.sqTopK(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0, k = 10)),
     "llm_ann_sq_stored" -> ((s, d) => {
-      // the SQ path THROUGH STORAGE: 1 byte/dim codes + one double
+      // the SQ path THROUGH STORAGE: int8-valued codes + one double
       // scale per vector written to parquet, read back, served — same
       // oracle as the in-memory form, so storage drift hash-mismatches
       val out = "target/gate_sink/sq_codes"
