@@ -563,6 +563,16 @@ object LlmSql {
       case args => bad(
         "graft_bpe_count(table, id_col, text_col, merges_table)", args)
     }
+    reg(spark, "graft_bpe_tokenize") {
+      // tokenize-to-ids under a stored merge table — the sequence the
+      // count TVF only measures; same KB-scale merge-table collect
+      case Seq(t, id, text, merges) =>
+        val f = "graft_bpe_tokenize"
+        TextAnalysis.bpeTokenize(table(str(t, f)), str(id, f), str(text, f),
+          table(str(merges, f)))
+      case args => bad(
+        "graft_bpe_tokenize(table, id_col, text_col, merges_table)", args)
+    }
     reg(spark, "graft_ann_sq") {
       // int8 scalar-quantized serving: the query-vector lookup is an
       // ACTION — deferred like graft_ann_stored

@@ -59,29 +59,7 @@ case class BpeCount(child: Expression,
           s"bpe_count expects array<string> tokens, got $other")
     }
 
-  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](lefts.length * 2)
-    var i = 0
-    // key = left + ' ' + right (the separator cannot occur inside
-    // a symbol built from whitespace-split words)
-    while (i < lefts.length) {
-      m.putIfAbsent(lefts(i) + " " + rights(i), i)
-      i += 1
-    }
-    m
-  }
-
-  private def codepoints(s: String): scala.collection.mutable.ArrayBuffer[String] = {
-    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      val n = Character.charCount(cp)
-      out += s.substring(i, i + n)
-      i += n
-    }
-    out
-  }
+  @transient private lazy val rank = BpeApply.rankMap(lefts, rights)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -92,31 +70,8 @@ case class BpeCount(child: Expression,
       if (!arr.isNullAt(t)) {
         val w = arr.getUTF8String(t).toString
         if (w.nonEmpty) {
-          val syms = codepoints(w)
-          var done = false
-          while (!done && syms.length > 1) {
-            // lowest-rank pair present anywhere in the word
-            var best = Int.MaxValue
-            var i = 0
-            while (i < syms.length - 1) {
-              val r = rank.get(syms(i) + " " + syms(i + 1))
-              if (r != null && r.intValue() < best) best = r.intValue()
-              i += 1
-            }
-            if (best == Int.MaxValue) done = true
-            else {
-              val l = lefts(best); val rr = rights(best)
-              // apply ALL occurrences left-to-right, non-overlapping
-              var j = 0
-              while (j < syms.length - 1) {
-                if (syms(j) == l && syms(j + 1) == rr) {
-                  syms(j) = l + rr
-                  syms.remove(j + 1)
-                }
-                j += 1
-              }
-            }
-          }
+          val syms = BpeApply.codepoints(w)
+          BpeApply.mergeAll(syms, rank, lefts, rights)
           total += syms.length
         }
       }

@@ -38,8 +38,11 @@ object TextAnalysis {
     * count sums terminal symbols over words. Output: (idCol, bpe_cnt).
     * The DuckDB oracle replays the identical process as a recursive CTE
     * over delimiter-wrapped symbol strings. */
-  def bpeCount(df: DataFrame, idCol: String, textCol: String,
-               merges: DataFrame): DataFrame = {
+  /** Collect a (rank, left, right) merge frame to rank-sorted driver
+    * rows — the vocabulary-scale (KB) serve-time boundary shared by
+    * [[bpeCount]] and [[bpeTokenize]]. */
+  private def collectMerges(merges: DataFrame,
+                            opName: String): Array[(Int, String, String)] = {
     val cols = merges.columns.toSet
     require(Set("rank", "left", "right").subsetOf(cols),
       s"merge table must carry (rank, left, right), got ${cols.toSeq.sorted.mkString(",")}")
@@ -47,11 +50,41 @@ object TextAnalysis {
         col("right").cast("string"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
-    require(m.nonEmpty, "bpeCount: empty merge table")
+    require(m.nonEmpty, s"$opName: empty merge table")
+    m
+  }
+
+  def bpeCount(df: DataFrame, idCol: String, textCol: String,
+               merges: DataFrame): DataFrame = {
+    val m = collectMerges(merges, "bpeCount")
     df.select(col(idCol),
       org.apache.spark.sql.GraftBridge.column(graft.functions.BpeCount(
         org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol))),
         m.map(_._2).toIndexedSeq, m.map(_._3).toIndexedSeq)).as("bpe_cnt"))
+  }
+
+  /** Tokenize-to-ids under a STORED BPE merge table — the missing half
+    * of the tokenizer lifecycle after [[bpeCount]]: the document's
+    * terminal symbol sequence under the trained merges, one output row
+    * per token with its 1-based position and stable vocabulary id
+    * ([[graft.functions.BpeTokens]]: codepoint for base symbols,
+    * `0x110000 + min-rank` for merged — derivable from the merge table
+    * alone). Output: (idCol, pos, token, token_id); a document with no
+    * tokens emits no rows (posexplode of the empty array), matching the
+    * DuckDB oracle's absent rows. `count(*) per doc == bpe_cnt` by
+    * shared-loop construction (spec-pinned), so [[Sampling.tokenBudget]]
+    * / [[chunk]] / [[packOffsets]] consumers can budget in LEARNED
+    * tokens instead of whitespace ones. */
+  def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
+                  merges: DataFrame): DataFrame = {
+    val m = collectMerges(merges, "bpeTokenize")
+    df.select(col(idCol),
+        posexplode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.BpeTokens(
+            org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol))),
+            m.map(_._2).toIndexedSeq, m.map(_._3).toIndexedSeq))))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("pos"),
+        col("col.token").as("token"), col("col.token_id").as("token_id"))
   }
 
   /** BPE merge-table TRAINING — the learning counterpart of

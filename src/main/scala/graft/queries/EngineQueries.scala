@@ -499,6 +499,20 @@ object EngineQueries {
       e.query("""SELECT doc_id, bpe_cnt
                  FROM graft_bpe_count('documents', 'doc_id', 'text', 'bpe_merges')""")
     }),
+    "e_sql_bpe_tokenize" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // tokenize-to-ids from SQL: the same VALUES merge view, the
+      // sequence-emitting twin of graft_bpe_count
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bpe_merges_tok AS
+                 SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                       (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                       (6,'o','n'),(7,'r','e'))
+                   AS m(rank, left, right)""")
+      e.query("""SELECT doc_id, pos, token, token_id
+                 FROM graft_bpe_tokenize('documents', 'doc_id', 'text',
+                                         'bpe_merges_tok')""")
+    }),
     "e_sql_ann_sq" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1535,6 +1549,7 @@ object EngineQueries {
     "e_sql_ann_residual" -> LlmQueries.oracle("llm_ann_ivf_pq_residual"),
     "e_sql_image_dups" -> LlmQueries.oracle("llm_image_dups"),
     "e_sql_bpe_count" -> LlmQueries.oracle("llm_bpe_count"),
+    "e_sql_bpe_tokenize" -> LlmQueries.oracle("llm_bpe_tokenize"),
     "e_sql_image_incr" -> LlmQueries.oracle("llm_image_incr"),
     "e_sql_image_append" -> LlmQueries.oracle("llm_image_incr"),
     "e_sql_image_clusters" -> LlmQueries.oracle("llm_image_clusters"),

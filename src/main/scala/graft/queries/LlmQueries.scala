@@ -1019,6 +1019,26 @@ object LlmQueries {
         Tables.load(s, d, "documents").select($"doc_id", $"text"),
         "doc_id", "text", s.read.parquet(out))
     }),
+    "llm_bpe_tokenize" -> ((s, d) => {
+      import s.implicits._
+      // tokenize-to-IDS under the stored merge table — the tokenizer
+      // lifecycle's serving half beyond counting: each document's
+      // terminal symbol SEQUENCE (1-based pos) with the stable
+      // vocabulary id (codepoint for base symbols, 0x110000 + min-rank
+      // for merged ones — derivable from the merge table alone). The
+      // oracle replays the recursive-CTE apply and emits the symbols
+      // with the same id CASE; count(*) per doc == llm_bpe_count's
+      // bpe_cnt by shared-loop construction (spec-pinned)
+      val out = "target/gate_sink/bpe_merges_tok"
+      s.createDataFrame(Seq(
+          (0, "t", "h"), (1, "th", "e"), (2, "i", "n"), (3, "a", "n"),
+          (4, "an", "d"), (5, "e", "r"), (6, "o", "n"), (7, "r", "e")))
+        .toDF("rank", "left", "right")
+        .write.mode("overwrite").parquet(out)
+      TextAnalysis.bpeTokenize(
+        Tables.load(s, d, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", s.read.parquet(out))
+    }),
     "llm_bpe_train" -> ((s, d) =>
       // BPE merge-table TRAINING on the corpus itself (the Sennrich
       // recipe): one corpus pass builds the vocabulary-scale word
@@ -2558,6 +2578,53 @@ object LlmQueries {
           SELECT d.doc_id, CAST(coalesce(sum(cnt.c), 0) AS INTEGER) AS bpe_cnt
           FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
           GROUP BY d.doc_id""",
+    // the apply replay extended to EMIT the terminal symbols: same
+    // recursive CTE, then each word's wrapped string splits back to its
+    // symbol list, positions number (word, symbol) order, and the id
+    // CASE replays the stable scheme (single-codepoint -> unicode(),
+    // merged -> 1114112 + the lowest rank whose l||r equals the symbol)
+    "llm_bpe_tokenize" ->
+      """WITH RECURSIVE
+          m(rank, l, r) AS (
+            SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                  (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                  (6,'o','n'),(7,'r','e'))),
+          t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                FROM documents),
+          w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
+                FROM t),
+          w2 AS (SELECT doc_id, wi, ws[wi] AS word FROM w
+                 WHERE length(ws[wi]) > 0),
+          init AS (SELECT doc_id, wi,
+                     ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+                   FROM w2),
+          bpe AS (
+            SELECT doc_id, wi, s FROM init
+            UNION ALL
+            SELECT doc_id, wi,
+                   replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s
+            FROM (SELECT b.doc_id, b.wi, b.s, m.l, m.r,
+                         row_number() OVER (PARTITION BY b.doc_id, b.wi
+                                            ORDER BY m.rank) AS rn
+                  FROM bpe b JOIN m
+                    ON position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)
+            WHERE rn = 1),
+          term AS (SELECT doc_id, wi, s FROM bpe b
+                   WHERE NOT EXISTS (SELECT 1 FROM m
+                     WHERE position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)),
+          sy AS (SELECT doc_id, wi, string_split(trim(s), '  ') AS a FROM term),
+          ix AS (SELECT doc_id, wi, unnest(generate_series(1, len(a))) AS si, a
+                 FROM sy),
+          tk AS (SELECT doc_id, wi, si, a[si] AS token FROM ix)
+          SELECT doc_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY wi, si) AS INT) AS pos,
+                 token,
+                 CAST(CASE WHEN length(token) = 1 THEN unicode(token)
+                      ELSE 1114112 + (SELECT min(m2.rank) FROM m m2
+                                      WHERE m2.l || m2.r = token)
+                      END AS INT) AS token_id
+          FROM tk""",
     // the learned merge table: 8 unrolled training rounds
     "llm_bpe_train" ->
       s"""WITH ${bpeTrainCtes(8)}

@@ -1874,6 +1874,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rank, left, right"))
   }
 
+  test("BPE tokenize: sequence, stable ids, and size(tokens) == BpeCount on the corpus") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val merges = Seq((0, "t", "h"), (1, "th", "e"), (2, "i", "n"),
+        (3, "a", "n"), (4, "an", "d"), (5, "e", "r"), (6, "o", "n"),
+        (7, "r", "e"))
+      .toDF("rank", "left", "right")
+    val docs = Seq(
+      (1L, "there and"), // the|re  an|d → tokens the,re,and
+      (2L, "xyz"),       // base symbols only: codepoint ids
+      (3L, "")           // no tokens → no rows
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenize(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // ids: merged symbol → 0x110000 + min rank building exactly that
+    // string ('the' ← rank 1 th+e; 're' ← rank 7 r+e; 'and' ← rank 4
+    // an+d); base symbol → its codepoint
+    val B = 0x110000
+    assert(got.toSeq == Seq(
+      (1L, 1, "the", B + 1), (1L, 2, "re", B + 7), (1L, 3, "and", B + 4),
+      (2L, 1, "x", 'x'.toInt), (2L, 2, "y", 'y'.toInt), (2L, 3, "z", 'z'.toInt)),
+      s"got ${got.toSeq}")
+    // the tokenizer roundtrip contract on REAL corpus text: per-doc
+    // token count equals BpeCount bit-for-bit (shared merge loop)
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    val sizes = TextAnalysis.bpeTokenize(corpus, "doc_id", "text", merges)
+      .groupBy($"doc_id").count()
+    val cnts = TextAnalysis.bpeCount(corpus, "doc_id", "text", merges)
+    val drift = cnts.join(sizes, Seq("doc_id"), "left")
+      .filter(org.apache.spark.sql.functions.coalesce($"count",
+          org.apache.spark.sql.functions.lit(0L)) =!= $"bpe_cnt".cast("long"))
+      .count()
+    assert(drift == 0L, s"$drift docs where size(tokens) != bpe_cnt")
+  }
+
   test("image dHash near-dup: local edits pair, rewrites don't, banding is exact under nBands") {
     import spark.implicits._
     val base = Seq.tabulate(6)(i =>
