@@ -385,6 +385,18 @@ object LlmSql {
       case args => bad(
         "graft_token_budget(table, id_col, text_col, budget[, salt])", args)
     }
+    reg(spark, "graft_token_budget_bpe") {
+      // the budget fill denominated in LEARNED tokens: the stored
+      // merge table drives the counter (KB-scale collect, the
+      // graft_bpe_count boundary); order/hierarchy contract unchanged
+      case Seq(t, id, text, b, merges) =>
+        val f = "graft_token_budget_bpe"
+        Sampling.tokenBudget(table(str(t, f)), str(id, f), str(text, f),
+          budget = lng(b, f),
+          tokenCounter = TextAnalysis.bpeCounter(table(str(merges, f))))
+      case args => bad(
+        "graft_token_budget_bpe(table, id_col, text_col, budget, merges_table)", args)
+    }
     reg(spark, "graft_token_budget_by") {
       case Seq(t, id, grp, text, b) =>
         val f = "graft_token_budget_by"

@@ -490,7 +490,14 @@ object Sampling {
   def tokenBudget(df: DataFrame, idCol: String, textCol: String,
                   budget: Long, salt: String = "budget:",
                   numBuckets: Int = 1024,
-                  reuse: Reuse = Reuse.Local): DataFrame = {
+                  reuse: Reuse = Reuse.Local,
+                  // how a document's tokens are counted: whitespace by
+                  // default; pass TextAnalysis.bpeCounter(merges) to
+                  // budget in LEARNED tokens — the denomination a real
+                  // training run fills in (the hash order, hierarchy,
+                  // and nesting contract are untouched)
+                  tokenCounter: Column => Column = TextAnalysis.tokenCount)
+      : DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(numBuckets >= 1 && numBuckets <= (1 << 20),
       s"numBuckets must be in [1, 2^20], got $numBuckets")
@@ -498,7 +505,7 @@ object Sampling {
     // read by the bucket-totals aggregate AND the offset join — one
     // tokenize+hash pass, not two (the packOffsets diamond)
     val toks = reuse(df.select(col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks"),
+        tokenCounter(col(textCol)).cast("long").as("n_toks"),
         saltedHash(col(textCol), salt).as("__h"))
       .filter(col("__h").isNotNull)
       .withColumn("__b", expr(s"`__h` div $width")))

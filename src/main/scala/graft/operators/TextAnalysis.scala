@@ -63,6 +63,21 @@ object TextAnalysis {
         m.map(_._2).toIndexedSeq, m.map(_._3).toIndexedSeq)).as("bpe_cnt"))
   }
 
+  /** The trained tokenizer as a COLUMN function — [[bpeCount]]'s
+    * counting expression factored for operators that budget/pack by a
+    * token-count column ([[Sampling.tokenBudget]]'s `tokenCounter`
+    * hook): collect the stored merge table once (vocabulary-scale, the
+    * serve-time boundary), return `text → bpe token count`. */
+  def bpeCounter(merges: DataFrame): Column => Column = {
+    val m = collectMerges(merges, "bpeCounter")
+    val lefts = m.map(_._2).toIndexedSeq
+    val rights = m.map(_._3).toIndexedSeq
+    (text: Column) =>
+      org.apache.spark.sql.GraftBridge.column(graft.functions.BpeCount(
+        org.apache.spark.sql.GraftBridge.expression(tokens(text)),
+        lefts, rights))
+  }
+
   /** Tokenize-to-ids under a STORED BPE merge table — the missing half
     * of the tokenizer lifecycle after [[bpeCount]]: the document's
     * terminal symbol sequence under the trained merges, one output row

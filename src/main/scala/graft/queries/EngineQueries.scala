@@ -325,6 +325,19 @@ object EngineQueries {
       "SELECT * FROM graft_token_budget('documents', 'doc_id', 'text', 10000)")),
     "e_sql_token_budget_group" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_token_budget_by('documents', 'doc_id', 'lang', 'text', 4000)")),
+    "e_sql_token_budget_bpe" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // budget in learned tokens from SQL: merge view -> counter TVF
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bpe_merges_budget AS
+                 SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                       (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                       (6,'o','n'),(7,'r','e'))
+                   AS m(rank, left, right)""")
+      e.query("""SELECT doc_id, n_toks, token_offset
+                 FROM graft_token_budget_bpe('documents', 'doc_id', 'text',
+                                             10000, 'bpe_merges_budget')""")
+    }),
     // exact percent-rank normalization from SQL (deferred boundary
     // sketch — EXPLAIN launches no job)
     "e_sql_rank_norm" -> ((s, d) => via(s, d)(
@@ -1495,6 +1508,7 @@ object EngineQueries {
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_contamination" -> LlmQueries.oracle("llm_contamination"),
     "e_sql_token_budget" -> LlmQueries.oracle("llm_token_budget"),
+    "e_sql_token_budget_bpe" -> LlmQueries.oracle("llm_token_budget_bpe"),
     "e_sql_token_budget_group" -> LlmQueries.oracle("llm_token_budget_group"),
     "e_sql_rank_norm" -> LlmQueries.oracle("llm_rank_norm"),
     "e_sql_rank_norm_group" -> LlmQueries.oracle("llm_rank_norm_group"),

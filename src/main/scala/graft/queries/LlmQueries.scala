@@ -554,6 +554,25 @@ object LlmQueries {
       // prefix sum really tiers (the llm_pack recipe, hash order)
       graft.operators.Sampling.tokenBudget(Tables.load(s, d, "documents"),
         "doc_id", "text", budget = 10000L, numBuckets = 64)),
+    "llm_token_budget_bpe" -> ((s, d) => {
+      import s.implicits._
+      // the budget fill re-based on LEARNED tokens — the denomination
+      // a real training run fills in: the stored merge table (parquet
+      // roundtrip, the llm_bpe_count store) drives tokenBudget's
+      // counter, so n_toks is the trained tokenizer's count while the
+      // hash order / hierarchy / boundary-doc contract are unchanged.
+      // Oracle composes the recursive apply CTE into the budget window
+      val out = "target/gate_sink/bpe_merges_budget"
+      s.createDataFrame(Seq(
+          (0, "t", "h"), (1, "th", "e"), (2, "i", "n"), (3, "a", "n"),
+          (4, "an", "d"), (5, "e", "r"), (6, "o", "n"), (7, "r", "e")))
+        .toDF("rank", "left", "right")
+        .write.mode("overwrite").parquet(out)
+      graft.operators.Sampling.tokenBudget(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        budget = 10000L, numBuckets = 64,
+        tokenCounter = TextAnalysis.bpeCounter(s.read.parquet(out)))
+    }),
     "llm_token_budget_group" -> ((s, d) =>
       // language-balanced fill: 4k tokens PER language (a global budget
       // would let the dominant language eat the fill)
@@ -3165,6 +3184,52 @@ object LlmQueries {
                CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks,
                CAST(('0x'||substr(md5('budget:'||text),1,8)) AS BIGINT) AS h
              FROM documents),
+          o AS (SELECT doc_id, n_toks,
+                  CAST(coalesce(sum(n_toks) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS token_offset
+                FROM t)
+          SELECT doc_id, n_toks, token_offset FROM o WHERE token_offset < 10000""",
+    // the budget window over LEARNED token counts: the recursive apply
+    // CTE (llm_bpe_count's, verbatim) feeds n_toks; the hash order and
+    // the exclusive-prefix cut are the llm_token_budget oracle's
+    "llm_token_budget_bpe" ->
+      """WITH RECURSIVE
+          m(rank, l, r) AS (
+            SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                  (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                  (6,'o','n'),(7,'r','e'))),
+          t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                 FROM documents),
+          w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
+                FROM t0),
+          w2 AS (SELECT doc_id, wi, ws[wi] AS word FROM w
+                 WHERE length(ws[wi]) > 0),
+          init AS (SELECT doc_id, wi,
+                     ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+                   FROM w2),
+          bpe AS (
+            SELECT doc_id, wi, s FROM init
+            UNION ALL
+            SELECT doc_id, wi,
+                   replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s
+            FROM (SELECT b.doc_id, b.wi, b.s, m.l, m.r,
+                         row_number() OVER (PARTITION BY b.doc_id, b.wi
+                                            ORDER BY m.rank) AS rn
+                  FROM bpe b JOIN m
+                    ON position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)
+            WHERE rn = 1),
+          term AS (SELECT doc_id, wi, s FROM bpe b
+                   WHERE NOT EXISTS (SELECT 1 FROM m
+                     WHERE position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)),
+          cnt AS (SELECT doc_id,
+                    (length(s) - length(replace(s, ' ', ''))) // 2 AS c
+                  FROM term),
+          t AS (SELECT d.doc_id,
+                  CAST(coalesce(sum(cnt.c), 0) AS BIGINT) AS n_toks,
+                  CAST(('0x'||substr(md5('budget:'||d.text),1,8)) AS BIGINT) AS h
+                FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+                GROUP BY d.doc_id, d.text),
           o AS (SELECT doc_id, n_toks,
                   CAST(coalesce(sum(n_toks) OVER (ORDER BY h, doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
