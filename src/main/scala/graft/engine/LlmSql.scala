@@ -623,9 +623,11 @@ object LlmSql {
         "graft_ann_ivf_sq(table, id_col, vec_col, query_id, k, n_cells, probes)", args)
     }
     reg(spark, "graft_bpe_train") {
-      // BPE merge-table training is ITERATIVE (one pair-count aggregate
-      // + 1-row collect per round) — deferred like the cluster/training
-      // TVFs; EXPLAIN launches no job, the rounds run once on execute
+      // BPE merge-table training is an ACTION (one distributed corpus
+      // pass, then the driver-side merge rounds — bpeTrainLocal, the
+      // production-vocab engine, bit-equal to the distributed oracle
+      // form) — deferred like the cluster/training TVFs; EXPLAIN
+      // launches no job, the rounds run once on execute
       case Seq(t, id, text, n) =>
         val f = "graft_bpe_train"
         val tbl = table(str(t, f))
@@ -637,7 +639,7 @@ object LlmSql {
               nullable = false),
             StructField("left", org.apache.spark.sql.types.StringType),
             StructField("right", org.apache.spark.sql.types.StringType))),
-          memo { () => TextAnalysis.bpeTrain(tbl, idc, textc, nm) })
+          memo { () => TextAnalysis.bpeTrainLocal(tbl, idc, textc, nm) })
       case args => bad(
         "graft_bpe_train(table, id_col, text_col, n_merges)", args)
     }

@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * published Sennrich '16 apply loop, the exact semantics
   * [[graft.operators.TextAnalysis.bpeTrain]] used when choosing the
   * merges). */
-private[functions] object BpeApply {
+private[graft] object BpeApply {
 
   def rankMap(lefts: IndexedSeq[String],
               rights: IndexedSeq[String]): java.util.HashMap[String, Integer] = {
@@ -42,6 +42,23 @@ private[functions] object BpeApply {
     out
   }
 
+  /** Apply ONE merge to all its left-to-right non-overlapping
+    * occurrences in `syms`, in place — string `replace`'s application
+    * order, the semantics the training rounds and the serve loop share
+    * (and [[graft.operators.TextAnalysis.bpeTrainLocal]]'s per-round
+    * step). */
+  def applyMerge(syms: scala.collection.mutable.ArrayBuffer[String],
+                 l: String, r: String): Unit = {
+    var j = 0
+    while (j < syms.length - 1) {
+      if (syms(j) == l && syms(j + 1) == r) {
+        syms(j) = l + r
+        syms.remove(j + 1)
+      }
+      j += 1
+    }
+  }
+
   /** Apply the merge table to `syms` IN PLACE until no merge applies. */
   def mergeAll(syms: scala.collection.mutable.ArrayBuffer[String],
                rank: java.util.HashMap[String, Integer],
@@ -58,18 +75,7 @@ private[functions] object BpeApply {
         i += 1
       }
       if (best == Int.MaxValue) done = true
-      else {
-        val l = lefts(best); val rr = rights(best)
-        // apply ALL occurrences left-to-right, non-overlapping
-        var j = 0
-        while (j < syms.length - 1) {
-          if (syms(j) == l && syms(j + 1) == rr) {
-            syms(j) = l + rr
-            syms.remove(j + 1)
-          }
-          j += 1
-        }
-      }
+      else applyMerge(syms, lefts(best), rights(best))
     }
   }
 }

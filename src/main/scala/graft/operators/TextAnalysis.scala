@@ -164,6 +164,76 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right")
   }
 
+  /** [[bpeTrain]] for PRODUCTION vocabulary sizes — same recipe, same
+    * output bit-for-bit (spec-pinned at the gate corpus), different
+    * round engine: the distributed form ends every merge round in a
+    * 1-row collect, i.e. nMerges SEQUENTIAL Spark jobs — fine at
+    * nMerges=8, a scheduler wall at a 32k-merge vocab. This form keeps
+    * the part that scales with DATA distributed (the ONE corpus pass
+    * building the word-frequency table) and collects that table ONCE —
+    * it is vocabulary-scale (KB–MB) regardless of corpus size, the
+    * same boundary the serve path already crosses for the merge table —
+    * then runs all nMerges rounds driver-side over it: pair counts are
+    * one hash-map sweep, the winner the same (count desc, left asc,
+    * right asc) order under Spark's binary-UTF8 string comparison
+    * ([[org.apache.spark.unsafe.types.UTF8String]] — NOT Java's UTF-16
+    * `compareTo`, which diverges beyond the BMP), the application
+    * [[graft.functions.BpeApply.applyMerge]] — the identical
+    * left-to-right loop the distributed `replace` projection and the
+    * serve expressions run. */
+  def bpeTrainLocal(df: DataFrame, idCol: String, textCol: String,
+                    nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    // the only corpus-scale work: one distributed word-frequency pass
+    val vocab: Array[(scala.collection.mutable.ArrayBuffer[String], Long)] =
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (graft.functions.BpeApply.codepoints(r.getString(0)),
+          r.getLong(1)))
+    import org.apache.spark.unsafe.types.UTF8String
+    def utf8Lt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      // pair-count sweep: every adjacent position, weighted by word
+      // frequency — the distributed round's arrays_zip/groupBy/sum
+      val pc = new java.util.HashMap[(String, String), java.lang.Long]()
+      vocab.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          val cur = pc.get(k)
+          pc.put(k, if (cur == null) cnt else cur.longValue() + cnt)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        var bl: String = null; var br: String = null; var bc = Long.MinValue
+        pc.forEach { (k, v) =>
+          val c = v.longValue()
+          val wins = c > bc || (c == bc &&
+            (utf8Lt(k._1, bl) || (k._1 == bl && utf8Lt(k._2, br))))
+          if (wins) { bl = k._1; br = k._2; bc = c }
+        }
+        merges += ((r, bl, br))
+        vocab.foreach { case (syms, _) =>
+          graft.functions.BpeApply.applyMerge(syms, bl, br)
+        }
+        r += 1
+      }
+    }
+    require(merges.nonEmpty,
+      "bpeTrainLocal: corpus has no adjacent symbol pairs (no multi-char words)")
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right")
+  }
+
   /** Fraction of characters outside [a-z0-9 ] (punctuation-ish). The
     * denominator is floored at 1 (same guard as mean word length in
     * [[gopherRules]]): a zero-length document scores 0, not NULL — a

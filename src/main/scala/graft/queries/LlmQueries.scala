@@ -1071,6 +1071,17 @@ object LlmQueries {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text")),
         "doc_id", "text", nMerges = 8)),
+    "llm_bpe_train_local" -> ((s, d) =>
+      // the PRODUCTION-vocab training engine: the corpus pass stays
+      // distributed, the vocabulary-scale word table collects ONCE and
+      // all merge rounds run driver-side — no per-round scheduler
+      // round-trip. Same oracle as llm_bpe_train (the 8 unrolled DuckDB
+      // rounds): the two engines are bit-equal, spec-pinned too
+      TextAnalysis.bpeTrainLocal(
+        Tables.load(s, d, "documents").select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+        "doc_id", "text", nMerges = 8)),
     "llm_bpe_roundtrip" -> ((s, d) => {
       import s.implicits._
       // the tokenizer LIFECYCLE closed: train on the corpus, STORE the
@@ -2297,6 +2308,7 @@ object LlmQueries {
   }
 
   def oracle: Map[String, String] = oracleBase ++ Map(
+    "llm_bpe_train_local" -> oracleBase("llm_bpe_train"),
     // the storage round-trips must reproduce the recompute paths
     // exactly — same oracles, so storage drift hash-mismatches
     "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"),

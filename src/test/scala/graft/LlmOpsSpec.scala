@@ -1838,6 +1838,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bpeTrain"))
   }
 
+  test("BPE train local == distributed, bit-for-bit, on fixtures and the gate corpus") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    // the hand-traced fixture (ties, merge-on-merged, both adjacent
+    // positions of aaa) — the two engines must agree on every round
+    val df = Seq((1L, "aaa ab aaa low lower lowest"),
+                 (2L, "ab ab low low")).toDF("doc_id", "text")
+    assert(rows(TextAnalysis.bpeTrainLocal(df, "doc_id", "text", 5)) ==
+      rows(TextAnalysis.bpeTrain(df, "doc_id", "text", 5)))
+    // early exhaustion parity
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(rows(TextAnalysis.bpeTrainLocal(tiny, "doc_id", "text", 10)) ==
+      rows(TextAnalysis.bpeTrain(tiny, "doc_id", "text", 10)))
+    // loud refusal parity
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainLocal(Seq((1L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+    }
+    assert(e.getMessage.contains("bpeTrainLocal"))
+    // the gate corpus at nMerges=8 — the driver-side rounds must replay
+    // the distributed rounds exactly (the llm_bpe_train oracle covers
+    // both gates; this pins the engines against EACH OTHER)
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    assert(rows(TextAnalysis.bpeTrainLocal(docs, "doc_id", "text", 8)) ==
+      rows(TextAnalysis.bpeTrain(docs, "doc_id", "text", 8)))
+  }
+
   test("BPE count: chained merges, rank order, left-to-right non-overlap, guards") {
     import spark.implicits._
     import graft.operators.TextAnalysis
