@@ -312,6 +312,104 @@ object StreamQueries {
       adm1.select(col("doc_id"))
         .unionAll(admitted(batch2).select(col("doc_id")))
     }),
+    "st_pipeline9" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, Multimodal, TextAnalysis}
+      // the MIXED-MODALITY ingestion loop CLOSED (batch-parity form;
+      // StreamingSpec runs it as a real two-micro-batch stream under
+      // foreachBatch): llm_pipeline9's admission — gopher → 13-gram
+      // decontamination → minhash probe AND per-row dHash probe, both
+      // against STORED indexes — runs per micro-batch, the admitted
+      // rows are SUNK, and BOTH deltas append (the minhash band/sketch
+      // frames of the admitted texts, the 8-byte dHash rows of the
+      // admitted payloads). Micro-batch 2 must fully bounce off the
+      // RE-READ appended stores: 'zqx '-prepended near-clones of
+      // batch-1 admits carry NOVEL payloads (the appended minhash index
+      // is their only rejector) while fresh 3-doc concat texts carry
+      // EXACT clones of admitted payloads (the appended dHash frame is
+      // theirs — hamming 0, banding exact). Final admitted set =
+      // batch 1's alone == llm_pipeline9's output (same fixture, same
+      // oracle); a lost append on EITHER store admits batch-2 rows and
+      // hash-mismatches
+      val out = "target/gate_sink/st_pipeline9"
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val a = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && col("doc_id") <= col("m") - 200)
+        .select(col("doc_id"), col("text"))
+      val novel = a.select(col("doc_id").as("aid"), col("text").as("atext"))
+        .join(docs.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("aid") - 120 === col("bid"))
+        .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")),
+          col("aid") - 240 === col("cid"))
+        .select(col("aid"), col("atext"),
+          concat_ws(" ", col("atext"), col("btext"), col("ctext")).as("ntext"))
+      val batch1 = a
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"),
+          col("text").as("pay"))
+        .unionAll(novel.select((col("aid") + 4000000).as("doc_id"),
+          col("ntext").as("text"), col("atext").as("pay")))
+        .unionAll(a.select((col("doc_id") + 5000000).as("doc_id"), col("text"),
+          reverse(col("text")).as("pay")))
+        .unionAll(novel.select((col("aid") + 6000000).as("doc_id"),
+          col("ntext").as("text"), reverse(col("atext")).as("pay")))
+      val ev = docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 100)
+        .select(col("doc_id"), col("text"))
+      // corpus-build time: both stores on disk
+      val idx = Dedup.minhashIndex(docs, "doc_id", "text")
+      idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands")
+      idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets")
+      Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$out/dh")
+      // one micro-batch's mixed admission against the CURRENT stores
+      def admitted(batch: DataFrame): DataFrame = {
+        val quality = batch.filter(TextAnalysis.gopherKeep(col("text"),
+          minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+          maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+        val clean = graft.streaming.Corpus.cleanAgainst(
+          quality, ev, "doc_id", "text", n = 13)
+        val mhHits = graft.streaming.Corpus.admitProbe(
+            clean.select(col("doc_id"), col("text")),
+            Dedup.MinhashIndex(s.read.parquet(s"$out/mh/bands"),
+              s.read.parquet(s"$out/mh/sets")), "doc_id", "text")
+          .select(col("id_new").as("doc_id")).distinct()
+        val textOk = clean.join(mhHits, Seq("doc_id"), "left_anti")
+        val imgHits = Multimodal.imageNearDupsBetween(
+            Multimodal.asMedia(batch.select(col("doc_id"), col("pay")),
+              "doc_id", "pay"),
+            s.read.parquet(s"$out/dh"), maxHamming = 3, nBands = 4)
+          .select(col("id_new").as("doc_id")).distinct()
+        textOk.join(imgHits, Seq("doc_id"), "left_anti")
+      }
+      // batch 1: admit, sink, append BOTH deltas (the sink decouples
+      // the probe reads from the in-flight appends)
+      admitted(batch1).write.mode("overwrite").parquet(s"$out/admitted_b1")
+      val adm1 = s.read.parquet(s"$out/admitted_b1")
+      val delta = Dedup.minhashIndex(adm1, "doc_id", "text")
+      delta.bands.write.mode("append").parquet(s"$out/mh/bands")
+      delta.sets.write.mode("append").parquet(s"$out/mh/sets")
+      Multimodal.dHash(Multimodal.asMedia(
+          adm1.select(col("doc_id"), col("pay")), "doc_id", "pay"))
+        .write.mode("append").parquet(s"$out/dh")
+      // batch 2: (a) near-clone text + novel payload; (b) fresh 3-doc
+      // concat (components -60/-180, sharing only atext with the
+      // appended text → shingle jaccard ≪ 0.5) + exact payload clone
+      val b2a = adm1.select((col("doc_id") + 10000000).as("doc_id"),
+        concat(lit("zqx "), col("text")).as("text"),
+        reverse(col("text")).as("pay"))
+      val b2b = adm1.select((col("doc_id") - 6000000).as("aid"), col("pay"))
+        .join(docs.select(col("doc_id").as("a2id"), col("text").as("atext")),
+          col("aid") === col("a2id"))
+        .join(docs.select(col("doc_id").as("b2id"), col("text").as("b2text")),
+          col("aid") - 60 === col("b2id"))
+        .join(docs.select(col("doc_id").as("c2id"), col("text").as("c2text")),
+          col("aid") - 180 === col("c2id"))
+        .select((col("aid") + 11000000).as("doc_id"),
+          concat_ws(" ", col("atext"), col("b2text"), col("c2text")).as("text"),
+          col("pay"))
+      adm1.select(col("doc_id"))
+        .unionAll(admitted(b2a.unionAll(b2b)).select(col("doc_id")))
+    }),
     "st_semdedup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // streaming SEMANTIC admission (batch-parity form; the stream
@@ -450,6 +548,11 @@ object StreamQueries {
     // micro-batch CMS sketches merge exactly (additive counters), so
     // the stream's report shares the batch gate's oracle verbatim
     "st_cms_heavy_hitters" -> LlmQueries.oracle("llm_cms_heavy_hitters"),
+    // the closed mixed-modality loop: batch 2 (near-clone texts with
+    // novel payloads, fresh texts with exact clones of admitted
+    // payloads) fully bounces off the appended stores, so the final
+    // admitted set is batch 1's alone — llm_pipeline9's oracle verbatim
+    "st_pipeline9" -> LlmQueries.oracle("llm_pipeline9"),
     // the closed image loop: dhash chain replayed over store, batch 1,
     // and the batch-2 edits; admission = NOT EXISTS a store hash within
     // hamming 3; batch 2 probes the APPENDED store (gen-0 ∪ adm1)

@@ -428,6 +428,131 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(spark.table("t_mixed_admit")) == batch)
   }
 
+  test("mixed admit→append loop: foreachBatch maintains BOTH stores; batch-2 bounces on each; final stores == fresh builds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Multimodal, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    // st_pipeline9 as a REAL two-micro-batch stream: rows carry text
+    // AND a media payload; per micro-batch the pipeline9 admission runs
+    // against the current stores, then BOTH deltas append
+    val out = "target/test_sink/mixed_admit_append"
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ev = docs.filter(col("doc_id") > mx - 100)
+    val idx0 = Dedup.minhashIndex(docs, "doc_id", "text")
+    idx0.bands.write.mode("overwrite").parquet(s"$out/mh/bands")
+    idx0.sets.write.mode("overwrite").parquet(s"$out/mh/sets")
+    Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$out/dh")
+    def admitOne(batch: org.apache.spark.sql.DataFrame) = {
+      val q = batch.filter(TextAnalysis.gopherKeep(col("text"),
+        minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+      val clean = graft.streaming.Corpus.cleanAgainst(q, ev, "doc_id", "text")
+      val mhHits = graft.streaming.Corpus.admitProbe(
+          clean.select(col("doc_id"), col("text")),
+          Dedup.MinhashIndex(spark.read.parquet(s"$out/mh/bands"),
+            spark.read.parquet(s"$out/mh/sets")), "doc_id", "text")
+        .select(col("id_new").as("doc_id")).distinct()
+      val textOk = clean.join(mhHits, Seq("doc_id"), "left_anti")
+      val imgHits = Multimodal.imageNearDupsBetween(
+          Multimodal.asMedia(batch.select(col("doc_id"), col("pay")),
+            "doc_id", "pay"),
+          spark.read.parquet(s"$out/dh"), maxHamming = 3, nBands = 4)
+        .select(col("id_new").as("doc_id")).distinct()
+      textOk.join(imgHits, Seq("doc_id"), "left_anti")
+    }
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "text", "pay").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // materialize BEFORE the appends mutate the stores the probe
+        // plans read (collect: micro-batch-sized)
+        val adm = admitOne(batch).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        admitted ++= adm
+        if (adm.nonEmpty) {
+          val admDf = adm.toSeq.toDF("doc_id", "text", "pay")
+          val delta = Dedup.minhashIndex(admDf, "doc_id", "text")
+          delta.bands.write.mode("append").parquet(s"$out/mh/bands")
+          delta.sets.write.mode("append").parquet(s"$out/mh/sets")
+          Multimodal.dHash(Multimodal.asMedia(
+              admDf.select(col("doc_id"), col("pay")), "doc_id", "pay"))
+            .write.mode("append").parquet(s"$out/dh")
+        }
+        ()
+      }.start()
+    // micro-batch 1: the pipeline9 fixture — the both-novel group is
+    // the only admissible one
+    val b1 = {
+      val a = docs.filter(col("doc_id") > mx - 300 && col("doc_id") <= mx - 200)
+      val novel = a.select(col("doc_id").as("aid"), col("text").as("atext"))
+        .join(docs.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("aid") - 120 === col("bid"))
+        .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")),
+          col("aid") - 240 === col("cid"))
+        .select(col("aid"), col("atext"),
+          concat_ws(" ", col("atext"), col("btext"), col("ctext")).as("ntext"))
+      a.select((col("doc_id") + 3000000).as("doc_id"), col("text"),
+          col("text").as("pay"))
+        .unionAll(novel.select((col("aid") + 4000000).as("doc_id"),
+          col("ntext").as("text"), col("atext").as("pay")))
+        .unionAll(a.select((col("doc_id") + 5000000).as("doc_id"), col("text"),
+          reverse(col("text")).as("pay")))
+        .unionAll(novel.select((col("aid") + 6000000).as("doc_id"),
+          col("ntext").as("text"), reverse(col("atext")).as("pay")))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    }
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    val adm1 = admitted.toVector
+    assert(adm1.nonEmpty, "batch 1 must admit the both-novel group")
+    assert(adm1.forall(_._1 >= 6000000L),
+      "every group with a cloned text OR cloned payload must bounce in batch 1")
+    // micro-batch 2: near-clone texts with novel payloads (the appended
+    // MINHASH index is their only rejector) + fresh 3-doc concat texts
+    // with exact clones of admitted payloads (the appended DHASH frame
+    // is theirs)
+    val comp = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b2 = adm1.map { case (id, t, _) =>
+        (id + 10000000L, "zqx " + t, t.reverse) } ++
+      adm1.flatMap { case (id, _, p) =>
+        val aid = id - 6000000L
+        // fresh 3-doc concat sharing only atext with the appended text;
+        // rows whose -60/-180 components fall off the corpus skip (the
+        // exact-clone payload group is what pins the dHash append)
+        for (a <- comp.get(aid); b <- comp.get(aid - 60);
+             c <- comp.get(aid - 180))
+          yield (id + 11000000L, s"$a $b $c", p)
+      }
+    mem.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.toVector == adm1,
+      s"batch-2 rows must ALL bounce off the appended stores, " +
+        s"extra=${admitted.drop(adm1.length).map(_._1).take(5)}")
+    // the maintained stores equal fresh builds over corpus + admits on
+    // BOTH modalities — neither append path can drift from rebuild
+    val fullText = docs.unionAll(
+      adm1.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text"))
+    val freshMh = Dedup.minhashIndex(fullText, "doc_id", "text")
+    def bandRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("band_idx"), col("band_val")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(bandRows(spark.read.parquet(s"$out/mh/bands")) == bandRows(freshMh.bands))
+    val freshDh = Multimodal.dHash(Multimodal.asMedia(
+        docs.select(col("doc_id"), col("text").as("pay"))
+          .unionAll(adm1.map(t => (t._1, t._3)).toSeq.toDF("doc_id", "pay")),
+        "doc_id", "pay"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val storedDh = spark.read.parquet(s"$out/dh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storedDh == freshDh,
+      "appended dHash store must equal the fresh batch build")
+  }
+
   test("streaming image admission: per-row dHash probe vs stored hashes == batch") {
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal
