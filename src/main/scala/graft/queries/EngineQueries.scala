@@ -599,6 +599,44 @@ object EngineQueries {
                         CAST(floor(height * s / 2) * 2 AS INT) AS out_h
                  FROM sc""")
     }),
+    "e_sql_admission_selfdedup_media" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the image intra-batch window composed purely in SQL:
+      // graft_image_dups WITHIN the batch view (higher id of every
+      // pair drops), survivors probe the read-back dHash store via
+      // graft_image_probe — admitBatchMedia's semantics, statement form
+      val out = "target/gate_sink/selfdedup_media_sql"
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      graft.operators.Multimodal.dHash(
+          graft.operators.Multimodal.asMedia(docs, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("sddm_hashes")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW sddm_batch AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 aa AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND doc_id <= mx - 200)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(text AS BINARY) AS payload FROM aa
+                 UNION ALL
+                 SELECT doc_id + 4000000, CAST(reverse(text) AS BINARY) FROM aa
+                 UNION ALL
+                 SELECT doc_id + 5000000, CAST(reverse(text) AS BINARY) FROM aa""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW sddm_reps AS
+                 SELECT i.doc_id, i.payload FROM sddm_batch i
+                 LEFT ANTI JOIN (
+                     SELECT DISTINCT id_b FROM graft_image_dups(
+                       'sddm_batch', 'doc_id', 'payload', 3, 4)) l
+                   ON i.doc_id = l.id_b""")
+      e.query("""SELECT r.doc_id FROM sddm_reps r
+                 LEFT ANTI JOIN (
+                     SELECT DISTINCT id_new FROM graft_image_probe(
+                       'sddm_reps', 'sddm_hashes', 'doc_id', 'payload',
+                       3, 4)) h
+                   ON r.doc_id = h.id_new""")
+    }),
     "e_sql_admission_selfdedup" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1576,6 +1614,8 @@ object EngineQueries {
     "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),
     "e_sql_pipeline9" -> LlmQueries.oracle("llm_pipeline9"),
     "e_sql_admission_selfdedup" -> LlmQueries.oracle("llm_admission_selfdedup"),
+    "e_sql_admission_selfdedup_media" ->
+      LlmQueries.oracle("llm_admission_selfdedup_media"),
     "e_sql_minhash_delete" -> LlmQueries.oracle("llm_minhash_index_delete"),
     "e_sql_shards" -> LlmQueries.oracle("llm_shards"),
     "e_sql_span_dedup_doc" -> LlmQueries.oracle("llm_span_dedup_doc"),

@@ -1304,6 +1304,33 @@ object LlmQueries {
           Dedup.minhashIndex(docs, "doc_id", "text"), "doc_id", "text")
         .select($"doc_id")
     }),
+    "llm_admission_selfdedup_media" -> ((s, d) => {
+      import s.implicits._
+      // the IMAGE side of the intra-batch window: a micro-batch
+      // carrying the same payload twice admits every copy under the
+      // per-row store probe (the dHash store has seen none of them).
+      // admitBatchMedia keep-firsts within the batch (banded dHash
+      // pairs, higher id drops), THEN probes the stored frame: corpus
+      // payload clones bounce at the store, each novel payload admits
+      // exactly once (its in-batch twin dropped at the keep-first)
+      val out = "target/gate_sink/selfdedup_media"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && $"doc_id" <= $"m" - 200)
+        .select($"doc_id", $"text")
+      Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      val batch = a.select(($"doc_id" + 3000000).as("doc_id"),
+          $"text".as("pay"))
+        .unionAll(a.select(($"doc_id" + 4000000).as("doc_id"),
+          reverse($"text").as("pay")))
+        .unionAll(a.select(($"doc_id" + 5000000).as("doc_id"),
+          reverse($"text").as("pay")))
+      graft.streaming.Corpus.admitBatchMedia(batch, s.read.parquet(out),
+          "doc_id", "pay")
+        .select($"doc_id")
+    }),
     "llm_pipeline9" -> ((s, d) => {
       import s.implicits._
       // pipeline9 — the MIXED-MODALITY ingestion front door: each
@@ -2894,6 +2921,63 @@ object LlmQueries {
                        JOIN hsc b ON b.doc_id = c.id_corpus
                        WHERE len(list_intersect(a.hs, b.hs)) * 1.0
                              / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5)
+          SELECT doc_id FROM reps
+          WHERE doc_id NOT IN (SELECT doc_id FROM rejected)""",
+    // the image intra-batch window replayed: dhash chain over the
+    // batch, brute-force within-batch pairs (banded recall is exact
+    // under nBands) with higher-id drop, survivors against the corpus
+    // store at hamming <= 3
+    "llm_admission_selfdedup_media" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          aa AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND doc_id <= mx - 200),
+          b AS (SELECT doc_id + 3000000 AS doc_id, text AS pay FROM aa
+                UNION ALL SELECT doc_id + 4000000, reverse(text) FROM aa
+                UNION ALL SELECT doc_id + 5000000, reverse(text) FROM aa),
+          hx AS (SELECT doc_id, lower(hex(pay)) AS h FROM b),
+          lum AS (SELECT doc_id,
+                    list_transform(generate_series(0, 71), k ->
+                      CAST(('0x' || substr(md5(substr(h,
+                          CAST(floor(length(h)*k/72) AS INT) + 1,
+                          greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                            - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                        AS BIGINT) % 256) AS lu
+                  FROM hx),
+          dhb AS (SELECT doc_id,
+                    CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                      CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                                > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                           THEN CASE WHEN i = 63
+                                     THEN -9223372036854775808
+                                     ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                           ELSE 0 END)) AS BIGINT) AS dhash
+                  FROM lum),
+          losers AS (SELECT DISTINCT y.doc_id
+                     FROM dhb x JOIN dhb y ON x.doc_id < y.doc_id
+                     WHERE bit_count(xor(x.dhash, y.dhash)) <= 3),
+          reps AS (SELECT doc_id, dhash FROM dhb
+                   WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+          shx AS (SELECT doc_id, lower(hex(text)) AS h FROM documents),
+          slum AS (SELECT doc_id,
+                     list_transform(generate_series(0, 71), k ->
+                       CAST(('0x' || substr(md5(substr(h,
+                           CAST(floor(length(h)*k/72) AS INT) + 1,
+                           greatest(CAST(floor(length(h)*(k+1)/72) AS INT)
+                             - CAST(floor(length(h)*k/72) AS INT), 0))), 1, 8))
+                         AS BIGINT) % 256) AS lu
+                   FROM shx),
+          dhs AS (SELECT doc_id,
+                    CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                      CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                                > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                           THEN CASE WHEN i = 63
+                                     THEN -9223372036854775808
+                                     ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                           ELSE 0 END)) AS BIGINT) AS dhash
+                  FROM slum),
+          rejected AS (SELECT DISTINCT r.doc_id
+                       FROM reps r JOIN dhs c
+                         ON bit_count(xor(r.dhash, c.dhash)) <= 3)
           SELECT doc_id FROM reps
           WHERE doc_id NOT IN (SELECT doc_id FROM rejected)""",
     // perceptual dHash near-dup: the full chain replayed — lower-hex

@@ -169,6 +169,42 @@ object Corpus {
     reps.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** [[admitBatch]] for MEDIA — the image side of the intra-batch
+    * window: a crawl micro-batch carrying the same image fetched twice
+    * admits every copy under the per-row store probe, because the dHash
+    * store has seen none of them. Same two stages, dHash algebra:
+    *
+    *  1. intra-batch keep-first — [[graft.operators.Multimodal.imageNearDups]]
+    *     WITHIN the batch (banded, recall exact for maxHamming <
+    *     nBands), every pair's higher id drops (the same deterministic
+    *     C4-greedy rule as the text form);
+    *  2. survivors probe the STORED hash frame
+    *     ([[graft.operators.Multimodal.imageNearDupsBetween]]) and
+    *     admit only on zero hits.
+    *
+    * Runs inside `foreachBatch` like [[admitBatch]]; appending the
+    * admitted rows' 8-byte dHash delta then covers the next batch.
+    * `batch` carries the raw payload column (string or binary) —
+    * [[graft.operators.Multimodal.asMedia]] wraps it here, and every
+    * input column passes through to the admitted output. */
+  def admitBatchMedia(batch: DataFrame, corpusHashes: DataFrame,
+                      idCol: String, payCol: String,
+                      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    import graft.operators.Multimodal
+    val losers = Multimodal.imageNearDups(
+        Multimodal.asMedia(batch.select(col(idCol), col(payCol)),
+          idCol, payCol),
+        idCol, maxHamming = maxHamming, nBands = nBands)
+      .select(col("id_b").as(idCol)).distinct()
+    val reps = batch.join(losers, Seq(idCol), "left_anti")
+    val hits = Multimodal.imageNearDupsBetween(
+        Multimodal.asMedia(reps.select(col(idCol), col(payCol)),
+          idCol, payCol),
+        corpusHashes, idCol, maxHamming = maxHamming, nBands = nBands)
+      .select(col("id_new").as(idCol)).distinct()
+    reps.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** [[cleanAgainst]] from a STORED decontamination index — the
     * production-restart shape: the benchmark suite was shingled ONCE at
     * index build ([[Dedup.decontamIndex]]); an ingestion-fleet restart

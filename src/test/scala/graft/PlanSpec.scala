@@ -103,9 +103,13 @@ class PlanSpec extends AnyFunSuite {
       // bands) and the exact/minhash/image rejections are anti hash
       // joins — NOT IN forms were rewritten LEFT ANTI to keep it so
       "llm_pipeline9", "e_sql_pipeline9", "e_sql_fp_append",
+      // the closed mixed loop: same broadcast 1-row fixture bound as
+      // llm_pipeline9; every probe/rejection an equi-/anti hash join
+      "st_pipeline9",
       // broadcast 1-row max-doc-id bound building the micro-batch
       // fixture; both stages are band equi-joins + anti hash joins
       "llm_admission_selfdedup", "e_sql_admission_selfdedup",
+      "llm_admission_selfdedup_media", "e_sql_admission_selfdedup_media",
       "e_sql_ann_topk", "e_sql_ann_lsh",
       "llm_cosine", "e_sql_cosine",
       "llm_ngram_jaccard",
