@@ -622,6 +622,50 @@ object LlmSql {
       case args => bad(
         "graft_ann_ivf_sq(table, id_col, vec_col, query_id, k, n_cells, probes)", args)
     }
+    reg(spark, "graft_ann_sq_stored") {
+      // SQ serving from the STORED (id, scale, q) codes table; the
+      // query-vector lookup is an ACTION — deferred like graft_ann_stored
+      case Seq(codesT, embT, id, vec, q, k) =>
+        val f = "graft_ann_sq_stored"
+        val codes = table(str(codesT, f)); val emb = table(str(embT, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val qid = lng(q, f); val kk = int(k, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, codes.select(col(idc)).schema.head.dataType),
+            StructField("sq_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            Similarity.sqTopKStored(codes, idc,
+              Similarity.queryVecOf(emb, idc, vecc, qid),
+              k = kk, excludeId = Some(qid))
+          })
+      case args => bad(
+        "graft_ann_sq_stored(codes_table, emb_table, id_col, vec_col, query_id, k)", args)
+    }
+    reg(spark, "graft_ann_ivf_sq_stored") {
+      // IVF×SQ serving from stored artifacts (cell-partitioned codes +
+      // the cells table): centroid reconstruction and the query-vector
+      // lookup are ACTIONS — deferred; the driver-literal probe-cell
+      // filter keeps static partition pruning
+      case Seq(codesT, cellsT, embT, id, vec, q, k, probes) =>
+        val f = "graft_ann_ivf_sq_stored"
+        val codes = table(str(codesT, f)); val cells = table(str(cellsT, f))
+        val emb = table(str(embT, f))
+        val idc = str(id, f); val vecc = str(vec, f)
+        val qid = lng(q, f); val kk = int(k, f); val np = int(probes, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(idc, codes.select(col(idc)).schema.head.dataType),
+            StructField("sq_score", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            Similarity.ivfSqTopKStored(codes, idc,
+              Similarity.centroidsFromDf(cells),
+              Similarity.queryVecOf(emb, idc, vecc, qid),
+              k = kk, probes = np, excludeId = Some(qid))
+          })
+      case args => bad(
+        "graft_ann_ivf_sq_stored(codes_table, cells_table, emb_table, id_col, vec_col, query_id, k, probes)", args)
+    }
     reg(spark, "graft_bpe_train") {
       // BPE merge-table training is an ACTION (one distributed corpus
       // pass, then the driver-side merge rounds — bpeTrainLocal, the

@@ -539,6 +539,96 @@ object EngineQueries {
                  FROM graft_ann_ivf_sq('embeddings', 'vec_id', 'embedding',
                                        0, 10, 8, 2)""")
     }),
+    "e_sql_ann_sq_stored" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the SQ store served from SQL: codes written Scala-side (the
+      // write side), read back into a view, probed via the TVF
+      val out = "target/gate_sink/sq_codes_sql"
+      val emb = Tables.load(s, d, "embeddings")
+      graft.operators.Similarity.sqEncode(emb, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("graft_sq_codes")
+      e.query("""SELECT vec_id, sq_score
+                 FROM graft_ann_sq_stored('graft_sq_codes', 'embeddings',
+                                          'vec_id', 'embedding', 0, 10)""")
+    }),
+    "e_sql_ann_sq_append" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // SQ index maintenance from SQL: per-row encode means the delta
+      // IS the append — gen A written, gen B parquet-appended (Scala,
+      // the write side), the read-back union served via the TVF
+      val out = "target/gate_sink/sq_codes_append_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, max}
+      val emb = Tables.load(s, d, "embeddings")
+      val m = emb.agg(max(col("vec_id")).as("m"))
+      val a = emb.crossJoin(broadcast(m)).filter(col("vec_id") <= col("m") - 100)
+        .select(col("vec_id"), col("embedding"))
+      val b = emb.crossJoin(broadcast(m)).filter(col("vec_id") > col("m") - 100)
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.sqEncode(a, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(out)
+      graft.operators.Similarity.sqEncode(b, "vec_id", "embedding")
+        .write.mode("append").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("graft_sq_codes_apnd")
+      e.query("""SELECT vec_id, sq_score
+                 FROM graft_ann_sq_stored('graft_sq_codes_apnd', 'embeddings',
+                                          'vec_id', 'embedding', 0, 10)""")
+    }),
+    "e_sql_ann_ivf_sq_stored" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the IVF×SQ store from SQL: cell-partitioned codes + the cells
+      // table written Scala-side, served via the TVF with the
+      // driver-literal probe-cell filter (static partition pruning)
+      val out = "target/gate_sink/ivf_sq_codes_sql"
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.ivfSqEncode(emb, "vec_id", "embedding", cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_ivfsq_cells")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_ivfsq_codes")
+      e.query("""SELECT vec_id, sq_score
+                 FROM graft_ann_ivf_sq_stored('graft_ivfsq_codes',
+                        'graft_ivfsq_cells', 'embeddings',
+                        'vec_id', 'embedding', 0, 10, 2)""")
+    }),
+    "e_sql_image_delete" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // image takedown from SQL: the dHash store is a plain table, so
+      // the purge is a plain anti-predicate VIEW over the read-back
+      // (the e_sql_ann_delete pattern) — clones of purged images admit
+      // again, survivors' clones still bounce, via the unchanged TVF
+      val out = "target/gate_sink/image_dhash_delete_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Multimodal.dHash(
+          graft.operators.Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("image_hashes_del")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW image_hashes_purged AS
+                 SELECT * FROM image_hashes_del WHERE doc_id % 5 <> 1""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW image_probe_del AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT DISTINCT id_new, id_corpus, hamming
+                 FROM graft_image_probe('image_probe_del', 'image_hashes_purged',
+                                        'doc_id', 'payload', 3, 4)""")
+    }),
     "e_sql_bpe_train" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1607,6 +1697,10 @@ object EngineQueries {
     "e_sql_image_clusters" -> LlmQueries.oracle("llm_image_clusters"),
     "e_sql_fp_append" -> LlmQueries.oracle("llm_exact_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
+    "e_sql_ann_sq_stored" -> LlmQueries.oracle("llm_ann_sq_stored"),
+    "e_sql_ann_sq_append" -> LlmQueries.oracle("llm_ann_sq_append"),
+    "e_sql_ann_ivf_sq_stored" -> LlmQueries.oracle("llm_ann_ivf_sq_stored"),
+    "e_sql_image_delete" -> LlmQueries.oracle("llm_image_delete"),
     "e_sql_ann_sq" -> LlmQueries.oracle("llm_ann_sq"),
     "e_sql_ann_ivf_sq" -> LlmQueries.oracle("llm_ann_ivf_sq"),
     "e_sql_bpe_train" -> LlmQueries.oracle("llm_bpe_train"),

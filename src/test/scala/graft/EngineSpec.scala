@@ -628,6 +628,20 @@ class EngineSpec extends AnyFunSuite {
         "SELECT * FROM graft_ann_ivf_sq('embeddings', 'vec_id', 'embedding', 0, 10, 8, 2)")
       assert(planIvfSq.contains("GraftDeferredScan"),
         "IVF-SQ centroid collection must sit behind a deferred-scan leaf")
+      sim.sqEncode(emb, "vec_id", "embedding")
+        .createOrReplaceTempView("njp_sq_codes")
+      val planSqSt = engine.explain(
+        """SELECT * FROM graft_ann_sq_stored('njp_sq_codes', 'embeddings',
+             'vec_id', 'embedding', 0, 10)""")
+      assert(planSqSt.contains("GraftDeferredScan"),
+        "stored-SQ query-vector lookup must sit behind a deferred-scan leaf")
+      sim.ivfSqEncode(emb, "vec_id", "embedding", cents)
+        .createOrReplaceTempView("njp_ivfsq_codes")
+      val planIvfSqSt = engine.explain(
+        """SELECT * FROM graft_ann_ivf_sq_stored('njp_ivfsq_codes', 'njp_cells',
+             'embeddings', 'vec_id', 'embedding', 0, 10, 2)""")
+      assert(planIvfSqSt.contains("GraftDeferredScan"),
+        "stored-IVF-SQ centroid reconstruction must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the pruned/residual/image TVFs must launch no job, saw $jobs")

@@ -95,7 +95,7 @@ class PlanSpec extends AnyFunSuite {
       // fixture; the pairing itself is the banded dHash equi-join
       "llm_image_dups", "e_sql_image_dups", "llm_image_incr",
       "e_sql_image_incr", "llm_image_append", "e_sql_image_append",
-      "llm_image_dups_capped", "llm_image_delete",
+      "llm_image_dups_capped", "llm_image_delete", "e_sql_image_delete",
       "e_sql_image_clusters", "st_image_admission_append",
       "llm_pipeline8", "e_sql_pipeline8", "st_image_admission",
       // broadcast 1-row max-doc-id bound building the mixed-modality
