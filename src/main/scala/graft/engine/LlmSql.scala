@@ -666,6 +666,31 @@ object LlmSql {
       case args => bad(
         "graft_ann_ivf_sq_stored(codes_table, cells_table, emb_table, id_col, vec_col, query_id, k, probes)", args)
     }
+    reg(spark, "graft_ann_recall") {
+      // recall attestation: centroid collection is an ACTION — deferred
+      // like the other index TVFs
+      case Seq(qt, ct, qid, cid, qvec, cvec, k, cells, probes) =>
+        val f = "graft_ann_recall"
+        val queries = table(str(qt, f)); val corpus = table(str(ct, f))
+        val qidc = str(qid, f); val cidc = str(cid, f)
+        val qvecc = str(qvec, f); val cvecc = str(cvec, f)
+        val kk = int(k, f); val nCells = int(cells, f); val np = int(probes, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField("query_id",
+              queries.select(col(qidc)).schema.head.dataType),
+            StructField("n_exact", org.apache.spark.sql.types.LongType),
+            StructField("n_hit", org.apache.spark.sql.types.LongType),
+            StructField("recall_at_k", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            Similarity.annRecallReport(queries, corpus, qidc, cidc,
+              qvecc, cvecc,
+              Similarity.collectCentroids(corpus, cidc, cvecc, nCells),
+              k = kk, probes = np)
+          })
+      case args => bad(
+        "graft_ann_recall(queries_table, corpus_table, q_id_col, c_id_col, q_vec_col, c_vec_col, k, n_cells, probes)", args)
+    }
     reg(spark, "graft_bpe_train") {
       // BPE merge-table training is an ACTION (one distributed corpus
       // pass, then the driver-side merge rounds — bpeTrainLocal, the

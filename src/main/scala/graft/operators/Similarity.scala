@@ -448,6 +448,45 @@ object Similarity {
       col("neighbor_id"), k, salt = "knn:", preSplit = preSplit)
   }
 
+  /** ANN recall ATTESTATION as a queryable report — the serving-quality
+    * analog of the sketch contracts (HLL/GK/CMS attestation precedent):
+    * recall@k of the IVF-pruned batch serving vs its brute-force twin,
+    * one row per query. Both sides are the AUDITED operators
+    * ([[ivfKnnJoin]] / [[knnJoin]]: same rounded-cosine rank, same
+    * (score desc, id) tie-break), so the overlap is deterministic and
+    * the DuckDB oracle replays it by composing the two existing knn
+    * replays. Output: (query_id, n_exact, n_hit, recall_at_k) —
+    * `n_exact` ≤ k when the corpus is small, and recall divides by it,
+    * not k, so the report never under-states on a short corpus.
+    * probes = nCells degrades the approx side to exact and attests
+    * recall 1.0 everywhere (spec-pinned).
+    *
+    * Scale shape: the query batch is bounded (the serving fleet's
+    * probe set); the exact side is the |Q|·|C| brute-force scoring a
+    * recall audit inherently pays — run it on a SAMPLE of queries at
+    * production scale, never the full query log. */
+  def annRecallReport(queries: DataFrame, corpus: DataFrame,
+                      qIdCol: String, cIdCol: String,
+                      qVecCol: String, cVecCol: String,
+                      centroids: Array[(Long, Seq[Double])],
+                      k: Int, probes: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val exact = knnJoin(queries, corpus, qIdCol, cIdCol, qVecCol, cVecCol,
+        k, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfKnnJoin(queries, corpus, qIdCol, cIdCol, qVecCol,
+        cVecCol, centroids, k, probes, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_at_k",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
   /** Centroid set ⇄ plain DataFrame — the KB-scale ANN index artifacts
     * (coarse cells, and via the codebook twins below, PQ codebooks) as
     * ordinary parquet-able tables of (cid, pos, val) rows, so the FULL

@@ -539,6 +539,18 @@ object EngineQueries {
                  FROM graft_ann_ivf_sq('embeddings', 'vec_id', 'embedding',
                                        0, 10, 8, 2)""")
     }),
+    "e_sql_ann_recall" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // serving quality as one line of SQL: recall@5 of the IVF-pruned
+      // batch serving vs its brute-force twin, per query
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW recall_queries AS
+                 SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10""")
+      e.query("""SELECT query_id, n_exact, n_hit, recall_at_k
+                 FROM graft_ann_recall('recall_queries', 'embeddings',
+                        'vec_id', 'vec_id', 'embedding', 'embedding',
+                        5, 8, 2)""")
+    }),
     "e_sql_ann_sq_stored" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1697,6 +1709,7 @@ object EngineQueries {
     "e_sql_image_clusters" -> LlmQueries.oracle("llm_image_clusters"),
     "e_sql_fp_append" -> LlmQueries.oracle("llm_exact_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
+    "e_sql_ann_recall" -> LlmQueries.oracle("llm_ann_recall"),
     "e_sql_ann_sq_stored" -> LlmQueries.oracle("llm_ann_sq_stored"),
     "e_sql_ann_sq_append" -> LlmQueries.oracle("llm_ann_sq_append"),
     "e_sql_ann_ivf_sq_stored" -> LlmQueries.oracle("llm_ann_ivf_sq_stored"),

@@ -1805,6 +1805,19 @@ object LlmQueries {
         "vec_id", "vec_id", "embedding", "embedding", cents,
         k = 5, probes = 2, excludeSelf = true)
     }),
+    "llm_ann_recall" -> ((s, d) => {
+      import s.implicits._
+      // recall ATTESTATION as a first-class report: the IVF-pruned
+      // batch serving's recall@5 vs its brute-force twin, per query —
+      // serving quality as a queryable artifact like the sketch
+      // contracts. Both sides are the audited knn operators, so the
+      // oracle composes the two existing replays verbatim
+      val emb = Tables.load(s, d, "embeddings").select($"vec_id", $"embedding")
+      Similarity.annRecallReport(emb.filter($"vec_id" < 10), emb,
+        "vec_id", "vec_id", "embedding", "embedding",
+        Similarity.collectCentroids(emb, "vec_id", "embedding", 8),
+        k = 5, probes = 2)
+    }),
     "llm_knn_join_stored" -> ((s, d) => {
       import s.implicits._
       // the production serving fleet's shape: a BATCH of query vectors
@@ -4160,6 +4173,46 @@ object LlmQueries {
                 FROM corpus c JOIN qry q ON c.cell = q.cell
                 WHERE c.neighbor_id <> q.query_id)
          SELECT query_id, neighbor_id, cos_sim FROM s WHERE rn <= 5""",
+    // the recall report: the exact and IVF knn replays composed —
+    // per-query overlap of the two top-5 sets, recall = hits / n_exact
+    "llm_ann_recall" ->
+      """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          sx AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC NULLS LAST,
+                                   c.vec_id NULLS LAST) AS rn
+                 FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
+                 WHERE c.vec_id <> q.vec_id),
+          ex AS (SELECT query_id, neighbor_id FROM sx WHERE rn <= 5),
+          ca AS (SELECT e.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rk
+                 FROM e CROSS JOIN cent c),
+          corpus AS (SELECT e.vec_id AS neighbor_id, e.v AS cv2, a.cid AS cell
+                     FROM e JOIN (SELECT vec_id, cid FROM ca WHERE rk = 1) a
+                       USING (vec_id)),
+          qry AS (SELECT e.vec_id AS query_id, e.v AS qv, a.cid AS cell
+                  FROM e JOIN (SELECT vec_id, cid FROM ca WHERE rk <= 2) a
+                    USING (vec_id)
+                  WHERE e.vec_id < 10),
+          sa AS (SELECT q.query_id, c.neighbor_id,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY round(list_cosine_similarity(c.cv2, q.qv), 6) DESC NULLS LAST,
+                                   c.neighbor_id NULLS LAST) AS rn
+                 FROM corpus c JOIN qry q ON c.cell = q.cell
+                 WHERE c.neighbor_id <> q.query_id),
+          ap AS (SELECT query_id, neighbor_id FROM sa WHERE rn <= 5),
+          nex AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id),
+          nhit AS (SELECT ex.query_id, count(*) AS c
+                   FROM ex JOIN ap ON ex.query_id = ap.query_id
+                     AND ex.neighbor_id = ap.neighbor_id
+                   GROUP BY ex.query_id)
+          SELECT n.query_id, CAST(n.n_exact AS BIGINT) AS n_exact,
+                 CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit,
+                 round(coalesce(h.c, 0) * 1.0 / n.n_exact, 6) AS recall_at_k
+          FROM nex n LEFT JOIN nhit h ON n.query_id = h.query_id""",
     // batch serving against the stored index: corpus rows carry their
     // argmax cell (the encode-time cellOf), queries their top-2 cells
     // and a per-query LUT over the seed codebooks; pairs from the cell

@@ -61,6 +61,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((exact & approx3).size >= (exact & approx).size)
   }
 
+  test("ANN recall report: probes=nCells attests 1.0 everywhere; report is consistent") {
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    val q = emb.filter($"vec_id" < 10)
+    // probing EVERY cell degrades ivfKnnJoin to the exact join, so the
+    // attestation must read 1.0 for every query — the report's own
+    // self-check, like the sketch contracts' one-sided bounds
+    val full = Similarity.annRecallReport(q, emb, "vec_id", "vec_id",
+        "embedding", "embedding", cents, k = 5, probes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.length == 10)
+    assert(full.forall(t => t._2 == 5 && t._3 == 5 && t._4 == 1.0),
+      s"probes=nCells must attest recall 1.0: ${full.take(3).toSeq}")
+    // at probes=2 the report stays internally consistent: hits bounded
+    // by exact count, recall = hits/exact on the rounded grid
+    val p2 = Similarity.annRecallReport(q, emb, "vec_id", "vec_id",
+        "embedding", "embedding", cents, k = 5, probes = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(p2.forall { case (ex, hit, rec) =>
+      hit >= 0 && hit <= ex &&
+        math.abs(rec - math.round(hit.toDouble / ex * 1e6) / 1e6) < 1e-12
+    })
+  }
+
   test("PQ/ADC ANN: deterministic, reasonable recall, trained codebooks work") {
     import spark.implicits._
     // unit-norm corpus (checked in testdata) ⇒ inner product ≈ cosine,

@@ -169,6 +169,10 @@ class PlanSpec extends AnyFunSuite {
       // corpus by design (|Q|·|C| scoring is the exact answer); the IVF
       // variant replaces it with a cell equi-join and is NOT allowlisted
       "llm_knn_join", "e_sql_knn_join",
+      // the recall report's exact side IS llm_knn_join's broadcast
+      // query-batch cross join (the brute-force twin a recall audit
+      // inherently scores); the approx side is the cell equi-join
+      "llm_ann_recall",
       // broadcast 1-row corpus token total (unigram model) / vocabulary
       // size (bigram model)
       "llm_unigram_lp", "e_sql_unigram_lp",
