@@ -165,12 +165,30 @@ object LlmSql {
         "graft_chunk(table, id_col, text_col, chunk_tokens, overlap)", args)
     }
     reg(spark, "graft_pack_offsets") {
+      // 6-arg form packs in LEARNED tokens: the stored merge table
+      // drives the counter (KB-scale collect, the graft_bpe_count
+      // boundary); id order / hierarchy / straddle contract unchanged
       case Seq(t, id, text, sl, dpb) =>
         val f = "graft_pack_offsets"
         TextAnalysis.packOffsets(table(str(t, f)), str(id, f), str(text, f),
           seqLen = int(sl, f), docsPerBucket = int(dpb, f))
+      case Seq(t, id, text, sl, dpb, merges) =>
+        val f = "graft_pack_offsets"
+        TextAnalysis.packOffsets(table(str(t, f)), str(id, f), str(text, f),
+          seqLen = int(sl, f), docsPerBucket = int(dpb, f),
+          tokenCounter = TextAnalysis.bpeCounter(table(str(merges, f))))
       case args => bad(
-        "graft_pack_offsets(table, id_col, text_col, seq_len, docs_per_bucket)", args)
+        "graft_pack_offsets(table, id_col, text_col, seq_len, docs_per_bucket[, merges_table])", args)
+    }
+    reg(spark, "graft_chunk_bpe") {
+      // chunking denominated in LEARNED tokens: training windows are
+      // token-ID sequences under the stored merge table
+      case Seq(t, id, text, ct, ov, merges) =>
+        val f = "graft_chunk_bpe"
+        TextAnalysis.chunkBpe(table(str(t, f)), str(id, f), str(text, f),
+          table(str(merges, f)), chunkTokens = int(ct, f), overlap = int(ov, f))
+      case args => bad(
+        "graft_chunk_bpe(table, id_col, text_col, chunk_tokens, overlap, merges_table)", args)
     }
     reg(spark, "graft_sample_k") {
       case Seq(t, key, tie, k, salt) =>

@@ -525,6 +525,42 @@ object TextAnalysis {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** [[chunk]] re-based on the TRAINED tokenizer — the form a real
+    * pre-training prep run cuts: after tokenization a training window
+    * IS a token-id sequence, so the output carries `token_ids`
+    * (array<int>, the [[bpeTokenize]] ids in document order), not
+    * re-joined text (BPE terminal symbols concatenate ambiguously
+    * across word boundaries — ids are the faithful unit). Same window
+    * convention as [[chunk]]: starts advance by `chunkTokens - overlap`
+    * over the LEARNED token sequence, every token covered, final chunk
+    * may be short; a doc with no tokens emits one empty-chunk row.
+    *
+    * Scale shape: the merge table collects once (vocabulary-scale, the
+    * [[bpeCount]] serve boundary) and inlines into ONE compiled
+    * expression; id extraction is a native `GetArrayStructFields` (no
+    * per-token lambda); then the [[chunk]] explode+slice — pure per-row
+    * work, zero shuffle. */
+  def chunkBpe(df: DataFrame, idCol: String, textCol: String,
+               merges: DataFrame, chunkTokens: Int = 64,
+               overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap of $chunkTokens")
+    val m = collectMerges(merges, "chunkBpe")
+    val stride = chunkTokens - overlap
+    val ids = org.apache.spark.sql.GraftBridge.column(graft.functions.BpeTokens(
+        org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol))),
+        m.map(_._2).toIndexedSeq, m.map(_._3).toIndexedSeq))
+      .getField("token_id")
+    df.select(col(idCol), ids.as("__ids"))
+      .select(col(idCol), col("__ids"),
+        explode(sequence(lit(0), greatest(size(col("__ids")) - 1, lit(0)),
+          lit(stride))).as("start_tok"))
+      .select(col(idCol), col("start_tok"),
+        slice(col("__ids"), col("start_tok") + 1, lit(chunkTokens)).as("token_ids"))
+      .select(col(idCol), col("start_tok"),
+        size(col("token_ids")).as("n_tokens"), col("token_ids"))
+  }
+
   /** Sentence segmentation — decontamination, quotation detection, and
     * fine-grained dedup are often phrased at SENTENCE granularity (the
     * published eval-overlap checks match n-grams within sentences):
@@ -650,13 +686,19 @@ object TextAnalysis {
     * non-negative numeric ids (`div` truncates toward zero). */
   def packOffsets(df: DataFrame, idCol: String, textCol: String,
                   seqLen: Int = 2048, docsPerBucket: Int = 4096,
-                  reuse: Reuse = Reuse.Local): DataFrame = {
+                  reuse: Reuse = Reuse.Local,
+                  // how a document's tokens are counted: whitespace by
+                  // default; pass [[bpeCounter]](merges) to pack in
+                  // LEARNED tokens — the denomination a real training
+                  // run cuts sequences in (the hierarchy, id order, and
+                  // straddle convention are untouched)
+                  tokenCounter: Column => Column = tokenCount): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(docsPerBucket >= 1, s"docsPerBucket must be >= 1, got $docsPerBucket")
     // read by the bucket-totals aggregate AND the offset join — one
     // tokenize pass, not two (see Dedup.minhashPairs)
     val toks = reuse(df.select(col(idCol),
-      tokenCount(col(textCol)).cast("long").as("n_toks"),
+      tokenCounter(col(textCol)).cast("long").as("n_toks"),
       expr(s"`$idCol` div $docsPerBucket").as("__b")))
     val totals = toks.groupBy(col("__b")).agg(sum(col("n_toks")).as("__bt"))
     val wBuckets = Window.orderBy(col("__b"))

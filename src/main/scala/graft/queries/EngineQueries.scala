@@ -94,6 +94,35 @@ object EngineQueries {
       "SELECT * FROM graft_chunk('documents', 'doc_id', 'text', 64, 16)")),
     "e_sql_pack" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_pack_offsets('documents', 'doc_id', 'text', 512, 64)")),
+    "e_sql_chunk_bpe" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // learned-token chunking from SQL: merge view -> id-sequence
+      // windows (joined to a comma string for the portable compare)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bpe_merges_chunk AS
+                 SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                       (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                       (6,'o','n'),(7,'r','e'))
+                   AS m(rank, left, right)""")
+      e.query("""SELECT doc_id, start_tok, n_tokens,
+                        array_join(CAST(token_ids AS ARRAY<STRING>), ',')
+                          AS token_ids
+                 FROM graft_chunk_bpe('documents', 'doc_id', 'text',
+                                      64, 16, 'bpe_merges_chunk')""")
+    }),
+    "e_sql_pack_bpe" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // learned-token packing from SQL: the 6-arg graft_pack_offsets
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bpe_merges_pack AS
+                 SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                       (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                       (6,'o','n'),(7,'r','e'))
+                   AS m(rank, left, right)""")
+      e.query("""SELECT doc_id, n_toks, token_offset, first_seq, last_seq
+                 FROM graft_pack_offsets('documents', 'doc_id', 'text',
+                                         512, 64, 'bpe_merges_pack')""")
+    }),
     "e_sql_sample_k" -> ((s, d) => via(s, d)(
       "SELECT doc_id FROM graft_sample_k('documents', 'text', 'doc_id', 200, 'eval:')")),
     "e_sql_sample_weighted" -> ((s, d) => via(s, d)(
@@ -1640,6 +1669,8 @@ object EngineQueries {
     "e_sql_minhash" -> LlmQueries.oracle("llm_minhash_pairs"),
     "e_sql_chunk" -> LlmQueries.oracle("llm_chunk"),
     "e_sql_pack" -> LlmQueries.oracle("llm_pack"),
+    "e_sql_chunk_bpe" -> LlmQueries.oracle("llm_chunk_bpe"),
+    "e_sql_pack_bpe" -> LlmQueries.oracle("llm_pack_bpe"),
     "e_sql_sample_k" -> LlmQueries.oracle("llm_sample_k"),
     "e_sql_sample_weighted" -> LlmQueries.oracle("llm_sample_weighted"),
     "e_sql_sample_weighted_strat" -> LlmQueries.oracle("llm_sample_weighted_strat"),

@@ -387,6 +387,25 @@ object LlmQueries {
     "llm_chunk" -> ((s, d) =>
       TextAnalysis.chunk(Tables.load(s, d, "documents"), "doc_id", "text",
         chunkTokens = 64, overlap = 16)),
+    "llm_chunk_bpe" -> ((s, d) => {
+      import s.implicits._
+      // chunking denominated in LEARNED tokens — the window a real
+      // pre-training run cuts: the stored merge table drives BpeTokens
+      // and the training window is the doc's token-ID sequence (joined
+      // to a comma string for the engine-portable compare, the
+      // llm_multimodal_frames array convention; the cast to
+      // array<string> is a native Cast, no per-element lambda)
+      val out = "target/gate_sink/bpe_merges_chunk"
+      s.createDataFrame(Seq(
+          (0, "t", "h"), (1, "th", "e"), (2, "i", "n"), (3, "a", "n"),
+          (4, "an", "d"), (5, "e", "r"), (6, "o", "n"), (7, "r", "e")))
+        .toDF("rank", "left", "right")
+        .write.mode("overwrite").parquet(out)
+      TextAnalysis.chunkBpe(Tables.load(s, d, "documents"), "doc_id",
+          "text", s.read.parquet(out), chunkTokens = 64, overlap = 16)
+        .select($"doc_id", $"start_tok", $"n_tokens",
+          array_join($"token_ids".cast("array<string>"), ",").as("token_ids"))
+    }),
     "llm_mix" -> ((s, d) => {
       import s.implicits._
       // weighted corpus mixing (70% "web" slice + 30% "books" slice):
@@ -597,6 +616,22 @@ object LlmQueries {
       // 64-doc buckets so the hierarchical prefix sum really tiers
       TextAnalysis.packOffsets(Tables.load(s, d, "documents"),
         "doc_id", "text", seqLen = 512, docsPerBucket = 64)),
+    "llm_pack_bpe" -> ((s, d) => {
+      // packing offsets denominated in LEARNED tokens: the stored merge
+      // table drives packOffsets' counter, so sequence cuts land on the
+      // trained tokenizer's stream while the hierarchical prefix sum,
+      // id order, and straddle convention are unchanged. Oracle
+      // composes the recursive apply CTE into the pack window
+      val out = "target/gate_sink/bpe_merges_pack"
+      s.createDataFrame(Seq(
+          (0, "t", "h"), (1, "th", "e"), (2, "i", "n"), (3, "a", "n"),
+          (4, "an", "d"), (5, "e", "r"), (6, "o", "n"), (7, "r", "e")))
+        .toDF("rank", "left", "right")
+        .write.mode("overwrite").parquet(out)
+      TextAnalysis.packOffsets(Tables.load(s, d, "documents"),
+        "doc_id", "text", seqLen = 512, docsPerBucket = 64,
+        tokenCounter = TextAnalysis.bpeCounter(s.read.parquet(out)))
+    }),
     "llm_cluster_star" -> ((s, d) => {
       import s.implicits._
       // same clusters as llm_dedup_clusters but via the O(log n)
@@ -3143,6 +3178,58 @@ object LlmQueries {
                 CAST(len(toks[start_tok+1 : start_tok+64]) AS INTEGER) AS n_tokens,
                 array_to_string(toks[start_tok+1 : start_tok+64], ' ') AS chunk_text
          FROM c""",
+    // learned-token chunking: the llm_bpe_tokenize apply CTEs feed a
+    // per-doc ordered id list; the window cut is llm_chunk's
+    "llm_chunk_bpe" ->
+      """WITH RECURSIVE
+          m(rank, l, r) AS (
+            SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                  (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                  (6,'o','n'),(7,'r','e'))),
+          t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                 FROM documents),
+          w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
+                FROM t0),
+          w2 AS (SELECT doc_id, wi, ws[wi] AS word FROM w
+                 WHERE length(ws[wi]) > 0),
+          init AS (SELECT doc_id, wi,
+                     ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+                   FROM w2),
+          bpe AS (
+            SELECT doc_id, wi, s FROM init
+            UNION ALL
+            SELECT doc_id, wi,
+                   replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s
+            FROM (SELECT b.doc_id, b.wi, b.s, m.l, m.r,
+                         row_number() OVER (PARTITION BY b.doc_id, b.wi
+                                            ORDER BY m.rank) AS rn
+                  FROM bpe b JOIN m
+                    ON position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)
+            WHERE rn = 1),
+          term AS (SELECT doc_id, wi, s FROM bpe b
+                   WHERE NOT EXISTS (SELECT 1 FROM m
+                     WHERE position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)),
+          sy AS (SELECT doc_id, wi, string_split(trim(s), '  ') AS a FROM term),
+          ix AS (SELECT doc_id, wi, unnest(generate_series(1, len(a))) AS si, a
+                 FROM sy),
+          tk AS (SELECT doc_id, wi, si,
+                   CAST(CASE WHEN length(a[si]) = 1 THEN unicode(a[si])
+                        ELSE 1114112 + (SELECT min(m2.rank) FROM m m2
+                                        WHERE m2.l || m2.r = a[si])
+                        END AS INT) AS tid
+                 FROM ix),
+          ids AS (SELECT doc_id, list(tid ORDER BY wi, si) AS ids
+                  FROM tk GROUP BY doc_id),
+          al AS (SELECT d.doc_id, coalesce(i.ids, CAST([] AS INT[])) AS ids
+                 FROM documents d LEFT JOIN ids i ON d.doc_id = i.doc_id),
+          c AS (SELECT doc_id, ids,
+                       unnest(range(0, greatest(len(ids), 1), 48)) AS start_tok
+                FROM al)
+         SELECT doc_id, CAST(start_tok AS INTEGER) AS start_tok,
+                CAST(len(ids[start_tok+1 : start_tok+64]) AS INTEGER) AS n_tokens,
+                array_to_string(CAST(ids[start_tok+1 : start_tok+64] AS VARCHAR[]),
+                                ',') AS token_ids
+         FROM c""",
     "llm_mix" ->
       """SELECT doc_id, 'web' AS source_ds FROM documents
          WHERE CAST(('0x'||substr(md5('mixweb:'||text),1,8)) AS BIGINT) % 10000 < 7000
@@ -3385,6 +3472,55 @@ object LlmQueries {
           SELECT doc_id, n_toks, token_offset,
                  token_offset // 512 AS first_seq,
                  (token_offset + n_toks - 1) // 512 AS last_seq
+          FROM o""",
+    // learned-token packing: the recursive apply CTE (llm_bpe_count's)
+    // feeds n_toks; the id-order prefix sum and seq cuts are llm_pack's
+    // (greatest mirrors the operator's zero-token straddle guard)
+    "llm_pack_bpe" ->
+      """WITH RECURSIVE
+          m(rank, l, r) AS (
+            SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                  (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                  (6,'o','n'),(7,'r','e'))),
+          t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                 FROM documents),
+          w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
+                FROM t0),
+          w2 AS (SELECT doc_id, wi, ws[wi] AS word FROM w
+                 WHERE length(ws[wi]) > 0),
+          init AS (SELECT doc_id, wi,
+                     ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+                   FROM w2),
+          bpe AS (
+            SELECT doc_id, wi, s FROM init
+            UNION ALL
+            SELECT doc_id, wi,
+                   replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s
+            FROM (SELECT b.doc_id, b.wi, b.s, m.l, m.r,
+                         row_number() OVER (PARTITION BY b.doc_id, b.wi
+                                            ORDER BY m.rank) AS rn
+                  FROM bpe b JOIN m
+                    ON position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)
+            WHERE rn = 1),
+          term AS (SELECT doc_id, wi, s FROM bpe b
+                   WHERE NOT EXISTS (SELECT 1 FROM m
+                     WHERE position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)),
+          cnt AS (SELECT doc_id,
+                    (length(s) - length(replace(s, ' ', ''))) // 2 AS c
+                  FROM term),
+          t AS (SELECT d.doc_id,
+                  CAST(coalesce(sum(cnt.c), 0) AS BIGINT) AS n_toks
+                FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+                GROUP BY d.doc_id),
+          o AS (SELECT doc_id, n_toks,
+                  CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS token_offset
+                FROM t)
+          SELECT doc_id, n_toks, token_offset,
+                 token_offset // 512 AS first_seq,
+                 greatest(token_offset + n_toks - 1, token_offset) // 512
+                   AS last_seq
           FROM o""",
     // the star algorithm must produce the identical cluster labeling
     "llm_cluster_star" ->

@@ -1965,6 +1965,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(drift == 0L, s"$drift docs where size(tokens) != bpe_cnt")
   }
 
+  test("BPE chunk/pack: overlap-0 chunks reassemble the tokenize sequence; pack n_toks == BpeCount") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val merges = Seq((0, "t", "h"), (1, "th", "e"), (2, "i", "n"),
+        (3, "a", "n"), (4, "an", "d"), (5, "e", "r"), (6, "o", "n"),
+        (7, "r", "e"))
+      .toDF("rank", "left", "right")
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    // coverage/order/no-duplication: overlap-0 chunks concatenated in
+    // start_tok order are EXACTLY the bpeTokenize id sequence (a prime
+    // chunk size so cuts land mid-word-run, not on a convenient stride)
+    val viaChunks = TextAnalysis.chunkBpe(corpus, "doc_id", "text", merges,
+        chunkTokens = 7, overlap = 0)
+      .groupBy($"doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct($"start_tok", $"token_ids"))),
+        _.getField("token_ids"))).as("chunk_ids"))
+    val direct = TextAnalysis.bpeTokenize(corpus, "doc_id", "text", merges)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"pos", $"token_id")).as("tk"))
+      .select($"doc_id",
+        transform(array_sort($"tk"), _.getField("token_id")).as("seq_ids"))
+    val drift = viaChunks.join(direct, Seq("doc_id"), "full")
+      .filter(!($"chunk_ids" <=> $"seq_ids")).count()
+    assert(drift == 0L, s"$drift docs where chunk reassembly != tokenize sequence")
+    // the BPE-counted pack: n_toks is the trained tokenizer's count,
+    // bit-for-bit (shared merge loop via bpeCounter)
+    val packed = TextAnalysis.packOffsets(corpus, "doc_id", "text",
+      seqLen = 512, docsPerBucket = 64,
+      tokenCounter = TextAnalysis.bpeCounter(merges))
+    val cnts = TextAnalysis.bpeCount(corpus, "doc_id", "text", merges)
+    val nDrift = packed.join(cnts, Seq("doc_id"), "full")
+      .filter(!($"n_toks" <=> $"bpe_cnt".cast("long"))).count()
+    assert(nDrift == 0L, s"$nDrift docs where pack n_toks != bpe_cnt")
+  }
+
   test("image dHash near-dup: local edits pair, rewrites don't, banding is exact under nBands") {
     import spark.implicits._
     val base = Seq.tabulate(6)(i =>
