@@ -180,6 +180,17 @@ object LlmSql {
       case args => bad(
         "graft_pack_offsets(table, id_col, text_col, seq_len, docs_per_bucket[, merges_table])", args)
     }
+    reg(spark, "graft_bm25") {
+      // keyword retrieval: query terms as a comma-separated literal
+      // (split here — no per-row work), top-k by the quantized score
+      case Seq(t, id, text, terms, k) =>
+        val f = "graft_bm25"
+        TextAnalysis.bm25TopK(table(str(t, f)), str(id, f), str(text, f),
+          queryTerms = str(terms, f).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          k = int(k, f))
+      case args => bad(
+        "graft_bm25(table, id_col, text_col, terms_csv, k)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

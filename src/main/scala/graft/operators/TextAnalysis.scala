@@ -1555,6 +1555,59 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** BM25 ranked retrieval — the standard keyword-search primitive
+    * (Robertson/Spärck Jones probabilistic relevance; the Lucene-default
+    * scoring shape): per query term,
+    * `idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))` (the +1 form — always
+    * nonnegative, so a term in most docs cannot subtract). A training-
+    * data pipeline runs this to pull topical slices out of a crawl
+    * (domain-targeted subcorpora, eval-adjacent retrieval for
+    * contamination triage) without an embedding pass. Output: top-`k`
+    * (idCol, bm25), ordered by the QUANTIZED score (round 4 — the
+    * [[tfidfTopTerms]] libm hardening: a 1-ulp cross-engine `ln` drift
+    * flips the 4-decimal grid only within ~1e-16 of a boundary) desc,
+    * id asc — a total order, so the LIMIT boundary is deterministic.
+    *
+    * Scale shape: two corpus passes — a cheap projection+aggregate for
+    * (N, Σdl) (1 row, broadcast), and the term pass, whose explode is
+    * filtered to the query terms by a LITERAL `isin` (no subquery ⇒ no
+    * null-aware BNLJ) so only matching (id, dl, term) tuples reach the
+    * partial-aggregable tf count; df is a |terms|-row aggregate of tf,
+    * broadcast back. The final top-k is a TakeOrderedAndProject, never
+    * a global sort. dl rides the explode instead of joining back on id
+    * — a long per token beats a corpus-scale join. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 25,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"BM25 params out of range: k1=$k1 (>=0), b=$b ([0,1])")
+    val stats = df.agg(count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("total_toks"))
+    val tf = df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("__dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the oracle mirrors this exact parenthesization — every operand
+    // pairing is the same IEEE op on both engines, ln the only libm call
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / avgdl))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .select(col(idCol), contrib.as("__c"))
+      .groupBy(col(idCol)).agg(round(sum(col("__c")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** The second-level labels under which a 2-letter ccTLD hosts its own
     * registration namespace — the documented PUBLIC-SUFFIX APPROXIMATION
     * (the full Mozilla public-suffix list is thousands of rules and a

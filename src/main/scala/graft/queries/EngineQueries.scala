@@ -135,6 +135,8 @@ object EngineQueries {
                                        'n_chars', 'doc_id', 10, 'wps:')""")),
     "e_sql_tfidf" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_tfidf('documents', 'doc_id', 'text', 3)")),
+    "e_sql_bm25" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_bm25('documents', 'doc_id', 'text', 'hash,join,vector', 25)")),
     // composition: the TVFs resolve through the catalog, so a view
     // DEFINED IN SQL feeds the pipeline — the whole near-dup-tail
     // containment flow without a line of Scala
@@ -1675,6 +1677,7 @@ object EngineQueries {
     "e_sql_sample_weighted" -> LlmQueries.oracle("llm_sample_weighted"),
     "e_sql_sample_weighted_strat" -> LlmQueries.oracle("llm_sample_weighted_strat"),
     "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf"),
+    "e_sql_bm25" -> LlmQueries.oracle("llm_bm25"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_contamination" -> LlmQueries.oracle("llm_contamination"),

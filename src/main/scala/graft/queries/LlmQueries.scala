@@ -950,6 +950,14 @@ object LlmQueries {
     "llm_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(
         Tables.load(s, d, "documents"), "doc_id", "text", topK = 3)),
+    "llm_bm25" -> ((s, d) =>
+      // BM25 keyword retrieval: the 25 most relevant docs for a 3-term
+      // query at the Lucene-default (k1=1.2, b=0.75) parameters — the
+      // topical-slice pull a pipeline runs before any embedding pass.
+      // Oracle replays the identical algebra (same parenthesization;
+      // ln the only libm call, hardened by the round-4 rank grid)
+      TextAnalysis.bm25TopK(Tables.load(s, d, "documents"), "doc_id",
+        "text", queryTerms = Seq("hash", "join", "vector"), k = 25)),
     "llm_boilerplate" -> ((s, d) =>
       // corpus boilerplate report: the 20 highest-document-frequency
       // trigrams — what a production run reads to set maxShingleDf /
@@ -5012,6 +5020,30 @@ object LlmQueries {
                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                        / (SELECT tot FROM tot), 6) AS coverage
           FROM top""",
+    // BM25: the same algebra with the operator's exact parenthesization
+    // — integer (N-df) before +0.5, (b·dl)/avgdl left-assoc, tf cast to
+    // double before the k1 products — so every IEEE op pairs the same
+    // operands on both engines; ln is the only libm call (round-4 grid)
+    "llm_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+          stats AS (SELECT count(*) AS n_docs,
+                           sum(len(toks)) AS total_toks FROM d),
+          tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+          tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+                 WHERE term IN ('hash', 'join', 'vector')
+                 GROUP BY doc_id, dl, term),
+          dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          sc AS (SELECT tf.doc_id,
+                   ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+                     (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
+                     (CAST(tf.tf AS DOUBLE) +
+                      1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) /
+                             (CAST(s.total_toks AS DOUBLE) / s.n_docs))) AS c
+                 FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN stats s)
+          SELECT doc_id, round(sum(c), 4) AS bm25
+          FROM sc GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
     "llm_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
                        FROM documents),

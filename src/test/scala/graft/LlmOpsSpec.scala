@@ -558,6 +558,46 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: scores match an independent reimplementation; saturation and idf ordering hold") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // fixture with known tf/dl: 'rare' in one doc, 'common' in three,
+    // repeated occurrences exercising the k1 saturation
+    val fx = Seq(
+      (1L, "rare common pad pad"),          // rare x1, common x1, dl 4
+      (2L, "common common pad pad pad pad"),// common x2, dl 6
+      (3L, "common pad"),                   // common x1, dl 2
+      (4L, "pad pad pad")                   // no query terms
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(fx, "doc_id", "text",
+        Seq("rare", "common"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the same formula, independently in plain Scala
+    val n = 4.0; val avgdl = (4 + 6 + 2 + 3).toDouble / 4
+    def idf(df: Int) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Int, dl: Int, df: Int) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map(
+      1L -> r4(term(1, 4, 1) + term(1, 4, 3)),
+      2L -> r4(term(2, 6, 3)),
+      3L -> r4(term(1, 2, 3)))
+    assert(got == want, s"got $got want $want")
+    // doc 4 (no query terms) is absent, not zero-scored
+    assert(!got.contains(4L))
+    // idf ordering: the rare term's single occurrence outscores the
+    // common term's in the same document
+    assert(term(1, 4, 1) > term(1, 4, 3))
+    // saturation: per-term score is bounded by idf*(k1+1) at any tf
+    assert(term(100, 4, 3) < idf(3) * 2.2)
+    // guards refuse by name
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(fx, "doc_id", "text", Seq.empty, k = 5)
+    }
+    assert(e.getMessage.contains("bm25TopK"))
+  }
+
   test("multimodal decode is deterministic and keeps the batch shape") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")

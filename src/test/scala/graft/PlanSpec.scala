@@ -41,6 +41,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("llm_ann_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("bm25: top-k not full sort; df and stats broadcast; terms filter is a literal In") {
+    val p = plan("llm_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!p.contains("CartesianProduct"))
+    // the |terms|-row df frame and the 1-row stats frame broadcast —
+    // the corpus-scale tf frame never sort-merges against them
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"),
+      "tiny df/stats frames must broadcast, not sort-merge")
+    // literal isin, not a subquery: term IN (hash, join, vector)
+    assert(p.contains("hash") && p.contains("vector"))
+  }
+
   test("flagship entry broadcasts all dimension tables") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 4)
@@ -84,6 +97,8 @@ class PlanSpec extends AnyFunSuite {
       "llm_ann_index_roundtrip", "llm_ann_index_append",
       // broadcast 1-row corpus total under the domain-share division
       "llm_domain_report", "e_sql_domain_report",
+      // broadcast 1-row (N, Σdl) corpus stats under the BM25 score
+      "llm_bm25", "e_sql_bm25",
       // the rerank's candidate stage IS llm_ann_ivf_pq (same bounded
       // probe-cell selection); the exact stage adds only a broadcast
       // semi-join + 1-row query-vector literal
