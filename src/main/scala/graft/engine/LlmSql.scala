@@ -180,6 +180,36 @@ object LlmSql {
       case args => bad(
         "graft_pack_offsets(table, id_col, text_col, seq_len, docs_per_bucket[, merges_table])", args)
     }
+    reg(spark, "graft_store_compact") {
+      // physical store compaction (purge tombstones from the files +
+      // consolidate append deltas into a new versioned path) — the
+      // rewrite is an ACTION, so it is deferred like every
+      // store-writing TVF: EXPLAIN sees a fixed-schema leaf (the input
+      // store's columns, partition keys last — the parquet read-back
+      // layout), the rewrite fires at first execution. Empty
+      // tombstone-table name = compact-only (no purge).
+      case Seq(st, id, tombT, pathE, partsE, nfE) =>
+        val f = "graft_store_compact"
+        val store = table(str(st, f))
+        val idc = str(id, f)
+        val tombName = str(tombT, f)
+        val tomb = if (tombName.isEmpty) None else Some(table(tombName))
+        val path = str(pathE, f)
+        val parts = str(partsE, f).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        parts.foreach(p => require(store.columns.contains(p),
+          s"$f: partition column `$p` not in store (${store.columns.sorted.mkString(",")})"))
+        val nf = int(nfE, f)
+        val outSchema = StructType(
+          store.schema.filterNot(fd => parts.contains(fd.name)) ++
+            parts.map(p => store.schema(p)))
+        GraftDeferred.frame(spark, outSchema, memo { () =>
+          Dedup.storeCompact(store, idc, tomb, path,
+            partitionCols = parts, numFiles = nf)
+        })
+      case args => bad(
+        "graft_store_compact(store_table, id_col, tombstone_table_or_empty, out_path, partition_cols_csv, num_files)", args)
+    }
     reg(spark, "graft_bm25") {
       // keyword retrieval: query terms as a comma-separated literal
       // (split here — no per-row work), top-k by the quantized score

@@ -412,6 +412,43 @@ object Dedup {
     store.join(tombstones.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** Physically COMPACT a stored index — the maintenance op that keeps
+    * the append/takedown lifecycle sustainable at 100 TB (append ✓,
+    * delete ✓, now compact): every parquet APPEND lands one more file
+    * set per maintenance run, and every [[storePurge]] tombstone is
+    * re-applied at EVERY read forever. Compaction rewrites the store
+    * once to a NEW versioned path (never in place — a Spark job cannot
+    * safely overwrite its own input, and versioned stores give readers
+    * an atomic cutover): tombstoned rows drop PHYSICALLY, the
+    * accumulated deltas consolidate — a `partitionCols` layout (the
+    * cell-partitioned ANN codes) shuffles hashed on the partition keys
+    * so each output directory lands ~one file and static pruning keeps
+    * working; a flat store (fingerprints, minhash bands, dHash frames)
+    * rewrites to `numFiles` files. `repartition`, not `coalesce`:
+    * coalesce would cap the purge anti-join's parallelism at the output
+    * file count — one extra shuffle of the store's (already compact)
+    * rows is the right trade at any scale. Returns the read-back frame;
+    * an ACTION (runs the rewrite), like every store-writing surface.
+    *
+    * Law (gate + spec pinned): serving the compacted store equals
+    * serving the logical `purge(appended store)` view row-for-row, and
+    * the per-directory file count actually drops to ~1. */
+  def storeCompact(store: DataFrame, idCol: String,
+                   tombstones: Option[DataFrame], outPath: String,
+                   partitionCols: Seq[String] = Nil,
+                   numFiles: Int = 1): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val spark = store.sparkSession
+    val purged = tombstones.map(storePurge(store, idCol, _)).getOrElse(store)
+    if (partitionCols.nonEmpty)
+      purged.repartition(partitionCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outPath)
+    else
+      purged.repartition(numFiles)
+        .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** SimHash banded near-dup pairs: sketch every document to a
     * `hashBits`-bit simhash, explode it into `nBands` equal bit-bands,
     * candidate pairs share a (band_idx, band_val) bucket, and the

@@ -1078,6 +1078,46 @@ object EngineQueries {
                                        'del_ann_cbs', 'embeddings',
                                        'vec_id', 'embedding', 0, 10, 2)""")
     }),
+    "e_sql_ann_compact" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{broadcast, max}
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // physical compaction from SQL: store prep in Scala (the
+      // e_sql_ann_delete convention), then tombstone view →
+      // graft_store_compact (deferred rewrite) → unchanged stored
+      // serving over the compacted view. Same fixture as
+      // llm_ann_index_compact ⇒ the delete oracle gates it
+      val out = "target/gate_sink/ann_index_compact_sql"
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
+      val mx = emb.agg(max($"vec_id").as("m"))
+      val a = emb.crossJoin(broadcast(mx)).filter($"vec_id" <= $"m" - 100)
+        .select($"vec_id", $"embedding")
+      val b = emb.crossJoin(broadcast(mx)).filter($"vec_id" > $"m" - 100)
+        .select($"vec_id", $"embedding")
+      sim.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      sim.ivfPqEncode(b, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("cmp_ann_cells")
+      s.read.parquet(s"$out/codebooks").createOrReplaceTempView("cmp_ann_cbs")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("cmp_ann_codes")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW cmp_ann_tomb AS
+                 SELECT vec_id FROM cmp_ann_codes WHERE vec_id % 10 = 3""")
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW cmp_ann_codes_v2 AS
+                 SELECT * FROM graft_store_compact('cmp_ann_codes', 'vec_id',
+                   'cmp_ann_tomb', '$out/codes_v2', 'cell', 1)""")
+      e.query("""SELECT vec_id, adc_score
+                 FROM graft_ann_stored('cmp_ann_codes_v2', 'cmp_ann_cells',
+                                       'cmp_ann_cbs', 'embeddings',
+                                       'vec_id', 'embedding', 0, 10, 2)""")
+    }),
     "e_sql_knn_join" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1743,6 +1783,7 @@ object EngineQueries {
     "e_sql_image_clusters" -> LlmQueries.oracle("llm_image_clusters"),
     "e_sql_fp_append" -> LlmQueries.oracle("llm_exact_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
+    "e_sql_ann_compact" -> LlmQueries.oracle("llm_ann_index_compact"),
     "e_sql_ann_recall" -> LlmQueries.oracle("llm_ann_recall"),
     "e_sql_ann_sq_stored" -> LlmQueries.oracle("llm_ann_sq_stored"),
     "e_sql_ann_sq_append" -> LlmQueries.oracle("llm_ann_sq_append"),

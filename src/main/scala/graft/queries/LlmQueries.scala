@@ -1589,6 +1589,41 @@ object LlmQueries {
         Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
         k = 10, probes = 2, excludeId = Some(0L))
     }),
+    "llm_ann_index_compact" -> ((s, d) => {
+      import s.implicits._
+      // the maintenance lifecycle's LAST verb (append ✓ delete ✓ →
+      // compact): a cell-partitioned codes store that has accumulated
+      // an appended generation AND a tombstone set is physically
+      // rewritten to a new versioned path — purged rows gone from the
+      // files, one consolidated file set per cell — and serving the
+      // compacted store must equal serving the logical
+      // purge(append(...)) view: same fixture and artifacts as
+      // llm_ann_index_delete, so the SAME oracle gates both (a compact
+      // that loses a row, resurrects a tombstone, or breaks the cell
+      // layout hash-mismatches)
+      val out = "target/gate_sink/ann_index_compact"
+      val emb = Tables.load(s, d, "embeddings")
+      val m = emb.agg(max($"vec_id").as("m"))
+      val a = emb.crossJoin(broadcast(m)).filter($"vec_id" <= $"m" - 100)
+        .select($"vec_id", $"embedding")
+      val b = emb.crossJoin(broadcast(m)).filter($"vec_id" > $"m" - 100)
+        .select($"vec_id", $"embedding")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      // generation A written, generation B appended (one more file set
+      // per cell — the state a production index is in before compaction)
+      Similarity.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      Similarity.ivfPqEncode(b, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+      val tomb = emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+      val compacted = Dedup.storeCompact(s.read.parquet(s"$out/codes"),
+        "vec_id", Some(tomb), s"$out/codes_v2", partitionCols = Seq("cell"))
+      Similarity.ivfPqTopKStored(compacted, "vec_id", cents, cbs,
+        subDim = 16, Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, probes = 2, excludeId = Some(0L))
+    }),
     "llm_fp_append" -> ((s, d) => {
       import s.implicits._
       // the fingerprint store's append path (the llm_exact_incr store,
@@ -2422,7 +2457,11 @@ object LlmQueries {
     "llm_ann_index_append" -> oracleBase("llm_ann_ivf_pq"),
     // the appended dHash store must probe exactly like the full-slice
     // build — dHash is per-row, the append IS the delta
-    "llm_image_append" -> oracleBase("llm_image_incr"))
+    "llm_image_append" -> oracleBase("llm_image_incr"),
+    // physical compaction is invisible to serving: the rewritten store
+    // (tombstones dropped from the files, deltas consolidated) must
+    // serve exactly like the logical purge view — the delete oracle
+    "llm_ann_index_compact" -> oracleBase("llm_ann_index_delete"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_ann_ivf" ->

@@ -642,6 +642,11 @@ class EngineSpec extends AnyFunSuite {
              'embeddings', 'vec_id', 'embedding', 0, 10, 2)""")
       assert(planIvfSqSt.contains("GraftDeferredScan"),
         "stored-IVF-SQ centroid reconstruction must sit behind a deferred-scan leaf")
+      val planCompact = engine.explain(
+        """SELECT * FROM graft_store_compact('njp_codes', 'vec_id', '',
+             'target/test_sink/njp_compact', 'cell', 1)""")
+      assert(planCompact.contains("GraftDeferredScan"),
+        "the compaction rewrite must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the pruned/residual/image TVFs must launch no job, saw $jobs")

@@ -1865,6 +1865,54 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vec_id"))
   }
 
+  test("store compaction: tombstones physically gone, per-cell files consolidate, content == purge view") {
+    import spark.implicits._
+    val out = "target/test_sink/compact"
+    val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 8)
+    val a = emb.filter($"vec_id" < 300).select($"vec_id", $"embedding")
+    val b = emb.filter($"vec_id" >= 300).select($"vec_id", $"embedding")
+    Similarity.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+    Similarity.ivfPqEncode(b, "vec_id", "embedding", cents, cbs, 16)
+      .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+    def filesPerCell(p: String): Map[String, Int] = {
+      val root = new java.io.File(p)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    // the pre-compaction state: the append left >1 file set in cells
+    // both generations touched
+    assert(filesPerCell(s"$out/codes").values.exists(_ >= 2),
+      "fixture must accumulate appended file sets")
+    val store = spark.read.parquet(s"$out/codes")
+    val tomb = emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+    val compacted = Dedup.storeCompact(store, "vec_id", Some(tomb),
+      s"$out/codes_v2", partitionCols = Seq("cell"))
+    // physical: every cell directory is ONE consolidated file
+    val after = filesPerCell(s"$out/codes_v2")
+    assert(after.nonEmpty && after.values.forall(_ == 1), s"got $after")
+    // tombstoned rows are gone from the FILES, not merely filtered
+    assert(spark.read.parquet(s"$out/codes_v2")
+      .filter($"vec_id" % 10 === 3).count() == 0)
+    // content == the logical purge view, row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cell".cast("long"), $"code_0", $"code_3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(compacted) == rows(Dedup.storePurge(store, "vec_id", tomb)))
+    // flat-store form: content identity and the declared file count
+    val fp = docs.select($"doc_id",
+      graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+    fp.filter($"doc_id" < 100).write.mode("overwrite").parquet(s"$out/fp")
+    fp.filter($"doc_id" >= 100).write.mode("append").parquet(s"$out/fp")
+    val flat = Dedup.storeCompact(spark.read.parquet(s"$out/fp"), "doc_id",
+      None, s"$out/fp_v2", numFiles = 2)
+    assert(new java.io.File(s"$out/fp_v2").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    assert(flat.count() == fp.count())
+  }
+
   test("BPE train: frequency order, deterministic ties, merge-on-merged, early exhaustion") {
     import spark.implicits._
     val df = Seq((1L, "aaa ab aaa low lower lowest"),

@@ -95,6 +95,9 @@ class PlanSpec extends AnyFunSuite {
       // as llm_ann_ivf_pq, from the stored artifacts (append = the
       // same serving path over the parquet-appended codes)
       "llm_ann_index_roundtrip", "llm_ann_index_append",
+      // broadcast 1-row max-vec-id bound building the two appended
+      // generations before the physical rewrite
+      "llm_ann_index_compact", "e_sql_ann_compact",
       // broadcast 1-row corpus total under the domain-share division
       "llm_domain_report", "e_sql_domain_report",
       // broadcast 1-row (N, Σdl) corpus stats under the BM25 score
