@@ -634,6 +634,16 @@ object LlmSql {
       case args => bad(
         "graft_bpe_count(table, id_col, text_col, merges_table)", args)
     }
+    reg(spark, "graft_bpe_vocab") {
+      // learned-token vocabulary report under a stored merge table;
+      // same KB-scale merge-table collect as the other BPE serving TVFs
+      case Seq(t, id, text, merges, k) =>
+        val f = "graft_bpe_vocab"
+        TextAnalysis.bpeVocabReport(table(str(t, f)), str(id, f),
+          str(text, f), table(str(merges, f)), topK = int(k, f))
+      case args => bad(
+        "graft_bpe_vocab(table, id_col, text_col, merges_table, top_k)", args)
+    }
     reg(spark, "graft_bpe_tokenize") {
       // tokenize-to-ids under a stored merge table — the sequence the
       // count TVF only measures; same KB-scale merge-table collect

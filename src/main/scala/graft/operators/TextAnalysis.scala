@@ -853,6 +853,40 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Learned-token vocabulary report — [[vocabReport]] re-based on the
+    * TRAINED tokenizer: per terminal symbol, corpus occurrences,
+    * document frequency, rank, and cumulative coverage — the id-space
+    * utilization / coverage-curve check a tokenizer run reads before
+    * committing a merge table to a training run. Unlike the whitespace
+    * report, no hash-first resolution pass is needed: `token_id` is
+    * already a compact 4-byte key carried next to its string, so ONE
+    * tokenize pass feeds a partial-aggregable (token_id, token) count.
+    * The top-k boundary is total-ordered (cnt desc, token_id asc); the
+    * only unpartitioned window runs over the topK-bounded rows (the
+    * [[vocabReport]] convention). */
+  def bpeVocabReport(df: DataFrame, idCol: String, textCol: String,
+                     merges: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val m = collectMerges(merges, "bpeVocabReport")
+    val tk = df.select(col(idCol),
+        explode(org.apache.spark.sql.GraftBridge.column(graft.functions.BpeTokens(
+          org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol))),
+          m.map(_._2).toIndexedSeq, m.map(_._3).toIndexedSeq))).as("tk"))
+      .select(col(idCol), col("tk.token").as("token"),
+        col("tk.token_id").as("token_id"))
+    val cnts = tk.groupBy(col("token_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col(idCol)).as("df"))
+    val total = cnts.agg(sum(col("cnt")).as("__tot"))
+    val top = cnts.orderBy(col("cnt").desc, col("token_id").asc).limit(topK)
+    val wOrd = Window.orderBy(col("cnt").desc, col("token_id").asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .select(col("token_id"), col("token"), col("cnt"), col("df"),
+        row_number().over(wOrd).as("rank"),
+        round(sum(col("cnt")).over(wCum).cast("double") / col("__tot"), 6)
+          .as("coverage"))
+  }
+
   /** Count-min-sketch heavy-hitter ATTESTATION — the frequency-sketch
     * member of the sketch-contract family (HLL: `a8_hll`, GK quantiles:
     * `a8_approx_quantile`/`llm_quantile_filter_approx`, bloom:

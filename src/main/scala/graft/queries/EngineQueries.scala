@@ -543,6 +543,20 @@ object EngineQueries {
       e.query("""SELECT doc_id, bpe_cnt
                  FROM graft_bpe_count('documents', 'doc_id', 'text', 'bpe_merges')""")
     }),
+    "e_sql_bpe_vocab" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the learned-token coverage curve from SQL: VALUES merge view →
+      // vocab-report TVF
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bpe_merges_vocab AS
+                 SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                       (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                       (6,'o','n'),(7,'r','e'))
+                   AS m(rank, left, right)""")
+      e.query("""SELECT token_id, token, cnt, df, rank, coverage
+                 FROM graft_bpe_vocab('documents', 'doc_id', 'text',
+                                      'bpe_merges_vocab', 50)""")
+    }),
     "e_sql_bpe_tokenize" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1778,6 +1792,7 @@ object EngineQueries {
     "e_sql_image_dups" -> LlmQueries.oracle("llm_image_dups"),
     "e_sql_bpe_count" -> LlmQueries.oracle("llm_bpe_count"),
     "e_sql_bpe_tokenize" -> LlmQueries.oracle("llm_bpe_tokenize"),
+    "e_sql_bpe_vocab" -> LlmQueries.oracle("llm_bpe_vocab"),
     "e_sql_image_incr" -> LlmQueries.oracle("llm_image_incr"),
     "e_sql_image_append" -> LlmQueries.oracle("llm_image_incr"),
     "e_sql_image_clusters" -> LlmQueries.oracle("llm_image_clusters"),

@@ -1101,6 +1101,21 @@ object LlmQueries {
         Tables.load(s, d, "documents").select($"doc_id", $"text"),
         "doc_id", "text", s.read.parquet(out))
     }),
+    "llm_bpe_vocab" -> ((s, d) => {
+      // learned-token vocabulary report: occurrences / doc frequency /
+      // rank / cumulative coverage per terminal symbol under the
+      // stored merge table — the id-space utilization check before a
+      // training run. Oracle composes the tokenize CTE into the
+      // llm_vocab report shape
+      val out = "target/gate_sink/bpe_merges_vocab"
+      s.createDataFrame(Seq(
+          (0, "t", "h"), (1, "th", "e"), (2, "i", "n"), (3, "a", "n"),
+          (4, "an", "d"), (5, "e", "r"), (6, "o", "n"), (7, "r", "e")))
+        .toDF("rank", "left", "right")
+        .write.mode("overwrite").parquet(out)
+      TextAnalysis.bpeVocabReport(Tables.load(s, d, "documents"),
+        "doc_id", "text", s.read.parquet(out), topK = 50)
+    }),
     "llm_bpe_train" -> ((s, d) =>
       // BPE merge-table TRAINING on the corpus itself (the Sennrich
       // recipe): one corpus pass builds the vocabulary-scale word
@@ -2778,6 +2793,59 @@ object LlmQueries {
                                       WHERE m2.l || m2.r = token)
                       END AS INT) AS token_id
           FROM tk""",
+    // learned-token vocab report: the tokenize CTEs feed the
+    // llm_vocab-shaped (cnt, df, rank, coverage) report
+    "llm_bpe_vocab" ->
+      """WITH RECURSIVE
+          m(rank, l, r) AS (
+            SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                  (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                  (6,'o','n'),(7,'r','e'))),
+          t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                 FROM documents),
+          w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
+                FROM t0),
+          w2 AS (SELECT doc_id, wi, ws[wi] AS word FROM w
+                 WHERE length(ws[wi]) > 0),
+          init AS (SELECT doc_id, wi,
+                     ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+                   FROM w2),
+          bpe AS (
+            SELECT doc_id, wi, s FROM init
+            UNION ALL
+            SELECT doc_id, wi,
+                   replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s
+            FROM (SELECT b.doc_id, b.wi, b.s, m.l, m.r,
+                         row_number() OVER (PARTITION BY b.doc_id, b.wi
+                                            ORDER BY m.rank) AS rn
+                  FROM bpe b JOIN m
+                    ON position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)
+            WHERE rn = 1),
+          term AS (SELECT doc_id, wi, s FROM bpe b
+                   WHERE NOT EXISTS (SELECT 1 FROM m
+                     WHERE position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)),
+          sy AS (SELECT doc_id, wi, string_split(trim(s), '  ') AS a FROM term),
+          ix AS (SELECT doc_id, wi, unnest(generate_series(1, len(a))) AS si, a
+                 FROM sy),
+          tkk AS (SELECT doc_id, a[si] AS token,
+                    CAST(CASE WHEN length(a[si]) = 1 THEN unicode(a[si])
+                         ELSE 1114112 + (SELECT min(m2.rank) FROM m m2
+                                         WHERE m2.l || m2.r = a[si])
+                         END AS INT) AS token_id
+                  FROM ix),
+          c AS (SELECT token_id, token, count(*) AS cnt,
+                       count(DISTINCT doc_id) AS df
+                FROM tkk GROUP BY token_id, token),
+          tot AS (SELECT sum(cnt) AS tot FROM c),
+          top AS (SELECT * FROM c ORDER BY cnt DESC, token_id ASC LIMIT 50)
+          SELECT token_id, token, CAST(cnt AS BIGINT) AS cnt,
+                 CAST(df AS BIGINT) AS df,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token_id ASC)
+                   AS INTEGER) AS rank,
+                 round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token_id ASC
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / (SELECT tot FROM tot), 6) AS coverage
+          FROM top""",
     // the learned merge table: 8 unrolled training rounds
     "llm_bpe_train" ->
       s"""WITH ${bpeTrainCtes(8)}

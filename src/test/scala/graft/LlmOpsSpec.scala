@@ -2091,6 +2091,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nDrift == 0L, s"$nDrift docs where pack n_toks != bpe_cnt")
   }
 
+  test("BPE vocab report: counts reconcile with BpeCount; coverage monotone to 1 when topK covers all") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val merges = Seq((0, "t", "h"), (1, "th", "e"), (2, "i", "n"),
+        (3, "a", "n"), (4, "an", "d"), (5, "e", "r"), (6, "o", "n"),
+        (7, "r", "e"))
+      .toDF("rank", "left", "right")
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    val rep = TextAnalysis.bpeVocabReport(corpus, "doc_id", "text", merges,
+        topK = 10000)
+      .collect()
+    // Σ cnt over the (here complete) vocabulary == Σ BpeCount: the
+    // report and the counter run the same merge loop
+    val totalTokens = TextAnalysis.bpeCount(corpus, "doc_id", "text", merges)
+      .agg(org.apache.spark.sql.functions.sum($"bpe_cnt")).collect()(0).getLong(0)
+    assert(rep.map(_.getAs[Long]("cnt")).sum == totalTokens)
+    // rank is 1..n in cnt-desc order; coverage is monotone to 1.0
+    val byRank = rep.sortBy(_.getAs[Int]("rank"))
+    assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rep.length))
+    val cov = byRank.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(cov.last - 1.0) < 1e-9)
+    // token_id <-> token is a bijection in the report
+    assert(rep.map(_.getAs[Int]("token_id")).distinct.length == rep.length)
+    assert(rep.map(_.getAs[String]("token")).distinct.length == rep.length)
+  }
+
   test("image dHash near-dup: local edits pair, rewrites don't, banding is exact under nBands") {
     import spark.implicits._
     val base = Seq.tabulate(6)(i =>
