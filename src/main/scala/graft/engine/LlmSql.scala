@@ -210,6 +210,16 @@ object LlmSql {
       case args => bad(
         "graft_store_compact(store_table, id_col, tombstone_table_or_empty, out_path, partition_cols_csv, num_files)", args)
     }
+    reg(spark, "graft_corpus_kl") {
+      // corpus drift between two snapshot tables: smoothed unigram KL
+      // both directions, one report row
+      case Seq(ta, tb, text) =>
+        val f = "graft_corpus_kl"
+        TextAnalysis.unigramKlReport(table(str(ta, f)), table(str(tb, f)),
+          str(text, f))
+      case args => bad(
+        "graft_corpus_kl(table_a, table_b, text_col)", args)
+    }
     reg(spark, "graft_bm25") {
       // keyword retrieval: query terms as a comma-separated literal
       // (split here — no per-row work), top-k by the quantized score

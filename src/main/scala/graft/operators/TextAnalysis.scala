@@ -853,6 +853,55 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Corpus DRIFT report — smoothed unigram KL divergence between two
+    * corpus snapshots in both directions (KL(A‖B), KL(B‖A)): the
+    * distribution-shift check an ingestion pipeline runs between crawl
+    * generations before training on the new one (a spiking KL means the
+    * new crawl's token distribution moved — new spam template, encoding
+    * regression, source mix change). Add-one smoothing over the UNION
+    * vocabulary, so unseen-in-one-side tokens contribute finitely and
+    * Σp = 1 exactly on each side.
+    *
+    * Scale shape: hash-first unigram counts per side (60-bit
+    * [[Dedup.sharedHash60]] keys — 8-byte exchange, strings never
+    * shuffle; a collision merges two tokens' counts identically in the
+    * oracle), one full outer join on the hash, a 1-row broadcast
+    * (V, ΣA, ΣB), and a partial-aggregable contribution sum. Engine
+    * parity: each probability ratio is a quotient of EXACT integer
+    * products (counts ≤ 2⁵³ — exact in double), so `ln` sees
+    * bit-identical arguments on both engines; the round-4 grid masks
+    * the 1-ulp libm drift ([[tfidfTopTerms]] hardening). Output: ONE
+    * row (vocab_size, tot_a, tot_b, kl_ab, kl_ba). */
+  def unigramKlReport(dfA: DataFrame, dfB: DataFrame,
+                      textCol: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(Dedup.sharedHash60(col("__t")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("c"))
+    val j = counts(dfA).select(col("__h"), col("c").as("ca"))
+      .join(counts(dfB).select(col("__h"), col("c").as("cb")),
+        Seq("__h"), "full")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val stats = j.agg(count(lit(1)).as("v"),
+      sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    // p·ln(ratio) with ratio a quotient of exact integer products —
+    // the oracle mirrors this exact operand pairing
+    def kl(x: Column, y: Column, tx: Column, ty: Column, v: Column) =
+      ((x + 1).cast("double") / (tx + v).cast("double")) *
+        log(((x + 1) * (ty + v)).cast("double") /
+            ((y + 1) * (tx + v)).cast("double"))
+    j.crossJoin(broadcast(stats))
+      .groupBy(col("v"), col("ta"), col("tb"))
+      .agg(round(sum(kl(col("ca"), col("cb"), col("ta"), col("tb"), col("v"))), 4)
+          .as("kl_ab"),
+        round(sum(kl(col("cb"), col("ca"), col("tb"), col("ta"), col("v"))), 4)
+          .as("kl_ba"))
+      .select(col("v").as("vocab_size"), col("ta").as("tot_a"),
+        col("tb").as("tot_b"), col("kl_ab"), col("kl_ba"))
+  }
+
   /** Learned-token vocabulary report — [[vocabReport]] re-based on the
     * TRAINED tokenizer: per terminal symbol, corpus occurrences,
     * document frequency, rank, and cumulative coverage — the id-space

@@ -137,6 +137,19 @@ object EngineQueries {
       "SELECT * FROM graft_tfidf('documents', 'doc_id', 'text', 3)")),
     "e_sql_bm25" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_bm25('documents', 'doc_id', 'text', 'hash,join,vector', 25)")),
+    "e_sql_corpus_kl" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // drift between two snapshot VIEWS defined in SQL (the
+      // contamination split), measured by the TVF
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW kl_ref AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id <= (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW kl_new AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) - 100 FROM documents)""")
+      e.query("SELECT * FROM graft_corpus_kl('kl_ref', 'kl_new', 'text')")
+    }),
     // composition: the TVFs resolve through the catalog, so a view
     // DEFINED IN SQL feeds the pipeline — the whole near-dup-tail
     // containment flow without a line of Scala
@@ -1732,6 +1745,7 @@ object EngineQueries {
     "e_sql_sample_weighted_strat" -> LlmQueries.oracle("llm_sample_weighted_strat"),
     "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf"),
     "e_sql_bm25" -> LlmQueries.oracle("llm_bm25"),
+    "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),
     "e_sql_contamination" -> LlmQueries.oracle("llm_contamination"),

@@ -950,6 +950,19 @@ object LlmQueries {
     "llm_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(
         Tables.load(s, d, "documents"), "doc_id", "text", topK = 3)),
+    "llm_corpus_kl" -> ((s, d) => {
+      import s.implicits._
+      // corpus drift between two crawl generations (reference = all but
+      // the last 100 docs, new = the last 100 — the contamination
+      // split): smoothed unigram KL both directions, one report row
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      val b = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      TextAnalysis.unigramKlReport(a, b, "text")
+    }),
     "llm_bm25" -> ((s, d) =>
       // BM25 keyword retrieval: the 25 most relevant docs for a 3-term
       // query at the Lucene-default (k1=1.2, b=0.75) parameters — the
@@ -5127,6 +5140,34 @@ object LlmQueries {
                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                        / (SELECT tot FROM tot), 6) AS coverage
           FROM top""",
+    // corpus drift: the same smoothed-KL algebra — every ln argument a
+    // quotient of exact integer products, so both engines feed libm
+    // identical bits; round-4 masks the 1-ulp tail
+    "llm_corpus_kl" ->
+      """WITH mm AS (SELECT max(doc_id) AS m FROM documents),
+          ta_ AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+                  FROM documents, mm WHERE doc_id <= mm.m - 100),
+          tb_ AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+                  FROM documents, mm WHERE doc_id > mm.m - 100),
+          ca_ AS (SELECT CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h,
+                         count(*) AS c
+                  FROM ta_ WHERE length(t) > 0 GROUP BY 1),
+          cb_ AS (SELECT CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h,
+                         count(*) AS c
+                  FROM tb_ WHERE length(t) > 0 GROUP BY 1),
+          j AS (SELECT coalesce(ca_.c, 0) AS ca, coalesce(cb_.c, 0) AS cb
+                FROM ca_ FULL OUTER JOIN cb_ ON ca_.h = cb_.h),
+          s AS (SELECT count(*) AS v, sum(ca) AS ta, sum(cb) AS tb FROM j)
+          SELECT CAST(s.v AS BIGINT) AS vocab_size,
+                 CAST(s.ta AS BIGINT) AS tot_a,
+                 CAST(s.tb AS BIGINT) AS tot_b,
+                 round(sum((CAST(ca + 1 AS DOUBLE) / CAST(s.ta + s.v AS DOUBLE)) *
+                   ln(CAST((ca + 1) * (s.tb + s.v) AS DOUBLE) /
+                      CAST((cb + 1) * (s.ta + s.v) AS DOUBLE))), 4) AS kl_ab,
+                 round(sum((CAST(cb + 1 AS DOUBLE) / CAST(s.tb + s.v AS DOUBLE)) *
+                   ln(CAST((cb + 1) * (s.ta + s.v) AS DOUBLE) /
+                      CAST((ca + 1) * (s.tb + s.v) AS DOUBLE))), 4) AS kl_ba
+          FROM j CROSS JOIN s GROUP BY s.v, s.ta, s.tb""",
     // BM25: the same algebra with the operator's exact parenthesization
     // — integer (N-df) before +0.5, (b·dl)/avgdl left-assoc, tf cast to
     // double before the k1 products — so every IEEE op pairs the same

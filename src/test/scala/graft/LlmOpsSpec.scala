@@ -2091,6 +2091,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nDrift == 0L, s"$nDrift docs where pack n_toks != bpe_cnt")
   }
 
+  test("corpus KL drift: identity is exactly 0, divergence nonnegative, drift moves the needle") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 200)
+    // KL(A‖A) == 0 EXACTLY: every ratio is a quotient of identical
+    // integer products, ln(1.0) == 0.0 bitwise — no tolerance needed
+    val self = TextAnalysis.unigramKlReport(corpus, corpus, "text").collect()(0)
+    assert(self.getAs[Double]("kl_ab") == 0.0 && self.getAs[Double]("kl_ba") == 0.0)
+    assert(self.getAs[Long]("tot_a") == self.getAs[Long]("tot_b"))
+    // a drifted snapshot (every doc's text flooded with one token)
+    // diverges positively in both directions (Gibbs)
+    val drifted = corpus.select($"doc_id",
+      org.apache.spark.sql.functions.concat($"text",
+        org.apache.spark.sql.functions.lit(" spamtoken spamtoken spamtoken")).as("text"))
+    val kl = TextAnalysis.unigramKlReport(corpus, drifted, "text").collect()(0)
+    assert(kl.getAs[Double]("kl_ab") > 0.0 && kl.getAs[Double]("kl_ba") > 0.0)
+    // the union vocabulary includes the token unseen in A
+    assert(kl.getAs[Long]("vocab_size") == self.getAs[Long]("vocab_size") + 1)
+  }
+
   test("BPE vocab report: counts reconcile with BpeCount; coverage monotone to 1 when topK covers all") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -102,6 +102,9 @@ class PlanSpec extends AnyFunSuite {
       "llm_domain_report", "e_sql_domain_report",
       // broadcast 1-row (N, Σdl) corpus stats under the BM25 score
       "llm_bm25", "e_sql_bm25",
+      // broadcast 1-row max-doc-id split bound + 1-row (V, ΣA, ΣB)
+      // stats under the KL contributions
+      "llm_corpus_kl", "e_sql_corpus_kl",
       // the rerank's candidate stage IS llm_ann_ivf_pq (same bounded
       // probe-cell selection); the exact stage adds only a broadcast
       // semi-join + 1-row query-vector literal
@@ -173,6 +176,9 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row top-k boundary count + corpus token total
       // (hash-first vocabulary report)
       "llm_vocab", "e_sql_vocab",
+      // broadcast 1-row corpus token total under the coverage division
+      // (learned-token vocabulary report)
+      "llm_bpe_vocab", "e_sql_bpe_vocab",
       // broadcast 1-row quantile threshold (exact and GK-attestation)
       "llm_quantile_filter", "e_sql_quantile_filter",
       "llm_quantile_filter_approx",
