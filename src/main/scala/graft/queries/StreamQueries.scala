@@ -441,6 +441,30 @@ object StreamQueries {
       graft.operators.TextAnalysis.heavyHittersCms(
         Tables.load(s, d, "documents"), "doc_id", "text",
         topK = 20, eps = 0.001, confidence = 0.99)),
+    "st_corpus_kl" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // drift monitoring ON the ingestion stream (batch-parity form;
+      // StreamingSpec runs the real two-micro-batch foreachBatch loop
+      // and pins row parity): each arriving micro-batch is scored
+      // against the STATIC reference corpus — the per-generation KL
+      // row a crawl dashboard plots before admitting a generation
+      val docs = Tables.load(s, d, "documents")
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val ref = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") <= col("m") - 100)
+        .select(col("doc_id"), col("text"))
+      val b1 = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 100 && col("doc_id") <= col("m") - 50)
+        .select(col("doc_id"), col("text"))
+      val b2 = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 50)
+        .select(col("doc_id"), col("text"))
+      graft.operators.TextAnalysis.unigramKlReport(ref, b1, "text")
+        .select(lit(1).as("batch_id"), col("*"))
+        .unionByName(
+          graft.operators.TextAnalysis.unigramKlReport(ref, b2, "text")
+            .select(lit(2).as("batch_id"), col("*")))
+    }),
     "st_corpus_report" -> ((s, d) =>
       // the ingestion dashboard ON THE INGESTION STREAM (batch-parity
       // form; StreamingSpec runs the identical transform as a
@@ -494,6 +518,51 @@ object StreamQueries {
     "st_quality" -> LlmQueries.oracle("llm_gopher"),
     // complete-mode streaming aggregate — identical to the batch panel
     "st_corpus_report" -> LlmQueries.oracle("llm_corpus_report"),
+    // per-micro-batch drift rows: the llm_corpus_kl algebra applied to
+    // each generation against the static reference
+    "st_corpus_kl" ->
+      """WITH mm AS (SELECT max(doc_id) AS m FROM documents),
+          ra AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+                 FROM documents, mm WHERE doc_id <= mm.m - 100),
+          rc AS (SELECT CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h,
+                        count(*) AS c
+                 FROM ra WHERE length(t) > 0 GROUP BY 1),
+          b1 AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+                 FROM documents, mm
+                 WHERE doc_id > mm.m - 100 AND doc_id <= mm.m - 50),
+          c1 AS (SELECT CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h,
+                        count(*) AS c
+                 FROM b1 WHERE length(t) > 0 GROUP BY 1),
+          b2 AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+                 FROM documents, mm WHERE doc_id > mm.m - 50),
+          c2 AS (SELECT CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h,
+                        count(*) AS c
+                 FROM b2 WHERE length(t) > 0 GROUP BY 1),
+          j1 AS (SELECT coalesce(rc.c, 0) AS ca, coalesce(c1.c, 0) AS cb
+                 FROM rc FULL OUTER JOIN c1 ON rc.h = c1.h),
+          s1 AS (SELECT count(*) AS v, sum(ca) AS ta, sum(cb) AS tb FROM j1),
+          j2 AS (SELECT coalesce(rc.c, 0) AS ca, coalesce(c2.c, 0) AS cb
+                 FROM rc FULL OUTER JOIN c2 ON rc.h = c2.h),
+          s2 AS (SELECT count(*) AS v, sum(ca) AS ta, sum(cb) AS tb FROM j2)
+          SELECT 1 AS batch_id, CAST(s1.v AS BIGINT) AS vocab_size,
+                 CAST(s1.ta AS BIGINT) AS tot_a, CAST(s1.tb AS BIGINT) AS tot_b,
+                 round(sum((CAST(ca + 1 AS DOUBLE) / CAST(s1.ta + s1.v AS DOUBLE)) *
+                   ln(CAST((ca + 1) * (s1.tb + s1.v) AS DOUBLE) /
+                      CAST((cb + 1) * (s1.ta + s1.v) AS DOUBLE))), 4) AS kl_ab,
+                 round(sum((CAST(cb + 1 AS DOUBLE) / CAST(s1.tb + s1.v AS DOUBLE)) *
+                   ln(CAST((cb + 1) * (s1.ta + s1.v) AS DOUBLE) /
+                      CAST((ca + 1) * (s1.tb + s1.v) AS DOUBLE))), 4) AS kl_ba
+          FROM j1 CROSS JOIN s1 GROUP BY s1.v, s1.ta, s1.tb
+          UNION ALL
+          SELECT 2 AS batch_id, CAST(s2.v AS BIGINT) AS vocab_size,
+                 CAST(s2.ta AS BIGINT) AS tot_a, CAST(s2.tb AS BIGINT) AS tot_b,
+                 round(sum((CAST(ca + 1 AS DOUBLE) / CAST(s2.ta + s2.v AS DOUBLE)) *
+                   ln(CAST((ca + 1) * (s2.tb + s2.v) AS DOUBLE) /
+                      CAST((cb + 1) * (s2.ta + s2.v) AS DOUBLE))), 4) AS kl_ab,
+                 round(sum((CAST(cb + 1 AS DOUBLE) / CAST(s2.tb + s2.v AS DOUBLE)) *
+                   ln(CAST((cb + 1) * (s2.ta + s2.v) AS DOUBLE) /
+                      CAST((ca + 1) * (s2.tb + s2.v) AS DOUBLE))), 4) AS kl_ba
+          FROM j2 CROSS JOIN s2 GROUP BY s2.v, s2.ta, s2.tb""",
     "st_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
                 event_type, count(*) AS n

@@ -104,7 +104,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_bm25", "e_sql_bm25",
       // broadcast 1-row max-doc-id split bound + 1-row (V, ΣA, ΣB)
       // stats under the KL contributions
-      "llm_corpus_kl", "e_sql_corpus_kl",
+      "llm_corpus_kl", "e_sql_corpus_kl", "st_corpus_kl",
       // the rerank's candidate stage IS llm_ann_ivf_pq (same bounded
       // probe-cell selection); the exact stage adds only a broadcast
       // semi-join + 1-row query-vector literal

@@ -613,6 +613,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(spark.table("t_quality_lr")) == batchStream)
   }
 
+  test("streaming corpus KL: per-micro-batch drift rows == the batch-parity form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ref = docs.filter(col("doc_id") <= mx - 100)
+    def slice(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") > mx - lo && col("doc_id") <= mx - hi)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // the drift dashboard loop: one KL row per arriving generation,
+    // scored against the static reference corpus
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    var nBatch = 0
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatch += 1
+        val r = graft.operators.TextAnalysis
+          .unigramKlReport(ref, batch, "text").collect()(0)
+        rows += (nBatch +: r.toSeq)
+        ()
+      }.start()
+    mem.addData(slice(100, 50).toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(slice(50, 0).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows.toVector
+    val batchForm = SparkEntry.queries("st_corpus_kl")(spark, TestSpark.sf)
+      .collect().sortBy(_.getInt(0)).map(_.toSeq.toVector).toVector
+    assert(streamed.map(_.toVector) == batchForm,
+      s"streamed $streamed vs batch $batchForm")
+    // drift is measured, not degenerate: both generations diverge from
+    // the reference
+    assert(batchForm.forall(r => r(4).asInstanceOf[Double] > 0.0))
+  }
+
   test("streaming quality panel: Gopher rules on a stream == batch, stateless") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
