@@ -1127,6 +1127,17 @@ object LlmSql {
       case args => bad(
         "graft_lr_score(weights_table, table, id_col, text_col, buckets)", args)
     }
+    reg(spark, "graft_lr_eval") {
+      // the eval panel over a STORED weight table: fully LAZY like
+      // graft_lr_score (broadcast weights, threshold explode, counts)
+      case Seq(wT, posT, negT, id, text, buckets) =>
+        val f = "graft_lr_eval"
+        graft.operators.Classifier.lrEvalReport(table(str(posT, f)),
+          table(str(negT, f)), str(id, f), str(text, f),
+          table(str(wT, f)), buckets = int(buckets, f))
+      case args => bad(
+        "graft_lr_eval(weights_table, pos_table, neg_table, id_col, text_col, buckets)", args)
+    }
     reg(spark, "graft_domain_report") {
       // fully LAZY: the corpus total is a broadcast 1-row aggregate
       case Seq(t, url, k) =>

@@ -134,4 +134,64 @@ object Classifier {
               weights: DataFrame, buckets: Int = 256): DataFrame =
     logitOf(featuresOf(df, idCol, textCol, buckets), weights, idCol)
       .select(col(idCol), col("z"), sigmoidQ(col("z")).as("quality_score"))
+
+  /** Classifier EVALUATION report — the verb after train/store/serve/
+    * stream that decides whether the filter is USABLE: score a labeled
+    * eval set under the stored weights and report, per candidate
+    * decision threshold, the confusion counts and precision/recall/F1 —
+    * what a pipeline owner reads to pick the quality-filter cutoff (and
+    * to veto a drifted retrain). `pos`/`neg` are the labeled eval
+    * corpora (y = 1 / 0); their ids must be disjoint (the training
+    * fixture's even/odd convention — a shared id would cross-label its
+    * rows through the score join).
+    *
+    * Engine parity: scores are the round-6 [[sigmoidQ]] grid (the
+    * scoring contract), and every reported metric is ONE division of
+    * exact integer counts — precision tp/(tp+fp), recall tp/(tp+fn),
+    * F1 as 2·tp/(2·tp+fp+fn) directly from counts (never from the
+    * rounded P/R, which would compound grids) — so both engines divide
+    * identical operands; round-4 for the grid convention. Undefined
+    * metrics (empty denominator) are NULL, not 0 — "no positives
+    * predicted" and "precision zero" are different facts.
+    *
+    * Scale shape: one scoring pass (broadcast weight join), labels ride
+    * the id join, thresholds explode from a literal array (|thresholds|
+    * × eval rows, partial-aggregable counts). Output: one row per
+    * threshold, ordered. */
+  def lrEvalReport(pos: DataFrame, neg: DataFrame, idCol: String,
+                   textCol: String, weights: DataFrame,
+                   buckets: Int = 256,
+                   thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame = {
+    require(thresholds.nonEmpty, "lrEvalReport: empty threshold list")
+    val labeled = pos.select(col(idCol), col(textCol), lit(1).as("__y"))
+      .unionByName(neg.select(col(idCol), col(textCol), lit(0).as("__y")))
+    val scored = lrScore(labeled.select(col(idCol), col(textCol)),
+        idCol, textCol, weights, buckets)
+      .join(labeled.select(col(idCol), col("__y")), Seq(idCol))
+    val conf = scored
+      .select(col("quality_score"), col("__y"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("__y") === 1 && col("quality_score") >= col("threshold"),
+          1L).otherwise(0L)).as("tp"),
+        sum(when(col("__y") === 0 && col("quality_score") >= col("threshold"),
+          1L).otherwise(0L)).as("fp"),
+        sum(when(col("__y") === 1 && col("quality_score") < col("threshold"),
+          1L).otherwise(0L)).as("fn"),
+        sum(when(col("__y") === 0 && col("quality_score") < col("threshold"),
+          1L).otherwise(0L)).as("tn"))
+    conf.select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 4)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 4)).as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          round((lit(2) * col("tp")).cast("double") /
+            (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"), 4))
+          .as("f1"))
+      .orderBy(col("threshold"))
+  }
 }

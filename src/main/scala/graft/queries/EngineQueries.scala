@@ -1444,6 +1444,31 @@ object EngineQueries {
       e.query("""SELECT * FROM graft_lr_score('graft_lr_weights', 'documents',
                                               'doc_id', 'text', 64)""")
     }),
+    // the EVAL panel from SQL: weights trained + persisted in Scala,
+    // the labeled views defined in SQL, the threshold report via the
+    // lazy eval TVF — the llm_lr_eval oracle gates it
+    "e_sql_lr_eval" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      val out = "target/gate_sink/quality_lr_eval_sql"
+      import org.apache.spark.sql.functions.{col, upper}
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val pos = docs.filter(col("doc_id") % 2 === 0)
+      val neg = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), upper(col("text")).as("text"))
+      val w = graft.operators.Classifier.lrTrain(pos, neg, "doc_id", "text",
+        buckets = 64, iters = 2, lr = 0.5)
+      graft.operators.Classifier.weightsToDf(s, w)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("graft_lr_eval_w")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_lre_pos AS
+                 SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_lre_neg AS
+                 SELECT doc_id, upper(text) AS text FROM documents
+                 WHERE doc_id % 2 = 1""")
+      e.query("""SELECT * FROM graft_lr_eval('graft_lr_eval_w',
+                   'graft_lre_pos', 'graft_lre_neg', 'doc_id', 'text', 64)""")
+    }),
     // the crawl-domain dashboard from one line of SQL over the same
     // URL fixture view as e_sql_url_filter
     "e_sql_domain_report" -> ((s, d) => {
@@ -1852,6 +1877,7 @@ object EngineQueries {
     "e_sql_ann_residual_stored" -> LlmQueries.oracle("llm_ann_ivf_pq_residual"),
     "e_sql_domain_report" -> LlmQueries.oracle("llm_domain_report"),
     "e_sql_quality_classifier" -> LlmQueries.oracle("llm_quality_classifier"),
+    "e_sql_lr_eval" -> LlmQueries.oracle("llm_lr_eval"),
     "e_sql_pipeline7" -> LlmQueries.oracle("llm_pipeline7"),
     "e_sql_lr_score_stored" -> LlmQueries.oracle("llm_quality_classifier")
   )

@@ -2083,6 +2083,26 @@ object LlmQueries {
       graft.operators.Classifier.lrScore(docs, "doc_id", "text",
         s.read.parquet(out), buckets = 64)
     }),
+    "llm_lr_eval" -> ((s, d) => {
+      import s.implicits._
+      // the classifier's EVAL report — the verb that decides whether
+      // the trained filter is usable: per candidate threshold, the
+      // confusion counts and precision/recall/F1 over the labeled
+      // fixture (resubstitution — the fixture trains on all labels;
+      // the report's algebra is what the gate pins). Oracle extends
+      // the llm_quality_classifier replay with the threshold panel
+      val out = "target/gate_sink/quality_lr_eval"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val pos = docs.filter($"doc_id" % 2 === 0)
+      val neg = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", upper($"text").as("text"))
+      val w = graft.operators.Classifier.lrTrain(pos, neg, "doc_id", "text",
+        buckets = 64, iters = 2, lr = 0.5)
+      graft.operators.Classifier.weightsToDf(s, w)
+        .write.mode("overwrite").parquet(out)
+      graft.operators.Classifier.lrEvalReport(pos, neg, "doc_id", "text",
+        s.read.parquet(out), buckets = 64)
+    }),
     "llm_domain_report" -> ((s, d) => {
       import s.implicits._
       // the pre-blocklist crawl dashboard: top domains by doc count +
@@ -4703,6 +4723,75 @@ object LlmQueries {
                  FROM sf LEFT JOIN w2 USING (bucket) GROUP BY sf.doc_id)
          SELECT doc_id, z, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score
          FROM zz""",
+    // the eval panel over the trained weights: same replay to w2, then
+    // score the labeled fixture and count the confusion per threshold —
+    // every metric ONE division of exact integer counts (F1 from counts,
+    // never from the rounded P/R)
+    "llm_lr_eval" ->
+      """WITH pos AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+          neg AS (SELECT doc_id, upper(text) AS text FROM documents
+                  WHERE doc_id % 2 = 1),
+          feats AS (
+            SELECT 'p:' || CAST(doc_id AS VARCHAR) AS tid, bucket,
+                   count(*) AS tf, 1.0 AS y
+            FROM (SELECT doc_id,
+                    CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
+                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                        FROM pos))
+            GROUP BY 1, bucket
+            UNION ALL
+            SELECT 'n:' || CAST(doc_id AS VARCHAR), bucket, count(*), 0.0
+            FROM (SELECT doc_id,
+                    CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
+                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                        FROM neg))
+            GROUP BY 1, bucket),
+          nn AS (SELECT count(DISTINCT tid) AS n FROM feats),
+          g1 AS (SELECT bucket,
+                        CAST(sum(CAST(tf * (y - 0.5) AS DECIMAL(20,10))) AS DOUBLE)
+                          / nn.n AS g
+                 FROM feats, nn GROUP BY bucket, nn.n),
+          w1 AS (SELECT bucket, round(0.5 * g, 6) AS w FROM g1),
+          z2 AS (SELECT f.tid,
+                        round(CAST(sum(CAST(f.tf * coalesce(w1.w, 0.0)
+                          AS DECIMAL(20,10))) AS DOUBLE), 6) AS z
+                 FROM feats f LEFT JOIN w1 USING (bucket) GROUP BY f.tid),
+          p2 AS (SELECT tid, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z2),
+          g2 AS (SELECT f.bucket,
+                        CAST(sum(CAST(f.tf *
+                          ((CASE WHEN f.tid LIKE 'p:%' THEN 1.0 ELSE 0.0 END)
+                            - p2.p) AS DECIMAL(20,10))) AS DOUBLE) / nn.n AS g
+                 FROM feats f JOIN p2 USING (tid), nn GROUP BY f.bucket, nn.n),
+          w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
+                        round(coalesce(w1.w, 0) + 0.5 * coalesce(g2.g, 0), 6) AS w
+                 FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket),
+          ez AS (SELECT f.tid,
+                        round(CAST(sum(CAST(f.tf * coalesce(w2.w, 0.0)
+                          AS DECIMAL(20,10))) AS DOUBLE), 6) AS z
+                 FROM feats f LEFT JOIN w2 USING (bucket) GROUP BY f.tid),
+          ep AS (SELECT tid, round(1.0 / (1.0 + exp(-z)), 6) AS p,
+                        CASE WHEN tid LIKE 'p:%' THEN 1 ELSE 0 END AS y
+                 FROM ez),
+          th AS (SELECT CAST(t AS DOUBLE) AS threshold
+                 FROM (VALUES (0.3), (0.5), (0.7)) v(t)),
+          cf AS (SELECT th.threshold,
+                   sum(CASE WHEN y = 1 AND p >= th.threshold THEN 1 ELSE 0 END) AS tp,
+                   sum(CASE WHEN y = 0 AND p >= th.threshold THEN 1 ELSE 0 END) AS fp,
+                   sum(CASE WHEN y = 1 AND p < th.threshold THEN 1 ELSE 0 END) AS fn,
+                   sum(CASE WHEN y = 0 AND p < th.threshold THEN 1 ELSE 0 END) AS tn
+                 FROM ep CROSS JOIN th GROUP BY th.threshold)
+          SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                 CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+                 CASE WHEN tp + fp > 0
+                   THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 4)
+                   END AS "precision",
+                 CASE WHEN tp + fn > 0
+                   THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 4)
+                   END AS recall,
+                 CASE WHEN 2*tp + fp + fn > 0
+                   THEN round(CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE), 4)
+                   END AS f1
+          FROM cf""",
     // top domains by doc count + corpus share over the llm_url_filter
     // fixture (garbage URLs excluded from counts and total)
     "llm_domain_report" ->

@@ -2091,6 +2091,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nDrift == 0L, s"$nDrift docs where pack n_toks != bpe_cnt")
   }
 
+  test("lrEvalReport: counts match an independent recount; NULL metrics on empty denominators") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val trainPos = corpus.filter($"doc_id" % 2 === 0)
+    val trainNeg = corpus.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", org.apache.spark.sql.functions.upper($"text").as("text"))
+    val w = Classifier.weightsToDf(spark,
+      Classifier.lrTrain(trainPos, trainNeg, "doc_id", "text",
+        buckets = 64, iters = 2, lr = 0.5))
+    // eval on a CROSSED set — positives uppercased (they look like
+    // training negatives), negatives as-is — so the confusion matrix is
+    // genuinely mixed, not the separable fixture's all-ones
+    val evalPos = trainPos
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        org.apache.spark.sql.functions.upper($"text").as("text"))
+    val evalNeg = trainNeg.select(($"doc_id" + 2000000).as("doc_id"), $"text")
+    val ths = Seq(0.3, 0.5, 0.7)
+    val got = Classifier.lrEvalReport(evalPos, evalNeg, "doc_id", "text",
+        w, buckets = 64, thresholds = ths)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent recount from the scorer's own output
+    val scores = Classifier.lrScore(
+        evalPos.unionByName(evalNeg), "doc_id", "text", w, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val want = ths.map { t =>
+      val tp = scores.count { case (id, p) => id < 2000000 && p >= t }
+      val fp = scores.count { case (id, p) => id >= 2000000 && p >= t }
+      val fn = scores.count { case (id, p) => id < 2000000 && p < t }
+      val tn = scores.count { case (id, p) => id >= 2000000 && p < t }
+      t -> (tp.toLong, fp.toLong, fn.toLong, tn.toLong)
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    // the crossed eval really confuses the filter (nonzero off-diagonal)
+    assert(got.values.exists { case (_, fp, fn, _) => fp > 0 || fn > 0 })
+    // threshold above the score range: no positives predicted ->
+    // precision NULL (not 0), recall 0, tn full
+    val edge = Classifier.lrEvalReport(evalPos, evalNeg, "doc_id", "text",
+        w, buckets = 64, thresholds = Seq(1.1)).collect()(0)
+    assert(edge.isNullAt(edge.fieldIndex("precision")))
+    assert(edge.getDouble(edge.fieldIndex("recall")) == 0.0)
+    assert(edge.getLong(edge.fieldIndex("tp")) == 0)
+  }
+
   test("corpus KL drift: identity is exactly 0, divergence nonnegative, drift moves the needle") {
     import spark.implicits._
     import graft.operators.TextAnalysis
