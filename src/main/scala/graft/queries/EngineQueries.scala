@@ -94,6 +94,35 @@ object EngineQueries {
       "SELECT * FROM graft_chunk('documents', 'doc_id', 'text', 64, 16)")),
     "e_sql_pack" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_pack_offsets('documents', 'doc_id', 'text', 512, 64)")),
+    "e_sql_pipeline10" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the tokenizer-era chain composed from TVFs and views alone:
+      // exact dedup (semi-join on the winners) → learned-token budget
+      // (semi-join on the fill) → id-sequence chunks
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p10_merges AS
+                 SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                       (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                       (6,'o','n'),(7,'r','e'))
+                   AS m(rank, left, right)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p10_corpus AS
+                 SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id + 500000 AS doc_id, text FROM documents""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p10_dedup AS
+                 SELECT c.doc_id, c.text FROM p10_corpus c
+                 LEFT SEMI JOIN graft_exact_dedup('p10_corpus', 'doc_id', 'text') w
+                   ON c.doc_id = w.doc_id""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p10_sel AS
+                 SELECT d.doc_id, d.text FROM p10_dedup d
+                 LEFT SEMI JOIN graft_token_budget_bpe('p10_dedup', 'doc_id',
+                                                       'text', 8000, 'p10_merges') b
+                   ON d.doc_id = b.doc_id""")
+      e.query("""SELECT doc_id, start_tok, n_tokens,
+                        array_join(CAST(token_ids AS ARRAY<STRING>), ',')
+                          AS token_ids
+                 FROM graft_chunk_bpe('p10_sel', 'doc_id', 'text',
+                                      64, 16, 'p10_merges')""")
+    }),
     "e_sql_chunk_bpe" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1765,6 +1794,7 @@ object EngineQueries {
     "e_sql_pack" -> LlmQueries.oracle("llm_pack"),
     "e_sql_chunk_bpe" -> LlmQueries.oracle("llm_chunk_bpe"),
     "e_sql_pack_bpe" -> LlmQueries.oracle("llm_pack_bpe"),
+    "e_sql_pipeline10" -> LlmQueries.oracle("llm_pipeline10"),
     "e_sql_sample_k" -> LlmQueries.oracle("llm_sample_k"),
     "e_sql_sample_weighted" -> LlmQueries.oracle("llm_sample_weighted"),
     "e_sql_sample_weighted_strat" -> LlmQueries.oracle("llm_sample_weighted_strat"),

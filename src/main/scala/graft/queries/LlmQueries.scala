@@ -1070,6 +1070,40 @@ object LlmQueries {
       filtered.join(winners, Seq("fp", "doc_id"), "left_semi")
         .select($"doc_id", $"fp", $"token_cnt", $"quality")
     }),
+    "llm_pipeline10" -> ((s, d) => {
+      import s.implicits._
+      // the TOKENIZER-ERA prep chain end to end: exact dedup over a
+      // planted-duplicate crawl (keep lowest id) → deterministic
+      // 8k-token budget fill denominated in LEARNED tokens (the stored
+      // merge table drives the counter) → training windows emitted as
+      // token-ID sequences. Every stage is individually oracle-gated
+      // (llm_exact_dedup / llm_token_budget_bpe / llm_chunk_bpe); the
+      // composition pins their interplay — the first pipeline whose
+      // accounting AND output are both in learned tokens
+      val out = "target/gate_sink/bpe_merges_p10"
+      s.createDataFrame(Seq(
+          (0, "t", "h"), (1, "th", "e"), (2, "i", "n"), (3, "a", "n"),
+          (4, "an", "d"), (5, "e", "r"), (6, "o", "n"), (7, "r", "e")))
+        .toDF("rank", "left", "right")
+        .write.mode("overwrite").parquet(out)
+      val merges = s.read.parquet(out)
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val corpus = docs.unionAll(
+        docs.select(($"doc_id" + 500000).as("doc_id"), $"text"))
+      val fp = corpus.select($"doc_id", $"text",
+        TextAnalysis.fingerprint($"text").as("fp"))
+      val winners = fp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      val deduped = fp.join(winners, Seq("fp", "doc_id"), "left_semi")
+        .select($"doc_id", $"text")
+      val kept = graft.operators.Sampling.tokenBudget(deduped, "doc_id",
+        "text", budget = 8000L, numBuckets = 64,
+        tokenCounter = TextAnalysis.bpeCounter(merges))
+      val sel = kept.select($"doc_id").join(deduped, "doc_id")
+      TextAnalysis.chunkBpe(sel, "doc_id", "text", merges,
+          chunkTokens = 64, overlap = 16)
+        .select($"doc_id", $"start_tok", $"n_tokens",
+          array_join($"token_ids".cast("array<string>"), ",").as("token_ids"))
+    }),
     "llm_multimodal_meta" -> ((s, d) => {
       import s.implicits._
       Multimodal.asMedia(Tables.load(s, d, "documents"), "doc_id", "text")
@@ -3287,6 +3321,76 @@ object LlmQueries {
                    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
             FROM scored WHERE quality >= 0.5 AND lang = 'en')
           WHERE rn = 1""",
+    // tokenizer-era pipeline: fingerprint dedup → learned-token budget
+    // window (the llm_token_budget_bpe algebra, n_toks = len(ids)) →
+    // id-sequence chunks (the llm_chunk_bpe cut) — ONE apply chain
+    // feeds both the counting and the windows
+    "llm_pipeline10" ->
+      """WITH RECURSIVE
+          m(rank, l, r) AS (
+            SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
+                                  (3,'a','n'),(4,'an','d'),(5,'e','r'),
+                                  (6,'o','n'),(7,'r','e'))),
+          corpus AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id + 500000, text FROM documents),
+          dd AS (SELECT doc_id, text FROM (
+                   SELECT doc_id, text,
+                          row_number() OVER (
+                            PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                            ORDER BY doc_id) AS rn
+                   FROM corpus) WHERE rn = 1),
+          t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM dd),
+          w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
+                FROM t0),
+          w2 AS (SELECT doc_id, wi, ws[wi] AS word FROM w
+                 WHERE length(ws[wi]) > 0),
+          init AS (SELECT doc_id, wi,
+                     ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+                   FROM w2),
+          bpe AS (
+            SELECT doc_id, wi, s FROM init
+            UNION ALL
+            SELECT doc_id, wi,
+                   replace(s, ' '||l||'  '||r||' ', ' '||l||r||' ') AS s
+            FROM (SELECT b.doc_id, b.wi, b.s, m.l, m.r,
+                         row_number() OVER (PARTITION BY b.doc_id, b.wi
+                                            ORDER BY m.rank) AS rn
+                  FROM bpe b JOIN m
+                    ON position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)
+            WHERE rn = 1),
+          term AS (SELECT doc_id, wi, s FROM bpe b
+                   WHERE NOT EXISTS (SELECT 1 FROM m
+                     WHERE position(' '||m.l||'  '||m.r||' ' IN b.s) > 0)),
+          sy AS (SELECT doc_id, wi, string_split(trim(s), '  ') AS a FROM term),
+          ix AS (SELECT doc_id, wi, unnest(generate_series(1, len(a))) AS si, a
+                 FROM sy),
+          tk AS (SELECT doc_id, wi, si,
+                   CAST(CASE WHEN length(a[si]) = 1 THEN unicode(a[si])
+                        ELSE 1114112 + (SELECT min(m2.rank) FROM m m2
+                                        WHERE m2.l || m2.r = a[si])
+                        END AS INT) AS tid
+                 FROM ix),
+          idl AS (SELECT doc_id, list(tid ORDER BY wi, si) AS ids
+                  FROM tk GROUP BY doc_id),
+          al AS (SELECT d.doc_id, d.text,
+                        coalesce(i.ids, CAST([] AS INT[])) AS ids
+                 FROM dd d LEFT JOIN idl i ON d.doc_id = i.doc_id),
+          o AS (SELECT doc_id, ids,
+                  CAST(coalesce(sum(len(ids)) OVER (
+                    ORDER BY CAST(('0x'||substr(md5('budget:'||text),1,8)) AS BIGINT),
+                             doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS off
+                FROM al),
+          sel AS (SELECT doc_id, ids FROM o WHERE off < 8000),
+          c AS (SELECT doc_id, ids,
+                       unnest(range(0, greatest(len(ids), 1), 48)) AS start_tok
+                FROM sel)
+         SELECT doc_id, CAST(start_tok AS INTEGER) AS start_tok,
+                CAST(len(ids[start_tok+1 : start_tok+64]) AS INTEGER) AS n_tokens,
+                array_to_string(CAST(ids[start_tok+1 : start_tok+64] AS VARCHAR[]),
+                                ',') AS token_ids
+         FROM c""",
     "llm_text_stats" ->
       s"""SELECT doc_id,
                  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS token_cnt,
