@@ -210,6 +210,18 @@ object LlmSql {
       case args => bad(
         "graft_store_compact(store_table, id_col, tombstone_table_or_empty, out_path, partition_cols_csv, num_files)", args)
     }
+    reg(spark, "graft_bm25_stored") {
+      // retrieval from the stored inverted index: fully LAZY (pushed
+      // term filter, broadcast df/stats, top-k)
+      case Seq(pT, dT, id, terms, k) =>
+        val f = "graft_bm25_stored"
+        TextAnalysis.bm25TopKStored(table(str(pT, f)), table(str(dT, f)),
+          str(id, f),
+          queryTerms = str(terms, f).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          k = int(k, f))
+      case args => bad(
+        "graft_bm25_stored(postings_table, doclens_table, id_col, terms_csv, k)", args)
+    }
     reg(spark, "graft_corpus_kl") {
       // corpus drift between two snapshot tables: smoothed unigram KL
       // both directions, one report row

@@ -853,6 +853,61 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Inverted BM25 index BUILD — the postings table behind
+    * [[bm25TopKStored]] (index once, query forever — the production
+    * retrieval shape; re-tokenizing 100 TB per query is not serving):
+    * one row per (doc, term) with its tf and the doc's length
+    * denormalized onto the posting (serving then never joins back to
+    * the corpus). One tokenize pass, partial-aggregable count. Store
+    * as plain parquet; the serve-time term filter reaches the scan as
+    * a pushed `In`, so row groups that contain none of the query terms
+    * are skipped on min/max stats. */
+  def bm25Index(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The doc-length sidecar of [[bm25Index]] — one row per indexed doc,
+    * derived from the postings at BUILD time (store both): the corpus
+    * stats (N, Σdl) the scorer needs come from this vocabulary-free
+    * one-row-per-doc table, never from a corpus-scale distinct over
+    * postings at query time. */
+  def bm25DocLens(index: DataFrame, idCol: String): DataFrame =
+    index.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+
+  /** [[bm25TopK]] served from the STORED index — same score algebra,
+    * same oracle (storage drift hash-mismatches): the term filter is a
+    * literal `In` pushed into the postings scan, df is a |terms|-row
+    * aggregate (postings are unique per (doc, term), so `count` IS the
+    * doc frequency), stats a 1-row broadcast from the doc-length
+    * sidecar, and the cut a TakeOrderedAndProject. A doc with no
+    * tokens is absent from the index — it cannot match any term, and
+    * the sidecar's (N, Σdl) equal the corpus's whenever every doc
+    * tokenizes to ≥1 token (the whitespace tokenizer's behavior on
+    * non-empty text). */
+  def bm25TopKStored(postings: DataFrame, docLens: DataFrame,
+                     idCol: String, queryTerms: Seq[String], k: Int = 25,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKStored: empty query")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks"))
+    val tf = postings.filter(col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .select(col(idCol), contrib.as("__c"))
+      .groupBy(col(idCol)).agg(round(sum(col("__c")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Corpus DRIFT report — smoothed unigram KL divergence between two
     * corpus snapshots in both directions (KL(A‖B), KL(B‖A)): the
     * distribution-shift check an ingestion pipeline runs between crawl

@@ -166,6 +166,25 @@ object EngineQueries {
       "SELECT * FROM graft_tfidf('documents', 'doc_id', 'text', 3)")),
     "e_sql_bm25" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_bm25('documents', 'doc_id', 'text', 'hash,join,vector', 25)")),
+    "e_sql_bm25_stored" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the stored-index serve from SQL: index built + persisted in
+      // Scala (the write side), postings/doclens views, the lazy TVF
+      val out = "target/gate_sink/bm25_index_sql"
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$out/postings")
+      graft.operators.TextAnalysis.bm25DocLens(
+          s.read.parquet(s"$out/postings"), "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      s.read.parquet(s"$out/postings").createOrReplaceTempView("bm25_postings")
+      s.read.parquet(s"$out/doclens").createOrReplaceTempView("bm25_doclens")
+      e.query("""SELECT doc_id, bm25
+                 FROM graft_bm25_stored('bm25_postings', 'bm25_doclens',
+                                        'doc_id', 'hash,join,vector', 25)""")
+    }),
     "e_sql_corpus_kl" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1800,6 +1819,7 @@ object EngineQueries {
     "e_sql_sample_weighted_strat" -> LlmQueries.oracle("llm_sample_weighted_strat"),
     "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf"),
     "e_sql_bm25" -> LlmQueries.oracle("llm_bm25"),
+    "e_sql_bm25_stored" -> LlmQueries.oracle("llm_bm25"),
     "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

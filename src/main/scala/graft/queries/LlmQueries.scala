@@ -950,6 +950,49 @@ object LlmQueries {
     "llm_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(
         Tables.load(s, d, "documents"), "doc_id", "text", topK = 3)),
+    "llm_bm25_stored" -> ((s, d) => {
+      import s.implicits._
+      // retrieval THROUGH the inverted index: postings + doc-length
+      // sidecar written once (index once, query forever — serving
+      // never re-tokenizes the corpus), read back, served. Same oracle
+      // as llm_bm25, so storage drift hash-mismatches
+      val out = "target/gate_sink/bm25_index"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      TextAnalysis.bm25Index(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(s.read.parquet(s"$out/postings"), "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      TextAnalysis.bm25TopKStored(s.read.parquet(s"$out/postings"),
+        s.read.parquet(s"$out/doclens"), "doc_id",
+        queryTerms = Seq("hash", "join", "vector"), k = 25)
+    }),
+    "llm_bm25_append" -> ((s, d) => {
+      import s.implicits._
+      // inverted-index MAINTENANCE: postings are per-doc rows, so the
+      // delta IS the append (the fp/dHash/SQ symmetry — df and corpus
+      // stats are RECOMPUTED from the store at query time, so no
+      // global statistic goes stale): generation A written, generation
+      // B's postings + doc lengths parquet-appended, the union served;
+      // same oracle as llm_bm25 — a lost append hash-mismatches
+      val out = "target/gate_sink/bm25_index_append"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      val b = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      val ia = TextAnalysis.bm25Index(a, "doc_id", "text")
+      ia.write.mode("overwrite").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ia, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val ib = TextAnalysis.bm25Index(b, "doc_id", "text")
+      ib.write.mode("append").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ib, "doc_id")
+        .write.mode("append").parquet(s"$out/doclens")
+      TextAnalysis.bm25TopKStored(s.read.parquet(s"$out/postings"),
+        s.read.parquet(s"$out/doclens"), "doc_id",
+        queryTerms = Seq("hash", "join", "vector"), k = 25)
+    }),
     "llm_corpus_kl" -> ((s, d) => {
       import s.implicits._
       // corpus drift between two crawl generations (reference = all but
@@ -2543,7 +2586,11 @@ object LlmQueries {
     // physical compaction is invisible to serving: the rewritten store
     // (tombstones dropped from the files, deltas consolidated) must
     // serve exactly like the logical purge view — the delete oracle
-    "llm_ann_index_compact" -> oracleBase("llm_ann_index_delete"))
+    "llm_ann_index_compact" -> oracleBase("llm_ann_index_delete"),
+    // the inverted-index storage round-trip and its append must serve
+    // exactly like the direct corpus scorer — the llm_bm25 oracle
+    "llm_bm25_stored" -> oracleBase("llm_bm25"),
+    "llm_bm25_append" -> oracleBase("llm_bm25"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_ann_ivf" ->

@@ -41,6 +41,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("llm_ann_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("bm25 stored serving: term filter pushed into the postings scan; top-k; no corpus re-tokenize") {
+    val p = plan("llm_bm25_stored")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the literal In reaches the parquet scan: row groups without the
+    // query terms skip on min/max stats
+    assert(p.contains("PushedFilters: [In(term"),
+      s"term filter must push into the postings scan:\n${p.take(2000)}")
+    // serving reads the index, never the documents table
+    assert(!p.contains("documents.parquet"),
+      "stored serving must not re-tokenize the corpus")
+  }
+
   test("bm25: top-k not full sort; df and stats broadcast; terms filter is a literal In") {
     val p = plan("llm_bm25")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
@@ -101,7 +113,9 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row corpus total under the domain-share division
       "llm_domain_report", "e_sql_domain_report",
       // broadcast 1-row (N, Σdl) corpus stats under the BM25 score
-      "llm_bm25", "e_sql_bm25",
+      // (the append form adds the broadcast 1-row max-id fixture bound)
+      "llm_bm25", "e_sql_bm25", "llm_bm25_stored", "llm_bm25_append",
+      "e_sql_bm25_stored",
       // broadcast 1-row max-doc-id split bound + 1-row (V, ΣA, ΣB)
       // stats under the KL contributions
       "llm_corpus_kl", "e_sql_corpus_kl", "st_corpus_kl",
