@@ -981,11 +981,16 @@ object LlmQueries {
         .select($"doc_id", $"text")
       val b = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
         .select($"doc_id", $"text")
-      val ia = TextAnalysis.bm25Index(a, "doc_id", "text")
+      // each generation's index feeds BOTH the postings write and the
+      // doclens derivation — one tokenize+count pass, not two (the
+      // Dedup.minhashPairs reuse recipe)
+      val ia = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(a, "doc_id", "text"))
       ia.write.mode("overwrite").parquet(s"$out/postings")
       TextAnalysis.bm25DocLens(ia, "doc_id")
         .write.mode("overwrite").parquet(s"$out/doclens")
-      val ib = TextAnalysis.bm25Index(b, "doc_id", "text")
+      val ib = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(b, "doc_id", "text"))
       ib.write.mode("append").parquet(s"$out/postings")
       TextAnalysis.bm25DocLens(ib, "doc_id")
         .write.mode("append").parquet(s"$out/doclens")
