@@ -222,6 +222,28 @@ object LlmSql {
       case args => bad(
         "graft_bm25_stored(postings_table, doclens_table, id_col, terms_csv, k)", args)
     }
+    reg(spark, "graft_bm25_join") {
+      // batch retrieval over the stored index: the query-batch term
+      // union collects to a driver literal (the probe-cell-union
+      // recipe) — an ACTION, so deferred; EXPLAIN launches no job
+      case Seq(pT, dT, qT, id, qid, qtext, k) =>
+        val f = "graft_bm25_join"
+        val postings = table(str(pT, f)); val dls = table(str(dT, f))
+        val qs = table(str(qT, f))
+        val idc = str(id, f); val qidc = str(qid, f)
+        val qtc = str(qtext, f); val kk = int(k, f)
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField(qidc, qs.select(col(qidc)).schema.head.dataType),
+            StructField(idc, postings.select(col(idc)).schema.head.dataType),
+            StructField("bm25", org.apache.spark.sql.types.DoubleType),
+            StructField("rank", org.apache.spark.sql.types.IntegerType))),
+          memo { () =>
+            TextAnalysis.bm25Join(postings, dls, qs, idc, qidc, qtc, k = kk)
+          })
+      case args => bad(
+        "graft_bm25_join(postings_table, doclens_table, queries_table, id_col, query_id_col, query_text_col, k)", args)
+    }
     reg(spark, "graft_corpus_kl") {
       // corpus drift between two snapshot tables: smoothed unigram KL
       // both directions, one report row

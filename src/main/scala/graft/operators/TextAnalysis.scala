@@ -908,6 +908,65 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BATCH retrieval over the stored inverted index — the serving-fleet
+    * shape ([[Similarity]]'s knnJoin symmetry): a TABLE of queries,
+    * each a text whose whitespace terms are matched (DISTINCT per
+    * query — the standard query-tf=1 BM25 convention), top-`k` docs
+    * per query. Output: (queryIdCol, idCol, bm25, rank).
+    *
+    * Scale shape — the probe-cell-union recipe
+    * ([[Similarity]] `probeCellsOf` precedent): the DISTINCT term set
+    * across the query batch collects to the driver (query-batch-scale,
+    * bounded by `maxTerms` with a loud refusal) and becomes a LITERAL
+    * `isin`, so the postings scan carries a pushed `In` — row groups
+    * holding none of the batch's terms are skipped, STATICALLY, which
+    * a join against the query frame could never give the scan. df is a
+    * |terms|-row aggregate, stats a 1-row broadcast from the sidecar,
+    * the per-query cut a query-partitioned window (never a global
+    * sort). A query with no indexed terms emits no rows. */
+  def bm25Join(postings: DataFrame, docLens: DataFrame, queries: DataFrame,
+               idCol: String, queryIdCol: String, queryTextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               maxTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qt = queries.select(col(queryIdCol),
+        explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    // driver-literal term union -> pushed In on the postings scan
+    val termSet = qt.select(col("term")).distinct()
+      .limit(maxTerms + 1).collect().map(_.getString(0))
+    require(termSet.length <= maxTerms,
+      s"bm25Join: query batch references > $maxTerms distinct terms — " +
+        "split the batch (the driver-literal pushdown is bounded by design)")
+    if (termSet.isEmpty)
+      return queries.sparkSession.emptyDataFrame
+        .select(lit(null).cast("long").as(queryIdCol),
+          lit(null).cast("long").as(idCol),
+          lit(null).cast("double").as("bm25"), lit(null).cast("int").as("rank"))
+        .limit(0)
+    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks"))
+    val tf = postings.filter(col("term").isin(termSet.toIndexedSeq: _*))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), Seq("term"))
+      .select(col(queryIdCol), col(idCol), contrib.as("__c"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__c")), 4).as("bm25"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("bm25"), col("rank"))
+  }
+
   /** Corpus DRIFT report — smoothed unigram KL divergence between two
     * corpus snapshots in both directions (KL(A‖B), KL(B‖A)): the
     * distribution-shift check an ingestion pipeline runs between crawl

@@ -185,6 +185,31 @@ object EngineQueries {
                  FROM graft_bm25_stored('bm25_postings', 'bm25_doclens',
                                         'doc_id', 'hash,join,vector', 25)""")
     }),
+    "e_sql_bm25_join" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // batch retrieval from SQL: index persisted in Scala, queries a
+      // VALUES view, the deferred join TVF
+      val out = "target/gate_sink/bm25_index_join_sql"
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$out/postings")
+      graft.operators.TextAnalysis.bm25DocLens(
+          s.read.parquet(s"$out/postings"), "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      s.read.parquet(s"$out/postings").createOrReplaceTempView("bm25j_postings")
+      s.read.parquet(s"$out/doclens").createOrReplaceTempView("bm25j_doclens")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bm25j_queries AS
+                 SELECT * FROM (VALUES (1, 'hash join'),
+                                       (2, 'vector scan slow'),
+                                       (3, 'zzzunknown'))
+                   AS q(query_id, qtext)""")
+      e.query("""SELECT query_id, doc_id, bm25, rank
+                 FROM graft_bm25_join('bm25j_postings', 'bm25j_doclens',
+                                      'bm25j_queries', 'doc_id',
+                                      'query_id', 'qtext', 10)""")
+    }),
     "e_sql_corpus_kl" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1820,6 +1845,7 @@ object EngineQueries {
     "e_sql_tfidf" -> LlmQueries.oracle("llm_tfidf"),
     "e_sql_bm25" -> LlmQueries.oracle("llm_bm25"),
     "e_sql_bm25_stored" -> LlmQueries.oracle("llm_bm25"),
+    "e_sql_bm25_join" -> LlmQueries.oracle("llm_bm25_join"),
     "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

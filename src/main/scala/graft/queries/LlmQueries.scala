@@ -966,6 +966,25 @@ object LlmQueries {
         s.read.parquet(s"$out/doclens"), "doc_id",
         queryTerms = Seq("hash", "join", "vector"), k = 25)
     }),
+    "llm_bm25_join" -> ((s, d) => {
+      import s.implicits._
+      // BATCH retrieval over the stored index — the serving-fleet
+      // shape (the knn_join symmetry): three queries, one of which
+      // matches nothing (absent from the output, not zero-scored);
+      // the batch's distinct terms become a driver-literal pushed In
+      // on the postings scan (the probe-cell-union recipe)
+      val out = "target/gate_sink/bm25_index_join"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      TextAnalysis.bm25Index(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(s.read.parquet(s"$out/postings"), "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val queries = Seq((1, "hash join"), (2, "vector scan slow"),
+        (3, "zzzunknown")).toDF("query_id", "qtext")
+      TextAnalysis.bm25Join(s.read.parquet(s"$out/postings"),
+        s.read.parquet(s"$out/doclens"), queries,
+        "doc_id", "query_id", "qtext", k = 10)
+    }),
     "llm_bm25_append" -> ((s, d) => {
       import s.implicits._
       // inverted-index MAINTENANCE: postings are per-doc rows, so the
@@ -5413,6 +5432,41 @@ object LlmQueries {
                    ln(CAST((cb + 1) * (s.ta + s.v) AS DOUBLE) /
                       CAST((ca + 1) * (s.tb + s.v) AS DOUBLE))), 4) AS kl_ba
           FROM j CROSS JOIN s GROUP BY s.v, s.ta, s.tb""",
+    // batch BM25: per-query distinct terms, the same per-posting
+    // algebra, a query-partitioned top-k window; the no-match query
+    // emits no rows
+    "llm_bm25_join" ->
+      """WITH q(query_id, qtext) AS (
+            SELECT * FROM (VALUES (1, 'hash join'), (2, 'vector scan slow'),
+                                  (3, 'zzzunknown'))),
+          qt AS (SELECT DISTINCT query_id, t AS term FROM (
+                   SELECT query_id,
+                          unnest(string_split_regex(qtext, '\s+')) AS t
+                   FROM q) WHERE length(t) > 0),
+          d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM documents),
+          stats AS (SELECT count(*) AS n_docs,
+                           sum(len(toks)) AS total_toks FROM d),
+          tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+          tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+                 WHERE term IN (SELECT DISTINCT term FROM qt)
+                 GROUP BY doc_id, dl, term),
+          dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          sc AS (SELECT qt.query_id, tf.doc_id,
+                   ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+                     (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
+                     (CAST(tf.tf AS DOUBLE) +
+                      1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) /
+                             (CAST(s.total_toks AS DOUBLE) / s.n_docs))) AS c
+                 FROM tf JOIN dfr ON tf.term = dfr.term
+                 JOIN qt ON tf.term = qt.term CROSS JOIN stats s),
+          agg AS (SELECT query_id, doc_id, round(sum(c), 4) AS bm25
+                  FROM sc GROUP BY query_id, doc_id),
+          rk AS (SELECT query_id, doc_id, bm25,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+                 FROM agg)
+          SELECT query_id, doc_id, bm25, rank FROM rk WHERE rank <= 10""",
     // BM25: the same algebra with the operator's exact parenthesization
     // — integer (N-df) before +0.5, (b·dl)/avgdl left-assoc, tf cast to
     // double before the k1 products — so every IEEE op pairs the same

@@ -593,6 +593,14 @@ class EngineSpec extends AnyFunSuite {
     graft.operators.Multimodal.asMedia(
         Tables.load(spark, TestSpark.sf, "documents"), "doc_id", "text")
       .createOrReplaceTempView("njp_media")
+    spark.sql("SELECT 1 AS query_id, 'hash join' AS qtext")
+      .createOrReplaceTempView("njp_bm25_q")
+    graft.operators.TextAnalysis.bm25Index(
+        Tables.load(spark, TestSpark.sf, "documents"), "doc_id", "text")
+      .createOrReplaceTempView("njp_bm25_p")
+    graft.operators.TextAnalysis.bm25DocLens(
+        spark.table("njp_bm25_p"), "doc_id")
+      .createOrReplaceTempView("njp_bm25_d")
     val sc = spark.sparkContext
     @volatile var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -647,6 +655,11 @@ class EngineSpec extends AnyFunSuite {
              'target/test_sink/njp_compact', 'cell', 1)""")
       assert(planCompact.contains("GraftDeferredScan"),
         "the compaction rewrite must sit behind a deferred-scan leaf")
+      val planBm25J = engine.explain(
+        """SELECT * FROM graft_bm25_join('njp_bm25_p', 'njp_bm25_d',
+             'njp_bm25_q', 'doc_id', 'query_id', 'qtext', 5)""")
+      assert(planBm25J.contains("GraftDeferredScan"),
+        "the query-term-union collect must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the pruned/residual/image TVFs must launch no job, saw $jobs")

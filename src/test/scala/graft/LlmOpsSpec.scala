@@ -2091,6 +2091,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nDrift == 0L, s"$nDrift docs where pack n_toks != bpe_cnt")
   }
 
+  test("bm25Join: per-query rows == the single-query stored scorer; no-match query absent; term cap refuses") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    val idx = TextAnalysis.bm25Index(corpus, "doc_id", "text")
+      .localCheckpoint(false)
+    val dls = TextAnalysis.bm25DocLens(idx, "doc_id")
+    val queries = Seq((1, "hash join"), (2, "vector scan slow"),
+      (3, "zzzunknown")).toDF("query_id", "qtext")
+    val joined = TextAnalysis.bm25Join(idx, dls, queries,
+        "doc_id", "query_id", "qtext", k = 7)
+      .collect().groupBy(_.getInt(0))
+    // the no-match query emits nothing (absent, not zero-scored)
+    assert(!joined.contains(3))
+    // each matching query's rows equal the single-query scorer's
+    for ((qid, terms) <- Seq(1 -> Seq("hash", "join"),
+                             2 -> Seq("vector", "scan", "slow"))) {
+      val single = TextAnalysis.bm25TopKStored(idx, dls, "doc_id",
+          terms, k = 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = joined(qid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch == single, s"query $qid: batch $batch vs single $single")
+    }
+    // the driver-literal pushdown is bounded by design: a batch over
+    // the cap refuses by name
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Join(idx, dls, queries, "doc_id", "query_id",
+        "qtext", k = 5, maxTerms = 2)
+    }
+    assert(e.getMessage.contains("bm25Join"))
+  }
+
   test("lrEvalReport: counts match an independent recount; NULL metrics on empty denominators") {
     import spark.implicits._
     import graft.operators.Classifier

@@ -115,7 +115,7 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row (N, Σdl) corpus stats under the BM25 score
       // (the append form adds the broadcast 1-row max-id fixture bound)
       "llm_bm25", "e_sql_bm25", "llm_bm25_stored", "llm_bm25_append",
-      "e_sql_bm25_stored",
+      "e_sql_bm25_stored", "llm_bm25_join", "e_sql_bm25_join",
       // broadcast 1-row max-doc-id split bound + 1-row (V, ΣA, ΣB)
       // stats under the KL contributions
       "llm_corpus_kl", "e_sql_corpus_kl", "st_corpus_kl",
