@@ -265,6 +265,32 @@ object LlmSql {
       case args => bad(
         "graft_bm25(table, id_col, text_col, terms_csv, k)", args)
     }
+    reg(spark, "graft_rrf_fuse") {
+      // hybrid-retrieval fusion: comma-separated ranked views (each
+      // carrying id_col + rank), reciprocal-rank contributions added in
+      // declared order via a full-outer chain — fully lazy
+      case Seq(tablesCsv, id, kE, kR) =>
+        val f = "graft_rrf_fuse"
+        val ts = str(tablesCsv, f).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        TextAnalysis.rrfFuse(ts.map(table), str(id, f),
+          k = int(kE, f), kRrf = int(kR, f))
+      case args => bad(
+        "graft_rrf_fuse(ranked_tables_csv, id_col, k, k_rrf)", args)
+    }
+    reg(spark, "graft_rrf_fuse_by") {
+      // per-query hybrid fusion: ranked views each carrying
+      // (by_col, id_col, rank), fused within each by_col group, the cut
+      // a by-partitioned window — fully lazy
+      case Seq(tablesCsv, by, id, kE, kR) =>
+        val f = "graft_rrf_fuse_by"
+        val ts = str(tablesCsv, f).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        TextAnalysis.rrfFuseBy(ts.map(table), str(by, f), str(id, f),
+          k = int(kE, f), kRrf = int(kR, f))
+      case args => bad(
+        "graft_rrf_fuse_by(ranked_tables_csv, by_col, id_col, k, k_rrf)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

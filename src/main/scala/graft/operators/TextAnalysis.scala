@@ -967,6 +967,86 @@ object TextAnalysis {
       .select(col(queryIdCol), col(idCol), col("bm25"), col("rank"))
   }
 
+  /** Reciprocal-rank FUSION (Cormack/Clarke/Büttcher '09) — the hybrid
+    * retrieval verb that merges a lexical ranking ([[bm25TopK]]) with a
+    * semantic one ([[Similarity.bruteForceTopK]] or any ANN serve):
+    * each input list contributes `1 / (kRrf + rank)` for the ids it
+    * ranked, contributions add, top-`k` fused ids win. Rank-only fusion
+    * — BM25 scores and cosine similarities live on incomparable scales,
+    * which is exactly why RRF ignores them.
+    *
+    * Determinism contract: the lists are FULL-OUTER-JOINED on the id
+    * (never unioned and re-aggregated), so the fused sum is a single
+    * projection adding the per-list terms in declared list order —
+    * addition order is fixed at plan time, not partial-agg time, and
+    * the oracle replays it bit-for-bit. Each `1/(kRrf+rank)` is one
+    * IEEE division of exact integers. Absent-from-a-list contributes
+    * `0.0` (coalesce), which is additive-identity-exact.
+    *
+    * Scale shape: inputs are top-k lists — bounded frames (the k of the
+    * upstream serves, not corpus-scale), so the full-outer chain
+    * shuffles k-row frames (Spark cannot broadcast a full outer join;
+    * at list sizes that is noise); the corpus-scale work already
+    * happened inside the upstream serves.
+    * Output: (idCol, rrf) — rrf rounded to 6, ties by id. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int,
+              kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no ranked lists")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    lists.zipWithIndex.foreach { case (l, i) =>
+      require(l.columns.contains(idCol) && l.columns.contains("rank"),
+        s"rrfFuse: list $i must carry `$idCol` and `rank`, got " +
+          l.columns.sorted.mkString(","))
+    }
+    val prepped = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(idCol),
+        (lit(1.0) / (lit(kRrf) + col("rank")).cast("double")).as(s"__c$i"))
+    }
+    val joined = prepped.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    joined
+      .select(col(idCol),
+        round(prepped.indices.map(i => coalesce(col(s"__c$i"), lit(0.0)))
+          .reduce(_ + _), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Per-group [[rrfFuse]] — the BATCH hybrid-retrieval verb (the
+    * [[bm25Join]] / [[Similarity.knnJoin]] symmetry): each list carries
+    * (`byCol`, `idCol`, rank) — a per-query ranking — and fusion runs
+    * WITHIN each `byCol` group. Same determinism contract as
+    * [[rrfFuse]] (full-outer chain on (by, id), fixed declared-order
+    * addition, coalesce-0 for a leg that didn't rank the id — a query
+    * whose lexical leg matched nothing fuses to its semantic leg
+    * alone). The per-group cut is a `byCol`-partitioned window, never a
+    * global sort. Output: (byCol, idCol, rrf, rank). */
+  def rrfFuseBy(lists: Seq[DataFrame], byCol: String, idCol: String,
+                k: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseBy: no ranked lists")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    lists.zipWithIndex.foreach { case (l, i) =>
+      require(Seq(byCol, idCol, "rank").forall(l.columns.contains),
+        s"rrfFuseBy: list $i must carry `$byCol`, `$idCol` and `rank`, " +
+          s"got ${l.columns.sorted.mkString(",")}")
+    }
+    val prepped = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(byCol), col(idCol),
+        (lit(1.0) / (lit(kRrf) + col("rank")).cast("double")).as(s"__c$i"))
+    }
+    val joined = prepped.reduce((a, b) =>
+      a.join(b, Seq(byCol, idCol), "full_outer"))
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    joined
+      .select(col(byCol), col(idCol),
+        round(prepped.indices.map(i => coalesce(col(s"__c$i"), lit(0.0)))
+          .reduce(_ + _), 6).as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Corpus DRIFT report — smoothed unigram KL divergence between two
     * corpus snapshots in both directions (KL(A‖B), KL(B‖A)): the
     * distribution-shift check an ingestion pipeline runs between crawl

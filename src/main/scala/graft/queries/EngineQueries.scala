@@ -210,6 +210,134 @@ object EngineQueries {
                                       'bm25j_queries', 'doc_id',
                                       'query_id', 'qtext', 10)""")
     }),
+    "e_sql_bm25_append" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // index maintenance from SQL: generation A written, generation
+      // B's postings + doclens parquet-appended (the write side stays
+      // Scala — SQL serves), the union served through the stored TVF;
+      // same oracle as llm_bm25, so a lost append hash-mismatches
+      val out = "target/gate_sink/bm25_index_append_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val a = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") <= col("m") - 100)
+        .select(col("doc_id"), col("text"))
+      val b = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 100)
+        .select(col("doc_id"), col("text"))
+      val ia = graft.operators.Reuse.Local(
+        graft.operators.TextAnalysis.bm25Index(a, "doc_id", "text"))
+      ia.write.mode("overwrite").parquet(s"$out/postings")
+      graft.operators.TextAnalysis.bm25DocLens(ia, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val ib = graft.operators.Reuse.Local(
+        graft.operators.TextAnalysis.bm25Index(b, "doc_id", "text"))
+      ib.write.mode("append").parquet(s"$out/postings")
+      graft.operators.TextAnalysis.bm25DocLens(ib, "doc_id")
+        .write.mode("append").parquet(s"$out/doclens")
+      s.read.parquet(s"$out/postings")
+        .createOrReplaceTempView("bm25a_postings")
+      s.read.parquet(s"$out/doclens")
+        .createOrReplaceTempView("bm25a_doclens")
+      e.query("""SELECT doc_id, bm25
+                 FROM graft_bm25_stored('bm25a_postings', 'bm25a_doclens',
+                                        'doc_id', 'hash,join,vector', 25)""")
+    }),
+    "e_sql_bm25_delete" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // takedown from SQL: index persisted in Scala (the write side),
+      // the tombstone an anti-predicate view over BOTH store tables
+      // (the e_sql_ann_delete pattern), the stored-serve TVF unchanged
+      // — df/N/avgdl recompute from the purged views
+      val out = "target/gate_sink/bm25_index_delete_sql"
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val ix = graft.operators.Reuse.Local(
+        graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      ix.write.mode("overwrite").parquet(s"$out/postings")
+      graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      s.read.parquet(s"$out/postings")
+        .createOrReplaceTempView("bm25d_postings_raw")
+      s.read.parquet(s"$out/doclens")
+        .createOrReplaceTempView("bm25d_doclens_raw")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bm25d_postings AS
+                 SELECT * FROM bm25d_postings_raw WHERE doc_id % 7 <> 0""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bm25d_doclens AS
+                 SELECT * FROM bm25d_doclens_raw WHERE doc_id % 7 <> 0""")
+      e.query("""SELECT doc_id, bm25
+                 FROM graft_bm25_stored('bm25d_postings', 'bm25d_doclens',
+                                        'doc_id', 'hash,join,vector', 25)""")
+    }),
+    "e_sql_hybrid_rrf" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // hybrid retrieval from SQL: both ranked lists are views over the
+      // serving TVFs (each window ranks an already-cut 50-row frame),
+      // the fusion TVF full-outer-joins them in declared order
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hybrid_bm AS
+                 SELECT doc_id, row_number() OVER (
+                   ORDER BY bm25 DESC, doc_id ASC) AS rank
+                 FROM graft_bm25('documents', 'doc_id', 'text',
+                                 'hash,join,vector', 50)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hybrid_ann AS
+                 SELECT vec_id AS doc_id, row_number() OVER (
+                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+                 FROM graft_ann_topk('embeddings', 'vec_id', 'embedding',
+                                     0, 50)""")
+      e.query("""SELECT doc_id, rrf
+                 FROM graft_rrf_fuse('hybrid_bm,hybrid_ann', 'doc_id',
+                                     20, 60)""")
+    }),
+    "e_sql_hybrid_join" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // batch hybrid from SQL: index persisted in Scala (the write
+      // side), the lexical leg ranked by the join TVF itself (it emits
+      // rank), the semantic leg a window over the knn TVF, the fusion
+      // TVF cutting per query
+      val out = "target/gate_sink/hybrid_join_sql"
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val ix = graft.operators.Reuse.Local(
+        graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      ix.write.mode("overwrite").parquet(s"$out/postings")
+      graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      s.read.parquet(s"$out/postings")
+        .createOrReplaceTempView("hybridj_postings")
+      s.read.parquet(s"$out/doclens")
+        .createOrReplaceTempView("hybridj_doclens")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hybridj_queries AS
+                 SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'hash join'),
+                                       (CAST(2 AS BIGINT), 'vector scan slow'),
+                                       (CAST(3 AS BIGINT), 'zzzunknown'))
+                   AS q(query_id, qtext)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hybridj_bm AS
+                 SELECT query_id, doc_id, rank
+                 FROM graft_bm25_join('hybridj_postings', 'hybridj_doclens',
+                                      'hybridj_queries', 'doc_id',
+                                      'query_id', 'qtext', 20)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hybridj_qvecs AS
+                 SELECT vec_id AS query_id, embedding FROM embeddings
+                 WHERE vec_id IN (1, 2, 3)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hybridj_ann AS
+                 SELECT query_id, neighbor_id AS doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                 FROM graft_knn_join('hybridj_qvecs', 'embeddings',
+                                     'query_id', 'vec_id', 'embedding',
+                                     'embedding', 20, 1)""")
+      e.query("""SELECT query_id, doc_id, rrf, rank
+                 FROM graft_rrf_fuse_by('hybridj_bm,hybridj_ann',
+                                        'query_id', 'doc_id', 10, 60)""")
+    }),
     "e_sql_corpus_kl" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1846,6 +1974,10 @@ object EngineQueries {
     "e_sql_bm25" -> LlmQueries.oracle("llm_bm25"),
     "e_sql_bm25_stored" -> LlmQueries.oracle("llm_bm25"),
     "e_sql_bm25_join" -> LlmQueries.oracle("llm_bm25_join"),
+    "e_sql_bm25_append" -> LlmQueries.oracle("llm_bm25"),
+    "e_sql_bm25_delete" -> LlmQueries.oracle("llm_bm25_delete"),
+    "e_sql_hybrid_rrf" -> LlmQueries.oracle("llm_hybrid_rrf"),
+    "e_sql_hybrid_join" -> LlmQueries.oracle("llm_hybrid_join"),
     "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

@@ -19,6 +19,30 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 object LlmQueries {
 
   private val hashSql = "CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)"
+
+  /** The BM25 scoring CTE chain over `documents` (optionally filtered —
+    * the takedown oracle scores the REMAINING corpus), shared by every
+    * bm25-family oracle so the algebra (the exact parenthesization the
+    * operator uses — integer (N-df) before +0.5, (b·dl)/avgdl
+    * left-assoc, tf cast to double before the k1 products) cannot
+    * diverge between them. Ends at `sc` = (doc_id, c). */
+  private def bm25CteSql(where: String): String =
+    s"""d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+              FROM documents$where),
+        stats AS (SELECT count(*) AS n_docs,
+                         sum(len(toks)) AS total_toks FROM d),
+        tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+               WHERE term IN ('hash', 'join', 'vector')
+               GROUP BY doc_id, dl, term),
+        dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        sc AS (SELECT tf.doc_id,
+                 ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+                   (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
+                   (CAST(tf.tf AS DOUBLE) +
+                    1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) /
+                           (CAST(s.total_toks AS DOUBLE) / s.n_docs))) AS c
+               FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN stats s)"""
   /** 13-token gram over a `toks` list at index `i` — shared by every
     * decontamination-family oracle so the shingle format can't diverge. */
   private val gram13Sql = (0 until 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
@@ -1038,6 +1062,114 @@ object LlmQueries {
       // ln the only libm call, hardened by the round-4 rank grid)
       TextAnalysis.bm25TopK(Tables.load(s, d, "documents"), "doc_id",
         "text", queryTerms = Seq("hash", "join", "vector"), k = 25)),
+    "llm_bm25_delete" -> ((s, d) => {
+      import s.implicits._
+      // inverted-index TAKEDOWN (the minhash/fp/dHash store symmetry):
+      // postings and the doc-length sidecar are per-doc rows, so the
+      // tombstone anti-join IS the delete — and because df and corpus
+      // stats are recomputed from the store at query time, the removed
+      // docs stop influencing every score component (df, N, avgdl), not
+      // just the result list. Oracle: the llm_bm25 algebra over the
+      // remaining corpus.
+      val out = "target/gate_sink/bm25_index_delete"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      ix.write.mode("overwrite").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ix, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val tomb = docs.select($"doc_id").filter($"doc_id" % 7 === 0)
+      TextAnalysis.bm25TopKStored(
+        Dedup.storePurge(s.read.parquet(s"$out/postings"), "doc_id", tomb),
+        Dedup.storePurge(s.read.parquet(s"$out/doclens"), "doc_id", tomb),
+        "doc_id", queryTerms = Seq("hash", "join", "vector"), k = 25)
+    }),
+    "llm_bm25_compact" -> ((s, d) => {
+      import s.implicits._
+      // the retrieval store's maintenance lifecycle CLOSED (append ✓
+      // delete ✓ → compact): a postings store holding two appended
+      // generations plus a tombstone set is physically rewritten to
+      // versioned paths — purged docs gone from the FILES, the two
+      // generations' deltas consolidated — and serving the compacted
+      // store must equal the llm_bm25_delete answer (same tombstones
+      // over the full corpus). A compact that loses a posting,
+      // resurrects a tombstoned doc, or drops a doc-length row
+      // hash-mismatches.
+      val out = "target/gate_sink/bm25_index_compact"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      val b = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      val ia = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(a, "doc_id", "text"))
+      ia.write.mode("overwrite").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ia, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val ib = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(b, "doc_id", "text"))
+      ib.write.mode("append").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ib, "doc_id")
+        .write.mode("append").parquet(s"$out/doclens")
+      val tomb = docs.select($"doc_id").filter($"doc_id" % 7 === 0)
+      val cp = Dedup.storeCompact(s.read.parquet(s"$out/postings"),
+        "doc_id", Some(tomb), s"$out/postings_v2")
+      val cd = Dedup.storeCompact(s.read.parquet(s"$out/doclens"),
+        "doc_id", Some(tomb), s"$out/doclens_v2")
+      TextAnalysis.bm25TopKStored(cp, cd, "doc_id",
+        queryTerms = Seq("hash", "join", "vector"), k = 25)
+    }),
+    "llm_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // HYBRID retrieval: the lexical top-50 (BM25 over the documents)
+      // and the semantic top-50 (exact cosine vs query vector 0) fused
+      // by reciprocal rank — the two-tower retrieval front end. The
+      // windows rank the already-cut 50-row lists (bounded frames, not
+      // corpus-scale sorts); doc_id and vec_id share the corpus id
+      // domain (TESTDATA).
+      val bm = TextAnalysis.bm25TopK(Tables.load(s, d, "documents"),
+          "doc_id", "text", queryTerms = Seq("hash", "join", "vector"),
+          k = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"bm25".desc, $"doc_id".asc)))
+      val ann = Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", queryId = 0, k = 50)
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"cos_sim".desc, $"doc_id".asc)))
+      TextAnalysis.rrfFuse(Seq(bm, ann), "doc_id", k = 20)
+    }),
+    "llm_hybrid_join" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // BATCH hybrid retrieval — the serving-fleet shape: a TABLE of
+      // queries, each with a lexical text AND a semantic query vector
+      // (vec_id 1..3 — the id domains coincide, TESTDATA), both legs
+      // ranked per query at k=20, fused by reciprocal rank WITHIN each
+      // query. Query 3's lexical text matches nothing — its fusion is
+      // the semantic leg alone (absent-leg-contributes-zero, gated).
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val emb = Tables.load(s, d, "embeddings")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      val dls = TextAnalysis.bm25DocLens(ix, "doc_id")
+      val queries = Seq((1L, "hash join"), (2L, "vector scan slow"),
+        (3L, "zzzunknown")).toDF("query_id", "qtext")
+      val bmRanked = TextAnalysis.bm25Join(ix, dls, queries,
+          "doc_id", "query_id", "qtext", k = 20)
+        .select($"query_id", $"doc_id", $"rank")
+      val qvecs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+        .select($"vec_id".as("query_id"), $"embedding")
+      val annRanked = Similarity.knnJoin(qvecs, emb, "query_id", "vec_id",
+          "embedding", "embedding", k = 20, excludeSelf = true)
+        .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+          .orderBy($"cos_sim".desc, $"neighbor_id".asc)))
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
+        "query_id", "doc_id", k = 10)
+    }),
     "llm_boilerplate" -> ((s, d) =>
       // corpus boilerplate report: the 20 highest-document-frequency
       // trigrams — what a production run reads to set maxShingleDf /
@@ -2614,7 +2746,10 @@ object LlmQueries {
     // the inverted-index storage round-trip and its append must serve
     // exactly like the direct corpus scorer — the llm_bm25 oracle
     "llm_bm25_stored" -> oracleBase("llm_bm25"),
-    "llm_bm25_append" -> oracleBase("llm_bm25"))
+    "llm_bm25_append" -> oracleBase("llm_bm25"),
+    // compaction of the appended+tombstoned postings store is invisible
+    // to serving — the retrieval takedown oracle (same tombstone set)
+    "llm_bm25_compact" -> oracleBase("llm_bm25_delete"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_ann_ivf" ->
@@ -5472,25 +5607,105 @@ object LlmQueries {
     // double before the k1 products — so every IEEE op pairs the same
     // operands on both engines; ln is the only libm call (round-4 grid)
     "llm_bm25" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-                    FROM documents),
+      s"""WITH ${bm25CteSql("")}
+          SELECT doc_id, round(sum(c), 4) AS bm25
+          FROM sc GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
+    // takedown: the identical algebra over the REMAINING corpus — df,
+    // N, and avgdl all shift with the tombstoned docs, so a purge that
+    // only dropped result rows (without recomputing stats) would
+    // hash-mismatch here
+    "llm_bm25_delete" ->
+      s"""WITH ${bm25CteSql(" WHERE doc_id % 7 <> 0")}
+          SELECT doc_id, round(sum(c), 4) AS bm25
+          FROM sc GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
+    // batch hybrid: both legs ranked per query (the llm_bm25_join qt/tf
+    // algebra; exact cosine), full-outer fusion on (query_id, doc_id),
+    // a query-partitioned top-k window — never a global sort
+    "llm_hybrid_join" ->
+      s"""WITH q(query_id, qtext) AS (
+            SELECT * FROM (VALUES (1, 'hash join'), (2, 'vector scan slow'),
+                                  (3, 'zzzunknown'))),
+          qt AS (SELECT DISTINCT query_id, t AS term FROM (
+                   SELECT query_id,
+                          unnest(string_split_regex(qtext, '\\s+')) AS t
+                   FROM q) WHERE length(t) > 0),
+          d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents),
           stats AS (SELECT count(*) AS n_docs,
                            sum(len(toks)) AS total_toks FROM d),
           tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
           tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
-                 WHERE term IN ('hash', 'join', 'vector')
+                 WHERE term IN (SELECT DISTINCT term FROM qt)
                  GROUP BY doc_id, dl, term),
           dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-          sc AS (SELECT tf.doc_id,
+          sc AS (SELECT qt.query_id, tf.doc_id,
                    ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
                      (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
                      (CAST(tf.tf AS DOUBLE) +
                       1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) /
                              (CAST(s.total_toks AS DOUBLE) / s.n_docs))) AS c
-                 FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN stats s)
-          SELECT doc_id, round(sum(c), 4) AS bm25
-          FROM sc GROUP BY doc_id
-          ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
+                 FROM tf JOIN dfr ON tf.term = dfr.term
+                 JOIN qt ON tf.term = qt.term CROSS JOIN stats s),
+          agg AS (SELECT query_id, doc_id, round(sum(c), 4) AS bm25
+                  FROM sc GROUP BY query_id, doc_id),
+          bmr AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25 DESC, doc_id ASC) AS r
+                  FROM agg),
+          bmk AS (SELECT query_id, doc_id, r FROM bmr WHERE r <= 20),
+          ann AS (SELECT qv.vec_id AS query_id, e.vec_id AS doc_id,
+                    round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]),
+                      CAST(qv.embedding AS DOUBLE[])), 6) AS cos_sim
+                  FROM embeddings e
+                  JOIN embeddings qv ON qv.vec_id IN (1, 2, 3)
+                                    AND e.vec_id <> qv.vec_id),
+          annr AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, doc_id ASC) AS r
+                   FROM ann),
+          annk AS (SELECT query_id, doc_id, r FROM annr WHERE r <= 20),
+          f AS (SELECT coalesce(b.query_id, a.query_id) AS query_id,
+                  coalesce(b.doc_id, a.doc_id) AS doc_id,
+                  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r), 0.0) +
+                        coalesce(CAST(1.0 AS DOUBLE) / (60 + a.r), 0.0),
+                        6) AS rrf
+                FROM bmk b FULL OUTER JOIN annk a
+                  ON b.query_id = a.query_id AND b.doc_id = a.doc_id),
+          rk AS (SELECT query_id, doc_id, rrf,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+                 FROM f)
+          SELECT query_id, doc_id, rrf, rank FROM rk WHERE rank <= 10""",
+    // hybrid RRF: the lexical top-50 and the semantic top-50 ranked,
+    // FULL-OUTER-joined on the doc id (fixed two-term addition — the
+    // operator's determinism contract), 1/(60+rank) contributions
+    "llm_hybrid_rrf" ->
+      s"""WITH ${bm25CteSql("")},
+          bm AS (SELECT doc_id, round(sum(c), 4) AS bm25
+                 FROM sc GROUP BY doc_id
+                 ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+          bmr AS (SELECT doc_id, row_number() OVER (
+                    ORDER BY bm25 DESC, doc_id ASC) AS r FROM bm),
+          ann AS (SELECT e.vec_id AS doc_id,
+                    round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+                  FROM embeddings e
+                  CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) qv
+                              FROM embeddings WHERE vec_id = 0) q
+                  WHERE e.vec_id <> 0
+                  ORDER BY cos_sim DESC, e.vec_id LIMIT 50),
+          annr AS (SELECT doc_id, row_number() OVER (
+                     ORDER BY cos_sim DESC, doc_id ASC) AS r FROM ann),
+          f AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+                  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r), 0.0) +
+                        coalesce(CAST(1.0 AS DOUBLE) / (60 + a.r), 0.0),
+                        6) AS rrf
+                FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.doc_id)
+          SELECT doc_id, rrf FROM f
+          ORDER BY rrf DESC, doc_id ASC LIMIT 20""",
     "llm_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
                        FROM documents),

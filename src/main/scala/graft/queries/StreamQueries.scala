@@ -312,6 +312,41 @@ object StreamQueries {
       adm1.select(col("doc_id"))
         .unionAll(admitted(batch2).select(col("doc_id")))
     }),
+    "st_bm25_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.TextAnalysis
+      // the RETRIEVAL store on the ingestion stream (batch-parity form;
+      // StreamingSpec runs the real two-micro-batch MemoryStream under
+      // foreachBatch): each arriving micro-batch of docs contributes
+      // its postings + doc-length delta as a parquet APPEND — per-doc
+      // rows, so the delta IS the append, and df/N/avgdl recompute from
+      // the store at query time so no global statistic goes stale. The
+      // final store must serve exactly what a fresh one-shot build
+      // serves (the llm_bm25 oracle); a lost micro-batch, a double
+      // append, or a stale-stats shortcut all hash-mismatch. Three
+      // micro-batches here (vs llm_bm25_append's two generations) so
+      // the sequencing itself is exercised.
+      val out = "target/gate_sink/st_bm25_append"
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slices = Seq(
+        docs.crossJoin(broadcast(m)).filter(col("doc_id") <= col("m") - 200),
+        docs.crossJoin(broadcast(m)).filter(
+          col("doc_id") > col("m") - 200 && col("doc_id") <= col("m") - 100),
+        docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 100))
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val mode = if (i == 0) "overwrite" else "append"
+        val ix = graft.operators.Reuse.Local(TextAnalysis.bm25Index(
+          slice.select(col("doc_id"), col("text")), "doc_id", "text"))
+        ix.write.mode(mode).parquet(s"$out/postings")
+        TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode(mode).parquet(s"$out/doclens")
+      }
+      TextAnalysis.bm25TopKStored(s.read.parquet(s"$out/postings"),
+        s.read.parquet(s"$out/doclens"), "doc_id",
+        queryTerms = Seq("hash", "join", "vector"), k = 25)
+    }),
     "st_pipeline9" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.operators.{Dedup, Multimodal, TextAnalysis}
@@ -617,6 +652,9 @@ object StreamQueries {
     // micro-batch CMS sketches merge exactly (additive counters), so
     // the stream's report shares the batch gate's oracle verbatim
     "st_cms_heavy_hitters" -> LlmQueries.oracle("llm_cms_heavy_hitters"),
+    // the streamed append loop must serve exactly the fresh-build
+    // retrieval answer over the whole corpus
+    "st_bm25_append" -> LlmQueries.oracle("llm_bm25"),
     // the closed mixed-modality loop: batch 2 (near-clone texts with
     // novel payloads, fresh texts with exact clones of admitted
     // payloads) fully bounces off the appended stores, so the final

@@ -2125,6 +2125,69 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bm25Join"))
   }
 
+  test("rrfFuse: fused scores equal hand-computed reciprocal-rank sums; k cuts; guards refuse") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // id 10 ranked by both lists, 11 only by A, 12 by both, 13 only by B
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((12L, 1), (10L, 2), (13L, 3)).toDF("id", "rank")
+    def c(r: Int) = 1.0 / (60 + r)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // contributions add in declared list order (A's term first) — the
+    // operator's fixed-addition determinism contract
+    val want = Seq(10L -> r6(c(1) + c(2)), 11L -> r6(c(2) + 0.0),
+        12L -> r6(c(3) + c(1)), 13L -> r6(c(3) + 0.0))
+      .sortBy { case (i, s) => (-s, i) }
+    val got = TextAnalysis.rrfFuse(Seq(a, b), "id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // k cuts the fused ranking, not the inputs
+    assert(TextAnalysis.rrfFuse(Seq(a, b), "id", k = 2)
+      .collect().map(_.getLong(0)).toSeq == want.take(2).map(_._1))
+    // a single list is the identity ranking under 1/(kRrf+rank)
+    assert(TextAnalysis.rrfFuse(Seq(a), "id", k = 3)
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L))
+    // guards refuse by name: no lists; a list without the rank column
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.rrfFuse(Seq.empty, "id", k = 5)
+    }
+    assert(e1.getMessage.contains("rrfFuse"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.rrfFuse(Seq(a.drop("rank")), "id", k = 5)
+    }
+    assert(e2.getMessage.contains("rrfFuse"))
+  }
+
+  test("rrfFuseBy: fusion is per group; a group absent from one leg fuses to the other alone; guards refuse") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // group 1 ranked by both legs; group 2 only by leg B
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "id", "rank")
+    val b = Seq((1L, 11L, 1), (2L, 12L, 1), (2L, 13L, 2))
+      .toDF("q", "id", "rank")
+    def c(r: Int) = 1.0 / (60 + r)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.rrfFuseBy(Seq(a, b), "q", "id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    // group 1: id 11 fused across both legs outranks id 10's single leg
+    // (c(2)+c(1) > c(1)); group 2: leg B's ranking passes through
+    val want = Set(
+      (1L, 11L, r6(c(2) + c(1)), 1), (1L, 10L, r6(c(1) + 0.0), 2),
+      (2L, 12L, r6(0.0 + c(1)), 1), (2L, 13L, r6(0.0 + c(2)), 2))
+    assert(got == want)
+    // k cuts within each group independently
+    val cut = TextAnalysis.rrfFuseBy(Seq(a, b), "q", "id", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut == Set((1L, 11L), (2L, 12L)))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.rrfFuseBy(Seq(a.drop("q")), "q", "id", k = 5)
+    }
+    assert(e.getMessage.contains("rrfFuseBy"))
+  }
+
   test("lrEvalReport: counts match an independent recount; NULL metrics on empty denominators") {
     import spark.implicits._
     import graft.operators.Classifier

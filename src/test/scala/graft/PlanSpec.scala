@@ -116,6 +116,17 @@ class PlanSpec extends AnyFunSuite {
       // (the append form adds the broadcast 1-row max-id fixture bound)
       "llm_bm25", "e_sql_bm25", "llm_bm25_stored", "llm_bm25_append",
       "e_sql_bm25_stored", "llm_bm25_join", "e_sql_bm25_join",
+      // same broadcast 1-row (N, Σdl) stats over the purged/appended
+      // store views (the streamed form adds the broadcast 1-row max-id
+      // slice bound)
+      "llm_bm25_delete", "e_sql_bm25_delete", "e_sql_bm25_append",
+      "st_bm25_append", "llm_bm25_compact",
+      // hybrid fusion: the BM25 leg's broadcast 1-row stats + the ANN
+      // leg's broadcast 1-row query vector; the fusion itself is a
+      // bounded full-outer SMJ on the id (the batch form's semantic leg
+      // is llm_knn_join's broadcast query-batch cross join)
+      "llm_hybrid_rrf", "e_sql_hybrid_rrf",
+      "llm_hybrid_join", "e_sql_hybrid_join",
       // broadcast 1-row max-doc-id split bound + 1-row (V, ΣA, ΣB)
       // stats under the KL contributions
       "llm_corpus_kl", "e_sql_corpus_kl", "st_corpus_kl",

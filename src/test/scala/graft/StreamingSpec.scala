@@ -311,6 +311,65 @@ class StreamingSpec extends AnyFunSuite {
       "appended dHash store must equal the fresh batch build")
   }
 
+  test("bm25 append loop: foreachBatch appends each micro-batch's index delta; final store serves == fresh build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val out = "target/test_sink/bm25_append_stream"
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // seed the store with the standing corpus (all but the last 100)
+    val seed = docs.filter(col("doc_id") <= mx - 100)
+    val seedIx = TextAnalysis.bm25Index(seed, "doc_id", "text")
+      .localCheckpoint(false)
+    seedIx.write.mode("overwrite").parquet(s"$out/postings")
+    TextAnalysis.bm25DocLens(seedIx, "doc_id")
+      .write.mode("overwrite").parquet(s"$out/doclens")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ix = TextAnalysis.bm25Index(batch, "doc_id", "text")
+          .localCheckpoint(false)
+        ix.write.mode("append").parquet(s"$out/postings")
+        TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("append").parquet(s"$out/doclens")
+        ()
+      }.start()
+    // the last 100 docs arrive as two micro-batches
+    val tail = docs.filter(col("doc_id") > mx - 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = tail.partition(_._1 <= mx - 50)
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    // the maintained store holds exactly the fresh one-shot index rows…
+    val freshIx = TextAnalysis.bm25Index(docs, "doc_id", "text")
+      .localCheckpoint(false)
+    val storedRows = spark.read.parquet(s"$out/postings")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val freshRows = freshIx
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(storedRows == freshRows,
+      "appended postings must equal the fresh one-shot index")
+    // …and SERVES the fresh-build answer (stats recompute per query, so
+    // df/N/avgdl reflect every appended micro-batch)
+    val served = TextAnalysis.bm25TopKStored(
+        spark.read.parquet(s"$out/postings"),
+        spark.read.parquet(s"$out/doclens"), "doc_id",
+        Seq("hash", "join", "vector"), k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = TextAnalysis.bm25TopKStored(freshIx,
+        TextAnalysis.bm25DocLens(freshIx, "doc_id"), "doc_id",
+        Seq("hash", "join", "vector"), k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == fresh,
+      "the appended store must serve the fresh-build retrieval answer")
+  }
+
   test("streaming CMS heavy hitters: micro-batch sketches merge exactly to the corpus sketch; contract attested") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
