@@ -291,6 +291,17 @@ object LlmSql {
       case args => bad(
         "graft_rrf_fuse_by(ranked_tables_csv, by_col, id_col, k, k_rrf)", args)
     }
+    reg(spark, "graft_retrieval_eval") {
+      // retrieval-quality report: a ranked run view + a relevance pair
+      // view → per-query hits/precision/recall@k, RR, nDCG@k — fully
+      // lazy
+      case Seq(runT, relT, qid, id, kE) =>
+        val f = "graft_retrieval_eval"
+        TextAnalysis.retrievalEvalReport(table(str(runT, f)),
+          table(str(relT, f)), str(qid, f), str(id, f), k = int(kE, f))
+      case args => bad(
+        "graft_retrieval_eval(run_table, relevance_table, query_col, id_col, k)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

@@ -1047,6 +1047,76 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Retrieval-QUALITY report — the eval verb after the serving verbs
+    * ([[Classifier.lrEvalReport]] symmetry; [[Similarity]]'s recall
+    * attestation covers index-vs-brute-force overlap, this one grades a
+    * ranking against ground-truth RELEVANCE): given a ranked `run`
+    * (queryCol, idCol, rank — any serve's output) and a binary
+    * `relevance` pair table, one row per query with hits@k,
+    * precision@k, recall@k, reciprocal rank, and nDCG@k.
+    *
+    * Determinism contract: precision/recall/RR are single IEEE
+    * divisions of exact integer counts (the lrEvalReport rule — never a
+    * quotient of rounded intermediates); recall/nDCG are NULL on a
+    * query with no relevance rows (empty denominator), RR/nDCG are
+    * 0.0/0-hit-DCG on a query with relevant docs but none retrieved.
+    * Both DCG folds run in FIXED ascending-rank order (a sequential
+    * `aggregate` over a sorted array — never a partial-agg SUM whose
+    * association varies), and `log2` — the only libm call — sits under
+    * the round-4 grid ([[tfidfTopTerms]] hardening); nDCG rounds to 4,
+    * the exact ratios to 6.
+    *
+    * Scale shape: the run is per-query-top-k-bounded (|Q|·k rows); the
+    * relevance join is an equi-semi-join on (query, id); everything
+    * downstream is |Q|-row. Output ordered by query. */
+  def retrievalEvalReport(run: DataFrame, relevance: DataFrame,
+                          queryCol: String, idCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Seq(queryCol, idCol, "rank").foreach(c =>
+      require(run.columns.contains(c),
+        s"retrievalEvalReport: run must carry `$c`, got " +
+          run.columns.sorted.mkString(",")))
+    Seq(queryCol, idCol).foreach(c =>
+      require(relevance.columns.contains(c),
+        s"retrievalEvalReport: relevance must carry `$c`, got " +
+          relevance.columns.sorted.mkString(",")))
+    val rel = relevance.select(col(queryCol), col(idCol)).distinct()
+    val nRel = rel.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val hitRows = run.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank"))
+      .join(rel, Seq(queryCol, idCol), "left_semi")
+    val perQ = hitRows.groupBy(col(queryCol)).agg(
+      count(lit(1)).as("__hits"),
+      min(col("rank")).as("__first"),
+      sort_array(collect_list(col("rank"))).as("__rks"))
+    def foldDcg(rks: Column): Column =
+      aggregate(rks, lit(0.0),
+        (acc, r) => acc + lit(1.0) / log2(r.cast("double") + lit(1.0)))
+    run.select(col(queryCol)).distinct()
+      .join(nRel, Seq(queryCol), "left")
+      .join(perQ, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / lit(k), 6)
+          .as("precision_k"),
+        when(col("n_rel") > 0,
+          round(coalesce(col("__hits"), lit(0L)).cast("double") /
+            col("n_rel").cast("double"), 6)).as("recall_k"),
+        when(col("__first").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("__first").cast("double"), 6))
+          .as("rr"),
+        when(col("n_rel") > 0,
+          round(
+            foldDcg(coalesce(col("__rks"),
+              lit(Array.empty[Int]))) /
+            foldDcg(sequence(lit(1),
+              least(col("n_rel"), lit(k.toLong)).cast("int"))), 4))
+          .as("ndcg"))
+      .orderBy(col(queryCol))
+  }
+
   /** Corpus DRIFT report — smoothed unigram KL divergence between two
     * corpus snapshots in both directions (KL(A‖B), KL(B‖A)): the
     * distribution-shift check an ingestion pipeline runs between crawl

@@ -338,6 +338,32 @@ object EngineQueries {
                  FROM graft_rrf_fuse_by('hybridj_bm,hybridj_ann',
                                         'query_id', 'doc_id', 10, 60)""")
     }),
+    "e_sql_retrieval_eval" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the eval verb from SQL: the run a window over the knn TVF, the
+      // relevance a plain label self-join view, the report TVF on top
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW reval_qvecs AS
+                 SELECT vec_id AS query_id, embedding, label
+                 FROM embeddings WHERE vec_id IN (1, 2, 3)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW reval_q AS
+                 SELECT query_id, embedding FROM reval_qvecs""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW reval_run AS
+                 SELECT query_id, neighbor_id AS doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                 FROM graft_knn_join('reval_q', 'embeddings', 'query_id',
+                                     'vec_id', 'embedding', 'embedding',
+                                     10, 1)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW reval_rel AS
+                 SELECT q.query_id, e.vec_id AS doc_id
+                 FROM reval_qvecs q JOIN embeddings e
+                   ON e.label = q.label AND e.vec_id <> q.query_id""")
+      e.query("""SELECT query_id, n_rel, hits, precision_k, recall_k,
+                        rr, ndcg
+                 FROM graft_retrieval_eval('reval_run', 'reval_rel',
+                                           'query_id', 'doc_id', 10)""")
+    }),
     "e_sql_corpus_kl" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1978,6 +2004,7 @@ object EngineQueries {
     "e_sql_bm25_delete" -> LlmQueries.oracle("llm_bm25_delete"),
     "e_sql_hybrid_rrf" -> LlmQueries.oracle("llm_hybrid_rrf"),
     "e_sql_hybrid_join" -> LlmQueries.oracle("llm_hybrid_join"),
+    "e_sql_retrieval_eval" -> LlmQueries.oracle("llm_retrieval_eval"),
     "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

@@ -1170,6 +1170,31 @@ object LlmQueries {
       TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
         "query_id", "doc_id", k = 10)
     }),
+    "llm_retrieval_eval" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // retrieval-QUALITY report: the semantic top-10 run for query
+      // vectors 1..3 graded against label-match ground truth (relevant
+      // = same embeddings.label, self excluded) — hits/precision/
+      // recall@10, reciprocal rank, nDCG@10 per query. The eval verb a
+      // serving fleet runs nightly against a judged set.
+      val emb = Tables.load(s, d, "embeddings")
+      val qvecs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+        .select($"vec_id".as("query_id"), $"embedding", $"label")
+      val run = Similarity.knnJoin(
+          qvecs.select($"query_id", $"embedding"), emb,
+          "query_id", "vec_id", "embedding", "embedding",
+          k = 10, excludeSelf = true)
+        .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+          .orderBy($"cos_sim".desc, $"neighbor_id".asc)))
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      val rel = qvecs.select($"query_id", $"label")
+        .join(emb.select($"vec_id".as("doc_id"), $"label"), Seq("label"))
+        .filter($"doc_id" =!= $"query_id")
+        .select($"query_id", $"doc_id")
+      TextAnalysis.retrievalEvalReport(run, rel, "query_id", "doc_id",
+        k = 10)
+    }),
     "llm_boilerplate" -> ((s, d) =>
       // corpus boilerplate report: the 20 highest-document-frequency
       // trigrams — what a production run reads to set maxShingleDf /
@@ -5620,6 +5645,59 @@ object LlmQueries {
           SELECT doc_id, round(sum(c), 4) AS bm25
           FROM sc GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
+    // retrieval eval: the same exact-cosine run, label-match relevance,
+    // count-exact ratios (single divisions), DCG folds replayed with
+    // the same ascending-rank association (window cumulative sum ==
+    // Spark's sequential fold), log2 under the round-4 grid
+    "llm_retrieval_eval" ->
+      """WITH qv AS (SELECT vec_id AS query_id,
+                            CAST(embedding AS DOUBLE[]) AS v, label
+                     FROM embeddings WHERE vec_id IN (1, 2, 3)),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                FROM embeddings),
+          ann AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                    round(list_cosine_similarity(e.v, qv.v), 6) AS cos_sim
+                  FROM e JOIN qv ON e.vec_id <> qv.query_id),
+          run AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, doc_id ASC) AS rank
+                  FROM ann),
+          topk AS (SELECT * FROM run WHERE rank <= 10),
+          rel AS (SELECT qv.query_id, e.vec_id AS doc_id
+                  FROM e JOIN qv ON e.label = qv.label
+                               AND e.vec_id <> qv.query_id),
+          nr AS (SELECT query_id, count(*) AS n_rel FROM rel
+                 GROUP BY query_id),
+          h AS (SELECT t.query_id, t.rank FROM topk t
+                JOIN rel r ON t.query_id = r.query_id
+                          AND t.doc_id = r.doc_id),
+          pq AS (SELECT query_id, count(*) AS hits, min(rank) AS first_rank,
+                   sum(CAST(1.0 AS DOUBLE) / log2(rank + 1.0)) AS dcg
+                 FROM h GROUP BY query_id),
+          ser AS (SELECT i, sum(CAST(1.0 AS DOUBLE) / log2(i + 1.0))
+                         OVER (ORDER BY i) AS cum
+                  FROM generate_series(1, 10) AS g(i)),
+          ideal AS (SELECT nr.query_id, s.cum AS idcg
+                    FROM nr JOIN ser s ON s.i = least(nr.n_rel, 10)),
+          q AS (SELECT DISTINCT query_id FROM run)
+          SELECT q.query_id,
+                 coalesce(nr.n_rel, 0) AS n_rel,
+                 coalesce(pq.hits, 0) AS hits,
+                 round(CAST(coalesce(pq.hits, 0) AS DOUBLE) / 10, 6)
+                   AS precision_k,
+                 CASE WHEN nr.n_rel > 0 THEN
+                   round(CAST(coalesce(pq.hits, 0) AS DOUBLE) /
+                         CAST(nr.n_rel AS DOUBLE), 6) END AS recall_k,
+                 CASE WHEN pq.first_rank IS NULL THEN 0.0
+                      ELSE round(CAST(1.0 AS DOUBLE) / pq.first_rank, 6)
+                 END AS rr,
+                 CASE WHEN nr.n_rel > 0 THEN
+                   round(coalesce(pq.dcg, 0.0) / ideal.idcg, 4)
+                 END AS ndcg
+          FROM q LEFT JOIN nr ON q.query_id = nr.query_id
+                 LEFT JOIN pq ON q.query_id = pq.query_id
+                 LEFT JOIN ideal ON q.query_id = ideal.query_id
+          ORDER BY q.query_id""",
     // batch hybrid: both legs ranked per query (the llm_bm25_join qt/tf
     // algebra; exact cosine), full-outer fusion on (query_id, doc_id),
     // a query-partitioned top-k window — never a global sort

@@ -2188,6 +2188,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rrfFuseBy"))
   }
 
+  test("retrievalEvalReport: metrics match hand-computed values; zero-hit and empty-relevance edge rows") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // q1: relevant {10,11,12}, retrieved hits at ranks 1 and 3
+    // q2: relevant {20}, no hits in the run
+    // q3: no relevance rows at all
+    val run = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (2L, 98L, 1), (2L, 97L, 2),
+      (3L, 96L, 1)).toDF("q", "id", "rank")
+    val rel = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("q", "id")
+    val got = TextAnalysis.retrievalEvalReport(run, rel, "q", "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6))).toSeq
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: dcg = 1/log2(2) + 1/log2(4); idcg over min(3,3) ideal ranks
+    val dcg1 = 1.0 / lg2(2.0) + 1.0 / lg2(4.0)
+    val idcg1 = 1.0 / lg2(2.0) + 1.0 / lg2(3.0) + 1.0 / lg2(4.0)
+    assert(got == Seq(
+      (1L, 3L, 2L, r6(2.0 / 3), r6(2.0 / 3), 1.0, r4(dcg1 / idcg1)),
+      (2L, 1L, 0L, 0.0, 0.0, 0.0, 0.0),
+      (3L, 0L, 0L, 0.0, null, 0.0, null)))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.retrievalEvalReport(run.drop("rank"), rel, "q", "id", 3)
+    }
+    assert(e.getMessage.contains("retrievalEvalReport"))
+  }
+
   test("lrEvalReport: counts match an independent recount; NULL metrics on empty denominators") {
     import spark.implicits._
     import graft.operators.Classifier

@@ -127,6 +127,8 @@ class PlanSpec extends AnyFunSuite {
       // is llm_knn_join's broadcast query-batch cross join)
       "llm_hybrid_rrf", "e_sql_hybrid_rrf",
       "llm_hybrid_join", "e_sql_hybrid_join",
+      // the eval run IS llm_knn_join's broadcast query-batch cross join
+      "llm_retrieval_eval", "e_sql_retrieval_eval",
       // broadcast 1-row max-doc-id split bound + 1-row (V, ΣA, ΣB)
       // stats under the KL contributions
       "llm_corpus_kl", "e_sql_corpus_kl", "st_corpus_kl",
