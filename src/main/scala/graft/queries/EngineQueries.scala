@@ -338,6 +338,68 @@ object EngineQueries {
                  FROM graft_rrf_fuse_by('hybridj_bm,hybridj_ann',
                                         'query_id', 'doc_id', 10, 60)""")
     }),
+    "e_sql_pipeline11" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the retrieval-era chain composed from TVFs and views alone:
+      // gopher keep (semi-join on the keep flag) → exact dedup
+      // (semi-join on the winners) → index built + STORED in Scala over
+      // the surviving view (the write side stays Scala — SQL serves) →
+      // lexical leg via the stored join TVF, semantic leg a window over
+      // the knn TVF on the surviving embeddings, fused per query
+      val out = "target/gate_sink/pipeline11_sql"
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p11_crawl AS
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 500000 AS doc_id, text FROM documents""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p11_kept AS
+                 SELECT c.doc_id, c.text FROM p11_crawl c
+                 LEFT SEMI JOIN graft_gopher('p11_crawl', 'doc_id', 'text',
+                                             10, 100000, 2.0, 10.0,
+                                             0.1, 1) g
+                   ON c.doc_id = g.doc_id AND g.keep""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p11_dedup AS
+                 SELECT c.doc_id, c.text FROM p11_kept c
+                 LEFT SEMI JOIN graft_exact_dedup('p11_kept', 'doc_id',
+                                                  'text') w
+                   ON c.doc_id = w.doc_id""")
+      val ded = s.table("p11_dedup")
+      val ix = graft.operators.Reuse.Local(
+        graft.operators.TextAnalysis.bm25Index(ded, "doc_id", "text"))
+      ix.write.mode("overwrite").parquet(s"$out/postings")
+      graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      s.read.parquet(s"$out/postings")
+        .createOrReplaceTempView("p11_postings")
+      s.read.parquet(s"$out/doclens")
+        .createOrReplaceTempView("p11_doclens")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p11_queries AS
+                 SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'hash join'),
+                                       (CAST(2 AS BIGINT), 'vector scan slow'),
+                                       (CAST(3 AS BIGINT), 'zzzunknown'))
+                   AS q(query_id, qtext)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p11_bm AS
+                 SELECT query_id, doc_id, rank
+                 FROM graft_bm25_join('p11_postings', 'p11_doclens',
+                                      'p11_queries', 'doc_id',
+                                      'query_id', 'qtext', 20)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p11_ce AS
+                 SELECT e.vec_id, e.embedding FROM embeddings e
+                 LEFT SEMI JOIN p11_dedup d ON e.vec_id = d.doc_id""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p11_qvecs AS
+                 SELECT vec_id AS query_id, embedding FROM embeddings
+                 WHERE vec_id IN (1, 2, 3)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p11_ann AS
+                 SELECT query_id, neighbor_id AS doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                 FROM graft_knn_join('p11_qvecs', 'p11_ce', 'query_id',
+                                     'vec_id', 'embedding', 'embedding',
+                                     20, 1)""")
+      e.query("""SELECT query_id, doc_id, rrf, rank
+                 FROM graft_rrf_fuse_by('p11_bm,p11_ann', 'query_id',
+                                        'doc_id', 10, 60)""")
+    }),
     "e_sql_retrieval_eval" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2005,6 +2067,7 @@ object EngineQueries {
     "e_sql_hybrid_rrf" -> LlmQueries.oracle("llm_hybrid_rrf"),
     "e_sql_hybrid_join" -> LlmQueries.oracle("llm_hybrid_join"),
     "e_sql_retrieval_eval" -> LlmQueries.oracle("llm_retrieval_eval"),
+    "e_sql_pipeline11" -> LlmQueries.oracle("llm_pipeline11"),
     "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

@@ -1170,6 +1170,57 @@ object LlmQueries {
       TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
         "query_id", "doc_id", k = 10)
     }),
+    "llm_pipeline11" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // the RETRIEVAL-ERA chain end to end: Gopher keep → exact dedup
+      // over a planted-duplicate crawl (keep lowest id) → BM25 index of
+      // the surviving corpus built and STORED → batch hybrid serve (the
+      // lexical leg from the stored index, the semantic leg over the
+      // embeddings of SURVIVING docs only, RRF-fused per query). Every
+      // stage is individually gated (llm_gopher / llm_exact_dedup /
+      // llm_bm25_join / llm_hybrid_join); the composition pins their
+      // interplay — a rejected or duplicate doc must be invisible to
+      // retrieval, and the index's df/N/avgdl must reflect the
+      // rejections.
+      val out = "target/gate_sink/pipeline11"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val crawl = docs.unionAll(
+        docs.select(($"doc_id" + 500000).as("doc_id"), $"text"))
+      val kept = crawl.filter(TextAnalysis.gopherKeep($"text",
+        minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
+      val fp = kept.select($"doc_id", $"text",
+        TextAnalysis.fingerprint($"text").as("fp"))
+      val winners = fp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      val deduped = fp.join(winners, Seq("fp", "doc_id"), "left_semi")
+        .select($"doc_id", $"text")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(deduped, "doc_id", "text"))
+      ix.write.mode("overwrite").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ix, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val queries = Seq((1L, "hash join"), (2L, "vector scan slow"),
+        (3L, "zzzunknown")).toDF("query_id", "qtext")
+      val bmRanked = TextAnalysis.bm25Join(
+          s.read.parquet(s"$out/postings"),
+          s.read.parquet(s"$out/doclens"), queries,
+          "doc_id", "query_id", "qtext", k = 20)
+        .select($"query_id", $"doc_id", $"rank")
+      val emb = Tables.load(s, d, "embeddings")
+      val corpusEmb = emb.join(
+        deduped.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+      val qvecs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+        .select($"vec_id".as("query_id"), $"embedding")
+      val annRanked = Similarity.knnJoin(qvecs, corpusEmb,
+          "query_id", "vec_id", "embedding", "embedding",
+          k = 20, excludeSelf = true)
+        .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+          .orderBy($"cos_sim".desc, $"neighbor_id".asc)))
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
+        "query_id", "doc_id", k = 10)
+    }),
     "llm_retrieval_eval" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -2657,6 +2708,68 @@ object LlmQueries {
   )
 
   private val stopsEn = "'the','a','of','and','to','in','is','it','for','on'"
+
+  /** The batch-hybrid fusion algebra (both legs ranked at 20, RRF-fused
+    * per query, cut at 10): expects CTEs `hdocs` (doc_id, text — the
+    * lexical corpus) and `hce` (vec_id, v DOUBLE[] — the semantic
+    * corpus side) upstream; ends with the final SELECT. Shared by
+    * llm_hybrid_join and llm_pipeline11 so the fusion algebra cannot
+    * diverge between the standalone and composed forms. */
+  private lazy val hybridJoinTailSql: String =
+    s"""hq(query_id, qtext) AS (
+          SELECT * FROM (VALUES (1, 'hash join'), (2, 'vector scan slow'),
+                                (3, 'zzzunknown'))),
+        hqt AS (SELECT DISTINCT query_id, t AS term FROM (
+                 SELECT query_id,
+                        unnest(string_split_regex(qtext, '\\s+')) AS t
+                 FROM hq) WHERE length(t) > 0),
+        hd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+               FROM hdocs),
+        hstats AS (SELECT count(*) AS n_docs,
+                          sum(len(toks)) AS total_toks FROM hd),
+        htok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                 FROM hd),
+        htf AS (SELECT doc_id, dl, term, count(*) AS tf FROM htok
+                WHERE term IN (SELECT DISTINCT term FROM hqt)
+                GROUP BY doc_id, dl, term),
+        hdfr AS (SELECT term, count(*) AS df FROM htf GROUP BY term),
+        hsc AS (SELECT hqt.query_id, htf.doc_id,
+                  ln(1.0 + (s.n_docs - hdfr.df + 0.5) / (hdfr.df + 0.5)) *
+                    (CAST(htf.tf AS DOUBLE) * (1.2 + 1)) /
+                    (CAST(htf.tf AS DOUBLE) +
+                     1.2 * (1.0 - 0.75 + 0.75 * CAST(htf.dl AS DOUBLE) /
+                            (CAST(s.total_toks AS DOUBLE) / s.n_docs))) AS c
+                FROM htf JOIN hdfr ON htf.term = hdfr.term
+                JOIN hqt ON htf.term = hqt.term CROSS JOIN hstats s),
+        hagg AS (SELECT query_id, doc_id, round(sum(c), 4) AS bm25
+                 FROM hsc GROUP BY query_id, doc_id),
+        hbmr AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY bm25 DESC, doc_id ASC) AS r
+                 FROM hagg),
+        hbmk AS (SELECT query_id, doc_id, r FROM hbmr WHERE r <= 20),
+        hqv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        hann AS (SELECT hqv.query_id, e.vec_id AS doc_id,
+                   round(list_cosine_similarity(e.v, hqv.v), 6) AS cos_sim
+                 FROM hce e JOIN hqv ON e.vec_id <> hqv.query_id),
+        hannr AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, doc_id ASC) AS r
+                  FROM hann),
+        hannk AS (SELECT query_id, doc_id, r FROM hannr WHERE r <= 20),
+        hf AS (SELECT coalesce(b.query_id, a.query_id) AS query_id,
+                 coalesce(b.doc_id, a.doc_id) AS doc_id,
+                 round(coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r), 0.0) +
+                       coalesce(CAST(1.0 AS DOUBLE) / (60 + a.r), 0.0),
+                       6) AS rrf
+               FROM hbmk b FULL OUTER JOIN hannk a
+                 ON b.query_id = a.query_id AND b.doc_id = a.doc_id),
+        hrk AS (SELECT query_id, doc_id, rrf,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+                FROM hf)
+        SELECT query_id, doc_id, rrf, rank FROM hrk WHERE rank <= 10"""
 
   /** Raw-crawl fixture around every doc (shared by the html-strip gate
     * and pipeline5, Scala AND SQL sides): style + script blocks (the
@@ -5702,61 +5815,40 @@ object LlmQueries {
     // algebra; exact cosine), full-outer fusion on (query_id, doc_id),
     // a query-partitioned top-k window — never a global sort
     "llm_hybrid_join" ->
-      s"""WITH q(query_id, qtext) AS (
-            SELECT * FROM (VALUES (1, 'hash join'), (2, 'vector scan slow'),
-                                  (3, 'zzzunknown'))),
-          qt AS (SELECT DISTINCT query_id, t AS term FROM (
-                   SELECT query_id,
-                          unnest(string_split_regex(qtext, '\\s+')) AS t
-                   FROM q) WHERE length(t) > 0),
-          d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-                FROM documents),
-          stats AS (SELECT count(*) AS n_docs,
-                           sum(len(toks)) AS total_toks FROM d),
-          tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
-          tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
-                 WHERE term IN (SELECT DISTINCT term FROM qt)
-                 GROUP BY doc_id, dl, term),
-          dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-          sc AS (SELECT qt.query_id, tf.doc_id,
-                   ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
-                     (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
-                     (CAST(tf.tf AS DOUBLE) +
-                      1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) /
-                             (CAST(s.total_toks AS DOUBLE) / s.n_docs))) AS c
-                 FROM tf JOIN dfr ON tf.term = dfr.term
-                 JOIN qt ON tf.term = qt.term CROSS JOIN stats s),
-          agg AS (SELECT query_id, doc_id, round(sum(c), 4) AS bm25
-                  FROM sc GROUP BY query_id, doc_id),
-          bmr AS (SELECT query_id, doc_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY bm25 DESC, doc_id ASC) AS r
-                  FROM agg),
-          bmk AS (SELECT query_id, doc_id, r FROM bmr WHERE r <= 20),
-          ann AS (SELECT qv.vec_id AS query_id, e.vec_id AS doc_id,
-                    round(list_cosine_similarity(
-                      CAST(e.embedding AS DOUBLE[]),
-                      CAST(qv.embedding AS DOUBLE[])), 6) AS cos_sim
-                  FROM embeddings e
-                  JOIN embeddings qv ON qv.vec_id IN (1, 2, 3)
-                                    AND e.vec_id <> qv.vec_id),
-          annr AS (SELECT query_id, doc_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY cos_sim DESC, doc_id ASC) AS r
-                   FROM ann),
-          annk AS (SELECT query_id, doc_id, r FROM annr WHERE r <= 20),
-          f AS (SELECT coalesce(b.query_id, a.query_id) AS query_id,
-                  coalesce(b.doc_id, a.doc_id) AS doc_id,
-                  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r), 0.0) +
-                        coalesce(CAST(1.0 AS DOUBLE) / (60 + a.r), 0.0),
-                        6) AS rrf
-                FROM bmk b FULL OUTER JOIN annk a
-                  ON b.query_id = a.query_id AND b.doc_id = a.doc_id),
-          rk AS (SELECT query_id, doc_id, rrf,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                     ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
-                 FROM f)
-          SELECT query_id, doc_id, rrf, rank FROM rk WHERE rank <= 10""",
+      s"""WITH hdocs AS (SELECT doc_id, text FROM documents),
+          hce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+          $hybridJoinTailSql""",
+    // pipeline11: gopher keep → exact dedup over the planted-duplicate
+    // crawl → the same batch-hybrid fusion algebra, both legs over the
+    // SURVIVING corpus only (the index's df/N/avgdl shift with the
+    // rejections — a stats shortcut hash-mismatches)
+    "llm_pipeline11" ->
+      s"""WITH crawl AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 500000, text FROM documents),
+          hkept AS (SELECT doc_id, text FROM (
+                   SELECT doc_id, text,
+                     CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+                     round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                           / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
+                     round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                           / greatest(length(text), 1), 6) AS sym,
+                     CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                          t -> t IN ($stopsEn))) AS INTEGER) AS stops
+                   FROM crawl)
+                 WHERE n_tokens >= 10 AND n_tokens <= 100000
+                   AND mwl >= 2.0 AND mwl <= 10.0
+                   AND sym <= 0.1 AND stops >= 1),
+          hded AS (SELECT min(doc_id) AS doc_id FROM (
+                     SELECT doc_id,
+                       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+                     FROM hkept) GROUP BY fp),
+          hdocs AS (SELECT k.doc_id, k.text FROM hkept k
+                    JOIN hded USING (doc_id)),
+          hce AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+                  FROM embeddings e JOIN hded ON e.vec_id = hded.doc_id),
+          $hybridJoinTailSql""",
     // hybrid RRF: the lexical top-50 and the semantic top-50 ranked,
     // FULL-OUTER-joined on the doc id (fixed two-term addition — the
     // operator's determinism contract), 1/(60+rank) contributions

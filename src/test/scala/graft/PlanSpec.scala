@@ -129,6 +129,9 @@ class PlanSpec extends AnyFunSuite {
       "llm_hybrid_join", "e_sql_hybrid_join",
       // the eval run IS llm_knn_join's broadcast query-batch cross join
       "llm_retrieval_eval", "e_sql_retrieval_eval",
+      // pipeline11 composes both hybrid legs (bm25 stats BNLJ + the knn
+      // broadcast cross join) over the surviving corpus
+      "llm_pipeline11", "e_sql_pipeline11",
       // broadcast 1-row max-doc-id split bound + 1-row (V, ΣA, ΣB)
       // stats under the KL contributions
       "llm_corpus_kl", "e_sql_corpus_kl", "st_corpus_kl",
