@@ -302,6 +302,19 @@ object LlmSql {
       case args => bad(
         "graft_retrieval_eval(run_table, relevance_table, query_col, id_col, k)", args)
     }
+    reg(spark, "graft_snippet") {
+      // search-result snippets: densest query-term window per matching
+      // doc — a pure per-row projection, fully lazy
+      case Seq(t, id, text, terms, w) =>
+        val f = "graft_snippet"
+        TextAnalysis.snippetExtract(table(str(t, f)), str(id, f),
+          str(text, f),
+          queryTerms = str(terms, f).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          window = int(w, f))
+      case args => bad(
+        "graft_snippet(table, id_col, text_col, terms_csv, window)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

@@ -1047,6 +1047,43 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Query-term SNIPPET extraction — the search-result verb after the
+    * retrieval verbs ([[bm25TopK]] ranks docs; this shows WHY one
+    * matched): for each doc containing at least one query term, the
+    * `window`-token span starting at a term hit that covers the MOST
+    * term hits (ties → earliest start), re-joined with single spaces
+    * (the whitespace tokenizer's normal form). Docs with no hit emit no
+    * row.
+    *
+    * Pure per-row projection — higher-order functions only, no explode,
+    * no shuffle: hit positions via an indexed transform+filter, the
+    * densest-window argmax an `array_max` over (count, −start) structs
+    * (lexicographic struct order ≡ count desc then start asc), the span
+    * a slice+join. O(hits²) per doc — hits are query-term occurrences,
+    * bounded in practice. Output: (idCol, hits, start_tok, snippet). */
+  def snippetExtract(df: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], window: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "snippetExtract: empty query")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = tokens(col(textCol))
+    // 1-based hit positions (Spark's indexed transform is 0-based)
+    val idx = filter(
+      transform(toks, (t, i) =>
+        when(t.isInCollection(queryTerms), i + 1).otherwise(lit(-1))),
+      x => x > 0)
+    df.select(col(idCol), toks.as("__toks"), idx.as("__idx"))
+      .filter(size(col("__idx")) > 0)
+      .select(col(idCol), col("__toks"),
+        array_max(transform(col("__idx"), p => struct(
+          size(filter(col("__idx"), q => q >= p && q < p + window)).as("c"),
+          (-p).as("np")))).as("__best"))
+      .select(col(idCol),
+        col("__best.c").cast("int").as("hits"),
+        (-col("__best.np")).cast("int").as("start_tok"),
+        array_join(slice(col("__toks"), (-col("__best.np")).cast("int"),
+          lit(window)), " ").as("snippet"))
+  }
+
   /** Retrieval-QUALITY report — the eval verb after the serving verbs
     * ([[Classifier.lrEvalReport]] symmetry; [[Similarity]]'s recall
     * attestation covers index-vs-brute-force overlap, this one grades a

@@ -166,6 +166,8 @@ object EngineQueries {
       "SELECT * FROM graft_tfidf('documents', 'doc_id', 'text', 3)")),
     "e_sql_bm25" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_bm25('documents', 'doc_id', 'text', 'hash,join,vector', 25)")),
+    "e_sql_snippet" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_snippet('documents', 'doc_id', 'text', 'hash,join,vector', 12)")),
     "e_sql_bm25_stored" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2068,6 +2070,7 @@ object EngineQueries {
     "e_sql_hybrid_join" -> LlmQueries.oracle("llm_hybrid_join"),
     "e_sql_retrieval_eval" -> LlmQueries.oracle("llm_retrieval_eval"),
     "e_sql_pipeline11" -> LlmQueries.oracle("llm_pipeline11"),
+    "e_sql_snippet" -> LlmQueries.oracle("llm_snippet"),
     "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

@@ -1170,6 +1170,14 @@ object LlmQueries {
       TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
         "query_id", "doc_id", k = 10)
     }),
+    "llm_snippet" -> ((s, d) =>
+      // search-result snippets: for every doc holding at least one of
+      // the retrieval terms, the densest 12-token window starting at a
+      // hit (ties → earliest) — the "why did this match" verb after
+      // llm_bm25's ranking; pure per-row projection, no shuffle
+      TextAnalysis.snippetExtract(Tables.load(s, d, "documents"),
+        "doc_id", "text", queryTerms = Seq("hash", "join", "vector"),
+        window = 12)),
     "llm_pipeline11" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -5758,6 +5766,26 @@ object LlmQueries {
           SELECT doc_id, round(sum(c), 4) AS bm25
           FROM sc GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
+    // snippets: the same indexed-lambda hit positions, the same
+    // (count, −start) lexicographic argmax, inclusive list slice
+    "llm_snippet" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+          ix AS (SELECT doc_id, toks,
+                   list_filter(list_transform(toks,
+                     (t, i) -> CASE WHEN t IN ('hash', 'join', 'vector')
+                                    THEN i ELSE -1 END), x -> x > 0) AS idx
+                 FROM d),
+          hit AS (SELECT doc_id, toks, idx FROM ix WHERE len(idx) > 0),
+          best AS (SELECT doc_id, toks,
+                     list_max(list_transform(idx, p ->
+                       [len(list_filter(idx, q -> q >= p AND q < p + 12)),
+                        -p])) AS b
+                   FROM hit)
+          SELECT doc_id, CAST(b[1] AS INTEGER) AS hits,
+                 CAST(-b[2] AS INTEGER) AS start_tok,
+                 array_to_string(toks[-b[2] : -b[2] + 11], ' ') AS snippet
+          FROM best""",
     // retrieval eval: the same exact-cosine run, label-match relevance,
     // count-exact ratios (single divisions), DCG folds replayed with
     // the same ascending-rank association (window cumulative sum ==

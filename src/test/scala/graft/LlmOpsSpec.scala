@@ -2224,6 +2224,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("retrievalEvalReport"))
   }
 
+  test("snippetExtract: densest window wins, ties go earliest, no-hit docs absent, window truncates at doc end") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // hits at 2 and 4 cluster (window 3 from pos 2 covers both);
+      // the lone hit at 9 loses
+      (1L, "x hash y hash z a b c hash"),
+      // two windows each cover 1 hit → earliest start (pos 1) wins
+      (2L, "hash a b c d e hash"),
+      // no hits → absent
+      (3L, "nothing to see here"),
+      // hit on the last token → snippet truncates to the doc end
+      (4L, "a b hash")).toDF("doc_id", "text")
+    val got = TextAnalysis.snippetExtract(docs, "doc_id", "text",
+        Seq("hash"), window = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2, 2, "hash y hash"),
+      (2L, 1, 1, "hash a b"),
+      (4L, 1, 3, "hash")))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.snippetExtract(docs, "doc_id", "text", Seq.empty, 3)
+    }
+    assert(e.getMessage.contains("snippetExtract"))
+  }
+
   test("lrEvalReport: counts match an independent recount; NULL metrics on empty denominators") {
     import spark.implicits._
     import graft.operators.Classifier
