@@ -315,6 +315,26 @@ object LlmSql {
       case args => bad(
         "graft_snippet(table, id_col, text_col, terms_csv, window)", args)
     }
+    reg(spark, "graft_mmr") {
+      // diversified selection: k sequential greedy rounds, each a tiny
+      // action over the bounded candidate view — DEFERRED so EXPLAIN
+      // launches no job
+      case Seq(t, id, vec, rel, kE, lamE) =>
+        val f = "graft_mmr"
+        val cand = table(str(t, f))
+        val idc = str(id, f); val vc = str(vec, f); val rc = str(rel, f)
+        val kk = int(kE, f); val lam = dbl(lamE, f)
+        val outSchema = StructType(Seq(
+          cand.schema(idc), cand.schema(rc),
+          StructField("mmr", org.apache.spark.sql.types.DoubleType),
+          StructField("rank", org.apache.spark.sql.types.IntegerType,
+            nullable = false)))
+        GraftDeferred.frame(spark, outSchema, memo { () =>
+          Similarity.mmrSelect(cand, idc, vc, rc, k = kk, lam = lam)
+        })
+      case args => bad(
+        "graft_mmr(candidates_table, id_col, vec_col, rel_col, k, lambda)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

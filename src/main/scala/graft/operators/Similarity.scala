@@ -347,6 +347,69 @@ object Similarity {
       col("centroid_sim"), q, reuse = reuse)
   }
 
+  /** MMR — maximal-marginal-relevance DIVERSIFIED selection (Carbonell/
+    * Goldstein SIGIR'98): greedily pick `k` items from a BOUNDED
+    * candidate list (an upstream serve's top-N — top-k lists, never a
+    * corpus), each round taking the argmax of
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(vec, s)` (first round: `λ·rel`
+    * alone), score quantized to 6 and tie-broken by id — the
+    * relevance-vs-redundancy balance a RAG context assembler runs after
+    * retrieval.
+    *
+    * Shape: the greedy is INHERENTLY sequential — `k` tiny Spark rounds
+    * over the checkpointed candidate frame (the k-means/BPE round
+    * pattern), each a TakeOrderedAndProject + 1-row collect; selected
+    * vectors inline as literals (k·dim doubles — KB-scale). `(1−λ)` is
+    * computed once in IEEE double (`1.0 − λ`) so an oracle replays the
+    * exact constant. Candidates above `maxCandidates` refuse loudly —
+    * the bounded-input contract is by design, not an accident of scale.
+    * Output: (idCol, relCol, mmr, rank). */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lam: Double = 0.7,
+                maxCandidates: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lam >= 0.0 && lam <= 1.0, s"lambda must be in [0,1], got $lam")
+    val spark = candidates.sparkSession
+    val cand = candidates.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v"), col(relCol))
+      .localCheckpoint(false)
+    require(cand.limit(maxCandidates + 1).count() <= maxCandidates,
+      s"mmrSelect: more than $maxCandidates candidates — MMR is a " +
+        "post-serve re-ranker over a bounded top-N, not a corpus scan")
+    val lamC = lit(lam)
+    val oneMinusLam = lit(1.0 - lam)
+    val selVecs = scala.collection.mutable.Buffer.empty[Seq[Double]]
+    val picked = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+    var remaining = cand
+    for (r <- 1 to k) {
+      val score =
+        if (selVecs.isEmpty) round(lamC * col(relCol), 6)
+        else round(lamC * col(relCol) - oneMinusLam *
+          selVecs.map(v => cosine(col("__v"), typedLit(v)))
+            .reduceLeft(greatest(_, _)), 6)
+      val top = remaining
+        .select(col(idCol), col("__v"), col(relCol), score.as("mmr"))
+        .orderBy(col("mmr").desc, col(idCol).asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val p = top.head
+        picked += org.apache.spark.sql.Row(p.get(0), p.get(2),
+          p.getDouble(3), r)
+        selVecs += p.getSeq[Double](1)
+        remaining = remaining.filter(col(idCol) =!= lit(p.get(0)))
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      cand.schema(idCol),
+      cand.schema(relCol),
+      org.apache.spark.sql.types.StructField("mmr",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(picked.toSeq, 1), schema)
+  }
+
   /** Exact top-k by cosine against the embedding of `queryId`.
     * orderBy+limit ⇒ Spark plans TakeOrderedAndProject (per-partition
     * top-k, then k·partitions rows to the driver side of the exchange —

@@ -168,6 +168,20 @@ object EngineQueries {
       "SELECT * FROM graft_bm25('documents', 'doc_id', 'text', 'hash,join,vector', 25)")),
     "e_sql_snippet" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_snippet('documents', 'doc_id', 'text', 'hash,join,vector', 12)")),
+    "e_sql_mmr" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // diversified selection from SQL: the candidate view joins the
+      // serve TVF back to its vectors; the deferred MMR TVF re-ranks
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW mmr_cand AS
+                 SELECT t.vec_id, e.embedding, t.cos_sim
+                 FROM graft_ann_topk('embeddings', 'vec_id', 'embedding',
+                                     0, 50) t
+                 JOIN embeddings e ON e.vec_id = t.vec_id""")
+      e.query("""SELECT vec_id, cos_sim, mmr, rank
+                 FROM graft_mmr('mmr_cand', 'vec_id', 'embedding',
+                                'cos_sim', 5, 0.7)""")
+    }),
     "e_sql_bm25_stored" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2071,6 +2085,7 @@ object EngineQueries {
     "e_sql_retrieval_eval" -> LlmQueries.oracle("llm_retrieval_eval"),
     "e_sql_pipeline11" -> LlmQueries.oracle("llm_pipeline11"),
     "e_sql_snippet" -> LlmQueries.oracle("llm_snippet"),
+    "e_sql_mmr" -> LlmQueries.oracle("llm_mmr"),
     "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

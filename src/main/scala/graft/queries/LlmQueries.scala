@@ -1170,6 +1170,21 @@ object LlmQueries {
       TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
         "query_id", "doc_id", k = 10)
     }),
+    "llm_mmr" -> ((s, d) => {
+      import s.implicits._
+      // DIVERSIFIED selection after retrieval: the exact top-50 for
+      // query vector 0 re-ranked by maximal marginal relevance at
+      // λ=0.7, five greedy picks — the relevance-vs-redundancy balance
+      // a RAG context assembler runs on the serve output. Oracle: the
+      // five rounds UNROLLED in DuckDB (the bpe_train precedent), same
+      // quantized score and id tie-break each round.
+      val emb = Tables.load(s, d, "embeddings")
+      val cand = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryId = 0, k = 50)
+        .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+      Similarity.mmrSelect(cand, "vec_id", "embedding", "cos_sim",
+        k = 5, lam = 0.7)
+    }),
     "llm_snippet" -> ((s, d) =>
       // search-result snippets: for every doc holding at least one of
       // the retrieval terms, the densest 12-token window starting at a
@@ -5766,6 +5781,60 @@ object LlmQueries {
           SELECT doc_id, round(sum(c), 4) AS bm25
           FROM sc GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
+    // MMR: the five greedy rounds unrolled — each round the argmax of
+    // round(λ·rel − (1−λ)·max cos-to-selected, 6) with id tie-break;
+    // (1−λ) spelled CAST(1.0 AS DOUBLE) - 0.7 so the constant is the
+    // operator's exact IEEE subtraction, not a 0.3 literal
+    "llm_mmr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          cand AS (SELECT e.vec_id AS id, e.v,
+                     round(list_cosine_similarity(e.v, q.qv), 6) AS rel
+                   FROM e CROSS JOIN q WHERE e.vec_id <> 0
+                   ORDER BY rel DESC, e.vec_id LIMIT 50),
+          lam AS (SELECT CAST(0.7 AS DOUBLE) AS l,
+                         CAST(1.0 AS DOUBLE) - 0.7 AS m),
+          s1 AS (SELECT c.id, c.v, c.rel, round(lam.l * c.rel, 6) AS mmr
+                 FROM cand c CROSS JOIN lam
+                 ORDER BY mmr DESC, c.id LIMIT 1),
+          s2 AS (SELECT c.id, c.v, c.rel,
+                   round(lam.l * c.rel - lam.m *
+                     list_cosine_similarity(c.v, s1.v), 6) AS mmr
+                 FROM cand c CROSS JOIN lam CROSS JOIN s1
+                 WHERE c.id <> s1.id
+                 ORDER BY mmr DESC, c.id LIMIT 1),
+          s3 AS (SELECT c.id, c.v, c.rel,
+                   round(lam.l * c.rel - lam.m * greatest(
+                     list_cosine_similarity(c.v, s1.v),
+                     list_cosine_similarity(c.v, s2.v)), 6) AS mmr
+                 FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
+                 WHERE c.id NOT IN (s1.id, s2.id)
+                 ORDER BY mmr DESC, c.id LIMIT 1),
+          s4 AS (SELECT c.id, c.v, c.rel,
+                   round(lam.l * c.rel - lam.m * greatest(greatest(
+                     list_cosine_similarity(c.v, s1.v),
+                     list_cosine_similarity(c.v, s2.v)),
+                     list_cosine_similarity(c.v, s3.v)), 6) AS mmr
+                 FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
+                 CROSS JOIN s3
+                 WHERE c.id NOT IN (s1.id, s2.id, s3.id)
+                 ORDER BY mmr DESC, c.id LIMIT 1),
+          s5 AS (SELECT c.id, c.v, c.rel,
+                   round(lam.l * c.rel - lam.m * greatest(greatest(greatest(
+                     list_cosine_similarity(c.v, s1.v),
+                     list_cosine_similarity(c.v, s2.v)),
+                     list_cosine_similarity(c.v, s3.v)),
+                     list_cosine_similarity(c.v, s4.v)), 6) AS mmr
+                 FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
+                 CROSS JOIN s3 CROSS JOIN s4
+                 WHERE c.id NOT IN (s1.id, s2.id, s3.id, s4.id)
+                 ORDER BY mmr DESC, c.id LIMIT 1)
+          SELECT id AS vec_id, rel AS cos_sim, mmr, 1 AS rank FROM s1
+          UNION ALL SELECT id, rel, mmr, 2 FROM s2
+          UNION ALL SELECT id, rel, mmr, 3 FROM s3
+          UNION ALL SELECT id, rel, mmr, 4 FROM s4
+          UNION ALL SELECT id, rel, mmr, 5 FROM s5""",
     // snippets: the same indexed-lambda hit positions, the same
     // (count, −start) lexicographic argmax, inclusive list slice
     "llm_snippet" ->

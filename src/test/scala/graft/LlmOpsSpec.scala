@@ -2251,6 +2251,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("snippetExtract"))
   }
 
+  test("mmrSelect: a redundant near-duplicate of the first pick loses to a diverse candidate; candidate cap refuses") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // c1 most relevant; c2 nearly identical to c1 (cos ≈ 1); c3
+    // orthogonal to c1 with lower relevance. Pure relevance order would
+    // be c1, c2, c3 — MMR at λ=0.5 must demote the near-duplicate.
+    val cand = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0.90),
+      (2L, Seq(1.0f, 0.01f, 0.0f, 0.0f), 0.89),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0.50))
+      .toDF("id", "vec", "rel")
+    val got = Similarity.mmrSelect(cand, "id", "vec", "rel",
+        k = 3, lam = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSeq
+    assert(got == Seq((1L, 1), (3L, 2), (2L, 3)),
+      s"MMR must pick the diverse candidate second, got $got")
+    // first pick's score is λ·rel quantized; later scores strictly
+    // reflect the diversity penalty
+    val full = Similarity.mmrSelect(cand, "id", "vec", "rel",
+        k = 3, lam = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(full(1L) == 0.45)
+    assert(full(2L) < 0.0, "the near-duplicate's penalty must dominate")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(cand, "id", "vec", "rel", k = 2, lam = 0.5,
+        maxCandidates = 2)
+    }
+    assert(e.getMessage.contains("mmrSelect"))
+  }
+
   test("lrEvalReport: counts match an independent recount; NULL metrics on empty denominators") {
     import spark.implicits._
     import graft.operators.Classifier
