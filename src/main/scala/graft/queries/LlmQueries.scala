@@ -1216,8 +1216,11 @@ object LlmQueries {
       val fp = kept.select($"doc_id", $"text",
         TextAnalysis.fingerprint($"text").as("fp"))
       val winners = fp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
-      val deduped = fp.join(winners, Seq("fp", "doc_id"), "left_semi")
-        .select($"doc_id", $"text")
+      // the surviving corpus feeds BOTH the index build and the
+      // semantic leg's semi-join — one gopher+dedup pass, not two
+      val deduped = graft.operators.Reuse.Local(
+        fp.join(winners, Seq("fp", "doc_id"), "left_semi")
+          .select($"doc_id", $"text"))
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(deduped, "doc_id", "text"))
       ix.write.mode("overwrite").parquet(s"$out/postings")

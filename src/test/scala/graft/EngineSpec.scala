@@ -660,6 +660,11 @@ class EngineSpec extends AnyFunSuite {
              'njp_bm25_q', 'doc_id', 'query_id', 'qtext', 5)""")
       assert(planBm25J.contains("GraftDeferredScan"),
         "the query-term-union collect must sit behind a deferred-scan leaf")
+      val planMmr = engine.explain(
+        """SELECT * FROM graft_mmr('njp_queries', 'vec_id', 'embedding',
+             'vec_id', 3, 0.7)""")
+      assert(planMmr.contains("GraftDeferredScan"),
+        "the MMR greedy rounds must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the pruned/residual/image TVFs must launch no job, saw $jobs")

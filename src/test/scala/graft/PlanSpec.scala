@@ -53,6 +53,29 @@ class PlanSpec extends AnyFunSuite {
       "stored serving must not re-tokenize the corpus")
   }
 
+  test("bm25 takedown serving: term filter still pushed below the tombstone anti-join") {
+    val p = plan("llm_bm25_delete")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the purge is a left-anti on doc_id ABOVE the scan — the literal
+    // term In must still reach the postings parquet scan beneath it
+    assert(p.contains("PushedFilters: [In(term"),
+      s"term filter must push into the purged postings scan:\n${p.take(2000)}")
+  }
+
+  test("snippet extraction is a shuffle-free per-row projection") {
+    val p = plan("llm_snippet")
+    assert(!p.contains("Exchange"),
+      s"snippetExtract must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Generate"),
+      "snippetExtract must use higher-order functions, not explode")
+  }
+
+  test("hybrid RRF: the fused cut is a bounded top-k, not a global sort of the corpus") {
+    val p = plan("llm_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the fused ranking must cut with top-k")
+  }
+
   test("bm25: top-k not full sort; df and stats broadcast; terms filter is a literal In") {
     val p = plan("llm_bm25")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
