@@ -335,6 +335,26 @@ object LlmSql {
       case args => bad(
         "graft_mmr(candidates_table, id_col, vec_col, rel_col, k, lambda)", args)
     }
+    reg(spark, "graft_bm25_prf") {
+      // query-expansion retrieval: the feedback round + term selection
+      // are driver actions — DEFERRED so EXPLAIN launches no job
+      case Seq(t, id, text, terms, kE, fbD, fbT) =>
+        val f = "graft_bm25_prf"
+        val corpus = table(str(t, f))
+        val idc = str(id, f); val tc = str(text, f)
+        val qts = str(terms, f).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val kk = int(kE, f); val fd = int(fbD, f); val ft = int(fbT, f)
+        val outSchema = StructType(Seq(
+          corpus.schema(idc),
+          StructField("bm25", org.apache.spark.sql.types.DoubleType)))
+        GraftDeferred.frame(spark, outSchema, memo { () =>
+          TextAnalysis.bm25Prf(corpus, idc, tc, qts, k = kk,
+            fbDocs = fd, fbTerms = ft)
+        })
+      case args => bad(
+        "graft_bm25_prf(table, id_col, text_col, terms_csv, k, fb_docs, fb_terms)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

@@ -1992,6 +1992,74 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM-style query expansion,
+    * Rocchio/Lavrenko lineage): round 1 retrieves `fbDocs` docs for the
+    * original query, the feedback set's non-query terms are scored
+    * `tf_fb · ln((N+1)/(df+1))` (the [[tfidfTopTerms]] idf pairing,
+    * quantized round-4, ties by term), the top `fbTerms` join the
+    * query, and round 2 re-retrieves with the expanded term set — the
+    * recall-widening second pass a topical-slice pull runs when the
+    * seed terms are too narrow.
+    *
+    * Driver boundaries (each bounded and deliberate): the fbDocs id
+    * list (≤ fbDocs rows), the candidate vocabulary of the feedback
+    * docs (guarded by `maxCandidates` with a loud refusal), and the
+    * chosen expansion terms (≤ fbTerms) — all become LITERAL `isin`s,
+    * so every corpus pass keeps the pushed-filter shape of
+    * [[bm25TopK]]. Three corpus passes total (round-1 score, candidate
+    * df, round-2 score) — inherent to PRF, not an implementation tax. */
+  def bm25Prf(df: DataFrame, idCol: String, textCol: String,
+              queryTerms: Seq[String], k: Int = 25,
+              fbDocs: Int = 10, fbTerms: Int = 5,
+              k1: Double = 1.2, b: Double = 0.75,
+              maxCandidates: Int = 10000): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Prf: empty query")
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
+    val corpus = df.select(col(idCol), col(textCol))
+    val fbIds = bm25TopK(corpus, idCol, textCol, queryTerms,
+        k = fbDocs, k1 = k1, b = b)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    if (fbIds.isEmpty || fbTerms == 0)
+      return bm25TopK(corpus, idCol, textCol, queryTerms, k, k1, b)
+    // candidate terms + their feedback-set tf: tokenizes ONLY the
+    // fbDocs-row feedback slice
+    val fb = corpus.filter(col(idCol).isin(fbIds: _*))
+      .select(explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0 && !col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
+    val cand = fb.limit(maxCandidates + 1).collect()
+    require(cand.length <= maxCandidates,
+      s"bm25Prf: feedback vocabulary exceeds $maxCandidates terms — " +
+        "shrink fbDocs (the literal-pushdown boundary is by design)")
+    val candTerms = cand.map(_.getString(0)).toSeq
+    // the collected (term, tf_fb) rows come back as a bounded local
+    // relation — the df pass joins against it instead of re-tokenizing
+    // the feedback slice
+    val fbLocal = corpus.sparkSession.createDataFrame(
+      corpus.sparkSession.sparkContext.parallelize(cand.toSeq, 1),
+      fb.schema)
+    // one corpus pass for the candidates' document frequency (pushed
+    // literal In), idf exactly the tfidfTopTerms pairing
+    val dfreq = corpus
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol))))
+        .as("term"))
+      .filter(col("term").isin(candTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = corpus.agg(count(lit(1)).as("n_docs"))
+    val expansion = dfreq.join(broadcast(fbLocal), "term")
+      .crossJoin(broadcast(n))
+      .select(col("term"),
+        round(col("tf_fb") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4)
+          .as("__score"))
+      .orderBy(col("__score").desc, col("term").asc)
+      .limit(fbTerms)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    bm25TopK(corpus, idCol, textCol,
+      (queryTerms ++ expansion).distinct, k, k1, b)
+  }
+
   /** The second-level labels under which a 2-letter ccTLD hosts its own
     * registration namespace — the documented PUBLIC-SUFFIX APPROXIMATION
     * (the full Mozilla public-suffix list is thousands of rules and a

@@ -168,6 +168,9 @@ object EngineQueries {
       "SELECT * FROM graft_bm25('documents', 'doc_id', 'text', 'hash,join,vector', 25)")),
     "e_sql_snippet" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_snippet('documents', 'doc_id', 'text', 'hash,join,vector', 12)")),
+    "e_sql_bm25_prf" -> ((s, d) => via(s, d)(
+      """SELECT * FROM graft_bm25_prf('documents', 'doc_id', 'text',
+                                      'hash,join,vector', 25, 10, 5)""")),
     "e_sql_mmr" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2086,6 +2089,7 @@ object EngineQueries {
     "e_sql_pipeline11" -> LlmQueries.oracle("llm_pipeline11"),
     "e_sql_snippet" -> LlmQueries.oracle("llm_snippet"),
     "e_sql_mmr" -> LlmQueries.oracle("llm_mmr"),
+    "e_sql_bm25_prf" -> LlmQueries.oracle("llm_bm25_prf"),
     "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

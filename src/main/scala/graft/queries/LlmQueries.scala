@@ -1170,6 +1170,14 @@ object LlmQueries {
       TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
         "query_id", "doc_id", k = 10)
     }),
+    "llm_bm25_prf" -> ((s, d) =>
+      // query EXPANSION retrieval: round 1 pulls 10 feedback docs for
+      // the seed terms, their top-5 tf·idf non-query terms widen the
+      // query, round 2 re-retrieves — the recall-widening pass a
+      // topical-slice pull runs when the seed terms are too narrow
+      TextAnalysis.bm25Prf(Tables.load(s, d, "documents"), "doc_id",
+        "text", queryTerms = Seq("hash", "join", "vector"), k = 25,
+        fbDocs = 10, fbTerms = 5)),
     "llm_mmr" -> ((s, d) => {
       import s.implicits._
       // DIVERSIFIED selection after retrieval: the exact top-50 for
@@ -5783,6 +5791,55 @@ object LlmQueries {
       s"""WITH ${bm25CteSql(" WHERE doc_id % 7 <> 0")}
           SELECT doc_id, round(sum(c), 4) AS bm25
           FROM sc GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
+    // PRF: round 1 is the shared bm25 CTE chain; the feedback slice's
+    // candidate terms score with the tfidf idf pairing (round-4 grid,
+    // term tie-break); round 2 re-runs the identical score algebra
+    // over the expanded term set
+    "llm_bm25_prf" ->
+      s"""WITH ${bm25CteSql("")},
+          fbids AS (SELECT doc_id FROM (
+              SELECT doc_id, round(sum(c), 4) AS bm25
+              FROM sc GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 10)),
+          cand AS (SELECT t AS term, count(*) AS tf_fb FROM (
+              SELECT unnest(string_split_regex(text, '\\s+')) AS t
+              FROM documents JOIN fbids USING (doc_id))
+            WHERE length(t) > 0
+              AND t NOT IN ('hash', 'join', 'vector')
+            GROUP BY t),
+          dfq AS (SELECT term, count(*) AS df FROM (
+              SELECT doc_id,
+                     unnest(list_distinct(string_split_regex(text, '\\s+')))
+                       AS term
+              FROM documents)
+            WHERE term IN (SELECT term FROM cand)
+            GROUP BY term),
+          nn AS (SELECT count(*) AS n_docs FROM documents),
+          expt AS (SELECT term FROM (
+              SELECT c.term,
+                     round(c.tf_fb * ln((nn.n_docs + 1) * 1.0
+                       / (dfq.df + 1)), 4) AS s
+              FROM cand c JOIN dfq USING (term) CROSS JOIN nn)
+            ORDER BY s DESC, term ASC LIMIT 5),
+          qts AS (SELECT 'hash' AS term UNION ALL SELECT 'join'
+                  UNION ALL SELECT 'vector'
+                  UNION SELECT term FROM expt),
+          tf2 AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+                  WHERE term IN (SELECT term FROM qts)
+                  GROUP BY doc_id, dl, term),
+          dfr2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+          sc2 AS (SELECT tf2.doc_id,
+                    ln(1.0 + (s.n_docs - dfr2.df + 0.5) / (dfr2.df + 0.5)) *
+                      (CAST(tf2.tf AS DOUBLE) * (1.2 + 1)) /
+                      (CAST(tf2.tf AS DOUBLE) +
+                       1.2 * (1.0 - 0.75 + 0.75 * CAST(tf2.dl AS DOUBLE) /
+                              (CAST(s.total_toks AS DOUBLE) / s.n_docs)))
+                      AS c
+                  FROM tf2 JOIN dfr2 ON tf2.term = dfr2.term
+                  CROSS JOIN stats s)
+          SELECT doc_id, round(sum(c), 4) AS bm25
+          FROM sc2 GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
     // MMR: the five greedy rounds unrolled — each round the argmax of
     // round(λ·rel − (1−λ)·max cos-to-selected, 6) with id tie-break;

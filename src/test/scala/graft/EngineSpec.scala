@@ -665,6 +665,11 @@ class EngineSpec extends AnyFunSuite {
              'vec_id', 3, 0.7)""")
       assert(planMmr.contains("GraftDeferredScan"),
         "the MMR greedy rounds must sit behind a deferred-scan leaf")
+      val planPrf = engine.explain(
+        """SELECT * FROM graft_bm25_prf('documents', 'doc_id', 'text',
+             'hash,join', 5, 3, 2)""")
+      assert(planPrf.contains("GraftDeferredScan"),
+        "the PRF feedback round must sit behind a deferred-scan leaf")
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       assert(jobs == 0,
         s"EXPLAIN of the pruned/residual/image TVFs must launch no job, saw $jobs")

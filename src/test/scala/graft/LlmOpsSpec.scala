@@ -2251,6 +2251,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("snippetExtract"))
   }
 
+  test("bm25Prf: expansion terms pull in docs the seed query cannot see; fbTerms=0 degenerates to plain bm25") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // seed term 'alpha' hits docs 1-2; their dominant co-term 'bravo'
+    // also lives in doc 3, which the seed query can never retrieve
+    val docs = Seq(
+      (1L, "alpha bravo bravo"),
+      (2L, "alpha bravo common"),
+      (3L, "bravo bravo delta"),
+      (4L, "echo foxtrot common"),
+      (5L, "golf hotel common")).toDF("doc_id", "text")
+    val plain = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("alpha"), k = 5).collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L), "the seed query must not reach doc 3")
+    // feedback docs 1-2: tf_fb(bravo)=3 beats tf_fb(common)=1 at equal
+    // df — 'bravo' expands the query into doc 3
+    val prf = TextAnalysis.bm25Prf(docs, "doc_id", "text", Seq("alpha"),
+      k = 5, fbDocs = 2, fbTerms = 1).collect().map(_.getLong(0)).toSet
+    assert(prf == Set(1L, 2L, 3L),
+      s"expansion ('bravo') must pull in doc 3, got $prf")
+    // fbTerms = 0 is exactly the plain query
+    val zero = TextAnalysis.bm25Prf(docs, "doc_id", "text", Seq("alpha"),
+      k = 5, fbDocs = 2, fbTerms = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val base = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("alpha"),
+      k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(zero == base)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Prf(docs, "doc_id", "text", Seq("alpha"),
+        k = 5, fbDocs = 2, fbTerms = 1, maxCandidates = 1)
+    }
+    assert(e.getMessage.contains("bm25Prf"))
+  }
+
   test("mmrSelect: a redundant near-duplicate of the first pick loses to a diverse candidate; candidate cap refuses") {
     import spark.implicits._
     import graft.operators.Similarity
