@@ -355,6 +355,16 @@ object LlmSql {
       case args => bad(
         "graft_bm25_prf(table, id_col, text_col, terms_csv, k, fb_docs, fb_terms)", args)
     }
+    reg(spark, "graft_crawl_delta") {
+      // membership drift between two snapshot tables: fp-classified
+      // full-outer counts, fully lazy
+      case Seq(ta, tb, id, text) =>
+        val f = "graft_crawl_delta"
+        TextAnalysis.crawlDelta(table(str(ta, f)), table(str(tb, f)),
+          str(id, f), str(text, f))
+      case args => bad(
+        "graft_crawl_delta(table_a, table_b, id_col, text_col)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

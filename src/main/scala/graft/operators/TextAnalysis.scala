@@ -1047,6 +1047,30 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Crawl MEMBERSHIP delta — the companion to [[unigramKlReport]]
+    * (that one asks "did the token distribution move", this one asks
+    * "which documents moved"): full-outer the two snapshots on the doc
+    * id, classify each id added / removed / changed / unchanged by
+    * content fingerprint ([[fingerprint]] — whitespace-normalized
+    * md5), and report the four counts. The go/no-go check an ingestion
+    * pipeline runs between crawl generations before reprocessing.
+    *
+    * Scale shape: each side reduces to (id, 16-byte fp) before the one
+    * full-outer shuffle on the id — text never shuffles; the classify
+    * is a projection and the report a 4-row aggregate. */
+  def crawlDelta(dfA: DataFrame, dfB: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val fa = dfA.select(col(idCol), fingerprint(col(textCol)).as("__fa"))
+    val fb = dfB.select(col(idCol), fingerprint(col(textCol)).as("__fb"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .select(when(col("__fa").isNull, "added")
+        .when(col("__fb").isNull, "removed")
+        .when(col("__fa") === col("__fb"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("status"))
+  }
+
   /** Query-term SNIPPET extraction — the search-result verb after the
     * retrieval verbs ([[bm25TopK]] ranks docs; this shows WHY one
     * matched): for each doc containing at least one query term, the

@@ -168,6 +168,29 @@ object EngineQueries {
       "SELECT * FROM graft_bm25('documents', 'doc_id', 'text', 'hash,join,vector', 25)")),
     "e_sql_snippet" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_snippet('documents', 'doc_id', 'text', 'hash,join,vector', 12)")),
+    "e_sql_crawl_delta" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // membership drift from SQL: the two generations are plain views
+      // (scalar-subquery split bounds), the report TVF on top
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW cdelta_a AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id <= (SELECT max(doc_id) FROM documents) - 100""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW cdelta_b AS
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id > 50
+                   AND doc_id <= (SELECT max(doc_id) FROM documents) - 150
+                 UNION ALL
+                 SELECT doc_id, text || ' rev2' AS text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) FROM documents) - 150
+                   AND doc_id <= (SELECT max(doc_id) FROM documents) - 100
+                 UNION ALL
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id > (SELECT max(doc_id) FROM documents) - 100""")
+      e.query("""SELECT status, n_docs
+                 FROM graft_crawl_delta('cdelta_a', 'cdelta_b',
+                                        'doc_id', 'text')""")
+    }),
     "e_sql_bm25_prf" -> ((s, d) => via(s, d)(
       """SELECT * FROM graft_bm25_prf('documents', 'doc_id', 'text',
                                       'hash,join,vector', 25, 10, 5)""")),
@@ -2090,6 +2113,7 @@ object EngineQueries {
     "e_sql_snippet" -> LlmQueries.oracle("llm_snippet"),
     "e_sql_mmr" -> LlmQueries.oracle("llm_mmr"),
     "e_sql_bm25_prf" -> LlmQueries.oracle("llm_bm25_prf"),
+    "e_sql_crawl_delta" -> LlmQueries.oracle("llm_crawl_delta"),
     "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

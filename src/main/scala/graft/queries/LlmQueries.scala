@@ -1170,6 +1170,26 @@ object LlmQueries {
       TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
         "query_id", "doc_id", k = 10)
     }),
+    "llm_crawl_delta" -> ((s, d) => {
+      import s.implicits._
+      // membership drift between two crawl generations: generation B
+      // drops the first 51 docs, edits the 50 docs before the split
+      // point, and adds the last 100 — the report must count each class
+      // exactly (added 100 / removed 51 / changed 50 / unchanged rest)
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      val b = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > 50 && $"doc_id" <= $"m" - 150)
+        .select($"doc_id", $"text")
+        .unionAll(docs.crossJoin(broadcast(m))
+          .filter($"doc_id" > $"m" - 150 && $"doc_id" <= $"m" - 100)
+          .select($"doc_id", concat($"text", lit(" rev2")).as("text")))
+        .unionAll(docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+          .select($"doc_id", $"text"))
+      TextAnalysis.crawlDelta(a, b, "doc_id", "text")
+    }),
     "llm_bm25_prf" -> ((s, d) =>
       // query EXPANSION retrieval: round 1 pulls 10 feedback docs for
       // the seed terms, their top-5 tf·idf non-query terms widen the
@@ -5792,6 +5812,30 @@ object LlmQueries {
           SELECT doc_id, round(sum(c), 4) AS bm25
           FROM sc GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
+    // crawl delta: the same fingerprint, the same full-outer classify
+    "llm_crawl_delta" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          a AS (SELECT doc_id,
+                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fa
+                FROM documents, m WHERE doc_id <= mx - 100),
+          b0 AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > 50 AND doc_id <= mx - 150
+                 UNION ALL
+                 SELECT doc_id, text || ' rev2' FROM documents, m
+                 WHERE doc_id > mx - 150 AND doc_id <= mx - 100
+                 UNION ALL
+                 SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 100),
+          b AS (SELECT doc_id,
+                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fb
+                FROM b0),
+          j AS (SELECT CASE WHEN a.fa IS NULL THEN 'added'
+                            WHEN b.fb IS NULL THEN 'removed'
+                            WHEN a.fa = b.fb THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+          SELECT status, count(*) AS n_docs FROM j
+          GROUP BY status ORDER BY status""",
     // PRF: round 1 is the shared bm25 CTE chain; the feedback slice's
     // candidate terms score with the tfidf idf pairing (round-4 grid,
     // term tie-break); round 2 re-runs the identical score algebra

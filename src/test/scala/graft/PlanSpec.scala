@@ -146,6 +146,8 @@ class PlanSpec extends AnyFunSuite {
       "st_bm25_append", "llm_bm25_compact",
       // PRF's round-2 serve is the same broadcast 1-row stats shape
       "llm_bm25_prf", "e_sql_bm25_prf",
+      // broadcast 1-row max-doc-id bounds building the two generations
+      "llm_crawl_delta",
       // hybrid fusion: the BM25 leg's broadcast 1-row stats + the ANN
       // leg's broadcast 1-row query vector; the fusion itself is a
       // bounded full-outer SMJ on the id (the batch form's semantic leg
