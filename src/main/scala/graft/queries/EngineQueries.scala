@@ -168,6 +168,43 @@ object EngineQueries {
       "SELECT * FROM graft_bm25('documents', 'doc_id', 'text', 'hash,join,vector', 25)")),
     "e_sql_snippet" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_snippet('documents', 'doc_id', 'text', 'hash,join,vector', 12)")),
+    "e_sql_pipeline12" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the serving chain from TVFs and views alone: ranked legs →
+      // fusion TVF → deferred MMR TVF → snippet TVF left-joined
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p12_bm AS
+                 SELECT doc_id, row_number() OVER (
+                   ORDER BY bm25 DESC, doc_id ASC) AS rank
+                 FROM graft_bm25('documents', 'doc_id', 'text',
+                                 'hash,join,vector', 20)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p12_ann AS
+                 SELECT vec_id AS doc_id, row_number() OVER (
+                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+                 FROM graft_ann_topk('embeddings', 'vec_id', 'embedding',
+                                     0, 20)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p12_fused AS
+                 SELECT doc_id, rrf
+                 FROM graft_rrf_fuse('p12_bm,p12_ann', 'doc_id', 10, 60)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p12_cand AS
+                 SELECT f.doc_id, e.embedding, f.rrf
+                 FROM p12_fused f JOIN embeddings e
+                   ON e.vec_id = f.doc_id""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p12_sel AS
+                 SELECT doc_id, mmr, rank
+                 FROM graft_mmr('p12_cand', 'doc_id', 'embedding',
+                                'rrf', 5, 0.7)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p12_docs AS
+                 SELECT d.doc_id, d.text FROM documents d
+                 LEFT SEMI JOIN p12_sel s ON d.doc_id = s.doc_id""")
+      e.query("""SELECT s.doc_id, s.mmr, s.rank,
+                        p.hits, p.start_tok, p.snippet
+                 FROM p12_sel s
+                 LEFT JOIN graft_snippet('p12_docs', 'doc_id', 'text',
+                                         'hash,join,vector', 12) p
+                   ON p.doc_id = s.doc_id
+                 ORDER BY s.rank""")
+    }),
     "e_sql_crawl_delta" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2114,6 +2151,7 @@ object EngineQueries {
     "e_sql_mmr" -> LlmQueries.oracle("llm_mmr"),
     "e_sql_bm25_prf" -> LlmQueries.oracle("llm_bm25_prf"),
     "e_sql_crawl_delta" -> LlmQueries.oracle("llm_crawl_delta"),
+    "e_sql_pipeline12" -> LlmQueries.oracle("llm_pipeline12"),
     "e_sql_corpus_kl" -> LlmQueries.oracle("llm_corpus_kl"),
     "e_sql_containment" -> LlmQueries.oracle("llm_containment"),
     "e_sql_decontaminate" -> LlmQueries.oracle("llm_decontaminate"),

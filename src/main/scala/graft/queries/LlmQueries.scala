@@ -1170,6 +1170,40 @@ object LlmQueries {
       TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
         "query_id", "doc_id", k = 10)
     }),
+    "llm_pipeline12" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // the SERVING chain end to end — what a search endpoint actually
+      // returns: hybrid top-10 (lexical k=20 + semantic k=20, RRF-fused)
+      // → MMR diversification to 5 (rel = the fused rrf score) →
+      // query-term snippets for the survivors (an ANN-sourced doc with
+      // no lexical hit keeps a NULL snippet — the left join is part of
+      // the contract). Every stage individually gated (llm_hybrid_rrf /
+      // llm_mmr / llm_snippet); the composition pins the interplay.
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val emb = Tables.load(s, d, "embeddings")
+      val bm = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          queryTerms = Seq("hash", "join", "vector"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"bm25".desc, $"doc_id".asc)))
+      val ann = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryId = 0, k = 20)
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"cos_sim".desc, $"doc_id".asc)))
+      val fused = TextAnalysis.rrfFuse(Seq(bm, ann), "doc_id", k = 10)
+      val cand = fused.join(
+        emb.select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+      val sel = Similarity.mmrSelect(cand, "doc_id", "embedding", "rrf",
+        k = 5, lam = 0.7)
+      val selDocs = docs.join(sel.select($"doc_id"), Seq("doc_id"),
+        "left_semi")
+      val snips = TextAnalysis.snippetExtract(selDocs, "doc_id", "text",
+        Seq("hash", "join", "vector"), window = 12)
+      sel.select($"doc_id", $"mmr", $"rank")
+        .join(snips, Seq("doc_id"), "left")
+        .orderBy($"rank")
+    }),
     "llm_crawl_delta" -> ((s, d) => {
       import s.implicits._
       // membership drift between two crawl generations: generation B
@@ -5812,6 +5846,97 @@ object LlmQueries {
           SELECT doc_id, round(sum(c), 4) AS bm25
           FROM sc GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
+    // pipeline12: the serving chain replayed — k=20 legs, rrf fuse to
+    // 10, the llm_mmr greedy unrolled with rel = rrf, the snippet
+    // algebra left-joined (NULL for the termless ANN-sourced doc)
+    "llm_pipeline12" ->
+      s"""WITH ${bm25CteSql("")},
+          bm AS (SELECT doc_id, round(sum(c), 4) AS bm25
+                 FROM sc GROUP BY doc_id
+                 ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+          bmr AS (SELECT doc_id, row_number() OVER (
+                    ORDER BY bm25 DESC, doc_id ASC) AS r FROM bm),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          ann AS (SELECT e.vec_id AS doc_id,
+                    round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+                  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+                  ORDER BY cos_sim DESC, e.vec_id LIMIT 20),
+          annr AS (SELECT doc_id, row_number() OVER (
+                     ORDER BY cos_sim DESC, doc_id ASC) AS r FROM ann),
+          fused AS (SELECT doc_id, rrf FROM (
+              SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+                round(coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r), 0.0) +
+                      coalesce(CAST(1.0 AS DOUBLE) / (60 + a.r), 0.0),
+                      6) AS rrf
+              FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.doc_id)
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10),
+          cand AS (SELECT f.doc_id AS id, e.v, f.rrf AS rel
+                   FROM fused f JOIN e ON e.vec_id = f.doc_id),
+          lam AS (SELECT CAST(0.7 AS DOUBLE) AS l,
+                         CAST(1.0 AS DOUBLE) - 0.7 AS m),
+          s1 AS (SELECT c.id, c.v, round(lam.l * c.rel, 6) AS mmr
+                 FROM cand c CROSS JOIN lam
+                 ORDER BY mmr DESC, c.id LIMIT 1),
+          s2 AS (SELECT c.id, c.v,
+                   round(lam.l * c.rel - lam.m *
+                     list_cosine_similarity(c.v, s1.v), 6) AS mmr
+                 FROM cand c CROSS JOIN lam CROSS JOIN s1
+                 WHERE c.id <> s1.id
+                 ORDER BY mmr DESC, c.id LIMIT 1),
+          s3 AS (SELECT c.id, c.v,
+                   round(lam.l * c.rel - lam.m * greatest(
+                     list_cosine_similarity(c.v, s1.v),
+                     list_cosine_similarity(c.v, s2.v)), 6) AS mmr
+                 FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
+                 WHERE c.id NOT IN (s1.id, s2.id)
+                 ORDER BY mmr DESC, c.id LIMIT 1),
+          s4 AS (SELECT c.id, c.v,
+                   round(lam.l * c.rel - lam.m * greatest(greatest(
+                     list_cosine_similarity(c.v, s1.v),
+                     list_cosine_similarity(c.v, s2.v)),
+                     list_cosine_similarity(c.v, s3.v)), 6) AS mmr
+                 FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
+                 CROSS JOIN s3
+                 WHERE c.id NOT IN (s1.id, s2.id, s3.id)
+                 ORDER BY mmr DESC, c.id LIMIT 1),
+          s5 AS (SELECT c.id, c.v,
+                   round(lam.l * c.rel - lam.m * greatest(greatest(greatest(
+                     list_cosine_similarity(c.v, s1.v),
+                     list_cosine_similarity(c.v, s2.v)),
+                     list_cosine_similarity(c.v, s3.v)),
+                     list_cosine_similarity(c.v, s4.v)), 6) AS mmr
+                 FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
+                 CROSS JOIN s3 CROSS JOIN s4
+                 WHERE c.id NOT IN (s1.id, s2.id, s3.id, s4.id)
+                 ORDER BY mmr DESC, c.id LIMIT 1),
+          sel AS (SELECT id, mmr, 1 AS rank FROM s1
+                  UNION ALL SELECT id, mmr, 2 FROM s2
+                  UNION ALL SELECT id, mmr, 3 FROM s3
+                  UNION ALL SELECT id, mmr, 4 FROM s4
+                  UNION ALL SELECT id, mmr, 5 FROM s5),
+          d2 AS (SELECT documents.doc_id,
+                        string_split_regex(text, '\\s+') AS toks
+                 FROM documents JOIN sel ON documents.doc_id = sel.id),
+          ix2 AS (SELECT doc_id, toks,
+                    list_filter(list_transform(toks,
+                      (t, i) -> CASE WHEN t IN ('hash', 'join', 'vector')
+                                     THEN i ELSE -1 END),
+                      x -> x > 0) AS idx
+                  FROM d2),
+          best2 AS (SELECT doc_id, toks,
+                      list_max(list_transform(idx, p ->
+                        [len(list_filter(idx,
+                           qq -> qq >= p AND qq < p + 12)), -p])) AS bb
+                    FROM ix2 WHERE len(idx) > 0)
+          SELECT sel.id AS doc_id, sel.mmr, sel.rank,
+                 CAST(bb[1] AS INTEGER) AS hits,
+                 CAST(-bb[2] AS INTEGER) AS start_tok,
+                 array_to_string(toks[-bb[2] : -bb[2] + 11], ' ')
+                   AS snippet
+          FROM sel LEFT JOIN best2 ON best2.doc_id = sel.id
+          ORDER BY sel.rank""",
     // crawl delta: the same fingerprint, the same full-outer classify
     "llm_crawl_delta" ->
       """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
