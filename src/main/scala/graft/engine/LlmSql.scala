@@ -365,6 +365,28 @@ object LlmSql {
       case args => bad(
         "graft_crawl_delta(table_a, table_b, id_col, text_col)", args)
     }
+    reg(spark, "graft_funnel") {
+      // sequential-conversion funnel: bounded step list, per-step
+      // user-keyed joins — fully lazy
+      case Seq(t, u, ts, ty, stepsCsv, w) =>
+        val f = "graft_funnel"
+        TimeSeries.funnel(table(str(t, f)), str(u, f), str(ts, f),
+          str(ty, f),
+          steps = str(stepsCsv, f).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          windowSeconds = int(w, f).toLong)
+      case args => bad(
+        "graft_funnel(events_table, user_col, ts_col, type_col, steps_csv, window_seconds)", args)
+    }
+    reg(spark, "graft_retention") {
+      // weekly cohort retention matrix — fully lazy
+      case Seq(t, u, ts, mo) =>
+        val f = "graft_retention"
+        TimeSeries.retention(table(str(t, f)), str(u, f), str(ts, f),
+          maxOffsetWeeks = int(mo, f))
+      case args => bad(
+        "graft_retention(events_table, user_col, ts_col, max_offset_weeks)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

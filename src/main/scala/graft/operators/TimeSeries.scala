@@ -73,4 +73,73 @@ object TimeSeries {
           col("__carry"))
           .cast("double").as("filled_value"))
   }
+
+  /** Sequential-conversion FUNNEL — the ordered-step analytics verb
+    * (match-recognize's most common special case): per user, the
+    * first-touch time of `steps(0)` anchors the funnel, and each later
+    * step counts the user only if an event of that type occurs STRICTLY
+    * AFTER the previous step's time and within `windowSeconds` of the
+    * anchor. Output: one row per step (step, event_type, users) with
+    * monotone non-increasing user counts.
+    *
+    * Scale shape: one typed filter + (user) aggregate per step, chained
+    * by equi-joins on the user id — `steps` is a bounded literal list,
+    * so the chain depth is fixed; nothing ever shuffles on more than
+    * the user id, and the final report is |steps| 1-row aggregates
+    * unioned. Timestamp arithmetic is exact integer microseconds. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             windowSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      "funnel steps must be distinct event types")
+    require(windowSeconds >= 1, s"window must be >= 1 s, got $windowSeconds")
+    val deadline = col("__t1") + expr(s"INTERVAL $windowSeconds SECOND")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t1"))
+      .withColumn("__tprev", col("__t1"))
+    val levels = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("__ts"))
+        .join(prev, Seq(userCol))
+        .filter(col("__ts") > col("__tprev") && col("__ts") <= deadline)
+        .groupBy(col(userCol), col("__t1"))
+        .agg(min(col("__ts")).as("__tprev"))
+    }
+    levels.zip(steps).zipWithIndex.map { case ((l, step), i) =>
+      l.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Weekly COHORT RETENTION — the funnel's sibling: each user joins
+    * the cohort of their first-seen week, and the matrix counts how
+    * many of each cohort were active again `week_offset` weeks later
+    * (offset 0 = the cohort size itself). Both sides truncate to ISO
+    * week starts, so the day difference is an exact multiple of 7 and
+    * the offset is exact integer arithmetic.
+    *
+    * Scale shape: one (user) aggregate for first-seen, one distinct
+    * over (user, week) — both shuffle on the user id only — then an
+    * equi-join on the user and a (cohort, offset) count. Output:
+    * (cohort DATE, week_offset, users), ordered. */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                maxOffsetWeeks: Int): DataFrame = {
+    require(maxOffsetWeeks >= 0,
+      s"maxOffsetWeeks must be >= 0, got $maxOffsetWeeks")
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("__cohort"))
+    val active = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__p"))
+      .distinct()
+    firstSeen.join(active, Seq(userCol))
+      .select(to_date(col("__cohort")).as("cohort"),
+        (datediff(to_date(col("__p")), to_date(col("__cohort"))) / 7)
+          .cast("int").as("week_offset"))
+      .filter(col("week_offset") <= maxOffsetWeeks)
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
 }

@@ -655,6 +655,12 @@ object EngineQueries {
     // time-series resample from SQL over the events view
     "e_sql_resample" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_resample('events', 'ts', 'value', 'minute')")),
+    "e_sql_funnel" -> ((s, d) => via(s, d)(
+      """SELECT * FROM graft_funnel('events', 'user_id', 'ts',
+                                    'event_type', 'view,click,purchase',
+                                    604800)""")),
+    "e_sql_retention" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_retention('events', 'user_id', 'ts', 8)")),
     "e_sql_embedding_dups" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2181,6 +2187,8 @@ object EngineQueries {
     "e_sql_cosine" -> LlmQueries.oracle("llm_cosine"),
     "e_sql_rep_ratio" -> LlmQueries.oracle("llm_rep_ratio"),
     "e_sql_resample" -> ExtraQueries.oracle("ts_resample"),
+    "e_sql_funnel" -> ExtraQueries.oracle("ts_funnel"),
+    "e_sql_retention" -> ExtraQueries.oracle("ts_retention"),
     "e_sql_embedding_dups" -> LlmQueries.oracle("llm_embedding_dups"),
     "e_sql_span_dedup" -> LlmQueries.oracle("llm_span_dedup"),
     "e_sql_c4_filters" -> LlmQueries.oracle("llm_c4_filters"),

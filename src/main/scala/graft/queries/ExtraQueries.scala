@@ -97,6 +97,19 @@ object ExtraQueries {
     "ts_resample" -> ((s, d) =>
       graft.operators.TimeSeries.resample(
         Tables.load(s, d, "events"), "ts", "value", unit = "minute")),
+    "ts_retention" -> ((s, d) =>
+      // weekly cohort retention matrix over the first 8 offsets — the
+      // funnel's sibling report
+      graft.operators.TimeSeries.retention(Tables.load(s, d, "events"),
+        "user_id", "ts", maxOffsetWeeks = 8)),
+    "ts_funnel" -> ((s, d) =>
+      // sequential-conversion funnel: view → click → purchase, each
+      // step strictly after the previous, the whole path within 7 days
+      // of the user's FIRST view — the ordered-step analytics verb
+      graft.operators.TimeSeries.funnel(Tables.load(s, d, "events"),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        windowSeconds = 604800L)),
     "j8_salted_join" -> ((s, d) => {
       import s.implicits._
       // skew-salted join must produce the PLAIN join's aggregate: the
@@ -189,6 +202,44 @@ object ExtraQueries {
                 count(*) AS n_nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
+    // retention: ISO-week truncation both sides, day-diff an exact
+    // multiple of 7
+    "ts_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events),
+          fs AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                 FROM ev GROUP BY user_id),
+          act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+                  FROM ev),
+          j AS (SELECT fs.cohort,
+                  CAST(date_diff('day', CAST(fs.cohort AS DATE),
+                                 CAST(act.p AS DATE)) / 7 AS INT)
+                    AS week_offset
+                FROM fs JOIN act ON fs.user_id = act.user_id)
+          SELECT CAST(cohort AS DATE) AS cohort, week_offset,
+                 count(*) AS users
+          FROM j WHERE week_offset <= 8
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // funnel: first-touch anchor, strictly-increasing step times, the
+    // deadline measured from the anchor — replayed step by step
+    "ts_funnel" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                            event_type FROM events),
+          s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+                 WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS tprev
+                 FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                 WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+                 GROUP BY e.user_id, s1.t1),
+          s3 AS (SELECT e.user_id, s2.t1, min(e.ts) AS tprev
+                 FROM ev e JOIN s2 ON e.user_id = s2.user_id
+                 WHERE e.event_type = 'purchase' AND e.ts > s2.tprev
+                   AND e.ts <= s2.t1 + INTERVAL 604800 SECOND
+                 GROUP BY e.user_id, s2.t1)
+          SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM s1
+          UNION ALL SELECT 2, 'click', count(*) FROM s2
+          UNION ALL SELECT 3, 'purchase', count(*) FROM s3""",
     "ts_resample" ->
       """WITH b AS (SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket,
                            count(*) AS n_events,

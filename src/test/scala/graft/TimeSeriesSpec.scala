@@ -47,6 +47,62 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(byBucket("2024-03-03 00:01:00.0").getDouble(2) == 4.0)
   }
 
+  test("funnel: strict order, anchor-window deadline, same-instant step rejected; guards refuse") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full clean path
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      (1L, ts("2024-01-01 02:00:00"), "purchase"),
+      // user 2: click BEFORE the first view — step 2 never fires
+      (2L, ts("2024-01-01 00:00:00"), "click"),
+      (2L, ts("2024-01-01 01:00:00"), "view"),
+      // user 3: purchase lands beyond the anchor window — steps 1,2 only
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:30:00"), "click"),
+      (3L, ts("2024-01-02 00:00:01"), "purchase"),
+      // user 4: click at the SAME instant as the view — strictly-after
+      // rejects it
+      (4L, ts("2024-01-01 00:00:00"), "view"),
+      (4L, ts("2024-01-01 00:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 86400L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1, "view", 4L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view"), windowSeconds = 60L)
+    }
+    assert(e.getMessage.contains("funnel"))
+  }
+
+  test("retention: first-seen week is the cohort; offset 0 is the cohort size; re-activity lands on exact week offsets") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday (ISO week start)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // cohort W0
+      (1L, ts("2024-01-09 10:00:00")), // active W1
+      (1L, ts("2024-01-16 10:00:00")), // active W2
+      (2L, ts("2024-01-03 10:00:00")), // cohort W0
+      (2L, ts("2024-01-04 10:00:00")), // same week — no extra row
+      (3L, ts("2024-01-10 10:00:00"))) // cohort W1
+      .toDF("user_id", "ts")
+    val got = TimeSeries.retention(ev, "user_id", "ts",
+        maxOffsetWeeks = 8)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.retention(ev, "user_id", "ts", maxOffsetWeeks = -1)
+    }
+    assert(e.getMessage.contains("maxOffsetWeeks"))
+  }
+
   test("the day close is the LAST observed bucket's value, not the max") {
     import spark.implicits._
     val df = Seq(
