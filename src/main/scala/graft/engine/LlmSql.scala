@@ -387,6 +387,16 @@ object LlmSql {
       case args => bad(
         "graft_retention(events_table, user_col, ts_col, max_offset_weeks)", args)
     }
+    reg(spark, "graft_sessionize") {
+      // gap-based batch sessionization — fully lazy, user-partitioned
+      // windows only
+      case Seq(t, u, ts, o, g) =>
+        val f = "graft_sessionize"
+        TimeSeries.sessionize(table(str(t, f)), str(u, f), str(ts, f),
+          str(o, f), gapSeconds = int(g, f).toLong)
+      case args => bad(
+        "graft_sessionize(events_table, user_col, ts_col, order_col, gap_seconds)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

@@ -113,6 +113,41 @@ object TimeSeries {
     }.reduce(_ unionByName _)
   }
 
+  /** Gap-based SESSIONIZATION (batch form; the streaming surface has
+    * session WINDOWS in `st_session`): per user, events ordered by
+    * (ts, orderCol) start a new session whenever the gap to the
+    * previous event exceeds `gapSeconds` — STRICTLY greater, a gap of
+    * exactly the threshold stays in-session — and each session reports
+    * its event count, bounds, and exact microsecond duration.
+    *
+    * Scale shape: every window is user-partitioned (never global), the
+    * session id a running sum of boundary flags, the report a
+    * (user, session) aggregate — all exchanges key on the user id.
+    * Time arithmetic is exact integer microseconds (`unix_micros`),
+    * never a truncating seconds cast. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 orderCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 1, s"gap must be >= 1 s, got $gapSeconds")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    events.select(col(userCol), col(tsCol), col(orderCol))
+      .withColumn("__pts", lag(col(tsCol), 1).over(w))
+      .withColumn("__new", when(col("__pts").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("__pts")) > gapUs,
+        lit(1)).otherwise(lit(0)))
+      .withColumn("__sid", sum(col("__new")).over(wRun))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+      .select(col(userCol), col("__sid").cast("long").as("session_idx"),
+        col("n_events"), col("session_start"), col("session_end"),
+        (unix_micros(col("session_end")) -
+          unix_micros(col("session_start"))).as("duration_us"))
+  }
+
   /** Weekly COHORT RETENTION — the funnel's sibling: each user joins
     * the cohort of their first-seen week, and the matrix counts how
     * many of each cohort were active again `week_offset` weeks later

@@ -661,6 +661,9 @@ object EngineQueries {
                                     604800)""")),
     "e_sql_retention" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_retention('events', 'user_id', 'ts', 8)")),
+    "e_sql_sessionize" -> ((s, d) => via(s, d)(
+      """SELECT * FROM graft_sessionize('events', 'user_id', 'ts',
+                                        'event_id', 1800)""")),
     "e_sql_embedding_dups" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2189,6 +2192,7 @@ object EngineQueries {
     "e_sql_resample" -> ExtraQueries.oracle("ts_resample"),
     "e_sql_funnel" -> ExtraQueries.oracle("ts_funnel"),
     "e_sql_retention" -> ExtraQueries.oracle("ts_retention"),
+    "e_sql_sessionize" -> ExtraQueries.oracle("ts_sessionize"),
     "e_sql_embedding_dups" -> LlmQueries.oracle("llm_embedding_dups"),
     "e_sql_span_dedup" -> LlmQueries.oracle("llm_span_dedup"),
     "e_sql_c4_filters" -> LlmQueries.oracle("llm_c4_filters"),

@@ -97,6 +97,11 @@ object ExtraQueries {
     "ts_resample" -> ((s, d) =>
       graft.operators.TimeSeries.resample(
         Tables.load(s, d, "events"), "ts", "value", unit = "minute")),
+    "ts_sessionize" -> ((s, d) =>
+      // gap-based sessions: a >30-minute silence starts a new session;
+      // one report row per (user, session) with exact µs durations
+      graft.operators.TimeSeries.sessionize(Tables.load(s, d, "events"),
+        "user_id", "ts", "event_id", gapSeconds = 1800L)),
     "ts_retention" -> ((s, d) =>
       // weekly cohort retention matrix over the first 8 offsets — the
       // funnel's sibling report
@@ -202,6 +207,30 @@ object ExtraQueries {
                 count(*) AS n_nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
+    // sessionize: the same (ts, event_id) ordering, strict-gap
+    // boundary, running-sum session ids, exact µs durations
+    "ts_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events),
+          l AS (SELECT user_id, event_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS pts
+                FROM ev),
+          f AS (SELECT user_id, event_id, ts,
+                  CASE WHEN pts IS NULL
+                         OR date_diff('microsecond', pts, ts) > 1800000000
+                       THEN 1 ELSE 0 END AS nw
+                FROM l),
+          s AS (SELECT user_id, ts,
+                  sum(nw) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f)
+          SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+                 count(*) AS n_events,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 date_diff('microsecond', min(ts), max(ts)) AS duration_us
+          FROM s GROUP BY user_id, sid""",
     // retention: ISO-week truncation both sides, day-diff an exact
     // multiple of 7
     "ts_retention" ->

@@ -103,6 +103,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxOffsetWeeks"))
   }
 
+  test("sessionize: strict-gap boundary (exactly the gap stays in-session), per-user ids, exact durations") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00")),
+      (1L, 101L, ts("2024-01-01 00:30:00")), // gap == 1800 s: SAME session
+      (1L, 102L, ts("2024-01-01 01:00:01")), // gap 1801 s: NEW session
+      (2L, 200L, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val got = TimeSeries.sessionize(ev, "user_id", "ts", "event_id",
+        gapSeconds = 1800L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 1800000000L), // two events, exactly 30 min apart
+      (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 0L)
+    }
+    assert(e.getMessage.contains("gap"))
+  }
+
   test("the day close is the LAST observed bucket's value, not the max") {
     import spark.implicits._
     val df = Seq(
