@@ -983,6 +983,10 @@ object TextAnalysis {
     * IEEE division of exact integers. Absent-from-a-list contributes
     * `0.0` (coalesce), which is additive-identity-exact.
     *
+    * Input contract: each list ranks an id AT MOST ONCE (any top-k
+    * serve's output does) — a duplicated id would fan out through the
+    * outer join and double-count.
+    *
     * Scale shape: inputs are top-k lists — bounded frames (the k of the
     * upstream serves, not corpus-scale), so the full-outer chain
     * shuffles k-row frames (Spark cannot broadcast a full outer join;
@@ -1088,6 +1092,9 @@ object TextAnalysis {
   def snippetExtract(df: DataFrame, idCol: String, textCol: String,
                      queryTerms: Seq[String], window: Int): DataFrame = {
     require(queryTerms.nonEmpty, "snippetExtract: empty query")
+    require(queryTerms.forall(_.nonEmpty),
+      "snippetExtract: empty-string query term (would match the empty " +
+        "tokens a leading/trailing-whitespace split produces)")
     require(window >= 1, s"window must be >= 1, got $window")
     val toks = tokens(col(textCol))
     // 1-based hit positions (Spark's indexed transform is 0-based)
@@ -1114,7 +1121,9 @@ object TextAnalysis {
     * ranking against ground-truth RELEVANCE): given a ranked `run`
     * (queryCol, idCol, rank — any serve's output) and a binary
     * `relevance` pair table, one row per query with hits@k,
-    * precision@k, recall@k, reciprocal rank, and nDCG@k.
+    * precision@k, recall@k, reciprocal rank, and nDCG@k. The relevance
+    * pairs are de-duplicated here; the run is trusted to rank an id at
+    * most once per query (any serve's output does).
     *
     * Determinism contract: precision/recall/RR are single IEEE
     * divisions of exact integer counts (the lrEvalReport rule — never a
