@@ -397,6 +397,17 @@ object LlmSql {
       case args => bad(
         "graft_sessionize(events_table, user_col, ts_col, order_col, gap_seconds)", args)
     }
+    reg(spark, "graft_lr_calibration") {
+      // reliability-diagram table over a labeled eval set and a stored
+      // weight table — fully lazy
+      case Seq(pT, nT, id, text, wT, b, nb) =>
+        val f = "graft_lr_calibration"
+        graft.operators.Classifier.lrCalibrationReport(
+          table(str(pT, f)), table(str(nT, f)), str(id, f), str(text, f),
+          table(str(wT, f)), buckets = int(b, f), nBins = int(nb, f))
+      case args => bad(
+        "graft_lr_calibration(pos_table, neg_table, id_col, text_col, weights_table, buckets, n_bins)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

@@ -194,4 +194,46 @@ object Classifier {
           .as("f1"))
       .orderBy(col("threshold"))
   }
+
+  /** CALIBRATION report — [[lrEvalReport]] answers "is the filter
+    * usable at threshold t"; this answers "do its scores MEAN what
+    * they say": scores bucket into `nBins` equal-width probability
+    * bins, and a calibrated filter has mean_score ≈ frac_pos in every
+    * bin (the reliability-diagram table). A filter can have good F1
+    * and still be badly calibrated — and a quality-weighted sampler
+    * ([[graft.operators.Sampling.weightedKPerStratum]] driven by the
+    * score) silently inherits any miscalibration.
+    *
+    * Engine parity: scores are already on the round-6 [[sigmoidQ]]
+    * grid, so the bin index `least(floor(p·nBins), nBins−1)` pairs
+    * identical IEEE operands on both engines; mean_score accumulates
+    * the grid-exact scores in DECIMAL (the money-aggregate recipe —
+    * partial-agg order cannot move it) with ONE terminal division, and
+    * frac_pos is one division of exact counts. Output: one row per
+    * occupied bin (bin, n, n_pos, mean_score, frac_pos), ordered. */
+  def lrCalibrationReport(pos: DataFrame, neg: DataFrame, idCol: String,
+                          textCol: String, weights: DataFrame,
+                          buckets: Int = 256,
+                          nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val labeled = pos.select(col(idCol), col(textCol), lit(1L).as("__y"))
+      .unionByName(neg.select(col(idCol), col(textCol), lit(0L).as("__y")))
+    val scored = lrScore(labeled.select(col(idCol), col(textCol)),
+        idCol, textCol, weights, buckets)
+      .join(labeled.select(col(idCol), col("__y")), Seq(idCol))
+    scored
+      .select(least(floor(col("quality_score") * nBins), lit(nBins - 1))
+          .cast("int").as("bin"),
+        col("quality_score"), col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("quality_score").cast(DecimalType(18, 6))).as("__s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"))
+      .orderBy(col("bin"))
+  }
 }

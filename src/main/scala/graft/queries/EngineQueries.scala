@@ -1846,6 +1846,32 @@ object EngineQueries {
       e.query("""SELECT * FROM graft_lr_eval('graft_lr_eval_w',
                    'graft_lre_pos', 'graft_lre_neg', 'doc_id', 'text', 64)""")
     }),
+    "e_sql_lr_calibration" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the reliability table from SQL: weights trained + stored in
+      // Scala (the write side), labeled views, the calibration TVF
+      val out = "target/gate_sink/quality_lr_calibration_sql"
+      import org.apache.spark.sql.functions.{col, upper}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val pos = docs.filter(col("doc_id") % 2 === 0)
+      val neg = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), upper(col("text")).as("text"))
+      val w = graft.operators.Classifier.lrTrain(pos, neg, "doc_id",
+        "text", buckets = 64, iters = 2, lr = 0.5)
+      graft.operators.Classifier.weightsToDf(s, w)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("graft_lrc_w")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_lrc_pos AS
+                 SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_lrc_neg AS
+                 SELECT doc_id, upper(text) AS text FROM documents
+                 WHERE doc_id % 2 = 1""")
+      e.query("""SELECT * FROM graft_lr_calibration('graft_lrc_pos',
+                   'graft_lrc_neg', 'doc_id', 'text', 'graft_lrc_w',
+                   64, 10)""")
+    }),
     // the crawl-domain dashboard from one line of SQL over the same
     // URL fixture view as e_sql_url_filter
     "e_sql_domain_report" -> ((s, d) => {
@@ -2272,6 +2298,7 @@ object EngineQueries {
     "e_sql_domain_report" -> LlmQueries.oracle("llm_domain_report"),
     "e_sql_quality_classifier" -> LlmQueries.oracle("llm_quality_classifier"),
     "e_sql_lr_eval" -> LlmQueries.oracle("llm_lr_eval"),
+    "e_sql_lr_calibration" -> LlmQueries.oracle("llm_lr_calibration"),
     "e_sql_pipeline7" -> LlmQueries.oracle("llm_pipeline7"),
     "e_sql_lr_score_stored" -> LlmQueries.oracle("llm_quality_classifier")
   )

@@ -2500,6 +2500,25 @@ object LlmQueries {
       graft.operators.Classifier.lrEvalReport(pos, neg, "doc_id", "text",
         s.read.parquet(out), buckets = 64)
     }),
+    "llm_lr_calibration" -> ((s, d) => {
+      import s.implicits._
+      // the classifier's CALIBRATION report (the reliability-diagram
+      // table): same trained fixture as llm_lr_eval, scores bucketed
+      // into 10 equal-width bins, mean_score vs frac_pos per bin —
+      // what decides whether the score is usable as a sampling WEIGHT,
+      // not just a threshold
+      val out = "target/gate_sink/quality_lr_calibration"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val pos = docs.filter($"doc_id" % 2 === 0)
+      val neg = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", upper($"text").as("text"))
+      val w = graft.operators.Classifier.lrTrain(pos, neg, "doc_id",
+        "text", buckets = 64, iters = 2, lr = 0.5)
+      graft.operators.Classifier.weightsToDf(s, w)
+        .write.mode("overwrite").parquet(out)
+      graft.operators.Classifier.lrCalibrationReport(pos, neg, "doc_id",
+        "text", s.read.parquet(out), buckets = 64, nBins = 10)
+    }),
     "llm_domain_report" -> ((s, d) => {
       import s.implicits._
       // the pre-blocklist crawl dashboard: top domains by doc count +
@@ -2796,6 +2815,56 @@ object LlmQueries {
   )
 
   private val stopsEn = "'the','a','of','and','to','in','is','it','for','on'"
+
+  /** The full LR train-then-score replay (2 GD rounds, round-6 grids,
+    * exact-decimal accumulations) over the even/odd labeled fixture,
+    * ending at `ep` = (tid, p, y) — shared by the eval and calibration
+    * oracles so the scoring replay cannot diverge between them. */
+  private lazy val lrEvalScoreCtes: String =
+    """pos AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+          neg AS (SELECT doc_id, upper(text) AS text FROM documents
+                  WHERE doc_id % 2 = 1),
+          feats AS (
+            SELECT 'p:' || CAST(doc_id AS VARCHAR) AS tid, bucket,
+                   count(*) AS tf, 1.0 AS y
+            FROM (SELECT doc_id,
+                    CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
+                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                        FROM pos))
+            GROUP BY 1, bucket
+            UNION ALL
+            SELECT 'n:' || CAST(doc_id AS VARCHAR), bucket, count(*), 0.0
+            FROM (SELECT doc_id,
+                    CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
+                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                        FROM neg))
+            GROUP BY 1, bucket),
+          nn AS (SELECT count(DISTINCT tid) AS n FROM feats),
+          g1 AS (SELECT bucket,
+                        CAST(sum(CAST(tf * (y - 0.5) AS DECIMAL(20,10))) AS DOUBLE)
+                          / nn.n AS g
+                 FROM feats, nn GROUP BY bucket, nn.n),
+          w1 AS (SELECT bucket, round(0.5 * g, 6) AS w FROM g1),
+          z2 AS (SELECT f.tid,
+                        round(CAST(sum(CAST(f.tf * coalesce(w1.w, 0.0)
+                          AS DECIMAL(20,10))) AS DOUBLE), 6) AS z
+                 FROM feats f LEFT JOIN w1 USING (bucket) GROUP BY f.tid),
+          p2 AS (SELECT tid, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z2),
+          g2 AS (SELECT f.bucket,
+                        CAST(sum(CAST(f.tf *
+                          ((CASE WHEN f.tid LIKE 'p:%' THEN 1.0 ELSE 0.0 END)
+                            - p2.p) AS DECIMAL(20,10))) AS DOUBLE) / nn.n AS g
+                 FROM feats f JOIN p2 USING (tid), nn GROUP BY f.bucket, nn.n),
+          w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
+                        round(coalesce(w1.w, 0) + 0.5 * coalesce(g2.g, 0), 6) AS w
+                 FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket),
+          ez AS (SELECT f.tid,
+                        round(CAST(sum(CAST(f.tf * coalesce(w2.w, 0.0)
+                          AS DECIMAL(20,10))) AS DOUBLE), 6) AS z
+                 FROM feats f LEFT JOIN w2 USING (bucket) GROUP BY f.tid),
+          ep AS (SELECT tid, round(1.0 / (1.0 + exp(-z)), 6) AS p,
+                        CASE WHEN tid LIKE 'p:%' THEN 1 ELSE 0 END AS y
+                 FROM ez)"""
 
   /** The batch-hybrid fusion algebra (both legs ranked at 20, RRF-fused
     * per query, cut at 10): expects CTEs `hdocs` (doc_id, text — the
@@ -5263,51 +5332,24 @@ object LlmQueries {
     // score the labeled fixture and count the confusion per threshold —
     // every metric ONE division of exact integer counts (F1 from counts,
     // never from the rounded P/R)
+    // calibration: the same scoring replay, equal-width bins on the
+    // round-6 grid, DECIMAL-exact mean, count-exact fraction
+    "llm_lr_calibration" ->
+      s"""WITH $lrEvalScoreCtes,
+          bins AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+                          p, y
+                   FROM ep),
+          agg AS (SELECT bin, count(*) AS n, sum(y) AS n_pos,
+                         sum(CAST(p AS DECIMAL(18,6))) AS s
+                  FROM bins GROUP BY bin)
+          SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos,
+                 round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS mean_score,
+                 round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS frac_pos
+          FROM agg ORDER BY bin""",
     "llm_lr_eval" ->
-      """WITH pos AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-          neg AS (SELECT doc_id, upper(text) AS text FROM documents
-                  WHERE doc_id % 2 = 1),
-          feats AS (
-            SELECT 'p:' || CAST(doc_id AS VARCHAR) AS tid, bucket,
-                   count(*) AS tf, 1.0 AS y
-            FROM (SELECT doc_id,
-                    CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
-                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
-                        FROM pos))
-            GROUP BY 1, bucket
-            UNION ALL
-            SELECT 'n:' || CAST(doc_id AS VARCHAR), bucket, count(*), 0.0
-            FROM (SELECT doc_id,
-                    CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
-                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
-                        FROM neg))
-            GROUP BY 1, bucket),
-          nn AS (SELECT count(DISTINCT tid) AS n FROM feats),
-          g1 AS (SELECT bucket,
-                        CAST(sum(CAST(tf * (y - 0.5) AS DECIMAL(20,10))) AS DOUBLE)
-                          / nn.n AS g
-                 FROM feats, nn GROUP BY bucket, nn.n),
-          w1 AS (SELECT bucket, round(0.5 * g, 6) AS w FROM g1),
-          z2 AS (SELECT f.tid,
-                        round(CAST(sum(CAST(f.tf * coalesce(w1.w, 0.0)
-                          AS DECIMAL(20,10))) AS DOUBLE), 6) AS z
-                 FROM feats f LEFT JOIN w1 USING (bucket) GROUP BY f.tid),
-          p2 AS (SELECT tid, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z2),
-          g2 AS (SELECT f.bucket,
-                        CAST(sum(CAST(f.tf *
-                          ((CASE WHEN f.tid LIKE 'p:%' THEN 1.0 ELSE 0.0 END)
-                            - p2.p) AS DECIMAL(20,10))) AS DOUBLE) / nn.n AS g
-                 FROM feats f JOIN p2 USING (tid), nn GROUP BY f.bucket, nn.n),
-          w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
-                        round(coalesce(w1.w, 0) + 0.5 * coalesce(g2.g, 0), 6) AS w
-                 FROM w1 FULL JOIN g2 ON w1.bucket = g2.bucket),
-          ez AS (SELECT f.tid,
-                        round(CAST(sum(CAST(f.tf * coalesce(w2.w, 0.0)
-                          AS DECIMAL(20,10))) AS DOUBLE), 6) AS z
-                 FROM feats f LEFT JOIN w2 USING (bucket) GROUP BY f.tid),
-          ep AS (SELECT tid, round(1.0 / (1.0 + exp(-z)), 6) AS p,
-                        CASE WHEN tid LIKE 'p:%' THEN 1 ELSE 0 END AS y
-                 FROM ez),
+      s"""WITH $lrEvalScoreCtes,
           th AS (SELECT CAST(t AS DOUBLE) AS threshold
                  FROM (VALUES (0.3), (0.5), (0.7)) v(t)),
           cf AS (SELECT th.threshold,
