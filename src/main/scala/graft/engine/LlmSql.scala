@@ -408,6 +408,16 @@ object LlmSql {
       case args => bad(
         "graft_lr_calibration(pos_table, neg_table, id_col, text_col, weights_table, buckets, n_bins)", args)
     }
+    reg(spark, "graft_transitions") {
+      // first-order Markov transition table over per-user sequences —
+      // fully lazy
+      case Seq(t, u, ts, o, ty) =>
+        val f = "graft_transitions"
+        TimeSeries.transitions(table(str(t, f)), str(u, f), str(ts, f),
+          str(o, f), str(ty, f))
+      case args => bad(
+        "graft_transitions(events_table, user_col, ts_col, order_col, type_col)", args)
+    }
     reg(spark, "graft_chunk_bpe") {
       // chunking denominated in LEARNED tokens: training windows are
       // token-ID sequences under the stored merge table

@@ -148,6 +148,35 @@ object TimeSeries {
           unix_micros(col("session_start"))).as("duration_us"))
   }
 
+  /** Event TRANSITION report — the empirical first-order Markov table
+    * behind path analysis: per user, consecutive event pairs under the
+    * (ts, orderCol) total order, counted per (from, to) with the
+    * row-conditional probability `n / Σn(from)` — what "what do users
+    * do after an error" reads. Output: (from_type, to_type, n, p).
+    *
+    * Scale shape: the sequencing window is user-partitioned (never
+    * global), the pair count partial-aggregable, and the conditional
+    * divides within a |types|²-row aggregate — one window over a tiny
+    * frame. p is ONE division of exact counts, round-6. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  orderCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(orderCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(wFrom).cast("double"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Weekly COHORT RETENTION — the funnel's sibling: each user joins
     * the cohort of their first-seen week, and the matrix counts how
     * many of each cohort were active again `week_offset` weeks later

@@ -664,6 +664,9 @@ object EngineQueries {
     "e_sql_sessionize" -> ((s, d) => via(s, d)(
       """SELECT * FROM graft_sessionize('events', 'user_id', 'ts',
                                         'event_id', 1800)""")),
+    "e_sql_transitions" -> ((s, d) => via(s, d)(
+      """SELECT * FROM graft_transitions('events', 'user_id', 'ts',
+                                         'event_id', 'event_type')""")),
     "e_sql_embedding_dups" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2219,6 +2222,7 @@ object EngineQueries {
     "e_sql_funnel" -> ExtraQueries.oracle("ts_funnel"),
     "e_sql_retention" -> ExtraQueries.oracle("ts_retention"),
     "e_sql_sessionize" -> ExtraQueries.oracle("ts_sessionize"),
+    "e_sql_transitions" -> ExtraQueries.oracle("ts_transitions"),
     "e_sql_embedding_dups" -> LlmQueries.oracle("llm_embedding_dups"),
     "e_sql_span_dedup" -> LlmQueries.oracle("llm_span_dedup"),
     "e_sql_c4_filters" -> LlmQueries.oracle("llm_c4_filters"),

@@ -97,6 +97,11 @@ object ExtraQueries {
     "ts_resample" -> ((s, d) =>
       graft.operators.TimeSeries.resample(
         Tables.load(s, d, "events"), "ts", "value", unit = "minute")),
+    "ts_transitions" -> ((s, d) =>
+      // empirical first-order Markov table over per-user event
+      // sequences: (from, to, n, conditional p)
+      graft.operators.TimeSeries.transitions(Tables.load(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type")),
     "ts_sessionize" -> ((s, d) =>
       // gap-based sessions: a >30-minute silence starts a new session;
       // one report row per (user, session) with exact µs durations
@@ -207,6 +212,22 @@ object ExtraQueries {
                 count(*) AS n_nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
+    // transitions: the same (ts, event_id) ordering, lead pairs,
+    // count-exact conditional probabilities
+    "ts_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                            event_type FROM events),
+          pr AS (SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS to_type
+                 FROM ev),
+          cnt AS (SELECT from_type, to_type, count(*) AS n FROM pr
+                  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          SELECT from_type, to_type, n,
+                 round(CAST(n AS DOUBLE) /
+                   CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+                   AS p
+          FROM cnt ORDER BY from_type, to_type""",
     // sessionize: the same (ts, event_id) ordering, strict-gap
     // boundary, running-sum session ids, exact µs durations
     "ts_sessionize" ->

@@ -126,6 +126,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("gap"))
   }
 
+  test("transitions: pairs follow the (ts, event_id) total order; conditional p divides within the from-row") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: a->b->a ; the ts tie at 00:00 is broken by event_id
+      (1L, 1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 00:00:00"), "b"),
+      (1L, 3L, ts("2024-01-01 00:01:00"), "a"),
+      // user 2: a->c — pairs never cross users
+      (2L, 4L, ts("2024-01-01 00:00:00"), "a"),
+      (2L, 5L, ts("2024-01-01 00:01:00"), "c"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = TimeSeries.transitions(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
+      ("b", "a", 1L, 1.0)))
+  }
+
   test("the day close is the LAST observed bucket's value, not the max") {
     import spark.implicits._
     val df = Seq(
