@@ -312,6 +312,40 @@ object StreamQueries {
       adm1.select(col("doc_id"))
         .unionAll(admitted(batch2).select(col("doc_id")))
     }),
+    "st_sample_k" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // streamed DETERMINISTIC sampling (batch-parity form;
+      // StreamingSpec runs the real two-micro-batch MemoryStream):
+      // min-k under the salted-hash total order is ASSOCIATIVE, so each
+      // arriving micro-batch's candidates MERGE with the stored current
+      // sample — exactK over the union, k-row state forever — and the
+      // final store must equal the one-shot batch sample over the whole
+      // corpus (the llm_sample_k oracle): a lost batch or a
+      // non-associative shortcut hash-mismatches. Versioned store paths
+      // because a parquet store cannot be overwritten from its own
+      // read.
+      val out = "target/gate_sink/st_sample_k"
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slices = Seq(
+        docs.crossJoin(broadcast(m)).filter(col("doc_id") <= col("m") - 300),
+        docs.crossJoin(broadcast(m)).filter(
+          col("doc_id") > col("m") - 300 && col("doc_id") <= col("m") - 100),
+        docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 100))
+        .map(_.select(col("doc_id"), col("text")))
+      var prev: Option[String] = None
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val cur = prev.map(p => slice.unionByName(s.read.parquet(p)))
+          .getOrElse(slice)
+        val path = s"$out/v$i"
+        graft.operators.Sampling.exactK(cur, col("text"), k = 200,
+            tieBreak = Seq(col("doc_id")), salt = "eval:")
+          .write.mode("overwrite").parquet(path)
+        prev = Some(path)
+      }
+      s.read.parquet(prev.get).select(col("doc_id"))
+    }),
     "st_bm25_append" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.operators.TextAnalysis
@@ -655,6 +689,8 @@ object StreamQueries {
     // the streamed append loop must serve exactly the fresh-build
     // retrieval answer over the whole corpus
     "st_bm25_append" -> LlmQueries.oracle("llm_bm25"),
+    // the merged streamed sample must equal the one-shot batch sample
+    "st_sample_k" -> LlmQueries.oracle("llm_sample_k"),
     // the closed mixed-modality loop: batch 2 (near-clone texts with
     // novel payloads, fresh texts with exact clones of admitted
     // payloads) fully bounces off the appended stores, so the final

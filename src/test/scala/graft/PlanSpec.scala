@@ -148,6 +148,9 @@ class PlanSpec extends AnyFunSuite {
       "llm_bm25_prf", "e_sql_bm25_prf",
       // broadcast 1-row max-doc-id bounds building the two generations
       "llm_crawl_delta",
+      // broadcast 1-row max-doc-id slice bounds in the streamed-sample
+      // batch-parity fixture
+      "st_sample_k",
       // hybrid fusion: the BM25 leg's broadcast 1-row stats + the ANN
       // leg's broadcast 1-row query vector; the fusion itself is a
       // bounded full-outer SMJ on the id (the batch form's semantic leg

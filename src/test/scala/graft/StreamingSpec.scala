@@ -311,6 +311,47 @@ class StreamingSpec extends AnyFunSuite {
       "appended dHash store must equal the fresh batch build")
   }
 
+  test("streamed sampling: micro-batch merges keep exactly the one-shot sample (min-k associativity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val out = "target/test_sink/st_sample_k_stream"
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // seed: the standing corpus's sample (versioned store — a parquet
+    // store cannot be overwritten from its own read)
+    Sampling.exactK(docs.filter(col("doc_id") <= mx - 100),
+        col("text"), k = 50, tieBreak = Seq(col("doc_id")), salt = "eval:")
+      .write.mode("overwrite").parquet(s"$out/v0")
+    @volatile var ver = 0
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = batch.unionByName(spark.read.parquet(s"$out/v$ver"))
+        Sampling.exactK(cur, col("text"), k = 50,
+            tieBreak = Seq(col("doc_id")), salt = "eval:")
+          .write.mode("overwrite").parquet(s"$out/v${ver + 1}")
+        ver += 1
+        ()
+      }.start()
+    val tail = docs.filter(col("doc_id") > mx - 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = tail.partition(_._1 <= mx - 50)
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$out/v$ver")
+      .collect().map(_.getLong(0)).toSet
+    val oneShot = Sampling.exactK(docs, col("text"), k = 50,
+        tieBreak = Seq(col("doc_id")), salt = "eval:")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed.size == 50)
+    assert(streamed == oneShot,
+      "the merged streamed sample must equal the one-shot batch sample")
+  }
+
   test("bm25 append loop: foreachBatch appends each micro-batch's index delta; final store serves == fresh build") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
