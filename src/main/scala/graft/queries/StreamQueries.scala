@@ -346,6 +346,42 @@ object StreamQueries {
       }
       s.read.parquet(prev.get).select(col("doc_id"))
     }),
+    "st_sample_weighted" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // streamed WEIGHTED sampling: max-k by DLT priority is
+      // associative exactly like st_sample_k's min-k (priority is a
+      // pure function of (salt, key, weight), so it recomputes at every
+      // merge from the stored base columns — no priority ever persists
+      // stale); same merge loop, same StreamingSpec-pinned mechanics,
+      // gated on the one-shot llm_sample_weighted oracle
+      val out = "target/gate_sink/st_sample_weighted"
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slices = Seq(
+        docs.crossJoin(broadcast(m)).filter(col("doc_id") <= col("m") - 300),
+        docs.crossJoin(broadcast(m)).filter(
+          col("doc_id") > col("m") - 300 && col("doc_id") <= col("m") - 100),
+        docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 100))
+        .map(_.select(col("doc_id"), col("text"), col("n_chars")))
+      var prev: Option[String] = None
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val cur = prev.map(p => slice.unionByName(s.read.parquet(p)))
+          .getOrElse(slice)
+        val path = s"$out/v$i"
+        graft.operators.Sampling.weightedK(cur, col("text"),
+            col("n_chars"), k = 200, tieBreak = Seq(col("doc_id")),
+            salt = "wpri:")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .write.mode("overwrite").parquet(path)
+        prev = Some(path)
+      }
+      graft.operators.Sampling.weightedK(s.read.parquet(prev.get),
+          col("text"), col("n_chars"), k = 200,
+          tieBreak = Seq(col("doc_id")), salt = "wpri:")
+        .select(col("doc_id"), col("n_chars").as("weight"),
+          col("priority"))
+    }),
     "st_bm25_append" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.operators.TextAnalysis
@@ -691,6 +727,7 @@ object StreamQueries {
     "st_bm25_append" -> LlmQueries.oracle("llm_bm25"),
     // the merged streamed sample must equal the one-shot batch sample
     "st_sample_k" -> LlmQueries.oracle("llm_sample_k"),
+    "st_sample_weighted" -> LlmQueries.oracle("llm_sample_weighted"),
     // the closed mixed-modality loop: batch 2 (near-clone texts with
     // novel payloads, fresh texts with exact clones of admitted
     // payloads) fully bounces off the appended stores, so the final

@@ -149,8 +149,8 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row max-doc-id bounds building the two generations
       "llm_crawl_delta",
       // broadcast 1-row max-doc-id slice bounds in the streamed-sample
-      // batch-parity fixture
-      "st_sample_k",
+      // batch-parity fixtures
+      "st_sample_k", "st_sample_weighted",
       // hybrid fusion: the BM25 leg's broadcast 1-row stats + the ANN
       // leg's broadcast 1-row query vector; the fusion itself is a
       // bounded full-outer SMJ on the id (the batch form's semantic leg
