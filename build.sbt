@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full bench sweep whole-stage-codegens 400+ queries × 3 runs in
+  // ONE forked JVM; the JDK default 240 MB reserved code cache can
+  // fill under that churn, silently disabling the JIT — which craters
+  // the driver-side analysis path (spark.sql keys) while DataFrame
+  // twins stay flat (BASELINE.md round-12 façade adjudication).
+  "-XX:ReservedCodeCacheSize=512m",
 )

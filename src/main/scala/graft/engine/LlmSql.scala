@@ -60,10 +60,26 @@ object LlmSql {
   // silently disabling input truncation is the failure mode this guards
   private def reuseOpt(e: Expression, fn: String): graft.operators.Reuse =
     str(e, fn) match {
-      case "local" => graft.operators.Reuse.Local
+      // 'local' maps to the DEFERRED local checkpoint on the SQL
+      // surface: TVF builders run at analysis, and SQL temp views
+      // re-analyze per downstream statement — an eager Reuse.Local
+      // here re-ran the upstream chain once per CREATE VIEW (see
+      // Reuse.LocalDeferred's scaladoc; BASELINE.md round-12)
+      case "local" => graft.operators.Reuse.LocalDeferred
       case "off"   => graft.operators.Reuse.Off
       case other => throw new IllegalArgumentException(
         s"$fn: unrecognized reuse option '$other' (expected 'local' or 'off')")
+    }
+  // optional pre-tokenization tail for the BPE family: 'pretok'
+  // selects the Sennrich-style class split (TextAnalysis.pretokPattern),
+  // 'ws' the whitespace default; anything else refuses loudly (the
+  // reuseOpt typo-guard convention)
+  private def pretokOpt(e: Expression, fn: String): Boolean =
+    str(e, fn) match {
+      case "pretok" => true
+      case "ws"     => false
+      case other => throw new IllegalArgumentException(
+        s"$fn: unrecognized pre-tokenization option '$other' (expected 'pretok' or 'ws')")
     }
   private def dbl(e: Expression, fn: String): Double = lit(e, fn) match {
     case n: java.lang.Number => n.doubleValue // covers Decimal literals
@@ -295,12 +311,16 @@ object LlmSql {
       // retrieval-quality report: a ranked run view + a relevance pair
       // view → per-query hits/precision/recall@k, RR, nDCG@k — fully
       // lazy
-      case Seq(runT, relT, qid, id, kE) =>
+      case args if args.length == 5 || args.length == 6 =>
         val f = "graft_retrieval_eval"
-        TextAnalysis.retrievalEvalReport(table(str(runT, f)),
-          table(str(relT, f)), str(qid, f), str(id, f), k = int(kE, f))
+        // optional 6th arg: graded-gain column name in the relevance
+        // table -> the 2^rel - 1 DCG form; absent = binary relevance
+        val gain = if (args.length == 6) Some(str(args(5), f)) else None
+        TextAnalysis.retrievalEvalReport(table(str(args(0), f)),
+          table(str(args(1), f)), str(args(2), f), str(args(3), f),
+          k = int(args(4), f), gainCol = gain)
       case args => bad(
-        "graft_retrieval_eval(run_table, relevance_table, query_col, id_col, k)", args)
+        "graft_retrieval_eval(run_table, relevance_table, query_col, id_col, k[, gain_col])", args)
     }
     reg(spark, "graft_snippet") {
       // search-result snippets: densest query-term window per matching
@@ -334,6 +354,27 @@ object LlmSql {
         })
       case args => bad(
         "graft_mmr(candidates_table, id_col, vec_col, rel_col, k, lambda)", args)
+    }
+    reg(spark, "graft_mmr_join") {
+      // per-query batch MMR: k shared rounds of bounded joins +
+      // query-partitioned argmax windows (checkpoints + the per-group
+      // bound guard are actions) — DEFERRED so EXPLAIN launches no job
+      case Seq(t, by, id, vec, rel, kE, lamE) =>
+        val f = "graft_mmr_join"
+        val cand = table(str(t, f))
+        val byc = str(by, f); val idc = str(id, f)
+        val vc = str(vec, f); val rc = str(rel, f)
+        val kk = int(kE, f); val lam = dbl(lamE, f)
+        val outSchema = StructType(Seq(
+          cand.schema(byc), cand.schema(idc), cand.schema(rc),
+          StructField("mmr", org.apache.spark.sql.types.DoubleType),
+          StructField("rank", org.apache.spark.sql.types.IntegerType,
+            nullable = false)))
+        GraftDeferred.frame(spark, outSchema, memo { () =>
+          Similarity.mmrSelectBy(cand, byc, idc, vc, rc, k = kk, lam = lam)
+        })
+      case args => bad(
+        "graft_mmr_join(candidates_table, by_col, id_col, vec_col, rel_col, k, lambda)", args)
     }
     reg(spark, "graft_bm25_prf") {
       // query-expansion retrieval: the feedback round + term selection
@@ -824,12 +865,13 @@ object LlmSql {
       // trained-tokenizer counts under a stored merge table; the
       // merge-table collect is driver-side but vocabulary-sized (KB) —
       // registered directly like the other pure per-row counters
-      case Seq(t, id, text, merges) =>
+      case args if args.length == 4 || args.length == 5 =>
         val f = "graft_bpe_count"
-        TextAnalysis.bpeCount(table(str(t, f)), str(id, f), str(text, f),
-          table(str(merges, f)))
+        val pt = if (args.length == 5) pretokOpt(args(4), f) else false
+        TextAnalysis.bpeCount(table(str(args(0), f)), str(args(1), f),
+          str(args(2), f), table(str(args(3), f)), preTokenize = pt)
       case args => bad(
-        "graft_bpe_count(table, id_col, text_col, merges_table)", args)
+        "graft_bpe_count(table, id_col, text_col, merges_table[, 'pretok'])", args)
     }
     reg(spark, "graft_bpe_vocab") {
       // learned-token vocabulary report under a stored merge table;
@@ -844,12 +886,13 @@ object LlmSql {
     reg(spark, "graft_bpe_tokenize") {
       // tokenize-to-ids under a stored merge table — the sequence the
       // count TVF only measures; same KB-scale merge-table collect
-      case Seq(t, id, text, merges) =>
+      case args if args.length == 4 || args.length == 5 =>
         val f = "graft_bpe_tokenize"
-        TextAnalysis.bpeTokenize(table(str(t, f)), str(id, f), str(text, f),
-          table(str(merges, f)))
+        val pt = if (args.length == 5) pretokOpt(args(4), f) else false
+        TextAnalysis.bpeTokenize(table(str(args(0), f)), str(args(1), f),
+          str(args(2), f), table(str(args(3), f)), preTokenize = pt)
       case args => bad(
-        "graft_bpe_tokenize(table, id_col, text_col, merges_table)", args)
+        "graft_bpe_tokenize(table, id_col, text_col, merges_table[, 'pretok'])", args)
     }
     reg(spark, "graft_ann_sq") {
       // int8 scalar-quantized serving: the query-vector lookup is an
@@ -963,20 +1006,22 @@ object LlmSql {
       // production-vocab engine, bit-equal to the distributed oracle
       // form) — deferred like the cluster/training TVFs; EXPLAIN
       // launches no job, the rounds run once on execute
-      case Seq(t, id, text, n) =>
+      case args if args.length == 4 || args.length == 5 =>
         val f = "graft_bpe_train"
-        val tbl = table(str(t, f))
-        val idc = str(id, f); val textc = str(text, f)
-        val nm = int(n, f)
+        val tbl = table(str(args(0), f))
+        val idc = str(args(1), f); val textc = str(args(2), f)
+        val nm = int(args(3), f)
+        val pt = if (args.length == 5) pretokOpt(args(4), f) else false
         GraftDeferred.frame(spark,
           StructType(Seq(
             StructField("rank", org.apache.spark.sql.types.IntegerType,
               nullable = false),
             StructField("left", org.apache.spark.sql.types.StringType),
             StructField("right", org.apache.spark.sql.types.StringType))),
-          memo { () => TextAnalysis.bpeTrainLocal(tbl, idc, textc, nm) })
+          memo { () => TextAnalysis.bpeTrainLocal(tbl, idc, textc, nm,
+            preTokenize = pt) })
       case args => bad(
-        "graft_bpe_train(table, id_col, text_col, n_merges)", args)
+        "graft_bpe_train(table, id_col, text_col, n_merges[, 'pretok'])", args)
     }
     reg(spark, "graft_image_dups") {
       // perceptual dHash near-dup over a media table — pure lazy

@@ -135,6 +135,22 @@ object Classifier {
     logitOf(featuresOf(df, idCol, textCol, buckets), weights, idCol)
       .select(col(idCol), col("z"), sigmoidQ(col("z")).as("quality_score"))
 
+  /** Loud-refusal guard for the labeled-eval contract shared by
+    * [[lrEvalReport]] and [[lrCalibrationReport]]: `pos` and `neg` ids
+    * must be DISJOINT — a doc id present in both would union twice and
+    * fan out through the score join, silently double-counting rows.
+    * One limit-1 semi-join peek on the (bounded, eval-scale) inputs. */
+  private def requireDisjoint(pos: DataFrame, neg: DataFrame,
+                              idCol: String, fn: String): Unit = {
+    val shared = pos.select(col(idCol))
+      .join(neg.select(col(idCol)), Seq(idCol), "left_semi")
+      .limit(1).collect()
+    require(shared.isEmpty,
+      s"$fn: pos and neg share id ${shared.head.get(0)} — labeled eval " +
+        "corpora must be disjoint (a shared id double-counts through " +
+        "the score join)")
+  }
+
   /** Classifier EVALUATION report — the verb after train/store/serve/
     * stream that decides whether the filter is USABLE: score a labeled
     * eval set under the stored weights and report, per candidate
@@ -163,6 +179,7 @@ object Classifier {
                    buckets: Int = 256,
                    thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame = {
     require(thresholds.nonEmpty, "lrEvalReport: empty threshold list")
+    requireDisjoint(pos, neg, idCol, "lrEvalReport")
     val labeled = pos.select(col(idCol), col(textCol), lit(1).as("__y"))
       .unionByName(neg.select(col(idCol), col(textCol), lit(0).as("__y")))
     val scored = lrScore(labeled.select(col(idCol), col(textCol)),
@@ -216,6 +233,7 @@ object Classifier {
                           buckets: Int = 256,
                           nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    requireDisjoint(pos, neg, idCol, "lrCalibrationReport")
     val labeled = pos.select(col(idCol), col(textCol), lit(1L).as("__y"))
       .unionByName(neg.select(col(idCol), col(textCol), lit(0L).as("__y")))
     val scored = lrScore(labeled.select(col(idCol), col(textCol)),

@@ -89,4 +89,35 @@ object Reuse {
       df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(false)
     }
   }
+
+  /** SQL-façade variant of [[Local]]: the same non-eager
+    * `localCheckpoint`, constructed behind a
+    * [[org.apache.spark.sql.GraftDeferredScan]] leaf so NOTHING
+    * materializes at plan-construction/analysis time.
+    *
+    * Why it exists: `localCheckpoint` grabs `queryExecution.toRdd`, and
+    * under AQE that call materializes every upstream query stage — at
+    * ANALYSIS time when the truncation runs inside a SQL TVF builder.
+    * SQL temp views store PARSED plans (not analyzed ones), so every
+    * downstream statement re-analyzes the whole view chain and
+    * re-invokes the upstream TVF builders: in a TVF pipeline each
+    * CREATE VIEW re-ran and re-checkpointed the entire upstream chain
+    * (measured round 12: `e_sql_pipeline3` at 3× its Scala twin, 21
+    * jobs vs 11, all fired during analysis — BASELINE.md). The
+    * deferred leaf moves the single checkpoint to FIRST EXECUTION,
+    * shared across plan-tree copies via the memoized thunk, so CREATE
+    * VIEW / EXPLAIN / prepare launch no job at all.
+    *
+    * Unlike [[Local]] this does NOT degrade on deferred-leaf inputs:
+    * with no analysis-time `toRdd`, the EXPLAIN-fires-jobs and
+    * catalog-monitor-deadlock hazards that degradation guards against
+    * cannot occur — the nested leaf simply builds (memoized) when the
+    * outer checkpoint first materializes, at execution. */
+  case object LocalDeferred extends Reuse {
+    def apply(df: DataFrame): DataFrame = {
+      lazy val cp = df.localCheckpoint(false)
+      org.apache.spark.sql.GraftDeferred.frame(
+        df.sparkSession, df.schema, () => cp)
+    }
+  }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Serving-latency ATTESTATION — the SLO counterpart of the ANN recall
+  * report ([[Similarity]] `annRecallReport` precedent): the serving
+  * family's cost classes were recorded in BASELINE.md prose only; this
+  * surfaces them as a QUERYABLE per-surface percentile table, so a
+  * round's serving latencies are checked by reading a frame instead of
+  * narrated.
+  *
+  * Shape: each named surface is a THUNK building a fresh serving
+  * DataFrame (a stored-index top-k, a hybrid fusion, a kNN batch —
+  * bounded outputs by construction); every run rebuilds the frame
+  * (plan construction + analysis are part of serving latency —
+  * that is what a query-per-request fleet pays) and drives it to
+  * completion with a bounded `collect()`. Wall-clocks aggregate
+  * driver-side to p50/p95/min/max over `runs` repetitions
+  * (nearest-rank percentiles; `runs` is a handful — this is a
+  * measurement loop, bounded by contract like the bench main itself).
+  *
+  * The values are wall-clock and therefore NONDETERMINISTIC — the gate
+  * is rows-only by design (the s3_metrics/s4_env convention): schema +
+  * one row per surface + non-negative orderings are the checkable
+  * facts. Output: (surface, n_runs, rows, p50_ms, p95_ms, min_ms,
+  * max_ms), ordered by surface. */
+object ServingLatency {
+
+  def latencyReport(spark: SparkSession,
+                    surfaces: Seq[(String, () => DataFrame)],
+                    runs: Int = 5,
+                    warmup: Int = 1): DataFrame = {
+    require(runs >= 1, s"runs must be >= 1, got $runs")
+    require(warmup >= 0, s"warmup must be >= 0, got $warmup")
+    require(surfaces.nonEmpty, "latencyReport: no surfaces")
+    val rows = surfaces.map { case (name, mk) =>
+      var n = 0L
+      (1 to warmup).foreach(_ => n = mk().collect().length.toLong)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        n = mk().collect().length.toLong
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      // nearest-rank percentile: ceil(p·n) 1-based
+      def pct(p: Double): Double =
+        times(math.max(math.ceil(p * times.length).toInt - 1, 0))
+      (name, runs, n,
+        BigDecimal(pct(0.50)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(pct(0.95)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(times.head).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(times.last).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("surface", "n_runs", "rows", "p50_ms", "p95_ms",
+        "min_ms", "max_ms")
+      .orderBy("surface")
+  }
+}

@@ -364,6 +364,30 @@ object Similarity {
     * exact constant. Candidates above `maxCandidates` refuse loudly —
     * the bounded-input contract is by design, not an accident of scale.
     * Output: (idCol, relCol, mmr, rank). */
+  /** The MMR blend on a DECIMAL-EXACT grid: rel and max-sim are
+    * round-6 doubles (exact nominal 6-decimal values within 1 ulp), so
+    * casting to DECIMAL(18,6) recovers the nominals exactly; λ and
+    * (1−λ) are scale-6 decimal literals (their sum is exactly 1); the
+    * products/difference are exact decimal arithmetic and the terminal
+    * round(·, 6) is HALF_UP — which DuckDB's decimal round replays
+    * bit-for-bit (half away from zero on positives AND negatives).
+    * A double-arithmetic blend lands on exact decimal halves (λ·rel
+    * has 7 decimals ending in 5 whenever rel's last digit is 5) where
+    * the two engines' double rounding DISAGREES — measured on
+    * llm_mmr_join's fixture (0.2600395 → 0.26004 vs 0.260039). */
+  private def mmrScore(rel: Column, maxSim: Option[Column],
+                       lam: Double): Column = {
+    val lamD = BigDecimal(lam).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val l = lit(lamD)
+    val m = lit(BigDecimal(1).setScale(6) - lamD)
+    val relD = rel.cast(DecimalType(18, 6))
+    val base = maxSim match {
+      case None => l * relD
+      case Some(ms) => l * relD - m * ms.cast(DecimalType(18, 6))
+    }
+    round(base, 6).cast("double")
+  }
+
   def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
                 relCol: String, k: Int, lam: Double = 0.7,
                 maxCandidates: Int = 10000): DataFrame = {
@@ -376,17 +400,22 @@ object Similarity {
     require(cand.limit(maxCandidates + 1).count() <= maxCandidates,
       s"mmrSelect: more than $maxCandidates candidates — MMR is a " +
         "post-serve re-ranker over a bounded top-N, not a corpus scan")
-    val lamC = lit(lam)
-    val oneMinusLam = lit(1.0 - lam)
     val selVecs = scala.collection.mutable.Buffer.empty[Seq[Double]]
     val picked = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
     var remaining = cand
     for (r <- 1 to k) {
+      // each cosine term quantizes (round 6) BEFORE the max/blend —
+      // the repo-wide shared-grid convention — and the blend itself is
+      // DECIMAL-exact ([[mmrScore]]): λ·rel lands on an exact decimal
+      // half whenever rel's 6th digit is 5 (0.7·0.371485 = 0.2600395),
+      // where Spark (shortest-decimal HALF_UP) and DuckDB (binary
+      // round) disagree on doubles — decimal operands round
+      // identically on both engines
       val score =
-        if (selVecs.isEmpty) round(lamC * col(relCol), 6)
-        else round(lamC * col(relCol) - oneMinusLam *
-          selVecs.map(v => cosine(col("__v"), typedLit(v)))
-            .reduceLeft(greatest(_, _)), 6)
+        if (selVecs.isEmpty) mmrScore(col(relCol), None, lam)
+        else mmrScore(col(relCol),
+          Some(selVecs.map(v => round(cosine(col("__v"), typedLit(v)), 6))
+            .reduceLeft(greatest(_, _))), lam)
       val top = remaining
         .select(col(idCol), col("__v"), col(relCol), score.as("mmr"))
         .orderBy(col("mmr").desc, col(idCol).asc)
@@ -408,6 +437,72 @@ object Similarity {
         org.apache.spark.sql.types.IntegerType, nullable = false)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(picked.toSeq, 1), schema)
+  }
+
+  /** Per-QUERY [[mmrSelect]] — the BATCH diversified re-ranker (the
+    * [[knnJoin]] / `rrfFuseBy` symmetry): `candidates` carries
+    * (`byCol`, `idCol`, vec, rel) — each query's bounded post-serve
+    * list — and the greedy runs WITHIN every `byCol` group. Unlike the
+    * single-query form (k driver rounds of 1-row collects — Q·k driver
+    * round-trips at batch scale), this keeps the per-round state in
+    * DataFrames: round r joins the remaining candidates to each
+    * query's ≤ r−1 selected rows, takes the per-(query, candidate)
+    * max of the round-6-quantized cosines (the shared-grid
+    * convention), and a `byCol`-partitioned window picks each query's
+    * argmax — k Spark rounds TOTAL, independent of |Q|, no cross-query
+    * coupling anywhere (every join/window is `byCol`-keyed).
+    *
+    * Per-query candidate lists above `maxPerQuery` refuse loudly (the
+    * mmrSelect bounded-input contract, per group). Lineage truncates
+    * per round (non-eager localCheckpoint — the Graph round pattern).
+    * `(1−λ)` is the same single IEEE subtraction. A query with fewer
+    * than `k` candidates just stops early (no NULL padding).
+    * Output: (byCol, idCol, relCol, mmr, rank). */
+  def mmrSelectBy(candidates: DataFrame, byCol: String, idCol: String,
+                  vecCol: String, relCol: String, k: Int,
+                  lam: Double = 0.7, maxPerQuery: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lam >= 0.0 && lam <= 1.0, s"lambda must be in [0,1], got $lam")
+    val cand = candidates.select(col(byCol), col(idCol),
+        col(vecCol).cast("array<double>").as("__v"), col(relCol))
+      .localCheckpoint(false)
+    val over = cand.groupBy(col(byCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPerQuery).limit(1).collect()
+    require(over.isEmpty,
+      s"mmrSelectBy: group ${over.headOption.map(_.get(0)).orNull} has > " +
+        s"$maxPerQuery candidates — batch MMR re-ranks bounded post-serve " +
+        "lists, not corpus scans")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(byCol))
+      .orderBy(col("mmr").desc, col(idCol).asc)
+    var selected: DataFrame = null
+    var remaining = cand
+    var r = 1
+    while (r <= k) {
+      val scored =
+        if (selected == null)
+          remaining.select(col(byCol), col(idCol), col("__v"), col(relCol),
+            mmrScore(col(relCol), None, lam).as("mmr"))
+        else {
+          val sel = selected.select(col(byCol), col("__v").as("__sv"))
+          remaining.join(sel, Seq(byCol))
+            .groupBy(col(byCol), col(idCol))
+            .agg(first(col("__v")).as("__v"), first(col(relCol)).as(relCol),
+              max(round(cosine(col("__v"), col("__sv")), 6)).as("__ms"))
+            .select(col(byCol), col(idCol), col("__v"), col(relCol),
+              mmrScore(col(relCol), Some(col("__ms")), lam).as("mmr"))
+        }
+      val pick = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("rank", lit(r))
+        .localCheckpoint(false)
+      selected = if (selected == null) pick
+        else selected.unionByName(pick).localCheckpoint(false)
+      remaining = remaining.join(pick.select(col(byCol), col(idCol)),
+        Seq(byCol, idCol), "left_anti").localCheckpoint(false)
+      r += 1
+    }
+    selected.select(col(byCol), col(idCol), col(relCol), col("mmr"),
+      col("rank"))
   }
 
   /** Exact top-k by cosine against the embedding of `queryId`.

@@ -19,6 +19,29 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** BPE PRE-TOKENIZATION pattern — the Sennrich-style class split
+    * every real tokenizer runs before the merge loop (GPT-2's regex is
+    * the same idea with lookahead; this form is lookaround-free so
+    * RE2 — and therefore the DuckDB oracle — replays it verbatim):
+    * letter runs, digit runs, and runs of everything else (except
+    * whitespace) are separate pre-tokens, so `word.` and `word` share
+    * the stem symbol and punctuation never glues onto words. Without
+    * it the learned vocabulary systematically inflates (`word.`,
+    * `word,`, `word"` all train as unrelated symbols). */
+  val pretokPattern: String = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"
+
+  /** Pre-tokenized words under [[pretokPattern]] — the `preTokenize`
+    * form of [[tokens]] for the BPE train/apply family. Never emits
+    * empty or whitespace-bearing tokens (the classes exclude `\s`). */
+  def pretokens(text: Column): Column =
+    regexp_extract_all(text, lit(pretokPattern), lit(0))
+
+  /** Word extraction for the BPE family: whitespace split (the
+    * round-11 default, bit-stable for existing gates) or the
+    * [[pretokPattern]] class split. */
+  private def bpeWords(text: Column, preTokenize: Boolean): Column =
+    if (preTokenize) pretokens(text) else tokens(text)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -55,11 +78,12 @@ object TextAnalysis {
   }
 
   def bpeCount(df: DataFrame, idCol: String, textCol: String,
-               merges: DataFrame): DataFrame = {
+               merges: DataFrame, preTokenize: Boolean = false): DataFrame = {
     val m = collectMerges(merges, "bpeCount")
     df.select(col(idCol),
       org.apache.spark.sql.GraftBridge.column(graft.functions.BpeCount(
-        org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol))),
+        org.apache.spark.sql.GraftBridge.expression(
+          bpeWords(col(textCol), preTokenize)),
         m.map(_._2).toIndexedSeq, m.map(_._3).toIndexedSeq)).as("bpe_cnt"))
   }
 
@@ -68,13 +92,15 @@ object TextAnalysis {
     * token-count column ([[Sampling.tokenBudget]]'s `tokenCounter`
     * hook): collect the stored merge table once (vocabulary-scale, the
     * serve-time boundary), return `text → bpe token count`. */
-  def bpeCounter(merges: DataFrame): Column => Column = {
+  def bpeCounter(merges: DataFrame,
+                 preTokenize: Boolean = false): Column => Column = {
     val m = collectMerges(merges, "bpeCounter")
     val lefts = m.map(_._2).toIndexedSeq
     val rights = m.map(_._3).toIndexedSeq
     (text: Column) =>
       org.apache.spark.sql.GraftBridge.column(graft.functions.BpeCount(
-        org.apache.spark.sql.GraftBridge.expression(tokens(text)),
+        org.apache.spark.sql.GraftBridge.expression(
+          bpeWords(text, preTokenize)),
         lefts, rights))
   }
 
@@ -91,12 +117,13 @@ object TextAnalysis {
     * / [[chunk]] / [[packOffsets]] consumers can budget in LEARNED
     * tokens instead of whitespace ones. */
   def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
-                  merges: DataFrame): DataFrame = {
+                  merges: DataFrame, preTokenize: Boolean = false): DataFrame = {
     val m = collectMerges(merges, "bpeTokenize")
     df.select(col(idCol),
         posexplode(org.apache.spark.sql.GraftBridge.column(
           graft.functions.BpeTokens(
-            org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol))),
+            org.apache.spark.sql.GraftBridge.expression(
+              bpeWords(col(textCol), preTokenize)),
             m.map(_._2).toIndexedSeq, m.map(_._3).toIndexedSeq))))
       .select(col(idCol), (col("pos") + 1).cast("int").as("pos"),
         col("col.token").as("token"), col("col.token_id").as("token_id"))
@@ -125,10 +152,11 @@ object TextAnalysis {
     * than `nMerges` distinct pairs ⇒ the table ends early (every
     * remaining word is a single symbol), never an error. */
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
-               nMerges: Int, reuse: Reuse = Reuse.Local): DataFrame = {
+               nMerges: Int, reuse: Reuse = Reuse.Local,
+               preTokenize: Boolean = false): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = df.sparkSession
-    val wf = df.select(explode(tokens(col(textCol))).as("w"))
+    val wf = df.select(explode(bpeWords(col(textCol), preTokenize)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     var words = reuse(wf.select(
@@ -182,12 +210,12 @@ object TextAnalysis {
     * left-to-right loop the distributed `replace` projection and the
     * serve expressions run. */
   def bpeTrainLocal(df: DataFrame, idCol: String, textCol: String,
-                    nMerges: Int): DataFrame = {
+                    nMerges: Int, preTokenize: Boolean = false): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = df.sparkSession
     // the only corpus-scale work: one distributed word-frequency pass
     val vocab: Array[(scala.collection.mutable.ArrayBuffer[String], Long)] =
-      df.select(explode(tokens(col(textCol))).as("w"))
+      df.select(explode(bpeWords(col(textCol), preTokenize)).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .collect()
@@ -938,12 +966,18 @@ object TextAnalysis {
     require(termSet.length <= maxTerms,
       s"bm25Join: query batch references > $maxTerms distinct terms — " +
         "split the batch (the driver-literal pushdown is bounded by design)")
-    if (termSet.isEmpty)
+    if (termSet.isEmpty) {
+      // empty-batch early exit: id types must come from the INPUTS, not
+      // a hardcoded long — a string-keyed caller unioning this frame
+      // downstream would otherwise fail analysis on this path only
+      val qIdType = queries.schema(queryIdCol).dataType
+      val dIdType = postings.schema(idCol).dataType
       return queries.sparkSession.emptyDataFrame
-        .select(lit(null).cast("long").as(queryIdCol),
-          lit(null).cast("long").as(idCol),
+        .select(lit(null).cast(qIdType).as(queryIdCol),
+          lit(null).cast(dIdType).as(idCol),
           lit(null).cast("double").as("bm25"), lit(null).cast("int").as("rank"))
         .limit(0)
+    }
     val stats = docLens.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_toks"))
     val tf = postings.filter(col("term").isin(termSet.toIndexedSeq: _*))
@@ -984,8 +1018,10 @@ object TextAnalysis {
     * `0.0` (coalesce), which is additive-identity-exact.
     *
     * Input contract: each list ranks an id AT MOST ONCE (any top-k
-    * serve's output does) — a duplicated id would fan out through the
-    * outer join and double-count.
+    * serve's output does). Enforced defensively: a min(rank)
+    * pre-aggregate per list collapses a violating duplicate to its
+    * best rank instead of fanning out through the outer join and
+    * double-counting — identity on contract-honoring inputs.
     *
     * Scale shape: inputs are top-k lists — bounded frames (the k of the
     * upstream serves, not corpus-scale), so the full-outer chain
@@ -1004,8 +1040,14 @@ object TextAnalysis {
           l.columns.sorted.mkString(","))
     }
     val prepped = lists.zipWithIndex.map { case (l, i) =>
-      l.select(col(idCol),
-        (lit(1.0) / (lit(kRrf) + col("rank")).cast("double")).as(s"__c$i"))
+      // defensive min(rank) pre-aggregate: the contract says each list
+      // ranks an id at most once, but a violating input would FAN OUT
+      // through the full-outer chain and silently double-count — the
+      // k-row aggregate is identity on contract-honoring inputs and
+      // keeps the declared-order addition below intact
+      l.groupBy(col(idCol)).agg(min(col("rank")).as("__r"))
+        .select(col(idCol),
+          (lit(1.0) / (lit(kRrf) + col("__r")).cast("double")).as(s"__c$i"))
     }
     val joined = prepped.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
     joined
@@ -1036,8 +1078,10 @@ object TextAnalysis {
           s"got ${l.columns.sorted.mkString(",")}")
     }
     val prepped = lists.zipWithIndex.map { case (l, i) =>
-      l.select(col(byCol), col(idCol),
-        (lit(1.0) / (lit(kRrf) + col("rank")).cast("double")).as(s"__c$i"))
+      // same defensive min(rank) pre-aggregate as [[rrfFuse]], per (by, id)
+      l.groupBy(col(byCol), col(idCol)).agg(min(col("rank")).as("__r"))
+        .select(col(byCol), col(idCol),
+          (lit(1.0) / (lit(kRrf) + col("__r")).cast("double")).as(s"__c$i"))
     }
     val joined = prepped.reduce((a, b) =>
       a.join(b, Seq(byCol, idCol), "full_outer"))
@@ -1141,16 +1185,25 @@ object TextAnalysis {
     * downstream is |Q|-row. Output ordered by query. */
   def retrievalEvalReport(run: DataFrame, relevance: DataFrame,
                           queryCol: String, idCol: String,
-                          k: Int): DataFrame = {
+                          k: Int, gainCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     Seq(queryCol, idCol, "rank").foreach(c =>
       require(run.columns.contains(c),
         s"retrievalEvalReport: run must carry `$c`, got " +
           run.columns.sorted.mkString(",")))
-    Seq(queryCol, idCol).foreach(c =>
+    (Seq(queryCol, idCol) ++ gainCol).foreach(c =>
       require(relevance.columns.contains(c),
         s"retrievalEvalReport: relevance must carry `$c`, got " +
           relevance.columns.sorted.mkString(",")))
+    gainCol match {
+      case None => retrievalEvalBinary(run, relevance, queryCol, idCol, k)
+      case Some(g) => retrievalEvalGraded(run, relevance, queryCol, idCol, k, g)
+    }
+  }
+
+  private def retrievalEvalBinary(run: DataFrame, relevance: DataFrame,
+                                  queryCol: String, idCol: String,
+                                  k: Int): DataFrame = {
     val rel = relevance.select(col(queryCol), col(idCol)).distinct()
     val nRel = rel.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
     val hitRows = run.filter(col("rank") <= k)
@@ -1184,6 +1237,61 @@ object TextAnalysis {
             foldDcg(sequence(lit(1),
               least(col("n_rel"), lit(k.toLong)).cast("int"))), 4))
           .as("ndcg"))
+      .orderBy(col(queryCol))
+  }
+
+  /** GRADED-relevance form (the standard 2^rel − 1 DCG gain — Järvelin
+    * & Kekäläinen '02, what real judgment sets carry): `gainCol` rows
+    * with gain > 0 are the relevant set (hits/recall/rr unchanged in
+    * meaning); DCG weights each hit by `2^gain − 1` in ascending-rank
+    * fold order, and the ideal DCG folds the query's gains sorted
+    * DESCENDING over positions 1..min(n_rel, k) — the term sequence is
+    * a unique multiset ordering, so both engines fold identical
+    * operands. A duplicated (query, id) judgment collapses to max
+    * gain. Small integer grades stay exact in double (2^g − 1). */
+  private def retrievalEvalGraded(run: DataFrame, relevance: DataFrame,
+                                  queryCol: String, idCol: String,
+                                  k: Int, gainCol: String): DataFrame = {
+    val rel = relevance.filter(col(gainCol) > 0)
+      .groupBy(col(queryCol), col(idCol))
+      .agg(max(col(gainCol)).cast("double").as("__g"))
+    val nRel = rel.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val hitRows = run.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank"))
+      .join(rel, Seq(queryCol, idCol))
+    // struct sort orders by rank (first field) — the ascending fold
+    val perQ = hitRows.groupBy(col(queryCol)).agg(
+      count(lit(1)).as("__hits"),
+      min(col("rank")).as("__first"),
+      sort_array(collect_list(struct(col("rank").cast("int").as("r"),
+        col("__g").as("g")))).as("__hg"))
+    val ideal = rel.groupBy(col(queryCol))
+      .agg(sort_array(collect_list(col("__g")), asc = false).as("__gs"))
+    def gainOf(g: Column): Column = pow(lit(2.0), g) - lit(1.0)
+    val dcg = aggregate(col("__hg"), lit(0.0),
+      (acc, e) => acc + gainOf(e.getField("g")) /
+        log2(e.getField("r").cast("double") + lit(1.0)))
+    val idcg = aggregate(
+      transform(slice(col("__gs"), 1, k), (g, i) =>
+        gainOf(g) / log2(i.cast("double") + lit(2.0))),
+      lit(0.0), (acc, x) => acc + x)
+    run.select(col(queryCol)).distinct()
+      .join(nRel, Seq(queryCol), "left")
+      .join(perQ, Seq(queryCol), "left")
+      .join(ideal, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / lit(k), 6)
+          .as("precision_k"),
+        when(col("n_rel") > 0,
+          round(coalesce(col("__hits"), lit(0L)).cast("double") /
+            col("n_rel").cast("double"), 6)).as("recall_k"),
+        when(col("__first").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("__first").cast("double"), 6))
+          .as("rr"),
+        when(col("n_rel") > 0,
+          round(coalesce(dcg, lit(0.0)) / idcg, 4)).as("ndcg"))
       .orderBy(col(queryCol))
   }
 
@@ -1248,12 +1356,14 @@ object TextAnalysis {
     * only unpartitioned window runs over the topK-bounded rows (the
     * [[vocabReport]] convention). */
   def bpeVocabReport(df: DataFrame, idCol: String, textCol: String,
-                     merges: DataFrame, topK: Int = 50): DataFrame = {
+                     merges: DataFrame, topK: Int = 50,
+                     preTokenize: Boolean = false): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val m = collectMerges(merges, "bpeVocabReport")
     val tk = df.select(col(idCol),
         explode(org.apache.spark.sql.GraftBridge.column(graft.functions.BpeTokens(
-          org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol))),
+          org.apache.spark.sql.GraftBridge.expression(
+            bpeWords(col(textCol), preTokenize)),
           m.map(_._2).toIndexedSeq, m.map(_._3).toIndexedSeq))).as("tk"))
       .select(col(idCol), col("tk.token").as("token"),
         col("tk.token_id").as("token_id"))

@@ -505,6 +505,56 @@ object EngineQueries {
                  FROM graft_retrieval_eval('reval_run', 'reval_rel',
                                            'query_id', 'doc_id', 10)""")
     }),
+    "e_sql_retrieval_eval_graded" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // graded eval from SQL: the gain column rides the relevance view
+      // (equi-join via the exploded adjacent-label key list — no range
+      // BNLJ), the TVF takes the optional gain_col tail
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW revalg_qvecs AS
+                 SELECT vec_id AS query_id, embedding, label
+                 FROM embeddings WHERE vec_id IN (1, 2, 3)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW revalg_q AS
+                 SELECT query_id, embedding FROM revalg_qvecs""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW revalg_run AS
+                 SELECT query_id, neighbor_id AS doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                 FROM graft_knn_join('revalg_q', 'embeddings', 'query_id',
+                                     'vec_id', 'embedding', 'embedding',
+                                     10, 1)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW revalg_rel AS
+                 SELECT q.query_id, e.vec_id AS doc_id,
+                        CASE WHEN e.label = q.ql THEN 2 ELSE 1 END AS rel
+                 FROM (SELECT query_id, label AS ql,
+                              explode(array(label - 1, label, label + 1)) AS jl
+                       FROM revalg_qvecs) q
+                 JOIN embeddings e
+                   ON e.label = q.jl AND e.vec_id <> q.query_id""")
+      e.query("""SELECT query_id, n_rel, hits, precision_k, recall_k,
+                        rr, ndcg
+                 FROM graft_retrieval_eval('revalg_run', 'revalg_rel',
+                                           'query_id', 'doc_id', 10, 'rel')""")
+    }),
+    "e_sql_mmr_join" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // batch MMR from SQL: per-query candidates from the knn TVF,
+      // vectors joined back, the deferred batch-MMR TVF on top
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW mmrj_q AS
+                 SELECT vec_id AS query_id, embedding
+                 FROM embeddings WHERE vec_id IN (1, 2, 3)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW mmrj_cand AS
+                 SELECT k.query_id, k.neighbor_id AS doc_id,
+                        e.embedding, k.cos_sim
+                 FROM graft_knn_join('mmrj_q', 'embeddings', 'query_id',
+                                     'vec_id', 'embedding', 'embedding',
+                                     20, 1) k
+                 JOIN embeddings e ON e.vec_id = k.neighbor_id""")
+      e.query("""SELECT query_id, doc_id, cos_sim, mmr, rank
+                 FROM graft_mmr_join('mmrj_cand', 'query_id', 'doc_id',
+                                     'embedding', 'cos_sim', 3, 0.7)""")
+    }),
     "e_sql_corpus_kl" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1087,6 +1137,14 @@ object EngineQueries {
       e.query("""SELECT rank, left, right
                  FROM graft_bpe_train('documents', 'doc_id', 'text', 8)""")
     }),
+    "e_sql_bpe_pretok" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // pre-tokenized training from SQL: the optional 'pretok' tail
+      // selects the class split before the merge loop
+      e.query("""SELECT rank, left, right
+                 FROM graft_bpe_train('documents', 'doc_id', 'text', 8, 'pretok')""")
+    }),
     "e_sql_bpe_roundtrip" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -1524,6 +1582,47 @@ object EngineQueries {
                  FROM graft_ann_stored('cmp_ann_codes_v2', 'cmp_ann_cells',
                                        'cmp_ann_cbs', 'embeddings',
                                        'vec_id', 'embedding', 0, 10, 2)""")
+    }),
+    "e_sql_bm25_compact" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{broadcast, max}
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // BM25 store compaction from SQL — the e_sql_ann_compact
+      // convention: store prep in Scala (same two-generation fixture
+      // as llm_bm25_compact), then tombstone view → TWO
+      // graft_store_compact rewrites (postings + doclens — the generic
+      // TVF serves any id-keyed store) → unchanged stored serving over
+      // the compacted views. Same fixture ⇒ the delete oracle gates it
+      val out = "target/gate_sink/bm25_index_compact_sql"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ta = graft.operators.TextAnalysis
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      val b = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      val ia = graft.operators.Reuse.Local(ta.bm25Index(a, "doc_id", "text"))
+      ia.write.mode("overwrite").parquet(s"$out/postings")
+      ta.bm25DocLens(ia, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val ib = graft.operators.Reuse.Local(ta.bm25Index(b, "doc_id", "text"))
+      ib.write.mode("append").parquet(s"$out/postings")
+      ta.bm25DocLens(ib, "doc_id")
+        .write.mode("append").parquet(s"$out/doclens")
+      s.read.parquet(s"$out/postings").createOrReplaceTempView("bm25c_post")
+      s.read.parquet(s"$out/doclens").createOrReplaceTempView("bm25c_dl")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bm25c_tomb AS
+                 SELECT doc_id FROM documents WHERE doc_id % 7 = 0""")
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW bm25c_post_v2 AS
+                 SELECT * FROM graft_store_compact('bm25c_post', 'doc_id',
+                   'bm25c_tomb', '$out/postings_v2', '', 1)""")
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW bm25c_dl_v2 AS
+                 SELECT * FROM graft_store_compact('bm25c_dl', 'doc_id',
+                   'bm25c_tomb', '$out/doclens_v2', '', 1)""")
+      e.query("""SELECT doc_id, bm25
+                 FROM graft_bm25_stored('bm25c_post_v2', 'bm25c_dl_v2',
+                                        'doc_id', 'hash,join,vector', 25)""")
     }),
     "e_sql_knn_join" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -2262,6 +2361,7 @@ object EngineQueries {
     "e_sql_fp_append" -> LlmQueries.oracle("llm_exact_incr"),
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
     "e_sql_ann_compact" -> LlmQueries.oracle("llm_ann_index_compact"),
+    "e_sql_bm25_compact" -> LlmQueries.oracle("llm_bm25_compact"),
     "e_sql_ann_recall" -> LlmQueries.oracle("llm_ann_recall"),
     "e_sql_ann_sq_stored" -> LlmQueries.oracle("llm_ann_sq_stored"),
     "e_sql_ann_sq_append" -> LlmQueries.oracle("llm_ann_sq_append"),
@@ -2270,6 +2370,9 @@ object EngineQueries {
     "e_sql_ann_sq" -> LlmQueries.oracle("llm_ann_sq"),
     "e_sql_ann_ivf_sq" -> LlmQueries.oracle("llm_ann_ivf_sq"),
     "e_sql_bpe_train" -> LlmQueries.oracle("llm_bpe_train"),
+    "e_sql_bpe_pretok" -> LlmQueries.oracle("llm_bpe_pretok"),
+    "e_sql_retrieval_eval_graded" -> LlmQueries.oracle("llm_retrieval_eval_graded"),
+    "e_sql_mmr_join" -> LlmQueries.oracle("llm_mmr_join"),
     "e_sql_bpe_roundtrip" -> LlmQueries.oracle("llm_bpe_roundtrip"),
     "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),
     "e_sql_pipeline9" -> LlmQueries.oracle("llm_pipeline9"),

@@ -113,7 +113,15 @@ object LlmQueries {
     * applying it via `replace` (left-to-right non-overlapping — the
     * bpe_count oracle's established equivalence). Ends in
     * `mAll(rank, l, r)` — the learned merge table. */
-  private def bpeTrainCtes(nMerges: Int): String = {
+  /** The RE2-safe pre-tokenization split as a DuckDB word-extraction
+    * expression — replays [[graft.operators.TextAnalysis.pretokPattern]]
+    * verbatim (letter runs / digit runs / non-space-other runs; no
+    * lookaround, so RE2 and Java agree). */
+  private val pretokWordsSql =
+    "regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')"
+
+  private def bpeTrainCtes(nMerges: Int,
+      wordsSql: String = "string_split_regex(text, '\\s+')"): String = {
     val stages = (0 until nMerges).map { i =>
       s"""p$i AS (SELECT p.l AS l, p.r AS r, sum(cnt) AS c FROM (
               SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -130,7 +138,7 @@ object LlmQueries {
       .map(i => s"SELECT CAST($i AS INTEGER) AS rank, l, r FROM b$i")
       .mkString("\n                    UNION ALL ")
     s"""wf AS (SELECT word, count(*) AS cnt FROM (
-            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            SELECT unnest($wordsSql) AS word
             FROM documents) q
           WHERE length(word) > 0 GROUP BY word),
         w0 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ')
@@ -1247,6 +1255,28 @@ object LlmQueries {
       Similarity.mmrSelect(cand, "vec_id", "embedding", "cos_sim",
         k = 5, lam = 0.7)
     }),
+    "llm_mmr_join" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // BATCH diversified re-ranking — the pipeline12 serving chain at
+      // query-batch scale (the knnJoin/rrfFuseBy symmetry): each of
+      // queries 1..3's exact top-20 re-ranked by per-query MMR at
+      // λ=0.7, three picks each, in k SHARED Spark rounds (no
+      // per-query driver loop, no cross-query coupling — every
+      // join/window is query-keyed). Oracle: the three rounds unrolled
+      // per query with query-partitioned argmax windows.
+      val emb = Tables.load(s, d, "embeddings")
+      val qvecs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+        .select($"vec_id".as("query_id"), $"embedding")
+      val cand = Similarity.knnJoin(qvecs, emb, "query_id", "vec_id",
+          "embedding", "embedding", k = 20, excludeSelf = true)
+        .join(emb.select($"vec_id".as("neighbor_id"), $"embedding"),
+          Seq("neighbor_id"))
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"embedding",
+          $"cos_sim")
+      Similarity.mmrSelectBy(cand, "query_id", "doc_id", "embedding",
+        "cos_sim", k = 3, lam = 0.7)
+    }),
     "llm_snippet" -> ((s, d) =>
       // search-result snippets: for every doc holding at least one of
       // the retrieval terms, the densest 12-token window starting at a
@@ -1333,6 +1363,77 @@ object LlmQueries {
         .select($"query_id", $"doc_id")
       TextAnalysis.retrievalEvalReport(run, rel, "query_id", "doc_id",
         k = 10)
+    }),
+    "llm_retrieval_eval_graded" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // GRADED-relevance eval (the 2^rel - 1 DCG — what real judgment
+      // sets carry): same run as llm_retrieval_eval; relevance carries
+      // gain 2 for label-match, gain 1 for adjacent labels (|diff| = 1)
+      // — expressed as an EQUI-join via the exploded {l-1, l, l+1} key
+      // list (never a range BNLJ). Binary path untouched (its gate is
+      // the bit-stability pin).
+      val emb = Tables.load(s, d, "embeddings")
+      val qvecs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+        .select($"vec_id".as("query_id"), $"embedding", $"label")
+      val run = Similarity.knnJoin(
+          qvecs.select($"query_id", $"embedding"), emb,
+          "query_id", "vec_id", "embedding", "embedding",
+          k = 10, excludeSelf = true)
+        .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+          .orderBy($"cos_sim".desc, $"neighbor_id".asc)))
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      val ql = qvecs.select($"query_id", $"label".as("__ql"),
+        explode(array($"label" - 1, $"label", $"label" + 1)).as("__jl"))
+      val relG = emb.select($"vec_id".as("doc_id"), $"label")
+        .join(broadcast(ql), $"label" === $"__jl")
+        .filter($"doc_id" =!= $"query_id")
+        .select($"query_id", $"doc_id",
+          when($"label" === $"__ql", 2).otherwise(1).as("rel"))
+      TextAnalysis.retrievalEvalReport(run, relG, "query_id", "doc_id",
+        k = 10, gainCol = Some("rel"))
+    }),
+    "llm_serving_latency" -> ((s, d) => {
+      import s.implicits._
+      // serving-SLO attestation (the ANN-recall precedent): the three
+      // serving surfaces — stored BM25 top-k, stored int8-SQ ANN
+      // top-k, and their RRF hybrid — timed per REQUEST (fresh plan
+      // construction + execution, what a query-per-request fleet pays)
+      // over a handful of repetitions; p50/p95/min/max per surface as
+      // a queryable frame. Wall-clock => rows-only gate by design
+      // (the s3_metrics convention).
+      import org.apache.spark.sql.expressions.Window
+      val out = "target/gate_sink/serving_latency"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val emb = Tables.load(s, d, "embeddings")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      ix.write.mode("overwrite").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ix, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      Similarity.sqEncode(emb, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$out/sq")
+      val qvec = emb.filter($"vec_id" === 0L)
+        .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+        .toIndexedSeq
+      def bmServe() = TextAnalysis.bm25TopKStored(
+        s.read.parquet(s"$out/postings"), s.read.parquet(s"$out/doclens"),
+        "doc_id", queryTerms = Seq("hash", "join", "vector"), k = 10)
+      def annServe() = Similarity.sqTopKStored(
+        s.read.parquet(s"$out/sq"), "vec_id", qvec, k = 10,
+        excludeId = Some(0L))
+      def hybridServe() = {
+        val bm = bmServe().withColumn("rank", row_number().over(
+          Window.orderBy($"bm25".desc, $"doc_id".asc)))
+        val ann = annServe().withColumnRenamed("vec_id", "doc_id")
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"sq_score".desc, $"doc_id".asc)))
+        TextAnalysis.rrfFuse(Seq(bm, ann), "doc_id", k = 10)
+      }
+      graft.operators.ServingLatency.latencyReport(s, Seq(
+        "ann_sq_stored_topk" -> (() => annServe()),
+        "bm25_stored_topk" -> (() => bmServe()),
+        "hybrid_rrf_topk" -> (() => hybridServe())), runs = 5)
     }),
     "llm_boilerplate" -> ((s, d) =>
       // corpus boilerplate report: the 20 highest-document-frequency
@@ -1550,6 +1651,20 @@ object LlmQueries {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text")),
         "doc_id", "text", nMerges = 8)),
+    "llm_bpe_pretok" -> ((s, d) =>
+      // PRE-TOKENIZED training (VERDICT r11 "What's missing" #1): the
+      // Sennrich-style class split (letters / digits / other runs —
+      // TextAnalysis.pretokPattern, lookaround-free so RE2 replays it)
+      // runs BEFORE the merge loop, so `word.` and `word` contribute
+      // the same stem and punctuation never glues onto words. Same
+      // production train engine (bpeTrainLocal) behind the flag;
+      // existing whitespace gates stay bit-stable. Oracle = the 8
+      // unrolled DuckDB rounds over the SAME class split
+      TextAnalysis.bpeTrainLocal(
+        Tables.load(s, d, "documents").select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+        "doc_id", "text", nMerges = 8, preTokenize = true)),
     "llm_bpe_roundtrip" -> ((s, d) => {
       import s.implicits._
       // the tokenizer LIFECYCLE closed: train on the corpus, STORE the
@@ -1691,6 +1806,41 @@ object LlmQueries {
       Multimodal.imageNearDupsBetween(
           Multimodal.asMedia(edited, "doc_id", "text"),
           purged, maxHamming = 3, nBands = 4)
+        .dropDuplicates("id_new", "id_corpus")
+    }),
+    "llm_image_compact" -> ((s, d) => {
+      import s.implicits._
+      // dHash store compaction — the image index's lifecycle closed
+      // (append + delete gates above): the slice written in TWO
+      // generations, the llm_image_delete tombstones (doc_id % 5 == 1)
+      // purged from the FILES via storeCompact, deltas consolidated,
+      // and the edited-clone shard probed against the compacted store.
+      // Same fixture algebra as llm_image_delete => its oracle gates
+      // this: a compact that loses an 8-byte row or resurrects a
+      // purged original hash-mismatches.
+      val out = "target/gate_sink/image_dhash_compact"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val genA = slice.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 150)
+        .select($"doc_id", $"text")
+      val genB = slice.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 150)
+        .select($"doc_id", $"text")
+      Multimodal.dHash(Multimodal.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$out/store")
+      Multimodal.dHash(Multimodal.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(s"$out/store")
+      val tomb = slice.filter($"doc_id" % 5 === 1).select($"doc_id")
+      val compacted = graft.operators.Dedup.storeCompact(
+        s.read.parquet(s"$out/store"), "doc_id", Some(tomb), s"$out/store_v2")
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.imageNearDupsBetween(
+          Multimodal.asMedia(edited, "doc_id", "text"),
+          compacted, maxHamming = 3, nBands = 4)
         .dropDuplicates("id_new", "id_corpus")
     }),
     "llm_image_clusters" -> ((s, d) => {
@@ -2070,6 +2220,37 @@ object LlmQueries {
         .unionAll(tail.select(($"doc_id" + 4000000).as("doc_id"),
           concat($"text", lit(" novel suffix")).as("text")))
       incoming.join(s.read.parquet(out),
+          TextAnalysis.fingerprint($"text") === $"fp", "left_anti")
+        .select($"doc_id")
+    }),
+    "llm_fp_compact" -> ((s, d) => {
+      import s.implicits._
+      // the fingerprint store's maintenance lifecycle closed (append
+      // gate above; delete is the storePurge law): the two-generation
+      // store plus a tombstone fp set is PHYSICALLY rewritten — purged
+      // fingerprints gone from the FILES, the append deltas
+      // consolidated — and the mixed clone/novel shard probed against
+      // the compacted store: clones of forgotten docs ADMIT again,
+      // clones of surviving docs still bounce. A compact that loses an
+      // fp row or resurrects a tombstone hash-mismatches.
+      val out = "target/gate_sink/fingerprint_store_compact"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 150)
+        .select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$out/store")
+      docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 150)
+        .select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
+        .write.mode("append").parquet(s"$out/store")
+      val tomb = docs.filter($"doc_id" % 7 === 0)
+        .select(TextAnalysis.fingerprint($"text").as("fp")).distinct()
+      val compacted = graft.operators.Dedup.storeCompact(
+        s.read.parquet(s"$out/store"), "fp", Some(tomb), s"$out/store_v2")
+      val tail = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
+      val incoming = tail.select(($"doc_id" + 3000000).as("doc_id"), $"text")
+        .unionAll(tail.select(($"doc_id" + 4000000).as("doc_id"),
+          concat($"text", lit(" novel suffix")).as("text")))
+      incoming.join(compacted,
           TextAnalysis.fingerprint($"text") === $"fp", "left_anti")
         .select($"doc_id")
     }),
@@ -3034,6 +3215,7 @@ object LlmQueries {
     // the appended dHash store must probe exactly like the full-slice
     // build — dHash is per-row, the append IS the delta
     "llm_image_append" -> oracleBase("llm_image_incr"),
+    "llm_image_compact" -> oracleBase("llm_image_delete"),
     // physical compaction is invisible to serving: the rewritten store
     // (tombstones dropped from the files, deltas consolidated) must
     // serve exactly like the logical purge view — the delete oracle
@@ -3417,6 +3599,11 @@ object LlmQueries {
     // the learned merge table: 8 unrolled training rounds
     "llm_bpe_train" ->
       s"""WITH ${bpeTrainCtes(8)}
+          SELECT rank, l AS "left", r AS "right" FROM mAll""",
+    // pre-tokenized training: identical unrolled rounds, the word
+    // extraction swapped for the class split (RE2-safe — no lookaround)
+    "llm_bpe_pretok" ->
+      s"""WITH ${bpeTrainCtes(8, pretokWordsSql)}
           SELECT rank, l AS "left", r AS "right" FROM mAll""",
     // train (unrolled rounds) composed with the recursive apply replay:
     // m = the learned table instead of the VALUES fixture
@@ -4028,6 +4215,23 @@ object LlmQueries {
           SELECT doc_id FROM inc
           WHERE md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
                 NOT IN (SELECT fp FROM store)""",
+    // fp store compaction: the incremental probe against the store
+    // MINUS the tombstoned fingerprints (physical purge semantics)
+    "llm_fp_compact" ->
+      """WITH m AS (SELECT max(doc_id) AS m FROM documents),
+          tail AS (SELECT doc_id, text FROM documents, m WHERE doc_id > m.m - 300),
+          inc AS (SELECT doc_id + 3000000 AS doc_id, text FROM tail
+                  UNION ALL
+                  SELECT doc_id + 4000000, text || ' novel suffix' FROM tail),
+          tombfp AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+                     FROM documents WHERE doc_id % 7 = 0),
+          store AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+                    FROM documents),
+          compacted AS (SELECT fp FROM store
+                        WHERE fp NOT IN (SELECT fp FROM tombfp))
+          SELECT doc_id FROM inc
+          WHERE md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                NOT IN (SELECT fp FROM compacted)""",
     "llm_minhash_pairs" ->
       s"""WITH $minhashCtes
           SELECT id_a, id_b, jaccard FROM pairs""",
@@ -5916,39 +6120,39 @@ object LlmQueries {
             ORDER BY rrf DESC, doc_id ASC LIMIT 10),
           cand AS (SELECT f.doc_id AS id, e.v, f.rrf AS rel
                    FROM fused f JOIN e ON e.vec_id = f.doc_id),
-          lam AS (SELECT CAST(0.7 AS DOUBLE) AS l,
-                         CAST(1.0 AS DOUBLE) - 0.7 AS m),
-          s1 AS (SELECT c.id, c.v, round(lam.l * c.rel, 6) AS mmr
+          lam AS (SELECT CAST(0.700000 AS DECIMAL(7,6)) AS l,
+                         CAST(0.300000 AS DECIMAL(7,6)) AS m),
+          s1 AS (SELECT c.id, c.v, CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
                  FROM cand c CROSS JOIN lam
                  ORDER BY mmr DESC, c.id LIMIT 1),
           s2 AS (SELECT c.id, c.v,
-                   round(lam.l * c.rel - lam.m *
-                     list_cosine_similarity(c.v, s1.v), 6) AS mmr
+                   CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(
+                     round(list_cosine_similarity(c.v, s1.v), 6) AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
                  FROM cand c CROSS JOIN lam CROSS JOIN s1
                  WHERE c.id <> s1.id
                  ORDER BY mmr DESC, c.id LIMIT 1),
           s3 AS (SELECT c.id, c.v,
-                   round(lam.l * c.rel - lam.m * greatest(
-                     list_cosine_similarity(c.v, s1.v),
-                     list_cosine_similarity(c.v, s2.v)), 6) AS mmr
+                   CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(greatest(
+                     round(list_cosine_similarity(c.v, s1.v), 6),
+                     round(list_cosine_similarity(c.v, s2.v), 6)) AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
                  FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
                  WHERE c.id NOT IN (s1.id, s2.id)
                  ORDER BY mmr DESC, c.id LIMIT 1),
           s4 AS (SELECT c.id, c.v,
-                   round(lam.l * c.rel - lam.m * greatest(greatest(
-                     list_cosine_similarity(c.v, s1.v),
-                     list_cosine_similarity(c.v, s2.v)),
-                     list_cosine_similarity(c.v, s3.v)), 6) AS mmr
+                   CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(greatest(greatest(
+                     round(list_cosine_similarity(c.v, s1.v), 6),
+                     round(list_cosine_similarity(c.v, s2.v), 6)),
+                     round(list_cosine_similarity(c.v, s3.v), 6)) AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
                  FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
                  CROSS JOIN s3
                  WHERE c.id NOT IN (s1.id, s2.id, s3.id)
                  ORDER BY mmr DESC, c.id LIMIT 1),
           s5 AS (SELECT c.id, c.v,
-                   round(lam.l * c.rel - lam.m * greatest(greatest(greatest(
-                     list_cosine_similarity(c.v, s1.v),
-                     list_cosine_similarity(c.v, s2.v)),
-                     list_cosine_similarity(c.v, s3.v)),
-                     list_cosine_similarity(c.v, s4.v)), 6) AS mmr
+                   CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(greatest(greatest(greatest(
+                     round(list_cosine_similarity(c.v, s1.v), 6),
+                     round(list_cosine_similarity(c.v, s2.v), 6)),
+                     round(list_cosine_similarity(c.v, s3.v), 6)),
+                     round(list_cosine_similarity(c.v, s4.v), 6)) AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
                  FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
                  CROSS JOIN s3 CROSS JOIN s4
                  WHERE c.id NOT IN (s1.id, s2.id, s3.id, s4.id)
@@ -6064,39 +6268,39 @@ object LlmQueries {
                      round(list_cosine_similarity(e.v, q.qv), 6) AS rel
                    FROM e CROSS JOIN q WHERE e.vec_id <> 0
                    ORDER BY rel DESC, e.vec_id LIMIT 50),
-          lam AS (SELECT CAST(0.7 AS DOUBLE) AS l,
-                         CAST(1.0 AS DOUBLE) - 0.7 AS m),
-          s1 AS (SELECT c.id, c.v, c.rel, round(lam.l * c.rel, 6) AS mmr
+          lam AS (SELECT CAST(0.700000 AS DECIMAL(7,6)) AS l,
+                         CAST(0.300000 AS DECIMAL(7,6)) AS m),
+          s1 AS (SELECT c.id, c.v, c.rel, CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
                  FROM cand c CROSS JOIN lam
                  ORDER BY mmr DESC, c.id LIMIT 1),
           s2 AS (SELECT c.id, c.v, c.rel,
-                   round(lam.l * c.rel - lam.m *
-                     list_cosine_similarity(c.v, s1.v), 6) AS mmr
+                   CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(
+                     round(list_cosine_similarity(c.v, s1.v), 6) AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
                  FROM cand c CROSS JOIN lam CROSS JOIN s1
                  WHERE c.id <> s1.id
                  ORDER BY mmr DESC, c.id LIMIT 1),
           s3 AS (SELECT c.id, c.v, c.rel,
-                   round(lam.l * c.rel - lam.m * greatest(
-                     list_cosine_similarity(c.v, s1.v),
-                     list_cosine_similarity(c.v, s2.v)), 6) AS mmr
+                   CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(greatest(
+                     round(list_cosine_similarity(c.v, s1.v), 6),
+                     round(list_cosine_similarity(c.v, s2.v), 6)) AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
                  FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
                  WHERE c.id NOT IN (s1.id, s2.id)
                  ORDER BY mmr DESC, c.id LIMIT 1),
           s4 AS (SELECT c.id, c.v, c.rel,
-                   round(lam.l * c.rel - lam.m * greatest(greatest(
-                     list_cosine_similarity(c.v, s1.v),
-                     list_cosine_similarity(c.v, s2.v)),
-                     list_cosine_similarity(c.v, s3.v)), 6) AS mmr
+                   CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(greatest(greatest(
+                     round(list_cosine_similarity(c.v, s1.v), 6),
+                     round(list_cosine_similarity(c.v, s2.v), 6)),
+                     round(list_cosine_similarity(c.v, s3.v), 6)) AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
                  FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
                  CROSS JOIN s3
                  WHERE c.id NOT IN (s1.id, s2.id, s3.id)
                  ORDER BY mmr DESC, c.id LIMIT 1),
           s5 AS (SELECT c.id, c.v, c.rel,
-                   round(lam.l * c.rel - lam.m * greatest(greatest(greatest(
-                     list_cosine_similarity(c.v, s1.v),
-                     list_cosine_similarity(c.v, s2.v)),
-                     list_cosine_similarity(c.v, s3.v)),
-                     list_cosine_similarity(c.v, s4.v)), 6) AS mmr
+                   CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(greatest(greatest(greatest(
+                     round(list_cosine_similarity(c.v, s1.v), 6),
+                     round(list_cosine_similarity(c.v, s2.v), 6)),
+                     round(list_cosine_similarity(c.v, s3.v), 6)),
+                     round(list_cosine_similarity(c.v, s4.v), 6)) AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
                  FROM cand c CROSS JOIN lam CROSS JOIN s1 CROSS JOIN s2
                  CROSS JOIN s3 CROSS JOIN s4
                  WHERE c.id NOT IN (s1.id, s2.id, s3.id, s4.id)
@@ -6106,6 +6310,61 @@ object LlmQueries {
           UNION ALL SELECT id, rel, mmr, 3 FROM s3
           UNION ALL SELECT id, rel, mmr, 4 FROM s4
           UNION ALL SELECT id, rel, mmr, 5 FROM s5""",
+    // batch MMR: three rounds unrolled PER QUERY — query-partitioned
+    // argmax windows, the same quantized score (each cosine round-6
+    // before the max/blend) and id tie-break as the single-query form
+    "llm_mmr_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          qv AS (SELECT vec_id AS query_id, v FROM e
+                 WHERE vec_id IN (1, 2, 3)),
+          ann AS (SELECT qv.query_id, e.vec_id AS id, e.v,
+                    round(list_cosine_similarity(e.v, qv.v), 6) AS rel
+                  FROM e JOIN qv ON e.vec_id <> qv.query_id),
+          cand AS (SELECT query_id, id, v, rel FROM (
+                     SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, id ASC) AS rn FROM ann)
+                   WHERE rn <= 20),
+          lam AS (SELECT CAST(0.700000 AS DECIMAL(7,6)) AS l,
+                         CAST(0.300000 AS DECIMAL(7,6)) AS m),
+          s1 AS (SELECT query_id, id, v, rel, mmr FROM (
+                   SELECT c.query_id, c.id, c.v, c.rel,
+                          CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr,
+                          row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)), 6) AS DOUBLE) DESC, c.id ASC)
+                            AS rn
+                   FROM cand c CROSS JOIN lam) WHERE rn = 1),
+          s2 AS (SELECT query_id, id, v, rel, mmr FROM (
+                   SELECT c.query_id, c.id, c.v, c.rel,
+                          CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(
+                            round(list_cosine_similarity(c.v, s1.v), 6) AS DECIMAL(18,6)), 6) AS DOUBLE)
+                            AS mmr,
+                          row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(
+                              round(list_cosine_similarity(c.v, s1.v), 6) AS DECIMAL(18,6)), 6) AS DOUBLE)
+                              DESC, c.id ASC) AS rn
+                   FROM cand c
+                   JOIN s1 ON s1.query_id = c.query_id AND c.id <> s1.id
+                   CROSS JOIN lam) WHERE rn = 1),
+          s3 AS (SELECT query_id, id, v, rel, mmr FROM (
+                   SELECT c.query_id, c.id, c.v, c.rel,
+                          CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(greatest(
+                            round(list_cosine_similarity(c.v, s1.v), 6),
+                            round(list_cosine_similarity(c.v, s2.v), 6)) AS DECIMAL(18,6)), 6) AS DOUBLE)
+                            AS mmr,
+                          row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(greatest(
+                              round(list_cosine_similarity(c.v, s1.v), 6),
+                              round(list_cosine_similarity(c.v, s2.v), 6)) AS DECIMAL(18,6)), 6) AS DOUBLE)
+                              DESC, c.id ASC) AS rn
+                   FROM cand c
+                   JOIN s1 ON s1.query_id = c.query_id AND c.id <> s1.id
+                   JOIN s2 ON s2.query_id = c.query_id AND c.id <> s2.id
+                   CROSS JOIN lam) WHERE rn = 1)
+          SELECT query_id, id AS doc_id, rel AS cos_sim, mmr, 1 AS rank
+          FROM s1
+          UNION ALL SELECT query_id, id, rel, mmr, 2 FROM s2
+          UNION ALL SELECT query_id, id, rel, mmr, 3 FROM s3""",
     // snippets: the same indexed-lambda hit positions, the same
     // (count, −start) lexicographic argmax, inclusive list slice
     "llm_snippet" ->
@@ -6152,14 +6411,85 @@ object LlmQueries {
           h AS (SELECT t.query_id, t.rank FROM topk t
                 JOIN rel r ON t.query_id = r.query_id
                           AND t.doc_id = r.doc_id),
+          hc AS (SELECT query_id, rank,
+                   sum(CAST(1.0 AS DOUBLE) / log2(rank + 1.0))
+                     OVER (PARTITION BY query_id ORDER BY rank) AS cum
+                 FROM h),
+          -- dcg = the LAST cumulative value (terms positive, so max ==
+          -- the final row's cum, bit-identically): an ordered window
+          -- fold, matching the operator's ascending-rank sequential
+          -- association — an unordered SUM would leave the stated
+          -- determinism contract unenforced on the oracle side
           pq AS (SELECT query_id, count(*) AS hits, min(rank) AS first_rank,
-                   sum(CAST(1.0 AS DOUBLE) / log2(rank + 1.0)) AS dcg
-                 FROM h GROUP BY query_id),
+                   max(cum) AS dcg
+                 FROM hc GROUP BY query_id),
           ser AS (SELECT i, sum(CAST(1.0 AS DOUBLE) / log2(i + 1.0))
                          OVER (ORDER BY i) AS cum
                   FROM generate_series(1, 10) AS g(i)),
           ideal AS (SELECT nr.query_id, s.cum AS idcg
                     FROM nr JOIN ser s ON s.i = least(nr.n_rel, 10)),
+          q AS (SELECT DISTINCT query_id FROM run)
+          SELECT q.query_id,
+                 coalesce(nr.n_rel, 0) AS n_rel,
+                 coalesce(pq.hits, 0) AS hits,
+                 round(CAST(coalesce(pq.hits, 0) AS DOUBLE) / 10, 6)
+                   AS precision_k,
+                 CASE WHEN nr.n_rel > 0 THEN
+                   round(CAST(coalesce(pq.hits, 0) AS DOUBLE) /
+                         CAST(nr.n_rel AS DOUBLE), 6) END AS recall_k,
+                 CASE WHEN pq.first_rank IS NULL THEN 0.0
+                      ELSE round(CAST(1.0 AS DOUBLE) / pq.first_rank, 6)
+                 END AS rr,
+                 CASE WHEN nr.n_rel > 0 THEN
+                   round(coalesce(pq.dcg, 0.0) / ideal.idcg, 4)
+                 END AS ndcg
+          FROM q LEFT JOIN nr ON q.query_id = nr.query_id
+                 LEFT JOIN pq ON q.query_id = pq.query_id
+                 LEFT JOIN ideal ON q.query_id = ideal.query_id
+          ORDER BY q.query_id""",
+    // graded-relevance eval: gain 2 label-match / 1 adjacent label;
+    // DCG = ordered cumulative (2^g - 1)/log2(rank+1) (max == last);
+    // ideal = gains sorted desc over positions 1..10, same ordered fold
+    "llm_retrieval_eval_graded" ->
+      """WITH qv AS (SELECT vec_id AS query_id,
+                            CAST(embedding AS DOUBLE[]) AS v, label
+                     FROM embeddings WHERE vec_id IN (1, 2, 3)),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                FROM embeddings),
+          ann AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                    round(list_cosine_similarity(e.v, qv.v), 6) AS cos_sim
+                  FROM e JOIN qv ON e.vec_id <> qv.query_id),
+          run AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, doc_id ASC) AS rank
+                  FROM ann),
+          topk AS (SELECT * FROM run WHERE rank <= 10),
+          rel AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                    CASE WHEN e.label = qv.label THEN 2 ELSE 1 END AS g
+                  FROM e JOIN qv ON abs(e.label - qv.label) <= 1
+                                AND e.vec_id <> qv.query_id),
+          nr AS (SELECT query_id, count(*) AS n_rel FROM rel
+                 GROUP BY query_id),
+          h AS (SELECT t.query_id, t.rank, r.g FROM topk t
+                JOIN rel r ON t.query_id = r.query_id
+                          AND t.doc_id = r.doc_id),
+          hc AS (SELECT query_id, rank,
+                   sum((pow(CAST(2.0 AS DOUBLE), g) - 1.0) / log2(rank + 1.0))
+                     OVER (PARTITION BY query_id ORDER BY rank) AS cum
+                 FROM h),
+          pq AS (SELECT query_id, count(*) AS hits, min(rank) AS first_rank,
+                   max(cum) AS dcg
+                 FROM hc GROUP BY query_id),
+          ig AS (SELECT query_id, g,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY g DESC) AS i
+                 FROM rel),
+          ic AS (SELECT query_id, i,
+                   sum((pow(CAST(2.0 AS DOUBLE), g) - 1.0) / log2(i + 1.0))
+                     OVER (PARTITION BY query_id ORDER BY i) AS cum
+                 FROM ig WHERE i <= 10),
+          ideal AS (SELECT query_id, max(cum) AS idcg FROM ic
+                    GROUP BY query_id),
           q AS (SELECT DISTINCT query_id FROM run)
           SELECT q.query_id,
                  coalesce(nr.n_rel, 0) AS n_rel,

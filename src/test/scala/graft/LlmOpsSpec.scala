@@ -947,6 +947,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bigram(Reuse.Off) == bigram(Reuse.Local))
   }
 
+  test("Reuse.LocalDeferred: bit-equal to Off, deferred leaf in plan, ZERO jobs before first action") {
+    import spark.implicits._
+    import graft.operators.{Reuse, TextAnalysis}
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // plan construction + analysis + EXPLAIN launch no job — the
+      // SQL-surface contract (an eager Local fires AQE stage
+      // materialization through localCheckpoint's toRdd at analysis)
+      val defd = TextAnalysis.removeRepeatedLines(docs, "doc_id", "text",
+        maxDf = 1, inputReuse = Reuse.LocalDeferred)
+      assert(defd.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.GraftDeferredScan => l
+      }.isDefined, "LocalDeferred must plant a deferred leaf")
+      defd.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Thread.sleep(300)
+      assert(jobs.get == 0,
+        s"LocalDeferred construction/EXPLAIN fired ${jobs.get} job(s)")
+      // and the answer is bit-equal to the untruncated form
+      val got = defd.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val off = TextAnalysis.removeRepeatedLines(docs, "doc_id", "text",
+          maxDf = 1, inputReuse = Reuse.Off).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == off)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("topShinglesByDf counts each doc once and orders deterministically") {
     import spark.implicits._
     import graft.operators.TextAnalysis
@@ -1980,6 +2016,42 @@ class LlmOpsSpec extends AnyFunSuite {
       rows(TextAnalysis.bpeTrain(docs, "doc_id", "text", 8)))
   }
 
+  test("BPE pre-tokenization: word./word share the stem; engines agree; whitespace path unchanged") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // under the whitespace split, `word.` and `word` are unrelated
+    // symbols; the class split peels the punctuation run off first
+    val df = Seq((1L, "word word. word, word word. other.")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrainLocal(df, "doc_id", "text", nMerges = 6,
+      preTokenize = true)
+    // distributed trainer agrees under the same split
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows(m) == rows(TextAnalysis.bpeTrain(df, "doc_id", "text",
+      nMerges = 6, preTokenize = true)))
+    // tokenize under the learned table: every `word` occurrence —
+    // whether it appeared bare, before '.', or before ',' — yields the
+    // SAME stem token with the SAME id, and punctuation stands alone
+    val toks = TextAnalysis.bpeTokenize(df, "doc_id", "text", m,
+        preTokenize = true)
+      .collect().map(r => (r.getString(2), r.getInt(3))).toSeq
+    val wordIds = toks.filter(_._1 == "word").map(_._2).distinct
+    assert(toks.count(_._1 == "word") == 5,
+      s"expected 5 shared 'word' stems, got $toks")
+    assert(wordIds.length == 1, s"stem ids drifted: $wordIds")
+    assert(toks.contains(("." , '.'.toInt)) && toks.contains((",", ','.toInt)),
+      s"punctuation must tokenize standalone: $toks")
+    // and the count surface agrees with the tokenize surface
+    val cnt = TextAnalysis.bpeCount(df, "doc_id", "text", m,
+      preTokenize = true).collect().head.getInt(1)
+    assert(cnt == toks.length)
+    // the default path is bit-stable: preTokenize=false == the
+    // round-11 whitespace behavior
+    val mWs = TextAnalysis.bpeTrainLocal(df, "doc_id", "text", nMerges = 6)
+    assert(rows(mWs) == rows(TextAnalysis.bpeTrain(df, "doc_id", "text", 6)))
+    assert(rows(mWs) != rows(m), "pretok must actually change training here")
+  }
+
   test("BPE count: chained merges, rank order, left-to-right non-overlap, guards") {
     import spark.implicits._
     import graft.operators.TextAnalysis
@@ -2123,6 +2195,23 @@ class LlmOpsSpec extends AnyFunSuite {
         "qtext", k = 5, maxTerms = 2)
     }
     assert(e.getMessage.contains("bm25Join"))
+    // empty-term-set early exit derives id TYPES from the inputs — a
+    // string-keyed caller must get a string-schema empty frame (the
+    // hardcoded-long form failed downstream unions at analysis)
+    val sIdx = idx.select(concat(lit("d"), $"doc_id").as("doc_id"),
+      $"dl", $"term", $"tf")
+    // whitespace-only text → zero tokens → the early-exit path
+    val sQueries = Seq(("qa", "  ")).toDF("query_id", "qtext")
+    val empty = TextAnalysis.bm25Join(sIdx, dls, sQueries,
+      "doc_id", "query_id", "qtext", k = 3)
+    assert(empty.count() == 0)
+    assert(empty.schema("query_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(empty.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // and it unions cleanly against a real string-keyed result shape
+    val shaped = Seq(("qa", "d1", 1.0, 1)).toDF("query_id", "doc_id", "bm25", "rank")
+    assert(shaped.unionByName(empty).count() == 1)
   }
 
   test("rrfFuse: fused scores equal hand-computed reciprocal-rank sums; k cuts; guards refuse") {
@@ -2283,6 +2372,59 @@ class LlmOpsSpec extends AnyFunSuite {
         k = 5, fbDocs = 2, fbTerms = 1, maxCandidates = 1)
     }
     assert(e.getMessage.contains("bm25Prf"))
+  }
+
+  test("servingLatency: one row per surface, min <= p50 <= p95 <= max, row counts carried") {
+    val rep = graft.operators.ServingLatency.latencyReport(spark, Seq(
+      "b_tiny" -> (() => spark.range(5).toDF("id")),
+      "a_tiny" -> (() => spark.range(10).toDF("id"))), runs = 3, warmup = 0)
+    val rows = rep.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a_tiny", "b_tiny"))
+    rows.foreach { r =>
+      assert(r.getDouble(5) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4)
+        && r.getDouble(4) <= r.getDouble(6),
+        s"percentile ordering violated: $r")
+    }
+    assert(rows.map(_.getLong(2)).toSeq == Seq(10L, 5L))
+  }
+
+  test("mmrSelectBy: per-group results equal independent single-query runs (no cross-query coupling); cap refuses per group") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val qvecs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val cand = Similarity.knnJoin(qvecs, emb, "query_id", "vec_id",
+        "embedding", "embedding", k = 15, excludeSelf = true)
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding"),
+        Seq("neighbor_id"))
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"embedding",
+        $"cos_sim")
+      .localCheckpoint(false)
+    val batch = Similarity.mmrSelectBy(cand, "query_id", "doc_id",
+        "embedding", "cos_sim", k = 3, lam = 0.7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        r.getInt(4)))
+      .toSet
+    // each group re-ranked ALONE must reproduce its batch rows exactly
+    // — the semantic no-cross-query-coupling proof
+    val single = (1L to 3L).flatMap { q =>
+      Similarity.mmrSelect(cand.filter($"query_id" === q)
+          .select($"doc_id", $"embedding", $"cos_sim"),
+          "doc_id", "embedding", "cos_sim", k = 3, lam = 0.7)
+        .collect()
+        .map(r => (q, r.getLong(0),
+          BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+          r.getInt(3)))
+    }.toSet
+    assert(batch == single, s"batch $batch vs single $single")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelectBy(cand, "query_id", "doc_id", "embedding",
+        "cos_sim", k = 2, lam = 0.7, maxPerQuery = 5)
+    }
+    assert(e.getMessage.contains("mmrSelectBy"))
   }
 
   test("mmrSelect: a redundant near-duplicate of the first pick loses to a diverse candidate; candidate cap refuses") {

@@ -144,6 +144,18 @@ class PlanSpec extends AnyFunSuite {
       // slice bound)
       "llm_bm25_delete", "e_sql_bm25_delete", "e_sql_bm25_append",
       "st_bm25_append", "llm_bm25_compact",
+      // same broadcast 1-row (N, Σdl) stats + 1-row max-id fixture
+      // bound, served over the two graft_store_compact rewrites
+      "e_sql_bm25_compact",
+      // serving-latency fixture: the BM25 surface carries the same
+      // broadcast 1-row stats; the fixture build adds no join at all
+      "llm_serving_latency",
+      // broadcast 1-row max-doc-id bound building the two appended
+      // generations + the clone/novel probe (the llm_fp_append shape)
+      "llm_fp_compact",
+      // broadcast 1-row max-doc-id bound building the slice/generation
+      // fixture (the llm_image_delete shape); pairing = banded equi-join
+      "llm_image_compact",
       // PRF's round-2 serve is the same broadcast 1-row stats shape
       "llm_bm25_prf", "e_sql_bm25_prf",
       // broadcast 1-row max-doc-id bounds building the two generations
@@ -159,6 +171,13 @@ class PlanSpec extends AnyFunSuite {
       "llm_hybrid_join", "e_sql_hybrid_join",
       // the eval run IS llm_knn_join's broadcast query-batch cross join
       "llm_retrieval_eval", "e_sql_retrieval_eval",
+      // same run leg; the graded relevance itself is an EQUI-join on
+      // the exploded adjacent-label key list
+      "llm_retrieval_eval_graded", "e_sql_retrieval_eval_graded",
+      // batch MMR's candidate stage IS llm_knn_join's broadcast
+      // query-batch cross join; the MMR rounds are by-keyed equi-joins
+      // + by-partitioned windows
+      "llm_mmr_join", "e_sql_mmr_join",
       // pipeline11 composes both hybrid legs (bm25 stats BNLJ + the knn
       // broadcast cross join) over the surviving corpus
       "llm_pipeline11", "e_sql_pipeline11",

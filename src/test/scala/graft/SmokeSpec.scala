@@ -36,7 +36,10 @@ class SmokeSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // oracle-free queries are allowed (driver does rows-only check) but
     // must be deliberate — keep this list in sync when adding them.
-    val allowedOracleFree = Set("s3_metrics", "s4_env")
+    // llm_serving_latency reports wall-clock percentiles — the values
+    // are nondeterministic by nature; schema + per-surface rows are
+    // the checkable facts (rows-only driver check)
+    val allowedOracleFree = Set("s3_metrics", "s4_env", "llm_serving_latency")
     assert(missing == allowedOracleFree, s"queries without oracle: $missing")
   }
 
