@@ -238,6 +238,20 @@ object LlmSql {
       case args => bad(
         "graft_bm25_stored(postings_table, doclens_table, id_col, terms_csv, k)", args)
     }
+    reg(spark, "graft_bm25_pruned") {
+      // bucket-partitioned stored serving: the query terms' bucket
+      // literals are a pure driver function (no data read) — fully
+      // LAZY, and the tbucket IN (...) lands in PartitionFilters
+      case Seq(pT, dT, id, terms, nB, kE) =>
+        val f = "graft_bm25_pruned"
+        TextAnalysis.bm25TopKStoredPruned(table(str(pT, f)),
+          table(str(dT, f)), str(id, f),
+          queryTerms = str(terms, f).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          nBuckets = int(nB, f), k = int(kE, f))
+      case args => bad(
+        "graft_bm25_pruned(postings_table, doclens_table, id_col, terms_csv, n_buckets, k)", args)
+    }
     reg(spark, "graft_bm25_join") {
       // batch retrieval over the stored index: the query-batch term
       // union collects to a driver literal (the probe-cell-union
@@ -321,6 +335,17 @@ object LlmSql {
           k = int(args(4), f), gainCol = gain)
       case args => bad(
         "graft_retrieval_eval(run_table, relevance_table, query_col, id_col, k[, gain_col])", args)
+    }
+    reg(spark, "graft_snippet_join") {
+      // batch snippets: a ranked run view + the docs + the queries —
+      // per-query terms ride as an array column; pure lazy projection
+      case Seq(runT, docsT, qT, qc, idc, tc, qtc, w) =>
+        val f = "graft_snippet_join"
+        TextAnalysis.snippetJoin(table(str(runT, f)), table(str(docsT, f)),
+          table(str(qT, f)), str(qc, f), str(idc, f), str(tc, f),
+          str(qtc, f), window = int(w, f))
+      case args => bad(
+        "graft_snippet_join(run_table, docs_table, queries_table, query_col, doc_id_col, text_col, query_text_col, window)", args)
     }
     reg(spark, "graft_snippet") {
       // search-result snippets: densest query-term window per matching

@@ -904,6 +904,62 @@ object TextAnalysis {
   def bm25DocLens(index: DataFrame, idCol: String): DataFrame =
     index.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
 
+  /** Driver-side replica of [[Dedup.sharedHash60]] for LITERAL terms —
+    * the same first-15-hex-chars-of-md5 value, computable with no data
+    * read (the [[Similarity]] `probeCellsOf` discipline: the serve-time
+    * pruning literal is a pure function of the query). */
+  private def hash60Driver(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** [[bm25Index]] with a TERM-BUCKET partition column — the
+    * cell-partitioned ANN layout brought to the lexical index: postings
+    * carry `tbucket = hash60(term) mod nBuckets`, the caller writes
+    * `partitionBy("tbucket")`, and [[bm25TopKStoredPruned]] computes
+    * the query's bucket literals ON THE DRIVER (a pure term function —
+    * zero data read) so the scan gets STATIC partition pruning: at
+    * 100 TB the serve touches only the probed buckets' FILES, not
+    * every row group's min/max stats. The bucket column is derivable
+    * from `term`, so appends/compaction recompute it for free. */
+  def bm25IndexPartitioned(df: DataFrame, idCol: String, textCol: String,
+                           nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    bm25Index(df, idCol, textCol).withColumn("tbucket",
+      pmod(Dedup.sharedHash60(col("term")), lit(nBuckets.toLong)).cast("int"))
+  }
+
+  /** The query terms' bucket set under the [[bm25IndexPartitioned]]
+    * layout — driver-computed, distinct, sorted (deterministic literal
+    * order in the plan). */
+  def bm25BucketsOf(queryTerms: Seq[String], nBuckets: Int): Seq[Int] = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    queryTerms.map(t => java.lang.Math.floorMod(hash60Driver(t),
+      nBuckets.toLong).toInt).distinct.sorted
+  }
+
+  /** [[bm25TopKStored]] over a bucket-PARTITIONED store: identical
+    * score algebra and answer (every matching posting's term is in the
+    * query set, so its bucket is in the driver-computed bucket set —
+    * the bucket filter removes only non-matching rows), but the
+    * `tbucket IN (...)` literal lands in PartitionFilters: partitions
+    * holding none of the query's buckets are never read (PlanSpec-
+    * pinned). Same oracle as the unpartitioned serve by construction. */
+  def bm25TopKStoredPruned(postings: DataFrame, docLens: DataFrame,
+                           idCol: String, queryTerms: Seq[String],
+                           nBuckets: Int, k: Int = 25,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(postings.columns.contains("tbucket"),
+      "bm25TopKStoredPruned: store lacks `tbucket` — serve the table " +
+        "bm25IndexPartitioned wrote (partitionBy(\"tbucket\"))")
+    val buckets = bm25BucketsOf(queryTerms, nBuckets)
+    bm25TopKStored(
+      postings.filter(col("tbucket").isin(buckets.map(Integer.valueOf): _*)),
+      docLens, idCol, queryTerms, k = k, k1 = k1, b = b)
+  }
+
   /** [[bm25TopK]] served from the STORED index — same score algebra,
     * same oracle (storage drift hash-mismatches): the term filter is a
     * literal `In` pushed into the postings scan, df is a |terms|-row
@@ -1153,6 +1209,51 @@ object TextAnalysis {
           size(filter(col("__idx"), q => q >= p && q < p + window)).as("c"),
           (-p).as("np")))).as("__best"))
       .select(col(idCol),
+        col("__best.c").cast("int").as("hits"),
+        (-col("__best.np")).cast("int").as("start_tok"),
+        array_join(slice(col("__toks"), (-col("__best.np")).cast("int"),
+          lit(window)), " ").as("snippet"))
+  }
+
+  /** Per-QUERY [[snippetExtract]] — the batch serving form (the
+    * [[bm25Join]] / `mmrSelectBy` symmetry): `run` is a ranked serve
+    * output (queryCol, docIdCol) — a BOUNDED |Q|·k frame — and each
+    * (query, doc) pair gets the densest `window`-token span of the
+    * doc's text under THAT query's whitespace terms. The per-query
+    * term set rides as an array column through one equi-join chain
+    * (run → docs text → query terms), so the span argmax stays a pure
+    * per-row HOF projection — `array_contains(qterms, t)` replacing
+    * the single-query form's literal `isin`; no explode, no shuffle
+    * beyond the two bounded joins. A pair whose doc holds no term
+    * emits no row (the single-query contract, per pair).
+    * Output: (queryCol, docIdCol, hits, start_tok, snippet). */
+  def snippetJoin(run: DataFrame, docs: DataFrame, queries: DataFrame,
+                  queryCol: String, docIdCol: String, textCol: String,
+                  queryTextCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    Seq(queryCol, docIdCol).foreach(c =>
+      require(run.columns.contains(c),
+        s"snippetJoin: run must carry `$c`, got " +
+          run.columns.sorted.mkString(",")))
+    val qt = queries.select(col(queryCol),
+      array_distinct(filter(tokens(col(queryTextCol)), t => length(t) > 0))
+        .as("__qts"))
+    val paired = run.select(col(queryCol), col(docIdCol))
+      .join(docs.select(col(docIdCol), col(textCol)), Seq(docIdCol))
+      .join(broadcast(qt), Seq(queryCol))
+    val toks = tokens(col(textCol))
+    val idx = filter(
+      transform(toks, (t, i) =>
+        when(array_contains(col("__qts"), t), i + 1).otherwise(lit(-1))),
+      x => x > 0)
+    paired.select(col(queryCol), col(docIdCol), toks.as("__toks"),
+        idx.as("__idx"))
+      .filter(size(col("__idx")) > 0)
+      .select(col(queryCol), col(docIdCol), col("__toks"),
+        array_max(transform(col("__idx"), p => struct(
+          size(filter(col("__idx"), q => q >= p && q < p + window)).as("c"),
+          (-p).as("np")))).as("__best"))
+      .select(col(queryCol), col(docIdCol),
         col("__best.c").cast("int").as("hits"),
         (-col("__best.np")).cast("int").as("start_tok"),
         array_join(slice(col("__toks"), (-col("__best.np")).cast("int"),

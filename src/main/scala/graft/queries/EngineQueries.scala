@@ -1583,6 +1583,95 @@ object EngineQueries {
                                        'cmp_ann_cbs', 'embeddings',
                                        'vec_id', 'embedding', 0, 10, 2)""")
     }),
+    "e_sql_snippet_join" -> ((s, d) => {
+      import s.implicits._
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // batch snippets from SQL: bm25_join run view -> the batch
+      // snippet TVF with per-query terms
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ta = graft.operators.TextAnalysis
+      val ix = graft.operators.Reuse.Local(
+        ta.bm25Index(docs, "doc_id", "text"))
+      ix.createOrReplaceTempView("snj_post")
+      ta.bm25DocLens(ix, "doc_id").createOrReplaceTempView("snj_dl")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW snj_queries AS
+                 SELECT * FROM VALUES (CAST(1 AS BIGINT), 'hash join'),
+                                      (2, 'vector scan slow'),
+                                      (3, 'zzzunknown') AS t(query_id, qtext)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW snj_run AS
+                 SELECT query_id, doc_id
+                 FROM graft_bm25_join('snj_post', 'snj_dl', 'snj_queries',
+                                      'doc_id', 'query_id', 'qtext', 5)""")
+      e.query("""SELECT query_id, doc_id, hits, start_tok, snippet
+                 FROM graft_snippet_join('snj_run', 'documents',
+                                         'snj_queries', 'query_id',
+                                         'doc_id', 'text', 'qtext', 12)""")
+    }),
+    "e_sql_bm25_pruned" -> ((s, d) => {
+      import s.implicits._
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // bucket-partitioned stored serving from SQL: store prep in
+      // Scala (the e_sql_ann convention), the pruned TVF on top
+      val out = "target/gate_sink/bm25_index_pruned_sql"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ta = graft.operators.TextAnalysis
+      val ix = graft.operators.Reuse.Local(
+        ta.bm25IndexPartitioned(docs, "doc_id", "text", nBuckets = 8))
+      ix.write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$out/postings")
+      ta.bm25DocLens(ix, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      s.read.parquet(s"$out/postings").createOrReplaceTempView("bm25p_post")
+      s.read.parquet(s"$out/doclens").createOrReplaceTempView("bm25p_dl")
+      e.query("""SELECT doc_id, bm25
+                 FROM graft_bm25_pruned('bm25p_post', 'bm25p_dl', 'doc_id',
+                                        'hash,join,vector', 8, 25)""")
+    }),
+    "e_sql_pipeline13" -> ((s, d) => {
+      import s.implicits._
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the batch serving chain as pure TVF/view composition: the
+      // bm25_join + knn_join legs ranked per query -> rrf_fuse_by ->
+      // the batch-MMR TVF with rel = rrf
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ta = graft.operators.TextAnalysis
+      val ix = graft.operators.Reuse.Local(
+        ta.bm25Index(docs, "doc_id", "text"))
+      ix.createOrReplaceTempView("p13_post")
+      ta.bm25DocLens(ix, "doc_id").createOrReplaceTempView("p13_dl")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p13_queries AS
+                 SELECT * FROM VALUES (CAST(1 AS BIGINT), 'hash join'),
+                                      (2, 'vector scan slow'),
+                                      (3, 'zzzunknown') AS t(query_id, qtext)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p13_bm AS
+                 SELECT query_id, doc_id, rank
+                 FROM graft_bm25_join('p13_post', 'p13_dl', 'p13_queries',
+                                      'doc_id', 'query_id', 'qtext', 20)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p13_qv AS
+                 SELECT vec_id AS query_id, embedding FROM embeddings
+                 WHERE vec_id IN (1, 2, 3)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p13_ann AS
+                 SELECT query_id, neighbor_id AS doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                 FROM graft_knn_join('p13_qv', 'embeddings', 'query_id',
+                                     'vec_id', 'embedding', 'embedding',
+                                     20, 1)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p13_fused AS
+                 SELECT query_id, doc_id, rrf
+                 FROM graft_rrf_fuse_by('p13_bm,p13_ann', 'query_id',
+                                        'doc_id', 10, 60)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p13_cand AS
+                 SELECT f.query_id, f.doc_id, e.embedding, f.rrf
+                 FROM p13_fused f
+                 JOIN embeddings e ON e.vec_id = f.doc_id""")
+      e.query("""SELECT query_id, doc_id, rrf, mmr, rank
+                 FROM graft_mmr_join('p13_cand', 'query_id', 'doc_id',
+                                     'embedding', 'rrf', 3, 0.7)""")
+    }),
     "e_sql_bm25_compact" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions.{broadcast, max}
@@ -2362,6 +2451,9 @@ object EngineQueries {
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
     "e_sql_ann_compact" -> LlmQueries.oracle("llm_ann_index_compact"),
     "e_sql_bm25_compact" -> LlmQueries.oracle("llm_bm25_compact"),
+    "e_sql_bm25_pruned" -> LlmQueries.oracle("llm_bm25_pruned"),
+    "e_sql_snippet_join" -> LlmQueries.oracle("llm_snippet_join"),
+    "e_sql_pipeline13" -> LlmQueries.oracle("llm_pipeline13"),
     "e_sql_ann_recall" -> LlmQueries.oracle("llm_ann_recall"),
     "e_sql_ann_sq_stored" -> LlmQueries.oracle("llm_ann_sq_stored"),
     "e_sql_ann_sq_append" -> LlmQueries.oracle("llm_ann_sq_append"),

@@ -1128,6 +1128,65 @@ object LlmQueries {
       TextAnalysis.bm25TopKStored(cp, cd, "doc_id",
         queryTerms = Seq("hash", "join", "vector"), k = 25)
     }),
+    "llm_bm25_pruned" -> ((s, d) => {
+      import s.implicits._
+      // the lexical index under the cell-partitioned ANN discipline:
+      // postings written partitionBy(tbucket) (tbucket = hash60(term)
+      // mod 8 — derivable from the term, so maintenance recomputes it
+      // free), serving computes the query's bucket literals ON THE
+      // DRIVER (pure function, zero data read) => STATIC partition
+      // pruning on the postings scan. Identical answer to the
+      // unpartitioned serve by construction — same oracle.
+      val out = "target/gate_sink/bm25_index_pruned"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25IndexPartitioned(docs, "doc_id", "text",
+          nBuckets = 8))
+      ix.write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ix, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      TextAnalysis.bm25TopKStoredPruned(
+        s.read.parquet(s"$out/postings"), s.read.parquet(s"$out/doclens"),
+        "doc_id", queryTerms = Seq("hash", "join", "vector"),
+        nBuckets = 8, k = 25)
+    }),
+    "llm_pipeline13" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // the BATCH SERVING chain — pipeline12 at query-batch scale,
+      // composing this round's batch verbs: per-query lexical top-20
+      // (bm25Join over the stored-index frames) + per-query semantic
+      // top-20 (knnJoin) -> per-query RRF fusion to 10 -> per-query
+      // MMR diversification to 3 (rel = rrf, vectors joined back).
+      // Every stage is query-keyed — no cross-query coupling, no
+      // per-query driver loop. Oracle: the hybrid-join CTE algebra +
+      // three unrolled per-query MMR rounds.
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val emb = Tables.load(s, d, "embeddings")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      val dls = TextAnalysis.bm25DocLens(ix, "doc_id")
+      val queries = Seq((1L, "hash join"), (2L, "vector scan slow"),
+        (3L, "zzzunknown")).toDF("query_id", "qtext")
+      val bmRanked = TextAnalysis.bm25Join(ix, dls, queries,
+          "doc_id", "query_id", "qtext", k = 20)
+        .select($"query_id", $"doc_id", $"rank")
+      val qvecs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+        .select($"vec_id".as("query_id"), $"embedding")
+      val annRanked = Similarity.knnJoin(qvecs, emb, "query_id", "vec_id",
+          "embedding", "embedding", k = 20, excludeSelf = true)
+        .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+          .orderBy($"cos_sim".desc, $"neighbor_id".asc)))
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      val fused = TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
+        "query_id", "doc_id", k = 10)
+      val cand = fused
+        .join(emb.select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+        .select($"query_id", $"doc_id", $"embedding", $"rrf")
+      Similarity.mmrSelectBy(cand, "query_id", "doc_id", "embedding",
+        "rrf", k = 3, lam = 0.7)
+    }),
     "llm_hybrid_rrf" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1240,6 +1299,25 @@ object LlmQueries {
       TextAnalysis.bm25Prf(Tables.load(s, d, "documents"), "doc_id",
         "text", queryTerms = Seq("hash", "join", "vector"), k = 25,
         fbDocs = 10, fbTerms = 5)),
+    "llm_snippet_join" -> ((s, d) => {
+      import s.implicits._
+      // BATCH snippets — the serving form at query-batch scale: the
+      // bm25Join top-5 per query feeds per-(query, doc) snippet
+      // extraction under THAT query's terms (the per-query term set
+      // rides as an array column; the span argmax stays a pure HOF
+      // projection). The no-match query has no run rows; a pair whose
+      // doc lacks every term emits no row.
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      val dls = TextAnalysis.bm25DocLens(ix, "doc_id")
+      val queries = Seq((1L, "hash join"), (2L, "vector scan slow"),
+        (3L, "zzzunknown")).toDF("query_id", "qtext")
+      val run = TextAnalysis.bm25Join(ix, dls, queries,
+        "doc_id", "query_id", "qtext", k = 5)
+      TextAnalysis.snippetJoin(run, docs, queries,
+        "query_id", "doc_id", "text", "qtext", window = 12)
+    }),
     "llm_mmr" -> ((s, d) => {
       import s.implicits._
       // DIVERSIFIED selection after retrieval: the exact top-50 for
@@ -3053,7 +3131,10 @@ object LlmQueries {
     * corpus side) upstream; ends with the final SELECT. Shared by
     * llm_hybrid_join and llm_pipeline11 so the fusion algebra cannot
     * diverge between the standalone and composed forms. */
-  private lazy val hybridJoinTailSql: String =
+  /** The batch-hybrid CTE chain up through `hrk` (per-query fused
+    * ranking) — shared by the hybrid-join oracles and pipeline13's
+    * (which appends the per-query MMR unroll on top). */
+  private lazy val hybridJoinCtesSql: String =
     s"""hq(query_id, qtext) AS (
           SELECT * FROM (VALUES (1, 'hash join'), (2, 'vector scan slow'),
                                 (3, 'zzzunknown'))),
@@ -3106,7 +3187,10 @@ object LlmQueries {
         hrk AS (SELECT query_id, doc_id, rrf,
                   CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
-                FROM hf)
+                FROM hf)"""
+
+  private lazy val hybridJoinTailSql: String =
+    s"""$hybridJoinCtesSql
         SELECT query_id, doc_id, rrf, rank FROM hrk WHERE rank <= 10"""
 
   /** Raw-crawl fixture around every doc (shared by the html-strip gate
@@ -3184,6 +3268,7 @@ object LlmQueries {
 
   def oracle: Map[String, String] = oracleBase ++ Map(
     "llm_bpe_train_local" -> oracleBase("llm_bpe_train"),
+    "llm_bm25_pruned" -> oracleBase("llm_bm25"),
     // the storage round-trips must reproduce the recompute paths
     // exactly — same oracles, so storage drift hash-mismatches
     "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"),
@@ -6310,6 +6395,61 @@ object LlmQueries {
           UNION ALL SELECT id, rel, mmr, 3 FROM s3
           UNION ALL SELECT id, rel, mmr, 4 FROM s4
           UNION ALL SELECT id, rel, mmr, 5 FROM s5""",
+    // batch snippets: the bm25-join top-5 run feeds the per-pair
+    // snippet replay with list_contains over each query's term list
+    "llm_snippet_join" ->
+      """WITH q(query_id, qtext) AS (
+            SELECT * FROM (VALUES (1, 'hash join'), (2, 'vector scan slow'),
+                                  (3, 'zzzunknown'))),
+          qt AS (SELECT DISTINCT query_id, t AS term FROM (
+                   SELECT query_id,
+                          unnest(string_split_regex(qtext, '\s+')) AS t
+                   FROM q) WHERE length(t) > 0),
+          d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM documents),
+          stats AS (SELECT count(*) AS n_docs,
+                           sum(len(toks)) AS total_toks FROM d),
+          tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+          tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+                 WHERE term IN (SELECT DISTINCT term FROM qt)
+                 GROUP BY doc_id, dl, term),
+          dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          sc AS (SELECT qt.query_id, tf.doc_id,
+                   ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+                     (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
+                     (CAST(tf.tf AS DOUBLE) +
+                      1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) /
+                             (CAST(s.total_toks AS DOUBLE) / s.n_docs))) AS c
+                 FROM tf JOIN dfr ON tf.term = dfr.term
+                 JOIN qt ON tf.term = qt.term CROSS JOIN stats s),
+          agg AS (SELECT query_id, doc_id, round(sum(c), 4) AS bm25
+                  FROM sc GROUP BY query_id, doc_id),
+          rk AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY bm25 DESC, doc_id ASC) AS rank
+                 FROM agg),
+          run AS (SELECT query_id, doc_id FROM rk WHERE rank <= 5),
+          qts AS (SELECT query_id, list(DISTINCT term) AS qterms
+                  FROM qt GROUP BY query_id),
+          pair AS (SELECT r.query_id, r.doc_id, d.toks, s.qterms
+                   FROM run r JOIN d ON d.doc_id = r.doc_id
+                   JOIN qts s ON s.query_id = r.query_id),
+          ix AS (SELECT query_id, doc_id, toks,
+                   list_filter(list_transform(toks,
+                     (t, i) -> CASE WHEN list_contains(qterms, t)
+                                    THEN i ELSE -1 END), x -> x > 0) AS idx
+                 FROM pair),
+          hit AS (SELECT query_id, doc_id, toks, idx FROM ix
+                  WHERE len(idx) > 0),
+          best AS (SELECT query_id, doc_id, toks,
+                     list_max(list_transform(idx, p ->
+                       [len(list_filter(idx, q2 -> q2 >= p AND q2 < p + 12)),
+                        -p])) AS b
+                   FROM hit)
+          SELECT query_id, doc_id, CAST(b[1] AS INTEGER) AS hits,
+                 CAST(-b[2] AS INTEGER) AS start_tok,
+                 array_to_string(toks[-b[2] : -b[2] + 11], ' ') AS snippet
+          FROM best""",
     // batch MMR: three rounds unrolled PER QUERY — query-partitioned
     // argmax windows, the same quantized score (each cosine round-6
     // before the max/blend) and id tie-break as the single-query form
@@ -6512,6 +6652,59 @@ object LlmQueries {
     // batch hybrid: both legs ranked per query (the llm_bm25_join qt/tf
     // algebra; exact cosine), full-outer fusion on (query_id, doc_id),
     // a query-partitioned top-k window — never a global sort
+    // pipeline13: the hybrid-join fused top-10 per query feeds three
+    // unrolled per-query MMR rounds (rel = rrf, vectors joined back,
+    // the decimal-grid blend)
+    "llm_pipeline13" ->
+      s"""WITH hdocs AS (SELECT doc_id, text FROM documents),
+          hce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+          $hybridJoinCtesSql,
+          fused AS (SELECT query_id, doc_id, rrf FROM hrk WHERE rank <= 10),
+          cand AS (SELECT f.query_id, f.doc_id AS id, e.v, f.rrf AS rel
+                   FROM fused f JOIN hce e ON e.vec_id = f.doc_id),
+          lam AS (SELECT CAST(0.700000 AS DECIMAL(7,6)) AS l,
+                         CAST(0.300000 AS DECIMAL(7,6)) AS m),
+          s1 AS (SELECT query_id, id, v, rel, mmr FROM (
+                   SELECT c.query_id, c.id, c.v, c.rel,
+                          CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr,
+                          row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)), 6) AS DOUBLE)
+                              DESC, c.id ASC) AS rn
+                   FROM cand c CROSS JOIN lam) WHERE rn = 1),
+          s2 AS (SELECT query_id, id, v, rel, mmr FROM (
+                   SELECT c.query_id, c.id, c.v, c.rel,
+                          CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(
+                            round(list_cosine_similarity(c.v, s1.v), 6) AS DECIMAL(18,6)), 6) AS DOUBLE)
+                            AS mmr,
+                          row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(
+                              round(list_cosine_similarity(c.v, s1.v), 6) AS DECIMAL(18,6)), 6) AS DOUBLE)
+                              DESC, c.id ASC) AS rn
+                   FROM cand c
+                   JOIN s1 ON s1.query_id = c.query_id AND c.id <> s1.id
+                   CROSS JOIN lam) WHERE rn = 1),
+          s3 AS (SELECT query_id, id, v, rel, mmr FROM (
+                   SELECT c.query_id, c.id, c.v, c.rel,
+                          CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(
+                            greatest(
+                              round(list_cosine_similarity(c.v, s1.v), 6),
+                              round(list_cosine_similarity(c.v, s2.v), 6)) AS DECIMAL(18,6)), 6) AS DOUBLE)
+                            AS mmr,
+                          row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY CAST(round(lam.l * CAST(c.rel AS DECIMAL(18,6)) - lam.m * CAST(
+                              greatest(
+                                round(list_cosine_similarity(c.v, s1.v), 6),
+                                round(list_cosine_similarity(c.v, s2.v), 6)) AS DECIMAL(18,6)), 6) AS DOUBLE)
+                              DESC, c.id ASC) AS rn
+                   FROM cand c
+                   JOIN s1 ON s1.query_id = c.query_id AND c.id <> s1.id
+                   JOIN s2 ON s2.query_id = c.query_id AND c.id <> s2.id
+                   CROSS JOIN lam) WHERE rn = 1)
+          SELECT query_id, id AS doc_id, rel AS rrf, mmr, 1 AS rank
+          FROM s1
+          UNION ALL SELECT query_id, id, rel, mmr, 2 FROM s2
+          UNION ALL SELECT query_id, id, rel, mmr, 3 FROM s3""",
     "llm_hybrid_join" ->
       s"""WITH hdocs AS (SELECT doc_id, text FROM documents),
           hce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -2163,6 +2163,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nDrift == 0L, s"$nDrift docs where pack n_toks != bpe_cnt")
   }
 
+  test("bm25 bucket-partitioned serving: pruned == unpartitioned bit-for-bit; bucket literals replay the in-plan hash; guard refuses") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    val part = TextAnalysis.bm25IndexPartitioned(corpus, "doc_id", "text",
+      nBuckets = 8).localCheckpoint(false)
+    val dls = TextAnalysis.bm25DocLens(part, "doc_id")
+    // driver bucket == in-plan bucket for every indexed term (the
+    // probeCellsOf discipline: pruning literals must replay the data
+    // path exactly or pruning silently loses postings)
+    val mismatch = part.select($"term", $"tbucket").distinct()
+      .withColumn("__drv",
+        org.apache.spark.sql.functions.pmod(
+          Dedup.sharedHash60($"term"), org.apache.spark.sql.functions.lit(8L))
+          .cast("int"))
+      .filter($"tbucket" =!= $"__drv").count()
+    assert(mismatch == 0L)
+    val terms = Seq("hash", "join", "vector")
+    terms.foreach { t =>
+      val drv = TextAnalysis.bm25BucketsOf(Seq(t), 8).head
+      val inPlan = part.filter($"term" === t).select($"tbucket")
+        .distinct().collect().map(_.getInt(0)).toSeq
+      assert(inPlan.isEmpty || inPlan == Seq(drv),
+        s"term '$t': driver bucket $drv vs in-plan $inPlan")
+    }
+    // identical answer with and without the partition filter
+    val pruned = TextAnalysis.bm25TopKStoredPruned(part, dls, "doc_id",
+      terms, nBuckets = 8, k = 25).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = TextAnalysis.bm25TopKStored(part.drop("tbucket"), dls,
+      "doc_id", terms, k = 25).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned == full)
+    // a store without the bucket column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKStoredPruned(part.drop("tbucket"), dls,
+        "doc_id", terms, nBuckets = 8)
+    }
+    assert(e.getMessage.contains("tbucket"))
+  }
+
   test("bm25Join: per-query rows == the single-query stored scorer; no-match query absent; term cap refuses") {
     import spark.implicits._
     import graft.operators.TextAnalysis
@@ -2372,6 +2412,34 @@ class LlmOpsSpec extends AnyFunSuite {
         k = 5, fbDocs = 2, fbTerms = 1, maxCandidates = 1)
     }
     assert(e.getMessage.contains("bm25Prf"))
+  }
+
+  test("snippetJoin: per-pair rows equal the single-query extractor under each query's terms") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    val queries = Seq((1L, "hash join"), (2L, "vector scan slow"))
+      .toDF("query_id", "qtext")
+    val ix = TextAnalysis.bm25Index(docs, "doc_id", "text")
+      .localCheckpoint(false)
+    val dls = TextAnalysis.bm25DocLens(ix, "doc_id")
+    val run = TextAnalysis.bm25Join(ix, dls, queries,
+      "doc_id", "query_id", "qtext", k = 4).localCheckpoint(false)
+    val batch = TextAnalysis.snippetJoin(run, docs, queries,
+        "query_id", "doc_id", "text", "qtext", window = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toSet
+    val single = Seq(1L -> Seq("hash", "join"),
+        2L -> Seq("vector", "scan", "slow")).flatMap { case (q, terms) =>
+      val runDocs = run.filter($"query_id" === q).select($"doc_id")
+      TextAnalysis.snippetExtract(docs.join(runDocs, Seq("doc_id")),
+          "doc_id", "text", terms, window = 12)
+        .collect()
+        .map(r => (q, r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    }.toSet
+    assert(batch == single, s"batch $batch vs single $single")
   }
 
   test("servingLatency: one row per surface, min <= p50 <= p95 <= max, row counts carried") {

@@ -147,6 +147,17 @@ class PlanSpec extends AnyFunSuite {
       // same broadcast 1-row (N, Σdl) stats + 1-row max-id fixture
       // bound, served over the two graft_store_compact rewrites
       "e_sql_bm25_compact",
+      // same broadcast 1-row (N, Σdl) stats over the bucket-partitioned
+      // store (the bucket filter is a partition filter, not a join)
+      "llm_bm25_pruned", "e_sql_bm25_pruned",
+      // the batch-snippet run IS bm25Join (same broadcast 1-row stats);
+      // the snippet stage itself is two bounded equi-joins + a HOF
+      // projection
+      "llm_snippet_join", "e_sql_snippet_join",
+      // pipeline13 composes the hybrid-join legs (bm25 stats BNLJ + the
+      // knn broadcast query-batch cross join); fusion and MMR rounds
+      // are by-keyed equi-joins + by-partitioned windows
+      "llm_pipeline13", "e_sql_pipeline13",
       // serving-latency fixture: the BM25 surface carries the same
       // broadcast 1-row stats; the fixture build adds no join at all
       "llm_serving_latency",
@@ -381,6 +392,26 @@ class PlanSpec extends AnyFunSuite {
           s"partitionFilters=${f.partitionFilters}")
       assert(f.selectedPartitions.partitionCount == 2,
         s"expected 2 probed cell partitions, scan reads " +
+          s"${f.selectedPartitions.partitionCount}")
+    }
+  }
+
+  test("bucket-partitioned BM25 serving: PartitionFilters prune to the query's term buckets") {
+    val qe = SparkEntry.queries("llm_bm25_pruned")(spark, TestSpark.sf)
+      .queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val postScans = scans.filter(_.output.exists(_.name == "tf"))
+    assert(postScans.nonEmpty, "expected a scan over the stored postings")
+    val expected = graft.operators.TextAnalysis
+      .bm25BucketsOf(Seq("hash", "join", "vector"), 8).length
+    postScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "tbucket")),
+        s"term-bucket selection must be a partition filter, got " +
+          s"partitionFilters=${f.partitionFilters}")
+      assert(f.selectedPartitions.partitionCount == expected,
+        s"expected $expected probed bucket partitions, scan reads " +
           s"${f.selectedPartitions.partitionCount}")
     }
   }
