@@ -380,6 +380,28 @@ object LlmSql {
       case args => bad(
         "graft_mmr(candidates_table, id_col, vec_col, rel_col, k, lambda)", args)
     }
+    reg(spark, "graft_bm25_prf_join") {
+      // batch PRF over stored index frames: round-1 feedback ids +
+      // candidate-union + chosen expansions are driver actions —
+      // DEFERRED so EXPLAIN launches no job
+      case Seq(pT, dT, qT, id, qid, qtx, kE, fbD, fbT) =>
+        val f = "graft_bm25_prf_join"
+        val post = table(str(pT, f)); val dls = table(str(dT, f))
+        val qs = table(str(qT, f))
+        val idc = str(id, f); val qidc = str(qid, f); val qtc = str(qtx, f)
+        val kk = int(kE, f); val fd = int(fbD, f); val ft = int(fbT, f)
+        val outSchema = StructType(Seq(
+          qs.schema(qidc), post.schema(idc),
+          StructField("bm25", org.apache.spark.sql.types.DoubleType),
+          StructField("rank", org.apache.spark.sql.types.IntegerType,
+            nullable = false)))
+        GraftDeferred.frame(spark, outSchema, memo { () =>
+          TextAnalysis.bm25PrfJoin(post, dls, qs, idc, qidc, qtc,
+            k = kk, fbDocs = fd, fbTerms = ft)
+        })
+      case args => bad(
+        "graft_bm25_prf_join(postings_table, doclens_table, queries_table, id_col, query_id_col, query_text_col, k, fb_docs, fb_terms)", args)
+    }
     reg(spark, "graft_mmr_join") {
       // per-query batch MMR: k shared rounds of bounded joins +
       // query-partitioned argmax windows (checkpoints + the per-group

@@ -1012,23 +1012,38 @@ object TextAnalysis {
                idCol: String, queryIdCol: String, queryTextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                maxTerms: Int = 10000): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val qt = queries.select(col(queryIdCol),
         explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
       .filter(length(col("term")) > 0)
+    bm25JoinTerms(postings, docLens, qt, idCol, queryIdCol, k, k1, b,
+      maxTerms, caller = "bm25Join")
+  }
+
+  /** [[bm25Join]] from an explicit per-query TERM frame
+    * (queryIdCol, term) — the entry point batch query EXPANSION needs
+    * ([[bm25PrfJoin]]'s round 2 scores terms no query text contains).
+    * Same driver-literal term-union pushdown, same score algebra, same
+    * per-query window cut. */
+  def bm25JoinTerms(postings: DataFrame, docLens: DataFrame, qt0: DataFrame,
+                    idCol: String, queryIdCol: String,
+                    k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                    maxTerms: Int = 10000,
+                    caller: String = "bm25JoinTerms"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qt = qt0.select(col(queryIdCol), col("term"))
     // driver-literal term union -> pushed In on the postings scan
     val termSet = qt.select(col("term")).distinct()
       .limit(maxTerms + 1).collect().map(_.getString(0))
     require(termSet.length <= maxTerms,
-      s"bm25Join: query batch references > $maxTerms distinct terms — " +
+      s"$caller: query batch references > $maxTerms distinct terms — " +
         "split the batch (the driver-literal pushdown is bounded by design)")
     if (termSet.isEmpty) {
       // empty-batch early exit: id types must come from the INPUTS, not
       // a hardcoded long — a string-keyed caller unioning this frame
       // downstream would otherwise fail analysis on this path only
-      val qIdType = queries.schema(queryIdCol).dataType
+      val qIdType = qt.schema(queryIdCol).dataType
       val dIdType = postings.schema(idCol).dataType
-      return queries.sparkSession.emptyDataFrame
+      return qt.sparkSession.emptyDataFrame
         .select(lit(null).cast(qIdType).as(queryIdCol),
           lit(null).cast(dIdType).as(idCol),
           lit(null).cast("double").as("bm25"), lit(null).cast("int").as("rank"))
@@ -1055,6 +1070,102 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("bm25"), col("rank"))
+  }
+
+  /** Per-QUERY pseudo-relevance feedback over the STORED index — the
+    * batch form of [[bm25Prf]] (the [[bm25Join]] symmetry), and the
+    * serving-fleet shape: round 1 retrieves each query's `fbDocs`
+    * feedback docs from the postings; the candidate expansion terms
+    * come from the FEEDBACK DOCS' POSTINGS ROWS (a pushed-`In` on the
+    * bounded |Q|·fbDocs id set — the feedback text is never
+    * re-tokenized); per-query tf·idf selects `fbTerms` expansions (the
+    * single-query scoring: `round(tf_fb · ln((N+1)/(df+1)), 4)`, term
+    * tie-break — but the per-query cut is a WINDOW, never a per-query
+    * driver loop); round 2 scores the expanded per-query term sets
+    * through [[bm25JoinTerms]].
+    *
+    * Driver boundaries, all bounded by contract: the |Q|·fbDocs
+    * feedback ids, the candidate-term union (≤ `maxTerms`, loud
+    * refusal), and the |Q|·fbTerms chosen expansions (re-inlined as a
+    * local frame). Every corpus-scale pass keeps a pushed-`In` scan.
+    * A query whose feedback set yields no expansions (or that matched
+    * nothing in round 1) serves its original terms alone.
+    * Output: (queryIdCol, idCol, bm25, rank). */
+  def bm25PrfJoin(postings: DataFrame, docLens: DataFrame, queries: DataFrame,
+                  idCol: String, queryIdCol: String, queryTextCol: String,
+                  k: Int = 10, fbDocs: Int = 10, fbTerms: Int = 5,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  maxTerms: Int = 10000): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
+    val spark = queries.sparkSession
+    val qt = queries.select(col(queryIdCol),
+        explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .localCheckpoint(false)
+    if (fbTerms == 0)
+      return bm25JoinTerms(postings, docLens, qt, idCol, queryIdCol,
+        k, k1, b, maxTerms, caller = "bm25PrfJoin")
+    // round 1: per-query feedback docs (bounded |Q|·fbDocs rows)
+    val fbPairs = bm25JoinTerms(postings, docLens, qt, idCol, queryIdCol,
+        k = fbDocs, k1 = k1, b = b, maxTerms = maxTerms,
+        caller = "bm25PrfJoin")
+      .select(col(queryIdCol), col(idCol))
+      .localCheckpoint(false)
+    val fbIds = fbPairs.select(col(idCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (fbIds.isEmpty)
+      return bm25JoinTerms(postings, docLens, qt, idCol, queryIdCol,
+        k, k1, b, maxTerms, caller = "bm25PrfJoin")
+    // candidate terms per query from the feedback docs' POSTINGS rows:
+    // pushed In on the bounded id set; each query's own terms excluded
+    val fbTf = postings.filter(col(idCol).isin(fbIds: _*))
+      .select(col(idCol), col("term"), col("tf"))
+      .join(broadcast(fbPairs), Seq(idCol))
+      .join(broadcast(qt.withColumn("__orig", lit(1))),
+        Seq(queryIdCol, "term"), "left_anti")
+      .groupBy(col(queryIdCol), col("term"))
+      .agg(sum(col("tf")).as("tf_fb"))
+      .localCheckpoint(false)
+    // bounded candidate-term union -> pushed In for the df pass
+    val candTerms = fbTf.select(col("term")).distinct()
+      .limit(maxTerms + 1).collect().map(_.getString(0))
+    require(candTerms.length <= maxTerms,
+      s"bm25PrfJoin: feedback vocabulary exceeds $maxTerms terms — " +
+        "shrink fbDocs (the literal-pushdown boundary is by design)")
+    if (candTerms.isEmpty)
+      return bm25JoinTerms(postings, docLens, qt, idCol, queryIdCol,
+        k, k1, b, maxTerms, caller = "bm25PrfJoin")
+    val dfreq = postings
+      .filter(col("term").isin(candTerms.toIndexedSeq: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docLens.agg(count(lit(1)).as("n_docs"))
+    // per-query expansion pick: the single-query tf·idf score, the cut
+    // a query-partitioned window
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__score").desc, col("term").asc)
+    val expansion = fbTf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col(queryIdCol), col("term"),
+        round(col("tf_fb") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4)
+          .as("__score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= fbTerms)
+      .select(col(queryIdCol), col("term"))
+      .collect()
+    // expanded per-query term sets: original ∪ chosen, re-inlined as a
+    // bounded local frame (|Q|·fbTerms rows)
+    val expLocal = spark.createDataFrame(
+      spark.sparkContext.parallelize(expansion.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        qt.schema(queryIdCol),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))))
+    val qtExpanded = qt.select(col(queryIdCol), col("term"))
+      .unionByName(expLocal).distinct()
+    bm25JoinTerms(postings, docLens, qtExpanded, idCol, queryIdCol,
+      k, k1, b, maxTerms, caller = "bm25PrfJoin")
   }
 
   /** Reciprocal-rank FUSION (Cormack/Clarke/Büttcher '09) — the hybrid

@@ -1583,6 +1583,27 @@ object EngineQueries {
                                        'cmp_ann_cbs', 'embeddings',
                                        'vec_id', 'embedding', 0, 10, 2)""")
     }),
+    "e_sql_bm25_prf_join" -> ((s, d) => {
+      import s.implicits._
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // batch PRF from SQL: stored-index views + the queries view into
+      // the deferred batch-PRF TVF
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ta = graft.operators.TextAnalysis
+      val ix = graft.operators.Reuse.Local(
+        ta.bm25Index(docs, "doc_id", "text"))
+      ix.createOrReplaceTempView("prfj_post")
+      ta.bm25DocLens(ix, "doc_id").createOrReplaceTempView("prfj_dl")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW prfj_queries AS
+                 SELECT * FROM VALUES (CAST(1 AS BIGINT), 'hash join'),
+                                      (2, 'vector scan slow'),
+                                      (3, 'zzzunknown') AS t(query_id, qtext)""")
+      e.query("""SELECT query_id, doc_id, bm25, rank
+                 FROM graft_bm25_prf_join('prfj_post', 'prfj_dl',
+                                          'prfj_queries', 'doc_id',
+                                          'query_id', 'qtext', 10, 5, 3)""")
+    }),
     "e_sql_snippet_join" -> ((s, d) => {
       import s.implicits._
       Tables.registerAll(s, d)
@@ -2453,6 +2474,7 @@ object EngineQueries {
     "e_sql_bm25_compact" -> LlmQueries.oracle("llm_bm25_compact"),
     "e_sql_bm25_pruned" -> LlmQueries.oracle("llm_bm25_pruned"),
     "e_sql_snippet_join" -> LlmQueries.oracle("llm_snippet_join"),
+    "e_sql_bm25_prf_join" -> LlmQueries.oracle("llm_bm25_prf_join"),
     "e_sql_pipeline13" -> LlmQueries.oracle("llm_pipeline13"),
     "e_sql_ann_recall" -> LlmQueries.oracle("llm_ann_recall"),
     "e_sql_ann_sq_stored" -> LlmQueries.oracle("llm_ann_sq_stored"),

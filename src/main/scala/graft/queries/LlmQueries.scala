@@ -1299,6 +1299,23 @@ object LlmQueries {
       TextAnalysis.bm25Prf(Tables.load(s, d, "documents"), "doc_id",
         "text", queryTerms = Seq("hash", "join", "vector"), k = 25,
         fbDocs = 10, fbTerms = 5)),
+    "llm_bm25_prf_join" -> ((s, d) => {
+      import s.implicits._
+      // BATCH pseudo-relevance feedback over the stored index — the
+      // serving-fleet PRF shape: per-query feedback docs from round 1,
+      // expansion terms from the feedback docs' POSTINGS (never a
+      // re-tokenize), per-query tf·idf pick via a window (no per-query
+      // driver loop), round 2 through the expanded term sets. The
+      // no-match query serves its original terms alone.
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      val dls = TextAnalysis.bm25DocLens(ix, "doc_id")
+      val queries = Seq((1L, "hash join"), (2L, "vector scan slow"),
+        (3L, "zzzunknown")).toDF("query_id", "qtext")
+      TextAnalysis.bm25PrfJoin(ix, dls, queries, "doc_id", "query_id",
+        "qtext", k = 10, fbDocs = 5, fbTerms = 3)
+    }),
     "llm_snippet_join" -> ((s, d) => {
       import s.implicits._
       // BATCH snippets — the serving form at query-batch scale: the
@@ -6341,6 +6358,80 @@ object LlmQueries {
           SELECT doc_id, round(sum(c), 4) AS bm25
           FROM sc2 GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id ASC LIMIT 25""",
+    // batch PRF: the per-query replay — round-1 ranking, feedback
+    // postings tf, per-query tf·idf expansion window, round-2 ranking
+    "llm_bm25_prf_join" ->
+      """WITH q(query_id, qtext) AS (
+            SELECT * FROM (VALUES (1, 'hash join'), (2, 'vector scan slow'),
+                                  (3, 'zzzunknown'))),
+          qt AS (SELECT DISTINCT query_id, t AS term FROM (
+                   SELECT query_id,
+                          unnest(string_split_regex(qtext, '\s+')) AS t
+                   FROM q) WHERE length(t) > 0),
+          d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM documents),
+          stats AS (SELECT count(*) AS n_docs,
+                           sum(len(toks)) AS total_toks FROM d),
+          tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+          tf1 AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+                  WHERE term IN (SELECT DISTINCT term FROM qt)
+                  GROUP BY doc_id, dl, term),
+          dfr1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+          sc1 AS (SELECT qt.query_id, tf1.doc_id,
+                    ln(1.0 + (s.n_docs - dfr1.df + 0.5) / (dfr1.df + 0.5)) *
+                      (CAST(tf1.tf AS DOUBLE) * (1.2 + 1)) /
+                      (CAST(tf1.tf AS DOUBLE) +
+                       1.2 * (1.0 - 0.75 + 0.75 * CAST(tf1.dl AS DOUBLE) /
+                              (CAST(s.total_toks AS DOUBLE) / s.n_docs))) AS c
+                  FROM tf1 JOIN dfr1 ON tf1.term = dfr1.term
+                  JOIN qt ON tf1.term = qt.term CROSS JOIN stats s),
+          rk1 AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25 DESC, doc_id ASC) AS r
+                  FROM (SELECT query_id, doc_id, round(sum(c), 4) AS bm25
+                        FROM sc1 GROUP BY query_id, doc_id)),
+          fb AS (SELECT query_id, doc_id FROM rk1 WHERE r <= 5),
+          post AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+                   GROUP BY doc_id, dl, term),
+          fbtf AS (SELECT f.query_id, p.term, sum(p.tf) AS tf_fb
+                   FROM post p JOIN fb f ON p.doc_id = f.doc_id
+                   WHERE NOT EXISTS (SELECT 1 FROM qt
+                     WHERE qt.query_id = f.query_id AND qt.term = p.term)
+                   GROUP BY f.query_id, p.term),
+          dfq AS (SELECT term, count(*) AS df FROM post
+                  WHERE term IN (SELECT DISTINCT term FROM fbtf)
+                  GROUP BY term),
+          nn AS (SELECT count(*) AS n_docs FROM d),
+          expt AS (SELECT query_id, term FROM (
+                     SELECT query_id, term, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY s DESC, term ASC) AS rn
+                     FROM (SELECT f.query_id, f.term,
+                             round(f.tf_fb * ln((nn.n_docs + 1) * 1.0
+                               / (dfq.df + 1)), 4) AS s
+                           FROM fbtf f JOIN dfq USING (term)
+                           CROSS JOIN nn))
+                   WHERE rn <= 3),
+          qt2 AS (SELECT query_id, term FROM qt
+                  UNION SELECT query_id, term FROM expt),
+          tf2 AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+                  WHERE term IN (SELECT DISTINCT term FROM qt2)
+                  GROUP BY doc_id, dl, term),
+          dfr2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+          sc2 AS (SELECT qt2.query_id, tf2.doc_id,
+                    ln(1.0 + (s.n_docs - dfr2.df + 0.5) / (dfr2.df + 0.5)) *
+                      (CAST(tf2.tf AS DOUBLE) * (1.2 + 1)) /
+                      (CAST(tf2.tf AS DOUBLE) +
+                       1.2 * (1.0 - 0.75 + 0.75 * CAST(tf2.dl AS DOUBLE) /
+                              (CAST(s.total_toks AS DOUBLE) / s.n_docs))) AS c
+                  FROM tf2 JOIN dfr2 ON tf2.term = dfr2.term
+                  JOIN qt2 ON tf2.term = qt2.term CROSS JOIN stats s),
+          rk2 AS (SELECT query_id, doc_id, bm25,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+                  FROM (SELECT query_id, doc_id, round(sum(c), 4) AS bm25
+                        FROM sc2 GROUP BY query_id, doc_id))
+          SELECT query_id, doc_id, bm25, rank FROM rk2 WHERE rank <= 10""",
     // MMR: the five greedy rounds unrolled — each round the argmax of
     // round(λ·rel − (1−λ)·max cos-to-selected, 6) with id tie-break;
     // (1−λ) spelled CAST(1.0 AS DOUBLE) - 0.7 so the constant is the

@@ -417,6 +417,44 @@ object StreamQueries {
         s.read.parquet(s"$out/doclens"), "doc_id",
         queryTerms = Seq("hash", "join", "vector"), k = 25)
     }),
+    "st_hybrid_serve" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.TextAnalysis
+      // hybrid retrieval SERVING on the query stream (batch-parity
+      // form; StreamingSpec runs the real two-micro-batch MemoryStream
+      // under foreachBatch): the stored lexical index and the
+      // embeddings corpus are STATIC; each arriving micro-batch of
+      // queries serves both legs + fusion statelessly and APPENDS its
+      // results. Per-query independence makes the appended union equal
+      // the one-shot batch serve exactly — the llm_hybrid_join
+      // algebra, whose oracle gates this. Batch split 1 / {2, 3} so
+      // the sequencing itself is exercised.
+      val out = "target/gate_sink/st_hybrid_serve"
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val emb = Tables.load(s, d, "embeddings")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      ix.write.mode("overwrite").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ix, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val post = s.read.parquet(s"$out/postings")
+      val dls = s.read.parquet(s"$out/doclens")
+      import s.implicits._
+      val allQ = Seq((1L, "hash join"), (2L, "vector scan slow"),
+        (3L, "zzzunknown"))
+      val batches = Seq(allQ.take(1), allQ.drop(1))
+      batches.zipWithIndex.foreach { case (qs, i) =>
+        val mode = if (i == 0) "overwrite" else "append"
+        graft.streaming.Corpus.serveHybrid(
+            qs.toDF("query_id", "qtext"), post, dls, emb,
+            "doc_id", "query_id", "qtext", "vec_id", "embedding",
+            kLeg = 20, kFused = 10)
+          .write.mode(mode).parquet(s"$out/results")
+      }
+      s.read.parquet(s"$out/results")
+        .select($"query_id", $"doc_id", $"rrf", $"rank")
+    }),
     "st_pipeline9" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.operators.{Dedup, Multimodal, TextAnalysis}
@@ -619,6 +657,7 @@ object StreamQueries {
     // the stream-side per-row scorer lands on the same round(·,6)
     // logits as the batch scorer's exact-decimal algebra
     "st_quality_lr" -> LlmQueries.oracle("llm_quality_classifier"),
+    "st_hybrid_serve" -> LlmQueries.oracle("llm_hybrid_join"),
     // stateless per-row panel — identical to llm_gopher's oracle
     "st_quality" -> LlmQueries.oracle("llm_gopher"),
     // complete-mode streaming aggregate — identical to the batch panel

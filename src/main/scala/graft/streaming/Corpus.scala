@@ -322,4 +322,38 @@ object Corpus {
       docs.join(dirty, Seq(idCol), "left_anti")
     }
   }
+
+  /** Hybrid SERVING on the query stream — the retrieval fleet's
+    * per-micro-batch step ([[graft.operators.TextAnalysis.bm25Join]] +
+    * [[graft.operators.Similarity.knnJoin]] +
+    * [[graft.operators.TextAnalysis.rrfFuseBy]] against STATIC stored
+    * frames): each arriving batch of (query id, query text) rows serves
+    * both legs and fuses per query, STATELESSLY — per-query
+    * independence makes the streamed union equal the one-shot batch
+    * serve over all queries exactly (the st_hybrid_serve gate; a
+    * query's result depends only on its own row and the static
+    * stores). Run it inside `foreachBatch`; each micro-batch is a
+    * plain DataFrame. Output: (queryIdCol, docIdCol, rrf, rank). */
+  def serveHybrid(queries: DataFrame, postings: DataFrame,
+                  docLens: DataFrame, emb: DataFrame,
+                  docIdCol: String, queryIdCol: String,
+                  queryTextCol: String, vecIdCol: String, vecCol: String,
+                  kLeg: Int = 20, kFused: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ta = graft.operators.TextAnalysis
+    val bmRanked = ta.bm25Join(postings, docLens, queries,
+        docIdCol, queryIdCol, queryTextCol, k = kLeg)
+      .select(col(queryIdCol), col(docIdCol), col("rank"))
+    val qvecs = queries.select(col(queryIdCol))
+      .join(emb.select(col(vecIdCol).as(queryIdCol), col(vecCol)),
+        Seq(queryIdCol))
+    val annRanked = graft.operators.Similarity.knnJoin(qvecs, emb,
+        queryIdCol, vecIdCol, vecCol, vecCol, k = kLeg, excludeSelf = true)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .select(col(queryIdCol), col("neighbor_id").as(docIdCol), col("rank"))
+    ta.rrfFuseBy(Seq(bmRanked, annRanked), queryIdCol, docIdCol,
+      k = kFused)
+  }
 }

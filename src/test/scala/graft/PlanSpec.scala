@@ -169,6 +169,8 @@ class PlanSpec extends AnyFunSuite {
       "llm_image_compact",
       // PRF's round-2 serve is the same broadcast 1-row stats shape
       "llm_bm25_prf", "e_sql_bm25_prf",
+      // batch PRF: both rounds are the bm25Join stats shape
+      "llm_bm25_prf_join", "e_sql_bm25_prf_join",
       // broadcast 1-row max-doc-id bounds building the two generations
       "llm_crawl_delta",
       // broadcast 1-row max-doc-id slice bounds in the streamed-sample
@@ -180,6 +182,8 @@ class PlanSpec extends AnyFunSuite {
       // is llm_knn_join's broadcast query-batch cross join)
       "llm_hybrid_rrf", "e_sql_hybrid_rrf",
       "llm_hybrid_join", "e_sql_hybrid_join",
+      // the streamed serving gate appends the same hybrid-join legs
+      "st_hybrid_serve",
       // the eval run IS llm_knn_join's broadcast query-batch cross join
       "llm_retrieval_eval", "e_sql_retrieval_eval",
       // same run leg; the graded relevance itself is an EQUI-join on

@@ -653,6 +653,53 @@ class StreamingSpec extends AnyFunSuite {
       "appended dHash store must equal the fresh batch build")
   }
 
+  test("streamed hybrid serving: two query micro-batches against static stores == one-shot batch serve") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = "target/test_sink/st_hybrid_serve_spec"
+    val ix = graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text")
+      .localCheckpoint(false)
+    ix.write.mode("overwrite").parquet(s"$out/postings")
+    graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
+      .write.mode("overwrite").parquet(s"$out/doclens")
+    val post = spark.read.parquet(s"$out/postings")
+    val dls = spark.read.parquet(s"$out/doclens")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("query_id", "qtext").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        served ++= graft.streaming.Corpus.serveHybrid(batch, post, dls,
+            emb, "doc_id", "query_id", "qtext", "vec_id", "embedding",
+            kLeg = 20, kFused = 10)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        ()
+      }.start()
+    mem.addData((1L, "hash join"))
+    q.processAllAvailable()
+    mem.addData((2L, "vector scan slow"), (3L, "zzzunknown"))
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.streaming.Corpus.serveHybrid(
+        Seq((1L, "hash join"), (2L, "vector scan slow"),
+          (3L, "zzzunknown")).toDF("query_id", "qtext"),
+        post, dls, emb, "doc_id", "query_id", "qtext", "vec_id",
+        "embedding", kLeg = 20, kFused = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(served.toSet == oneShot, s"streamed ${served.toSet} vs batch $oneShot")
+    assert(oneShot.nonEmpty)
+    // query 3's lexical leg matches nothing — its fusion is the
+    // semantic leg alone, and it still serves
+    assert(oneShot.exists(_._1 == 3L))
+  }
+
   test("streaming image admission: per-row dHash probe vs stored hashes == batch") {
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal
