@@ -1151,6 +1151,42 @@ object LlmQueries {
         "doc_id", queryTerms = Seq("hash", "join", "vector"),
         nBuckets = 8, k = 25)
     }),
+    "llm_bm25_pruned_compact" -> ((s, d) => {
+      import s.implicits._
+      // partitioned-store MAINTENANCE: the bucket-partitioned postings
+      // written in TWO generations + tombstones, physically rewritten
+      // by storeCompact WITH partitionCols = tbucket — the partition
+      // layout survives the rewrite (PlanSpec pins PartitionFilters on
+      // the compacted store), and the pruned serve over it equals the
+      // llm_bm25_delete answer (same tombstones over the full corpus).
+      val out = "target/gate_sink/bm25_pruned_compact"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      val b = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      val ia = graft.operators.Reuse.Local(
+        TextAnalysis.bm25IndexPartitioned(a, "doc_id", "text", nBuckets = 8))
+      ia.write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ia, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val ib = graft.operators.Reuse.Local(
+        TextAnalysis.bm25IndexPartitioned(b, "doc_id", "text", nBuckets = 8))
+      ib.write.mode("append").partitionBy("tbucket")
+        .parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ib, "doc_id")
+        .write.mode("append").parquet(s"$out/doclens")
+      val tomb = docs.select($"doc_id").filter($"doc_id" % 7 === 0)
+      val cp = Dedup.storeCompact(s.read.parquet(s"$out/postings"),
+        "doc_id", Some(tomb), s"$out/postings_v2",
+        partitionCols = Seq("tbucket"))
+      val cd = Dedup.storeCompact(s.read.parquet(s"$out/doclens"),
+        "doc_id", Some(tomb), s"$out/doclens_v2")
+      TextAnalysis.bm25TopKStoredPruned(cp, cd, "doc_id",
+        queryTerms = Seq("hash", "join", "vector"), nBuckets = 8, k = 25)
+    }),
     "llm_pipeline13" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -3286,6 +3322,7 @@ object LlmQueries {
   def oracle: Map[String, String] = oracleBase ++ Map(
     "llm_bpe_train_local" -> oracleBase("llm_bpe_train"),
     "llm_bm25_pruned" -> oracleBase("llm_bm25"),
+    "llm_bm25_pruned_compact" -> oracleBase("llm_bm25_delete"),
     // the storage round-trips must reproduce the recompute paths
     // exactly — same oracles, so storage drift hash-mismatches
     "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"),

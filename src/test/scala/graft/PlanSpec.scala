@@ -150,6 +150,9 @@ class PlanSpec extends AnyFunSuite {
       // same broadcast 1-row (N, Σdl) stats over the bucket-partitioned
       // store (the bucket filter is a partition filter, not a join)
       "llm_bm25_pruned", "e_sql_bm25_pruned",
+      // same stats shape + the 1-row max-id fixture bound over the
+      // compacted partitioned store
+      "llm_bm25_pruned_compact",
       // the batch-snippet run IS bm25Join (same broadcast 1-row stats);
       // the snippet stage itself is two bounded equi-joins + a HOF
       // projection
@@ -417,6 +420,28 @@ class PlanSpec extends AnyFunSuite {
       assert(f.selectedPartitions.partitionCount == expected,
         s"expected $expected probed bucket partitions, scan reads " +
           s"${f.selectedPartitions.partitionCount}")
+    }
+  }
+
+  test("compacted bucket-partitioned BM25 store: partition layout and pruning survive the rewrite") {
+    val qe = SparkEntry.queries("llm_bm25_pruned_compact")(spark, TestSpark.sf)
+      .queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val postScans = scans.filter(f => f.output.exists(_.name == "tf") &&
+      f.relation.location.rootPaths.exists(_.toString.contains("postings_v2")))
+    assert(postScans.nonEmpty,
+      "expected a scan over the COMPACTED postings store")
+    val expected = graft.operators.TextAnalysis
+      .bm25BucketsOf(Seq("hash", "join", "vector"), 8).length
+    postScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "tbucket")),
+        s"compaction must preserve the partition layout, got " +
+          s"partitionFilters=${f.partitionFilters}")
+      assert(f.selectedPartitions.partitionCount == expected,
+        s"expected $expected probed bucket partitions on the compacted " +
+          s"store, scan reads ${f.selectedPartitions.partitionCount}")
     }
   }
 
