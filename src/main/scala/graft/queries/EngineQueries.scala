@@ -505,6 +505,51 @@ object EngineQueries {
                  FROM graft_retrieval_eval('reval_run', 'reval_rel',
                                            'query_id', 'doc_id', 10)""")
     }),
+    "e_sql_hybrid_eval" -> ((s, d) => {
+      import s.implicits._
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // eval of the fused production ranking from SQL: both legs via
+      // TVFs, rrf_fuse_by, label relevance view, the report TVF on top
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ta = graft.operators.TextAnalysis
+      val ix = graft.operators.Reuse.Local(
+        ta.bm25Index(docs, "doc_id", "text"))
+      ix.createOrReplaceTempView("hev_post")
+      ta.bm25DocLens(ix, "doc_id").createOrReplaceTempView("hev_dl")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hev_queries AS
+                 SELECT * FROM VALUES (CAST(1 AS BIGINT), 'hash join'),
+                                      (2, 'vector scan slow'),
+                                      (3, 'zzzunknown') AS t(query_id, qtext)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hev_bm AS
+                 SELECT query_id, doc_id, rank
+                 FROM graft_bm25_join('hev_post', 'hev_dl', 'hev_queries',
+                                      'doc_id', 'query_id', 'qtext', 20)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hev_qv AS
+                 SELECT vec_id AS query_id, embedding FROM embeddings
+                 WHERE vec_id IN (1, 2, 3)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hev_ann AS
+                 SELECT query_id, neighbor_id AS doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                 FROM graft_knn_join('hev_qv', 'embeddings', 'query_id',
+                                     'vec_id', 'embedding', 'embedding',
+                                     20, 1)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hev_run AS
+                 SELECT query_id, doc_id, rank
+                 FROM graft_rrf_fuse_by('hev_bm,hev_ann', 'query_id',
+                                        'doc_id', 10, 60)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW hev_rel AS
+                 SELECT q.query_id, e.vec_id AS doc_id
+                 FROM (SELECT vec_id AS query_id, label FROM embeddings
+                       WHERE vec_id IN (1, 2, 3)) q
+                 JOIN embeddings e
+                   ON e.label = q.label AND e.vec_id <> q.query_id""")
+      e.query("""SELECT query_id, n_rel, hits, precision_k, recall_k,
+                        rr, ndcg
+                 FROM graft_retrieval_eval('hev_run', 'hev_rel',
+                                           'query_id', 'doc_id', 10)""")
+    }),
     "e_sql_retrieval_eval_graded" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2487,6 +2532,7 @@ object EngineQueries {
     "e_sql_bpe_pretok" -> LlmQueries.oracle("llm_bpe_pretok"),
     "e_sql_retrieval_eval_graded" -> LlmQueries.oracle("llm_retrieval_eval_graded"),
     "e_sql_mmr_join" -> LlmQueries.oracle("llm_mmr_join"),
+    "e_sql_hybrid_eval" -> LlmQueries.oracle("llm_hybrid_eval"),
     "e_sql_bpe_roundtrip" -> LlmQueries.oracle("llm_bpe_roundtrip"),
     "e_sql_pipeline8" -> LlmQueries.oracle("llm_pipeline8"),
     "e_sql_pipeline9" -> LlmQueries.oracle("llm_pipeline9"),

@@ -1566,6 +1566,43 @@ object LlmQueries {
         "bm25_stored_topk" -> (() => bmServe()),
         "hybrid_rrf_topk" -> (() => hybridServe())), runs = 5)
     }),
+    "llm_hybrid_eval" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // the eval verb pointed at the PRODUCTION ranking: the batch
+      // hybrid serve (bm25Join + knnJoin -> rrfFuseBy, the
+      // llm_hybrid_join chain) graded against label-match relevance —
+      // what a serving fleet actually measures nightly (grading the
+      // fused output, not one leg). Oracle composes the hybrid CTE
+      // algebra with the eval CTEs.
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val emb = Tables.load(s, d, "embeddings")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      val dls = TextAnalysis.bm25DocLens(ix, "doc_id")
+      val queries = Seq((1L, "hash join"), (2L, "vector scan slow"),
+        (3L, "zzzunknown")).toDF("query_id", "qtext")
+      val bmRanked = TextAnalysis.bm25Join(ix, dls, queries,
+          "doc_id", "query_id", "qtext", k = 20)
+        .select($"query_id", $"doc_id", $"rank")
+      val qvecs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+        .select($"vec_id".as("query_id"), $"embedding")
+      val annRanked = Similarity.knnJoin(qvecs, emb, "query_id", "vec_id",
+          "embedding", "embedding", k = 20, excludeSelf = true)
+        .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+          .orderBy($"cos_sim".desc, $"neighbor_id".asc)))
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      val run = TextAnalysis.rrfFuseBy(Seq(bmRanked, annRanked),
+          "query_id", "doc_id", k = 10)
+        .select($"query_id", $"doc_id", $"rank")
+      val rel = emb.filter($"vec_id".isin(1L, 2L, 3L))
+        .select($"vec_id".as("query_id"), $"label")
+        .join(emb.select($"vec_id".as("doc_id"), $"label"), Seq("label"))
+        .filter($"doc_id" =!= $"query_id")
+        .select($"query_id", $"doc_id")
+      TextAnalysis.retrievalEvalReport(run, rel, "query_id", "doc_id",
+        k = 10)
+    }),
     "llm_boilerplate" -> ((s, d) =>
       // corpus boilerplate report: the 20 highest-document-frequency
       // trigrams — what a production run reads to set maxShingleDf /
@@ -6833,6 +6870,58 @@ object LlmQueries {
           FROM s1
           UNION ALL SELECT query_id, id, rel, mmr, 2 FROM s2
           UNION ALL SELECT query_id, id, rel, mmr, 3 FROM s3""",
+    // hybrid eval: the fused per-query ranking graded against
+    // label-match relevance — the llm_retrieval_eval algebra with the
+    // run swapped for the hybrid-join chain
+    "llm_hybrid_eval" ->
+      s"""WITH hdocs AS (SELECT doc_id, text FROM documents),
+          hce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+          $hybridJoinCtesSql,
+          run AS (SELECT query_id, doc_id, rank FROM hrk WHERE rank <= 10),
+          qv AS (SELECT vec_id AS query_id, label FROM embeddings
+                 WHERE vec_id IN (1, 2, 3)),
+          el AS (SELECT vec_id, label FROM embeddings),
+          topk AS (SELECT * FROM run WHERE rank <= 10),
+          rel AS (SELECT qv.query_id, el.vec_id AS doc_id
+                  FROM el JOIN qv ON el.label = qv.label
+                               AND el.vec_id <> qv.query_id),
+          nr AS (SELECT query_id, count(*) AS n_rel FROM rel
+                 GROUP BY query_id),
+          h AS (SELECT t.query_id, t.rank FROM topk t
+                JOIN rel r ON t.query_id = r.query_id
+                          AND t.doc_id = r.doc_id),
+          hc AS (SELECT query_id, rank,
+                   sum(CAST(1.0 AS DOUBLE) / log2(rank + 1.0))
+                     OVER (PARTITION BY query_id ORDER BY rank) AS cum
+                 FROM h),
+          pq AS (SELECT query_id, count(*) AS hits, min(rank) AS first_rank,
+                   max(cum) AS dcg
+                 FROM hc GROUP BY query_id),
+          ser AS (SELECT i, sum(CAST(1.0 AS DOUBLE) / log2(i + 1.0))
+                         OVER (ORDER BY i) AS cum
+                  FROM generate_series(1, 10) AS g(i)),
+          ideal AS (SELECT nr.query_id, s2.cum AS idcg
+                    FROM nr JOIN ser s2 ON s2.i = least(nr.n_rel, 10)),
+          q2 AS (SELECT DISTINCT query_id FROM run)
+          SELECT q2.query_id,
+                 coalesce(nr.n_rel, 0) AS n_rel,
+                 coalesce(pq.hits, 0) AS hits,
+                 round(CAST(coalesce(pq.hits, 0) AS DOUBLE) / 10, 6)
+                   AS precision_k,
+                 CASE WHEN nr.n_rel > 0 THEN
+                   round(CAST(coalesce(pq.hits, 0) AS DOUBLE) /
+                         CAST(nr.n_rel AS DOUBLE), 6) END AS recall_k,
+                 CASE WHEN pq.first_rank IS NULL THEN 0.0
+                      ELSE round(CAST(1.0 AS DOUBLE) / pq.first_rank, 6)
+                 END AS rr,
+                 CASE WHEN nr.n_rel > 0 THEN
+                   round(coalesce(pq.dcg, 0.0) / ideal.idcg, 4)
+                 END AS ndcg
+          FROM q2 LEFT JOIN nr ON q2.query_id = nr.query_id
+                 LEFT JOIN pq ON q2.query_id = pq.query_id
+                 LEFT JOIN ideal ON q2.query_id = ideal.query_id
+          ORDER BY q2.query_id""",
     "llm_hybrid_join" ->
       s"""WITH hdocs AS (SELECT doc_id, text FROM documents),
           hce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -192,6 +192,9 @@ class PlanSpec extends AnyFunSuite {
       // same run leg; the graded relevance itself is an EQUI-join on
       // the exploded adjacent-label key list
       "llm_retrieval_eval_graded", "e_sql_retrieval_eval_graded",
+      // hybrid eval: the run IS the hybrid-join chain (bm25 stats BNLJ
+      // + the knn broadcast query-batch cross join)
+      "llm_hybrid_eval", "e_sql_hybrid_eval",
       // batch MMR's candidate stage IS llm_knn_join's broadcast
       // query-batch cross join; the MMR rounds are by-keyed equi-joins
       // + by-partitioned windows
