@@ -33,15 +33,17 @@ object ProfileQuery {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     println(f"${"query"}%-28s ${"build_s"}%8s ${"exec_s"}%8s ${"total_s"}%8s ${"jobs"}%6s ${"stages"}%7s ${"tasks"}%7s")
     for (name <- names; fn <- SparkEntry.queries.get(name)) {
-      // settle listener-bus drain from the previous query
-      Thread.sleep(500) // listener-bus drain (listenerBus is private[spark])
+      // deterministic drain: block until every queued event from the
+      // previous query is delivered — a fixed sleep can bleed one
+      // query's events into the next counters on a loaded machine
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       jobs.set(0); stages.set(0); tasks.set(0L)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val t2 = System.nanoTime()
-      Thread.sleep(500) // listener-bus drain (listenerBus is private[spark])
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       println(f"$name%-28s ${(t1 - t0) / 1e9}%8.3f ${(t2 - t1) / 1e9}%8.3f ${(t2 - t0) / 1e9}%8.3f ${jobs.get}%6d ${stages.get}%7d ${tasks.get}%7d")
     }
     spark.stop()

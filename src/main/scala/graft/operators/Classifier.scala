@@ -139,16 +139,33 @@ object Classifier {
     * [[lrEvalReport]] and [[lrCalibrationReport]]: `pos` and `neg` ids
     * must be DISJOINT — a doc id present in both would union twice and
     * fan out through the score join, silently double-counting rows.
-    * One limit-1 semi-join peek on the (bounded, eval-scale) inputs. */
-  private def requireDisjoint(pos: DataFrame, neg: DataFrame,
-                              idCol: String, fn: String): Unit = {
-    val shared = pos.select(col(idCol))
+    *
+    * The guard is IN-PLAN (a broadcast equi-join against the shared-id
+    * set, refusing per offending row via `raise_error` on the label
+    * column), not an eager peek: the former limit-1 semi-join collect
+    * fired a Spark job at plan-CONSTRUCTION time, which inside the
+    * `graft_lr_eval` / `graft_lr_calibration` TVF builders meant a job
+    * at SQL ANALYSIS time, re-fired on every re-analysis of a
+    * downstream temp-view chain — the exact façade-regression class
+    * [[Reuse.LocalDeferred]] exists to kill. Now plan construction and
+    * analysis launch no job; the refusal fires at first execution. The
+    * label column carries the guard so neither branch of the report's
+    * downstream aggregates can prune it away. */
+  private def labeledDisjoint(pos: DataFrame, neg: DataFrame,
+                              idCol: String, textCol: String,
+                              fn: String): DataFrame = {
+    val labeled = pos.select(col(idCol), col(textCol), lit(1L).as("__y"))
+      .unionByName(
+        neg.select(col(idCol), col(textCol), lit(0L).as("__y")))
+    val dups = pos.select(col(idCol))
       .join(neg.select(col(idCol)), Seq(idCol), "left_semi")
-      .limit(1).collect()
-    require(shared.isEmpty,
-      s"$fn: pos and neg share id ${shared.head.get(0)} — labeled eval " +
-        "corpora must be disjoint (a shared id double-counts through " +
-        "the score join)")
+      .select(col(idCol), lit(true).as("__dup"))
+    labeled.join(broadcast(dups), Seq(idCol), "left")
+      .select(col(idCol), col(textCol),
+        when(col("__dup").isNull, col("__y")).otherwise(raise_error(concat(
+          lit(s"$fn: pos and neg share id "), col(idCol).cast("string"),
+          lit(" — labeled eval corpora must be disjoint (a shared id " +
+            "double-counts through the score join)")))).as("__y"))
   }
 
   /** Classifier EVALUATION report — the verb after train/store/serve/
@@ -179,9 +196,7 @@ object Classifier {
                    buckets: Int = 256,
                    thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame = {
     require(thresholds.nonEmpty, "lrEvalReport: empty threshold list")
-    requireDisjoint(pos, neg, idCol, "lrEvalReport")
-    val labeled = pos.select(col(idCol), col(textCol), lit(1).as("__y"))
-      .unionByName(neg.select(col(idCol), col(textCol), lit(0).as("__y")))
+    val labeled = labeledDisjoint(pos, neg, idCol, textCol, "lrEvalReport")
     val scored = lrScore(labeled.select(col(idCol), col(textCol)),
         idCol, textCol, weights, buckets)
       .join(labeled.select(col(idCol), col("__y")), Seq(idCol))
@@ -233,9 +248,8 @@ object Classifier {
                           buckets: Int = 256,
                           nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
-    requireDisjoint(pos, neg, idCol, "lrCalibrationReport")
-    val labeled = pos.select(col(idCol), col(textCol), lit(1L).as("__y"))
-      .unionByName(neg.select(col(idCol), col(textCol), lit(0L).as("__y")))
+    val labeled = labeledDisjoint(pos, neg, idCol, textCol,
+      "lrCalibrationReport")
     val scored = lrScore(labeled.select(col(idCol), col(textCol)),
         idCol, textCol, weights, buckets)
       .join(labeled.select(col(idCol), col("__y")), Seq(idCol))

@@ -108,6 +108,15 @@ object Reuse {
     * shared across plan-tree copies via the memoized thunk, so CREATE
     * VIEW / EXPLAIN / prepare launch no job at all.
     *
+    * SHARING BOUNDARY: the memoized `cp` is per BUILDER INVOCATION —
+    * one statement's plan tree. SQL temp views store PARSED plans, so
+    * each EXECUTED downstream statement re-invokes the TVF builder and
+    * gets a fresh thunk: the upstream chain still recomputes (and
+    * re-checkpoints) once per executed statement. What this mode
+    * eliminates is the analysis-time work (CREATE VIEW / EXPLAIN /
+    * prepare re-running the chain); cross-STATEMENT reuse is the
+    * caller's job (materialize the view to a store and read it back).
+    *
     * Unlike [[Local]] this does NOT degrade on deferred-leaf inputs:
     * with no analysis-time `toRdd`, the EXPLAIN-fires-jobs and
     * catalog-monitor-deadlock hazards that degradation guards against
