@@ -226,6 +226,34 @@ object LlmSql {
       case args => bad(
         "graft_store_compact(store_table, id_col, tombstone_table_or_empty, out_path, partition_cols_csv, num_files)", args)
     }
+    reg(spark, "graft_store_compact_selective") {
+      // partition-SELECTIVE compaction IN PLACE over a partitioned
+      // store directory: only tombstone-bearing partitions rewrite,
+      // untouched partition files stay byte-identical. store_table must
+      // be a view over store_path (it supplies the schema so analysis
+      // stays job-free); the rewrite is a deferred ACTION like
+      // graft_store_compact.
+      case Seq(st, id, tombT, storeP, stagingP, partsE) =>
+        val f = "graft_store_compact_selective"
+        val store = table(str(st, f))
+        val idc = str(id, f)
+        val tomb = table(str(tombT, f))
+        val sp = str(storeP, f)
+        val gp = str(stagingP, f)
+        val parts = str(partsE, f).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(parts.nonEmpty, s"$f: partition_cols_csv must be non-empty")
+        parts.foreach(p => require(store.columns.contains(p),
+          s"$f: partition column `$p` not in store (${store.columns.sorted.mkString(",")})"))
+        val outSchema = StructType(
+          store.schema.filterNot(fd => parts.contains(fd.name)) ++
+            parts.map(p => store.schema(p)))
+        GraftDeferred.frame(spark, outSchema, memo { () =>
+          Dedup.storeCompactSelective(spark, sp, idc, tomb, parts, gp)
+        })
+      case args => bad(
+        "graft_store_compact_selective(store_table, id_col, tombstone_table, store_path, staging_path, partition_cols_csv)", args)
+    }
     reg(spark, "graft_bm25_stored") {
       // retrieval from the stored inverted index: fully LAZY (pushed
       // term filter, broadcast df/stats, top-k)
@@ -487,7 +515,8 @@ object LlmSql {
     }
     reg(spark, "graft_lr_calibration") {
       // reliability-diagram table over a labeled eval set and a stored
-      // weight table — fully lazy
+      // weight table — fully lazy (disjoint-id refusal in-plan, fires
+      // at execution, never at analysis)
       case Seq(pT, nT, id, text, wT, b, nb) =>
         val f = "graft_lr_calibration"
         graft.operators.Classifier.lrCalibrationReport(
@@ -1070,6 +1099,46 @@ object LlmSql {
       case args => bad(
         "graft_bpe_train(table, id_col, text_col, n_merges[, 'pretok'])", args)
     }
+    reg(spark, "graft_unigram_train") {
+      // unigram-LM (SentencePiece-style) tokenizer training is an
+      // ACTION (one distributed word-frequency pass, then driver-side
+      // hard-EM + prune rounds) — deferred like graft_bpe_train
+      case Seq(t, id, text, vs, nr, mpl, ss) =>
+        val f = "graft_unigram_train"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val textc = str(text, f)
+        val (v, n, m, sd) = (int(vs, f), int(nr, f), int(mpl, f), int(ss, f))
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            StructField("token_id", org.apache.spark.sql.types.IntegerType),
+            StructField("piece", org.apache.spark.sql.types.StringType),
+            StructField("cnt", org.apache.spark.sql.types.LongType),
+            StructField("logp", org.apache.spark.sql.types.DoubleType))),
+          memo { () => TextAnalysis.unigramTokTrain(tbl, idc, textc,
+            vocabSize = v, nRounds = n, maxPieceLen = m, seedSize = sd) })
+      case args => bad(
+        "graft_unigram_train(table, id_col, text_col, vocab_size, n_rounds, max_piece_len, seed_size)", args)
+    }
+    reg(spark, "graft_unigram_tokenize") {
+      // Viterbi tokenize under a stored piece table: the vocab-scale
+      // table collect is an ACTION, so the build is deferred — EXPLAIN
+      // / CREATE VIEW launch no job (the Reuse.LocalDeferred lesson)
+      case Seq(t, id, text, pT) =>
+        val f = "graft_unigram_tokenize"
+        val tbl = table(str(t, f))
+        val idc = str(id, f); val textc = str(text, f)
+        val pieces = table(str(pT, f))
+        GraftDeferred.frame(spark,
+          StructType(Seq(
+            tbl.schema(idc),
+            StructField("pos", org.apache.spark.sql.types.IntegerType),
+            StructField("token", org.apache.spark.sql.types.StringType),
+            StructField("token_id", org.apache.spark.sql.types.IntegerType))),
+          memo { () =>
+            TextAnalysis.unigramTokenize(tbl, idc, textc, pieces) })
+      case args => bad(
+        "graft_unigram_tokenize(table, id_col, text_col, pieces_table)", args)
+    }
     reg(spark, "graft_image_dups") {
       // perceptual dHash near-dup over a media table — pure lazy
       // transformation (no training action), registered directly;
@@ -1408,7 +1477,9 @@ object LlmSql {
     }
     reg(spark, "graft_lr_eval") {
       // the eval panel over a STORED weight table: fully LAZY like
-      // graft_lr_score (broadcast weights, threshold explode, counts)
+      // graft_lr_score (broadcast weights, threshold explode, counts);
+      // the disjoint-id refusal is IN-PLAN (raise_error at execution),
+      // so CREATE VIEW / EXPLAIN / prepare launch no job
       case Seq(wT, posT, negT, id, text, buckets) =>
         val f = "graft_lr_eval"
         graft.operators.Classifier.lrEvalReport(table(str(posT, f)),
@@ -1663,6 +1734,16 @@ object LlmSql {
         val f = "graft_bigram_lp"
         TextAnalysis.bigramLogProb(table(str(t, f)), str(id, f), str(text, f))
       case args => bad("graft_bigram_lp(table, id_col, text_col)", args)
+    }
+    reg(spark, "graft_trigram_kn") {
+      // interpolated Kneser-Ney trigram LM score — fully lazy (hash
+      // count tables join relationally, 1-row broadcast total)
+      case Seq(t, id, text, disc) =>
+        val f = "graft_trigram_kn"
+        TextAnalysis.trigramKnLogProb(table(str(t, f)), str(id, f),
+          str(text, f), discount = dbl(disc, f))
+      case args => bad(
+        "graft_trigram_kn(table, id_col, text_col, discount)", args)
     }
     reg(spark, "graft_dsir") {
       case Seq(t, tgt, id, text, b) =>

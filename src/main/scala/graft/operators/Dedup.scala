@@ -449,6 +449,123 @@ object Dedup {
     spark.read.parquet(outPath)
   }
 
+  /** PARTITION-SELECTIVE compaction over a partitioned store directory
+    * — the 100 TB form of [[storeCompact]]: rewrite ONLY the partitions
+    * that contain tombstoned rows and leave every untouched partition's
+    * files byte-identical (not read, not copied, not rewritten). A
+    * full-store rewrite is the scale-killer maintenance verb: at 100 TB
+    * of postings/codes, a takedown touching 3 of 65k buckets must cost
+    * 3 buckets, not 100 TB.
+    *
+    * Protocol (Hive-style dynamic partition overwrite, each step a
+    * separate job so no job ever reads and writes the same path):
+    *  1. affected = distinct partition values holding ≥1 tombstoned row
+    *     — a bounded driver boundary (≤ the tombstone list's partition
+    *     spread; `maxAffectedPartitions` refuses loudly past the bound);
+    *  2. the affected partitions are re-read under a literal partition
+    *     filter (STATIC pruning — the untouched 99.99% is never
+    *     opened), purged, and consolidated to `stagingPath`;
+    *  3. the staged rows cut over into the store via dynamic partition
+    *     overwrite (only the staged partitions' directories are
+    *     replaced); partitions whose EVERY row was tombstoned stage no
+    *     rows, which dynamic overwrite would silently leave in place —
+    *     their directories are deleted explicitly (driver-side FS ops,
+    *     bounded by `maxAffectedPartitions`).
+    *
+    * This verb mutates `storePath` IN PLACE (the versioned-path
+    * discipline of [[storeCompact]] would have to copy the untouched
+    * 99.99% to the new version, defeating the point without a
+    * manifest-based table format) — an OFFLINE maintenance verb:
+    * concurrent readers mid-cutover can see a partition's old and
+    * another's new files, exactly like any Hive dynamic-overwrite
+    * maintenance job. The read-own-input hazard does not arise: the
+    * affected rows land in `stagingPath` first, and the cutover job's
+    * input is the staging directory, never the store.
+    *
+    * Laws (gate + spec pinned): serving the selectively-compacted store
+    * equals serving the logical `purge(store)` view row-for-row;
+    * untouched partition files are BYTE-IDENTICAL (same name, length,
+    * mtime); fully-tombstoned partitions' directories disappear; the
+    * partition layout (and so static pruning) survives. */
+  def storeCompactSelective(spark: org.apache.spark.sql.SparkSession,
+                            storePath: String, idCol: String,
+                            tombstones: DataFrame,
+                            partitionCols: Seq[String],
+                            stagingPath: String,
+                            maxAffectedPartitions: Int = 4096): DataFrame = {
+    require(partitionCols.nonEmpty,
+      "storeCompactSelective: partitionCols must be non-empty — " +
+        "selective compaction is defined by partition boundaries (use " +
+        "storeCompact for a flat store)")
+    require(stagingPath != storePath,
+      "storeCompactSelective: stagingPath must differ from storePath")
+    require(maxAffectedPartitions >= 1,
+      s"maxAffectedPartitions must be >= 1, got $maxAffectedPartitions")
+    val store = spark.read.parquet(storePath)
+    partitionCols.foreach(p => require(store.columns.contains(p),
+      s"storeCompactSelective: partition column `$p` not in store " +
+        s"(${store.columns.sorted.mkString(",")})"))
+    // 1. affected partitions — the bounded driver boundary
+    val affected = store
+      .join(tombstones.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(partitionCols.map(col): _*).distinct()
+      .limit(maxAffectedPartitions + 1).collect()
+    require(affected.length <= maxAffectedPartitions,
+      s"storeCompactSelective: tombstones touch > $maxAffectedPartitions " +
+        "partitions — a takedown spread over the whole store is a full " +
+        "rewrite; use storeCompact (or raise maxAffectedPartitions)")
+    if (affected.isEmpty) return store // nothing to do — zero writes
+    // partition-value → Hive directory fragment; refuse values the
+    // layout would escape (every store here partitions on numeric
+    // buckets/cells, so the refusal is a contract, not a limitation)
+    def frag(r: org.apache.spark.sql.Row): String =
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = String.valueOf(r.get(i))
+        require(v.matches("[-A-Za-z0-9_.]+"),
+          s"storeCompactSelective: partition value `$v` for `$c` needs " +
+            "Hive escaping — only plain alphanumeric partition values " +
+            "are supported")
+        s"$c=$v"
+      }.mkString("/")
+    val affectedFrags = affected.map(frag).toSet
+    // 2. static-pruned read of ONLY the affected partitions, purged,
+    //    consolidated to staging (~one file per partition)
+    val prunedFilter =
+      if (partitionCols.size == 1)
+        col(partitionCols.head).isin(affected.map(_.get(0)).toIndexedSeq: _*)
+      else affected.map(r => partitionCols.zipWithIndex.map { case (c, i) =>
+        col(c) === lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _)
+    storePurge(store.filter(prunedFilter), idCol, tombstones)
+      .repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(stagingPath)
+    // 3. cutover: which affected partitions staged rows (FS listing —
+    //    no Spark read of an empty parquet dir)
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listFrags(base: org.apache.hadoop.fs.Path, prefix: String,
+                  depth: Int): Seq[String] =
+      fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap { s =>
+          val f = if (prefix.isEmpty) s.getPath.getName
+                  else s"$prefix/${s.getPath.getName}"
+          if (depth == 1) Seq(f) else listFrags(s.getPath, f, depth - 1)
+        }
+    val stagedFrags = listFrags(new org.apache.hadoop.fs.Path(stagingPath),
+      "", partitionCols.size).toSet
+    if (stagedFrags.nonEmpty)
+      spark.read.parquet(stagingPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*).parquet(storePath)
+    // fully-tombstoned partitions: no staged rows ⇒ delete their dirs
+    (affectedFrags -- stagedFrags).foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(storePath, f), true)
+    }
+    spark.read.parquet(storePath)
+  }
+
   /** SimHash banded near-dup pairs: sketch every document to a
     * `hashBits`-bit simhash, explode it into `nBands` equal bit-bands,
     * candidate pairs share a (band_idx, band_val) bucket, and the

@@ -27,8 +27,18 @@ object TextAnalysis {
     * whitespace) are separate pre-tokens, so `word.` and `word` share
     * the stem symbol and punctuation never glues onto words. Without
     * it the learned vocabulary systematically inflates (`word.`,
-    * `word,`, `word"` all train as unrelated symbols). */
-  val pretokPattern: String = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"
+    * `word,`, `word"` all train as unrelated symbols).
+    *
+    * The whitespace class is spelled out EXPLICITLY (`\t\n\x0B\f\r` +
+    * space) rather than `\s`, because `\s` is NOT the same class in the
+    * two engines that replay this pattern: Java's `\s` includes `\x0B`
+    * (vertical tab), RE2's — and therefore DuckDB's — does not, so a
+    * document containing `\x0B` would tokenize differently on the two
+    * sides and hash-mismatch the oracle. The explicit class is exactly
+    * Java's `\s`, so the Spark side is bit-identical to the former
+    * `\s` form on every input. */
+  val pretokPattern: String =
+    "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]+"
 
   /** Pre-tokenized words under [[pretokPattern]] — the `preTokenize`
     * form of [[tokens]] for the BPE train/apply family. Never emits
@@ -260,6 +270,141 @@ object TextAnalysis {
       "bpeTrainLocal: corpus has no adjacent symbol pairs (no multi-char words)")
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right")
+  }
+
+  /** Unigram-LM tokenizer TRAINING — the other mainstream public
+    * tokenizer family beside BPE (Kudo '18, SentencePiece's default):
+    * seed a piece vocabulary from substring frequencies, then alternate
+    * hard-EM re-estimation (segment every word by max-likelihood
+    * Viterbi under the current piece scores, recount pieces from the
+    * winning segmentations) with pruning to the target vocabulary.
+    * Output: (token_id, piece, cnt, logp) — token_id is the 1-based
+    * (cnt desc, piece asc) rank, logp the round-6-quantized
+    * log-probability; [[unigramTokenize]] consumes the table, so
+    * train → store → apply round-trips.
+    *
+    * Determinism (the cross-engine contract): piece scores are
+    * round-6-quantized log-probs carried as exact MICRO-unit integers
+    * ([[graft.functions.UnigramApply.micros]]), so Viterbi compares
+    * exact integer sums; segmentation ties break (fewer pieces, then
+    * space-joined sequence ascending under UTF-8 byte order); vocab
+    * pruning ties break (cnt desc, piece asc under the same byte
+    * order). Every corpus codepoint survives every round as a
+    * single-char piece (count floored at 1), so training never hits
+    * the `<unk>` path and coverage is total — the SentencePiece
+    * character-coverage convention.
+    *
+    * Scale shape — the [[bpeTrainLocal]] boundary: ONE distributed
+    * corpus pass builds the word-frequency table (vocabulary-scale
+    * regardless of corpus size), collected once; seeding, every EM
+    * round, and pruning run driver-side over that table. */
+  def unigramTokTrain(df: DataFrame, idCol: String, textCol: String,
+                      vocabSize: Int = 48, nRounds: Int = 2,
+                      maxPieceLen: Int = 4, seedSize: Int = 64): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(nRounds >= 1, s"nRounds must be >= 1, got $nRounds")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    val spark = df.sparkSession
+    // the only corpus-scale work: one distributed word-frequency pass
+    val wfreq: Array[(String, Long)] =
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(wfreq.nonEmpty, "unigramTokTrain: empty corpus")
+    import org.apache.spark.unsafe.types.UTF8String
+    def utf8Lt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    def byCntDesc(a: (String, Long), b: (String, Long)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && utf8Lt(a._1, b._1))
+    def isChar(p: String): Boolean = p.codePointCount(0, p.length) == 1
+    // seed: substring occurrence counts weighted by word frequency
+    val seed = scala.collection.mutable.HashMap.empty[String, Long]
+    wfreq.foreach { case (w, f) =>
+      val cps = graft.functions.BpeApply.codepoints(w)
+      var i = 0
+      while (i < cps.length) {
+        val sb = new java.lang.StringBuilder()
+        var l = 1
+        val maxL = math.min(maxPieceLen, cps.length - i)
+        while (l <= maxL) {
+          sb.append(cps(i + l - 1))
+          val p = sb.toString
+          seed.update(p, seed.getOrElse(p, 0L) + f)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars0 = seed.toSeq.filter(t => isChar(t._1))
+    var vocab: Seq[(String, Long)] = chars0 ++
+      seed.toSeq.filterNot(t => isChar(t._1)).sortWith(byCntDesc).take(seedSize)
+    val nChars = chars0.length
+    // hard-EM + prune rounds, driver-side over the word table
+    var r = 0
+    while (r < nRounds) {
+      val total = vocab.map(_._2).sum
+      val score = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+      vocab.foreach { case (p, c) =>
+        score.put(p, java.lang.Long.valueOf(
+          graft.functions.UnigramApply.micros(c, total)))
+      }
+      val recount = scala.collection.mutable.HashMap.empty[String, Long]
+      wfreq.foreach { case (w, f) =>
+        graft.functions.UnigramApply.segment(w, score, maxPieceLen)
+          .foreach(p => recount.update(p, recount.getOrElse(p, 0L) + f))
+      }
+      // chars always survive (count floored at 1 — coverage); unused
+      // multi-char pieces drop; then prune to the target vocabulary
+      val chars = vocab.filter(t => isChar(t._1))
+        .map(t => t._1 -> math.max(recount.getOrElse(t._1, 0L), 1L))
+      val multi = recount.toSeq.filterNot(t => isChar(t._1))
+        .sortWith(byCntDesc).take(math.max(vocabSize - nChars, 0))
+      vocab = chars ++ multi
+      r += 1
+    }
+    val total = vocab.map(_._2).sum
+    import spark.implicits._
+    vocab.sortWith(byCntDesc).zipWithIndex.map { case ((p, c), i) =>
+      (i + 1, p, c,
+        graft.functions.UnigramApply.micros(c, total).toDouble / 1e6)
+    }.toDF("token_id", "piece", "cnt", "logp")
+  }
+
+  /** Tokenize under a STORED unigram-LM piece table — the serving half
+    * of the [[unigramTokTrain]] lifecycle ([[bpeTokenize]]'s sibling):
+    * per whitespace word, the max-likelihood Viterbi segmentation via
+    * [[graft.functions.UnigramTokens]] (the identical routine training
+    * ran — one compiled per-row pass, vocabulary inlined as literals,
+    * zero shuffle), emitted in order across the document as (idCol,
+    * pos, token, token_id). The table is collected once (vocabulary-
+    * scale — the [[bpeCount]] serve-time boundary); the maximum piece
+    * length is derived from the table itself, so serve parameters
+    * cannot drift from the trained artifact. */
+  def unigramTokenize(df: DataFrame, idCol: String, textCol: String,
+                      pieces: DataFrame): DataFrame = {
+    val cols = pieces.columns.toSet
+    require(Set("token_id", "piece", "logp").subsetOf(cols),
+      s"piece table must carry (token_id, piece, logp), got ${cols.toSeq.sorted.mkString(",")}")
+    val tbl = pieces.select(col("token_id").cast("int"),
+        col("piece").cast("string"), col("logp").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(tbl.nonEmpty, "unigramTokenize: empty piece table")
+    require(tbl.map(_._1).toSeq == (1 to tbl.length),
+      s"piece table token_ids must be exactly 1..${tbl.length} (the " +
+        "unigramTokTrain rank contract)")
+    val micros = tbl.map(t => BigDecimal(t._3 * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    val maxLen = tbl.map(t => t._2.codePointCount(0, t._2.length)).max
+    df.select(col(idCol),
+        posexplode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.UnigramTokens(
+            org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol))),
+            tbl.map(_._2).toIndexedSeq, micros.toIndexedSeq, maxLen))))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("pos"),
+        col("col.token").as("token"), col("col.token_id").as("token_id"))
   }
 
   /** Fraction of characters outside [a-z0-9 ] (punctuation-ish). The
@@ -2185,6 +2330,93 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("n_bigrams"),
         round(sum(col("tf") * log((col("cb") + 1.0) / (col("cu") + col("v")))) /
           sum(col("tf")), 4).as("avg_logprob"))
+  }
+
+  /** Interpolated Kneser-Ney TRIGRAM LM score — the top rung of the
+    * CCNet perplexity ladder here ([[unigramLogProb]] → add-1
+    * [[bigramLogProb]] → this): the published smoothing family real
+    * perplexity filters use (Kneser & Ney '95; Chen & Goodman '99
+    * interpolated form, fixed discount D). Per document, the average
+    * over trigram OCCURRENCES of `ln P_KN(w3 | w1 w2)` with
+    *
+    *   P_KN(w3|w1w2) = (c(w1w2w3) − D)/c(w1w2·)
+    *                   + D·N1+(w1w2·)/c(w1w2·) · P_KN(w3|w2)
+    *   P_KN(w3|w2)   = (N1+(·w2w3) − D)/N1+(·w2·)
+    *                   + D·N1+(w2·)/N1+(·w2·) · P_cont(w3)
+    *   P_cont(w3)    = N1+(·w3) / N1+(··)
+    *
+    * where every count derives from the corpus's TRIGRAM table:
+    * c(w1w2·) = Σ_w c(w1w2w), N1+(x·)/N1+(·x) = distinct-continuation
+    * type counts, and the continuation-unigram support is the suffix
+    * bigram types (w2,w3). Scoring the training corpus itself (the
+    * CCNet self-trained convention, as the other two rungs), every
+    * count in a scored position is ≥ 1, so the `max(·−D, 0)` guards of
+    * the general form are identities and the formula above is total —
+    * no back-off branch, no NULLs. KN's signature behavior: a word
+    * frequent only inside one fixed phrase ("Francisco") gets a LOW
+    * continuation probability — add-k smoothing cannot see that.
+    *
+    * Engine parity: counts are exact integers; each position's
+    * probability is the SAME IEEE op sequence both engines evaluate
+    * (fixed division/association order, D a binary-exact literal);
+    * round(·,4) absorbs the single libm-ln call's 1-ulp spread — the
+    * [[bigramLogProb]] contract verbatim.
+    *
+    * Scale shape — tfidf-family: trigram occurrences reduce to 60-bit
+    * hash keys in the first projection (id + five 8-byte hashes); the
+    * count tables are vocabulary-scale, joined RELATIONALLY on the
+    * hashes (deliberately not broadcast); N1+(··) is a broadcast 1-row
+    * total; text never crosses an exchange. Output: (id, n_trigrams,
+    * avg_logprob); documents with < 3 tokens have no trigrams and are
+    * absent. */
+  def trigramKnLogProb(df: DataFrame, idCol: String, textCol: String,
+                       discount: Double = 0.75,
+                       reuse: Reuse = Reuse.Local): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val d = lit(discount)
+    // occurrence rows: every trigram with its five hash keys
+    val parts = split(col("s"), " ")
+    val r = reuse(
+      Dedup.shingleRowsPos(df.select(col(idCol), col(textCol)),
+          idCol, textCol, n = 3)
+        .select(col(idCol),
+          Dedup.sharedHash60(col("s")).as("th"),
+          Dedup.sharedHash60(concat_ws(" ",
+            element_at(parts, 1), element_at(parts, 2))).as("bh12"),
+          Dedup.sharedHash60(concat_ws(" ",
+            element_at(parts, 2), element_at(parts, 3))).as("bh23"),
+          Dedup.sharedHash60(element_at(parts, 2)).as("mh"),
+          Dedup.sharedHash60(element_at(parts, 3)).as("w3h")))
+    // trigram TYPE table (one row per distinct trigram, keys along)
+    val types = reuse(r.select(col("th"), col("bh12"), col("bh23"),
+      col("mh"), col("w3h")).distinct())
+    val c3 = r.groupBy(col("th")).agg(count(lit(1)).as("c3"))
+    // context stats: occurrences and distinct continuations of (w1,w2)
+    val t12 = r.groupBy(col("bh12")).agg(count(lit(1)).as("ctx12"),
+      count_distinct(col("th")).as("n1p12"))
+    // continuation count of the suffix bigram: distinct w1 before (w2,w3)
+    val t23 = types.groupBy(col("bh23")).agg(count(lit(1)).as("n1p23"))
+    // middle-word stats: trigram types through w2; distinct w3 after w2
+    val tmid = types.groupBy(col("mh")).agg(count(lit(1)).as("mid2"),
+      count_distinct(col("w3h")).as("n1p2dot"))
+    // continuation-unigram support: suffix bigram types
+    val suffix = reuse(types.select(col("mh"), col("w3h")).distinct())
+    val tw3 = suffix.groupBy(col("w3h")).agg(count(lit(1)).as("n1pw3"))
+    val nbt = suffix.agg(count(lit(1)).as("nbt"))
+    val tf = r.groupBy(col(idCol), col("th"), col("bh12"), col("bh23"),
+      col("mh"), col("w3h")).agg(count(lit(1)).as("tf"))
+    // the interpolated probability — SAME op sequence as the oracle SQL
+    val puni = col("n1pw3") / col("nbt")
+    val pmid = (col("n1p23") - d) / col("mid2") +
+      d * col("n1p2dot") / col("mid2") * puni
+    val p = (col("c3") - d) / col("ctx12") +
+      d * col("n1p12") / col("ctx12") * pmid
+    tf.join(c3, "th").join(t12, "bh12").join(t23, "bh23")
+      .join(tmid, "mh").join(tw3, "w3h").crossJoin(broadcast(nbt))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        round(sum(col("tf") * log(p)) / sum(col("tf")), 4).as("avg_logprob"))
   }
 
   /** Text normalization — the pipeline's mandatory first step (mixed

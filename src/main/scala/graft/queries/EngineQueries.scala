@@ -915,6 +915,26 @@ object EngineQueries {
                FROM documents)""")),
     "e_sql_bigram_lp" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_bigram_lp('documents', 'doc_id', 'text')")),
+    "e_sql_trigram_kn" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_trigram_kn('documents', 'doc_id', 'text', 0.75)")),
+    "e_sql_unigram_train" -> ((s, d) => via(s, d)(
+      "SELECT * FROM graft_unigram_train('documents', 'doc_id', 'text', 48, 2, 4, 64)")),
+    "e_sql_unigram_tokenize" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // train in Scala (the write side), store, serve from the view
+      // through the deferred TVF — the stored-artifact twin convention
+      val out = "target/gate_sink/unigram_pieces_sql"
+      graft.operators.TextAnalysis.unigramTokTrain(
+          Tables.load(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", vocabSize = 48, nRounds = 2,
+          maxPieceLen = 4, seedSize = 64)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("unig_pieces")
+      e.query("""SELECT * FROM graft_unigram_tokenize('documents',
+                   'doc_id', 'text', 'unig_pieces')""")
+    }),
     // script detection from SQL over the same multilingual fixture
     // (DataFrame-built: Spark SQL chr() is ASCII-only)
     "e_sql_script" -> ((s, d) => {
@@ -1779,6 +1799,174 @@ object EngineQueries {
                  FROM graft_bm25_stored('bm25c_post_v2', 'bm25c_dl_v2',
                                         'doc_id', 'hash,join,vector', 25)""")
     }),
+    "e_sql_bm25_selective_compact" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{broadcast, max}
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // partition-SELECTIVE compaction from SQL: the bucket-partitioned
+      // postings (two generations, the llm_bm25_selective_compact
+      // fixture) rewritten IN PLACE by the selective TVF — only
+      // tombstone-bearing tbucket partitions rewrite — then the pruned
+      // serve over the compacted store; the delete oracle gates it
+      val out = "target/gate_sink/bm25_selective_compact_sql"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val ta = graft.operators.TextAnalysis
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      val b = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      val ia = graft.operators.Reuse.Local(
+        ta.bm25IndexPartitioned(a, "doc_id", "text", nBuckets = 8))
+      ia.write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$out/postings")
+      ta.bm25DocLens(ia, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val ib = graft.operators.Reuse.Local(
+        ta.bm25IndexPartitioned(b, "doc_id", "text", nBuckets = 8))
+      ib.write.mode("append").partitionBy("tbucket")
+        .parquet(s"$out/postings")
+      ta.bm25DocLens(ib, "doc_id")
+        .write.mode("append").parquet(s"$out/doclens")
+      s.read.parquet(s"$out/postings").createOrReplaceTempView("bm25sc_post")
+      s.read.parquet(s"$out/doclens").createOrReplaceTempView("bm25sc_dl")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW bm25sc_tomb AS
+                 SELECT doc_id FROM documents WHERE doc_id % 7 = 0""")
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW bm25sc_post_v2 AS
+                 SELECT * FROM graft_store_compact_selective('bm25sc_post',
+                   'doc_id', 'bm25sc_tomb', '$out/postings',
+                   '$out/postings_staging', 'tbucket')""")
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW bm25sc_dl_v2 AS
+                 SELECT * FROM graft_store_compact('bm25sc_dl', 'doc_id',
+                   'bm25sc_tomb', '$out/doclens_v2', '', 1)""")
+      e.query("""SELECT doc_id, bm25
+                 FROM graft_bm25_pruned('bm25sc_post_v2', 'bm25sc_dl_v2',
+                                        'doc_id', 'hash,join,vector', 8, 25)""")
+    }),
+    "e_sql_ann_selective_compact" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{broadcast, max}
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // selective compaction on the cell-partitioned codes store from
+      // SQL (the e_sql_ann_compact fixture, in-place selective rewrite)
+      val out = "target/gate_sink/ann_selective_compact_sql"
+      val emb = Tables.load(s, d, "embeddings")
+      val sim = graft.operators.Similarity
+      val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
+      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
+      val mx = emb.agg(max($"vec_id").as("m"))
+      val a = emb.crossJoin(broadcast(mx)).filter($"vec_id" <= $"m" - 100)
+        .select($"vec_id", $"embedding")
+      val b = emb.crossJoin(broadcast(mx)).filter($"vec_id" > $"m" - 100)
+        .select($"vec_id", $"embedding")
+      sim.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      sim.ivfPqEncode(b, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+      s.read.parquet(s"$out/cells").createOrReplaceTempView("selann_cells")
+      s.read.parquet(s"$out/codebooks").createOrReplaceTempView("selann_cbs")
+      s.read.parquet(s"$out/codes").createOrReplaceTempView("selann_codes")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW selann_tomb AS
+                 SELECT vec_id FROM selann_codes WHERE vec_id % 10 = 3""")
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW selann_codes_v2 AS
+                 SELECT * FROM graft_store_compact_selective('selann_codes',
+                   'vec_id', 'selann_tomb', '$out/codes',
+                   '$out/codes_staging', 'cell')""")
+      e.query("""SELECT vec_id, adc_score
+                 FROM graft_ann_stored('selann_codes_v2', 'selann_cells',
+                                       'selann_cbs', 'embeddings',
+                                       'vec_id', 'embedding', 0, 10, 2)""")
+    }),
+    "e_sql_fp_compact" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // fingerprint-store compaction from SQL — closes the twin matrix
+      // for this store (every verb Scala AND SQL): two generations
+      // written in Scala (the e_sql_fp_append write side), tombstone
+      // fps as a graft_fingerprint view, graft_store_compact rewrite,
+      // then the admission probe over the compacted view — clones of
+      // PURGED docs admit again, survivors' clones still bounce
+      val out = "target/gate_sink/fingerprint_store_compact_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      docs.crossJoin(broadcast(m)).filter(col("doc_id") <= col("m") - 150)
+        .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$out/store")
+      docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 150)
+        .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct()
+        .write.mode("append").parquet(s"$out/store")
+      s.read.parquet(s"$out/store").createOrReplaceTempView("fpcmp_store")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW fpcmp_tomb AS
+                 SELECT DISTINCT graft_fingerprint(text) AS fp
+                 FROM documents WHERE doc_id % 7 = 0""")
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW fpcmp_v2 AS
+                 SELECT * FROM graft_store_compact('fpcmp_store', 'fp',
+                   'fpcmp_tomb', '$out/store_v2', '', 1)""")
+      e.query("""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 tail AS (SELECT doc_id, text FROM documents, m
+                          WHERE doc_id > mx - 300),
+                 inc AS (SELECT doc_id + 3000000 AS doc_id, text FROM tail
+                         UNION ALL
+                         SELECT doc_id + 4000000, concat(text, ' novel suffix')
+                         FROM tail)
+                 SELECT i.doc_id
+                 FROM inc i LEFT ANTI JOIN fpcmp_v2 f
+                   ON graft_fingerprint(i.text) = f.fp""")
+    }),
+    "e_sql_image_compact" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // dHash-store compaction from SQL — the image index's last
+      // twin-matrix hole closed: two generations written in Scala (the
+      // llm_image_compact fixture), doc-id tombstones purged via
+      // graft_store_compact, the edited-clone shard probed against the
+      // compacted view through the unchanged TVF
+      val out = "target/gate_sink/image_dhash_compact_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      val genA = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") <= col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val genB = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val mm = graft.operators.Multimodal
+      mm.dHash(mm.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$out/store")
+      mm.dHash(mm.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(s"$out/store")
+      s.read.parquet(s"$out/store").createOrReplaceTempView("imgcmp_store")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW imgcmp_tomb AS
+                 SELECT doc_id FROM imgcmp_store WHERE doc_id % 5 = 1""")
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW imgcmp_v2 AS
+                 SELECT * FROM graft_store_compact('imgcmp_store', 'doc_id',
+                   'imgcmp_tomb', '$out/store_v2', '', 1)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW imgcmp_probe AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT DISTINCT id_new, id_corpus, hamming
+                 FROM graft_image_probe('imgcmp_probe', 'imgcmp_v2',
+                                        'doc_id', 'payload', 3, 4)""")
+    }),
     "e_sql_knn_join" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2489,6 +2677,9 @@ object EngineQueries {
     "e_sql_minhash_probe" -> LlmQueries.oracle("llm_minhash_incr"),
     "e_sql_script" -> LlmQueries.oracle("llm_script"),
     "e_sql_bigram_lp" -> LlmQueries.oracle("llm_bigram_lp"),
+    "e_sql_trigram_kn" -> LlmQueries.oracle("llm_trigram_kn"),
+    "e_sql_unigram_train" -> LlmQueries.oracle("llm_unigram_tok_train"),
+    "e_sql_unigram_tokenize" -> LlmQueries.oracle("llm_unigram_tokenize"),
     "e_sql_temperature_mix" -> LlmQueries.oracle("llm_temperature_mix"),
     "e_sql_corpus_report" -> LlmQueries.oracle("llm_corpus_report"),
     "e_sql_line_dedup" -> LlmQueries.oracle("llm_line_dedup"),
@@ -2517,6 +2708,12 @@ object EngineQueries {
     "e_sql_ann_delete" -> LlmQueries.oracle("llm_ann_index_delete"),
     "e_sql_ann_compact" -> LlmQueries.oracle("llm_ann_index_compact"),
     "e_sql_bm25_compact" -> LlmQueries.oracle("llm_bm25_compact"),
+    "e_sql_ann_selective_compact" ->
+      LlmQueries.oracle("llm_ann_selective_compact"),
+    "e_sql_bm25_selective_compact" ->
+      LlmQueries.oracle("llm_bm25_selective_compact"),
+    "e_sql_fp_compact" -> LlmQueries.oracle("llm_fp_compact"),
+    "e_sql_image_compact" -> LlmQueries.oracle("llm_image_compact"),
     "e_sql_bm25_pruned" -> LlmQueries.oracle("llm_bm25_pruned"),
     "e_sql_snippet_join" -> LlmQueries.oracle("llm_snippet_join"),
     "e_sql_bm25_prf_join" -> LlmQueries.oracle("llm_bm25_prf_join"),

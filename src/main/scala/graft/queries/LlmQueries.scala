@@ -116,9 +116,11 @@ object LlmQueries {
   /** The RE2-safe pre-tokenization split as a DuckDB word-extraction
     * expression — replays [[graft.operators.TextAnalysis.pretokPattern]]
     * verbatim (letter runs / digit runs / non-space-other runs; no
-    * lookaround, so RE2 and Java agree). */
+    * lookaround, and the whitespace class spelled explicitly because
+    * Java's `\s` includes `\x0B` while RE2's does not — see the
+    * pattern's scaladoc). */
   private val pretokWordsSql =
-    "regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')"
+    "regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]+')"
 
   private def bpeTrainCtes(nMerges: Int,
       wordsSql: String = "string_split_regex(text, '\\s+')"): String = {
@@ -146,6 +148,83 @@ object LlmQueries {
                FROM wf),
         $stages,
         mAll AS ($union)"""
+  }
+
+  /** Unigram-LM tokenizer training replayed as DuckDB CTEs, ending in
+    * `uvrank(token_id, piece, cnt, mu)` — the final piece table with
+    * micro-quantized log-prob scores. Replays
+    * [[graft.operators.TextAnalysis.unigramTokTrain]] exactly: substring
+    * seed counts, then per round (a) micro scores from the current
+    * vocabulary, (b) per-word max-likelihood segmentation — here by
+    * EXHAUSTIVE path enumeration through a recursive CTE with the
+    * identical (score desc, n pieces asc, space-joined path asc) argmax
+    * the Viterbi DP provably computes, (c) recount from winning paths,
+    * (d) char floor + prune to the target vocabulary. Path scores are
+    * exact BIGINT micro sums, so both engines compare identical
+    * operands; the single libm-ln per piece is absorbed by the micro
+    * rounding (round-half-away == HALF_UP on ln's negative values). */
+  private def unigramTrainCtes(vocabSize: Int, nRounds: Int,
+                               maxPieceLen: Int, seedSize: Int): String = {
+    val rounds = (1 to nRounds).map { r =>
+      val prev = if (r == 1) "uv0" else s"uv${r - 1}"
+      s"""us$r AS (SELECT piece,
+                   CAST(round(ln(cnt / (SELECT sum(cnt) FROM $prev)) * 1000000) AS BIGINT) AS mu
+                 FROM $prev),
+          up$r AS (SELECT w, f, 1 AS i, CAST(0 AS BIGINT) AS sc, 0 AS n, '' AS path
+                 FROM uwf
+                 UNION ALL
+                 SELECT p.w, p.f, p.i + length(s.piece), p.sc + s.mu, p.n + 1,
+                        CASE WHEN p.path = '' THEN s.piece
+                             ELSE p.path || ' ' || s.piece END
+                 FROM up$r p JOIN us$r s
+                   ON s.piece = substr(p.w, p.i, length(s.piece))
+                 WHERE p.i <= length(p.w)),
+          ub$r AS (SELECT w, f, path FROM (
+                   SELECT w, f, path, row_number() OVER (PARTITION BY w
+                     ORDER BY sc DESC, n ASC, path ASC) AS rn
+                   FROM up$r WHERE i = length(w) + 1)
+                 WHERE rn = 1),
+          uc$r AS (SELECT piece, sum(f) AS cnt FROM (
+                   SELECT unnest(string_split(path, ' ')) AS piece, f
+                   FROM ub$r)
+                 GROUP BY piece),
+          uv$r AS (SELECT v.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
+                 FROM $prev v LEFT JOIN uc$r c USING (piece)
+                 WHERE length(v.piece) = 1
+                 UNION ALL
+                 SELECT piece, cnt FROM (
+                   SELECT piece, cnt, row_number() OVER
+                     (ORDER BY cnt DESC, piece) AS rn
+                   FROM uc$r WHERE length(piece) > 1), unch
+                 WHERE rn <= $vocabSize - nc)"""
+    }.mkString(",\n          ")
+    s"""uwf AS (SELECT w, count(*) AS f FROM (
+               SELECT unnest(string_split_regex(text, '\\s+')) AS w
+               FROM documents) q
+             WHERE length(w) > 0 GROUP BY w),
+        useed AS (SELECT piece, sum(f) AS cnt FROM (
+                  SELECT substr(w, i, l) AS piece, f
+                  FROM (SELECT w, f,
+                          unnest(generate_series(1, length(w))) AS i
+                        FROM uwf) a
+                  CROSS JOIN (SELECT unnest(generate_series(1, $maxPieceLen)) AS l) b
+                  WHERE i + l - 1 <= length(w)) q
+                GROUP BY piece),
+        unch AS (SELECT count(*) AS nc FROM useed WHERE length(piece) = 1),
+        uv0 AS (SELECT piece, cnt FROM useed WHERE length(piece) = 1
+                UNION ALL
+                SELECT piece, cnt FROM (
+                  SELECT piece, cnt, row_number() OVER
+                    (ORDER BY cnt DESC, piece) AS rn
+                  FROM useed WHERE length(piece) > 1) q
+                WHERE rn <= $seedSize),
+        $rounds,
+        uvfin AS (SELECT piece, cnt,
+                  CAST(round(ln(cnt / (SELECT sum(cnt) FROM uv$nRounds)) * 1000000) AS BIGINT) AS mu
+                FROM uv$nRounds),
+        uvrank AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INTEGER) AS token_id,
+                          piece, CAST(cnt AS BIGINT) AS cnt, mu
+                 FROM uvfin)"""
   }
 
   /** The dHash chain as DuckDB CTEs over relation `src` (doc_id, text),
@@ -1187,6 +1266,44 @@ object LlmQueries {
       TextAnalysis.bm25TopKStoredPruned(cp, cd, "doc_id",
         queryTerms = Seq("hash", "join", "vector"), nBuckets = 8, k = 25)
     }),
+    "llm_bm25_selective_compact" -> ((s, d) => {
+      import s.implicits._
+      // partition-SELECTIVE maintenance on the bucket-partitioned
+      // postings: the same two-generation + tombstone fixture as
+      // llm_bm25_pruned_compact, but only tombstone-bearing tbucket
+      // partitions are rewritten, IN PLACE — untouched buckets' files
+      // stay byte-identical (LlmOpsSpec pins the file statuses) — and
+      // the pruned serve over the compacted store still equals the
+      // llm_bm25_delete answer (same oracle). Doc-lengths stay a flat
+      // store: full storeCompact is correct there (every doc row is a
+      // candidate, there is no partition to spare).
+      val out = "target/gate_sink/bm25_selective_compact"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val a = docs.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 100)
+        .select($"doc_id", $"text")
+      val b = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
+        .select($"doc_id", $"text")
+      val ia = graft.operators.Reuse.Local(
+        TextAnalysis.bm25IndexPartitioned(a, "doc_id", "text", nBuckets = 8))
+      ia.write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ia, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      val ib = graft.operators.Reuse.Local(
+        TextAnalysis.bm25IndexPartitioned(b, "doc_id", "text", nBuckets = 8))
+      ib.write.mode("append").partitionBy("tbucket")
+        .parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ib, "doc_id")
+        .write.mode("append").parquet(s"$out/doclens")
+      val tomb = docs.select($"doc_id").filter($"doc_id" % 7 === 0)
+      val cp = Dedup.storeCompactSelective(s, s"$out/postings", "doc_id",
+        tomb, Seq("tbucket"), s"$out/postings_staging")
+      val cd = Dedup.storeCompact(s.read.parquet(s"$out/doclens"),
+        "doc_id", Some(tomb), s"$out/doclens_v2")
+      TextAnalysis.bm25TopKStoredPruned(cp, cd, "doc_id",
+        queryTerms = Seq("hash", "join", "vector"), nBuckets = 8, k = 25)
+    }),
     "llm_pipeline13" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1808,6 +1925,34 @@ object LlmQueries {
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text")),
         "doc_id", "text", nMerges = 8)),
+    "llm_unigram_tok_train" -> ((s, d) =>
+      // unigram-LM (SentencePiece-style) tokenizer training — the
+      // other mainstream public tokenizer family beside BPE: substring
+      // seed, hard-EM Viterbi re-estimation + prune rounds, micro-
+      // quantized log-prob scores. Oracle = the same seed/EM/prune
+      // rounds unrolled in DuckDB with exhaustive path enumeration per
+      // word (the Viterbi DP's provably-identical argmax)
+      TextAnalysis.unigramTokTrain(
+        Tables.load(s, d, "documents").select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+        "doc_id", "text", vocabSize = 48, nRounds = 2,
+        maxPieceLen = 4, seedSize = 64)),
+    "llm_unigram_tokenize" -> ((s, d) => {
+      import s.implicits._
+      // the serving half: train -> STORE -> tokenize the corpus under
+      // the read-back piece table (Viterbi segmentation per word via
+      // the compiled per-row expression, vocabulary inlined)
+      val out = "target/gate_sink/unigram_pieces"
+      TextAnalysis.unigramTokTrain(
+          Tables.load(s, d, "documents").select($"doc_id", $"text"),
+          "doc_id", "text", vocabSize = 48, nRounds = 2,
+          maxPieceLen = 4, seedSize = 64)
+        .write.mode("overwrite").parquet(out)
+      TextAnalysis.unigramTokenize(
+        Tables.load(s, d, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", s.read.parquet(out))
+    }),
     "llm_bpe_train_local" -> ((s, d) =>
       // the PRODUCTION-vocab training engine: the corpus pass stays
       // distributed, the vocabulary-scale word table collects ONCE and
@@ -2367,6 +2512,37 @@ object LlmQueries {
         subDim = 16, Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
         k = 10, probes = 2, excludeId = Some(0L))
     }),
+    "llm_ann_selective_compact" -> ((s, d) => {
+      import s.implicits._
+      // the 100 TB maintenance verb on the cell-partitioned codes
+      // store: same two-generation + tombstone fixture as
+      // llm_ann_index_compact, but the rewrite touches ONLY
+      // tombstone-bearing cells IN PLACE (dynamic partition overwrite
+      // via a staging path) — untouched cells' files stay
+      // byte-identical (LlmOpsSpec pins the file statuses) — and
+      // serving the selectively-compacted store must equal the
+      // llm_ann_index_delete answer (same oracle)
+      val out = "target/gate_sink/ann_selective_compact"
+      val emb = Tables.load(s, d, "embeddings")
+      val m = emb.agg(max($"vec_id").as("m"))
+      val a = emb.crossJoin(broadcast(m)).filter($"vec_id" <= $"m" - 100)
+        .select($"vec_id", $"embedding")
+      val b = emb.crossJoin(broadcast(m)).filter($"vec_id" > $"m" - 100)
+        .select($"vec_id", $"embedding")
+      val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, nCodes = 8)
+      Similarity.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      Similarity.ivfPqEncode(b, "vec_id", "embedding", cents, cbs, 16)
+        .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+      val tomb = emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+      val compacted = Dedup.storeCompactSelective(s, s"$out/codes",
+        "vec_id", tomb, Seq("cell"), s"$out/codes_staging")
+      Similarity.ivfPqTopKStored(compacted, "vec_id", cents, cbs,
+        subDim = 16, Similarity.queryVecOf(emb, "vec_id", "embedding", 0),
+        k = 10, probes = 2, excludeId = Some(0L))
+    }),
     "llm_fp_append" -> ((s, d) => {
       import s.implicits._
       // the fingerprint store's append path (the llm_exact_incr store,
@@ -2517,6 +2693,12 @@ object LlmQueries {
       // bigram LM score: corpus-typical word ORDER scores high — the
       // signal the unigram score cannot see
       TextAnalysis.bigramLogProb(
+        Tables.load(s, d, "documents"), "doc_id", "text")),
+    "llm_trigram_kn" -> ((s, d) =>
+      // interpolated Kneser-Ney trigram LM score — the published
+      // smoothing family real perplexity filters use; continuation
+      // counts demote fixed-phrase-only words where add-k cannot
+      TextAnalysis.trigramKnLogProb(
         Tables.load(s, d, "documents"), "doc_id", "text")),
     "llm_script" -> ((s, d) => {
       import s.implicits._
@@ -3360,6 +3542,10 @@ object LlmQueries {
     "llm_bpe_train_local" -> oracleBase("llm_bpe_train"),
     "llm_bm25_pruned" -> oracleBase("llm_bm25"),
     "llm_bm25_pruned_compact" -> oracleBase("llm_bm25_delete"),
+    // selective compaction must serve the same takedown answer as the
+    // full rewrite — same oracles gate both rewrite disciplines
+    "llm_bm25_selective_compact" -> oracleBase("llm_bm25_delete"),
+    "llm_ann_selective_compact" -> oracleBase("llm_ann_index_delete"),
     // the storage round-trips must reproduce the recompute paths
     // exactly — same oracles, so storage drift hash-mismatches
     "llm_minhash_index_roundtrip" -> oracleBase("llm_minhash_incr"),
@@ -3776,6 +3962,56 @@ object LlmQueries {
     "llm_bpe_train" ->
       s"""WITH ${bpeTrainCtes(8)}
           SELECT rank, l AS "left", r AS "right" FROM mAll""",
+    // unigram-LM tokenizer training: seed/EM/prune rounds unrolled,
+    // per-word argmax by exhaustive path enumeration (provably the
+    // Viterbi DP's winner under the shared tie-break)
+    "llm_unigram_tok_train" ->
+      s"""WITH RECURSIVE
+          ${unigramTrainCtes(48, 2, 4, 64)}
+          SELECT token_id, piece, cnt, mu / 1000000.0 AS logp
+          FROM uvrank""",
+    // the serving half: train replay composed with the per-word
+    // segmentation under the FINAL table's micro scores, pieces
+    // exploded in word order with document-level positions
+    "llm_unigram_tokenize" ->
+      s"""WITH RECURSIVE
+          ${unigramTrainCtes(48, 2, 4, 64)},
+          udt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                  FROM documents),
+          udw AS (SELECT doc_id, wi, ws[wi] AS w FROM (
+                    SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws))) AS wi
+                    FROM udt) q
+                  WHERE length(ws[wi]) > 0),
+          usw AS (SELECT DISTINCT w FROM udw),
+          upt AS (SELECT w, 1 AS i, CAST(0 AS BIGINT) AS sc, 0 AS n,
+                         '' AS path
+                  FROM usw
+                  UNION ALL
+                  SELECT p.w, p.i + length(s.piece), p.sc + s.mu, p.n + 1,
+                         CASE WHEN p.path = '' THEN s.piece
+                              ELSE p.path || ' ' || s.piece END
+                  FROM upt p JOIN uvrank s
+                    ON s.piece = substr(p.w, p.i, length(s.piece))
+                  WHERE p.i <= length(p.w)),
+          ubt AS (SELECT w, path FROM (
+                    SELECT w, path, row_number() OVER (PARTITION BY w
+                      ORDER BY sc DESC, n ASC, path ASC) AS rn
+                    FROM upt WHERE i = length(w) + 1) q
+                  WHERE rn = 1),
+          uwtok AS (SELECT w, pi, string_split(path, ' ')[pi] AS token
+                    FROM (SELECT w, path,
+                            unnest(generate_series(1,
+                              len(string_split(path, ' ')))) AS pi
+                          FROM ubt) q),
+          useq AS (SELECT d.doc_id, d.wi, t.pi, t.token
+                   FROM udw d JOIN uwtok t USING (w))
+          SELECT doc_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY wi, pi) AS INTEGER) AS pos,
+                 token,
+                 CAST(coalesce(r.token_id, 0) AS INTEGER) AS token_id
+          FROM useq LEFT JOIN uvrank r ON r.piece = useq.token""",
     // pre-tokenized training: identical unrolled rounds, the word
     // extraction swapped for the class split (RE2-safe — no lookaround)
     "llm_bpe_pretok" ->
@@ -5125,6 +5361,55 @@ object LlmQueries {
                  round(sum(tf * ln((cb + 1.0) / (cu + v))) / sum(tf), 4)
                    AS avg_logprob
           FROM btf JOIN cb USING (bh) JOIN cu ON cu.h = btf.wh, v
+          GROUP BY doc_id""",
+    // interpolated KN trigram: identical trigram-table-derived count
+    // algebra on the same 60-bit hashes; each position's probability is
+    // the SAME IEEE op sequence (fixed division/association order,
+    // D = 0.75 binary-exact), so only libm-ln spread is in play —
+    // absorbed by round(.,4)
+    "llm_trigram_kn" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+                    FROM documents),
+          tr AS (SELECT doc_id,
+                        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tg,
+                        tk[i] || ' ' || tk[i+1] AS b12,
+                        tk[i+1] || ' ' || tk[i+2] AS b23,
+                        tk[i+1] AS w2, tk[i+2] AS w3
+                 FROM (SELECT doc_id, tk,
+                              unnest(generate_series(1, len(tk) - 2)) AS i
+                       FROM t WHERE len(tk) >= 3)),
+          r AS (SELECT doc_id,
+                       CAST(('0x'||substr(md5(tg),1,15)) AS BIGINT) AS th,
+                       CAST(('0x'||substr(md5(b12),1,15)) AS BIGINT) AS bh12,
+                       CAST(('0x'||substr(md5(b23),1,15)) AS BIGINT) AS bh23,
+                       CAST(('0x'||substr(md5(w2),1,15)) AS BIGINT) AS mh,
+                       CAST(('0x'||substr(md5(w3),1,15)) AS BIGINT) AS w3h
+                FROM tr),
+          types AS (SELECT DISTINCT th, bh12, bh23, mh, w3h FROM r),
+          c3 AS (SELECT th, count(*) AS c3 FROM r GROUP BY th),
+          t12 AS (SELECT bh12, count(*) AS ctx12,
+                         count(DISTINCT th) AS n1p12 FROM r GROUP BY bh12),
+          t23 AS (SELECT bh23, count(*) AS n1p23 FROM types GROUP BY bh23),
+          tmid AS (SELECT mh, count(*) AS mid2,
+                          count(DISTINCT w3h) AS n1p2dot
+                   FROM types GROUP BY mh),
+          sfx AS (SELECT DISTINCT mh, w3h FROM types),
+          -- nbt rides tw3 as a window total rather than a 1-row cross
+          -- join: a bare cross product among five dimension joins sends
+          -- DuckDB's join-order optimizer into a cartesian blowup
+          tw3 AS (SELECT w3h, count(*) AS n1pw3,
+                         CAST(sum(count(*)) OVER () AS BIGINT) AS nbt
+                  FROM sfx GROUP BY w3h),
+          tf AS (SELECT doc_id, th, bh12, bh23, mh, w3h, count(*) AS tf
+                 FROM r GROUP BY 1, 2, 3, 4, 5, 6)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+                 round(sum(tf * ln(
+                   (c3 - 0.75) / ctx12 + 0.75 * n1p12 / ctx12 *
+                     ((n1p23 - 0.75) / mid2 + 0.75 * n1p2dot / mid2 *
+                       (n1pw3 / nbt)))) / sum(tf), 4) AS avg_logprob
+          FROM tf JOIN c3 USING (th) JOIN t12 USING (bh12)
+               JOIN t23 USING (bh23) JOIN tmid USING (mh)
+               JOIN tw3 USING (w3h)
           GROUP BY doc_id""",
     // script detection: same planted fixture via chr() codepoints, same
     // portable char-class counts, same priority-ordered argmax

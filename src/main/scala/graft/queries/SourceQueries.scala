@@ -80,6 +80,27 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
           min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
     }),
+    "s9_warc" -> ((s, d) => {
+      import s.implicits._
+      // the raw-crawl record round-trip: the corpus framed as WARC
+      // records across 4 files (the distributed sink), read back
+      // through the DSv2 "warc" extractor with a 64 KiB split size —
+      // small enough that sf>=0.01 files split MID-RECORD, so the gate
+      // exercises record-boundary resynchronization, not just parsing.
+      // Header fields AND a payload checksum are oracle-compared, so a
+      // duplicated, dropped, or mis-framed record hash-mismatches.
+      val out = "target/gate_sink/warc_fixture"
+      val docs = graft.Tables.load(s, d, "documents")
+        .select($"doc_id",
+          concat(lit("http://graft.local/doc/"), $"doc_id").as("uri"),
+          $"text")
+      graft.sources.Warc.write(docs, "doc_id", "uri", "text", out,
+        nFiles = 4)
+      read(s, "warc", "path" -> out, "splitBytes" -> "65536")
+        .select($"record_id", $"warc_date", $"target_uri",
+          $"content_length",
+          graft.operators.Dedup.sharedHash($"payload").as("payload_hash"))
+    }),
     "s7_jsonl_roundtrip" -> ((s, d) => {
       import s.implicits._
       // the JSONL sink (the interchange format S8 reads): write the
@@ -135,7 +156,16 @@ object SourceQueries {
                 CAST(sum(length(text)) AS BIGINT) AS sum_chars,
                 CAST(sum(CAST(('0x'||substr(md5(text),1,8)) AS BIGINT)) AS BIGINT) AS text_sum,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
-         FROM documents GROUP BY lang"""
+         FROM documents GROUP BY lang""",
+    // the WARC round-trip must reproduce the source table: ids, the
+    // fixed fixture date, URIs, byte lengths, payload checksums
+    "s9_warc" ->
+      """SELECT '<urn:graft:' || doc_id || '>' AS record_id,
+                '2026-01-01T00:00:00Z' AS warc_date,
+                'http://graft.local/doc/' || doc_id AS target_uri,
+                CAST(strlen(text) AS BIGINT) AS content_length,
+                CAST(('0x'||substr(md5(text),1,8)) AS BIGINT) AS payload_hash
+         FROM documents"""
     // s3_metrics / s4_env: environment-dependent — driver rows-only check
   )
 }

@@ -45,7 +45,8 @@ object Extractors {
     "env" -> new EnvExtractor,
     "metrics" -> new MetricsExtractor,
     "http" -> new HttpStubExtractor,
-    "range" -> new RangeExtractor)
+    "range" -> new RangeExtractor,
+    "warc" -> new WarcExtractor)
 
   def register(name: String, e: Extractor): Unit = all.put(name, e)
   def apply(name: String): Extractor = all.getOrElse(name,

@@ -65,6 +65,49 @@ class ExtractorSpec extends AnyFunSuite {
     assert(scanLine.contains("square") && !scanLine.contains("slice"))
   }
 
+  test("warc extractor: round-trip, split-size invariance, header-only pruning") {
+    import spark.implicits._
+    val out = "target/test_sink/warc_spec"
+    val docs = (1L to 200L).map(i =>
+        (i, s"http://x.local/$i", s"doc $i body " + ("word " * (i % 17).toInt).trim))
+      .toDF("doc_id", "uri", "text")
+    graft.sources.Warc.write(docs, "doc_id", "uri", "text", out, nFiles = 3)
+    def rows(splitBytes: Long) =
+      read("warc", "path" -> out, "splitBytes" -> splitBytes.toString)
+        .select($"record_id", $"warc_type", $"warc_date", $"target_uri",
+          $"content_length", $"payload")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4), r.getString(5))).toSet
+    // round-trip: every record back with exact headers and payload
+    val big = rows(1L << 20) // one split per file — pure parsing
+    assert(big.size == 200)
+    val expect = docs.collect().map { r =>
+      val t = r.getString(2)
+      (s"<urn:graft:${r.getLong(0)}>", "response", graft.sources.Warc.FixtureDate,
+        r.getString(1), t.getBytes("UTF-8").length.toLong, t)
+    }.toSet
+    assert(big == expect)
+    // record-boundary splitting: a split size far below record size
+    // forces every task to resynchronize mid-record — the result set
+    // must be IDENTICAL (no dropped or duplicated records)
+    for (sb <- Seq(64L, 100L, 257L, 4096L)) {
+      assert(rows(sb) == expect, s"splitBytes=$sb drifted")
+    }
+    // and the tiny split size really produced many partitions
+    assert(read("warc", "path" -> out, "splitBytes" -> "100")
+      .rdd.getNumPartitions > 10)
+    // header-only projection: payload column absent from the scan's
+    // read schema (the reader then SKIPS payload bytes via
+    // Content-Length instead of reading + decoding them)
+    val pruned = read("warc", "path" -> out, "splitBytes" -> "1048576")
+      .select($"record_id", $"content_length")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("record_id") && !scanLine.contains("payload"))
+    assert(pruned.collect().length == 200)
+  }
+
   test("custom extractor registration (exosql user-module behaviour)") {
     import org.apache.spark.sql.types._
     Extractors.register("fib", new graft.sources.Extractor {

@@ -1949,6 +1949,217 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(flat.count() == fp.count())
   }
 
+  test("storeCompactSelective: untouched partitions byte-identical, affected consolidated, emptied dirs deleted, purge law") {
+    import spark.implicits._
+    val out = "target/test_sink/selective_compact"
+    // 8 cells (id % 8), two appended generations per cell
+    val base = (0L until 80L).map(i => (i, s"payload_$i", (i % 8).toInt))
+      .toDF("id", "payload", "cell")
+    base.filter($"id" < 40).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/store")
+    base.filter($"id" >= 40).write.mode("append")
+      .partitionBy("cell").parquet(s"$out/store")
+    // tombstones: two ids in cell 3; EVERY id in cell 5 (the
+    // fully-tombstoned-partition edge) — cells 0,1,2,4,6,7 untouched
+    val tomb = base.filter($"cell" === 5).select($"id")
+      .unionByName(Seq(3L, 11L).toDF("id"))
+    val expect = base.join(tomb, Seq("id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def files(frag: String): Set[(String, Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/store/$frag"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .toSet
+    val untouched = Seq(0, 1, 2, 4, 6, 7)
+    val beforeUntouched = untouched.map(c => c -> files(s"cell=$c")).toMap
+    val before3 = files("cell=3")
+    assert(before3.size >= 2, "fixture must accumulate appended file sets")
+    val got = Dedup.storeCompactSelective(spark, s"$out/store", "id",
+      tomb, Seq("cell"), s"$out/staging")
+    // untouched partitions: the very same files (name, length, mtime)
+    untouched.foreach { c =>
+      assert(files(s"cell=$c") == beforeUntouched(c),
+        s"cell=$c was rewritten by a compaction that should not touch it")
+    }
+    // the affected partition rewrote and consolidated to one file
+    val after3 = files("cell=3")
+    assert(after3.intersect(before3).isEmpty && after3.size == 1,
+      s"cell=3 must consolidate: before=$before3 after=$after3")
+    // the fully-tombstoned partition's directory is GONE (dynamic
+    // overwrite alone would have left its old files — resurrection)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/store/cell=5")),
+      "fully-tombstoned partition dir must be deleted")
+    // content == the logical purge view, row-for-row
+    assert(got.select($"id", $"payload", $"cell").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet == expect)
+    // tombstones touching nothing → zero writes anywhere
+    val beforeAll = (untouched :+ 3).map(c => files(s"cell=$c")).toSet
+    Dedup.storeCompactSelective(spark, s"$out/store", "id",
+      Seq(999999L).toDF("id"), Seq("cell"), s"$out/staging2")
+    assert((untouched :+ 3).map(c => files(s"cell=$c")).toSet == beforeAll,
+      "a no-op takedown must not rewrite anything")
+    // over-spread tombstones refuse loudly instead of a silent
+    // full-store rewrite
+    val e = intercept[IllegalArgumentException] {
+      Dedup.storeCompactSelective(spark, s"$out/store", "id",
+        base.select($"id"), Seq("cell"), s"$out/staging3",
+        maxAffectedPartitions = 2)
+    }
+    assert(e.getMessage.contains("storeCompactSelective"))
+    // and serving-shape sanity: a read of one cell off the compacted
+    // store still plans a partition filter (pruning survives)
+    val p = spark.read.parquet(s"$out/store").filter($"cell" === 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(cell"),
+      s"pruning must survive selective compaction, plan:\n$p")
+  }
+
+  test("trigramKnLogProb: independent recount; continuation counts demote fixed-phrase words at EQUAL unigram frequency") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 'francisco' and 'well' both occur exactly 5 times, but francisco
+    // follows only {san, likes} while well follows {eats, sleeps, eat,
+    // likes} — the Kneser-Ney signature case add-k smoothing cannot see
+    val fixture = Seq(
+      (1L, "san francisco eats well"),
+      (2L, "san francisco sleeps well"),
+      (3L, "dogs eat well too"),
+      (4L, "cats eat well too"),
+      (5L, "he likes francisco"),
+      (6L, "he likes well"),
+      (7L, "san francisco again yes"),
+      (8L, "san francisco more words"),
+      (9L, "short one"))
+    val df = fixture.toDF("doc_id", "text")
+    val got = TextAnalysis.trigramKnLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // independent driver-side recount of the full interpolated formula
+    val D = 0.75
+    val tris = fixture.flatMap { case (id, t) =>
+      val tk = t.split("\\s+")
+      (0 to tk.length - 3).map(i => (id, (tk(i), tk(i + 1), tk(i + 2))))
+    }
+    val c3 = tris.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val ctx12 = tris.groupBy(t => (t._2._1, t._2._2))
+      .map { case (k, v) => k -> v.size }
+    val types = tris.map(_._2).distinct
+    val n1p12 = types.groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.size }
+    val n1p23 = types.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.size }
+    val mid2 = types.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val n1p2dot = types.groupBy(_._2)
+      .map { case (k, v) => k -> v.map(_._3).distinct.size }
+    val sfx = types.map(t => (t._2, t._3)).distinct
+    val n1pw3 = sfx.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val nbt = sfx.size
+    val want = fixture.flatMap { case (id, t) =>
+      val tk = t.split("\\s+")
+      val ps = (0 to tk.length - 3).map { i =>
+        val (w1, w2, w3) = (tk(i), tk(i + 1), tk(i + 2))
+        val puni = n1pw3(w3).toDouble / nbt
+        val pmid = (n1p23((w2, w3)) - D) / mid2(w2) +
+          D * n1p2dot(w2) / mid2(w2) * puni
+        math.log((c3((w1, w2, w3)) - D) / ctx12((w1, w2)) +
+          D * n1p12((w1, w2)) / ctx12((w1, w2)) * pmid)
+      }
+      if (ps.isEmpty) None else Some(id -> (ps.size.toLong, ps.sum / ps.size))
+    }.toMap
+    assert(got.keySet == want.keySet, "sub-3-token docs must be absent")
+    want.foreach { case (id, (n, lp)) =>
+      assert(got(id)._1 == n)
+      assert(math.abs(got(id)._2 - lp) <= 6e-5,
+        s"doc $id: got ${got(id)._2} want ~$lp")
+    }
+    // the probe pair: identical context 'he likes', novel trigram on
+    // each side, EQUAL unigram counts — only predecessor diversity
+    // differs, and KN must score the diverse continuation higher
+    assert(tris.map(_._2._3).count(_ == "francisco") +
+      tris.map(_._2._2).count(_ == "francisco") > 0) // fixture sanity
+    assert(got(5L)._2 < got(6L)._2,
+      "KN must demote the fixed-phrase-only continuation: " +
+        s"francisco=${got(5L)._2} well=${got(6L)._2}")
+    // discount bounds refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.trigramKnLogProb(df, "doc_id", "text", discount = 1.0)
+    }
+    assert(e.getMessage.contains("discount"))
+  }
+
+  test("unigram-LM tokenizer: round-trip, Viterbi == exhaustive enumeration, reassembly, determinism") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "banana bandana anna"),
+      (2L, "banana banana band an"),
+      (3L, "nab nab anna banana")).toDF("doc_id", "text")
+    val tblDf = TextAnalysis.unigramTokTrain(docs, "doc_id", "text",
+      vocabSize = 8, nRounds = 2, maxPieceLen = 3, seedSize = 12)
+    val pieces = tblDf.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // token ids are exactly 1..n in (cnt desc, piece asc) order
+    assert(pieces.map(_._1).toSeq == (1 to pieces.length))
+    // coverage: every corpus codepoint survives as a single-char piece
+    val chars = docs.collect().flatMap(_.getString(1).replace(" ", "")).toSet
+    assert(chars.subsetOf(
+      pieces.map(_._2).filter(_.length == 1).map(_.head).toSet))
+    // the point of the family: a multi-char piece was learned
+    assert(pieces.exists(_._2.length > 1))
+    // training is deterministic
+    val again = TextAnalysis.unigramTokTrain(docs, "doc_id", "text",
+        vocabSize = 8, nRounds = 2, maxPieceLen = 3, seedSize = 12)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == pieces.toSeq)
+    // tokenize: vocabulary closure + per-doc reassembly
+    val toks = TextAnalysis.unigramTokenize(docs, "doc_id", "text", tblDf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(toks.forall(_._4 > 0), "every token must be a vocabulary piece")
+    val reassembled = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> ts.sortBy(_._2).map(_._3).mkString }
+    assert(reassembled == docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).replace(" ", "")).toMap)
+    // stored round-trip: the parquet-read-back table serves identically
+    tblDf.write.mode("overwrite").parquet("target/test_sink/unigram_rt")
+    val rt = TextAnalysis.unigramTokenize(docs, "doc_id", "text",
+        spark.read.parquet("target/test_sink/unigram_rt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(rt.length == toks.length && rt.toSet == toks.toSet)
+    // Viterbi DP == EXHAUSTIVE path enumeration under the shared
+    // (score desc, n pieces asc, joined path asc) tie-break — the
+    // independent argmax the DuckDB oracle also runs
+    val mu = pieces.map(p => p._2 -> BigDecimal(p._4 * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact).toMap
+    def enum(w: String): Seq[(Long, Int, String)] =
+      if (w.isEmpty) Seq((0L, 0, ""))
+      else (1 to math.min(3, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        mu.get(p).toSeq.flatMap { m =>
+          enum(w.substring(l)).map { case (s, n, j) =>
+            (m + s, n + 1, if (j.isEmpty) p else p + " " + j)
+          }
+        }
+      }
+    val words = docs.collect().flatMap(_.getString(1).split(" ")).distinct
+    val wdf = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toSeq.toDF("doc_id", "text")
+    val wtoks = TextAnalysis.unigramTokenize(wdf, "doc_id", "text", tblDf)
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    words.zipWithIndex.foreach { case (w, i) =>
+      val best = enum(w).sortWith((a, b) => a._1 > b._1 ||
+        (a._1 == b._1 && (a._2 < b._2 ||
+          (a._2 == b._2 && a._3 < b._3)))).head
+      assert(wtoks(i.toLong) == best._3.split(" ").toSeq,
+        s"word '$w': DP gave ${wtoks(i.toLong)}, enumeration $best")
+    }
+    // a piece table with drifted ids refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramTokenize(docs, "doc_id", "text",
+        tblDf.filter($"token_id" > 1))
+    }
+    assert(e.getMessage.contains("token_id"))
+  }
+
   test("BPE train: frequency order, deterministic ties, merge-on-merged, early exhaustion") {
     import spark.implicits._
     val df = Seq((1L, "aaa ab aaa low lower lowest"),
@@ -2569,6 +2780,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(edge.isNullAt(edge.fieldIndex("precision")))
     assert(edge.getDouble(edge.fieldIndex("recall")) == 0.0)
     assert(edge.getLong(edge.fieldIndex("tp")) == 0)
+  }
+
+  test("lrEval/lrCalibration disjoint guard is IN-PLAN: zero jobs at construction, loud refusal at execution") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 100)
+    val pos = corpus.filter($"doc_id" % 2 === 0)
+    val negShared = corpus // overlaps pos on every even id
+    val w = Classifier.weightsToDf(spark, Array((1, 0.5), (2, -0.25)))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // construction + EXPLAIN of BOTH reports launch no job — the
+      // former eager semi-join peek fired one per construction, which
+      // inside the TVF builders meant a job per SQL (re-)analysis
+      val eval = Classifier.lrEvalReport(pos, negShared, "doc_id",
+        "text", w, buckets = 64)
+      val cal = Classifier.lrCalibrationReport(pos, negShared, "doc_id",
+        "text", w, buckets = 64)
+      eval.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      cal.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      assert(jobs.get == 0,
+        s"report construction/EXPLAIN fired ${jobs.get} job(s) — the " +
+          "disjointness guard must be in-plan, not an eager peek")
+      // the refusal still fires, at execution, naming the shared id
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Exception] { eval.collect() }
+      assert(chain(e1).contains("lrEvalReport: pos and neg share id"),
+        s"unexpected failure: ${chain(e1)}")
+      val e2 = intercept[Exception] { cal.collect() }
+      assert(chain(e2).contains("lrCalibrationReport: pos and neg share id"),
+        s"unexpected failure: ${chain(e2)}")
+      // disjoint inputs pass through the guard untouched
+      val negDisjoint = corpus.filter($"doc_id" % 2 === 1)
+      assert(Classifier.lrEvalReport(pos, negDisjoint, "doc_id", "text",
+        w, buckets = 64).collect().nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("corpus KL drift: identity is exactly 0, divergence nonnegative, drift moves the needle") {

@@ -133,6 +133,9 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row max-vec-id bound building the two appended
       // generations before the physical rewrite
       "llm_ann_index_compact", "e_sql_ann_compact",
+      // same fixture bound; the selective rewrite itself reads only
+      // tombstone-bearing cells under a literal partition filter
+      "llm_ann_selective_compact", "e_sql_ann_selective_compact",
       // broadcast 1-row corpus total under the domain-share division
       "llm_domain_report", "e_sql_domain_report",
       // broadcast 1-row (N, Σdl) corpus stats under the BM25 score
@@ -153,6 +156,9 @@ class PlanSpec extends AnyFunSuite {
       // same stats shape + the 1-row max-id fixture bound over the
       // compacted partitioned store
       "llm_bm25_pruned_compact",
+      // same shape over the selectively-compacted store (bucket filter
+      // = partition filter, tombstone purge = anti hash join)
+      "llm_bm25_selective_compact", "e_sql_bm25_selective_compact",
       // the batch-snippet run IS bm25Join (same broadcast 1-row stats);
       // the snippet stage itself is two bounded equi-joins + a HOF
       // projection
@@ -166,10 +172,10 @@ class PlanSpec extends AnyFunSuite {
       "llm_serving_latency",
       // broadcast 1-row max-doc-id bound building the two appended
       // generations + the clone/novel probe (the llm_fp_append shape)
-      "llm_fp_compact",
+      "llm_fp_compact", "e_sql_fp_compact",
       // broadcast 1-row max-doc-id bound building the slice/generation
       // fixture (the llm_image_delete shape); pairing = banded equi-join
-      "llm_image_compact",
+      "llm_image_compact", "e_sql_image_compact",
       // PRF's round-2 serve is the same broadcast 1-row stats shape
       "llm_bm25_prf", "e_sql_bm25_prf",
       // batch PRF: both rounds are the bm25Join stats shape
@@ -301,6 +307,9 @@ class PlanSpec extends AnyFunSuite {
       // size (bigram model)
       "llm_unigram_lp", "e_sql_unigram_lp",
       "llm_bigram_lp", "e_sql_bigram_lp",
+      // broadcast 1-row continuation-type total (N1+(..)) under the KN
+      // interpolation; the count tables join relationally on hashes
+      "llm_trigram_kn", "e_sql_trigram_kn",
       // sentence filter composes the bigram model (broadcast 1-row
       // vocabulary size) + the quantile filter (broadcast 1-row
       // threshold) — both classes already allowlisted standalone
@@ -445,6 +454,31 @@ class PlanSpec extends AnyFunSuite {
       assert(f.selectedPartitions.partitionCount == expected,
         s"expected $expected probed bucket partitions on the compacted " +
           s"store, scan reads ${f.selectedPartitions.partitionCount}")
+    }
+  }
+
+  test("SELECTIVELY-compacted BM25 store: partition layout and static pruning survive the in-place rewrite") {
+    val qe = SparkEntry.queries("llm_bm25_selective_compact")(spark, TestSpark.sf)
+      .queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the serve reads the store path itself (in-place maintenance) —
+    // identify the postings scan by its schema + path
+    val postScans = scans.filter(f => f.output.exists(_.name == "tf") &&
+      f.relation.location.rootPaths.exists(_.toString
+        .contains("bm25_selective_compact/postings")))
+    assert(postScans.nonEmpty,
+      "expected a scan over the selectively-compacted postings store")
+    val expected = graft.operators.TextAnalysis
+      .bm25BucketsOf(Seq("hash", "join", "vector"), 8).length
+    postScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "tbucket")),
+        s"selective compaction must preserve the partition layout, got " +
+          s"partitionFilters=${f.partitionFilters}")
+      assert(f.selectedPartitions.partitionCount == expected,
+        s"expected $expected probed bucket partitions on the selectively-" +
+          s"compacted store, scan reads ${f.selectedPartitions.partitionCount}")
     }
   }
 
