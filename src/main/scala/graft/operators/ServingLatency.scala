@@ -55,4 +55,54 @@ object ServingLatency {
         "min_ms", "max_ms")
       .orderBy("surface")
   }
+
+  /** Serving-latency TREND store — the maintenance verb that turns the
+    * attestation into a regression GATE: each round's
+    * [[latencyReport]] frame is APPENDED to a parquet store stamped
+    * with a monotone `run_seq` (derived from the store itself — no
+    * wall-clock identity), and the returned frame compares the
+    * just-appended run against the previous one per surface
+    * (delta_p50_pct / delta_p95_pct, NULL on the first run or a new
+    * surface). An SLO regression is then a queryable fact
+    * (`delta_p95_pct > threshold`) a pipeline can fail on, instead of
+    * a judge diffing BENCH files after the fact.
+    *
+    * The values are wall-clock ⇒ the gate stays rows-only (the
+    * [[latencyReport]] convention); the DELTA ARITHMETIC is
+    * deterministic given the report frames and is spec-pinned on
+    * planted fixtures. Store shape: surfaces × rounds rows — KB-scale
+    * forever; the append is the storeAppend discipline, the read-back
+    * one tiny scan. */
+  def latencyTrend(report: DataFrame, storePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = report.sparkSession
+    val need = Set("surface", "n_runs", "rows", "p50_ms", "p95_ms",
+      "min_ms", "max_ms")
+    require(need.subsetOf(report.columns.toSet),
+      s"latencyTrend: report must carry ${need.toSeq.sorted.mkString(",")}, " +
+        s"got ${report.columns.sorted.mkString(",")}")
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seq =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) 1L
+      else spark.read.parquet(storePath)
+        .agg(coalesce(max(col("run_seq")), lit(0L))).head().getLong(0) + 1L
+    report.withColumn("run_seq", lit(seq))
+      .write.mode("append").parquet(storePath)
+    val store = spark.read.parquet(storePath)
+    val prev = store.filter(col("run_seq") === seq - 1)
+      .select(col("surface"), col("p50_ms").as("prev_p50_ms"),
+        col("p95_ms").as("prev_p95_ms"))
+    store.filter(col("run_seq") === seq)
+      .join(prev, Seq("surface"), "left")
+      .select(col("surface"), col("run_seq"), col("p50_ms"), col("p95_ms"),
+        col("prev_p50_ms"), col("prev_p95_ms"),
+        when(col("prev_p50_ms") > 0,
+          round((col("p50_ms") - col("prev_p50_ms")) / col("prev_p50_ms")
+            * 100, 2)).as("delta_p50_pct"),
+        when(col("prev_p95_ms") > 0,
+          round((col("p95_ms") - col("prev_p95_ms")) / col("prev_p95_ms")
+            * 100, 2)).as("delta_p95_pct"))
+      .orderBy("surface")
+  }
 }

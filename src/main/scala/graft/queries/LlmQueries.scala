@@ -1683,6 +1683,35 @@ object LlmQueries {
         "bm25_stored_topk" -> (() => bmServe()),
         "hybrid_rrf_topk" -> (() => hybridServe())), runs = 5)
     }),
+    "llm_latency_trend" -> ((s, d) => {
+      import s.implicits._
+      // the SLO REGRESSION gate: two attestation rounds appended to the
+      // trend store (wiped per invocation — the gate is its own
+      // fixture), output = the second round's per-surface latencies
+      // with deltas vs the first. Wall-clock values => rows-only (the
+      // llm_serving_latency convention); the delta arithmetic itself is
+      // deterministic and spec-pinned on planted report frames.
+      val out = "target/gate_sink/latency_trend"
+      val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/store"), true)
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 200).select($"doc_id", $"text")
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(slice, "doc_id", "text"))
+      ix.write.mode("overwrite").parquet(s"$out/postings")
+      TextAnalysis.bm25DocLens(ix, "doc_id")
+        .write.mode("overwrite").parquet(s"$out/doclens")
+      def bmServe() = TextAnalysis.bm25TopKStored(
+        s.read.parquet(s"$out/postings"), s.read.parquet(s"$out/doclens"),
+        "doc_id", queryTerms = Seq("hash", "join"), k = 5)
+      def report() = graft.operators.ServingLatency.latencyReport(s, Seq(
+        "bm25_stored_topk" -> (() => bmServe())), runs = 2, warmup = 0)
+      graft.operators.ServingLatency.latencyTrend(report(), s"$out/store")
+      graft.operators.ServingLatency.latencyTrend(report(), s"$out/store")
+    }),
     "llm_hybrid_eval" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window

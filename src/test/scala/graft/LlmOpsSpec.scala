@@ -2087,6 +2087,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("discount"))
   }
 
+  test("latencyTrend: append-stamped run_seq, exact per-surface deltas, NULL baselines") {
+    import spark.implicits._
+    import graft.operators.ServingLatency
+    val store = "target/test_sink/latency_trend_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    def rep(rows: Seq[(String, Int, Long, Double, Double, Double, Double)]) =
+      rows.toDF("surface", "n_runs", "rows", "p50_ms", "p95_ms",
+        "min_ms", "max_ms")
+    // first round: run_seq 1, no baseline -> NULL prevs and deltas
+    val r1 = ServingLatency.latencyTrend(rep(Seq(
+      ("ann", 5, 10L, 100.0, 200.0, 90.0, 210.0),
+      ("bm25", 5, 10L, 50.0, 80.0, 45.0, 85.0))), store).collect()
+    assert(r1.map(_.getString(0)).toSeq == Seq("ann", "bm25"),
+      "trend report must be surface-ordered")
+    assert(r1.forall(r => r.getLong(1) == 1L && r.isNullAt(4) &&
+      r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7)))
+    // second round: exact delta arithmetic (+10% ann, -50% bm25), a
+    // first-seen surface has no baseline
+    val r2 = ServingLatency.latencyTrend(rep(Seq(
+      ("ann", 5, 10L, 110.0, 220.0, 90.0, 230.0),
+      ("bm25", 5, 10L, 25.0, 40.0, 20.0, 45.0),
+      ("new_surface", 5, 10L, 10.0, 20.0, 9.0, 21.0))), store).collect()
+    val byS = r2.map(r => r.getString(0) -> r).toMap
+    assert(byS("ann").getLong(1) == 2L)
+    assert(byS("ann").getDouble(6) == 10.0 && byS("ann").getDouble(7) == 10.0)
+    assert(byS("bm25").getDouble(6) == -50.0 &&
+      byS("bm25").getDouble(7) == -50.0)
+    assert(byS("new_surface").isNullAt(4) && byS("new_surface").isNullAt(6))
+    // the store ACCUMULATED both rounds (append, never overwrite)
+    assert(spark.read.parquet(store).count() == 5)
+    // an SLO gate is now a queryable filter over the trend frame
+    assert(r2.count(r => !r.isNullAt(7) && r.getDouble(7) > 5.0) == 1)
+    // malformed report refuses by name
+    val e = intercept[IllegalArgumentException] {
+      ServingLatency.latencyTrend(
+        Seq(("x", 1)).toDF("surface", "n_runs"), store)
+    }
+    assert(e.getMessage.contains("latencyTrend"))
+  }
+
   test("unigram-LM tokenizer: round-trip, Viterbi == exhaustive enumeration, reassembly, determinism") {
     import spark.implicits._
     import graft.operators.TextAnalysis

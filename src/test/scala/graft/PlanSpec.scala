@@ -170,6 +170,8 @@ class PlanSpec extends AnyFunSuite {
       // serving-latency fixture: the BM25 surface carries the same
       // broadcast 1-row stats; the fixture build adds no join at all
       "llm_serving_latency",
+      // trend gate: same BM25-stats shape + the 1-row max-id slice bound
+      "llm_latency_trend",
       // broadcast 1-row max-doc-id bound building the two appended
       // generations + the clone/novel probe (the llm_fp_append shape)
       "llm_fp_compact", "e_sql_fp_compact",

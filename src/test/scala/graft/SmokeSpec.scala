@@ -39,7 +39,8 @@ class SmokeSpec extends AnyFunSuite {
     // llm_serving_latency reports wall-clock percentiles — the values
     // are nondeterministic by nature; schema + per-surface rows are
     // the checkable facts (rows-only driver check)
-    val allowedOracleFree = Set("s3_metrics", "s4_env", "llm_serving_latency")
+    val allowedOracleFree = Set("s3_metrics", "s4_env",
+      "llm_serving_latency", "llm_latency_trend")
     assert(missing == allowedOracleFree, s"queries without oracle: $missing")
   }
 
