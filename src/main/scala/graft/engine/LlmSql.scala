@@ -1164,6 +1164,39 @@ object LlmSql {
       case args => bad(
         "graft_image_probe(media_table, hashes_table, id_col, payload_col, max_hamming, n_bands[, max_bucket_size])", args)
     }
+    reg(spark, "graft_audio_fp") {
+      // the audio modality's fingerprint frame (Haitsma-Kalker
+      // energy-difference bits over the stub energy grid) — pure lazy
+      // zero-shuffle projection
+      case Seq(t, id, pay) =>
+        val f = "graft_audio_fp"
+        Multimodal.audioFp(table(str(t, f)), str(id, f), str(pay, f))
+      case args => bad(
+        "graft_audio_fp(table, id_col, payload_col)", args)
+    }
+    reg(spark, "graft_audio_dups") {
+      // audio near-dup pairs over a media table — graft_image_dups'
+      // shape on the audio fingerprint; optional cap arg
+      case args if args.length == 5 || args.length == 6 =>
+        val f = "graft_audio_dups"
+        val cap = if (args.length == 6) Some(int(args(5), f)) else None
+        Multimodal.audioNearDups(table(str(args(0), f)), str(args(1), f),
+          str(args(2), f), int(args(3), f), int(args(4), f), cap)
+      case args => bad(
+        "graft_audio_dups(table, id_col, payload_col, max_hamming, n_bands[, max_bucket_size])", args)
+    }
+    reg(spark, "graft_audio_probe") {
+      // incremental audio admission vs a STORED afp frame — pure lazy,
+      // stream-safe probe; optional corpus-side cap
+      case args if args.length == 6 || args.length == 7 =>
+        val f = "graft_audio_probe"
+        val cap = if (args.length == 7) Some(int(args(6), f)) else None
+        Multimodal.audioNearDupsBetween(table(str(args(0), f)),
+          table(str(args(1), f)), str(args(2), f), str(args(3), f),
+          int(args(4), f), int(args(5), f), cap)
+      case args => bad(
+        "graft_audio_probe(media_table, fps_table, id_col, payload_col, max_hamming, n_bands[, max_bucket_size])", args)
+    }
     reg(spark, "graft_image_clusters") {
       // perceptual near-dup CLUSTERS: the banded dHash pair set closed
       // into connected components. Large-Star/Small-Star CC is

@@ -190,6 +190,14 @@ object Multimodal {
       s"banded recall is exact only for maxHamming < nBands " +
         s"(got maxHamming=$maxHamming, nBands=$nBands) — raise nBands")
     val dh = dHash(media, idCol, payloadCol)
+    bandedSelfPairs(dh, idCol, maxHamming, nBands, maxBucketSize)
+  }
+
+  /** The banded hash self-join shared by [[imageNearDups]] and
+    * [[audioNearDups]] — input is any (idCol, dhash: long) frame. */
+  private def bandedSelfPairs(dh: DataFrame, idCol: String,
+                              maxHamming: Int, nBands: Int,
+                              maxBucketSize: Option[Int]): DataFrame = {
     val banded = Dedup.capBuckets(bandRowsOf(dh, idCol, nBands),
       Seq("band_idx", "band_val"), maxBucketSize)
     banded.as("x").join(banded.as("y"),
@@ -254,7 +262,16 @@ object Multimodal {
     require(corpusHashes.columns.contains("dhash") &&
         corpusHashes.columns.contains(idCol),
       s"stored hash frame must carry ($idCol, dhash) — store dHash's output")
-    val newB = bandRowsOf(dHash(newMedia, idCol, payloadCol), idCol, nBands)
+    bandedProbePairs(dHash(newMedia, idCol, payloadCol), corpusHashes,
+      idCol, maxHamming, nBands, maxBucketSize)
+  }
+
+  /** The stored-frame probe join shared by [[imageNearDupsBetween]] and
+    * [[audioNearDupsBetween]] — both sides (idCol, dhash: long). */
+  private def bandedProbePairs(newDh: DataFrame, corpusHashes: DataFrame,
+                               idCol: String, maxHamming: Int, nBands: Int,
+                               maxBucketSize: Option[Int]): DataFrame = {
+    val newB = bandRowsOf(newDh, idCol, nBands)
       .select(col(idCol).as("id_new"), col("dhash").as("__hn"),
         col("band_idx"), col("band_val"))
     // cap the CORPUS side's hot buckets (the minhashPairsBetween
@@ -270,6 +287,66 @@ object Multimodal {
       .select(col("id_new"), col("id_corpus"),
         bit_count(col("__hn").bitwiseXOR(col("__hc"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit AUDIO fingerprint over the media column — the remaining
+    * modality beside the image dHash family: the Haitsma–Kalker
+    * energy-difference recipe as one fused expression
+    * ([[graft.functions.AudioFp64]] — 3 frames × 33 band energies from
+    * the stub decode's slice-md5 grid, bit = sign of the time×band
+    * double difference; a real implementation swaps the grid for FFT
+    * band energies over PCM frames, everything downstream unchanged).
+    * Pure zero-shuffle projection. Output: (idCol, afp: long). */
+  def audioFp(media: DataFrame, idCol: String = "doc_id",
+              payloadCol: String = "payload"): DataFrame =
+    media.select(col(idCol),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.AudioFp64(org.apache.spark.sql.GraftBridge.expression(
+          col(payloadCol).cast(BinaryType)))).as("afp"))
+
+  /** Audio near-duplicate pairs — [[imageNearDups]]'s machinery over
+    * [[audioFp]] (banded candidate pairing, exact hamming confirm,
+    * recall exact for maxHamming < nBands, hot-bucket cap). Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def audioNearDups(media: DataFrame, idCol: String = "doc_id",
+                    payloadCol: String = "payload",
+                    maxHamming: Int = 3, nBands: Int = 4,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"banded recall is exact only for maxHamming < nBands " +
+        s"(got maxHamming=$maxHamming, nBands=$nBands) — raise nBands")
+    bandedSelfPairs(
+      audioFp(media, idCol, payloadCol).withColumnRenamed("afp", "dhash"),
+      idCol, maxHamming, nBands, maxBucketSize)
+  }
+
+  /** Incremental audio admission — [[imageNearDupsBetween]] over a
+    * STORED [[audioFp]] frame (idCol, afp): incoming media fingerprints
+    * per row (pure projection, stream-safe), candidates pair on the
+    * band equi-join, exact hamming confirms. Same duplicate contract
+    * (a pair sharing b bands appears b times — admission semantics
+    * unaffected; batch callers dropDuplicates). Output:
+    * (id_new, id_corpus, hamming). */
+  def audioNearDupsBetween(newMedia: DataFrame, corpusFps: DataFrame,
+                           idCol: String = "doc_id",
+                           payloadCol: String = "payload",
+                           maxHamming: Int = 3, nBands: Int = 4,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"banded recall is exact only for maxHamming < nBands " +
+        s"(got maxHamming=$maxHamming, nBands=$nBands) — raise nBands")
+    require(corpusFps.columns.contains("afp") &&
+        corpusFps.columns.contains(idCol),
+      s"stored fingerprint frame must carry ($idCol, afp) — store " +
+        "audioFp's output")
+    bandedProbePairs(
+      audioFp(newMedia, idCol, payloadCol).withColumnRenamed("afp", "dhash"),
+      corpusFps.withColumnRenamed("afp", "dhash"), idCol,
+      maxHamming, nBands, maxBucketSize)
   }
 
   /** Feature-extract stage over decoded media: bucketed resolution class

@@ -1422,6 +1422,66 @@ object EngineQueries {
       e.query("""SELECT id_a, id_b, hamming
                  FROM graft_image_dups('image_media', 'doc_id', 'payload', 3, 4)""")
     }),
+    "e_sql_audio_fp" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the audio fingerprint surface from SQL: the media view + the
+      // pure-projection TVF (llm_audio_fp's oracle gates it)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW audio_media_fp AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id, CAST(text AS BINARY) AS payload FROM sl""")
+      e.query("""SELECT doc_id, afp
+                 FROM graft_audio_fp('audio_media_fp', 'doc_id', 'payload')""")
+    }),
+    "e_sql_audio_dups" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // audio near-dup pairs from SQL — the e_sql_image_dups fixture
+      // through the audio-fingerprint TVF
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW audio_media AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id, CAST(text AS BINARY) AS payload FROM sl
+                 UNION ALL
+                 SELECT doc_id + 3000000,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY)
+                 FROM sl""")
+      e.query("""SELECT id_a, id_b, hamming
+                 FROM graft_audio_dups('audio_media', 'doc_id', 'payload', 3, 4)""")
+    }),
+    "e_sql_audio_probe" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // incremental audio admission from SQL: fingerprint store written
+      // in Scala (the write side), edited-clone probe via the TVF
+      val out = "target/gate_sink/audio_fp_store_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Multimodal.audioFp(
+          graft.operators.Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("audio_fps")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW audio_probe AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT DISTINCT id_new, id_corpus, hamming
+                 FROM graft_audio_probe('audio_probe', 'audio_fps',
+                                        'doc_id', 'payload', 3, 4)""")
+    }),
     "e_sql_image_incr" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2723,6 +2783,9 @@ object EngineQueries {
     "e_sql_ann_sq_append" -> LlmQueries.oracle("llm_ann_sq_append"),
     "e_sql_ann_ivf_sq_stored" -> LlmQueries.oracle("llm_ann_ivf_sq_stored"),
     "e_sql_image_delete" -> LlmQueries.oracle("llm_image_delete"),
+    "e_sql_audio_fp" -> LlmQueries.oracle("llm_audio_fp"),
+    "e_sql_audio_dups" -> LlmQueries.oracle("llm_audio_dups"),
+    "e_sql_audio_probe" -> LlmQueries.oracle("llm_audio_probe"),
     "e_sql_ann_sq" -> LlmQueries.oracle("llm_ann_sq"),
     "e_sql_ann_ivf_sq" -> LlmQueries.oracle("llm_ann_ivf_sq"),
     "e_sql_bpe_train" -> LlmQueries.oracle("llm_bpe_train"),

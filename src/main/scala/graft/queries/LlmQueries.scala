@@ -227,6 +227,38 @@ object LlmQueries {
                  FROM uvfin)"""
   }
 
+  /** The audio-fingerprint chain as DuckDB CTEs over relation `src`
+    * (must expose doc_id, text and any carried flag columns via
+    * `carry`), ending in `afp$sfx(doc_id[, carry], afp)` — the
+    * [[graft.functions.AudioFp64]] Haitsma-Kalker chain replayed: 99
+    * slice energies (3 frames x 33 band edges, u32(md5(slice)) mod
+    * 256), bit i set when the time x band double difference is
+    * positive. */
+  private def audioFpCtes(src: String, sfx: String,
+                          carry: String = ""): String = {
+    val c = if (carry.isEmpty) "" else s", $carry"
+    s"""ahx$sfx AS (SELECT doc_id$c, lower(hex(text)) AS h FROM $src),
+        aen$sfx AS (SELECT doc_id$c,
+                  list_transform(generate_series(0, 98), k ->
+                    CAST(('0x' || substr(md5(substr(h,
+                        CAST(floor(length(h)*k/99) AS INT) + 1,
+                        greatest(CAST(floor(length(h)*(k+1)/99) AS INT)
+                          - CAST(floor(length(h)*k/99) AS INT), 0))), 1, 8))
+                      AS BIGINT) % 256) AS en
+                FROM ahx$sfx),
+        afp$sfx AS (SELECT doc_id$c,
+                 CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                   CASE WHEN (en[(CAST(floor(i/32) AS INT)+1)*33 + (i%32) + 1]
+                              - en[(CAST(floor(i/32) AS INT)+1)*33 + (i%32) + 2])
+                           > (en[CAST(floor(i/32) AS INT)*33 + (i%32) + 1]
+                              - en[CAST(floor(i/32) AS INT)*33 + (i%32) + 2])
+                        THEN CASE WHEN i = 63
+                                  THEN -9223372036854775808
+                                  ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                        ELSE 0 END)) AS BIGINT) AS afp
+               FROM aen$sfx)"""
+  }
+
   /** The dHash chain as DuckDB CTEs over relation `src` (doc_id, text),
     * ending in `dh$sfx(doc_id, dhash)` — the llm_image_dups chain with
     * suffixed names so the mixed-modality oracle can hash two relations
@@ -2042,6 +2074,62 @@ object LlmQueries {
       Multimodal.imageNearDups(
         Multimodal.asMedia(slice.unionAll(edited), "doc_id", "text"),
         maxHamming = 3, nBands = 4)
+    }),
+    "llm_audio_fp" -> ((s, d) => {
+      import s.implicits._
+      // the AUDIO modality's fingerprint surface (the dHash family's
+      // remaining sibling): one 64-bit Haitsma-Kalker energy-difference
+      // fingerprint per media row — 3 frames x 33 band energies from
+      // the stub decode's slice-md5 grid, bit = sign of the time x band
+      // double difference. Pure zero-shuffle projection; the oracle
+      // replays the full hex -> slice-energy -> double-difference chain
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      Multimodal.audioFp(Multimodal.asMedia(slice, "doc_id", "text"))
+    }),
+    "llm_audio_dups" -> ((s, d) => {
+      import s.implicits._
+      // audio near-dup pairs: the llm_image_dups fixture (same-length
+      // local edits — the stub-energy analog of a locally-edited audio
+      // clip: only the frames covering the edit move) through the
+      // banded audio-fingerprint pairing; banded recall is exact below
+      // nBands, so the oracle brute-forces ALL pairs
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.audioNearDups(
+        Multimodal.asMedia(slice.unionAll(edited), "doc_id", "text"),
+        maxHamming = 3, nBands = 4)
+    }),
+    "llm_audio_probe" -> ((s, d) => {
+      import s.implicits._
+      // incremental audio admission: the corpus slice's fingerprints
+      // STORED (8 bytes a row, payloads never touched again), the
+      // edited-clone shard probed against the read-back frame — the
+      // llm_image_incr discipline on the audio modality
+      val out = "target/gate_sink/audio_fp_store"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      Multimodal.audioFp(Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.audioNearDupsBetween(
+          Multimodal.asMedia(edited, "doc_id", "text"),
+          s.read.parquet(out), maxHamming = 3, nBands = 4)
+        .dropDuplicates("id_new", "id_corpus")
     }),
     "llm_image_dups_capped" -> ((s, d) => {
       import s.implicits._
@@ -4115,6 +4203,45 @@ object LlmQueries {
                  CAST(bit_count(xor(n.dhash, c.dhash)) AS INT) AS hamming
           FROM dh n JOIN dh c ON n.is_new = 1 AND c.is_new = 0
           WHERE bit_count(xor(n.dhash, c.dhash)) <= 3""",
+    // the audio fingerprint surface: full chain replay per row
+    "llm_audio_fp" ->
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          ${audioFpCtes("sl", "1")}
+          SELECT doc_id, afp FROM afp1""",
+    // audio near-dup pairs: brute-force ALL pairs at the banded
+    // operator's threshold (recall exact below nBands)
+    "llm_audio_dups" ->
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text FROM sl
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15)
+                   FROM sl),
+          ${audioFpCtes("base", "2")}
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                 CAST(bit_count(xor(x.afp, y.afp)) AS INT) AS hamming
+          FROM afp2 x JOIN afp2 y ON x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.afp, y.afp)) <= 3""",
+    // incremental audio admission: cross-set pairs only (probe vs store)
+    "llm_audio_probe" ->
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text, 0 AS is_new FROM sl
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15),
+                          1
+                   FROM sl),
+          ${audioFpCtes("base", "3", carry = "is_new")}
+          SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+                 CAST(bit_count(xor(n.afp, c.afp)) AS INT) AS hamming
+          FROM afp3 n JOIN afp3 c ON n.is_new = 1 AND c.is_new = 0
+          WHERE bit_count(xor(n.afp, c.afp)) <= 3""",
     // takedown: the llm_image_incr probe with the STORE side restricted
     // to the un-tombstoned corpus (doc_id % 5 <> 1) — purged originals'
     // clones vanish from the pair set, survivors' clones remain

@@ -2087,6 +2087,66 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("discount"))
   }
 
+  test("audio fingerprint: determinism, null/empty edges, edit locality, banded pairs == brute force") {
+    import spark.implicits._
+    val slice = docs.select($"doc_id", $"text")
+      .filter($"doc_id" < 150 && length($"text") >= 400)
+    val media = Multimodal.asMedia(slice, "doc_id", "text")
+    def fps(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.audioFp(m).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fp1 = fps(media)
+    assert(fp1.nonEmpty && fp1 == fps(media), "fingerprints must be deterministic")
+    // null payload -> 0L (the DHash64 convention); empty payload defined
+    val edge = Multimodal.audioFp(Seq(
+        (1L, null.asInstanceOf[Array[Byte]]),
+        (2L, Array.emptyByteArray)).toDF("doc_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(edge(1L) == 0L)
+    // edit LOCALITY: a same-length local edit perturbs only the frames
+    // covering it — each perturbed band edge flips at most 2 bits
+    val edited = slice.select($"doc_id",
+      concat(substring($"text", 1, 10), lit("QQQQ"),
+        expr("substring(text, 15)")).as("text"))
+    val fpE = fps(Multimodal.asMedia(edited, "doc_id", "text"))
+    val hams = fp1.keys.toSeq.map(id =>
+      java.lang.Long.bitCount(fp1(id) ^ fpE(id)))
+    assert(hams.max <= 12,
+      s"a local edit must perturb few bits, got max hamming ${hams.max}")
+    // banded pairs == brute force (recall exact for maxHamming < nBands)
+    val pooled = Multimodal.asMedia(
+      slice.unionAll(edited.select(($"doc_id" + 3000000).as("doc_id"),
+        $"text")), "doc_id", "text")
+    val got = Multimodal.audioNearDups(pooled, maxHamming = 3, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = fps(pooled)
+    val brute = (for {
+      a <- all.keys; b <- all.keys if a < b
+      h = java.lang.Long.bitCount(all(a) ^ all(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+    // stored probe == cross-set brute force, through the parquet store
+    val store = "target/test_sink/audio_fp_spec"
+    Multimodal.audioFp(media).write.mode("overwrite").parquet(store)
+    val probeMedia = Multimodal.asMedia(
+      edited.select(($"doc_id" + 3000000).as("doc_id"), $"text"),
+      "doc_id", "text")
+    val probed = Multimodal.audioNearDupsBetween(probeMedia,
+        spark.read.parquet(store), maxHamming = 3, nBands = 4)
+      .dropDuplicates("id_new", "id_corpus")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bruteX = (for {
+      n <- all.keys if n >= 3000000L; c <- all.keys if c < 3000000L
+      h = java.lang.Long.bitCount(all(n) ^ all(c)) if h <= 3
+    } yield (n, c, h)).toSet
+    assert(probed == bruteX)
+    // banded exact-recall contract refuses out-of-range thresholds
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.audioNearDups(media, maxHamming = 4, nBands = 4)
+    }
+    assert(e.getMessage.contains("nBands"))
+  }
+
   test("latencyTrend: append-stamped run_seq, exact per-surface deltas, NULL baselines") {
     import spark.implicits._
     import graft.operators.ServingLatency

@@ -225,6 +225,10 @@ class PlanSpec extends AnyFunSuite {
       "llm_image_dups", "e_sql_image_dups", "llm_image_incr",
       "e_sql_image_incr", "llm_image_append", "e_sql_image_append",
       "llm_image_dups_capped", "llm_image_delete", "e_sql_image_delete",
+      // same broadcast 1-row max-doc-id fixture bound; the audio
+      // pairing/probe are the same banded equi-joins on the afp
+      "llm_audio_fp", "e_sql_audio_fp", "llm_audio_dups",
+      "e_sql_audio_dups", "llm_audio_probe", "e_sql_audio_probe",
       "e_sql_image_clusters", "st_image_admission_append",
       "llm_pipeline8", "e_sql_pipeline8", "st_image_admission",
       // broadcast 1-row max-doc-id bound building the mixed-modality
