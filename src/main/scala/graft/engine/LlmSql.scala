@@ -1164,6 +1164,29 @@ object LlmSql {
       case args => bad(
         "graft_image_probe(media_table, hashes_table, id_col, payload_col, max_hamming, n_bands[, max_bucket_size])", args)
     }
+    reg(spark, "graft_latency_trend") {
+      // the SLO trend-store maintenance verb from SQL: append the
+      // report view to the run_seq-stamped store, return the per-
+      // surface delta frame — an ACTION (store append), deferred like
+      // graft_store_compact
+      case Seq(rT, pathE) =>
+        val f = "graft_latency_trend"
+        val rep = table(str(rT, f))
+        val path = str(pathE, f)
+        GraftDeferred.frame(spark, StructType(Seq(
+          StructField("surface", org.apache.spark.sql.types.StringType),
+          StructField("run_seq", org.apache.spark.sql.types.LongType),
+          StructField("p50_ms", org.apache.spark.sql.types.DoubleType),
+          StructField("p95_ms", org.apache.spark.sql.types.DoubleType),
+          StructField("prev_p50_ms", org.apache.spark.sql.types.DoubleType),
+          StructField("prev_p95_ms", org.apache.spark.sql.types.DoubleType),
+          StructField("delta_p50_pct", org.apache.spark.sql.types.DoubleType),
+          StructField("delta_p95_pct", org.apache.spark.sql.types.DoubleType))),
+          memo { () =>
+            graft.operators.ServingLatency.latencyTrend(rep, path) })
+      case args => bad(
+        "graft_latency_trend(report_table, store_path)", args)
+    }
     reg(spark, "graft_audio_fp") {
       // the audio modality's fingerprint frame (Haitsma-Kalker
       // energy-difference bits over the stub energy grid) — pure lazy

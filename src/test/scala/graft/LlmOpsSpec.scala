@@ -2187,6 +2187,16 @@ class LlmOpsSpec extends AnyFunSuite {
         Seq(("x", 1)).toDF("surface", "n_runs"), store)
     }
     assert(e.getMessage.contains("latencyTrend"))
+    // the SQL twin appends a third round through the deferred TVF and
+    // reports the same delta arithmetic (110 -> 220 = +100%)
+    rep(Seq(("ann", 5, 10L, 220.0, 440.0, 200.0, 450.0)))
+      .createOrReplaceTempView("lat_rep3")
+    val eng = new graft.engine.Engine(spark)
+    val r3 = eng.query(
+      s"SELECT * FROM graft_latency_trend('lat_rep3', '$store')").collect()
+    assert(r3.length == 1 && r3(0).getLong(1) == 3L &&
+      r3(0).getDouble(6) == 100.0 && r3(0).getDouble(7) == 100.0)
+    assert(spark.read.parquet(store).count() == 6)
   }
 
   test("unigram-LM tokenizer: round-trip, Viterbi == exhaustive enumeration, reassembly, determinism") {
