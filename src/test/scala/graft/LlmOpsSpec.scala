@@ -2016,6 +2016,49 @@ class LlmOpsSpec extends AnyFunSuite {
       s"pruning must survive selective compaction, plan:\n$p")
   }
 
+  test("storeCompactSelective: MULTI-column partition layout (nested dirs, OR-tree filter)") {
+    import spark.implicits._
+    val out = "target/test_sink/selective_compact_multi"
+    // 2 x 3 nested partitions (cell, shard), two generations
+    val base = (0L until 60L).map(i =>
+        (i, s"p_$i", (i % 2).toInt, (i % 3).toInt))
+      .toDF("id", "payload", "cell", "shard")
+    base.filter($"id" < 30).write.mode("overwrite")
+      .partitionBy("cell", "shard").parquet(s"$out/store")
+    base.filter($"id" >= 30).write.mode("append")
+      .partitionBy("cell", "shard").parquet(s"$out/store")
+    // tombstones live in exactly ONE leaf partition: (cell=1, shard=2)
+    // -> ids with id%2==1 and id%3==2 (5, 11, ...)
+    val tomb = Seq(5L, 11L).toDF("id")
+    val expect = base.join(tomb, Seq("id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getInt(3))).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def files(frag: String): Set[(String, Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/store/$frag"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .toSet
+    val untouched = for (c <- 0 to 1; s <- 0 to 2
+                         if !(c == 1 && s == 2)) yield s"cell=$c/shard=$s"
+    val before = untouched.map(f => f -> files(f)).toMap
+    val beforeHot = files("cell=1/shard=2")
+    assert(beforeHot.size >= 2, "fixture must accumulate appended files")
+    val got = Dedup.storeCompactSelective(spark, s"$out/store", "id",
+      tomb, Seq("cell", "shard"), s"$out/staging")
+    untouched.foreach { f =>
+      assert(files(f) == before(f), s"$f rewritten — only the tombstone-" +
+        "bearing leaf partition may rewrite")
+    }
+    val afterHot = files("cell=1/shard=2")
+    assert(afterHot.intersect(beforeHot).isEmpty && afterHot.size == 1,
+      s"the affected leaf must consolidate: $afterHot")
+    assert(got.select($"id", $"payload", $"cell", $"shard").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .toSet == expect)
+  }
+
   test("trigramKnLogProb: independent recount; continuation counts demote fixed-phrase words at EQUAL unigram frequency") {
     import spark.implicits._
     import graft.operators.TextAnalysis
