@@ -1791,6 +1791,21 @@ object LlmSql {
         TextAnalysis.bigramLogProb(table(str(t, f)), str(id, f), str(text, f))
       case args => bad("graft_bigram_lp(table, id_col, text_col)", args)
     }
+    reg(spark, "graft_trigram_kn_stored") {
+      // score under a STORED KN model (five count-table views) — fully
+      // LAZY: left joins on hashes, broadcast 1-row totals, back-off
+      // branches in-plan
+      case Seq(c3T, ctxT, sfxT, midT, uniT, t, id, text, disc) =>
+        val f = "graft_trigram_kn_stored"
+        TextAnalysis.trigramKnScoreStored(table(str(t, f)), str(id, f),
+          str(text, f),
+          Map("c3" -> table(str(c3T, f)), "ctx" -> table(str(ctxT, f)),
+            "sfx" -> table(str(sfxT, f)), "mid" -> table(str(midT, f)),
+            "uni" -> table(str(uniT, f))),
+          discount = dbl(disc, f))
+      case args => bad(
+        "graft_trigram_kn_stored(c3_table, ctx_table, sfx_table, mid_table, uni_table, table, id_col, text_col, discount)", args)
+    }
     reg(spark, "graft_trigram_kn") {
       // interpolated Kneser-Ney trigram LM score — fully lazy (hash
       // count tables join relationally, 1-row broadcast total)

@@ -2419,6 +2419,122 @@ object TextAnalysis {
         round(sum(col("tf") * log(p)) / sum(col("tf")), 4).as("avg_logprob"))
   }
 
+  /** Occurrence rows for the KN family: every trigram of every doc with
+    * its five 60-bit hash keys — shared by [[trigramKnLogProb]]'s
+    * self-trained form (inlined there since round 13's first cut) and
+    * the stored-model train/score pair below. */
+  private def knTrigramRows(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val parts = split(col("s"), " ")
+    Dedup.shingleRowsPos(df.select(col(idCol), col(textCol)),
+        idCol, textCol, n = 3)
+      .select(col(idCol),
+        Dedup.sharedHash60(col("s")).as("th"),
+        Dedup.sharedHash60(concat_ws(" ",
+          element_at(parts, 1), element_at(parts, 2))).as("bh12"),
+        Dedup.sharedHash60(concat_ws(" ",
+          element_at(parts, 2), element_at(parts, 3))).as("bh23"),
+        Dedup.sharedHash60(element_at(parts, 2)).as("mh"),
+        Dedup.sharedHash60(element_at(parts, 3)).as("w3h"))
+  }
+
+  /** TRAIN the KN trigram model as STORED count tables — the CCNet
+    * deployment shape ([[trigramKnLogProb]] self-trains and re-counts
+    * every run; a production filter trains the LM on the REFERENCE
+    * corpus once, stores it, and scores every ingestion batch from the
+    * read-back tables — the classifier-weights / BM25-index symmetry).
+    * Returns the five tables, each an ordinary parquet-able frame:
+    *  - `c3` (th, c3) — trigram occurrence counts;
+    *  - `ctx` (bh12, ctx12, n1p12) — context totals + distinct
+    *    continuations;
+    *  - `sfx` (bh23, n1p23) — suffix-bigram continuation counts;
+    *  - `mid` (mh, mid2, n1p2dot) — middle-word type stats;
+    *  - `uni` (w3h, n1pw3, nbt, nw3) — continuation-unigram counts with
+    *    the two corpus totals riding every row (window totals — the
+    *    read-back side needs them on rows it does NOT match).
+    * All vocabulary-scale hash-keyed frames; one tokenize pass. */
+  def trigramKnTrain(corpus: DataFrame, idCol: String, textCol: String,
+                     reuse: Reuse = Reuse.Local): Map[String, DataFrame] = {
+    val r = reuse(knTrigramRows(corpus, idCol, textCol))
+    val types = reuse(r.select(col("th"), col("bh12"), col("bh23"),
+      col("mh"), col("w3h")).distinct())
+    val suffix = types.select(col("mh"), col("w3h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    Map(
+      "c3" -> r.groupBy(col("th")).agg(count(lit(1)).as("c3")),
+      "ctx" -> r.groupBy(col("bh12")).agg(count(lit(1)).as("ctx12"),
+        count_distinct(col("th")).as("n1p12")),
+      "sfx" -> types.groupBy(col("bh23")).agg(count(lit(1)).as("n1p23")),
+      "mid" -> types.groupBy(col("mh")).agg(count(lit(1)).as("mid2"),
+        count_distinct(col("w3h")).as("n1p2dot")),
+      "uni" -> suffix.groupBy(col("w3h")).agg(count(lit(1)).as("n1pw3"))
+        .select(col("w3h"), col("n1pw3"),
+          sum(col("n1pw3")).over(w).as("nbt"),
+          count(lit(1)).over(w).as("nw3")))
+  }
+
+  /** SCORE documents under a STORED KN trigram model — the serving half
+    * of [[trigramKnTrain]], with the back-off the self-trained form
+    * never needs (scoring NEW text hits unseen trigrams, contexts and
+    * words):
+    *
+    *  - unigram level: add-1 floor over the continuation counts,
+    *    `P_uni = (N1+(·w3)⁰ + 1) / (N1+(··) + |W3| + 1)` — an unseen
+    *    word takes the one reserved OOV slot instead of probability
+    *    zero (the deterministic, engine-exact closure of the OOV hole;
+    *    the TRAINED orders above keep pure interpolated KN);
+    *  - middle level: `max(N1+(·w2w3)⁰ − D, 0)/N1+(·w2·)
+    *    + D·N1+(w2·)/N1+(·w2·)·P_uni`, and an UNSEEN middle word backs
+    *    off to `P_uni` directly (the standard unseen-context rule);
+    *  - top level: `max(c(w1w2w3)⁰ − D, 0)/c(w1w2·)
+    *    + D·N1+(w1w2·)/c(w1w2·)·P_mid`, unseen context → `P_mid`.
+    *
+    * Output: (idCol, n_trigrams, n_unseen, avg_logprob) — `n_unseen`
+    * counts positions whose exact trigram the model never saw, the
+    * corpus-drift signal a monitoring panel reads next to the score.
+    * Scale shape: the model tables join RELATIONALLY on 60-bit hashes
+    * (LEFT joins — misses are data, not errors); the two totals ride a
+    * broadcast 1-row aggregate; text never crosses an exchange;
+    * round(·,4) absorbs the one libm ln. */
+  def trigramKnScoreStored(df: DataFrame, idCol: String, textCol: String,
+                           model: Map[String, DataFrame],
+                           discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val need = Set("c3", "ctx", "sfx", "mid", "uni")
+    require(need.subsetOf(model.keySet),
+      s"model must carry tables ${need.toSeq.sorted.mkString(",")}, got " +
+        s"${model.keySet.toSeq.sorted.mkString(",")}")
+    val d = lit(discount)
+    val tf = knTrigramRows(df, idCol, textCol)
+      .groupBy(col(idCol), col("th"), col("bh12"), col("bh23"),
+        col("mh"), col("w3h")).agg(count(lit(1)).as("tf"))
+    val stats = model("uni").agg(max(col("nbt")).as("nbt"),
+      max(col("nw3")).as("nw3"))
+    val puni = (coalesce(col("n1pw3"), lit(0L)) + lit(1.0)) /
+      (col("nbt") + col("nw3") + lit(1.0))
+    val pmid = when(col("mid2").isNull, puni)
+      .otherwise(
+        greatest(coalesce(col("n1p23"), lit(0L)) - d, lit(0.0)) / col("mid2") +
+          d * col("n1p2dot") / col("mid2") * puni)
+    val p = when(col("ctx12").isNull, pmid)
+      .otherwise(
+        greatest(coalesce(col("c3"), lit(0L)) - d, lit(0.0)) / col("ctx12") +
+          d * col("n1p12") / col("ctx12") * pmid)
+    tf.join(model("c3"), Seq("th"), "left")
+      .join(model("ctx"), Seq("bh12"), "left")
+      .join(model("sfx"), Seq("bh23"), "left")
+      .join(model("mid"), Seq("mh"), "left")
+      .join(model("uni").select(col("w3h"), col("n1pw3")), Seq("w3h"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(when(col("c3").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_unseen"),
+        round(sum(col("tf") * log(p)) / sum(col("tf")), 4).as("avg_logprob"))
+  }
+
   /** Text normalization — the pipeline's mandatory first step (mixed
     * NFC/NFD sources hash-split identical text, so EVERY hash-keyed
     * operator in this library — exact dedup, minhash, span/line dedup,

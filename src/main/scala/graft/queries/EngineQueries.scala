@@ -917,6 +917,25 @@ object EngineQueries {
       "SELECT * FROM graft_bigram_lp('documents', 'doc_id', 'text')")),
     "e_sql_trigram_kn" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_trigram_kn('documents', 'doc_id', 'text', 0.75)")),
+    "e_sql_trigram_kn_stored" -> ((s, d) => {
+      import s.implicits._
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // stored-model KN scoring from SQL: the five count tables trained
+      // and written in Scala (the write side), read back as views, the
+      // whole corpus scored through the lazy TVF
+      val out = "target/gate_sink/kn_model_sql"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val model = graft.operators.TextAnalysis.trigramKnTrain(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+      model.foreach { case (k, v) =>
+        v.write.mode("overwrite").parquet(s"$out/$k")
+        s.read.parquet(s"$out/$k").createOrReplaceTempView(s"knm_$k")
+      }
+      e.query("""SELECT * FROM graft_trigram_kn_stored('knm_c3', 'knm_ctx',
+                   'knm_sfx', 'knm_mid', 'knm_uni', 'documents',
+                   'doc_id', 'text', 0.75)""")
+    }),
     "e_sql_unigram_train" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_unigram_train('documents', 'doc_id', 'text', 48, 2, 4, 64)")),
     "e_sql_unigram_tokenize" -> ((s, d) => {
@@ -2738,6 +2757,7 @@ object EngineQueries {
     "e_sql_script" -> LlmQueries.oracle("llm_script"),
     "e_sql_bigram_lp" -> LlmQueries.oracle("llm_bigram_lp"),
     "e_sql_trigram_kn" -> LlmQueries.oracle("llm_trigram_kn"),
+    "e_sql_trigram_kn_stored" -> LlmQueries.oracle("llm_trigram_kn_stored"),
     "e_sql_unigram_train" -> LlmQueries.oracle("llm_unigram_tok_train"),
     "e_sql_unigram_tokenize" -> LlmQueries.oracle("llm_unigram_tokenize"),
     "e_sql_temperature_mix" -> LlmQueries.oracle("llm_temperature_mix"),

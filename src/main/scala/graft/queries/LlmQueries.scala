@@ -2817,6 +2817,24 @@ object LlmQueries {
       // counts demote fixed-phrase-only words where add-k cannot
       TextAnalysis.trigramKnLogProb(
         Tables.load(s, d, "documents"), "doc_id", "text")),
+    "llm_trigram_kn_stored" -> ((s, d) => {
+      import s.implicits._
+      // the CCNet deployment shape: the KN model trained on the
+      // REFERENCE half (even doc_ids), its five count tables STORED,
+      // and the WHOLE corpus scored from the read-back tables — odd
+      // docs hit unseen trigrams/contexts, exercising every back-off
+      // branch; n_unseen is the drift signal. The oracle replays
+      // train-on-half + branchy scoring from the parquet inputs.
+      val out = "target/gate_sink/kn_model"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val model = TextAnalysis.trigramKnTrain(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+      model.foreach { case (k, v) =>
+        v.write.mode("overwrite").parquet(s"$out/$k")
+      }
+      TextAnalysis.trigramKnScoreStored(docs, "doc_id", "text",
+        model.keys.map(k => k -> s.read.parquet(s"$out/$k")).toMap)
+    }),
     "llm_script" -> ((s, d) => {
       import s.implicits._
       // script detection over a planted multilingual fixture: one
@@ -5567,6 +5585,79 @@ object LlmQueries {
                JOIN t23 USING (bh23) JOIN tmid USING (mh)
                JOIN tw3 USING (w3h)
           GROUP BY doc_id""",
+    // stored-model KN scoring: counts trained on the EVEN half only,
+    // every doc scored with the branchy back-off (unseen trigram ->
+    // discounted-to-zero numerator; unseen context/middle -> back off a
+    // level; unseen word -> the add-1 OOV slot at the unigram floor)
+    "llm_trigram_kn_stored" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+                    FROM documents),
+          tr AS (SELECT doc_id,
+                        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tg,
+                        tk[i] || ' ' || tk[i+1] AS b12,
+                        tk[i+1] || ' ' || tk[i+2] AS b23,
+                        tk[i+1] AS w2, tk[i+2] AS w3
+                 FROM (SELECT doc_id, tk,
+                              unnest(generate_series(1, len(tk) - 2)) AS i
+                       FROM t WHERE len(tk) >= 3)),
+          r AS (SELECT doc_id,
+                       CAST(('0x'||substr(md5(tg),1,15)) AS BIGINT) AS th,
+                       CAST(('0x'||substr(md5(b12),1,15)) AS BIGINT) AS bh12,
+                       CAST(('0x'||substr(md5(b23),1,15)) AS BIGINT) AS bh23,
+                       CAST(('0x'||substr(md5(w2),1,15)) AS BIGINT) AS mh,
+                       CAST(('0x'||substr(md5(w3),1,15)) AS BIGINT) AS w3h
+                FROM tr),
+          rt AS (SELECT * FROM r WHERE doc_id % 2 = 0),
+          types AS (SELECT DISTINCT th, bh12, bh23, mh, w3h FROM rt),
+          c3 AS (SELECT th, count(*) AS c3 FROM rt GROUP BY th),
+          t12 AS (SELECT bh12, count(*) AS ctx12,
+                         count(DISTINCT th) AS n1p12 FROM rt GROUP BY bh12),
+          t23 AS (SELECT bh23, count(*) AS n1p23 FROM types GROUP BY bh23),
+          tmid AS (SELECT mh, count(*) AS mid2,
+                          count(DISTINCT w3h) AS n1p2dot
+                   FROM types GROUP BY mh),
+          sfx AS (SELECT DISTINCT mh, w3h FROM types),
+          tw3 AS (SELECT w3h, count(*) AS n1pw3,
+                         CAST(sum(count(*)) OVER () AS BIGINT) AS nbt,
+                         CAST(count(*) OVER () AS BIGINT) AS nw3
+                  FROM sfx GROUP BY w3h),
+          st AS (SELECT max(nbt) AS nbt, max(nw3) AS nw3 FROM tw3),
+          tf AS (SELECT doc_id, th, bh12, bh23, mh, w3h, count(*) AS tf
+                 FROM r GROUP BY 1, 2, 3, 4, 5, 6),
+          jt AS (SELECT f.*, st.nbt, st.nw3 FROM tf f, st),
+          j AS (SELECT f.doc_id, f.tf, f.nbt, f.nw3, c.c3, x.ctx12,
+                       x.n1p12, s23.n1p23, m.mid2, m.n1p2dot, u.n1pw3
+                FROM jt f
+                LEFT JOIN c3 c USING (th)
+                LEFT JOIN t12 x USING (bh12)
+                LEFT JOIN t23 s23 USING (bh23)
+                LEFT JOIN tmid m USING (mh)
+                LEFT JOIN (SELECT w3h, n1pw3 FROM tw3) u USING (w3h))
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+                 CAST(sum(CASE WHEN c3 IS NULL THEN tf ELSE 0 END)
+                   AS BIGINT) AS n_unseen,
+                 round(sum(tf * ln(
+                   CASE WHEN ctx12 IS NULL THEN
+                     CASE WHEN mid2 IS NULL THEN
+                       (coalesce(n1pw3, 0) + 1.0) / (nbt + nw3 + 1.0)
+                     ELSE
+                       greatest(coalesce(n1p23, 0) - 0.75, 0.0) / mid2
+                         + 0.75 * n1p2dot / mid2 *
+                           ((coalesce(n1pw3, 0) + 1.0) / (nbt + nw3 + 1.0))
+                     END
+                   ELSE
+                     greatest(coalesce(c3, 0) - 0.75, 0.0) / ctx12
+                       + 0.75 * n1p12 / ctx12 *
+                         (CASE WHEN mid2 IS NULL THEN
+                            (coalesce(n1pw3, 0) + 1.0) / (nbt + nw3 + 1.0)
+                          ELSE
+                            greatest(coalesce(n1p23, 0) - 0.75, 0.0) / mid2
+                              + 0.75 * n1p2dot / mid2 *
+                                ((coalesce(n1pw3, 0) + 1.0)
+                                  / (nbt + nw3 + 1.0))
+                          END)
+                   END)) / sum(tf), 4) AS avg_logprob
+          FROM j GROUP BY doc_id""",
     // script detection: same planted fixture via chr() codepoints, same
     // portable char-class counts, same priority-ordered argmax
     "llm_script" ->

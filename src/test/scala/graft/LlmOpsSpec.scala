@@ -2242,6 +2242,75 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 6)
   }
 
+  test("trigramKnScoreStored: every back-off branch hand-checked; seen-half == zero unseen; store round-trip") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val train = Seq((2L, "a b c d"), (4L, "a b c e")).toDF("doc_id", "text")
+    val model = TextAnalysis.trigramKnTrain(train, "doc_id", "text")
+    // trained tables, hand-derivable: trigrams abc(2) bcd(1) bce(1);
+    // ctx ab(2,{abc}=1) bc(2,{bcd,bce}=2); sfx types bc(1) cd(1) ce(1);
+    // mid b(1 type,{c}=1) c(2 types,{d,e}=2); uni suffix types
+    // (b,c),(c,d),(c,e) -> c:1 d:1 e:1, nbt=3, nw3=3
+    val uni = model("uni").collect()
+    assert(uni.length == 3 && uni.forall(r =>
+      r.getLong(r.fieldIndex("nbt")) == 3L &&
+      r.getLong(r.fieldIndex("nw3")) == 3L))
+    // probe docs exercising each branch:
+    //  1: "a b c"   seen trigram
+    //  3: "a b e"   unseen trigram, seen ctx ab, seen mid b? (w2=b,w3=e:
+    //     sfx be unseen, mid b seen)
+    //  5: "z b c"   unseen ctx zb, seen mid b, sfx bc seen
+    //  7: "q q q"   everything unseen (incl. the word itself)
+    val probe = Seq((1L, "a b c"), (3L, "a b e"), (5L, "z b c"),
+      (7L, "q q q")).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramKnScoreStored(probe, "doc_id", "text",
+        model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val D = 0.75
+    def puni(n1pw3: Long) = (n1pw3 + 1.0) / (3L + 3L + 1.0)
+    // doc 1: trigram abc c3=2, ctx ab(2,1); pmid: sfx bc n1p23=1, mid
+    // b(mid2=1, n1p2dot=1), puni(c)=2/7
+    val pmid1 = (1 - D) / 1 + D * 1 / 1.0 * puni(1)
+    val p1 = (2 - D) / 2 + D * 1 / 2.0 * pmid1
+    // doc 3: abe unseen (c3=0), ctx ab seen; w2=b w3=e: sfx be unseen
+    // (n1p23=0), mid b seen; puni(e)=2/7
+    val pmid3 = math.max(0 - D, 0) / 1 + D * 1 / 1.0 * puni(1)
+    val p3 = math.max(0 - D, 0) / 2 + D * 1 / 2.0 * pmid3
+    // doc 5: ctx zb unseen -> back off to pmid; w2=b w3=c: sfx bc seen
+    // (1), mid b seen; puni(c)=2/7
+    val p5 = (1 - D) / 1 + D * 1 / 1.0 * puni(1)
+    // doc 7: ctx qq unseen, mid q unseen -> puni(q) with n1pw3=0
+    val p7 = puni(0)
+    def r4(x: Double) = BigDecimal(math.log(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((1L, 0L, r4(p1))), s"seen: ${got(1L)} want ${r4(p1)}")
+    assert(got(3L) == ((1L, 1L, r4(p3))), s"unseen trigram: ${got(3L)}")
+    assert(got(5L) == ((1L, 1L, r4(p5))), s"unseen context: ${got(5L)}")
+    assert(got(7L) == ((1L, 1L, r4(p7))), s"full OOV: ${got(7L)}")
+    // scoring the training half itself: zero unseen anywhere
+    val self = TextAnalysis.trigramKnScoreStored(train, "doc_id", "text",
+      model).collect()
+    assert(self.forall(_.getLong(2) == 0L))
+    // parquet round-trip serves identically
+    val out = "target/test_sink/kn_model_spec"
+    model.foreach { case (k, v) =>
+      v.write.mode("overwrite").parquet(s"$out/$k")
+    }
+    val rt = TextAnalysis.trigramKnScoreStored(probe, "doc_id", "text",
+        model.keys.map(k => k -> spark.read.parquet(s"$out/$k")).toMap)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rt == got)
+    // a model missing a table refuses by name
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.trigramKnScoreStored(probe, "doc_id", "text",
+        model - "uni")
+    }
+    assert(e.getMessage.contains("model"))
+  }
+
   test("unigram-LM tokenizer: round-trip, Viterbi == exhaustive enumeration, reassembly, determinism") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -316,6 +316,9 @@ class PlanSpec extends AnyFunSuite {
       // broadcast 1-row continuation-type total (N1+(..)) under the KN
       // interpolation; the count tables join relationally on hashes
       "llm_trigram_kn", "e_sql_trigram_kn",
+      // the stored-model form adds only the broadcast 1-row (nbt, nw3)
+      // totals; the five model tables LEFT-join relationally
+      "llm_trigram_kn_stored", "e_sql_trigram_kn_stored",
       // sentence filter composes the bigram model (broadcast 1-row
       // vocabulary size) + the quantile filter (broadcast 1-row
       // threshold) — both classes already allowlisted standalone
