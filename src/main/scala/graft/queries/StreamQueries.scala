@@ -617,6 +617,26 @@ object StreamQueries {
       // incremental merge order cannot change it
       graft.operators.TextAnalysis.corpusReport(
         Tables.load(s, d, "documents"), "source", "lang", "text")),
+    "st_trigram_kn" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // streamed stored-model KN scoring (batch-parity form; the
+      // stream path runs per micro-batch in StreamingSpec): the LM
+      // trained on the even half and STORED, the ingestion stream
+      // scored from the read-back tables — per-batch scoring is exact
+      // because every trigram of a doc arrives with its row (per-doc
+      // aggregate, no cross-row state). Same artifacts recipe and
+      // oracle as llm_trigram_kn_stored.
+      val out = "target/gate_sink/kn_model_stream"
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val model = graft.operators.TextAnalysis.trigramKnTrain(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      model.foreach { case (k, v) =>
+        v.write.mode("overwrite").parquet(s"$out/$k")
+      }
+      graft.operators.TextAnalysis.trigramKnScoreStored(docs, "doc_id",
+        "text", model.keys.map(k => k -> s.read.parquet(s"$out/$k")).toMap)
+    }),
     "st_quality" -> ((s, d) =>
       // streaming quality gate (batch-parity form): the Gopher panel is
       // a stateless pure projection, so the identical transform runs on
@@ -660,6 +680,7 @@ object StreamQueries {
     "st_hybrid_serve" -> LlmQueries.oracle("llm_hybrid_join"),
     // stateless per-row panel — identical to llm_gopher's oracle
     "st_quality" -> LlmQueries.oracle("llm_gopher"),
+    "st_trigram_kn" -> LlmQueries.oracle("llm_trigram_kn_stored"),
     // complete-mode streaming aggregate — identical to the batch panel
     "st_corpus_report" -> LlmQueries.oracle("llm_corpus_report"),
     // per-micro-batch drift rows: the llm_corpus_kl algebra applied to

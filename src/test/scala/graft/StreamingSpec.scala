@@ -700,6 +700,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneShot.exists(_._1 == 3L))
   }
 
+  test("streamed KN scoring: two doc micro-batches under the stored model == one-shot batch scores") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val out = "target/test_sink/kn_stream_spec"
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    // train on the even half, store, read back (the gate recipe)
+    TextAnalysis.trigramKnTrain(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .foreach { case (k, v) => v.write.mode("overwrite").parquet(s"$out/$k") }
+    val model = Seq("c3", "ctx", "sfx", "mid", "uni")
+      .map(k => k -> spark.read.parquet(s"$out/$k")).toMap
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val scored = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-batch scoring is exact: every trigram of a doc arrives
+        // with its row — the per-doc aggregate never spans batches
+        scored ++= TextAnalysis.trigramKnScoreStored(batch, "doc_id",
+            "text", model).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        ()
+      }.start()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = TextAnalysis.trigramKnScoreStored(docs, "doc_id",
+        "text", model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(scored.toSet == oneShot,
+      s"streamed ${scored.size} rows != one-shot ${oneShot.size}")
+    // the drift signal flows on the stream: odd (unseen-half) docs
+    // carry unseen trigrams, even (training-half) docs none
+    assert(scored.exists(r => r._1 % 2 == 1 && r._3 > 0))
+    assert(scored.filter(_._1 % 2 == 0).forall(_._3 == 0L))
+  }
+
   test("streaming image admission: per-row dHash probe vs stored hashes == batch") {
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal
