@@ -44,7 +44,7 @@ object Dedup {
     * interpreted HOF evaluation would otherwise re-run the regex split
     * per reference. */
   def shingles(text: Column, n: Int = 3): Column =
-    shinglesOfTokens(split(text, "\\s+"), n)
+    shinglesOfTokens(split(text, "[\\t\\n\\x0B\\f\\r ]+"), n)
 
   /** Shingles from an already-materialized token-array column. */
   def shinglesOfTokens(toks: Column, n: Int = 3): Column =
@@ -70,7 +70,7 @@ object Dedup {
                      n: Int = 3): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     val exploded = df.select(col(idCol),
-      posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__tok")))
+      posexplode(split(col(textCol), "[\\t\\n\\x0B\\f\\r ]+")).as(Seq("__pos", "__tok")))
     if (n == 1)
       exploded.select(col(idCol), col("__pos").as("pos"), col("__tok").as("s"))
     else {
@@ -505,6 +505,21 @@ object Dedup {
     partitionCols.foreach(p => require(store.columns.contains(p),
       s"storeCompactSelective: partition column `$p` not in store " +
         s"(${store.columns.sorted.mkString(",")})"))
+    // pin the documented numeric-bucket contract: a non-integral value
+    // can round-trip through Hive partition-type inference with a
+    // DIFFERENT representation (e.g. the string "0123" re-inferred as
+    // int 123), so the computed directory fragment would silently miss
+    // the on-disk directory and the purge law would break without error
+    partitionCols.foreach { p =>
+      import org.apache.spark.sql.types._
+      val dt = store.schema(p).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"storeCompactSelective: partition column `$p` is " +
+          s"${dt.simpleString} — only integral bucket/cell partition " +
+          "columns are supported (string/other values can re-infer to a " +
+          "different partition representation, breaking the fragment " +
+          "match); use storeCompact for such layouts")
+    }
     // 1. affected partitions — the bounded driver boundary
     val affected = store
       .join(tombstones.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
@@ -520,6 +535,14 @@ object Dedup {
     // buckets/cells, so the refusal is a contract, not a limitation)
     def frag(r: org.apache.spark.sql.Row): String =
       partitionCols.zipWithIndex.map { case (c, i) =>
+        // NULL rows live in __HIVE_DEFAULT_PARTITION__: the pruned
+        // filter (col === NULL) matches nothing and the fragment
+        // `c=null` matches no directory — without this guard the
+        // tombstoned rows of a NULL partition would silently survive
+        require(r.get(i) != null,
+          s"storeCompactSelective: NULL partition value for `$c` — the " +
+            "NULL bucket cannot be addressed by directory fragment; " +
+            "compact it with storeCompact")
         val v = String.valueOf(r.get(i))
         require(v.matches("[-A-Za-z0-9_.]+"),
           s"storeCompactSelective: partition value `$v` for `$c` needs " +

@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokens. The class is spelled out explicitly rather
+    * than `\s` for the same reason as [[pretokPattern]]: Java's `\s`
+    * includes `\x0B` (vertical tab), RE2's — and therefore the DuckDB
+    * oracle's — does not; the explicit class is exactly Java's `\s`,
+    * so the Spark side is bit-identical to the former `\s+` form on
+    * every input while the two engines now agree on `\x0B`. Every
+    * oracle `string_split_regex`/`regexp_replace` whitespace split
+    * carries the same explicit class (round-14 sweep). */
+  def tokens(text: Column): Column = split(text, "[\\t\\n\\x0B\\f\\r ]+")
 
   /** BPE PRE-TOKENIZATION pattern — the Sennrich-style class split
     * every real tokenizer runs before the merge loop (GPT-2's regex is
@@ -58,7 +65,7 @@ object TextAnalysis {
   /** BPE-ish subword count: words, numbers and single punctuation marks
     * counted separately (a cheap deterministic proxy for a real BPE). */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\t\\n\\x0B\\f\\r ]"), lit(0)))
 
   /** Token count under a STORED BPE merge table — the real-merges
     * upgrade of [[bpeishTokenCount]]: `merges` is a (rank, left, right)
@@ -495,7 +502,7 @@ object TextAnalysis {
     * text. Stable across engines (md5 is md5 everywhere), usable as an
     * exact-dedup key at any scale. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "\\s+", " "))
+    md5(regexp_replace(lower(text), "[\\t\\n\\x0B\\f\\r ]+", " "))
 
   /** Winnowing fingerprints (the MOSS selection scheme, Schleimer/
     * Wilkerson/Aiken SIGMOD'03): hash every `k`-token shingle, slide a
@@ -2060,7 +2067,7 @@ object TextAnalysis {
   private def gopherMetrics(text: Column): (Column, Column, Column, Column) = {
     val nToks = size(tokens(text))
     val meanLen = round(
-      length(regexp_replace(text, "\\s+", "")).cast("double") /
+      length(regexp_replace(text, "[\\t\\n\\x0B\\f\\r ]+", "")).cast("double") /
         greatest(nToks, lit(1)), 6)
     val symRatio = round(punctRatio(text), 6)
     val stops = org.apache.spark.sql.GraftBridge.column(
@@ -2215,7 +2222,7 @@ object TextAnalysis {
     def lineOk(l: Column): Column = {
       val t = trim(l)
       val terminal = substring(t, -1, 1).isin(".", "!", "?", "\"")
-      val words = when(t === "", lit(0)).otherwise(size(split(t, "\\s+")))
+      val words = when(t === "", lit(0)).otherwise(size(split(t, "[\\t\\n\\x0B\\f\\r ]+")))
       terminal && words >= minWordsPerLine &&
         instr(lower(t), banLine) === 0
     }
@@ -2458,13 +2465,27 @@ object TextAnalysis {
     val r = reuse(knTrigramRows(corpus, idCol, textCol))
     val types = reuse(r.select(col("th"), col("bh12"), col("bh23"),
       col("mh"), col("w3h")).distinct())
-    val suffix = types.select(col("mh"), col("w3h")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
     Map(
       "c3" -> r.groupBy(col("th")).agg(count(lit(1)).as("c3")),
       "ctx" -> r.groupBy(col("bh12")).agg(count(lit(1)).as("ctx12"),
         count_distinct(col("th")).as("n1p12")),
+      // the trigram TYPE table rides the stored model (sixth table,
+      // ~the c3 table's size) — it is what makes the model APPENDABLE:
+      // every continuation stat is a count of DISTINCT types, which
+      // occurrence counts cannot merge (a type seen in both the stored
+      // corpus and a new batch must count once); with the type set
+      // stored, [[trigramKnAppend]] merges without re-reading old text
+      "types" -> types) ++ knTypeTables(types)
+  }
+
+  /** The type-level KN count tables (sfx/mid/uni) from a trigram TYPE
+    * table — shared by [[trigramKnTrain]] and [[trigramKnAppend]] so
+    * train-from-scratch and append-merge cannot drift. */
+  private def knTypeTables(types: DataFrame): Map[String, DataFrame] = {
+    val suffix = types.select(col("mh"), col("w3h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    Map(
       "sfx" -> types.groupBy(col("bh23")).agg(count(lit(1)).as("n1p23")),
       "mid" -> types.groupBy(col("mh")).agg(count(lit(1)).as("mid2"),
         count_distinct(col("w3h")).as("n1p2dot")),
@@ -2472,6 +2493,54 @@ object TextAnalysis {
         .select(col("w3h"), col("n1pw3"),
           sum(col("n1pw3")).over(w).as("nbt"),
           count(lit(1)).over(w).as("nw3")))
+  }
+
+  /** APPEND a new batch into a STORED KN trigram model — retrain-free
+    * ingestion of new reference docs, the maintenance verb that puts
+    * the model store under the same discipline as every other store in
+    * the library (VERDICT r13 "Missing" #3). The merge law (gate +
+    * spec pinned): `append(train(A), B) == train(A ∪ B)` on all six
+    * tables. Counts merge at two distinct levels:
+    *
+    *  - OCCURRENCE counts add: `c3` and `ctx.ctx12` full-outer-join on
+    *    their hash keys and sum (a trigram occurrence is an occurrence
+    *    wherever it was counted);
+    *  - CONTINUATION (type-level) stats do NOT add — `n1p12`, `n1p23`,
+    *    `mid2`, `n1p2dot`, `n1pw3`, `nbt`, `nw3` count DISTINCT
+    *    trigram/suffix types, so a type present in both generations
+    *    must count once. They are recomputed from the MERGED type
+    *    table (stored-types ∪ batch-types, distinct).
+    *
+    * Scale shape: the stored corpus is never re-tokenized — the merge
+    * touches only the vocabulary-scale hash-keyed model tables and the
+    * new batch's rows; text never crosses an exchange. */
+  def trigramKnAppend(model: Map[String, DataFrame], batch: DataFrame,
+                      idCol: String, textCol: String,
+                      reuse: Reuse = Reuse.Local): Map[String, DataFrame] = {
+    val need = Set("c3", "ctx", "types")
+    require(need.subsetOf(model.keySet),
+      s"trigramKnAppend: model must carry ${need.toSeq.sorted.mkString(",")}" +
+        s" (a pre-round-14 five-table store has no type table and must " +
+        s"retrain once), got ${model.keySet.toSeq.sorted.mkString(",")}")
+    val rNew = reuse(knTrigramRows(batch, idCol, textCol))
+    val typesNew = rNew.select(col("th"), col("bh12"), col("bh23"),
+      col("mh"), col("w3h")).distinct()
+    val types = reuse(model("types").unionByName(typesNew).distinct())
+    val c3 = model("c3").select(col("th"), col("c3").as("__c3o"))
+      .join(rNew.groupBy(col("th")).agg(count(lit(1)).as("__c3n")),
+        Seq("th"), "full_outer")
+      .select(col("th"), (coalesce(col("__c3o"), lit(0L)) +
+        coalesce(col("__c3n"), lit(0L))).as("c3"))
+    val ctxOcc = model("ctx").select(col("bh12"), col("ctx12").as("__co"))
+      .join(rNew.groupBy(col("bh12")).agg(count(lit(1)).as("__cn")),
+        Seq("bh12"), "full_outer")
+      .select(col("bh12"), (coalesce(col("__co"), lit(0L)) +
+        coalesce(col("__cn"), lit(0L))).as("ctx12"))
+    // every context with an occurrence has >= 1 type, so the keysets
+    // match and the join is inner
+    val ctx = ctxOcc.join(
+      types.groupBy(col("bh12")).agg(count(lit(1)).as("n1p12")), Seq("bh12"))
+    Map("c3" -> c3, "ctx" -> ctx, "types" -> types) ++ knTypeTables(types)
   }
 
   /** SCORE documents under a STORED KN trigram model — the serving half
@@ -2588,7 +2657,7 @@ object TextAnalysis {
     val unesc = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
-    trim(regexp_replace(replace(unesc, lit("&amp;"), lit("&")), "\\s+", " "))
+    trim(regexp_replace(replace(unesc, lit("&amp;"), lit("&")), "[\\t\\n\\x0B\\f\\r ]+", " "))
   }
 
   /** PII pattern scan (redaction pre-step every training-data pipeline

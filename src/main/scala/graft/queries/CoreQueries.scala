@@ -436,7 +436,7 @@ object CoreQueries {
       import s.implicits._
       // generator in FROM position (exosql unnest / LATERAL VIEW explode)
       Tables.load(s, d, "documents").filter($"doc_id" < 20)
-        .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
+        .select($"doc_id", explode(split($"text", "[\\t\\n\\x0B\\f\\r ]+")).as("tok"))
     }),
     "s6_series_ts" -> ((s, d) => {
       // generate_series over datetimes (SURVEY §2.7 open question [U];
@@ -715,7 +715,7 @@ object CoreQueries {
     "s6_generate_series" ->
       "SELECT v, v * v AS sq FROM generate_series(1, 100) t(v)",
     "s6_unnest" ->
-      """SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      """SELECT doc_id, unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS tok
          FROM documents WHERE doc_id < 20""",
     "s6_series_ts" ->
       """SELECT ts, strftime(ts, '%Y-%m-%d %H') AS ts_label

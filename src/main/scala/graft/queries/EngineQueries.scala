@@ -936,6 +936,32 @@ object EngineQueries {
                    'knm_sfx', 'knm_mid', 'knm_uni', 'documents',
                    'doc_id', 'text', 0.75)""")
     }),
+    "e_sql_trigram_kn_append" -> ((s, d) => {
+      import s.implicits._
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // KN model append twin: gen A trained+stored and gen B merged in
+      // Scala (the write side — the merge law is trigramKnAppend's),
+      // the merged store read back as views and the whole corpus
+      // scored through the unchanged lazy TVF
+      val out = "target/gate_sink/kn_model_append_sql"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val mA = graft.operators.TextAnalysis.trigramKnTrain(
+        docs.filter($"doc_id" % 4 === 0), "doc_id", "text")
+      mA.foreach { case (k, v) =>
+        v.write.mode("overwrite").parquet(s"$out/v1/$k")
+      }
+      val stored = mA.keys.map(k => k -> s.read.parquet(s"$out/v1/$k")).toMap
+      val merged = graft.operators.TextAnalysis.trigramKnAppend(stored,
+        docs.filter($"doc_id" % 4 === 2), "doc_id", "text")
+      merged.foreach { case (k, v) =>
+        v.write.mode("overwrite").parquet(s"$out/v2/$k")
+        s.read.parquet(s"$out/v2/$k").createOrReplaceTempView(s"knma_$k")
+      }
+      e.query("""SELECT * FROM graft_trigram_kn_stored('knma_c3', 'knma_ctx',
+                   'knma_sfx', 'knma_mid', 'knma_uni', 'documents',
+                   'doc_id', 'text', 0.75)""")
+    }),
     "e_sql_unigram_train" -> ((s, d) => via(s, d)(
       "SELECT * FROM graft_unigram_train('documents', 'doc_id', 'text', 48, 2, 4, 64)")),
     "e_sql_unigram_tokenize" -> ((s, d) => {
@@ -1499,6 +1525,121 @@ object EngineQueries {
                  FROM sl""")
       e.query("""SELECT DISTINCT id_new, id_corpus, hamming
                  FROM graft_audio_probe('audio_probe', 'audio_fps',
+                                        'doc_id', 'payload', 3, 4)""")
+    }),
+    "e_sql_audio_append" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // audio-store append from SQL: two generations written in Scala
+      // (the llm_audio_append fixture — the append IS the 8-byte
+      // delta), the read-back union probed via the unchanged TVF
+      val out = "target/gate_sink/audio_fp_append_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      val genA = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") <= col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val genB = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val mm = graft.operators.Multimodal
+      mm.audioFp(mm.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      mm.audioFp(mm.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("audio_fps_app")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW audio_probe_app AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT DISTINCT id_new, id_corpus, hamming
+                 FROM graft_audio_probe('audio_probe_app', 'audio_fps_app',
+                                        'doc_id', 'payload', 3, 4)""")
+    }),
+    "e_sql_audio_delete" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // audio takedown from SQL: the fingerprint store is a plain
+      // table, so the purge is a plain anti-predicate VIEW over the
+      // read-back (the e_sql_image_delete pattern) — clones of purged
+      // tracks admit again, survivors' clones still bounce
+      val out = "target/gate_sink/audio_fp_delete_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Multimodal.audioFp(
+          graft.operators.Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("audio_fps_del")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW audio_fps_purged AS
+                 SELECT * FROM audio_fps_del WHERE doc_id % 5 <> 1""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW audio_probe_del AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT DISTINCT id_new, id_corpus, hamming
+                 FROM graft_audio_probe('audio_probe_del', 'audio_fps_purged',
+                                        'doc_id', 'payload', 3, 4)""")
+    }),
+    "e_sql_audio_compact" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // audio-store compaction from SQL — the family's twin matrix
+      // closed: two generations written in Scala (the llm_audio_compact
+      // fixture), doc-id tombstones purged via graft_store_compact, the
+      // edited-clone shard probed against the compacted view
+      val out = "target/gate_sink/audio_fp_compact_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      val genA = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") <= col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val genB = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val mm = graft.operators.Multimodal
+      mm.audioFp(mm.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$out/store")
+      mm.audioFp(mm.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(s"$out/store")
+      s.read.parquet(s"$out/store").createOrReplaceTempView("audcmp_store")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW audcmp_tomb AS
+                 SELECT doc_id FROM audcmp_store WHERE doc_id % 5 = 1""")
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW audcmp_v2 AS
+                 SELECT * FROM graft_store_compact('audcmp_store', 'doc_id',
+                   'audcmp_tomb', '$out/store_v2', '', 1)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW audcmp_probe AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT DISTINCT id_new, id_corpus, hamming
+                 FROM graft_audio_probe('audcmp_probe', 'audcmp_v2',
                                         'doc_id', 'payload', 3, 4)""")
     }),
     "e_sql_image_incr" -> ((s, d) => {
@@ -2600,6 +2741,50 @@ object EngineQueries {
       e.query("""SELECT doc_id, shard, order_key
                  FROM graft_shards('p5_dedup', 'text', 8, 'p5:')""")
     }),
+    "e_sql_pipeline14" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // crawl-to-corpus from SQL: the gzip-member WARC fixture written
+      // and the extractor read-back registered in Scala (the source
+      // side — the stored-artifact twin convention), the whole prep
+      // chain — strip, normalize, gopher, dedup, PACK — in pure TVF
+      // composition
+      val out = "target/gate_sink/pipeline14_warc_sql"
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val base = docs.unionAll(
+        docs.select((col("doc_id") + 700000).as("doc_id"), col("text")))
+      val wrapped = base.select(col("doc_id"),
+        concat(lit("http://graft.local/doc/"), col("doc_id")).as("uri"),
+        concat(lit(LlmQueries.htmlPre), col("text"),
+          lit(LlmQueries.htmlPost)).as("html"))
+      graft.sources.Warc.write(wrapped, "doc_id", "uri", "html", out,
+        nFiles = 4, gzip = true)
+      s.read.format("graft-extractor").option("extractor", "warc")
+        .option("path", out).option("splitBytes", "16384").load()
+        .createOrReplaceTempView("p14_records")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p14_clean AS
+                 SELECT CAST(regexp_extract(record_id, '[0-9]+', 0) AS BIGINT)
+                          AS doc_id,
+                        graft_normalize(graft_strip_html(payload)) AS text
+                 FROM p14_records""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p14_kept AS
+                 SELECT c.doc_id, c.text
+                 FROM p14_clean c
+                 JOIN graft_gopher('p14_clean', 'doc_id', 'text',
+                        10, 100000, 2.0, 10.0, 0.2, 1) g
+                   ON g.doc_id = c.doc_id
+                 WHERE g.keep""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW p14_dedup AS
+                 SELECT doc_id, text FROM (
+                   SELECT doc_id, text, row_number() OVER (
+                     PARTITION BY graft_fingerprint(text)
+                     ORDER BY doc_id) AS rn
+                   FROM p14_kept) WHERE rn = 1""")
+      e.query("""SELECT doc_id, n_toks, token_offset, first_seq, last_seq
+                 FROM graft_pack_offsets('p14_dedup', 'doc_id', 'text', 512, 64)""")
+    }),
     // DSIR importance weights from SQL: the target corpus is just
     // another SQL view — any predicate can define "what good data looks
     // like" without a line of Scala
@@ -2752,12 +2937,14 @@ object EngineQueries {
     "e_sql_normalize" -> LlmQueries.oracle("llm_normalize"),
     "e_sql_html_strip" -> LlmQueries.oracle("llm_html_strip"),
     "e_sql_pipeline5" -> LlmQueries.oracle("llm_pipeline5"),
+    "e_sql_pipeline14" -> LlmQueries.oracle("llm_pipeline14"),
     "e_sql_pipeline6" -> LlmQueries.oracle("llm_pipeline6"),
     "e_sql_minhash_probe" -> LlmQueries.oracle("llm_minhash_incr"),
     "e_sql_script" -> LlmQueries.oracle("llm_script"),
     "e_sql_bigram_lp" -> LlmQueries.oracle("llm_bigram_lp"),
     "e_sql_trigram_kn" -> LlmQueries.oracle("llm_trigram_kn"),
     "e_sql_trigram_kn_stored" -> LlmQueries.oracle("llm_trigram_kn_stored"),
+    "e_sql_trigram_kn_append" -> LlmQueries.oracle("llm_trigram_kn_stored"),
     "e_sql_unigram_train" -> LlmQueries.oracle("llm_unigram_tok_train"),
     "e_sql_unigram_tokenize" -> LlmQueries.oracle("llm_unigram_tokenize"),
     "e_sql_temperature_mix" -> LlmQueries.oracle("llm_temperature_mix"),
@@ -2806,6 +2993,12 @@ object EngineQueries {
     "e_sql_audio_fp" -> LlmQueries.oracle("llm_audio_fp"),
     "e_sql_audio_dups" -> LlmQueries.oracle("llm_audio_dups"),
     "e_sql_audio_probe" -> LlmQueries.oracle("llm_audio_probe"),
+    // the SQL-gated audio lifecycle twins share the Scala verbs'
+    // oracles: append serves like the full-slice store, delete/compact
+    // like the purge view
+    "e_sql_audio_append" -> LlmQueries.oracle("llm_audio_probe"),
+    "e_sql_audio_delete" -> LlmQueries.oracle("llm_audio_delete"),
+    "e_sql_audio_compact" -> LlmQueries.oracle("llm_audio_delete"),
     "e_sql_ann_sq" -> LlmQueries.oracle("llm_ann_sq"),
     "e_sql_ann_ivf_sq" -> LlmQueries.oracle("llm_ann_ivf_sq"),
     "e_sql_bpe_train" -> LlmQueries.oracle("llm_bpe_train"),

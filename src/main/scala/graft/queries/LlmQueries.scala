@@ -27,7 +27,7 @@ object LlmQueries {
     * left-assoc, tf cast to double before the k1 products) cannot
     * diverge between them. Ends at `sc` = (doc_id, c). */
   private def bm25CteSql(where: String): String =
-    s"""d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+    s"""d AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks
               FROM documents$where),
         stats AS (SELECT count(*) AS n_docs,
                          sum(len(toks)) AS total_toks FROM d),
@@ -65,23 +65,23 @@ object LlmQueries {
                 JOIN documents c ON c.doc_id = a.doc_id - 240),
         q AS (SELECT doc_id, text FROM (
                 SELECT doc_id, text,
-                  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
-                  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                        / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
+                  CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS n_tokens,
+                  round(length(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', '', 'g')) * 1.0
+                        / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1), 6) AS mwl,
                   round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                         / greatest(length(text), 1), 6) AS sym,
-                  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  CAST(len(list_filter(string_split_regex(lower(text), '[\\t\\n\\x0B\\f\\r ]+'),
                        t -> t IN ($stopsEn))) AS INTEGER) AS stops
                 FROM inc)
               WHERE n_tokens >= 10 AND n_tokens <= 100000
                 AND mwl >= 2.0 AND mwl <= 10.0 AND sym <= 0.1 AND stops >= 1),
-        qt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM q),
+        qt AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks FROM q),
         qg AS (SELECT doc_id, list_distinct(list_transform(
                  generate_series(1, len(toks) - 12), i -> $gram13Sql)) AS gs
                FROM qt WHERE len(toks) >= 13),
         qh AS (SELECT doc_id, list_distinct(list_transform(gs, s -> $hashSql)) AS hs
                FROM qg),
-        evt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        evt AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks
                 FROM documents, m WHERE doc_id > mx - 100),
         evg AS (SELECT doc_id, list_distinct(list_transform(
                   generate_series(1, len(toks) - 12), i -> $gram13Sql)) AS gs
@@ -123,7 +123,7 @@ object LlmQueries {
     "regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]+')"
 
   private def bpeTrainCtes(nMerges: Int,
-      wordsSql: String = "string_split_regex(text, '\\s+')"): String = {
+      wordsSql: String = "string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')"): String = {
     val stages = (0 until nMerges).map { i =>
       s"""p$i AS (SELECT p.l AS l, p.r AS r, sum(cnt) AS c FROM (
               SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -199,7 +199,7 @@ object LlmQueries {
                  WHERE rn <= $vocabSize - nc)"""
     }.mkString(",\n          ")
     s"""uwf AS (SELECT w, count(*) AS f FROM (
-               SELECT unnest(string_split_regex(text, '\\s+')) AS w
+               SELECT unnest(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS w
                FROM documents) q
              WHERE length(w) > 0 GROUP BY w),
         useed AS (SELECT piece, sum(f) AS cnt FROM (
@@ -305,23 +305,23 @@ object LlmQueries {
                 SELECT doc_id + 6000000, ntext, reverse(atext) FROM nov),
         q AS (SELECT doc_id, text FROM (
                 SELECT doc_id, text,
-                  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
-                  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                        / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
+                  CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS n_tokens,
+                  round(length(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', '', 'g')) * 1.0
+                        / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1), 6) AS mwl,
                   round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                         / greatest(length(text), 1), 6) AS sym,
-                  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  CAST(len(list_filter(string_split_regex(lower(text), '[\\t\\n\\x0B\\f\\r ]+'),
                        t -> t IN ($stopsEn))) AS INTEGER) AS stops
                 FROM inc)
               WHERE n_tokens >= 10 AND n_tokens <= 100000
                 AND mwl >= 2.0 AND mwl <= 10.0 AND sym <= 0.1 AND stops >= 1),
-        qt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM q),
+        qt AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks FROM q),
         qg AS (SELECT doc_id, list_distinct(list_transform(
                  generate_series(1, len(toks) - 12), i -> $gram13Sql)) AS gs
                FROM qt WHERE len(toks) >= 13),
         qh AS (SELECT doc_id, list_distinct(list_transform(gs, s -> $hashSql)) AS hs
                FROM qg),
-        evt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        evt AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks
                 FROM documents, m WHERE doc_id > mx - 100),
         evg AS (SELECT doc_id, list_distinct(list_transform(
                   generate_series(1, len(toks) - 12), i -> $gram13Sql)) AS gs
@@ -358,7 +358,7 @@ object LlmQueries {
     * bloom path is a bandwidth optimization with identical output. */
   private lazy val decontaminateOracleSql =
     s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
-        t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        t AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks
               FROM documents),
         g AS (SELECT doc_id,
                 list_distinct(list_transform(generate_series(1, len(toks) - 12),
@@ -392,7 +392,7 @@ object LlmQueries {
        la AS (SELECT doc_id, sum(c) AS nl, sum(c-1) AS dl,
                 sum(c*len) AS lc, sum((c-1)*len) AS dlc
               FROM lh GROUP BY doc_id),
-       t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+       t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks,
                length(text) AS nch FROM src),
        g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
                 i -> toks[i] || ' ' || toks[i+1])) AS s
@@ -450,7 +450,7 @@ object LlmQueries {
   /** DuckDB CTEs `t` (tail-slice tokens) and `g` (distinct trigrams) —
     * the shared prefix of both containment oracles. */
   private lazy val tailTrigramCtes =
-    """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+    """t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks
             FROM documents
             WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
        g AS (SELECT doc_id,
@@ -476,7 +476,7 @@ object LlmQueries {
         bands$sfx AS (SELECT b.doc_id, b.band_idx, b.band_val
                   FROM bands0$sfx b JOIN keep$sfx USING (band_idx, band_val))""")
       .getOrElse("")
-    s"""t$sfx AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM $src),
+    s"""t$sfx AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') toks FROM $src),
         sh$sfx AS (SELECT doc_id,
                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
@@ -1694,7 +1694,7 @@ object LlmQueries {
       Similarity.sqEncode(emb, "vec_id", "embedding")
         .write.mode("overwrite").parquet(s"$out/sq")
       val qvec = emb.filter($"vec_id" === 0L)
-        .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
         .toIndexedSeq
       def bmServe() = TextAnalysis.bm25TopKStored(
         s.read.parquet(s"$out/postings"), s.read.parquet(s"$out/doclens"),
@@ -2129,6 +2129,98 @@ object LlmQueries {
       Multimodal.audioNearDupsBetween(
           Multimodal.asMedia(edited, "doc_id", "text"),
           s.read.parquet(out), maxHamming = 3, nBands = 4)
+        .dropDuplicates("id_new", "id_corpus")
+    }),
+    "llm_audio_append" -> ((s, d) => {
+      import s.implicits._
+      // audio-store MAINTENANCE (the llm_image_append symmetry, closing
+      // the audio family's lifecycle gap): the fingerprint store built
+      // in two generations — gen A written, gen B's 8-byte delta
+      // parquet-APPENDED (audioFp over just the new media IS the
+      // delta) — and clones of EITHER generation must hit the read-back
+      // union. Same oracle as llm_audio_probe (the full-slice store),
+      // so a lost append under-reports pairs and hash-mismatches
+      val out = "target/gate_sink/audio_fp_append"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val genA = slice.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 150)
+        .select($"doc_id", $"text")
+      val genB = slice.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 150)
+        .select($"doc_id", $"text")
+      Multimodal.audioFp(Multimodal.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      Multimodal.audioFp(Multimodal.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(out)
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.audioNearDupsBetween(
+          Multimodal.asMedia(edited, "doc_id", "text"),
+          s.read.parquet(out), maxHamming = 3, nBands = 4)
+        .dropDuplicates("id_new", "id_corpus")
+    }),
+    "llm_audio_delete" -> ((s, d) => {
+      import s.implicits._
+      // takedown on the audio fingerprint store (the storePurge law on
+      // the audio index): the full-slice frame written once, tombstoned
+      // ids (doc_id % 5 == 1) purged AT READ — an anti-join, no
+      // rebuild, payloads never re-read — and the edited-clone shard
+      // probed against the purged store: clones of purged tracks ADMIT
+      // again, survivors' clones still bounce
+      val out = "target/gate_sink/audio_fp_delete"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      Multimodal.audioFp(Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      val tomb = slice.filter($"doc_id" % 5 === 1).select($"doc_id")
+      val purged = graft.operators.Dedup.storePurge(
+        s.read.parquet(out), "doc_id", tomb)
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.audioNearDupsBetween(
+          Multimodal.asMedia(edited, "doc_id", "text"),
+          purged, maxHamming = 3, nBands = 4)
+        .dropDuplicates("id_new", "id_corpus")
+    }),
+    "llm_audio_compact" -> ((s, d) => {
+      import s.implicits._
+      // audio-store compaction — the family's lifecycle closed (append
+      // + delete gates above): two generations, the llm_audio_delete
+      // tombstones purged from the FILES via storeCompact, deltas
+      // consolidated, the edited-clone shard probed against the
+      // compacted store. Same fixture algebra as llm_audio_delete =>
+      // its oracle gates this: a compact that loses an 8-byte row or
+      // resurrects a purged track hash-mismatches.
+      val out = "target/gate_sink/audio_fp_compact"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val genA = slice.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 150)
+        .select($"doc_id", $"text")
+      val genB = slice.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 150)
+        .select($"doc_id", $"text")
+      Multimodal.audioFp(Multimodal.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$out/store")
+      Multimodal.audioFp(Multimodal.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(s"$out/store")
+      val tomb = slice.filter($"doc_id" % 5 === 1).select($"doc_id")
+      val compacted = graft.operators.Dedup.storeCompact(
+        s.read.parquet(s"$out/store"), "doc_id", Some(tomb), s"$out/store_v2")
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.audioNearDupsBetween(
+          Multimodal.asMedia(edited, "doc_id", "text"),
+          compacted, maxHamming = 3, nBands = 4)
         .dropDuplicates("id_new", "id_corpus")
     }),
     "llm_image_dups_capped" -> ((s, d) => {
@@ -2835,6 +2927,34 @@ object LlmQueries {
       TextAnalysis.trigramKnScoreStored(docs, "doc_id", "text",
         model.keys.map(k => k -> s.read.parquet(s"$out/$k")).toMap)
     }),
+    "llm_trigram_kn_append" -> ((s, d) => {
+      import s.implicits._
+      // KN model MAINTENANCE (VERDICT r13 "Missing" #3): the reference
+      // half arrives in TWO generations — gen A (doc_id % 4 == 0)
+      // trained and STORED, gen B (doc_id % 4 == 2) merged in via
+      // trigramKnAppend from the READ-BACK store (occurrence counts
+      // add, continuation stats recomputed from the merged type
+      // table; gen A's text never re-read). A∪B is exactly the stored
+      // gate's reference half (even ids), so that gate's oracle
+      // (train-on-evens + score-all replay) gates the merge law
+      // append(train(A), B) == train(A ∪ B) end-to-end: any drifted
+      // count shifts a back-off branch and hash-mismatches.
+      val out = "target/gate_sink/kn_model_append"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val mA = TextAnalysis.trigramKnTrain(
+        docs.filter($"doc_id" % 4 === 0), "doc_id", "text")
+      mA.foreach { case (k, v) =>
+        v.write.mode("overwrite").parquet(s"$out/v1/$k")
+      }
+      val stored = mA.keys.map(k => k -> s.read.parquet(s"$out/v1/$k")).toMap
+      val merged = TextAnalysis.trigramKnAppend(stored,
+        docs.filter($"doc_id" % 4 === 2), "doc_id", "text")
+      merged.foreach { case (k, v) =>
+        v.write.mode("overwrite").parquet(s"$out/v2/$k")
+      }
+      TextAnalysis.trigramKnScoreStored(docs, "doc_id", "text",
+        merged.keys.map(k => k -> s.read.parquet(s"$out/v2/$k")).toMap)
+    }),
     "llm_script" -> ((s, d) => {
       import s.implicits._
       // script detection over a planted multilingual fixture: one
@@ -2883,6 +3003,47 @@ object LlmQueries {
             .as("clean_text"))
         .select($"doc_id", $"clean_text",
           length($"clean_text").cast("int").as("n_chars"))
+    }),
+    "llm_pipeline14" -> ((s, d) => {
+      import s.implicits._
+      // crawl-to-corpus FROM THE RECORD FORMAT (VERDICT r13 "Missing"
+      // #4 — the exosql "SQL to whatever" identity applied to the
+      // crawl layout): the DOUBLED corpus html-wrapped and framed as
+      // per-record-GZIP WARC members (the S9 sink, Common-Crawl
+      // layout), read back through the byte-range-split extractor
+      // (16 KiB splits — gzip member resync exercised), doc ids
+      // recovered from the record header, then llm_pipeline5's prep
+      // chain (markup strip → normalize → Gopher panel → exact dedup,
+      // clones provably removed) ending in token-offset PACK. The
+      // oracle replays the chain from the documents table — the WARC
+      // leg must be an exact round-trip, so one mis-framed, dropped,
+      // or duplicated record shifts text → dedup → pack offsets and
+      // hash-mismatches.
+      val out = "target/gate_sink/pipeline14_warc"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val base = docs.unionAll(
+        docs.select(($"doc_id" + 700000).as("doc_id"), $"text"))
+      val wrapped = base.select($"doc_id",
+        concat(lit("http://graft.local/doc/"), $"doc_id").as("uri"),
+        concat(lit(htmlPre), $"text", lit(htmlPost)).as("html"))
+      graft.sources.Warc.write(wrapped, "doc_id", "uri", "html", out,
+        nFiles = 4, gzip = true)
+      val records = s.read.format("graft-extractor")
+        .option("extractor", "warc").option("path", out)
+        .option("splitBytes", "16384").load()
+      val stripped = records.select(
+        regexp_extract($"record_id", "[0-9]+", 0).cast("long").as("doc_id"),
+        TextAnalysis.stripMarkup($"payload").as("text"))
+      val normed = stripped.select($"doc_id",
+        TextAnalysis.normalizeText($"text").as("text"))
+      val keepIds = TextAnalysis.gopherRules(normed, "doc_id", "text",
+          minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
+          maxMeanWordLen = 10.0, maxSymbolRatio = 0.2, minStopwordHits = 1)
+        .filter($"keep").select($"doc_id")
+      val deduped = Dedup.exactDedupRows(normed.join(keepIds, "doc_id"),
+        "doc_id", "text")
+      TextAnalysis.packOffsets(deduped, "doc_id", "text",
+        seqLen = 512, docsPerBucket = 64)
     }),
     "llm_pipeline5" -> ((s, d) => {
       import s.implicits._
@@ -3495,14 +3656,14 @@ object LlmQueries {
                    count(*) AS tf, 1.0 AS y
             FROM (SELECT doc_id,
                     CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
-                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                  FROM (SELECT doc_id, unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                         FROM pos))
             GROUP BY 1, bucket
             UNION ALL
             SELECT 'n:' || CAST(doc_id AS VARCHAR), bucket, count(*), 0.0
             FROM (SELECT doc_id,
                     CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
-                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                  FROM (SELECT doc_id, unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                         FROM neg))
             GROUP BY 1, bucket),
           nn AS (SELECT count(DISTINCT tid) AS n FROM feats),
@@ -3547,9 +3708,9 @@ object LlmQueries {
                                 (3, 'zzzunknown'))),
         hqt AS (SELECT DISTINCT query_id, t AS term FROM (
                  SELECT query_id,
-                        unnest(string_split_regex(qtext, '\\s+')) AS t
+                        unnest(string_split_regex(qtext, '[\\t\\n\\x0B\\f\\r ]+')) AS t
                  FROM hq) WHERE length(t) > 0),
-        hd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        hd AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks
                FROM hdocs),
         hstats AS (SELECT count(*) AS n_docs,
                           sum(len(toks)) AS total_toks FROM hd),
@@ -3625,7 +3786,7 @@ object LlmQueries {
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
                  '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
              FROM s4),
-       f AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM u)"""
+       f AS (SELECT doc_id, trim(regexp_replace(t, '[\t\n\x0B\f\r ]+', ' ', 'g')) AS clean_text FROM u)"""
 
   /** Shared WITH-clause prefix for the overlap-extents family: planted
     * tail-100 clones → positional 8-gram 60-bit hashes → winnow
@@ -3641,7 +3802,7 @@ object LlmQueries {
                       UNION ALL
                       SELECT doc_id + 3000000, text FROM documents, m
                       WHERE doc_id > mx - 100),
-          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+          t AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks
                 FROM alldocs),
           i AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
                 FROM t WHERE len(toks) >= 8),
@@ -3713,6 +3874,15 @@ object LlmQueries {
     // build — dHash is per-row, the append IS the delta
     "llm_image_append" -> oracleBase("llm_image_incr"),
     "llm_image_compact" -> oracleBase("llm_image_delete"),
+    // the audio fingerprint store's lifecycle (append/compact) gates
+    // on the same algebra: append serves like the full-slice store,
+    // compaction serves like the logical purge view
+    "llm_audio_append" -> oracleBase("llm_audio_probe"),
+    "llm_audio_compact" -> oracleBase("llm_audio_delete"),
+    // the appended KN model must score exactly like one trained from
+    // scratch on the unioned reference half (merge law) — the stored
+    // gate's train-on-evens oracle replays it
+    "llm_trigram_kn_append" -> oracleBase("llm_trigram_kn_stored"),
     // physical compaction is invisible to serving: the rewritten store
     // (tombstones dropped from the files, deltas consolidated) must
     // serve exactly like the logical purge view — the delete oracle
@@ -3964,7 +4134,7 @@ object LlmQueries {
             SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
                                   (3,'a','n'),(4,'an','d'),(5,'e','r'),
                                   (6,'o','n'),(7,'r','e'))),
-          t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+          t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS ws
                 FROM documents),
           w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
                 FROM t),
@@ -4004,7 +4174,7 @@ object LlmQueries {
             SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
                                   (3,'a','n'),(4,'an','d'),(5,'e','r'),
                                   (6,'o','n'),(7,'r','e'))),
-          t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+          t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS ws
                 FROM documents),
           w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
                 FROM t),
@@ -4048,7 +4218,7 @@ object LlmQueries {
             SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
                                   (3,'a','n'),(4,'an','d'),(5,'e','r'),
                                   (6,'o','n'),(7,'r','e'))),
-          t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+          t0 AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS ws
                  FROM documents),
           w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
                 FROM t0),
@@ -4111,7 +4281,7 @@ object LlmQueries {
     "llm_unigram_tokenize" ->
       s"""WITH RECURSIVE
           ${unigramTrainCtes(48, 2, 4, 64)},
-          udt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+          udt AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS ws
                   FROM documents),
           udw AS (SELECT doc_id, wi, ws[wi] AS w FROM (
                     SELECT doc_id, ws,
@@ -4123,10 +4293,24 @@ object LlmQueries {
                          '' AS path
                   FROM usw
                   UNION ALL
-                  SELECT p.w, p.i + length(s.piece), p.sc + s.mu, p.n + 1,
-                         CASE WHEN p.path = '' THEN s.piece
-                              ELSE p.path || ' ' || s.piece END
-                  FROM upt p JOIN uvrank s
+                  -- LEFT JOIN mirrors UnigramApply.segment's <unk>
+                  -- fallback EXACTLY: when no piece covers position i
+                  -- the join yields one null row -> a 1-codepoint step
+                  -- scored at UnkMicros (-20000000); when pieces match,
+                  -- only piece steps are enumerated (the Scala fallback
+                  -- is conditional, not a competing alternative)
+                  SELECT p.w,
+                         p.i + CASE WHEN s.piece IS NULL THEN 1
+                                    ELSE length(s.piece) END,
+                         p.sc + CASE WHEN s.piece IS NULL
+                                     THEN CAST(-20000000 AS BIGINT)
+                                     ELSE s.mu END,
+                         p.n + 1,
+                         CASE WHEN p.path = '' THEN
+                                coalesce(s.piece, substr(p.w, p.i, 1))
+                              ELSE p.path || ' ' ||
+                                coalesce(s.piece, substr(p.w, p.i, 1)) END
+                  FROM upt p LEFT JOIN uvrank s
                     ON s.piece = substr(p.w, p.i, length(s.piece))
                   WHERE p.i <= length(p.w)),
           ubt AS (SELECT w, path FROM (
@@ -4158,7 +4342,7 @@ object LlmQueries {
       s"""WITH RECURSIVE
           ${bpeTrainCtes(8)},
           m(rank, l, r) AS (SELECT rank, l, r FROM mAll),
-          dt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+          dt AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS ws
                  FROM documents),
           dwi AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
                   FROM dt),
@@ -4259,6 +4443,25 @@ object LlmQueries {
           SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
                  CAST(bit_count(xor(n.afp, c.afp)) AS INT) AS hamming
           FROM afp3 n JOIN afp3 c ON n.is_new = 1 AND c.is_new = 0
+          WHERE bit_count(xor(n.afp, c.afp)) <= 3""",
+    // audio takedown: the probe with the STORE side restricted to the
+    // un-tombstoned corpus (doc_id % 5 <> 1) — purged tracks' clones
+    // vanish from the pair set, survivors' clones remain
+    "llm_audio_delete" ->
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text, 0 AS is_new FROM sl
+                   WHERE doc_id % 5 <> 1
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15),
+                          1
+                   FROM sl),
+          ${audioFpCtes("base", "4", carry = "is_new")}
+          SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+                 CAST(bit_count(xor(n.afp, c.afp)) AS INT) AS hamming
+          FROM afp4 n JOIN afp4 c ON n.is_new = 1 AND c.is_new = 0
           WHERE bit_count(xor(n.afp, c.afp)) <= 3""",
     // takedown: the llm_image_incr probe with the STORE side restricted
     // to the un-tombstoned corpus (doc_id % 5 <> 1) — purged originals'
@@ -4576,20 +4779,20 @@ object LlmQueries {
             SELECT doc_id,
                    round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
                          + (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / greatest(length(text), 1)) * 0.4
-                         + least(len(list_filter(string_split_regex(text, '\\s+'), t -> t IN ($stopsEn))) * 1.0
-                                 / greatest(len(string_split_regex(text, '\\s+')), 1) * 5.0, 1.0) * 0.3, 6) AS quality,
+                         + least(len(list_filter(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'), t -> t IN ($stopsEn))) * 1.0
+                                 / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1) * 5.0, 1.0) * 0.3, 6) AS quality,
                    CASE WHEN es > en AND es >= fr AND es >= de THEN 'es'
                         WHEN fr > en AND fr >= de THEN 'fr'
                         WHEN de > en THEN 'de'
                         ELSE 'en' END AS lang,
-                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
-                   CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS token_cnt
+                   md5(regexp_replace(lower(text), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS fp,
+                   CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS token_cnt
             FROM (SELECT doc_id, text,
                     len(list_filter(toks, t -> t IN ('el','la','de','que','y','un','una','los'))) AS es,
                     len(list_filter(toks, t -> t IN ('le','les','des','et','une','est','dans','pour'))) AS fr,
                     len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de,
                     len(list_filter(toks, t -> t IN ($stopsEn))) AS en
-                  FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') toks FROM corpus)))
+                  FROM (SELECT doc_id, text, string_split_regex(lower(text), '[\\t\\n\\x0B\\f\\r ]+') toks FROM corpus)))
           SELECT doc_id, fp, token_cnt, quality FROM (
             SELECT doc_id, fp, token_cnt, quality,
                    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
@@ -4610,10 +4813,10 @@ object LlmQueries {
           dd AS (SELECT doc_id, text FROM (
                    SELECT doc_id, text,
                           row_number() OVER (
-                            PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                            PARTITION BY md5(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g'))
                             ORDER BY doc_id) AS rn
                    FROM corpus) WHERE rn = 1),
-          t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM dd),
+          t0 AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS ws FROM dd),
           w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
                 FROM t0),
           w2 AS (SELECT doc_id, wi, ws[wi] AS word FROM w
@@ -4667,8 +4870,8 @@ object LlmQueries {
          FROM c""",
     "llm_text_stats" ->
       s"""SELECT doc_id,
-                 CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS token_cnt,
-                 CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS INTEGER) AS bpeish_cnt,
+                 CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS token_cnt,
+                 CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\t\\n\\x0B\\f\\r ]', 0)) AS INTEGER) AS bpeish_cnt,
                  round(punct, 6) AS punct_ratio,
                  round(stop, 6) AS stop_ratio,
                  round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
@@ -4677,9 +4880,9 @@ object LlmQueries {
           FROM (SELECT doc_id, text,
                   (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                     / greatest(length(text), 1) AS punct,
-                  len(list_filter(string_split_regex(text, '\\s+'),
+                  len(list_filter(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'),
                       t -> t IN ($stopsEn))) * 1.0
-                    / greatest(len(string_split_regex(text, '\\s+')), 1) AS stop
+                    / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1) AS stop
                 FROM documents)""",
     "llm_langid" ->
       s"""SELECT doc_id,
@@ -4692,10 +4895,10 @@ object LlmQueries {
                   len(list_filter(toks, t -> t IN ('le','les','des','et','une','est','dans','pour'))) AS fr,
                   len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de,
                   len(list_filter(toks, t -> t IN ($stopsEn))) AS en
-                FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') toks FROM documents))""",
+                FROM (SELECT doc_id, string_split_regex(lower(text), '[\\t\\n\\x0B\\f\\r ]+') toks FROM documents))""",
     // 64-token chunks, stride 48 (overlap 16); slices clamp at the tail
     "llm_chunk" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks
                     FROM documents),
           c AS (SELECT doc_id, toks,
                        unnest(range(0, greatest(len(toks), 1), 48)) AS start_tok
@@ -4712,7 +4915,7 @@ object LlmQueries {
             SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
                                   (3,'a','n'),(4,'an','d'),(5,'e','r'),
                                   (6,'o','n'),(7,'r','e'))),
-          t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+          t0 AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS ws
                  FROM documents),
           w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
                 FROM t0),
@@ -4764,7 +4967,7 @@ object LlmQueries {
          WHERE CAST(('0x'||substr(md5('mixbooks:'||text),1,8)) AS BIGINT) % 10000 < 3000""",
     // within-doc trigram repetition (docs with >= 3 tokens only)
     "llm_rep_ratio" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks
                     FROM documents),
           g AS (SELECT doc_id,
                        list_transform(generate_series(1, len(toks) - 2),
@@ -4781,10 +4984,10 @@ object LlmQueries {
                   + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0 AS has_pii
          FROM documents""",
     "llm_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fp
          FROM documents""",
     "llm_exact_dedup" ->
-      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+      """SELECT md5(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fp,
                 min(doc_id) AS doc_id
          FROM (SELECT doc_id, text FROM documents
                UNION ALL SELECT doc_id + 100000, text FROM documents)
@@ -4796,10 +4999,10 @@ object LlmQueries {
           inc AS (SELECT doc_id + 3000000 AS doc_id, text FROM tail
                   UNION ALL
                   SELECT doc_id + 4000000, text || ' novel suffix' FROM tail),
-          store AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+          store AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fp
                     FROM documents)
           SELECT doc_id FROM inc
-          WHERE md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+          WHERE md5(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g'))
                 NOT IN (SELECT fp FROM store)""",
     // fp store compaction: the incremental probe against the store
     // MINUS the tombstoned fingerprints (physical purge semantics)
@@ -4809,14 +5012,14 @@ object LlmQueries {
           inc AS (SELECT doc_id + 3000000 AS doc_id, text FROM tail
                   UNION ALL
                   SELECT doc_id + 4000000, text || ' novel suffix' FROM tail),
-          tombfp AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+          tombfp AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fp
                      FROM documents WHERE doc_id % 7 = 0),
-          store AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+          store AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fp
                     FROM documents),
           compacted AS (SELECT fp FROM store
                         WHERE fp NOT IN (SELECT fp FROM tombfp))
           SELECT doc_id FROM inc
-          WHERE md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+          WHERE md5(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g'))
                 NOT IN (SELECT fp FROM compacted)""",
     "llm_minhash_pairs" ->
       s"""WITH $minhashCtes
@@ -4894,7 +5097,7 @@ object LlmQueries {
     // integer division in double (IEEE-deterministic, compared raw)
     "llm_contamination" ->
       s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
-          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+          t AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks
                 FROM documents),
           g AS (SELECT doc_id,
                   list_distinct(list_transform(generate_series(1, len(toks) - 12),
@@ -4920,7 +5123,7 @@ object LlmQueries {
     // ranges); boundary doc kept (token_offset < budget)
     "llm_token_budget" ->
       """WITH t AS (SELECT doc_id,
-               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks,
+               CAST(len(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS BIGINT) AS n_toks,
                CAST(('0x'||substr(md5('budget:'||text),1,8)) AS BIGINT) AS h
              FROM documents),
           o AS (SELECT doc_id, n_toks,
@@ -4938,7 +5141,7 @@ object LlmQueries {
             SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
                                   (3,'a','n'),(4,'an','d'),(5,'e','r'),
                                   (6,'o','n'),(7,'r','e'))),
-          t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+          t0 AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS ws
                  FROM documents),
           w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
                 FROM t0),
@@ -4978,7 +5181,7 @@ object LlmQueries {
     // the per-group hierarchy must equal the per-group plain window
     "llm_token_budget_group" ->
       """WITH t AS (SELECT doc_id, lang,
-               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks,
+               CAST(len(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS BIGINT) AS n_toks,
                CAST(('0x'||substr(md5('budget:'||text),1,8)) AS BIGINT) AS h
              FROM documents),
           o AS (SELECT doc_id, lang, n_toks,
@@ -5005,7 +5208,7 @@ object LlmQueries {
     // equal DuckDB's single global window) + integer-division seq cuts
     "llm_pack" ->
       """WITH t AS (SELECT doc_id,
-                      CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks
+                      CAST(len(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS BIGINT) AS n_toks
                     FROM documents),
           o AS (SELECT doc_id, n_toks,
                   CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
@@ -5025,7 +5228,7 @@ object LlmQueries {
             SELECT * FROM (VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),
                                   (3,'a','n'),(4,'an','d'),(5,'e','r'),
                                   (6,'o','n'),(7,'r','e'))),
-          t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+          t0 AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS ws
                  FROM documents),
           w AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
                 FROM t0),
@@ -5108,8 +5311,8 @@ object LlmQueries {
           q AS (SELECT doc_id,
                   round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
                         + (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / greatest(length(text), 1)) * 0.4
-                        + least(len(list_filter(string_split_regex(text, '\\s+'), t -> t IN ($stopsEn))) * 1.0
-                                / greatest(len(string_split_regex(text, '\\s+')), 1) * 5.0, 1.0) * 0.3, 6) AS q
+                        + least(len(list_filter(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'), t -> t IN ($stopsEn))) * 1.0
+                                / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1) * 5.0, 1.0) * 0.3, 6) AS q
                 FROM documents),
           labeled AS (SELECT q.doc_id, q.q, coalesce(comp.c, q.doc_id) AS c
                       FROM q LEFT JOIN comp ON comp.id = q.doc_id)
@@ -5119,7 +5322,7 @@ object LlmQueries {
             FROM labeled)
           WHERE rn = 1""",
     "llm_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') toks
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') toks
                     FROM documents
                     WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
          sh AS (SELECT doc_id,
@@ -5140,7 +5343,7 @@ object LlmQueries {
                         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
                    AS BIGINT) AS simhash
           FROM (SELECT doc_id,
-                  list_transform(string_split_regex(text, '\\s+'), s -> $hashSql) hs
+                  list_transform(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'), s -> $hashSql) hs
                 FROM documents)""",
     "llm_cosine" ->
       """SELECT e.vec_id,
@@ -5372,7 +5575,7 @@ object LlmQueries {
                     WHEN coalesce(CAST(('0x'||substr(md5('split:'||text),1,8)) AS BIGINT) % 10000, 0) < 9900 THEN 'val'
                     ELSE 'test' END AS split
              FROM documents),
-          t AS (SELECT doc_id, split, string_split_regex(text, '\\s+') AS toks
+          t AS (SELECT doc_id, split, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks
                 FROM sp),
           g AS (SELECT doc_id, split,
                   list_distinct(list_transform(generate_series(1, len(toks) - 12),
@@ -5407,7 +5610,7 @@ object LlmQueries {
                        list_filter(string_split(text, chr(10)), x ->
                          substr(trim(x), -1, 1) IN ('.', '!', '?', '"')
                          AND (CASE WHEN trim(x) = '' THEN 0
-                              ELSE len(string_split_regex(trim(x), '\s+')) END) >= 3
+                              ELSE len(string_split_regex(trim(x), '[\t\n\x0B\f\r ]+')) END) >= 3
                          AND NOT contains(lower(x), 'javascript')) AS kept
                 FROM d)
           SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
@@ -5463,14 +5666,14 @@ object LlmQueries {
                         coalesce(array_to_string(list_filter(string_split(text, chr(10)), x ->
                           substr(trim(x), -1, 1) IN ('.', '!', '?', '"')
                           AND (CASE WHEN trim(x) = '' THEN 0
-                               ELSE len(string_split_regex(trim(x), '\s+')) END) >= 3
+                               ELSE len(string_split_regex(trim(x), '[\t\n\x0B\f\r ]+')) END) >= 3
                           AND NOT contains(lower(x), 'javascript')), chr(10)), '') AS ct,
                         (NOT contains(lower(text), 'lorem ipsum')
                          AND NOT contains(lower(text), '{')) AS okb,
                         len(list_filter(string_split(text, chr(10)), x ->
                           substr(trim(x), -1, 1) IN ('.', '!', '?', '"')
                           AND (CASE WHEN trim(x) = '' THEN 0
-                               ELSE len(string_split_regex(trim(x), '\s+')) END) >= 3
+                               ELSE len(string_split_regex(trim(x), '[\t\n\x0B\f\r ]+')) END) >= 3
                           AND NOT contains(lower(x), 'javascript'))) AS nk
                  FROM d),
           norm AS (SELECT doc_id, source,
@@ -5515,7 +5718,7 @@ object LlmQueries {
     // argument is built with the same op sequence so only libm's 1-ulp
     // spread is in play — absorbed by round(.,4)
     "llm_bigram_lp" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS tk
                     FROM documents),
           uh AS (SELECT doc_id, CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) AS h
                  FROM (SELECT doc_id, unnest(tk) AS w FROM t)),
@@ -5542,7 +5745,7 @@ object LlmQueries {
     // D = 0.75 binary-exact), so only libm-ln spread is in play —
     // absorbed by round(.,4)
     "llm_trigram_kn" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS tk
                     FROM documents),
           tr AS (SELECT doc_id,
                         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tg,
@@ -5590,7 +5793,7 @@ object LlmQueries {
     // discounted-to-zero numerator; unseen context/middle -> back off a
     // level; unseen word -> the add-1 OOV slot at the unigram floor)
     "llm_trigram_kn_stored" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS tk
                     FROM documents),
           tr AS (SELECT doc_id,
                         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tg,
@@ -5707,7 +5910,7 @@ object LlmQueries {
     // per-(source, lang) statistics panel
     "llm_corpus_report" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+                CAST(sum(len(string_split_regex(text, '[\t\n\x0B\f\r ]+'))) AS BIGINT) AS n_tokens,
                 CAST(sum(length(text)) AS BIGINT) AS n_chars,
                 round(avg(length(text)), 4) AS avg_chars,
                 CAST(min(length(text)) AS INTEGER) AS min_chars,
@@ -5774,12 +5977,12 @@ object LlmQueries {
                     '[ \\t\\x{00A0}]+', ' ', 'g')) AS text
                 FROM f),
           g AS (SELECT doc_id, text,
-                  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
-                  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                        / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len,
+                  CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS n_tokens,
+                  round(length(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', '', 'g')) * 1.0
+                        / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1), 6) AS mean_word_len,
                   round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                         / greatest(length(text), 1), 6) AS symbol_ratio,
-                  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  CAST(len(list_filter(string_split_regex(lower(text), '[\\t\\n\\x0B\\f\\r ]+'),
                        t -> t IN ($stopsEn))) AS INTEGER) AS stop_hits
                 FROM n),
           k AS (SELECT doc_id, text FROM g
@@ -5788,19 +5991,64 @@ object LlmQueries {
                   AND symbol_ratio <= 0.2 AND stop_hits >= 1),
           dd AS (SELECT doc_id, text FROM (
                    SELECT doc_id, text, row_number() OVER (
-                     PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     PARTITION BY md5(regexp_replace(lower(text), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))
                      ORDER BY doc_id) AS rn FROM k) WHERE rn = 1)
           SELECT doc_id,
                  CAST(CAST(('0x'||substr(md5('p5:'||text),1,8)) AS BIGINT) % 8 AS INTEGER) AS shard,
                  CAST(('0x'||substr(md5('ord:p5:'||text),1,8)) AS BIGINT) AS order_key
           FROM dd""",
+    // crawl-to-corpus: the WARC leg is an exact round-trip, so the
+    // oracle replays llm_pipeline5's strip/normalize/gopher/dedup chain
+    // from the documents table and ends in llm_pack's prefix-sum tail
+    // (id order is preserved by the 64-doc bucket tiering)
+    "llm_pipeline14" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+                        UNION ALL SELECT doc_id + 700000, text FROM documents),
+          d AS (SELECT doc_id, '$htmlPre' || text || '$htmlPost' AS h FROM base),
+          $stripChainSql,
+          n AS (SELECT doc_id,
+                  trim(regexp_replace(
+                    regexp_replace(
+                      regexp_replace(nfc_normalize(clean_text), '\\r\\n?', chr(10), 'g'),
+                      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                    '[ \\t\\x{00A0}]+', ' ', 'g')) AS text
+                FROM f),
+          g AS (SELECT doc_id, text,
+                  CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS n_tokens,
+                  round(length(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', '', 'g')) * 1.0
+                        / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1), 6) AS mean_word_len,
+                  round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+                        / greatest(length(text), 1), 6) AS symbol_ratio,
+                  CAST(len(list_filter(string_split_regex(lower(text), '[\\t\\n\\x0B\\f\\r ]+'),
+                       t -> t IN ($stopsEn))) AS INTEGER) AS stop_hits
+                FROM n),
+          k AS (SELECT doc_id, text FROM g
+                WHERE n_tokens >= 10 AND n_tokens <= 100000
+                  AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+                  AND symbol_ratio <= 0.2 AND stop_hits >= 1),
+          dd AS (SELECT doc_id, text FROM (
+                   SELECT doc_id, text, row_number() OVER (
+                     PARTITION BY md5(regexp_replace(lower(text), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))
+                     ORDER BY doc_id) AS rn FROM k) WHERE rn = 1),
+          t AS (SELECT doc_id,
+                  CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS BIGINT) AS n_toks
+                FROM dd),
+          o AS (SELECT doc_id, n_toks,
+                  CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS token_offset
+                FROM t)
+          SELECT doc_id, n_toks, token_offset,
+                 token_offset // 512 AS first_seq,
+                 (token_offset + n_toks - 1) // 512 AS last_seq
+          FROM o""",
     // 16-token blocks; a block's doc-frequency counts DISTINCT documents
     // on the 60-bit shared hash (mirroring the Spark distinct-on-hash),
     // blocks in > 1 document are cut, survivors reassemble by position
     "llm_span_dedup" ->
       """WITH toks AS (
             SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
-            FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+            FROM (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS t
                   FROM documents)),
           spans AS (
             SELECT doc_id, pos // 16 AS blk,
@@ -5862,7 +6110,7 @@ object LlmQueries {
     // (counting identical hashes on both sides, so the rare collision
     // cannot mismatch)
     "llm_distinct_n" ->
-      """WITH t AS (SELECT string_split_regex(text, '\s+') AS toks FROM documents),
+      """WITH t AS (SELECT string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks FROM documents),
           a AS (SELECT 1 AS n, s FROM (SELECT unnest(toks) AS s FROM t)
                 UNION ALL
                 SELECT 2, toks[i] || ' ' || toks[i+1]
@@ -5881,7 +6129,7 @@ object LlmQueries {
     // exact top-20 token counts (the llm_vocab algebra and tie order);
     // the contract flag is attested Spark-side and must hold
     "llm_cms_heavy_hitters" ->
-      """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+      """WITH tok AS (SELECT unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                       FROM documents),
           c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t)
          SELECT t AS token, CAST(cnt AS BIGINT) AS n_occurrences,
@@ -5901,7 +6149,7 @@ object LlmQueries {
                          unnest(ss) AS sentence,
                          doc_id * 1000000 + (generate_subscripts(ss, 1) - 1) AS sid
                   FROM s0),
-          t AS (SELECT sid, string_split_regex(sentence, '\s+') AS tk FROM sid),
+          t AS (SELECT sid, string_split_regex(sentence, '[\t\n\x0B\f\r ]+') AS tk FROM sid),
           uh AS (SELECT CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) AS h
                  FROM (SELECT unnest(tk) AS w FROM t)),
           cu AS (SELECT h, count(*) AS cu FROM uh GROUP BY h),
@@ -6161,18 +6409,18 @@ object LlmQueries {
                        FROM adm) WHERE rn <= 60),
           q AS (SELECT doc_id, text FROM (
                   SELECT doc_id, text,
-                    CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
-                    round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                          / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
+                    CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS n_tokens,
+                    round(length(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', '', 'g')) * 1.0
+                          / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1), 6) AS mwl,
                     round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                           / greatest(length(text), 1), 6) AS sym,
-                    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    CAST(len(list_filter(string_split_regex(lower(text), '[\\t\\n\\x0B\\f\\r ]+'),
                          t -> t IN ($stopsEn))) AS INTEGER) AS stops
                   FROM capped)
                 WHERE n_tokens >= 10 AND n_tokens <= 100000
                   AND mwl >= 2.0 AND mwl <= 10.0 AND sym <= 0.1 AND stops >= 1),
           t AS (SELECT doc_id, text,
-                       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_toks,
+                       CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS BIGINT) AS n_toks,
                        CAST(('0x'||substr(md5('budget:'||text),1,8)) AS BIGINT) AS h
                 FROM q),
           o AS (SELECT doc_id, text, n_toks,
@@ -6199,14 +6447,14 @@ object LlmQueries {
                    count(*) AS tf, 1.0 AS y
             FROM (SELECT doc_id,
                     CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
-                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                  FROM (SELECT doc_id, unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                         FROM pos))
             GROUP BY 1, bucket
             UNION ALL
             SELECT 'n:' || CAST(doc_id AS VARCHAR), bucket, count(*), 0.0
             FROM (SELECT doc_id,
                     CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
-                  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                  FROM (SELECT doc_id, unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                         FROM neg))
             GROUP BY 1, bucket),
           nn AS (SELECT count(DISTINCT tid) AS n FROM feats),
@@ -6231,7 +6479,7 @@ object LlmQueries {
           sf AS (SELECT doc_id, bucket, count(*) AS tf
                  FROM (SELECT doc_id,
                          CAST(CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 AS INTEGER) AS bucket
-                       FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+                       FROM (SELECT doc_id, unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                              FROM documents))
                  GROUP BY doc_id, bucket),
           zz AS (SELECT sf.doc_id,
@@ -6464,7 +6712,7 @@ object LlmQueries {
     "llm_span_dedup_doc" ->
       """WITH toks AS (
             SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
-            FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+            FROM (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS t
                   FROM documents)),
           spans AS (
             SELECT doc_id, pos // 2 AS blk,
@@ -6495,12 +6743,12 @@ object LlmQueries {
                   AND (symbol_ratio <= 0.1)
                   AND (stop_hits >= 1)) AS keep
           FROM (SELECT doc_id,
-                  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
-                  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                        / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len,
+                  CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS n_tokens,
+                  round(length(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', '', 'g')) * 1.0
+                        / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1), 6) AS mean_word_len,
                   round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                         / greatest(length(text), 1), 6) AS symbol_ratio,
-                  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  CAST(len(list_filter(string_split_regex(lower(text), '[\\t\\n\\x0B\\f\\r ]+'),
                        t -> t IN ($stopsEn))) AS INTEGER) AS stop_hits
                 FROM documents)""",
     // Gopher repetition section: per-(doc, 60-bit hash) occurrence
@@ -6534,15 +6782,15 @@ object LlmQueries {
                   round(least(length(d.text) * 1.0 / 500.0, 1.0) * 0.3
                     + (1.0 - (length(d.text) - length(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                         / greatest(length(d.text), 1)) * 0.4
-                    + least(len(list_filter(string_split_regex(d.text, '\\s+'),
+                    + least(len(list_filter(string_split_regex(d.text, '[\\t\\n\\x0B\\f\\r ]+'),
                           t -> t IN ($stopsEn))) * 1.0
-                        / greatest(len(string_split_regex(d.text, '\\s+')), 1) * 5.0,
+                        / greatest(len(string_split_regex(d.text, '[\\t\\n\\x0B\\f\\r ]+')), 1) * 5.0,
                         1.0) * 0.3, 6) AS quality
                 FROM documents d JOIN rep USING (doc_id)),
           r AS (SELECT doc_id, text,
                   percent_rank() OVER (ORDER BY quality) AS pr FROM q),
           tb0 AS (SELECT doc_id, text,
-                    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_toks,
+                    CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS BIGINT) AS n_toks,
                     CAST(('0x'||substr(md5('budget:'||text),1,8)) AS BIGINT) AS h
                   FROM r WHERE pr >= 0.25),
           tb AS (SELECT doc_id, text, n_toks,
@@ -6562,12 +6810,12 @@ object LlmQueries {
     "llm_pipeline6" ->
       s"""WITH g AS (SELECT doc_id, lang, text FROM (
               SELECT d.doc_id, d.lang, d.text,
-                CAST(len(string_split_regex(d.text, '\\s+')) AS INTEGER) AS n_tokens,
-                round(length(regexp_replace(d.text, '\\s+', '', 'g')) * 1.0
-                      / greatest(len(string_split_regex(d.text, '\\s+')), 1), 6) AS mean_word_len,
+                CAST(len(string_split_regex(d.text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS n_tokens,
+                round(length(regexp_replace(d.text, '[\\t\\n\\x0B\\f\\r ]+', '', 'g')) * 1.0
+                      / greatest(len(string_split_regex(d.text, '[\\t\\n\\x0B\\f\\r ]+')), 1), 6) AS mean_word_len,
                 round((length(d.text) - length(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                       / greatest(length(d.text), 1), 6) AS symbol_ratio,
-                CAST(len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                CAST(len(list_filter(string_split_regex(lower(d.text), '[\\t\\n\\x0B\\f\\r ]+'),
                      t -> t IN ($stopsEn))) AS INTEGER) AS stop_hits
               FROM documents d)
             WHERE n_tokens >= 10 AND n_tokens <= 100000
@@ -6577,9 +6825,9 @@ object LlmQueries {
                   round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
                     + (1.0 - (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                         / greatest(length(text), 1)) * 0.4
-                    + least(len(list_filter(string_split_regex(text, '\\s+'),
+                    + least(len(list_filter(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'),
                           t -> t IN ($stopsEn))) * 1.0
-                        / greatest(len(string_split_regex(text, '\\s+')), 1) * 5.0,
+                        / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1) * 5.0,
                         1.0) * 0.3, 6) AS quality
                 FROM g),
           p AS (SELECT doc_id, lang, text,
@@ -6621,7 +6869,7 @@ object LlmQueries {
     // the same window algebra as the Spark twin, so the fingerprint
     // SETS match bit-for-bit
     "llm_winnow" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks
                     FROM documents),
           i AS (SELECT doc_id, toks,
                        unnest(generate_series(1, len(toks) - 2)) AS i
@@ -6639,7 +6887,7 @@ object LlmQueries {
     // unigram self-trained log-prob; round(.,4) is the tfidf libm-ln
     // quantization argument
     "llm_unigram_lp" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS term
                        FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
           c AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
@@ -6655,19 +6903,19 @@ object LlmQueries {
       s"""WITH kept AS (
             SELECT doc_id, text FROM (
               SELECT doc_id, text,
-                CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
-                round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                      / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
+                CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS n_tokens,
+                round(length(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', '', 'g')) * 1.0
+                      / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1), 6) AS mwl,
                 round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                       / greatest(length(text), 1), 6) AS sym,
-                len(list_filter(string_split_regex(lower(text), '\\s+'),
+                len(list_filter(string_split_regex(lower(text), '[\\t\\n\\x0B\\f\\r ]+'),
                     t -> t IN ($stopsEn))) AS stops
               FROM documents)
             WHERE n_tokens >= 10 AND n_tokens <= 100000
               AND mwl >= 2.0 AND mwl <= 10.0 AND sym <= 0.1 AND stops >= 1),
           toks AS (
             SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
-            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM kept)),
+            FROM (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS t FROM kept)),
           spans AS (
             SELECT doc_id, pos // 16 AS blk,
                    string_agg(tok, ' ' ORDER BY pos) AS span
@@ -6695,7 +6943,7 @@ object LlmQueries {
                  CAST(('0x'||substr(md5('ord:shard:'||clean_text),1,8)) AS BIGINT) AS order_key
           FROM cleaned""",
     "llm_boilerplate" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks
                     FROM documents),
           g AS (SELECT doc_id,
                   list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -6707,7 +6955,7 @@ object LlmQueries {
     // vocabulary coverage: counts by token STRING (the Spark side counts
     // 60-bit hashes and resolves — identical barring a 2^-60 collision)
     "llm_vocab" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                       FROM documents),
           c AS (SELECT t, count(*) AS cnt, count(DISTINCT doc_id) AS df
                 FROM tok GROUP BY t),
@@ -6724,9 +6972,9 @@ object LlmQueries {
     // identical bits; round-4 masks the 1-ulp tail
     "llm_corpus_kl" ->
       """WITH mm AS (SELECT max(doc_id) AS m FROM documents),
-          ta_ AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+          ta_ AS (SELECT unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                   FROM documents, mm WHERE doc_id <= mm.m - 100),
-          tb_ AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+          tb_ AS (SELECT unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                   FROM documents, mm WHERE doc_id > mm.m - 100),
           ca_ AS (SELECT CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h,
                          count(*) AS c
@@ -6756,9 +7004,9 @@ object LlmQueries {
                                   (3, 'zzzunknown'))),
           qt AS (SELECT DISTINCT query_id, t AS term FROM (
                    SELECT query_id,
-                          unnest(string_split_regex(qtext, '\s+')) AS t
+                          unnest(string_split_regex(qtext, '[\t\n\x0B\f\r ]+')) AS t
                    FROM q) WHERE length(t) > 0),
-          d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          d AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks
                 FROM documents),
           stats AS (SELECT count(*) AS n_docs,
                            sum(len(toks)) AS total_toks FROM d),
@@ -6871,7 +7119,7 @@ object LlmQueries {
                   UNION ALL SELECT id, mmr, 4 FROM s4
                   UNION ALL SELECT id, mmr, 5 FROM s5),
           d2 AS (SELECT documents.doc_id,
-                        string_split_regex(text, '\\s+') AS toks
+                        string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks
                  FROM documents JOIN sel ON documents.doc_id = sel.id),
           ix2 AS (SELECT doc_id, toks,
                     list_filter(list_transform(toks,
@@ -6895,7 +7143,7 @@ object LlmQueries {
     "llm_crawl_delta" ->
       """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
           a AS (SELECT doc_id,
-                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fa
+                  md5(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fa
                 FROM documents, m WHERE doc_id <= mx - 100),
           b0 AS (SELECT doc_id, text FROM documents, m
                  WHERE doc_id > 50 AND doc_id <= mx - 150
@@ -6906,7 +7154,7 @@ object LlmQueries {
                  SELECT doc_id, text FROM documents, m
                  WHERE doc_id > mx - 100),
           b AS (SELECT doc_id,
-                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fb
+                  md5(regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fb
                 FROM b0),
           j AS (SELECT CASE WHEN a.fa IS NULL THEN 'added'
                             WHEN b.fb IS NULL THEN 'removed'
@@ -6926,14 +7174,14 @@ object LlmQueries {
               FROM sc GROUP BY doc_id
               ORDER BY bm25 DESC, doc_id ASC LIMIT 10)),
           cand AS (SELECT t AS term, count(*) AS tf_fb FROM (
-              SELECT unnest(string_split_regex(text, '\\s+')) AS t
+              SELECT unnest(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS t
               FROM documents JOIN fbids USING (doc_id))
             WHERE length(t) > 0
               AND t NOT IN ('hash', 'join', 'vector')
             GROUP BY t),
           dfq AS (SELECT term, count(*) AS df FROM (
               SELECT doc_id,
-                     unnest(list_distinct(string_split_regex(text, '\\s+')))
+                     unnest(list_distinct(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')))
                        AS term
               FROM documents)
             WHERE term IN (SELECT term FROM cand)
@@ -6972,9 +7220,9 @@ object LlmQueries {
                                   (3, 'zzzunknown'))),
           qt AS (SELECT DISTINCT query_id, t AS term FROM (
                    SELECT query_id,
-                          unnest(string_split_regex(qtext, '\s+')) AS t
+                          unnest(string_split_regex(qtext, '[\t\n\x0B\f\r ]+')) AS t
                    FROM q) WHERE length(t) > 0),
-          d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          d AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks
                 FROM documents),
           stats AS (SELECT count(*) AS n_docs,
                            sum(len(toks)) AS total_toks FROM d),
@@ -7100,9 +7348,9 @@ object LlmQueries {
                                   (3, 'zzzunknown'))),
           qt AS (SELECT DISTINCT query_id, t AS term FROM (
                    SELECT query_id,
-                          unnest(string_split_regex(qtext, '\s+')) AS t
+                          unnest(string_split_regex(qtext, '[\t\n\x0B\f\r ]+')) AS t
                    FROM q) WHERE length(t) > 0),
-          d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          d AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks
                 FROM documents),
           stats AS (SELECT count(*) AS n_docs,
                            sum(len(toks)) AS total_toks FROM d),
@@ -7205,7 +7453,7 @@ object LlmQueries {
     // snippets: the same indexed-lambda hit positions, the same
     // (count, −start) lexicographic argmax, inclusive list slice
     "llm_snippet" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS toks
                     FROM documents),
           ix AS (SELECT doc_id, toks,
                    list_filter(list_transform(toks,
@@ -7469,12 +7717,12 @@ object LlmQueries {
                          SELECT doc_id + 500000, text FROM documents),
           hkept AS (SELECT doc_id, text FROM (
                    SELECT doc_id, text,
-                     CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
-                     round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                           / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mwl,
+                     CAST(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')) AS INTEGER) AS n_tokens,
+                     round(length(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]+', '', 'g')) * 1.0
+                           / greatest(len(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+')), 1), 6) AS mwl,
                      round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
                            / greatest(length(text), 1), 6) AS sym,
-                     CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                     CAST(len(list_filter(string_split_regex(lower(text), '[\\t\\n\\x0B\\f\\r ]+'),
                           t -> t IN ($stopsEn))) AS INTEGER) AS stops
                    FROM crawl)
                  WHERE n_tokens >= 10 AND n_tokens <= 100000
@@ -7482,7 +7730,7 @@ object LlmQueries {
                    AND sym <= 0.1 AND stops >= 1),
           hded AS (SELECT min(doc_id) AS doc_id FROM (
                      SELECT doc_id,
-                       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+                       md5(regexp_replace(lower(text), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS fp
                      FROM hkept) GROUP BY fp),
           hdocs AS (SELECT k.doc_id, k.text FROM hkept k
                     JOIN hded USING (doc_id)),
@@ -7517,7 +7765,7 @@ object LlmQueries {
           SELECT doc_id, rrf FROM f
           ORDER BY rrf DESC, doc_id ASC LIMIT 20""",
     "llm_tfidf" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS term
                        FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
           dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -7538,7 +7786,7 @@ object LlmQueries {
             SELECT doc_id + 1000000, text FROM documents
             WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
           hs AS (SELECT doc_id,
-                   list_transform(string_split_regex(text, '\\s+'), s -> $h60) AS hs
+                   list_transform(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'), s -> $h60) AS hs
                  FROM corpus),
           sh AS (SELECT doc_id,
                    CAST(list_sum(list_transform(generate_series(0, 59), b ->
@@ -7571,7 +7819,7 @@ object LlmQueries {
             WHERE doc_id > (SELECT max(doc_id) - 300 FROM documents)),
           corpus AS (SELECT doc_id, text FROM bounded
                      UNION ALL SELECT doc_id + 1000000, text FROM bounded),
-          t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM corpus),
+          t AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') toks FROM corpus),
           hws AS (SELECT doc_id, ${hs(0)}, ${hs(1)} FROM t),
           sh AS (SELECT doc_id, ${word(0)} AS w0, ${word(1)} AS w1 FROM hws),
           bands AS (
@@ -7694,7 +7942,7 @@ object LlmQueries {
     // ratio) so only libm's 1-ulp ln spread is in play — absorbed by
     // round(.,4) (the tfidf quantization argument).
     "llm_dsir" ->
-      """WITH tok AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
+      """WITH tok AS (SELECT doc_id, lang, string_split_regex(text, '[\t\n\x0B\f\r ]+') AS t
                       FROM documents),
           uni AS (SELECT doc_id, lang, unnest(t) AS g FROM tok),
           bi AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS g

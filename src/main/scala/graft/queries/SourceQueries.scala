@@ -101,6 +101,27 @@ object SourceQueries {
           $"content_length",
           graft.operators.Dedup.sharedHash($"payload").as("payload_hash"))
     }),
+    "s9_warc_gz" -> ((s, d) => {
+      import s.implicits._
+      // the COMPRESSED crawl round-trip: same corpus, framed as ONE
+      // GZIP MEMBER PER RECORD (`.warc.gz`, the actual Common-Crawl
+      // layout) and read back through the same extractor with a
+      // 16 KiB split — far below the compressed file size, so tasks
+      // must resynchronize to gzip member boundaries (raw magic scan
+      // + inflate-validate), not just inflate from offset 0. Oracle
+      // identical to s9_warc: headers + payload checksum.
+      val out = "target/gate_sink/warc_gz_fixture"
+      val docs = graft.Tables.load(s, d, "documents")
+        .select($"doc_id",
+          concat(lit("http://graft.local/doc/"), $"doc_id").as("uri"),
+          $"text")
+      graft.sources.Warc.write(docs, "doc_id", "uri", "text", out,
+        nFiles = 4, gzip = true)
+      read(s, "warc", "path" -> out, "splitBytes" -> "16384")
+        .select($"record_id", $"warc_date", $"target_uri",
+          $"content_length",
+          graft.operators.Dedup.sharedHash($"payload").as("payload_hash"))
+    }),
     "s7_jsonl_roundtrip" -> ((s, d) => {
       import s.implicits._
       // the JSONL sink (the interchange format S8 reads): write the
@@ -160,6 +181,15 @@ object SourceQueries {
     // the WARC round-trip must reproduce the source table: ids, the
     // fixed fixture date, URIs, byte lengths, payload checksums
     "s9_warc" ->
+      """SELECT '<urn:graft:' || doc_id || '>' AS record_id,
+                '2026-01-01T00:00:00Z' AS warc_date,
+                'http://graft.local/doc/' || doc_id AS target_uri,
+                CAST(strlen(text) AS BIGINT) AS content_length,
+                CAST(('0x'||substr(md5(text),1,8)) AS BIGINT) AS payload_hash
+         FROM documents""",
+    // the gzip-member layout must reproduce the identical record set —
+    // compression is framing, not content
+    "s9_warc_gz" ->
       """SELECT '<urn:graft:' || doc_id || '>' AS record_id,
                 '2026-01-01T00:00:00Z' AS warc_date,
                 'http://graft.local/doc/' || doc_id AS target_uri,

@@ -687,18 +687,18 @@ object StreamQueries {
     // each generation against the static reference
     "st_corpus_kl" ->
       """WITH mm AS (SELECT max(doc_id) AS m FROM documents),
-          ra AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+          ra AS (SELECT unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                  FROM documents, mm WHERE doc_id <= mm.m - 100),
           rc AS (SELECT CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h,
                         count(*) AS c
                  FROM ra WHERE length(t) > 0 GROUP BY 1),
-          b1 AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+          b1 AS (SELECT unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                  FROM documents, mm
                  WHERE doc_id > mm.m - 100 AND doc_id <= mm.m - 50),
           c1 AS (SELECT CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h,
                         count(*) AS c
                  FROM b1 WHERE length(t) > 0 GROUP BY 1),
-          b2 AS (SELECT unnest(string_split_regex(text, '\s+')) AS t
+          b2 AS (SELECT unnest(string_split_regex(text, '[\t\n\x0B\f\r ]+')) AS t
                  FROM documents, mm WHERE doc_id > mm.m - 50),
           c2 AS (SELECT CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h,
                         count(*) AS c
@@ -887,7 +887,7 @@ object StreamQueries {
       val gram13 = (0 until 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       val hashSql = "CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)"
       s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
-          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+          t AS (SELECT doc_id, string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+') AS toks
                 FROM documents),
           g AS (SELECT doc_id,
                   list_distinct(list_transform(generate_series(1, len(toks) - 12),

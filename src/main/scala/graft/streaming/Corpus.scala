@@ -113,7 +113,7 @@ object Corpus {
       .select(col(idCol).as("id_new"),
         org.apache.spark.sql.GraftBridge.column(graft.functions.MinhashSketch(
           org.apache.spark.sql.GraftBridge.expression(
-            split(col(textCol), "\\s+")), 3, k)).as("__mh"))
+            split(col(textCol), "[\\t\\n\\x0B\\f\\r ]+")), 3, k)).as("__mh"))
       .filter(col("__mh").isNotNull)
       .select(col("id_new"), col("__mh.hset").as("__hset"),
         col("__mh.sig").as("__sig"))
@@ -238,7 +238,7 @@ object Corpus {
         "or re-copy the index")
     val contaminated = org.apache.spark.sql.GraftBridge.column(
       graft.functions.ShingleContaminated(
-        org.apache.spark.sql.GraftBridge.expression(split(col(textCol), "\\s+")),
+        org.apache.spark.sql.GraftBridge.expression(split(col(textCol), "[\\t\\n\\x0B\\f\\r ]+")),
         n, evalH.toIndexedSeq))
     docs.filter(!coalesce(contaminated, lit(false)))
   }
@@ -272,7 +272,7 @@ object Corpus {
     val z = org.apache.spark.sql.GraftBridge.column(
       graft.functions.LrLogit(
         org.apache.spark.sql.GraftBridge.expression(
-          split(col(textCol), "\\s+")),
+          split(col(textCol), "[\\t\\n\\x0B\\f\\r ]+")),
         buckets,
         weights.map(_._1).toIndexedSeq,
         weights.map(_._2).toIndexedSeq))
@@ -298,7 +298,7 @@ object Corpus {
     if (evalH.length <= maxInlineHashes) {
       val contaminated = org.apache.spark.sql.GraftBridge.column(
         graft.functions.ShingleContaminated(
-          org.apache.spark.sql.GraftBridge.expression(split(col(textCol), "\\s+")),
+          org.apache.spark.sql.GraftBridge.expression(split(col(textCol), "[\\t\\n\\x0B\\f\\r ]+")),
           n, evalH.toIndexedSeq))
       // FILTER semantics: every input column passes through, so the
       // clean frame composes directly into the next pipeline stage

@@ -48,6 +48,17 @@ object GraftBridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** The Hadoop configuration for the CURRENT context: the active
+    * session's `sc.hadoopConfiguration` on the driver, or one rebuilt
+    * from the executor's SparkConf (`spark.hadoop.*` + credentials
+    * applied) via SparkHadoopUtil — never a bare `new Configuration()`,
+    * which silently drops fs settings/credentials on any non-default
+    * filesystem. */
+  def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(org.apache.spark.deploy.SparkHadoopUtil.get.conf)
+
   /** Block until the listener bus has delivered every queued event —
     * lets tests assert "this code launched no Spark job" without racing
     * the async status listeners. */

@@ -2311,6 +2311,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("model"))
   }
 
+  test("trigramKnAppend: append(train(A), B) == train(A ∪ B) table-for-table; five-table stores refuse") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // gen B overlaps gen A's vocabulary (shared trigram "b c e", shared
+    // contexts/suffixes) so the merge law is exercised where it can
+    // break: occurrence counts must ADD while continuation (type-level)
+    // stats must DEDUP across generations
+    val genA = Seq((2L, "a b c d"), (4L, "a b c e")).toDF("doc_id", "text")
+    val genB = Seq((6L, "b c e f"), (8L, "x y z a b c")).toDF("doc_id", "text")
+    val out = "target/test_sink/kn_append_spec"
+    val mA = TextAnalysis.trigramKnTrain(genA, "doc_id", "text")
+    mA.foreach { case (k, v) => v.write.mode("overwrite").parquet(s"$out/$k") }
+    val stored = mA.keys.map(k => k -> spark.read.parquet(s"$out/$k")).toMap
+    val merged = TextAnalysis.trigramKnAppend(stored, genB, "doc_id", "text")
+    val full = TextAnalysis.trigramKnTrain(genA.unionAll(genB), "doc_id", "text")
+    assert(merged.keySet == full.keySet)
+    for (k <- full.keys) {
+      val m = merged(k).collect().map(_.toSeq).toSet
+      val f = full(k).collect().map(_.toSeq).toSet
+      assert(m == f, s"KN table `$k` drifted under append: merged=$m full=$f")
+    }
+    // and the merged model SERVES identically to the from-scratch one
+    val probe = Seq((1L, "a b c"), (3L, "q q q")).toDF("doc_id", "text")
+    def serve(mdl: Map[String, org.apache.spark.sql.DataFrame]) =
+      TextAnalysis.trigramKnScoreStored(probe, "doc_id", "text", mdl)
+        .collect().map(_.toSeq).toSet
+    assert(serve(merged) == serve(full))
+    // a pre-round-14 five-table store has no type table — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.trigramKnAppend(stored - "types", genB, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("types"))
+  }
+
   test("unigram-LM tokenizer: round-trip, Viterbi == exhaustive enumeration, reassembly, determinism") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -229,6 +229,13 @@ class PlanSpec extends AnyFunSuite {
       // pairing/probe are the same banded equi-joins on the afp
       "llm_audio_fp", "e_sql_audio_fp", "llm_audio_dups",
       "e_sql_audio_dups", "llm_audio_probe", "e_sql_audio_probe",
+      // the audio lifecycle gates reuse the identical broadcast 1-row
+      // max-doc-id fixture bound (append = two generations, delete =
+      // purge view, compact = storeCompact rewrite); the probes stay
+      // banded equi-joins on the afp
+      "llm_audio_append", "e_sql_audio_append",
+      "llm_audio_delete", "e_sql_audio_delete",
+      "llm_audio_compact", "e_sql_audio_compact",
       "e_sql_image_clusters", "st_image_admission_append",
       "llm_pipeline8", "e_sql_pipeline8", "st_image_admission",
       // broadcast 1-row max-doc-id bound building the mixed-modality
@@ -317,8 +324,16 @@ class PlanSpec extends AnyFunSuite {
       // interpolation; the count tables join relationally on hashes
       "llm_trigram_kn", "e_sql_trigram_kn",
       // the stored-model form adds only the broadcast 1-row (nbt, nw3)
-      // totals; the five model tables LEFT-join relationally
-      "llm_trigram_kn_stored", "e_sql_trigram_kn_stored",
+      // totals; the five model tables LEFT-join relationally — the
+      // streamed twin st_trigram_kn scores each micro-batch with the
+      // exact same stored-model join shape (r13 omission: the key was
+      // added after the full-suite run; the BNLJ is the same benign
+      // 1-row totals broadcast)
+      "llm_trigram_kn_stored", "e_sql_trigram_kn_stored", "st_trigram_kn",
+      // the append verb's gate SERVES through the same stored-model
+      // join (broadcast 1-row totals); the merge itself is outer
+      // equi-joins on the hash keys + the type-table re-aggregation
+      "llm_trigram_kn_append", "e_sql_trigram_kn_append",
       // sentence filter composes the bigram model (broadcast 1-row
       // vocabulary size) + the quantile filter (broadcast 1-row
       // threshold) — both classes already allowlisted standalone
