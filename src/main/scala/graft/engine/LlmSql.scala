@@ -1220,6 +1220,41 @@ object LlmSql {
       case args => bad(
         "graft_audio_probe(media_table, fps_table, id_col, payload_col, max_hamming, n_bands[, max_bucket_size])", args)
     }
+    reg(spark, "graft_video_frames") {
+      // the video modality's frame table: stub frame-sample + fused
+      // per-frame dHash — pure lazy zero-shuffle projection
+      case Seq(t, id, pay, nf) =>
+        val f = "graft_video_frames"
+        Multimodal.videoFrames(table(str(t, f)), str(id, f), str(pay, f),
+          int(nf, f))
+      case args => bad(
+        "graft_video_frames(table, id_col, payload_col, n_frames)", args)
+    }
+    reg(spark, "graft_video_dups") {
+      // video near-dup pairs: frame-aligned banded candidates, exact
+      // hamming, matched-frame count >= min_frames; optional cap
+      case args if args.length == 7 || args.length == 8 =>
+        val f = "graft_video_dups"
+        val cap = if (args.length == 8) Some(int(args(7), f)) else None
+        Multimodal.videoNearDups(table(str(args(0), f)), str(args(1), f),
+          str(args(2), f), int(args(3), f), int(args(4), f),
+          int(args(5), f), int(args(6), f), cap)
+      case args => bad(
+        "graft_video_dups(table, id_col, payload_col, n_frames, max_hamming, n_bands, min_frames[, max_bucket_size])", args)
+    }
+    reg(spark, "graft_video_probe") {
+      // incremental video admission vs a STORED frame table — the
+      // matched-frame count gates admission; optional corpus-side cap
+      case args if args.length == 8 || args.length == 9 =>
+        val f = "graft_video_probe"
+        val cap = if (args.length == 9) Some(int(args(8), f)) else None
+        Multimodal.videoNearDupsBetween(table(str(args(0), f)),
+          table(str(args(1), f)), str(args(2), f), str(args(3), f),
+          int(args(4), f), int(args(5), f), int(args(6), f),
+          int(args(7), f), cap)
+      case args => bad(
+        "graft_video_probe(media_table, frames_table, id_col, payload_col, n_frames, max_hamming, n_bands, min_frames[, max_bucket_size])", args)
+    }
     reg(spark, "graft_image_clusters") {
       // perceptual near-dup CLUSTERS: the banded dHash pair set closed
       // into connected components. Large-Star/Small-Star CC is

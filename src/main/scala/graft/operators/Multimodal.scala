@@ -349,6 +349,164 @@ object Multimodal {
       maxHamming, nBands, maxBucketSize)
   }
 
+  /** Frame-sampled per-frame perceptual hashes — the VIDEO modality
+    * (the third of the mandate's image/audio/video triple): the stub
+    * frame-sample cuts the payload into `nFrames` contiguous byte
+    * ranges (frame f = bytes [⌊L·f/F⌋, ⌊L·(f+1)/F⌋) — a real
+    * implementation hands the container to the per-partition decoder
+    * and samples keyframes; the byte-range cut is the deterministic
+    * stand-in with the same downstream shape), and each frame gets the
+    * SAME fused 64-bit dHash the image family uses
+    * ([[graft.functions.DHash64]] over the frame's bytes — hex of a
+    * byte slice is the aligned slice of the payload's hex, so the
+    * DuckDB oracle replays per-frame hashes exactly). Pure zero-shuffle
+    * projection, `nFrames`·72 digests per row. A same-length LOCAL edit
+    * perturbs only the frame(s) covering it — the temporal analogue of
+    * the image family's locality. NULL payload → 0L fhash per frame
+    * (the DHash64 null convention, applied frame-wise).
+    * Output: (idCol, frame_idx: int, fhash: long) — the frame table a
+    * video index STORES (8 bytes × nFrames per video; payloads never
+    * re-read). */
+  def videoFrames(media: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload",
+                  nFrames: Int = 4): DataFrame = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val pay = col(payloadCol).cast(BinaryType)
+    val len = length(pay).cast("long")
+    val frames = (0 until nFrames).map { f =>
+      // byte range [⌊L·f/F⌋, ⌊L·(f+1)/F⌋) as a 1-based substr; the
+      // double division inside floor is exact below 2^53 (payloads are
+      // < 2^31 bytes), and the SAME arithmetic runs in the oracle with
+      // integer `//`
+      val s0 = floor(len * lit(f.toLong) / lit(nFrames.toLong))
+      val e0 = floor(len * lit((f + 1).toLong) / lit(nFrames.toLong))
+      val slice = pay.substr((s0 + 1).cast("int"), (e0 - s0).cast("int"))
+      struct(lit(f).as("frame_idx"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.DHash64(org.apache.spark.sql.GraftBridge
+            .expression(slice))).as("fhash"))
+    }
+    media.select(col(idCol), explode(array(frames: _*)).as("fr"))
+      .select(col(idCol), col("fr.frame_idx").as("frame_idx"),
+        col("fr.fhash").as("fhash"))
+  }
+
+  /** One row per (id, frame, band) over a (idCol, frame_idx, fhash)
+    * frame table — [[bandRowsOf]] with the TEMPORAL key carried: video
+    * candidates must match band values AT THE SAME frame index, so the
+    * join key is (frame_idx, band_idx, band_val) and a boilerplate
+    * band value in frame 0 never pairs against frame 3. */
+  private def frameBandRows(vf: DataFrame, idCol: String,
+                            nBands: Int): DataFrame = {
+    val w = 64 / nBands
+    vf.select(col(idCol), col("frame_idx"), col("fhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          // mask, never `%` — the bandRowsOf sign contract
+          (if (w == 64) col("fhash")
+           else shiftrightunsigned(col("fhash"), w * b)
+             .bitwiseAND(lit((1L << w) - 1)))
+            .as("band_val"))
+      }: _*)).as("band"))
+      .select(col(idCol), col("frame_idx"), col("fhash"),
+        col("band.band_idx").as("band_idx"),
+        col("band.band_val").as("band_val"))
+  }
+
+  /** Video near-duplicate pairs — the image/audio banding discipline
+    * with a TEMPORAL match count: two videos pair when at least
+    * `minFrames` of their sampled frames agree frame-for-frame within
+    * `maxHamming` bits (the standard sampled-frame video-dedup
+    * criterion: a re-encode/watermark perturbs every frame a little, a
+    * different video matches almost nowhere). Per frame the banded
+    * recall is EXACT for `maxHamming < nBands` (the pigeonhole
+    * argument, per frame), so the matched-frame COUNT — and therefore
+    * the pair set — equals the brute-force all-pairs scan the DuckDB
+    * oracle runs. Candidates join on (frame_idx, band_idx, band_val) —
+    * payloads never cross the exchange, only (id, frame, 8-byte hash,
+    * band value); `maxBucketSize` caps hot (frame, band) buckets
+    * (constant-media crawls) exactly like the image family.
+    * Output: (id_a, id_b, n_frames_matched), id_a < id_b, count >=
+    * `minFrames`. */
+  def videoNearDups(media: DataFrame, idCol: String = "doc_id",
+                    payloadCol: String = "payload", nFrames: Int = 4,
+                    maxHamming: Int = 3, nBands: Int = 4,
+                    minFrames: Int = 3,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"banded recall is exact only for maxHamming < nBands " +
+        s"(got maxHamming=$maxHamming, nBands=$nBands) — raise nBands")
+    require(minFrames >= 1 && minFrames <= nFrames,
+      s"minFrames must be in [1, $nFrames], got $minFrames")
+    val banded = Dedup.capBuckets(
+      frameBandRows(videoFrames(media, idCol, payloadCol, nFrames),
+        idCol, nBands),
+      Seq("frame_idx", "band_idx", "band_val"), maxBucketSize)
+    banded.as("x").join(banded.as("y"),
+        col("x.frame_idx") === col("y.frame_idx") &&
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.frame_idx").as("frame_idx"),
+        bit_count(col("x.fhash").bitwiseXOR(col("y.fhash"))).as("hamming"))
+      .distinct() // one row per (pair, frame) — multi-band hits collapse
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= minFrames)
+  }
+
+  /** Incremental video admission — the probe form over a STORED
+    * [[videoFrames]] table (idCol, frame_idx, fhash): incoming media
+    * frame-hash per row (pure projection), candidates pair on the
+    * (frame_idx, band_idx, band_val) equi-join, exact hamming confirms,
+    * and the per-pair DISTINCT matched-frame count gates admission.
+    * Unlike the image/audio probes this form aggregates per pair (the
+    * frame count IS the criterion), so it is micro-batch-safe rather
+    * than row-stateless; the corpus side's hot (frame, band) buckets
+    * take the cap. Output: (id_new, id_corpus, n_frames_matched),
+    * count >= `minFrames`. */
+  def videoNearDupsBetween(newMedia: DataFrame, corpusFrames: DataFrame,
+                           idCol: String = "doc_id",
+                           payloadCol: String = "payload", nFrames: Int = 4,
+                           maxHamming: Int = 3, nBands: Int = 4,
+                           minFrames: Int = 3,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"banded recall is exact only for maxHamming < nBands " +
+        s"(got maxHamming=$maxHamming, nBands=$nBands) — raise nBands")
+    require(minFrames >= 1 && minFrames <= nFrames,
+      s"minFrames must be in [1, $nFrames], got $minFrames")
+    require(Seq("frame_idx", "fhash", idCol)
+        .forall(corpusFrames.columns.contains),
+      s"stored frame table must carry ($idCol, frame_idx, fhash) — " +
+        "store videoFrames' output")
+    val newB = frameBandRows(
+        videoFrames(newMedia, idCol, payloadCol, nFrames), idCol, nBands)
+      .select(col(idCol).as("id_new"), col("frame_idx"),
+        col("fhash").as("__hn"), col("band_idx"), col("band_val"))
+    val corB = Dedup.capBuckets(
+        frameBandRows(corpusFrames.select(col(idCol),
+          col("frame_idx").cast("int").as("frame_idx"),
+          col("fhash").cast("long").as("fhash")), idCol, nBands),
+        Seq("frame_idx", "band_idx", "band_val"), maxBucketSize)
+      .select(col(idCol).as("id_corpus"), col("frame_idx"),
+        col("fhash").as("__hc"), col("band_idx"), col("band_val"))
+    newB.join(corB, Seq("frame_idx", "band_idx", "band_val"))
+      .select(col("id_new"), col("id_corpus"), col("frame_idx"),
+        bit_count(col("__hn").bitwiseXOR(col("__hc"))).as("hamming"))
+      .distinct() // one row per (pair, frame)
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_new"), col("id_corpus"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= minFrames)
+  }
+
   /** Feature-extract stage over decoded media: bucketed resolution class
     * + frame-sampling positions (every `stride`th frame). */
   def features(decoded: Dataset[Decoded], stride: Int = 30): DataFrame = {

@@ -1642,6 +1642,180 @@ object EngineQueries {
                  FROM graft_audio_probe('audcmp_probe', 'audcmp_v2',
                                         'doc_id', 'payload', 3, 4)""")
     }),
+    "e_sql_video_frames" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // the video frame table from SQL: the media view + the pure
+      // per-frame-hash TVF (llm_video_frames' oracle gates it)
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW video_media_fr AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id, CAST(text AS BINARY) AS payload FROM sl""")
+      e.query("""SELECT doc_id, frame_idx, fhash
+                 FROM graft_video_frames('video_media_fr', 'doc_id', 'payload', 4)""")
+    }),
+    "e_sql_video_dups" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // video near-dup pairs from SQL — the audio/image fixture through
+      // the frame-aligned matched-count TVF
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW video_media AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id, CAST(text AS BINARY) AS payload FROM sl
+                 UNION ALL
+                 SELECT doc_id + 3000000,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY)
+                 FROM sl""")
+      e.query("""SELECT id_a, id_b, n_frames_matched
+                 FROM graft_video_dups('video_media', 'doc_id', 'payload',
+                                       4, 3, 4, 3)""")
+    }),
+    "e_sql_video_probe" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // incremental video admission from SQL: frame store written in
+      // Scala (the write side), edited-clone probe via the TVF
+      val out = "target/gate_sink/video_frames_store_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Multimodal.videoFrames(
+          graft.operators.Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("video_frames_v")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW video_probe AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT id_new, id_corpus, n_frames_matched
+                 FROM graft_video_probe('video_probe', 'video_frames_v',
+                                        'doc_id', 'payload', 4, 3, 4, 3)""")
+    }),
+    "e_sql_video_append" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // video-store append from SQL: two generations written in Scala
+      // (the frame delta IS videoFrames over the new media), the
+      // read-back union probed via the unchanged TVF
+      val out = "target/gate_sink/video_frames_append_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      val genA = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") <= col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val genB = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val mm = graft.operators.Multimodal
+      mm.videoFrames(mm.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      mm.videoFrames(mm.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("video_frames_app")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW video_probe_app AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT id_new, id_corpus, n_frames_matched
+                 FROM graft_video_probe('video_probe_app', 'video_frames_app',
+                                        'doc_id', 'payload', 4, 3, 4, 3)""")
+    }),
+    "e_sql_video_delete" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // video takedown from SQL: the frame store is a plain table, so
+      // the purge is an anti-predicate VIEW over the read-back — all of
+      // a tombstoned video's frame rows drop together on doc_id
+      val out = "target/gate_sink/video_frames_delete_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Multimodal.videoFrames(
+          graft.operators.Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).createOrReplaceTempView("video_frames_del")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW video_frames_purged AS
+                 SELECT * FROM video_frames_del WHERE doc_id % 5 <> 1""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW video_probe_del AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT id_new, id_corpus, n_frames_matched
+                 FROM graft_video_probe('video_probe_del', 'video_frames_purged',
+                                        'doc_id', 'payload', 4, 3, 4, 3)""")
+    }),
+    "e_sql_video_compact" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val e = new Engine(s)
+      // video-store compaction from SQL — tombstones purged via
+      // graft_store_compact, the clone shard probed against the
+      // compacted view through the unchanged TVF
+      val out = "target/gate_sink/video_frames_compact_sql"
+      import org.apache.spark.sql.functions.{broadcast, col, length, max}
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val m = docs.agg(max(col("doc_id")).as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 300 && length(col("text")) >= 400)
+        .select(col("doc_id"), col("text"))
+      val genA = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") <= col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val genB = slice.crossJoin(broadcast(m))
+        .filter(col("doc_id") > col("m") - 150)
+        .select(col("doc_id"), col("text"))
+      val mm = graft.operators.Multimodal
+      mm.videoFrames(mm.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$out/store")
+      mm.videoFrames(mm.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(s"$out/store")
+      s.read.parquet(s"$out/store").createOrReplaceTempView("vidcmp_store")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW vidcmp_tomb AS
+                 SELECT DISTINCT doc_id FROM vidcmp_store WHERE doc_id % 5 = 1""")
+      e.query(s"""CREATE OR REPLACE TEMPORARY VIEW vidcmp_v2 AS
+                 SELECT * FROM graft_store_compact('vidcmp_store', 'doc_id',
+                   'vidcmp_tomb', '$out/store_v2', '', 1)""")
+      e.query("""CREATE OR REPLACE TEMPORARY VIEW vidcmp_probe AS
+                 WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+                 sl AS (SELECT doc_id, text FROM documents, m
+                        WHERE doc_id > mx - 300 AND length(text) >= 400)
+                 SELECT doc_id + 3000000 AS doc_id,
+                        CAST(concat(substring(text, 1, 10), 'QQQQ',
+                                    substring(text, 15)) AS BINARY) AS payload
+                 FROM sl""")
+      e.query("""SELECT id_new, id_corpus, n_frames_matched
+                 FROM graft_video_probe('vidcmp_probe', 'vidcmp_v2',
+                                        'doc_id', 'payload', 4, 3, 4, 3)""")
+    }),
     "e_sql_image_incr" -> ((s, d) => {
       Tables.registerAll(s, d)
       val e = new Engine(s)
@@ -2999,6 +3173,13 @@ object EngineQueries {
     "e_sql_audio_append" -> LlmQueries.oracle("llm_audio_probe"),
     "e_sql_audio_delete" -> LlmQueries.oracle("llm_audio_delete"),
     "e_sql_audio_compact" -> LlmQueries.oracle("llm_audio_delete"),
+    // the video family's SQL twins share the Scala verbs' oracles
+    "e_sql_video_frames" -> LlmQueries.oracle("llm_video_frames"),
+    "e_sql_video_dups" -> LlmQueries.oracle("llm_video_dups"),
+    "e_sql_video_probe" -> LlmQueries.oracle("llm_video_probe"),
+    "e_sql_video_append" -> LlmQueries.oracle("llm_video_probe"),
+    "e_sql_video_delete" -> LlmQueries.oracle("llm_video_delete"),
+    "e_sql_video_compact" -> LlmQueries.oracle("llm_video_delete"),
     "e_sql_ann_sq" -> LlmQueries.oracle("llm_ann_sq"),
     "e_sql_ann_ivf_sq" -> LlmQueries.oracle("llm_ann_ivf_sq"),
     "e_sql_bpe_train" -> LlmQueries.oracle("llm_bpe_train"),

@@ -259,6 +259,44 @@ object LlmQueries {
                FROM aen$sfx)"""
   }
 
+  /** The per-frame video hash chain as DuckDB CTEs over relation `src`
+    * (doc_id, text[, carry]), ending in `vfp$sfx(doc_id[, carry],
+    * frame_idx, fhash)`: frame f of 4 = the byte range
+    * [(L·f)//4, (L·(f+1))//4) of the payload, taken as the ALIGNED
+    * hex slice (byte k ↔ hex chars 2k+1..2k+2), then the image dHash
+    * recipe (72 slice-md5 lumas, 64 gradient bits) over the frame's
+    * hex — exactly what the fused DHash64 computes over the frame's
+    * bytes on the Spark side. */
+  private def videoFpCtes(src: String, sfx: String,
+                          carry: String = ""): String = {
+    val c = if (carry.isEmpty) "" else s", $carry"
+    s"""vhx$sfx AS (SELECT doc_id$c, lower(hex(text)) AS h FROM $src),
+        vfr$sfx AS (SELECT doc_id$c, unnest(generate_series(0, 3)) AS frame_idx, h
+                 FROM vhx$sfx),
+        vsl$sfx AS (SELECT doc_id$c, frame_idx,
+                  substr(h, 2*(((length(h)//2)*frame_idx)//4) + 1,
+                         2*((((length(h)//2)*(frame_idx+1))//4)
+                            - (((length(h)//2)*frame_idx)//4))) AS fh
+                FROM vfr$sfx),
+        vlu$sfx AS (SELECT doc_id$c, frame_idx,
+                  list_transform(generate_series(0, 71), k ->
+                    CAST(('0x' || substr(md5(substr(fh,
+                        CAST(floor(length(fh)*k/72) AS INT) + 1,
+                        greatest(CAST(floor(length(fh)*(k+1)/72) AS INT)
+                          - CAST(floor(length(fh)*k/72) AS INT), 0))), 1, 8))
+                      AS BIGINT) % 256) AS lu
+                FROM vsl$sfx),
+        vfp$sfx AS (SELECT doc_id$c, frame_idx,
+                 CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                   CASE WHEN lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 2]
+                             > lu[CAST(floor(i/8) AS INT)*9 + (i%8) + 1]
+                        THEN CASE WHEN i = 63
+                                  THEN -9223372036854775808
+                                  ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                        ELSE 0 END)) AS BIGINT) AS fhash
+               FROM vlu$sfx)"""
+  }
+
   /** The dHash chain as DuckDB CTEs over relation `src` (doc_id, text),
     * ending in `dh$sfx(doc_id, dhash)` — the llm_image_dups chain with
     * suffixed names so the mixed-modality oracle can hash two relations
@@ -2223,6 +2261,142 @@ object LlmQueries {
           compacted, maxHamming = 3, nBands = 4)
         .dropDuplicates("id_new", "id_corpus")
     }),
+    "llm_video_frames" -> ((s, d) => {
+      import s.implicits._
+      // the VIDEO modality's frame table: stub frame-sample (4
+      // contiguous byte ranges) + the image family's fused dHash per
+      // frame — the 8-bytes-per-frame index a video store persists;
+      // oracle replays per-frame hashes over aligned hex slices
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      Multimodal.videoFrames(Multimodal.asMedia(slice, "doc_id", "text"))
+    }),
+    "llm_video_dups" -> ((s, d) => {
+      import s.implicits._
+      // video near-dup pairs: the same-length edit perturbs ONLY frame
+      // 0 (the temporal locality the frame cut is for), so each clone
+      // matches its original on frames 1-3 at hamming 0 — over the
+      // minFrames=3 bar whatever frame 0 does. Oracle = brute-force
+      // all-pairs frame-aligned hamming count (recall exact below
+      // nBands per frame).
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.videoNearDups(
+        Multimodal.asMedia(slice.unionAll(edited), "doc_id", "text"),
+        maxHamming = 3, nBands = 4, minFrames = 3)
+    }),
+    "llm_video_probe" -> ((s, d) => {
+      import s.implicits._
+      // incremental video admission: the slice's FRAME TABLE stored (8
+      // bytes x 4 frames a row, payloads never re-read), the
+      // edited-clone shard probed against the read-back store — the
+      // llm_audio_probe discipline with the temporal matched-frame
+      // count as the admission criterion
+      val out = "target/gate_sink/video_frames_store"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      Multimodal.videoFrames(Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.videoNearDupsBetween(
+        Multimodal.asMedia(edited, "doc_id", "text"),
+        s.read.parquet(out), maxHamming = 3, nBands = 4, minFrames = 3)
+    }),
+    "llm_video_append" -> ((s, d) => {
+      import s.implicits._
+      // video-store MAINTENANCE: the frame table built in two
+      // generations (videoFrames over the new media IS the delta) —
+      // clones of EITHER generation must hit the read-back union; the
+      // llm_video_probe oracle (full-slice store) gates a lost append
+      val out = "target/gate_sink/video_frames_append"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val genA = slice.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 150)
+        .select($"doc_id", $"text")
+      val genB = slice.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 150)
+        .select($"doc_id", $"text")
+      Multimodal.videoFrames(Multimodal.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      Multimodal.videoFrames(Multimodal.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(out)
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.videoNearDupsBetween(
+        Multimodal.asMedia(edited, "doc_id", "text"),
+        s.read.parquet(out), maxHamming = 3, nBands = 4, minFrames = 3)
+    }),
+    "llm_video_delete" -> ((s, d) => {
+      import s.implicits._
+      // takedown on the video frame store: tombstoned ids purged AT
+      // READ (anti-join on doc_id — ALL of a video's frame rows go
+      // together), clones of purged videos ADMIT again, survivors'
+      // clones still bounce
+      val out = "target/gate_sink/video_frames_delete"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      Multimodal.videoFrames(Multimodal.asMedia(slice, "doc_id", "text"))
+        .write.mode("overwrite").parquet(out)
+      val tomb = slice.filter($"doc_id" % 5 === 1).select($"doc_id")
+      val purged = graft.operators.Dedup.storePurge(
+        s.read.parquet(out), "doc_id", tomb)
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.videoNearDupsBetween(
+        Multimodal.asMedia(edited, "doc_id", "text"),
+        purged, maxHamming = 3, nBands = 4, minFrames = 3)
+    }),
+    "llm_video_compact" -> ((s, d) => {
+      import s.implicits._
+      // video-store compaction — the family's lifecycle closed: two
+      // generations, the tombstones purged from the FILES via
+      // storeCompact, deltas consolidated, the clone shard probed
+      // against the compacted store (the llm_video_delete oracle)
+      val out = "target/gate_sink/video_frames_compact"
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val m = docs.agg(max($"doc_id").as("m"))
+      val slice = docs.crossJoin(broadcast(m))
+        .filter($"doc_id" > $"m" - 300 && length($"text") >= 400)
+        .select($"doc_id", $"text")
+      val genA = slice.crossJoin(broadcast(m)).filter($"doc_id" <= $"m" - 150)
+        .select($"doc_id", $"text")
+      val genB = slice.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 150)
+        .select($"doc_id", $"text")
+      Multimodal.videoFrames(Multimodal.asMedia(genA, "doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$out/store")
+      Multimodal.videoFrames(Multimodal.asMedia(genB, "doc_id", "text"))
+        .write.mode("append").parquet(s"$out/store")
+      val tomb = slice.filter($"doc_id" % 5 === 1).select($"doc_id")
+      val compacted = graft.operators.Dedup.storeCompact(
+        s.read.parquet(s"$out/store"), "doc_id", Some(tomb), s"$out/store_v2")
+      val edited = slice.select(($"doc_id" + 3000000).as("doc_id"),
+        concat(substring($"text", 1, 10), lit("QQQQ"),
+          expr("substring(text, 15)")).as("text"))
+      Multimodal.videoNearDupsBetween(
+        Multimodal.asMedia(edited, "doc_id", "text"),
+        compacted, maxHamming = 3, nBands = 4, minFrames = 3)
+    }),
     "llm_image_dups_capped" -> ((s, d) => {
       import s.implicits._
       // the hot-bucket guard GATED: the llm_image_dups fixture plus a
@@ -3879,6 +4053,9 @@ object LlmQueries {
     // compaction serves like the logical purge view
     "llm_audio_append" -> oracleBase("llm_audio_probe"),
     "llm_audio_compact" -> oracleBase("llm_audio_delete"),
+    // the video frame store's lifecycle gates on the same algebra
+    "llm_video_append" -> oracleBase("llm_video_probe"),
+    "llm_video_compact" -> oracleBase("llm_video_delete"),
     // the appended KN model must score exactly like one trained from
     // scratch on the unioned reference half (merge law) — the stored
     // gate's train-on-evens oracle replays it
@@ -4463,6 +4640,80 @@ object LlmQueries {
                  CAST(bit_count(xor(n.afp, c.afp)) AS INT) AS hamming
           FROM afp4 n JOIN afp4 c ON n.is_new = 1 AND c.is_new = 0
           WHERE bit_count(xor(n.afp, c.afp)) <= 3""",
+    // the video frame table: per-frame dHash over aligned hex slices
+    "llm_video_frames" ->
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          ${videoFpCtes("sl", "1")}
+          SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, fhash
+          FROM vfp1""",
+    // video near-dup pairs: brute-force all-pairs FRAME-ALIGNED
+    // hamming, count matched frames, keep pairs at >= 3 of 4 (recall
+    // exact below nBands per frame, so the banded operator equals this)
+    "llm_video_dups" ->
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text FROM sl
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15)
+                   FROM sl),
+          ${videoFpCtes("base", "2")}
+          SELECT id_a, id_b, n_frames_matched FROM (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_frames_matched
+            FROM vfp2 x JOIN vfp2 y
+              ON x.doc_id < y.doc_id AND x.frame_idx = y.frame_idx
+             AND bit_count(xor(x.fhash, y.fhash)) <= 3
+            GROUP BY x.doc_id, y.doc_id) q
+          WHERE n_frames_matched >= 3""",
+    // incremental video admission: cross-set frame-aligned pairs only
+    "llm_video_probe" ->
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text, 0 AS is_new FROM sl
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15),
+                          1
+                   FROM sl),
+          ${videoFpCtes("base", "3", carry = "is_new")}
+          SELECT id_new, id_corpus, n_frames_matched FROM (
+            SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+                   CAST(count(*) AS BIGINT) AS n_frames_matched
+            FROM vfp3 n JOIN vfp3 c
+              ON n.is_new = 1 AND c.is_new = 0
+             AND n.frame_idx = c.frame_idx
+             AND bit_count(xor(n.fhash, c.fhash)) <= 3
+            GROUP BY n.doc_id, c.doc_id) q
+          WHERE n_frames_matched >= 3""",
+    // video takedown: the probe with the STORE side restricted to the
+    // un-tombstoned corpus — purged videos' clones vanish, survivors'
+    // clones remain
+    "llm_video_delete" ->
+      s"""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          sl AS (SELECT doc_id, text FROM documents, m
+                 WHERE doc_id > mx - 300 AND length(text) >= 400),
+          base AS (SELECT doc_id, text, 0 AS is_new FROM sl
+                   WHERE doc_id % 5 <> 1
+                   UNION ALL
+                   SELECT doc_id + 3000000,
+                          substr(text, 1, 10) || 'QQQQ' || substr(text, 15),
+                          1
+                   FROM sl),
+          ${videoFpCtes("base", "4", carry = "is_new")}
+          SELECT id_new, id_corpus, n_frames_matched FROM (
+            SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+                   CAST(count(*) AS BIGINT) AS n_frames_matched
+            FROM vfp4 n JOIN vfp4 c
+              ON n.is_new = 1 AND c.is_new = 0
+             AND n.frame_idx = c.frame_idx
+             AND bit_count(xor(n.fhash, c.fhash)) <= 3
+            GROUP BY n.doc_id, c.doc_id) q
+          WHERE n_frames_matched >= 3""",
     // takedown: the llm_image_incr probe with the STORE side restricted
     // to the un-tombstoned corpus (doc_id % 5 <> 1) — purged originals'
     // clones vanish from the pair set, survivors' clones remain

@@ -2130,6 +2130,69 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("discount"))
   }
 
+  test("video frames: temporal locality, banded matched-count == brute force, minFrames gate, null edge") {
+    import spark.implicits._
+    val base = "The quick brown fox jumps over the lazy dog once more. " * 8
+    val docs = Seq(
+      (1L, base),
+      // same-length edit INSIDE frame 0 (bytes 10-13)
+      (2L, base.substring(0, 10) + "QQQQ" + base.substring(14)),
+      // same-length edit INSIDE frame 3 (bytes 400-409 of 448)
+      (3L, base.substring(0, 400) + "ZZZZZZZZZZ" + base.substring(410)),
+      (4L, "completely unrelated content that shares nothing at all here. " * 7))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val vf = Multimodal.videoFrames(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(vf.size == 16, "4 docs x 4 frames")
+    // temporal locality: an edit in one frame's byte range leaves every
+    // OTHER frame's hash bit-identical
+    for (f <- 1 to 3)
+      assert(vf((2L, f)) == vf((1L, f)), s"frame $f drifted under a frame-0 edit")
+    for (f <- 0 to 2)
+      assert(vf((3L, f)) == vf((1L, f)), s"frame $f drifted under a frame-3 edit")
+    // banded operator == brute-force frame-aligned matched-frame count
+    def brute(minFrames: Int): Set[(Long, Long, Long)] = {
+      val ids = Seq(1L, 2L, 3L, 4L)
+      (for {
+        a <- ids; b <- ids if a < b
+        n = (0 to 3).count(f =>
+          java.lang.Long.bitCount(vf((a, f)) ^ vf((b, f))) <= 3)
+        if n >= minFrames
+      } yield (a, b, n.toLong)).toSet
+    }
+    def banded(minFrames: Int) =
+      Multimodal.videoNearDups(media, minFrames = minFrames).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded(3) == brute(3), "minFrames=3 banded != brute")
+    assert(banded(1) == brute(1), "minFrames=1 banded != brute")
+    // the fixture's point: each clone matches its original on >= 3
+    // frames (the untouched ones at hamming 0)
+    assert(brute(3).exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(brute(3).exists { case (a, b, _) => a == 1L && b == 3L })
+    // probe form agrees with the self-join form on the same split
+    val store = Multimodal.videoFrames(
+      Multimodal.asMedia(docs.filter($"doc_id" === 1L), "doc_id", "text"))
+    val probed = Multimodal.videoNearDupsBetween(
+        Multimodal.asMedia(docs.filter($"doc_id" > 1L), "doc_id", "text"),
+        store, minFrames = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    assert(probed == brute(3).filter { case (a, _, _) => a == 1L }
+      .map { case (a, b, n) => (a, b, n) })
+    // null payload -> 0L per frame (the DHash64 convention, frame-wise)
+    val nullRows = Multimodal.videoFrames(Seq(
+        (9L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload"))
+      .collect()
+    assert(nullRows.length == 4 && nullRows.forall(r => r.getLong(2) == 0L))
+    // contract refusals
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDups(media, maxHamming = 4, nBands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDups(media, minFrames = 5)
+    }
+  }
+
   test("audio fingerprint: determinism, null/empty edges, edit locality, banded pairs == brute force") {
     import spark.implicits._
     val slice = docs.select($"doc_id", $"text")

@@ -236,6 +236,14 @@ class PlanSpec extends AnyFunSuite {
       "llm_audio_append", "e_sql_audio_append",
       "llm_audio_delete", "e_sql_audio_delete",
       "llm_audio_compact", "e_sql_audio_compact",
+      // the video family rides the same broadcast 1-row max-doc-id
+      // fixture bound; candidates join on the (frame, band) equi-keys
+      "llm_video_frames", "e_sql_video_frames",
+      "llm_video_dups", "e_sql_video_dups",
+      "llm_video_probe", "e_sql_video_probe",
+      "llm_video_append", "e_sql_video_append",
+      "llm_video_delete", "e_sql_video_delete",
+      "llm_video_compact", "e_sql_video_compact",
       "e_sql_image_clusters", "st_image_admission_append",
       "llm_pipeline8", "e_sql_pipeline8", "st_image_admission",
       // broadcast 1-row max-doc-id bound building the mixed-modality
