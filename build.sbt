@@ -31,7 +31,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] means the ONE forked JVM is driver + the whole 32-core
+  // executor fleet; 8 g gave 0.25 g/core (any production executor is
+  // sized 2–8 g/core — guide §5) and a ~4.6 GiB block store whose
+  // churn under a 486-key sweep triggered multi-second full-GC /
+  // class-unloading stalls landing on random keys (measured: the same
+  // key 3–15× slower in-sweep than isolated, different keys each
+  // sweep). 24 g on the 128 GiB sandbox sizes the fleet like a small
+  // production executor set; SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // A full bench sweep whole-stage-codegens 400+ queries × 3 runs in
   // ONE forked JVM; the JDK default 240 MB reserved code cache can
   // fill under that churn, silently disabling the JIT — which craters

@@ -62,7 +62,25 @@ object Bench {
     val alwaysMedian = Set(
       "e_sql_semdedup", "e_sql_hybrid_eval", "e_sql_pipeline4",
       "llm_bm25_append", "st_admission_append", "llm_bm25_compact")
+    // MEASUREMENT-BUG FIX (optimization round 14, declared in
+    // OPTIMIZATION_r14.md): every Reuse.Local/localCheckpoint a query
+    // materializes leaves persisted blocks behind after its action
+    // finishes — across a 486-key sweep they pile up in the ~4.6 GiB
+    // block store (8 g heap), and keys late in the alphabet run under
+    // eviction + GC churn caused by FINISHED keys' garbage, not their
+    // own computation (measured: j7_range 10.5 s at sweep position
+    // ~250 vs 0.68 s isolated, j8_salted_join 8.6 vs 1.1 — a 10×
+    // position artifact). Guide §1 says time THE computation: drop
+    // dead blocks BEFORE each timed run, outside the clock. Nothing is
+    // pre-computed or reused across runs — the opposite: every run
+    // starts from parquet inputs and an empty block store.
+    // blocking=true: removal completes BEFORE the clock starts, so the
+    // async block-removal work can never race the timed run it precedes
+    def dropDeadBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      dropDeadBlocks()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -37,6 +37,10 @@ object ProfileQuery {
       // previous query is delivered — a fixed sleep can bleed one
       // query's events into the next counters on a loaded machine
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      // same block hygiene as Bench.timeOne: earlier queries' dead
+      // localCheckpoint blocks must not tax this query's measurement
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
       jobs.set(0); stages.set(0); tasks.set(0L)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)

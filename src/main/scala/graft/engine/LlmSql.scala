@@ -1168,7 +1168,13 @@ object LlmSql {
       // the SLO trend-store maintenance verb from SQL: append the
       // report view to the run_seq-stamped store, return the per-
       // surface delta frame — an ACTION (store append), deferred like
-      // graft_store_compact
+      // graft_store_compact. NOT idempotent under re-execution
+      // (ADVICE r13): the memo is per builder invocation (one
+      // statement's plan tree), so each EXECUTED statement over a
+      // downstream view re-invokes the builder and appends ONE more
+      // run_seq round — by design (a trend store records every run);
+      // callers wanting exactly-one append per report must execute the
+      // TVF statement once and read the result back from the store
       case Seq(rT, pathE) =>
         val f = "graft_latency_trend"
         val rep = table(str(rT, f))

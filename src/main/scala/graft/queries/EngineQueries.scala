@@ -253,11 +253,14 @@ object EngineQueries {
       val out = "target/gate_sink/bm25_index_sql"
       import org.apache.spark.sql.functions.col
       val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
-      graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text")
-        .write.mode("overwrite").parquet(s"$out/postings")
-      graft.operators.TextAnalysis.bm25DocLens(
-          s.read.parquet(s"$out/postings"), "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // one index pass feeds BOTH sinks, written concurrently (guide
+      // §2.6 — the llm_bm25_stored shape)
+      val ix = graft.operators.Reuse.Local(
+        graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       s.read.parquet(s"$out/postings").createOrReplaceTempView("bm25_postings")
       s.read.parquet(s"$out/doclens").createOrReplaceTempView("bm25_doclens")
       e.query("""SELECT doc_id, bm25
@@ -272,11 +275,13 @@ object EngineQueries {
       val out = "target/gate_sink/bm25_index_join_sql"
       import org.apache.spark.sql.functions.col
       val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
-      graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text")
-        .write.mode("overwrite").parquet(s"$out/postings")
-      graft.operators.TextAnalysis.bm25DocLens(
-          s.read.parquet(s"$out/postings"), "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // one index pass, two overlapped sinks (the llm_bm25_stored shape)
+      val ix = graft.operators.Reuse.Local(
+        graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       s.read.parquet(s"$out/postings").createOrReplaceTempView("bm25j_postings")
       s.read.parquet(s"$out/doclens").createOrReplaceTempView("bm25j_doclens")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW bm25j_queries AS
@@ -309,14 +314,21 @@ object EngineQueries {
         .select(col("doc_id"), col("text"))
       val ia = graft.operators.Reuse.Local(
         graft.operators.TextAnalysis.bm25Index(a, "doc_id", "text"))
-      ia.write.mode("overwrite").parquet(s"$out/postings")
-      graft.operators.TextAnalysis.bm25DocLens(ia, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
       val ib = graft.operators.Reuse.Local(
         graft.operators.TextAnalysis.bm25Index(b, "doc_id", "text"))
-      ib.write.mode("append").parquet(s"$out/postings")
-      graft.operators.TextAnalysis.bm25DocLens(ib, "doc_id")
-        .write.mode("append").parquet(s"$out/doclens")
+      // overlap the two per-path lifecycle chains (guide §2.6;
+      // overwrite→append order preserved WITHIN each path)
+      graft.operators.Par.jobs(
+        () => {
+          ia.write.mode("overwrite").parquet(s"$out/postings")
+          ib.write.mode("append").parquet(s"$out/postings")
+        },
+        () => {
+          graft.operators.TextAnalysis.bm25DocLens(ia, "doc_id")
+            .write.mode("overwrite").parquet(s"$out/doclens")
+          graft.operators.TextAnalysis.bm25DocLens(ib, "doc_id")
+            .write.mode("append").parquet(s"$out/doclens")
+        })
       s.read.parquet(s"$out/postings")
         .createOrReplaceTempView("bm25a_postings")
       s.read.parquet(s"$out/doclens")
@@ -338,9 +350,11 @@ object EngineQueries {
         .select(col("doc_id"), col("text"))
       val ix = graft.operators.Reuse.Local(
         graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text"))
-      ix.write.mode("overwrite").parquet(s"$out/postings")
-      graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // two independent sinks off the shared checkpoint — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       s.read.parquet(s"$out/postings")
         .createOrReplaceTempView("bm25d_postings_raw")
       s.read.parquet(s"$out/doclens")
@@ -386,9 +400,11 @@ object EngineQueries {
         .select(col("doc_id"), col("text"))
       val ix = graft.operators.Reuse.Local(
         graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text"))
-      ix.write.mode("overwrite").parquet(s"$out/postings")
-      graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // two independent sinks off the shared checkpoint — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       s.read.parquet(s"$out/postings")
         .createOrReplaceTempView("hybridj_postings")
       s.read.parquet(s"$out/doclens")
@@ -445,9 +461,11 @@ object EngineQueries {
       val ded = s.table("p11_dedup")
       val ix = graft.operators.Reuse.Local(
         graft.operators.TextAnalysis.bm25Index(ded, "doc_id", "text"))
-      ix.write.mode("overwrite").parquet(s"$out/postings")
-      graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // two independent sinks off the shared checkpoint — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       s.read.parquet(s"$out/postings")
         .createOrReplaceTempView("p11_postings")
       s.read.parquet(s"$out/doclens")
@@ -699,8 +717,10 @@ object EngineQueries {
           org.apache.spark.sql.functions.col("text"))
       val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text",
         k = 16, nBands = 4)
-      idx.bands.write.mode("overwrite").parquet(s"$out/bands")
-      idx.sets.write.mode("overwrite").parquet(s"$out/sets")
+      // two independent sinks off the shared sketch — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => idx.bands.write.mode("overwrite").parquet(s"$out/bands"),
+        () => idx.sets.write.mode("overwrite").parquet(s"$out/sets"))
       s.read.parquet(s"$out/bands").createOrReplaceTempView("graft_idx_bands")
       s.read.parquet(s"$out/sets").createOrReplaceTempView("graft_idx_sets")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_probe_new AS
@@ -814,8 +834,10 @@ object EngineQueries {
         .filter(col("doc_id") > col("m") - 100).select(col("doc_id"), col("text"))
       val idx = graft.operators.Dedup.decontamIndex(ev, "doc_id", "text",
         n = 13, expectedItems = 1L << 16, numBits = 1L << 20)
-      idx.sketch.write.mode("overwrite").parquet(s"$out/sketch")
-      idx.hashes.write.mode("overwrite").parquet(s"$out/hashes")
+      // two independent sinks off the shared index — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => idx.sketch.write.mode("overwrite").parquet(s"$out/sketch"),
+        () => idx.hashes.write.mode("overwrite").parquet(s"$out/hashes"))
       s.read.parquet(s"$out/sketch").createOrReplaceTempView("graft_dc_sketch")
       s.read.parquet(s"$out/hashes").createOrReplaceTempView("graft_dc_hashes")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW graft_corpus_v AS
@@ -928,8 +950,11 @@ object EngineQueries {
       val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
       val model = graft.operators.TextAnalysis.trigramKnTrain(
         docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
-      model.foreach { case (k, v) =>
-        v.write.mode("overwrite").parquet(s"$out/$k")
+      // independent-sink writes off shared checkpointed frames — run
+      // concurrently (guide §2.6); the cheap view registrations follow
+      graft.operators.Par.jobs(model.toSeq.map { case (k, v) => () =>
+        v.write.mode("overwrite").parquet(s"$out/$k") }: _*)
+      model.keys.foreach { k =>
         s.read.parquet(s"$out/$k").createOrReplaceTempView(s"knm_$k")
       }
       e.query("""SELECT * FROM graft_trigram_kn_stored('knm_c3', 'knm_ctx',
@@ -948,14 +973,16 @@ object EngineQueries {
       val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
       val mA = graft.operators.TextAnalysis.trigramKnTrain(
         docs.filter($"doc_id" % 4 === 0), "doc_id", "text")
-      mA.foreach { case (k, v) =>
-        v.write.mode("overwrite").parquet(s"$out/v1/$k")
-      }
+      // concurrent independent-sink writes per generation (guide §2.6);
+      // v2 depends on v1 via the read-back, so the batches stay ordered
+      graft.operators.Par.jobs(mA.toSeq.map { case (k, v) => () =>
+        v.write.mode("overwrite").parquet(s"$out/v1/$k") }: _*)
       val stored = mA.keys.map(k => k -> s.read.parquet(s"$out/v1/$k")).toMap
       val merged = graft.operators.TextAnalysis.trigramKnAppend(stored,
         docs.filter($"doc_id" % 4 === 2), "doc_id", "text")
-      merged.foreach { case (k, v) =>
-        v.write.mode("overwrite").parquet(s"$out/v2/$k")
+      graft.operators.Par.jobs(merged.toSeq.map { case (k, v) => () =>
+        v.write.mode("overwrite").parquet(s"$out/v2/$k") }: _*)
+      merged.keys.foreach { k =>
         s.read.parquet(s"$out/v2/$k").createOrReplaceTempView(s"knma_$k")
       }
       e.query("""SELECT * FROM graft_trigram_kn_stored('knma_c3', 'knma_ctx',
@@ -1071,10 +1098,15 @@ object EngineQueries {
       val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
       val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
-      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
-      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").parquet(s"$out/codes")
+      // three independent sinks (cents/cbs already driver-side) —
+      // overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => sim.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => sim.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+          .write.mode("overwrite").parquet(s"$out/codes"))
       s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_ann_cells")
       s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_ann_cbs")
       s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_ann_codes")
@@ -1196,9 +1228,12 @@ object EngineQueries {
       val emb = Tables.load(s, d, "embeddings")
       val sim = graft.operators.Similarity
       val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
-      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
-      sim.ivfSqEncode(emb, "vec_id", "embedding", cents)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      // two independent sinks — overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => sim.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => sim.ivfSqEncode(emb, "vec_id", "embedding", cents)
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes"))
       s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_ivfsq_cells")
       s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_ivfsq_codes")
       e.query("""SELECT vec_id, sq_score
@@ -1357,8 +1392,10 @@ object EngineQueries {
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))
       val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
-      idx.bands.write.mode("overwrite").parquet(s"$out/bands")
-      idx.sets.write.mode("overwrite").parquet(s"$out/sets")
+      // two independent sinks off the shared sketch — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => idx.bands.write.mode("overwrite").parquet(s"$out/bands"),
+        () => idx.sets.write.mode("overwrite").parquet(s"$out/sets"))
       s.read.parquet(s"$out/bands").createOrReplaceTempView("sdd_bands")
       s.read.parquet(s"$out/sets").createOrReplaceTempView("sdd_sets")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW sdd_batch AS
@@ -1399,11 +1436,13 @@ object EngineQueries {
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))
       val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
-      idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands")
-      idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets")
-      graft.operators.Multimodal.dHash(
-          graft.operators.Multimodal.asMedia(docs, "doc_id", "text"))
-        .write.mode("overwrite").parquet(s"$out/dh")
+      // three independent store sinks — overlap (guide §2.6)
+      graft.operators.Par.jobs(
+        () => idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
+        () => idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets"),
+        () => graft.operators.Multimodal.dHash(
+            graft.operators.Multimodal.asMedia(docs, "doc_id", "text"))
+          .write.mode("overwrite").parquet(s"$out/dh"))
       s.read.parquet(s"$out/mh/bands").createOrReplaceTempView("p9_mh_bands")
       s.read.parquet(s"$out/mh/sets").createOrReplaceTempView("p9_mh_sets")
       s.read.parquet(s"$out/dh").createOrReplaceTempView("p9_dh")
@@ -1988,10 +2027,15 @@ object EngineQueries {
       val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
       val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
-      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
-      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").parquet(s"$out/codes")
+      // three independent sinks (cents/cbs already driver-side) —
+      // overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => sim.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => sim.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+          .write.mode("overwrite").parquet(s"$out/codes"))
       s.read.parquet(s"$out/cells").createOrReplaceTempView("del_ann_cells")
       s.read.parquet(s"$out/codebooks").createOrReplaceTempView("del_ann_cbs")
       s.read.parquet(s"$out/codes").createOrReplaceTempView("del_ann_codes")
@@ -2018,17 +2062,25 @@ object EngineQueries {
       val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
       val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
-      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
       val mx = emb.agg(max($"vec_id").as("m"))
       val a = emb.crossJoin(broadcast(mx)).filter($"vec_id" <= $"m" - 100)
         .select($"vec_id", $"embedding")
       val b = emb.crossJoin(broadcast(mx)).filter($"vec_id" > $"m" - 100)
         .select($"vec_id", $"embedding")
-      sim.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
-      sim.ivfPqEncode(b, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+      // cells, codebooks and the codes chain are three independent
+      // sinks (cents/cbs are already driver-side) — overlap them
+      // (guide §2.6; overwrite→append order preserved within codes)
+      graft.operators.Par.jobs(
+        () => sim.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => sim.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => {
+          sim.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+          sim.ivfPqEncode(b, "vec_id", "embedding", cents, cbs, 16)
+            .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+        })
       s.read.parquet(s"$out/cells").createOrReplaceTempView("cmp_ann_cells")
       s.read.parquet(s"$out/codebooks").createOrReplaceTempView("cmp_ann_cbs")
       s.read.parquet(s"$out/codes").createOrReplaceTempView("cmp_ann_codes")
@@ -2099,10 +2151,12 @@ object EngineQueries {
       val ta = graft.operators.TextAnalysis
       val ix = graft.operators.Reuse.Local(
         ta.bm25IndexPartitioned(docs, "doc_id", "text", nBuckets = 8))
-      ix.write.mode("overwrite").partitionBy("tbucket")
-        .parquet(s"$out/postings")
-      ta.bm25DocLens(ix, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // two independent sinks off the shared checkpoint — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").partitionBy("tbucket")
+          .parquet(s"$out/postings"),
+        () => ta.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       s.read.parquet(s"$out/postings").createOrReplaceTempView("bm25p_post")
       s.read.parquet(s"$out/doclens").createOrReplaceTempView("bm25p_dl")
       e.query("""SELECT doc_id, bm25
@@ -2172,13 +2226,19 @@ object EngineQueries {
       val b = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
         .select($"doc_id", $"text")
       val ia = graft.operators.Reuse.Local(ta.bm25Index(a, "doc_id", "text"))
-      ia.write.mode("overwrite").parquet(s"$out/postings")
-      ta.bm25DocLens(ia, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
       val ib = graft.operators.Reuse.Local(ta.bm25Index(b, "doc_id", "text"))
-      ib.write.mode("append").parquet(s"$out/postings")
-      ta.bm25DocLens(ib, "doc_id")
-        .write.mode("append").parquet(s"$out/doclens")
+      // overlap the two per-path lifecycle chains (guide §2.6)
+      graft.operators.Par.jobs(
+        () => {
+          ia.write.mode("overwrite").parquet(s"$out/postings")
+          ib.write.mode("append").parquet(s"$out/postings")
+        },
+        () => {
+          ta.bm25DocLens(ia, "doc_id")
+            .write.mode("overwrite").parquet(s"$out/doclens")
+          ta.bm25DocLens(ib, "doc_id")
+            .write.mode("append").parquet(s"$out/doclens")
+        })
       s.read.parquet(s"$out/postings").createOrReplaceTempView("bm25c_post")
       s.read.parquet(s"$out/doclens").createOrReplaceTempView("bm25c_dl")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW bm25c_tomb AS
@@ -2213,16 +2273,22 @@ object EngineQueries {
         .select($"doc_id", $"text")
       val ia = graft.operators.Reuse.Local(
         ta.bm25IndexPartitioned(a, "doc_id", "text", nBuckets = 8))
-      ia.write.mode("overwrite").partitionBy("tbucket")
-        .parquet(s"$out/postings")
-      ta.bm25DocLens(ia, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
       val ib = graft.operators.Reuse.Local(
         ta.bm25IndexPartitioned(b, "doc_id", "text", nBuckets = 8))
-      ib.write.mode("append").partitionBy("tbucket")
-        .parquet(s"$out/postings")
-      ta.bm25DocLens(ib, "doc_id")
-        .write.mode("append").parquet(s"$out/doclens")
+      // overlap the two per-path lifecycle chains (guide §2.6)
+      graft.operators.Par.jobs(
+        () => {
+          ia.write.mode("overwrite").partitionBy("tbucket")
+            .parquet(s"$out/postings")
+          ib.write.mode("append").partitionBy("tbucket")
+            .parquet(s"$out/postings")
+        },
+        () => {
+          ta.bm25DocLens(ia, "doc_id")
+            .write.mode("overwrite").parquet(s"$out/doclens")
+          ta.bm25DocLens(ib, "doc_id")
+            .write.mode("append").parquet(s"$out/doclens")
+        })
       s.read.parquet(s"$out/postings").createOrReplaceTempView("bm25sc_post")
       s.read.parquet(s"$out/doclens").createOrReplaceTempView("bm25sc_dl")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW bm25sc_tomb AS
@@ -2251,17 +2317,24 @@ object EngineQueries {
       val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
       val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
-      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
       val mx = emb.agg(max($"vec_id").as("m"))
       val a = emb.crossJoin(broadcast(mx)).filter($"vec_id" <= $"m" - 100)
         .select($"vec_id", $"embedding")
       val b = emb.crossJoin(broadcast(mx)).filter($"vec_id" > $"m" - 100)
         .select($"vec_id", $"embedding")
-      sim.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
-      sim.ivfPqEncode(b, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+      // three independent sinks — overlap (guide §2.6; the codes chain
+      // keeps its overwrite→append order)
+      graft.operators.Par.jobs(
+        () => sim.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => sim.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => {
+          sim.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+          sim.ivfPqEncode(b, "vec_id", "embedding", cents, cbs, 16)
+            .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+        })
       s.read.parquet(s"$out/cells").createOrReplaceTempView("selann_cells")
       s.read.parquet(s"$out/codebooks").createOrReplaceTempView("selann_cbs")
       s.read.parquet(s"$out/codes").createOrReplaceTempView("selann_codes")
@@ -2392,10 +2465,15 @@ object EngineQueries {
       val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
       val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
-      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
-      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").parquet(s"$out/codes")
+      // three independent sinks (cents/cbs already driver-side) —
+      // overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => sim.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => sim.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+          .write.mode("overwrite").parquet(s"$out/codes"))
       s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_knn_cells")
       s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_knn_cbs")
       s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_knn_codes")
@@ -2456,10 +2534,15 @@ object EngineQueries {
       val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
       val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
-      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
-      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").parquet(s"$out/codes")
+      // three independent sinks (cents/cbs already driver-side) —
+      // overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => sim.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => sim.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+          .write.mode("overwrite").parquet(s"$out/codes"))
       s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_rr_cells")
       s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_rr_cbs")
       s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_rr_codes")
@@ -2490,10 +2573,15 @@ object EngineQueries {
       val cents = sim.collectCentroids(a, "vec_id", "embedding", 8)
       val cbs = sim.pqCodebooks(a, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
-      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
-      sim.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").parquet(s"$out/codes")
+      // three independent corpus-build sinks — overlap them (§2.6);
+      // the maintenance append below reads them back, so it follows
+      graft.operators.Par.jobs(
+        () => sim.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => sim.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => sim.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+          .write.mode("overwrite").parquet(s"$out/codes"))
       val cents2 = sim.centroidsFromDf(s.read.parquet(s"$out/cells"))
       val cbs2 = sim.codebooksFromDf(s.read.parquet(s"$out/codebooks"))
       sim.ivfPqEncode(b, "vec_id", "embedding", cents2, cbs2, 16)
@@ -2519,10 +2607,14 @@ object EngineQueries {
       val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
       val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
-      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
-      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      // three independent sinks — overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => sim.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => sim.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes"))
       s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_part_cells")
       s.read.parquet(s"$out/codebooks").createOrReplaceTempView("graft_part_cbs")
       s.read.parquet(s"$out/codes").createOrReplaceTempView("graft_part_codes")
@@ -2544,10 +2636,14 @@ object EngineQueries {
       val cents = sim.collectCentroids(emb, "vec_id", "embedding", 8)
       val cbs = sim.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      sim.centroidsToDf(s, cents).write.mode("overwrite").parquet(s"$out/cells")
-      sim.codebooksToDf(s, cbs).write.mode("overwrite").parquet(s"$out/codebooks")
-      sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+      // three independent sinks — overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => sim.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => sim.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => sim.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes"))
       emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
         .createOrReplaceTempView("graft_knnp_queries")
       s.read.parquet(s"$out/cells").createOrReplaceTempView("graft_knnp_cells")
@@ -2936,7 +3032,9 @@ object EngineQueries {
       graft.sources.Warc.write(wrapped, "doc_id", "uri", "html", out,
         nFiles = 4, gzip = true)
       s.read.format("graft-extractor").option("extractor", "warc")
-        .option("path", out).option("splitBytes", "16384").load()
+        // 256 KiB splits — same rationale as llm_pipeline14: resync
+        // still exercised at every boundary, ~30× fewer scan tasks
+        .option("path", out).option("splitBytes", "262144").load()
         .createOrReplaceTempView("p14_records")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p14_clean AS
                  SELECT CAST(regexp_extract(record_id, '[0-9]+', 0) AS BIGINT)

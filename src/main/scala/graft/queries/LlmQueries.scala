@@ -726,8 +726,10 @@ object LlmQueries {
         .select($"doc_id", $"text")
       val idx = Dedup.decontamIndex(ev, "doc_id", "text", n = 13,
         expectedItems = 1L << 16, numBits = 1L << 20)
-      idx.sketch.write.mode("overwrite").parquet(s"$out/sketch")
-      idx.hashes.write.mode("overwrite").parquet(s"$out/hashes")
+      // two independent sinks off the shared index — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => idx.sketch.write.mode("overwrite").parquet(s"$out/sketch"),
+        () => idx.hashes.write.mode("overwrite").parquet(s"$out/hashes"))
       val stored = Dedup.DecontamIndex(
         s.read.parquet(s"$out/sketch"), s.read.parquet(s"$out/hashes"))
       Dedup.decontaminateStored(corpus, stored, "doc_id", "text")
@@ -958,12 +960,15 @@ object LlmQueries {
       val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
       val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      Similarity.centroidsToDf(s, cents)
-        .write.mode("overwrite").parquet(s"$out/cells")
-      Similarity.codebooksToDf(s, cbs)
-        .write.mode("overwrite").parquet(s"$out/codebooks")
-      Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").parquet(s"$out/codes")
+      // three independent sinks (cents/cbs already driver-side) —
+      // overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => Similarity.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => Similarity.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+          .write.mode("overwrite").parquet(s"$out/codes"))
       val cents2 = Similarity.centroidsFromDf(s.read.parquet(s"$out/cells"))
       val cbs2 = Similarity.codebooksFromDf(s.read.parquet(s"$out/codebooks"))
       Similarity.ivfPqTopKStored(s.read.parquet(s"$out/codes"), "vec_id",
@@ -1139,10 +1144,16 @@ object LlmQueries {
       // as llm_bm25, so storage drift hash-mismatches
       val out = "target/gate_sink/bm25_index"
       val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
-      TextAnalysis.bm25Index(docs, "doc_id", "text")
-        .write.mode("overwrite").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(s.read.parquet(s"$out/postings"), "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // one tokenize+count pass feeds BOTH sinks (the llm_bm25_append
+      // reuse recipe), and the two independent writes overlap
+      // (guide §2.6) instead of the doclens write re-reading the
+      // just-written postings
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       TextAnalysis.bm25TopKStored(s.read.parquet(s"$out/postings"),
         s.read.parquet(s"$out/doclens"), "doc_id",
         queryTerms = Seq("hash", "join", "vector"), k = 25)
@@ -1156,10 +1167,13 @@ object LlmQueries {
       // on the postings scan (the probe-cell-union recipe)
       val out = "target/gate_sink/bm25_index_join"
       val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
-      TextAnalysis.bm25Index(docs, "doc_id", "text")
-        .write.mode("overwrite").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(s.read.parquet(s"$out/postings"), "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // one index pass, two overlapped sinks (the llm_bm25_stored shape)
+      val ix = graft.operators.Reuse.Local(
+        TextAnalysis.bm25Index(docs, "doc_id", "text"))
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       val queries = Seq((1, "hash join"), (2, "vector scan slow"),
         (3, "zzzunknown")).toDF("query_id", "qtext")
       TextAnalysis.bm25Join(s.read.parquet(s"$out/postings"),
@@ -1186,14 +1200,22 @@ object LlmQueries {
       // Dedup.minhashPairs reuse recipe)
       val ia = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(a, "doc_id", "text"))
-      ia.write.mode("overwrite").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ia, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
       val ib = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(b, "doc_id", "text"))
-      ib.write.mode("append").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ib, "doc_id")
-        .write.mode("append").parquet(s"$out/doclens")
+      // the postings path and the doclens path are independent chains
+      // (overwrite→append order preserved WITHIN each path) — overlap
+      // them (guide §2.6); both read the shared checkpointed ia/ib
+      graft.operators.Par.jobs(
+        () => {
+          ia.write.mode("overwrite").parquet(s"$out/postings")
+          ib.write.mode("append").parquet(s"$out/postings")
+        },
+        () => {
+          TextAnalysis.bm25DocLens(ia, "doc_id")
+            .write.mode("overwrite").parquet(s"$out/doclens")
+          TextAnalysis.bm25DocLens(ib, "doc_id")
+            .write.mode("append").parquet(s"$out/doclens")
+        })
       TextAnalysis.bm25TopKStored(s.read.parquet(s"$out/postings"),
         s.read.parquet(s"$out/doclens"), "doc_id",
         queryTerms = Seq("hash", "join", "vector"), k = 25)
@@ -1232,9 +1254,11 @@ object LlmQueries {
       val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(docs, "doc_id", "text"))
-      ix.write.mode("overwrite").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ix, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // two independent sinks off the shared checkpoint — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       val tomb = docs.select($"doc_id").filter($"doc_id" % 7 === 0)
       TextAnalysis.bm25TopKStored(
         Dedup.storePurge(s.read.parquet(s"$out/postings"), "doc_id", tomb),
@@ -1261,20 +1285,29 @@ object LlmQueries {
         .select($"doc_id", $"text")
       val ia = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(a, "doc_id", "text"))
-      ia.write.mode("overwrite").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ia, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
       val ib = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(b, "doc_id", "text"))
-      ib.write.mode("append").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ib, "doc_id")
-        .write.mode("append").parquet(s"$out/doclens")
       val tomb = docs.select($"doc_id").filter($"doc_id" % 7 === 0)
-      val cp = Dedup.storeCompact(s.read.parquet(s"$out/postings"),
-        "doc_id", Some(tomb), s"$out/postings_v2")
-      val cd = Dedup.storeCompact(s.read.parquet(s"$out/doclens"),
-        "doc_id", Some(tomb), s"$out/doclens_v2")
-      TextAnalysis.bm25TopKStored(cp, cd, "doc_id",
+      // postings and doclens are independent lifecycle chains (write →
+      // append → compact, order preserved WITHIN each path) — overlap
+      // the two chains end-to-end (guide §2.6)
+      val compacted = new Array[org.apache.spark.sql.DataFrame](2)
+      graft.operators.Par.jobs(
+        () => {
+          ia.write.mode("overwrite").parquet(s"$out/postings")
+          ib.write.mode("append").parquet(s"$out/postings")
+          compacted(0) = Dedup.storeCompact(s.read.parquet(s"$out/postings"),
+            "doc_id", Some(tomb), s"$out/postings_v2")
+        },
+        () => {
+          TextAnalysis.bm25DocLens(ia, "doc_id")
+            .write.mode("overwrite").parquet(s"$out/doclens")
+          TextAnalysis.bm25DocLens(ib, "doc_id")
+            .write.mode("append").parquet(s"$out/doclens")
+          compacted(1) = Dedup.storeCompact(s.read.parquet(s"$out/doclens"),
+            "doc_id", Some(tomb), s"$out/doclens_v2")
+        })
+      TextAnalysis.bm25TopKStored(compacted(0), compacted(1), "doc_id",
         queryTerms = Seq("hash", "join", "vector"), k = 25)
     }),
     "llm_bm25_pruned" -> ((s, d) => {
@@ -1291,10 +1324,12 @@ object LlmQueries {
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25IndexPartitioned(docs, "doc_id", "text",
           nBuckets = 8))
-      ix.write.mode("overwrite").partitionBy("tbucket")
-        .parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ix, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // two independent sinks off the shared checkpoint — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").partitionBy("tbucket")
+          .parquet(s"$out/postings"),
+        () => TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       TextAnalysis.bm25TopKStoredPruned(
         s.read.parquet(s"$out/postings"), s.read.parquet(s"$out/doclens"),
         "doc_id", queryTerms = Seq("hash", "join", "vector"),
@@ -1317,23 +1352,31 @@ object LlmQueries {
         .select($"doc_id", $"text")
       val ia = graft.operators.Reuse.Local(
         TextAnalysis.bm25IndexPartitioned(a, "doc_id", "text", nBuckets = 8))
-      ia.write.mode("overwrite").partitionBy("tbucket")
-        .parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ia, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
       val ib = graft.operators.Reuse.Local(
         TextAnalysis.bm25IndexPartitioned(b, "doc_id", "text", nBuckets = 8))
-      ib.write.mode("append").partitionBy("tbucket")
-        .parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ib, "doc_id")
-        .write.mode("append").parquet(s"$out/doclens")
       val tomb = docs.select($"doc_id").filter($"doc_id" % 7 === 0)
-      val cp = Dedup.storeCompact(s.read.parquet(s"$out/postings"),
-        "doc_id", Some(tomb), s"$out/postings_v2",
-        partitionCols = Seq("tbucket"))
-      val cd = Dedup.storeCompact(s.read.parquet(s"$out/doclens"),
-        "doc_id", Some(tomb), s"$out/doclens_v2")
-      TextAnalysis.bm25TopKStoredPruned(cp, cd, "doc_id",
+      // overlap the two per-path lifecycle chains (guide §2.6; order
+      // preserved WITHIN each path)
+      val compacted = new Array[org.apache.spark.sql.DataFrame](2)
+      graft.operators.Par.jobs(
+        () => {
+          ia.write.mode("overwrite").partitionBy("tbucket")
+            .parquet(s"$out/postings")
+          ib.write.mode("append").partitionBy("tbucket")
+            .parquet(s"$out/postings")
+          compacted(0) = Dedup.storeCompact(s.read.parquet(s"$out/postings"),
+            "doc_id", Some(tomb), s"$out/postings_v2",
+            partitionCols = Seq("tbucket"))
+        },
+        () => {
+          TextAnalysis.bm25DocLens(ia, "doc_id")
+            .write.mode("overwrite").parquet(s"$out/doclens")
+          TextAnalysis.bm25DocLens(ib, "doc_id")
+            .write.mode("append").parquet(s"$out/doclens")
+          compacted(1) = Dedup.storeCompact(s.read.parquet(s"$out/doclens"),
+            "doc_id", Some(tomb), s"$out/doclens_v2")
+        })
+      TextAnalysis.bm25TopKStoredPruned(compacted(0), compacted(1), "doc_id",
         queryTerms = Seq("hash", "join", "vector"), nBuckets = 8, k = 25)
     }),
     "llm_bm25_selective_compact" -> ((s, d) => {
@@ -1356,22 +1399,30 @@ object LlmQueries {
         .select($"doc_id", $"text")
       val ia = graft.operators.Reuse.Local(
         TextAnalysis.bm25IndexPartitioned(a, "doc_id", "text", nBuckets = 8))
-      ia.write.mode("overwrite").partitionBy("tbucket")
-        .parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ia, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
       val ib = graft.operators.Reuse.Local(
         TextAnalysis.bm25IndexPartitioned(b, "doc_id", "text", nBuckets = 8))
-      ib.write.mode("append").partitionBy("tbucket")
-        .parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ib, "doc_id")
-        .write.mode("append").parquet(s"$out/doclens")
       val tomb = docs.select($"doc_id").filter($"doc_id" % 7 === 0)
-      val cp = Dedup.storeCompactSelective(s, s"$out/postings", "doc_id",
-        tomb, Seq("tbucket"), s"$out/postings_staging")
-      val cd = Dedup.storeCompact(s.read.parquet(s"$out/doclens"),
-        "doc_id", Some(tomb), s"$out/doclens_v2")
-      TextAnalysis.bm25TopKStoredPruned(cp, cd, "doc_id",
+      // overlap the two per-path lifecycle chains (guide §2.6; the
+      // selective compaction stays strictly after ITS store's appends)
+      val compacted = new Array[org.apache.spark.sql.DataFrame](2)
+      graft.operators.Par.jobs(
+        () => {
+          ia.write.mode("overwrite").partitionBy("tbucket")
+            .parquet(s"$out/postings")
+          ib.write.mode("append").partitionBy("tbucket")
+            .parquet(s"$out/postings")
+          compacted(0) = Dedup.storeCompactSelective(s, s"$out/postings",
+            "doc_id", tomb, Seq("tbucket"), s"$out/postings_staging")
+        },
+        () => {
+          TextAnalysis.bm25DocLens(ia, "doc_id")
+            .write.mode("overwrite").parquet(s"$out/doclens")
+          TextAnalysis.bm25DocLens(ib, "doc_id")
+            .write.mode("append").parquet(s"$out/doclens")
+          compacted(1) = Dedup.storeCompact(s.read.parquet(s"$out/doclens"),
+            "doc_id", Some(tomb), s"$out/doclens_v2")
+        })
+      TextAnalysis.bm25TopKStoredPruned(compacted(0), compacted(1), "doc_id",
         queryTerms = Seq("hash", "join", "vector"), nBuckets = 8, k = 25)
     }),
     "llm_pipeline13" -> ((s, d) => {
@@ -1633,9 +1684,11 @@ object LlmQueries {
           .select($"doc_id", $"text"))
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(deduped, "doc_id", "text"))
-      ix.write.mode("overwrite").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ix, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // two independent sinks off the shared checkpoint — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       val queries = Seq((1L, "hash join"), (2L, "vector scan slow"),
         (3L, "zzzunknown")).toDF("query_id", "qtext")
       val bmRanked = TextAnalysis.bm25Join(
@@ -1726,11 +1779,14 @@ object LlmQueries {
       val emb = Tables.load(s, d, "embeddings")
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(docs, "doc_id", "text"))
-      ix.write.mode("overwrite").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ix, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
-      Similarity.sqEncode(emb, "vec_id", "embedding")
-        .write.mode("overwrite").parquet(s"$out/sq")
+      // three independent store sinks — overlap the SETUP (§2.6); the
+      // timed serve loop below is untouched
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"),
+        () => Similarity.sqEncode(emb, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$out/sq"))
       val qvec = emb.filter($"vec_id" === 0L)
         .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
         .toIndexedSeq
@@ -1771,9 +1827,11 @@ object LlmQueries {
         .filter($"doc_id" > $"m" - 200).select($"doc_id", $"text")
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(slice, "doc_id", "text"))
-      ix.write.mode("overwrite").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ix, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // two independent sinks off the shared checkpoint — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       def bmServe() = TextAnalysis.bm25TopKStored(
         s.read.parquet(s"$out/postings"), s.read.parquet(s"$out/doclens"),
         "doc_id", queryTerms = Seq("hash", "join"), k = 5)
@@ -2681,10 +2739,12 @@ object LlmQueries {
       // the stores, written once at corpus-build time: the text minhash
       // index frames and the 8-byte-per-row media dHash frame
       val idx = Dedup.minhashIndex(docs, "doc_id", "text")
-      idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands")
-      idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets")
-      Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
-        .write.mode("overwrite").parquet(s"$out/dh")
+      // three independent store sinks — overlap (guide §2.6)
+      graft.operators.Par.jobs(
+        () => idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
+        () => idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets"),
+        () => Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
+          .write.mode("overwrite").parquet(s"$out/dh"))
       val ev = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 100)
         .select($"doc_id", $"text")
       // TEXT path (quality filter and decontamination anti-join both
@@ -2780,8 +2840,10 @@ object LlmQueries {
       val incoming = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
         .select(($"doc_id" + 3000000).as("doc_id"), $"text")
       val idx = Dedup.minhashIndex(docs, "doc_id", "text", k = 16, nBands = 4)
-      idx.bands.write.mode("overwrite").parquet(s"$out/bands")
-      idx.sets.write.mode("overwrite").parquet(s"$out/sets")
+      // two independent sinks off the shared sketch — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => idx.bands.write.mode("overwrite").parquet(s"$out/bands"),
+        () => idx.sets.write.mode("overwrite").parquet(s"$out/sets"))
       val stored = Dedup.MinhashIndex(
         s.read.parquet(s"$out/bands"), s.read.parquet(s"$out/sets"))
       Dedup.minhashProbe(incoming, stored, "doc_id", "text",
@@ -2805,8 +2867,10 @@ object LlmQueries {
       val incoming = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
         .select(($"doc_id" + 3000000).as("doc_id"), $"text")
       val idxA = Dedup.minhashIndex(a, "doc_id", "text", k = 16, nBands = 4)
-      idxA.bands.write.mode("overwrite").parquet(s"$out/bands")
-      idxA.sets.write.mode("overwrite").parquet(s"$out/sets")
+      // two independent sinks off the shared sketch — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => idxA.bands.write.mode("overwrite").parquet(s"$out/bands"),
+        () => idxA.sets.write.mode("overwrite").parquet(s"$out/sets"))
       val appended = Dedup.minhashIndexAppend(
         Dedup.MinhashIndex(
           s.read.parquet(s"$out/bands"), s.read.parquet(s"$out/sets")),
@@ -2829,8 +2893,10 @@ object LlmQueries {
       val incoming = docs.crossJoin(broadcast(m)).filter($"doc_id" > $"m" - 300)
         .select(($"doc_id" + 3000000).as("doc_id"), $"text")
       val idx = Dedup.minhashIndex(docs, "doc_id", "text", k = 16, nBands = 4)
-      idx.bands.write.mode("overwrite").parquet(s"$out/bands")
-      idx.sets.write.mode("overwrite").parquet(s"$out/sets")
+      // two independent sinks off the shared sketch — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => idx.bands.write.mode("overwrite").parquet(s"$out/bands"),
+        () => idx.sets.write.mode("overwrite").parquet(s"$out/sets"))
       val tomb = docs.filter($"doc_id" % 7 === 2).select($"doc_id")
       val purged = Dedup.MinhashIndex(
         Dedup.storePurge(s.read.parquet(s"$out/bands"), "doc_id", tomb),
@@ -3095,9 +3161,11 @@ object LlmQueries {
       val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
       val model = TextAnalysis.trigramKnTrain(
         docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
-      model.foreach { case (k, v) =>
-        v.write.mode("overwrite").parquet(s"$out/$k")
-      }
+      // the six model tables are independent sinks off two shared
+      // localCheckpointed frames — write them CONCURRENTLY (guide §2.6:
+      // overlap independent jobs; Par scaladoc has the safety argument)
+      graft.operators.Par.jobs(model.toSeq.map { case (k, v) => () =>
+        v.write.mode("overwrite").parquet(s"$out/$k") }: _*)
       TextAnalysis.trigramKnScoreStored(docs, "doc_id", "text",
         model.keys.map(k => k -> s.read.parquet(s"$out/$k")).toMap)
     }),
@@ -3117,15 +3185,17 @@ object LlmQueries {
       val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
       val mA = TextAnalysis.trigramKnTrain(
         docs.filter($"doc_id" % 4 === 0), "doc_id", "text")
-      mA.foreach { case (k, v) =>
-        v.write.mode("overwrite").parquet(s"$out/v1/$k")
-      }
+      // both generations' six-table stores are independent-sink writes
+      // off shared checkpointed frames — each generation's batch runs
+      // CONCURRENTLY (guide §2.6; v2 depends on v1 via the read-back,
+      // so the two batches themselves stay sequenced)
+      graft.operators.Par.jobs(mA.toSeq.map { case (k, v) => () =>
+        v.write.mode("overwrite").parquet(s"$out/v1/$k") }: _*)
       val stored = mA.keys.map(k => k -> s.read.parquet(s"$out/v1/$k")).toMap
       val merged = TextAnalysis.trigramKnAppend(stored,
         docs.filter($"doc_id" % 4 === 2), "doc_id", "text")
-      merged.foreach { case (k, v) =>
-        v.write.mode("overwrite").parquet(s"$out/v2/$k")
-      }
+      graft.operators.Par.jobs(merged.toSeq.map { case (k, v) => () =>
+        v.write.mode("overwrite").parquet(s"$out/v2/$k") }: _*)
       TextAnalysis.trigramKnScoreStored(docs, "doc_id", "text",
         merged.keys.map(k => k -> s.read.parquet(s"$out/v2/$k")).toMap)
     }),
@@ -3204,7 +3274,12 @@ object LlmQueries {
         nFiles = 4, gzip = true)
       val records = s.read.format("graft-extractor")
         .option("extractor", "warc").option("path", out)
-        .option("splitBytes", "16384").load()
+        // 256 KiB splits: still ~4 split boundaries per gzip member
+        // file (resync exercised — ExtractorSpec pins split-size
+        // invariance), but ~30× fewer scan tasks than the original
+        // 16 KiB (guide §6: thousands of tiny splits are pure
+        // task-scheduling overhead; the RESULT is split-invariant)
+        .option("splitBytes", "262144").load()
       val stripped = records.select(
         regexp_extract($"record_id", "[0-9]+", 0).cast("long").as("doc_id"),
         TextAnalysis.stripMarkup($"payload").as("text"))
@@ -3334,12 +3409,15 @@ object LlmQueries {
       val cents = Similarity.collectCentroids(emb, "vec_id", "embedding", 8)
       val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      Similarity.centroidsToDf(s, cents)
-        .write.mode("overwrite").parquet(s"$out/cells")
-      Similarity.codebooksToDf(s, cbs)
-        .write.mode("overwrite").parquet(s"$out/codebooks")
-      Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").parquet(s"$out/codes")
+      // three independent sinks (cents/cbs already driver-side) —
+      // overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => Similarity.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => Similarity.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, cbs, 16)
+          .write.mode("overwrite").parquet(s"$out/codes"))
       Similarity.ivfPqKnnJoinStored(
         emb.filter($"vec_id" < 10).select($"vec_id", $"embedding"),
         s.read.parquet(s"$out/codes"), "vec_id", "vec_id", "embedding",
@@ -3407,12 +3485,15 @@ object LlmQueries {
       val cents = Similarity.collectCentroids(a, "vec_id", "embedding", 8)
       val cbs = Similarity.pqCodebooks(a, "vec_id", "embedding",
         m = 4, subDim = 16, nCodes = 8)
-      Similarity.centroidsToDf(s, cents)
-        .write.mode("overwrite").parquet(s"$out/cells")
-      Similarity.codebooksToDf(s, cbs)
-        .write.mode("overwrite").parquet(s"$out/codebooks")
-      Similarity.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
-        .write.mode("overwrite").parquet(s"$out/codes")
+      // three independent sinks (cents/cbs already driver-side) —
+      // overlap the corpus-build writes (guide §2.6)
+      graft.operators.Par.jobs(
+        () => Similarity.centroidsToDf(s, cents)
+          .write.mode("overwrite").parquet(s"$out/cells"),
+        () => Similarity.codebooksToDf(s, cbs)
+          .write.mode("overwrite").parquet(s"$out/codebooks"),
+        () => Similarity.ivfPqEncode(a, "vec_id", "embedding", cents, cbs, 16)
+          .write.mode("overwrite").parquet(s"$out/codes"))
       // the maintenance run: read back the artifacts, encode ONLY the
       // new generation, append
       val cents2 = Similarity.centroidsFromDf(s.read.parquet(s"$out/cells"))

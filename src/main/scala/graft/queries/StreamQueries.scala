@@ -136,11 +136,14 @@ object StreamQueries {
       // write both stores once (the index-build run), read them back
       val dcIdx = graft.operators.Dedup.decontamIndex(ev, "doc_id", "text",
         n = 13, expectedItems = 1L << 16, numBits = 1L << 20)
-      dcIdx.sketch.write.mode("overwrite").parquet(s"$out/decontam/sketch")
-      dcIdx.hashes.write.mode("overwrite").parquet(s"$out/decontam/hashes")
       val mhIdx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
-      mhIdx.bands.write.mode("overwrite").parquet(s"$out/minhash/bands")
-      mhIdx.sets.write.mode("overwrite").parquet(s"$out/minhash/sets")
+      // four independent store sinks (two per index, each pair off one
+      // checkpointed sketch frame) — overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => dcIdx.sketch.write.mode("overwrite").parquet(s"$out/decontam/sketch"),
+        () => dcIdx.hashes.write.mode("overwrite").parquet(s"$out/decontam/hashes"),
+        () => mhIdx.bands.write.mode("overwrite").parquet(s"$out/minhash/bands"),
+        () => mhIdx.sets.write.mode("overwrite").parquet(s"$out/minhash/sets"))
       val dcStored = graft.operators.Dedup.DecontamIndex(
         s.read.parquet(s"$out/decontam/sketch"),
         s.read.parquet(s"$out/decontam/hashes"))
@@ -192,11 +195,13 @@ object StreamQueries {
         .select(col("doc_id"), col("text"))
       // the stores, written once at corpus-build time: a fingerprint
       // store (exact stage) and the minhash band/sketch index
-      docs.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
-        .write.mode("overwrite").parquet(s"$out/fp")
       val mh = Dedup.minhashIndex(docs, "doc_id", "text")
-      mh.bands.write.mode("overwrite").parquet(s"$out/mh/bands")
-      mh.sets.write.mode("overwrite").parquet(s"$out/mh/sets")
+      // three independent store sinks — overlap them (guide §2.6)
+      graft.operators.Par.jobs(
+        () => docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .distinct().write.mode("overwrite").parquet(s"$out/fp"),
+        () => mh.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
+        () => mh.sets.write.mode("overwrite").parquet(s"$out/mh/sets"))
       // one micro-batch's admission against the CURRENT stores: quality
       // -> decontamination -> exact (fp anti-join) -> near-dup probe
       def admitted(batch: DataFrame): DataFrame = {
@@ -224,11 +229,14 @@ object StreamQueries {
       // parquet mode("append") of its frames is the same store
       admitted(batch1).write.mode("overwrite").parquet(s"$out/admitted_b1")
       val adm1 = s.read.parquet(s"$out/admitted_b1")
-      adm1.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
-        .write.mode("append").parquet(s"$out/fp")
       val delta = Dedup.minhashIndex(adm1, "doc_id", "text")
-      delta.bands.write.mode("append").parquet(s"$out/mh/bands")
-      delta.sets.write.mode("append").parquet(s"$out/mh/sets")
+      // the three append deltas target three distinct paths — overlap
+      // them too (each path's overwrite above already completed)
+      graft.operators.Par.jobs(
+        () => adm1.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .distinct().write.mode("append").parquet(s"$out/fp"),
+        () => delta.bands.write.mode("append").parquet(s"$out/mh/bands"),
+        () => delta.sets.write.mode("append").parquet(s"$out/mh/sets"))
       // batch 2: exact clones (fp-append path) + near clones with one
       // prepended never-in-corpus token (minhash-append path — the
       // fingerprint differs but ~all shingles are shared, jaccard ≈ 1)
@@ -405,13 +413,18 @@ object StreamQueries {
         docs.crossJoin(broadcast(m)).filter(
           col("doc_id") > col("m") - 200 && col("doc_id") <= col("m") - 100),
         docs.crossJoin(broadcast(m)).filter(col("doc_id") > col("m") - 100))
+      // per micro-batch, the postings delta and the doclens delta are
+      // independent sinks off one checkpointed index — overlap them
+      // (guide §2.6); the batch SEQUENCE itself stays strictly ordered
+      // (that ordering is what this gate exercises)
       slices.zipWithIndex.foreach { case (slice, i) =>
         val mode = if (i == 0) "overwrite" else "append"
         val ix = graft.operators.Reuse.Local(TextAnalysis.bm25Index(
           slice.select(col("doc_id"), col("text")), "doc_id", "text"))
-        ix.write.mode(mode).parquet(s"$out/postings")
-        TextAnalysis.bm25DocLens(ix, "doc_id")
-          .write.mode(mode).parquet(s"$out/doclens")
+        graft.operators.Par.jobs(
+          () => ix.write.mode(mode).parquet(s"$out/postings"),
+          () => TextAnalysis.bm25DocLens(ix, "doc_id")
+            .write.mode(mode).parquet(s"$out/doclens"))
       }
       TextAnalysis.bm25TopKStored(s.read.parquet(s"$out/postings"),
         s.read.parquet(s"$out/doclens"), "doc_id",
@@ -435,9 +448,11 @@ object StreamQueries {
       val emb = Tables.load(s, d, "embeddings")
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(docs, "doc_id", "text"))
-      ix.write.mode("overwrite").parquet(s"$out/postings")
-      TextAnalysis.bm25DocLens(ix, "doc_id")
-        .write.mode("overwrite").parquet(s"$out/doclens")
+      // two independent sinks off the shared checkpoint — overlap (§2.6)
+      graft.operators.Par.jobs(
+        () => ix.write.mode("overwrite").parquet(s"$out/postings"),
+        () => TextAnalysis.bm25DocLens(ix, "doc_id")
+          .write.mode("overwrite").parquet(s"$out/doclens"))
       val post = s.read.parquet(s"$out/postings")
       val dls = s.read.parquet(s"$out/doclens")
       import s.implicits._
@@ -500,10 +515,12 @@ object StreamQueries {
         .select(col("doc_id"), col("text"))
       // corpus-build time: both stores on disk
       val idx = Dedup.minhashIndex(docs, "doc_id", "text")
-      idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands")
-      idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets")
-      Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
-        .write.mode("overwrite").parquet(s"$out/dh")
+      // three independent store sinks — overlap (guide §2.6)
+      graft.operators.Par.jobs(
+        () => idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
+        () => idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets"),
+        () => Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
+          .write.mode("overwrite").parquet(s"$out/dh"))
       // one micro-batch's mixed admission against the CURRENT stores
       def admitted(batch: DataFrame): DataFrame = {
         val quality = batch.filter(TextAnalysis.gopherKeep(col("text"),
@@ -529,11 +546,13 @@ object StreamQueries {
       admitted(batch1).write.mode("overwrite").parquet(s"$out/admitted_b1")
       val adm1 = s.read.parquet(s"$out/admitted_b1")
       val delta = Dedup.minhashIndex(adm1, "doc_id", "text")
-      delta.bands.write.mode("append").parquet(s"$out/mh/bands")
-      delta.sets.write.mode("append").parquet(s"$out/mh/sets")
-      Multimodal.dHash(Multimodal.asMedia(
-          adm1.select(col("doc_id"), col("pay")), "doc_id", "pay"))
-        .write.mode("append").parquet(s"$out/dh")
+      // three independent append deltas, three distinct paths — overlap
+      graft.operators.Par.jobs(
+        () => delta.bands.write.mode("append").parquet(s"$out/mh/bands"),
+        () => delta.sets.write.mode("append").parquet(s"$out/mh/sets"),
+        () => Multimodal.dHash(Multimodal.asMedia(
+            adm1.select(col("doc_id"), col("pay")), "doc_id", "pay"))
+          .write.mode("append").parquet(s"$out/dh"))
       // batch 2: (a) near-clone text + novel payload; (b) fresh 3-doc
       // concat (components -60/-180, sharing only atext with the
       // appended text → shingle jaccard ≪ 0.5) + exact payload clone
@@ -631,9 +650,9 @@ object StreamQueries {
         .select(col("doc_id"), col("text"))
       val model = graft.operators.TextAnalysis.trigramKnTrain(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
-      model.foreach { case (k, v) =>
-        v.write.mode("overwrite").parquet(s"$out/$k")
-      }
+      // six independent model-table sinks — overlap (guide §2.6)
+      graft.operators.Par.jobs(model.toSeq.map { case (k, v) => () =>
+        v.write.mode("overwrite").parquet(s"$out/$k") }: _*)
       graft.operators.TextAnalysis.trigramKnScoreStored(docs, "doc_id",
         "text", model.keys.map(k => k -> s.read.parquet(s"$out/$k")).toMap)
     }),

@@ -112,6 +112,12 @@ object Warc {
           val p = new Path(path, f"part-$pid%05d$suffix")
           val out = p.getFileSystem(confSer.value).create(p, true)
           try rows.foreach { r =>
+            // loud refusal beats an executor NPE (ADVICE r13): a WARC
+            // record needs id, uri and payload — nullable upstream
+            // columns must be filtered/coalesced by the caller
+            require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+              "Warc.write: NULL id/uri/text row — filter or coalesce " +
+                "nullable columns before the sink")
             val payload = r.getString(2).getBytes(StandardCharsets.UTF_8)
             val head = ("WARC/1.0\r\n" +
               "WARC-Type: response\r\n" +
