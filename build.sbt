@@ -46,4 +46,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the driver-side analysis path (spark.sql keys) while DataFrame
   // twins stay flat (BASELINE.md round-12 façade adjudication).
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // opt-in GC diagnostics for bench-noise adjudication (unset = off):
+  // SPARK_GC_LOG=<path> writes one line per pause so multi-second
+  // in-sweep spikes can be attributed to (or cleared of) GC
+  sys.env.get("SPARK_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq
