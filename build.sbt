@@ -38,8 +38,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // class-unloading stalls landing on random keys (measured: the same
   // key 3–15× slower in-sweep than isolated, different keys each
   // sweep). 24 g on the 128 GiB sandbox sizes the fleet like a small
-  // production executor set; SPARK_DRIVER_MEM still overrides.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // production executor set; SPARK_DRIVER_MEM still overrides. The
+  // default degrades gracefully on smaller hosts (VERDICT r14 #8):
+  // min(24 g, ~1/4 of physical RAM, floor 2 g), so an env-free
+  // `sbt "runMain graft.Bench"` still starts on an 8-core/32 GiB box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val physGb =
+      try {
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        os.asInstanceOf[com.sun.management.OperatingSystemMXBean]
+          .getTotalMemorySize / (1L << 30)
+      } catch { case _: Throwable => 128L } // unknown -> assume the sandbox
+    s"${math.max(2L, math.min(24L, physGb / 4))}g"
+  })}",
   // A full bench sweep whole-stage-codegens 400+ queries × 3 runs in
   // ONE forked JVM; the JDK default 240 MB reserved code cache can
   // fill under that churn, silently disabling the JIT — which craters

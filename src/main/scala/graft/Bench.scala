@@ -76,9 +76,7 @@ object Bench {
     // starts from parquet inputs and an empty block store.
     // blocking=true: removal completes BEFORE the clock starts, so the
     // async block-removal work can never race the timed run it precedes
-    def dropDeadBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = true))
+    def dropDeadBlocks(): Unit = BlockHygiene.dropDeadBlocks(spark)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       dropDeadBlocks()
       val t0 = System.nanoTime()
@@ -90,6 +88,14 @@ object Bench {
         -1.0 // failure sentinel — keeps broken queries visible in the JSON
       }
     }
+    // ADDITIONS-ONLY warm-run column (VERDICT r14 #7): keys whose probe
+    // exceeds this also get ONE extra run in the same JVM (plan already
+    // analyzed once, codegen/JIT warm, block store still dropped first)
+    // reported under "warm" — separating one-time analysis+codegen cost
+    // from recurring compute without touching the probe protocol or the
+    // "queries"/"value" fields earlier rounds compare against.
+    val warmThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_SEC", "5.0").toDouble
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
@@ -101,17 +107,24 @@ object Bench {
           val times = (probe +: (2 to runs).map(_ => timeOne(name, fn))).sorted
           if (times.contains(-1.0)) -1.0 else times(times.length / 2)
         }
-      name -> value
+      val warm =
+        if (probe > warmThreshold && !alwaysMedian(name))
+          Some(timeOne(name, fn))
+        else None
+      (name, value, warm)
     }
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).filter(_ >= 0).sum
+    val warms = results.collect { case (k, _, Some(w)) => k -> w }
     // complete full-precision record for analysis (the stdout line below
     // is size-bounded)
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullWarm = warms.map { case (k, w) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm":$fullWarm,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
       fullLine.getBytes("UTF-8"))
@@ -121,12 +134,15 @@ object Bench {
     // truncated and unparseable (BENCH_r01 'parsed' was null for exactly
     // this reason). Budget the queries map: slowest queries first (the
     // ones worth comparing against BASELINE), stop before the cap.
-    val budget = 1500
+    // r15: 1500 → 1100 to make room for the ~350-char warm map below —
+    // the whole stdout line must stay comfortably inside the driver's
+    // ~2000-char tail capture (plus sbt's trailing "[success]" line)
+    val budget = 1100
     // failed queries (-1 sentinel) FIRST so the budget cut can never
     // hide a failure from the driver-visible line, then slowest-first
     val bySlowest = results
-      .sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .sortBy { case (_, v, _) => if (v < 0) Double.NegativeInfinity else -v }
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
     // strict prefix of the slowest-first list (a filter would skip an
     // oversized entry but keep appending faster ones after it, breaking
     // the "slowest first" contract)
@@ -142,7 +158,19 @@ object Bench {
     }
     val omitted = results.length - n
     val sfShort = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries_omitted":$omitted,"queries":{$included},"sf":"$sfShort","full":"target/bench_full.json"}""")
+    // the warm column (slowest-first, own small budget so it can never
+    // crowd the probe map out of the driver's capture window)
+    val warmIncluded = {
+      val sb = new StringBuilder
+      var stop2 = false
+      for (e <- warms.sortBy(-_._2)
+             .map { case (k, w) => "\"" + k + "\":" + fmt(w) } if !stop2) {
+        if (sb.length + e.length + 1 > 350) stop2 = true
+        else { if (sb.nonEmpty) sb += ','; sb ++= e }
+      }
+      sb.toString
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries_omitted":$omitted,"queries":{$included},"warm":{$warmIncluded},"sf":"$sfShort","full":"target/bench_full.json"}""")
     spark.stop()
   }
 }

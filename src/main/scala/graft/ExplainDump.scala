@@ -19,7 +19,13 @@ object ExplainDump {
     val spark = Tables.session("graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // a failed dump must FAIL the tool (ADVICE r14): exiting 0 with the
+    // output file never (re)written lets an adjudication silently diff a
+    // stale artifact. Also delete any pre-existing file up front so a
+    // failure can never leave an old plan masquerading as this run's.
+    var failures = 0
     for (name <- names) {
+      Files.deleteIfExists(Paths.get(s"$outDir/${name}_$tag.txt"))
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           try {
@@ -30,10 +36,14 @@ object ExplainDump {
             println(s"[explain] wrote $outDir/${name}_$tag.txt")
           } catch { case e: Throwable =>
             System.err.println(s"[explain] $name failed: ${e.getMessage}")
+            failures += 1
           }
-        case None => System.err.println(s"[explain] no such query: $name")
+        case None =>
+          System.err.println(s"[explain] no such query: $name")
+          failures += 1
       }
     }
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

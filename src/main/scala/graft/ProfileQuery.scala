@@ -39,8 +39,7 @@ object ProfileQuery {
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       // same block hygiene as Bench.timeOne: earlier queries' dead
       // localCheckpoint blocks must not tax this query's measurement
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = true))
+      BlockHygiene.dropDeadBlocks(spark)
       jobs.set(0); stages.set(0); tasks.set(0L)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)

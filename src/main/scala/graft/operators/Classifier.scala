@@ -83,6 +83,14 @@ object Classifier {
       .unionByName(featuresOf(neg, idCol, textCol, buckets)
         .select(concat(lit("n:"), col(idCol).cast("string")).as("__tid"),
           col("bucket"), col("tf"), lit(0.0).as("__y")))
+      // hash-partition the design matrix by __tid BEFORE checkpointing:
+      // every per-epoch job (the logit groupBy(__tid), the gradient's
+      // feats⋈p join on __tid, and the distinct-count below) then reads
+      // blocks already clustered on its key — 3 corpus-frame exchanges
+      // per epoch become 0 (only the ≤`buckets`-row gradient aggregate
+      // still shuffles). One extra exchange at build, paid once; the
+      // decimal accumulators make the result partitioning-invariant.
+      .repartition(col("__tid"))
       .localCheckpoint(false) // read once per iteration — never re-tokenize
     val n = feats.select(col("__tid")).distinct().count()
     require(n > 0, "lrTrain: empty training set")

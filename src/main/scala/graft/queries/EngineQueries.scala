@@ -14,6 +14,26 @@ object EngineQueries {
     new Engine(s).query(sql, vars)
   }
 
+  /** Share a SQL-defined temp view ACROSS its consumers: re-register the
+    * view under the same name as a [[graft.operators.Reuse.LocalDeferred]]
+    * frame. SQL temp views store PARSED plans, so a pipeline view
+    * referenced k times across later statements re-expands — and
+    * re-EXECUTES — its whole upstream chain k times (measured round 15:
+    * e_sql_pipeline9's final statement expanded the p9_inc fixture chain
+    * 8×, a 5,179-line physical plan). A view registered FROM a DataFrame
+    * stores the analyzed plan, so every consumer shares the single
+    * deferred-checkpoint leaf: the chain runs once, at first execution,
+    * into executor-local blocks (guide §3.3 — materialize an intermediate
+    * to truncate a plan the optimizer cannot deduplicate; column pruning
+    * specializes each consumer so ReuseExchange never fires). Nothing
+    * materializes at CREATE/EXPLAIN/analysis time — the
+    * [[graft.operators.Reuse.LocalDeferred]] contract. */
+  private def shareViews(s: SparkSession, names: String*): Unit =
+    names.foreach { n =>
+      graft.operators.Reuse.LocalDeferred(s.table(n))
+        .createOrReplaceTempView(n)
+    }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_distinct_on" -> ((s, d) => via(s, d)(
       """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
@@ -194,6 +214,10 @@ object EngineQueries {
                  SELECT doc_id, mmr, rank
                  FROM graft_mmr('p12_cand', 'doc_id', 'embedding',
                                 'rrf', 5, 0.7)""")
+      // p12_sel feeds the snippet-docs semi-join AND the final
+      // statement: share it so the full bm25+ann+mmr chain above
+      // executes once, not twice (guide §3.3)
+      shareViews(s, "p12_sel")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p12_docs AS
                  SELECT d.doc_id, d.text FROM documents d
                  LEFT SEMI JOIN p12_sel s ON d.doc_id = s.doc_id""")
@@ -257,7 +281,7 @@ object EngineQueries {
       // §2.6 — the llm_bm25_stored shape)
       val ix = graft.operators.Reuse.Local(
         graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text"))
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -278,7 +302,7 @@ object EngineQueries {
       // one index pass, two overlapped sinks (the llm_bm25_stored shape)
       val ix = graft.operators.Reuse.Local(
         graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text"))
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -318,7 +342,7 @@ object EngineQueries {
         graft.operators.TextAnalysis.bm25Index(b, "doc_id", "text"))
       // overlap the two per-path lifecycle chains (guide §2.6;
       // overwrite→append order preserved WITHIN each path)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ia, ib),
         () => {
           ia.write.mode("overwrite").parquet(s"$out/postings")
           ib.write.mode("append").parquet(s"$out/postings")
@@ -351,7 +375,7 @@ object EngineQueries {
       val ix = graft.operators.Reuse.Local(
         graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text"))
       // two independent sinks off the shared checkpoint — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -401,7 +425,7 @@ object EngineQueries {
       val ix = graft.operators.Reuse.Local(
         graft.operators.TextAnalysis.bm25Index(docs, "doc_id", "text"))
       // two independent sinks off the shared checkpoint — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -453,16 +477,25 @@ object EngineQueries {
                                              10, 100000, 2.0, 10.0,
                                              0.1, 1) g
                    ON c.doc_id = g.doc_id AND g.keep""")
+      // p11_kept feeds the dedup stage twice (rows + the exact-dedup
+      // TVF); p11_dedup feeds the index build AND the embeddings
+      // semi-join — share each so its chain executes once (guide §3.3)
+      shareViews(s, "p11_kept")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p11_dedup AS
                  SELECT c.doc_id, c.text FROM p11_kept c
                  LEFT SEMI JOIN graft_exact_dedup('p11_kept', 'doc_id',
                                                   'text') w
                    ON c.doc_id = w.doc_id""")
+      shareViews(s, "p11_dedup")
       val ded = s.table("p11_dedup")
-      val ix = graft.operators.Reuse.Local(
+      // LocalDeferred, not Local: the index frame now contains the
+      // p11_dedup deferred leaf, on which Local deliberately degrades
+      // to a no-op (its construction-time toRdd hazard) — the deferred
+      // variant truncates the same diamond at first execution instead
+      val ix = graft.operators.Reuse.LocalDeferred(
         graft.operators.TextAnalysis.bm25Index(ded, "doc_id", "text"))
       // two independent sinks off the shared checkpoint — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => graft.operators.TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -718,7 +751,7 @@ object EngineQueries {
       val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text",
         k = 16, nBands = 4)
       // two independent sinks off the shared sketch — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(idx.sets),
         () => idx.bands.write.mode("overwrite").parquet(s"$out/bands"),
         () => idx.sets.write.mode("overwrite").parquet(s"$out/sets"))
       s.read.parquet(s"$out/bands").createOrReplaceTempView("graft_idx_bands")
@@ -952,7 +985,7 @@ object EngineQueries {
         docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
       // independent-sink writes off shared checkpointed frames — run
       // concurrently (guide §2.6); the cheap view registrations follow
-      graft.operators.Par.jobs(model.toSeq.map { case (k, v) => () =>
+      graft.operators.Par.jobs(Seq(model("types")), model.toSeq.map { case (k, v) => () =>
         v.write.mode("overwrite").parquet(s"$out/$k") }: _*)
       model.keys.foreach { k =>
         s.read.parquet(s"$out/$k").createOrReplaceTempView(s"knm_$k")
@@ -975,12 +1008,12 @@ object EngineQueries {
         docs.filter($"doc_id" % 4 === 0), "doc_id", "text")
       // concurrent independent-sink writes per generation (guide §2.6);
       // v2 depends on v1 via the read-back, so the batches stay ordered
-      graft.operators.Par.jobs(mA.toSeq.map { case (k, v) => () =>
+      graft.operators.Par.jobs(Seq(mA("types")), mA.toSeq.map { case (k, v) => () =>
         v.write.mode("overwrite").parquet(s"$out/v1/$k") }: _*)
       val stored = mA.keys.map(k => k -> s.read.parquet(s"$out/v1/$k")).toMap
       val merged = graft.operators.TextAnalysis.trigramKnAppend(stored,
         docs.filter($"doc_id" % 4 === 2), "doc_id", "text")
-      graft.operators.Par.jobs(merged.toSeq.map { case (k, v) => () =>
+      graft.operators.Par.jobs(Seq(merged("types")), merged.toSeq.map { case (k, v) => () =>
         v.write.mode("overwrite").parquet(s"$out/v2/$k") }: _*)
       merged.keys.foreach { k =>
         s.read.parquet(s"$out/v2/$k").createOrReplaceTempView(s"knma_$k")
@@ -1393,7 +1426,7 @@ object EngineQueries {
         .select(col("doc_id"), col("text"))
       val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
       // two independent sinks off the shared sketch — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(idx.sets),
         () => idx.bands.write.mode("overwrite").parquet(s"$out/bands"),
         () => idx.sets.write.mode("overwrite").parquet(s"$out/sets"))
       s.read.parquet(s"$out/bands").createOrReplaceTempView("sdd_bands")
@@ -1410,13 +1443,23 @@ object EngineQueries {
                  SELECT doc_id + 3000000 AS doc_id, text FROM aa
                  UNION ALL SELECT doc_id + 4000000, ntext FROM nov
                  UNION ALL SELECT doc_id + 5000000, ntext FROM nov""")
+      // sdd_batch feeds sdd_reps twice (rows + the pairs TVF), sdd_reps
+      // feeds the final statement twice (rows + the probe TVF) — share
+      // each stage so its chain executes once (guide §3.3)
+      shareViews(s, "sdd_batch")
+      // BROADCAST hints: the shared deferred leaf reports conservative
+      // (huge) stats, which would push these anti-joins to sort-merge —
+      // but pair-loser / probe-hit sets are micro-batch-bounded, the
+      // textbook broadcast side (guide §3.1)
       e.query("""CREATE OR REPLACE TEMPORARY VIEW sdd_reps AS
-                 SELECT i.doc_id, i.text FROM sdd_batch i
+                 SELECT /*+ BROADCAST(l) */ i.doc_id, i.text
+                 FROM sdd_batch i
                  LEFT ANTI JOIN (
                      SELECT DISTINCT id_b FROM graft_minhash_pairs(
                        'sdd_batch', 'doc_id', 'text', 0.5)) l
                    ON i.doc_id = l.id_b""")
-      e.query("""SELECT r.doc_id FROM sdd_reps r
+      shareViews(s, "sdd_reps")
+      e.query("""SELECT /*+ BROADCAST(h) */ r.doc_id FROM sdd_reps r
                  LEFT ANTI JOIN (
                      SELECT DISTINCT id_new FROM graft_minhash_probe(
                        'sdd_bands', 'sdd_sets', 'sdd_reps',
@@ -1437,7 +1480,7 @@ object EngineQueries {
         .select(col("doc_id"), col("text"))
       val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
       // three independent store sinks — overlap (guide §2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(idx.sets),
         () => idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
         () => idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets"),
         () => graft.operators.Multimodal.dHash(
@@ -1459,12 +1502,18 @@ object EngineQueries {
                  UNION ALL SELECT doc_id + 4000000, ntext, atext FROM nov
                  UNION ALL SELECT doc_id + 5000000, text, reverse(text) FROM aa
                  UNION ALL SELECT doc_id + 6000000, ntext, reverse(atext) FROM nov""")
+      // p9_inc feeds the quality gate (twice: rows + the gopher TVF) AND
+      // the media view; p9_quality feeds p9_clean twice (rows + the
+      // decontaminate TVF); p9_clean appears twice in the final statement
+      // (rows + the minhash probe). Shared, each stage runs once.
+      shareViews(s, "p9_inc")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p9_quality AS
                  SELECT i.doc_id, i.text, i.pay
                  FROM p9_inc i
                  JOIN graft_gopher('p9_inc', 'doc_id', 'text',
                                    10, 100000, 2.0, 10.0, 0.1, 1) g
                    ON i.doc_id = g.doc_id AND g.keep""")
+      shareViews(s, "p9_quality")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p9_eval AS
                  SELECT doc_id, text FROM documents
                  WHERE doc_id > (SELECT max(doc_id) - 100 FROM documents)""")
@@ -1474,10 +1523,17 @@ object EngineQueries {
                  JOIN graft_decontaminate('p9_quality', 'p9_eval',
                                           'doc_id', 'text', 13) d
                    ON q.doc_id = d.doc_id AND NOT d.contaminated""")
+      shareViews(s, "p9_clean")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p9_media AS
                  SELECT doc_id, CAST(pay AS BINARY) AS payload FROM p9_inc""")
       // LEFT ANTI joins, not NOT IN (the null-aware form plans a BNLJ)
-      e.query("""SELECT c.doc_id FROM p9_clean c
+      // BROADCAST hints: the shared deferred leaves report conservative
+      // (huge) stats by design, which would push these anti-joins to
+      // sort-merge — but a probe-hit set is bounded by the incoming
+      // micro-batch, the textbook broadcast side (guide §3.1: hint when
+      // the estimate is wrong)
+      e.query("""SELECT /*+ BROADCAST(mh), BROADCAST(im) */ c.doc_id
+                 FROM p9_clean c
                  LEFT ANTI JOIN (
                      SELECT DISTINCT id_new FROM graft_minhash_probe(
                        'p9_mh_bands', 'p9_mh_sets', 'p9_clean',
@@ -2152,7 +2208,7 @@ object EngineQueries {
       val ix = graft.operators.Reuse.Local(
         ta.bm25IndexPartitioned(docs, "doc_id", "text", nBuckets = 8))
       // two independent sinks off the shared checkpoint — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").partitionBy("tbucket")
           .parquet(s"$out/postings"),
         () => ta.bm25DocLens(ix, "doc_id")
@@ -2228,7 +2284,7 @@ object EngineQueries {
       val ia = graft.operators.Reuse.Local(ta.bm25Index(a, "doc_id", "text"))
       val ib = graft.operators.Reuse.Local(ta.bm25Index(b, "doc_id", "text"))
       // overlap the two per-path lifecycle chains (guide §2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ia, ib),
         () => {
           ia.write.mode("overwrite").parquet(s"$out/postings")
           ib.write.mode("append").parquet(s"$out/postings")
@@ -2276,7 +2332,7 @@ object EngineQueries {
       val ib = graft.operators.Reuse.Local(
         ta.bm25IndexPartitioned(b, "doc_id", "text", nBuckets = 8))
       // overlap the two per-path lifecycle chains (guide §2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ia, ib),
         () => {
           ia.write.mode("overwrite").partitionBy("tbucket")
             .parquet(s"$out/postings")
@@ -3032,9 +3088,12 @@ object EngineQueries {
       graft.sources.Warc.write(wrapped, "doc_id", "uri", "html", out,
         nFiles = 4, gzip = true)
       s.read.format("graft-extractor").option("extractor", "warc")
-        // 256 KiB splits — same rationale as llm_pipeline14: resync
-        // still exercised at every boundary, ~30× fewer scan tasks
-        .option("path", out).option("splitBytes", "262144").load()
+        // split size derived from the ACTUAL part-file size (≈4 split
+        // boundaries per file, 256 KiB cap — same task count as the
+        // fixed 256 KiB at bench scale, but resync coverage holds at
+        // any corpus scale; ADVICE r14)
+        .option("path", out).option("splitBytes",
+          graft.sources.Warc.resyncSplitBytes(s, out).toString).load()
         .createOrReplaceTempView("p14_records")
       e.query("""CREATE OR REPLACE TEMPORARY VIEW p14_clean AS
                  SELECT CAST(regexp_extract(record_id, '[0-9]+', 0) AS BIGINT)

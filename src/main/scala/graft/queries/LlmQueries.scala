@@ -1150,7 +1150,7 @@ object LlmQueries {
       // just-written postings
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(docs, "doc_id", "text"))
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -1170,7 +1170,7 @@ object LlmQueries {
       // one index pass, two overlapped sinks (the llm_bm25_stored shape)
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(docs, "doc_id", "text"))
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -1205,7 +1205,7 @@ object LlmQueries {
       // the postings path and the doclens path are independent chains
       // (overwrite→append order preserved WITHIN each path) — overlap
       // them (guide §2.6); both read the shared checkpointed ia/ib
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ia, ib),
         () => {
           ia.write.mode("overwrite").parquet(s"$out/postings")
           ib.write.mode("append").parquet(s"$out/postings")
@@ -1255,7 +1255,7 @@ object LlmQueries {
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(docs, "doc_id", "text"))
       // two independent sinks off the shared checkpoint — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -1292,7 +1292,7 @@ object LlmQueries {
       // append → compact, order preserved WITHIN each path) — overlap
       // the two chains end-to-end (guide §2.6)
       val compacted = new Array[org.apache.spark.sql.DataFrame](2)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ia, ib),
         () => {
           ia.write.mode("overwrite").parquet(s"$out/postings")
           ib.write.mode("append").parquet(s"$out/postings")
@@ -1325,7 +1325,7 @@ object LlmQueries {
         TextAnalysis.bm25IndexPartitioned(docs, "doc_id", "text",
           nBuckets = 8))
       // two independent sinks off the shared checkpoint — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").partitionBy("tbucket")
           .parquet(s"$out/postings"),
         () => TextAnalysis.bm25DocLens(ix, "doc_id")
@@ -1358,7 +1358,7 @@ object LlmQueries {
       // overlap the two per-path lifecycle chains (guide §2.6; order
       // preserved WITHIN each path)
       val compacted = new Array[org.apache.spark.sql.DataFrame](2)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ia, ib),
         () => {
           ia.write.mode("overwrite").partitionBy("tbucket")
             .parquet(s"$out/postings")
@@ -1405,7 +1405,7 @@ object LlmQueries {
       // overlap the two per-path lifecycle chains (guide §2.6; the
       // selective compaction stays strictly after ITS store's appends)
       val compacted = new Array[org.apache.spark.sql.DataFrame](2)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ia, ib),
         () => {
           ia.write.mode("overwrite").partitionBy("tbucket")
             .parquet(s"$out/postings")
@@ -1685,7 +1685,7 @@ object LlmQueries {
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(deduped, "doc_id", "text"))
       // two independent sinks off the shared checkpoint — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -1781,7 +1781,7 @@ object LlmQueries {
         TextAnalysis.bm25Index(docs, "doc_id", "text"))
       // three independent store sinks — overlap the SETUP (§2.6); the
       // timed serve loop below is untouched
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"),
@@ -1828,7 +1828,7 @@ object LlmQueries {
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(slice, "doc_id", "text"))
       // two independent sinks off the shared checkpoint — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -2728,19 +2728,23 @@ object LlmQueries {
           $"aid" - 240 === $"cid")
         .select($"aid", $"atext",
           concat_ws(" ", $"atext", $"btext", $"ctext").as("ntext"))
-      val incoming = a
+      // the fixture feeds the TEXT path and the MEDIA probe, and `clean`
+      // below feeds both the minhash probe and the text-OK anti-join —
+      // truncate lineage at each fan-out so the fixture-join chain runs
+      // once, not three times (guide §3.3)
+      val incoming = graft.operators.Reuse.Local(a
         .select(($"doc_id" + 3000000).as("doc_id"), $"text", $"text".as("pay"))
         .unionAll(novel.select(($"aid" + 4000000).as("doc_id"),
           $"ntext".as("text"), $"atext".as("pay")))
         .unionAll(a.select(($"doc_id" + 5000000).as("doc_id"), $"text",
           reverse($"text").as("pay")))
         .unionAll(novel.select(($"aid" + 6000000).as("doc_id"),
-          $"ntext".as("text"), reverse($"atext").as("pay")))
+          $"ntext".as("text"), reverse($"atext").as("pay"))))
       // the stores, written once at corpus-build time: the text minhash
       // index frames and the 8-byte-per-row media dHash frame
       val idx = Dedup.minhashIndex(docs, "doc_id", "text")
       // three independent store sinks — overlap (guide §2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(idx.sets),
         () => idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
         () => idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets"),
         () => Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
@@ -2752,21 +2756,22 @@ object LlmQueries {
       val quality = incoming.filter(TextAnalysis.gopherKeep($"text",
         minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
         maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
-      val clean = graft.streaming.Corpus.cleanAgainst(
-        quality, ev, "doc_id", "text", n = 13)
+      val clean = graft.operators.Reuse.Local(
+        graft.streaming.Corpus.cleanAgainst(
+          quality, ev, "doc_id", "text", n = 13))
       val mhHits = graft.streaming.Corpus.admitProbe(
           clean.select($"doc_id", $"text"),
           Dedup.MinhashIndex(s.read.parquet(s"$out/mh/bands"),
             s.read.parquet(s"$out/mh/sets")), "doc_id", "text")
         .select($"id_new".as("doc_id")).distinct()
-      val textOk = clean.join(mhHits, Seq("doc_id"), "left_anti")
+      val textOk = clean.join(broadcast(mhHits), Seq("doc_id"), "left_anti")
       // MEDIA path: per-row dHash probe of the payload column
       val imgHits = Multimodal.imageNearDupsBetween(
           Multimodal.asMedia(incoming.select($"doc_id", $"pay"),
             "doc_id", "pay"),
           s.read.parquet(s"$out/dh"), maxHamming = 3, nBands = 4)
         .select($"id_new".as("doc_id")).distinct()
-      textOk.join(imgHits, Seq("doc_id"), "left_anti").select($"doc_id")
+      textOk.join(broadcast(imgHits), Seq("doc_id"), "left_anti").select($"doc_id")
     }),
     "llm_multimodal_resize" -> ((s, d) => {
       import s.implicits._
@@ -2841,7 +2846,7 @@ object LlmQueries {
         .select(($"doc_id" + 3000000).as("doc_id"), $"text")
       val idx = Dedup.minhashIndex(docs, "doc_id", "text", k = 16, nBands = 4)
       // two independent sinks off the shared sketch — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(idx.sets),
         () => idx.bands.write.mode("overwrite").parquet(s"$out/bands"),
         () => idx.sets.write.mode("overwrite").parquet(s"$out/sets"))
       val stored = Dedup.MinhashIndex(
@@ -2868,7 +2873,7 @@ object LlmQueries {
         .select(($"doc_id" + 3000000).as("doc_id"), $"text")
       val idxA = Dedup.minhashIndex(a, "doc_id", "text", k = 16, nBands = 4)
       // two independent sinks off the shared sketch — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(idxA.sets),
         () => idxA.bands.write.mode("overwrite").parquet(s"$out/bands"),
         () => idxA.sets.write.mode("overwrite").parquet(s"$out/sets"))
       val appended = Dedup.minhashIndexAppend(
@@ -2894,7 +2899,7 @@ object LlmQueries {
         .select(($"doc_id" + 3000000).as("doc_id"), $"text")
       val idx = Dedup.minhashIndex(docs, "doc_id", "text", k = 16, nBands = 4)
       // two independent sinks off the shared sketch — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(idx.sets),
         () => idx.bands.write.mode("overwrite").parquet(s"$out/bands"),
         () => idx.sets.write.mode("overwrite").parquet(s"$out/sets"))
       val tomb = docs.filter($"doc_id" % 7 === 2).select($"doc_id")
@@ -3164,7 +3169,7 @@ object LlmQueries {
       // the six model tables are independent sinks off two shared
       // localCheckpointed frames — write them CONCURRENTLY (guide §2.6:
       // overlap independent jobs; Par scaladoc has the safety argument)
-      graft.operators.Par.jobs(model.toSeq.map { case (k, v) => () =>
+      graft.operators.Par.jobs(Seq(model("types")), model.toSeq.map { case (k, v) => () =>
         v.write.mode("overwrite").parquet(s"$out/$k") }: _*)
       TextAnalysis.trigramKnScoreStored(docs, "doc_id", "text",
         model.keys.map(k => k -> s.read.parquet(s"$out/$k")).toMap)
@@ -3189,12 +3194,12 @@ object LlmQueries {
       // off shared checkpointed frames — each generation's batch runs
       // CONCURRENTLY (guide §2.6; v2 depends on v1 via the read-back,
       // so the two batches themselves stay sequenced)
-      graft.operators.Par.jobs(mA.toSeq.map { case (k, v) => () =>
+      graft.operators.Par.jobs(Seq(mA("types")), mA.toSeq.map { case (k, v) => () =>
         v.write.mode("overwrite").parquet(s"$out/v1/$k") }: _*)
       val stored = mA.keys.map(k => k -> s.read.parquet(s"$out/v1/$k")).toMap
       val merged = TextAnalysis.trigramKnAppend(stored,
         docs.filter($"doc_id" % 4 === 2), "doc_id", "text")
-      graft.operators.Par.jobs(merged.toSeq.map { case (k, v) => () =>
+      graft.operators.Par.jobs(Seq(merged("types")), merged.toSeq.map { case (k, v) => () =>
         v.write.mode("overwrite").parquet(s"$out/v2/$k") }: _*)
       TextAnalysis.trigramKnScoreStored(docs, "doc_id", "text",
         merged.keys.map(k => k -> s.read.parquet(s"$out/v2/$k")).toMap)
@@ -3274,12 +3279,14 @@ object LlmQueries {
         nFiles = 4, gzip = true)
       val records = s.read.format("graft-extractor")
         .option("extractor", "warc").option("path", out)
-        // 256 KiB splits: still ~4 split boundaries per gzip member
-        // file (resync exercised — ExtractorSpec pins split-size
-        // invariance), but ~30× fewer scan tasks than the original
-        // 16 KiB (guide §6: thousands of tiny splits are pure
-        // task-scheduling overhead; the RESULT is split-invariant)
-        .option("splitBytes", "262144").load()
+        // split size derived from the ACTUAL part-file size: ~4 split
+        // boundaries per gzip member file (resync exercised —
+        // ExtractorSpec pins split-size invariance) at ANY corpus
+        // scale, capped at 256 KiB so bench scale keeps the ~30×
+        // fewer scan tasks vs the original 16 KiB (guide §6; the
+        // RESULT is split-invariant) — ADVICE r14
+        .option("splitBytes",
+          graft.sources.Warc.resyncSplitBytes(s, out).toString).load()
       val stripped = records.select(
         regexp_extract($"record_id", "[0-9]+", 0).cast("long").as("doc_id"),
         TextAnalysis.stripMarkup($"payload").as("text"))

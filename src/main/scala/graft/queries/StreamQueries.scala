@@ -139,7 +139,7 @@ object StreamQueries {
       val mhIdx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
       // four independent store sinks (two per index, each pair off one
       // checkpointed sketch frame) — overlap them (guide §2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(mhIdx.sets),
         () => dcIdx.sketch.write.mode("overwrite").parquet(s"$out/decontam/sketch"),
         () => dcIdx.hashes.write.mode("overwrite").parquet(s"$out/decontam/hashes"),
         () => mhIdx.bands.write.mode("overwrite").parquet(s"$out/minhash/bands"),
@@ -154,12 +154,16 @@ object StreamQueries {
         col("text"), minTokens = 10, maxTokens = 100000,
         minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
         maxSymbolRatio = 0.1, minStopwordHits = 1))
-      val clean = graft.streaming.Corpus.cleanAgainstStored(
-        quality, dcStored, "doc_id", "text")
+      // `clean` feeds BOTH the minhash probe and the final anti-join —
+      // truncate lineage so the fixture-join + quality + decontam chain
+      // runs once, not twice (guide §3.3)
+      val clean = graft.operators.Reuse.Local(
+        graft.streaming.Corpus.cleanAgainstStored(
+          quality, dcStored, "doc_id", "text"))
       val hits = graft.streaming.Corpus.admitProbe(clean, mhStored,
           "doc_id", "text")
         .select(col("id_new").as("doc_id")).distinct()
-      clean.select(col("doc_id")).join(hits, Seq("doc_id"), "left_anti")
+      clean.select(col("doc_id")).join(broadcast(hits), Seq("doc_id"), "left_anti")
     }),
     "st_admission_append" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -197,7 +201,7 @@ object StreamQueries {
       // store (exact stage) and the minhash band/sketch index
       val mh = Dedup.minhashIndex(docs, "doc_id", "text")
       // three independent store sinks — overlap them (guide §2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(mh.sets),
         () => docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
           .distinct().write.mode("overwrite").parquet(s"$out/fp"),
         () => mh.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
@@ -211,15 +215,20 @@ object StreamQueries {
           maxSymbolRatio = 0.1, minStopwordHits = 1))
         val clean = graft.streaming.Corpus.cleanAgainst(
           quality, ev, "doc_id", "text", n = 13)
-        val fresh = clean.join(s.read.parquet(s"$out/fp"),
-            TextAnalysis.fingerprint(col("text")) === col("fp"), "left_anti")
-          .select(col("doc_id"), col("text"))
+        // `fresh` feeds BOTH the minhash probe (a sketch pass over its
+        // text) and the final anti-join below — truncate lineage so the
+        // fixture-join + quality + decontam + fp-anti chain runs once
+        // per micro-batch, not twice (guide §3.3)
+        val fresh = graft.operators.Reuse.Local(
+          clean.join(s.read.parquet(s"$out/fp"),
+              TextAnalysis.fingerprint(col("text")) === col("fp"), "left_anti")
+            .select(col("doc_id"), col("text")))
         val mhStored = Dedup.MinhashIndex(
           s.read.parquet(s"$out/mh/bands"), s.read.parquet(s"$out/mh/sets"))
         val hits = graft.streaming.Corpus.admitProbe(fresh, mhStored,
             "doc_id", "text")
           .select(col("id_new").as("doc_id")).distinct()
-        fresh.join(hits, Seq("doc_id"), "left_anti")
+        fresh.join(broadcast(hits), Seq("doc_id"), "left_anti")
       }
       // batch 1: admit, SINK the admitted docs (they are written in any
       // real pipeline — and the sink is what decouples the probe reads
@@ -232,7 +241,7 @@ object StreamQueries {
       val delta = Dedup.minhashIndex(adm1, "doc_id", "text")
       // the three append deltas target three distinct paths — overlap
       // them too (each path's overwrite above already completed)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(delta.sets),
         () => adm1.select(TextAnalysis.fingerprint(col("text")).as("fp"))
           .distinct().write.mode("append").parquet(s"$out/fp"),
         () => delta.bands.write.mode("append").parquet(s"$out/mh/bands"),
@@ -421,7 +430,7 @@ object StreamQueries {
         val mode = if (i == 0) "overwrite" else "append"
         val ix = graft.operators.Reuse.Local(TextAnalysis.bm25Index(
           slice.select(col("doc_id"), col("text")), "doc_id", "text"))
-        graft.operators.Par.jobs(
+        graft.operators.Par.jobs(Seq(ix),
           () => ix.write.mode(mode).parquet(s"$out/postings"),
           () => TextAnalysis.bm25DocLens(ix, "doc_id")
             .write.mode(mode).parquet(s"$out/doclens"))
@@ -449,7 +458,7 @@ object StreamQueries {
       val ix = graft.operators.Reuse.Local(
         TextAnalysis.bm25Index(docs, "doc_id", "text"))
       // two independent sinks off the shared checkpoint — overlap (§2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(ix),
         () => ix.write.mode("overwrite").parquet(s"$out/postings"),
         () => TextAnalysis.bm25DocLens(ix, "doc_id")
           .write.mode("overwrite").parquet(s"$out/doclens"))
@@ -516,30 +525,37 @@ object StreamQueries {
       // corpus-build time: both stores on disk
       val idx = Dedup.minhashIndex(docs, "doc_id", "text")
       // three independent store sinks — overlap (guide §2.6)
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(idx.sets),
         () => idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
         () => idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets"),
         () => Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
           .write.mode("overwrite").parquet(s"$out/dh"))
       // one micro-batch's mixed admission against the CURRENT stores
-      def admitted(batch: DataFrame): DataFrame = {
+      def admitted(batch0: DataFrame): DataFrame = {
+        // the micro-batch fixture feeds the TEXT path and the MEDIA
+        // probe, and `clean` feeds both the minhash probe and the
+        // text-OK anti-join — truncate lineage at each fan-out so the
+        // fixture-join chain runs once per micro-batch, not three
+        // times (guide §3.3)
+        val batch = graft.operators.Reuse.Local(batch0)
         val quality = batch.filter(TextAnalysis.gopherKeep(col("text"),
           minTokens = 10, maxTokens = 100000, minMeanWordLen = 2.0,
           maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwordHits = 1))
-        val clean = graft.streaming.Corpus.cleanAgainst(
-          quality, ev, "doc_id", "text", n = 13)
+        val clean = graft.operators.Reuse.Local(
+          graft.streaming.Corpus.cleanAgainst(
+            quality, ev, "doc_id", "text", n = 13))
         val mhHits = graft.streaming.Corpus.admitProbe(
             clean.select(col("doc_id"), col("text")),
             Dedup.MinhashIndex(s.read.parquet(s"$out/mh/bands"),
               s.read.parquet(s"$out/mh/sets")), "doc_id", "text")
           .select(col("id_new").as("doc_id")).distinct()
-        val textOk = clean.join(mhHits, Seq("doc_id"), "left_anti")
+        val textOk = clean.join(broadcast(mhHits), Seq("doc_id"), "left_anti")
         val imgHits = Multimodal.imageNearDupsBetween(
             Multimodal.asMedia(batch.select(col("doc_id"), col("pay")),
               "doc_id", "pay"),
             s.read.parquet(s"$out/dh"), maxHamming = 3, nBands = 4)
           .select(col("id_new").as("doc_id")).distinct()
-        textOk.join(imgHits, Seq("doc_id"), "left_anti")
+        textOk.join(broadcast(imgHits), Seq("doc_id"), "left_anti")
       }
       // batch 1: admit, sink, append BOTH deltas (the sink decouples
       // the probe reads from the in-flight appends)
@@ -547,7 +563,7 @@ object StreamQueries {
       val adm1 = s.read.parquet(s"$out/admitted_b1")
       val delta = Dedup.minhashIndex(adm1, "doc_id", "text")
       // three independent append deltas, three distinct paths — overlap
-      graft.operators.Par.jobs(
+      graft.operators.Par.jobs(Seq(delta.sets),
         () => delta.bands.write.mode("append").parquet(s"$out/mh/bands"),
         () => delta.sets.write.mode("append").parquet(s"$out/mh/sets"),
         () => Multimodal.dHash(Multimodal.asMedia(
@@ -651,7 +667,7 @@ object StreamQueries {
       val model = graft.operators.TextAnalysis.trigramKnTrain(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
       // six independent model-table sinks — overlap (guide §2.6)
-      graft.operators.Par.jobs(model.toSeq.map { case (k, v) => () =>
+      graft.operators.Par.jobs(Seq(model("types")), model.toSeq.map { case (k, v) => () =>
         v.write.mode("overwrite").parquet(s"$out/$k") }: _*)
       graft.operators.TextAnalysis.trigramKnScoreStored(docs, "doc_id",
         "text", model.keys.map(k => k -> s.read.parquet(s"$out/$k")).toMap)

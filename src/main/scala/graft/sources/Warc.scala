@@ -83,6 +83,28 @@ object Warc {
     override def close(): Unit = out.flush()
   }
 
+  /** Derive the extractor `splitBytes` that keeps ~`boundariesPerFile`
+    * split boundaries inside EVERY written part file, clamped to
+    * [minBytes, maxBytes] — so a gate reading its own fixture always
+    * exercises split-boundary resync REGARDLESS of corpus scale
+    * (ADVICE r14: a fixed 256 KiB silently stops covering resync when
+    * the fixture shrinks below ~1 MiB/file; a fixed 16 KiB costs ~30×
+    * the scan tasks at bench scale for no extra coverage — measured
+    * round 14, e_sql_pipeline14 8.5→4.9 s). Extraction results are
+    * split-invariant (ExtractorSpec pins), so only task count moves. */
+  def resyncSplitBytes(spark: org.apache.spark.sql.SparkSession,
+                       path: String, boundariesPerFile: Int = 4,
+                       minBytes: Long = 16384L,
+                       maxBytes: Long = 262144L): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(p).filter(_.isFile).map(_.getLen)
+      .filter(_ > 0L)
+    require(sizes.nonEmpty, s"resyncSplitBytes: no part files under $path")
+    math.max(minBytes,
+      math.min(maxBytes, sizes.min / boundariesPerFile))
+  }
+
   /** Distributed WARC SINK: frame (id, uri, text) rows as WARC records,
     * one `.warc` (or, with `gzip=true`, `.warc.gz` — one gzip member
     * per record, the Common-Crawl layout) file per partition — the

@@ -160,13 +160,23 @@ object Corpus {
                  idCol: String, textCol: String,
                  k: Int = 16, nBands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
-    val losers = Dedup.minhashPairs(batch, idCol, textCol,
+    // the micro-batch frame fans out three ways (the intra-batch pair
+    // sketch, the keep-first anti-join, and — via `reps` — the store
+    // probe plus the final anti-join): truncate lineage at each fan-out
+    // so an expensive upstream batch fixture runs once, not 3-4 times
+    // (guide §3.3; callers hand plain per-micro-batch frames here, so
+    // localCheckpoint is legal)
+    val b = graft.operators.Reuse.Local(batch)
+    val losers = Dedup.minhashPairs(b, idCol, textCol,
         k = k, nBands = nBands, threshold = threshold)
       .select(col("id_b").as(idCol)).distinct()
-    val reps = batch.join(losers, Seq(idCol), "left_anti")
+    val reps = graft.operators.Reuse.Local(
+      b.join(broadcast(losers), Seq(idCol), "left_anti"))
     val hits = admitProbe(reps, index, idCol, textCol, k, nBands, threshold)
       .select(col("id_new").as(idCol)).distinct()
-    reps.join(hits, Seq(idCol), "left_anti")
+    // losers/hits are micro-batch-bounded id sets — broadcast them so
+    // the anti-joins never shuffle the batch side (guide §3.1)
+    reps.join(broadcast(hits), Seq(idCol), "left_anti")
   }
 
   /** [[admitBatch]] for MEDIA — the image side of the intra-batch
@@ -191,18 +201,22 @@ object Corpus {
                       idCol: String, payCol: String,
                       maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
     import graft.operators.Multimodal
+    // same fan-out as [[admitBatch]] — truncate lineage at the batch
+    // frame and at the keep-first survivors (guide §3.3)
+    val b = graft.operators.Reuse.Local(batch)
     val losers = Multimodal.imageNearDups(
-        Multimodal.asMedia(batch.select(col(idCol), col(payCol)),
+        Multimodal.asMedia(b.select(col(idCol), col(payCol)),
           idCol, payCol),
         idCol, maxHamming = maxHamming, nBands = nBands)
       .select(col("id_b").as(idCol)).distinct()
-    val reps = batch.join(losers, Seq(idCol), "left_anti")
+    val reps = graft.operators.Reuse.Local(
+      b.join(broadcast(losers), Seq(idCol), "left_anti"))
     val hits = Multimodal.imageNearDupsBetween(
         Multimodal.asMedia(reps.select(col(idCol), col(payCol)),
           idCol, payCol),
         corpusHashes, idCol, maxHamming = maxHamming, nBands = nBands)
       .select(col("id_new").as(idCol)).distinct()
-    reps.join(hits, Seq(idCol), "left_anti")
+    reps.join(broadcast(hits), Seq(idCol), "left_anti")
   }
 
   /** [[cleanAgainst]] from a STORED decontamination index — the

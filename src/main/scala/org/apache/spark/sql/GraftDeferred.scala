@@ -27,12 +27,21 @@ import org.apache.spark.sql.types.StructType
   * `LlmSql.memo`) so plan-tree copies (canonicalization, AQE
   * re-optimization) and repeated actions share one computation. */
 case class GraftDeferredScan(output: Seq[Attribute], build: () => DataFrame)
-    extends LeafNode {
+    extends LeafNode
+    with org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation {
   /** Conservative stats: never let the optimizer broadcast a side whose
     * size is unknowable before execution (cluster labels can be
     * corpus-scale). */
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = conf.defaultSizeInBytes)
+
+  /** Self-join support: when one deferred leaf (a shared temp view, the
+    * round-15 cross-statement reuse) appears on BOTH sides of a join,
+    * DeduplicateRelations needs fresh attribute ids per occurrence —
+    * exactly what LogicalRDD does. The memoized `build` thunk is shared
+    * by every instance, so the underlying computation still runs once. */
+  override def newInstance(): GraftDeferredScan =
+    copy(output = output.map(_.newInstance()))
 }
 
 /** Physical counterpart: runs the builder's plan as a nested query

@@ -3103,6 +3103,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(edge.getLong(edge.fieldIndex("tp")) == 0)
   }
 
+  test("lrTrain: weights are input-partitioning-invariant (the exact-decimal contract the __tid-clustered checkpoint relies on)") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    // round 15 clusters the checkpointed design matrix by __tid so the
+    // per-epoch jobs shuffle nothing; that is only sound because every
+    // corpus-scale sum accumulates in DECIMAL (order-free). Pin it: the
+    // trained weights must be bit-identical under ANY input partitioning.
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 200)
+    val pos = corpus.filter($"doc_id" % 2 === 0)
+    val neg = corpus.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", org.apache.spark.sql.functions.upper($"text").as("text"))
+    val w1 = Classifier.lrTrain(pos, neg, "doc_id", "text",
+      buckets = 64, iters = 2, lr = 0.5)
+    val w2 = Classifier.lrTrain(pos.repartition(7), neg.repartition(3),
+      "doc_id", "text", buckets = 64, iters = 2, lr = 0.5)
+    assert(w1.nonEmpty && w1.sameElements(w2),
+      "lrTrain weights must not depend on input partitioning")
+  }
+
   test("lrEval/lrCalibration disjoint guard is IN-PLAN: zero jobs at construction, loud refusal at execution") {
     import spark.implicits._
     import graft.operators.Classifier

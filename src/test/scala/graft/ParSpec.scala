@@ -50,4 +50,45 @@ class ParSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/a").count() == 1000)
     assert(spark.read.parquet(s"$out/b").head().getLong(0) == 1001000L)
   }
+
+  test("jobs(shared, ...) materializes the shared frame BEFORE the pool starts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a checkpointed frame whose computation bumps a counter per row:
+    // after the eager pre-materialization, the fan-out actions must
+    // read blocks, never recompute — the counter stays at one pass
+    val passes = spark.sparkContext.longAccumulator("passes")
+    val base = graft.operators.Reuse.Local(
+      (1 to 100).toDF("v").map { r => passes.add(1L); r.getInt(0) }.toDF("v"))
+    val out = "target/test_sink/par_shared_eager"
+    graft.operators.Par.jobs(Seq(base),
+      () => base.write.mode("overwrite").parquet(s"$out/a"),
+      () => base.selectExpr("sum(v) AS s").write.mode("overwrite")
+        .parquet(s"$out/b"))
+    assert(passes.value == 100L,
+      s"shared frame computed ${passes.value / 100} times, expected once")
+    assert(spark.read.parquet(s"$out/a").count() == 100)
+    assert(spark.read.parquet(s"$out/b").head().getLong(0) == 5050L)
+  }
+
+  test("interrupting the caller cancels queued work, drains, and re-raises") {
+    val ran = new AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val caller = new java.util.concurrent.atomic.AtomicReference[Thread]()
+    val t = new Thread(() => {
+      caller.set(Thread.currentThread())
+      try {
+        graft.operators.Par.jobs(
+          () => { started.countDown(); Thread.sleep(2000); ran.incrementAndGet(); () },
+          () => { started.countDown(); Thread.sleep(2000); ran.incrementAndGet(); () })
+      } catch { case _: InterruptedException => () }
+    })
+    t.start()
+    started.await()
+    t.interrupt()
+    t.join(10000)
+    assert(!t.isAlive, "Par.jobs must not hang after an interrupt")
+    // the barrier held: by the time jobs() unwound, no action was still
+    // mid-flight (each either finished or was interrupted mid-sleep)
+  }
 }

@@ -929,6 +929,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists(_._3 == 1.0))
   }
 
+  test("admitBatch lineage truncation: admitted set == the untruncated composition") {
+    import org.apache.spark.sql.functions._
+    // round 15 checkpoints admitBatch's internal fan-outs (the batch
+    // frame feeds the pair sketch + keep-first; the survivors feed the
+    // store probe + final anti-join). Pin that the truncation changes
+    // NOTHING about the admitted set by recomputing the pre-r15
+    // composition inline on the same fixture.
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
+    val corpusClone = docs.filter(col("doc_id") === 5)
+      .select((col("doc_id") + 101).as("doc_id"), col("text"))  // bounces at the store
+    val novelText = (1 to 40).map(i => s"zqnovel$i").mkString(" ")
+    val novel = docs.limit(1)
+      .select(lit(102L).as("doc_id"), lit(novelText).as("text")) // admitted
+    val novelDup = novel.select(lit(103L).as("doc_id"), col("text")) // in-batch twin, drops
+    val batch = corpusClone.unionByName(novel).unionByName(novelDup)
+    val got = graft.streaming.Corpus.admitBatch(batch, idx, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // the untruncated composition (the exact pre-r15 operator body)
+    val losers = graft.operators.Dedup.minhashPairs(batch, "doc_id", "text")
+      .select(col("id_b").as("doc_id")).distinct()
+    val reps = batch.join(losers, Seq("doc_id"), "left_anti")
+    val hits = graft.streaming.Corpus.admitProbe(reps, idx, "doc_id", "text")
+      .select(col("id_new").as("doc_id")).distinct()
+    val want = reps.join(hits, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), s"got ${got.toSeq} want ${want.toSeq}")
+    assert(got.sameElements(Array(102L)),
+      s"keep-first must drop 103, the store must bounce 101+: got ${got.toSeq}")
+  }
+
   test("streaming semantic admission: stream == batch, stateless") {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
