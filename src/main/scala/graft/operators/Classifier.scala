@@ -77,7 +77,7 @@ object Classifier {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // disjoint id spaces: prefix the label into the training id so a
     // shared id between pos and neg cannot merge two documents' rows
-    val feats = featuresOf(pos, idCol, textCol, buckets)
+    val featsPlan = featuresOf(pos, idCol, textCol, buckets)
         .select(concat(lit("p:"), col(idCol).cast("string")).as("__tid"),
           col("bucket"), col("tf"), lit(1.0).as("__y"))
       .unionByName(featuresOf(neg, idCol, textCol, buckets)
@@ -91,7 +91,18 @@ object Classifier {
       // still shuffles). One extra exchange at build, paid once; the
       // decimal accumulators make the result partitioning-invariant.
       .repartition(col("__tid"))
-      .localCheckpoint(false) // read once per iteration — never re-tokenize
+    // The checkpoint must be PLANNED with AQE off: an adaptive plan's
+    // LogicalRDD capture reports UnknownPartitioning (AQE only knows
+    // the final partitioning at runtime), so downstream epochs would
+    // re-shuffle anyway. Non-adaptive planning captures
+    // HashPartitioning(__tid) and the epochs inherit it. Read once per
+    // iteration — never re-tokenize.
+    val spark = pos.sparkSession
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val feats =
+      try featsPlan.localCheckpoint(false)
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     val n = feats.select(col("__tid")).distinct().count()
     require(n > 0, "lrTrain: empty training set")
     var w = Array.empty[(Int, Double)] // all-zero weights, sparsely

@@ -1480,9 +1480,10 @@ object EngineQueries {
         .select(col("doc_id"), col("text"))
       val idx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
       // three independent store sinks — overlap (guide §2.6)
-      graft.operators.Par.jobs(Seq(idx.sets),
-        () => idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
-        () => idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets"),
+      graft.operators.Par.jobs(
+        () => graft.operators.Par.jobs(Seq(idx.sets),
+          () => idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
+          () => idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets")),
         () => graft.operators.Multimodal.dHash(
             graft.operators.Multimodal.asMedia(docs, "doc_id", "text"))
           .write.mode("overwrite").parquet(s"$out/dh"))

@@ -139,11 +139,12 @@ object StreamQueries {
       val mhIdx = graft.operators.Dedup.minhashIndex(docs, "doc_id", "text")
       // four independent store sinks (two per index, each pair off one
       // checkpointed sketch frame) — overlap them (guide §2.6)
-      graft.operators.Par.jobs(Seq(mhIdx.sets),
+      graft.operators.Par.jobs(
         () => dcIdx.sketch.write.mode("overwrite").parquet(s"$out/decontam/sketch"),
         () => dcIdx.hashes.write.mode("overwrite").parquet(s"$out/decontam/hashes"),
-        () => mhIdx.bands.write.mode("overwrite").parquet(s"$out/minhash/bands"),
-        () => mhIdx.sets.write.mode("overwrite").parquet(s"$out/minhash/sets"))
+        () => graft.operators.Par.jobs(Seq(mhIdx.sets),
+          () => mhIdx.bands.write.mode("overwrite").parquet(s"$out/minhash/bands"),
+          () => mhIdx.sets.write.mode("overwrite").parquet(s"$out/minhash/sets")))
       val dcStored = graft.operators.Dedup.DecontamIndex(
         s.read.parquet(s"$out/decontam/sketch"),
         s.read.parquet(s"$out/decontam/hashes"))
@@ -201,11 +202,12 @@ object StreamQueries {
       // store (exact stage) and the minhash band/sketch index
       val mh = Dedup.minhashIndex(docs, "doc_id", "text")
       // three independent store sinks — overlap them (guide §2.6)
-      graft.operators.Par.jobs(Seq(mh.sets),
+      graft.operators.Par.jobs(
         () => docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
           .distinct().write.mode("overwrite").parquet(s"$out/fp"),
-        () => mh.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
-        () => mh.sets.write.mode("overwrite").parquet(s"$out/mh/sets"))
+        () => graft.operators.Par.jobs(Seq(mh.sets),
+          () => mh.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
+          () => mh.sets.write.mode("overwrite").parquet(s"$out/mh/sets")))
       // one micro-batch's admission against the CURRENT stores: quality
       // -> decontamination -> exact (fp anti-join) -> near-dup probe
       def admitted(batch: DataFrame): DataFrame = {
@@ -241,11 +243,12 @@ object StreamQueries {
       val delta = Dedup.minhashIndex(adm1, "doc_id", "text")
       // the three append deltas target three distinct paths — overlap
       // them too (each path's overwrite above already completed)
-      graft.operators.Par.jobs(Seq(delta.sets),
+      graft.operators.Par.jobs(
         () => adm1.select(TextAnalysis.fingerprint(col("text")).as("fp"))
           .distinct().write.mode("append").parquet(s"$out/fp"),
-        () => delta.bands.write.mode("append").parquet(s"$out/mh/bands"),
-        () => delta.sets.write.mode("append").parquet(s"$out/mh/sets"))
+        () => graft.operators.Par.jobs(Seq(delta.sets),
+          () => delta.bands.write.mode("append").parquet(s"$out/mh/bands"),
+          () => delta.sets.write.mode("append").parquet(s"$out/mh/sets")))
       // batch 2: exact clones (fp-append path) + near clones with one
       // prepended never-in-corpus token (minhash-append path — the
       // fingerprint differs but ~all shingles are shared, jaccard ≈ 1)
@@ -525,9 +528,10 @@ object StreamQueries {
       // corpus-build time: both stores on disk
       val idx = Dedup.minhashIndex(docs, "doc_id", "text")
       // three independent store sinks — overlap (guide §2.6)
-      graft.operators.Par.jobs(Seq(idx.sets),
-        () => idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
-        () => idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets"),
+      graft.operators.Par.jobs(
+        () => graft.operators.Par.jobs(Seq(idx.sets),
+          () => idx.bands.write.mode("overwrite").parquet(s"$out/mh/bands"),
+          () => idx.sets.write.mode("overwrite").parquet(s"$out/mh/sets")),
         () => Multimodal.dHash(Multimodal.asMedia(docs, "doc_id", "text"))
           .write.mode("overwrite").parquet(s"$out/dh"))
       // one micro-batch's mixed admission against the CURRENT stores
@@ -563,9 +567,10 @@ object StreamQueries {
       val adm1 = s.read.parquet(s"$out/admitted_b1")
       val delta = Dedup.minhashIndex(adm1, "doc_id", "text")
       // three independent append deltas, three distinct paths — overlap
-      graft.operators.Par.jobs(Seq(delta.sets),
-        () => delta.bands.write.mode("append").parquet(s"$out/mh/bands"),
-        () => delta.sets.write.mode("append").parquet(s"$out/mh/sets"),
+      graft.operators.Par.jobs(
+        () => graft.operators.Par.jobs(Seq(delta.sets),
+          () => delta.bands.write.mode("append").parquet(s"$out/mh/bands"),
+          () => delta.sets.write.mode("append").parquet(s"$out/mh/sets")),
         () => Multimodal.dHash(Multimodal.asMedia(
             adm1.select(col("doc_id"), col("pay")), "doc_id", "pay"))
           .write.mode("append").parquet(s"$out/dh"))
