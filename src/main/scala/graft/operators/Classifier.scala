@@ -83,26 +83,26 @@ object Classifier {
       .unionByName(featuresOf(neg, idCol, textCol, buckets)
         .select(concat(lit("n:"), col(idCol).cast("string")).as("__tid"),
           col("bucket"), col("tf"), lit(0.0).as("__y")))
-      // hash-partition the design matrix by __tid BEFORE checkpointing:
-      // every per-epoch job (the logit groupBy(__tid), the gradient's
-      // feats⋈p join on __tid, and the distinct-count below) then reads
-      // blocks already clustered on its key — 3 corpus-frame exchanges
-      // per epoch become 0 (only the ≤`buckets`-row gradient aggregate
-      // still shuffles). One extra exchange at build, paid once; the
-      // decimal accumulators make the result partitioning-invariant.
-      .repartition(col("__tid"))
-    // The checkpoint must be PLANNED with AQE off: an adaptive plan's
-    // LogicalRDD capture reports UnknownPartitioning (AQE only knows
-    // the final partitioning at runtime), so downstream epochs would
-    // re-shuffle anyway. Non-adaptive planning captures
-    // HashPartitioning(__tid) and the epochs inherit it. Read once per
-    // iteration — never re-tokenize.
-    val spark = pos.sparkSession
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val feats =
-      try featsPlan.localCheckpoint(false)
-      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // Hash-partition the design matrix by __tid so every per-epoch job
+    // (the logit groupBy(__tid), the gradient's feats⋈p join on __tid,
+    // and the distinct-count below) reads blocks already clustered on
+    // its key — 3 corpus-frame exchanges per epoch become 0 (only the
+    // ≤`buckets`-row gradient aggregate still shuffles). The decimal
+    // accumulators make the result partitioning-invariant.
+    //
+    // persist(), NOT localCheckpoint: a checkpoint PLANNED under AQE
+    // captures its LogicalRDD with UnknownPartitioning (AQE only knows
+    // the final partitioning at runtime), so the epochs would
+    // re-shuffle anyway; planning it with AQE off preserves the
+    // clustering but runs the whole featurize chain non-coalesced
+    // (~0.8 s/key at sf0.1 — measured, r15). A cached InMemoryRelation
+    // gives both: the cache fill runs under AQE, and (with the default
+    // canChangeCachedPlanOutputPartitioning=false) its outputPartitioning
+    // stays HashPartitioning(__tid) for every consumer. feats is fully
+    // consumed inside this call, so it is unpersisted before returning —
+    // no cache entry outlives the train. Read once per iteration —
+    // never re-tokenize.
+    val feats = featsPlan.repartition(col("__tid")).persist()
     val n = feats.select(col("__tid")).distinct().count()
     require(n > 0, "lrTrain: empty training set")
     var w = Array.empty[(Int, Double)] // all-zero weights, sparsely
@@ -128,6 +128,7 @@ object Classifier {
       }
       i += 1
     }
+    feats.unpersist()
     w
   }
 
